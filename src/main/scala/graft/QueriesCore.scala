@@ -1,0 +1,485 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.operators.{QueryRecord, Records, Route}
+
+/** §2.1–2.3 of SURVEY.md: routing / record processing / analytic
+  * headline queries, each with a DuckDB oracle (SparkEntry wires them to
+  * the driver's correctness gate).
+  *
+  * Oracle-parity conventions (see SURVEY.md §6):
+  *  - every aggregate/computed column aliased identically in both;
+  *  - double aggregates rounded (sum→2dp, avg→2/4dp) since summation
+  *    order differs between engines;
+  *  - dates/timestamps compared as formatted strings or epoch millis;
+  *  - integer division avoided (explicit `/ x.0` + floor + cast).
+  */
+object QueriesCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- §2.3
+  /** TPC-H Q1 shape: scan-heavy agg. One shuffle (partial aggs map-side);
+    * filter + 7-column pruning pushed to parquet. */
+  val q1PricingSummary: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),2) AS avg_qty,
+      | round(avg(l_extendedprice),2) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: 2 joins + agg + deterministic top-10. Joins shuffle
+    * on orderkey/custkey; AQE handles skew. Revenue ordered on the
+    * ROUNDED value with unique tie-break so both engines agree. */
+  val q3ShippingPriority: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1996-01-01")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+               col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1996-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: star join. Dims (region/nation/supplier) broadcast —
+    * the fact side never shuffles for them; only orders⋈customer and
+    * lineitem⋈orders shuffle. */
+  val q5LocalSupplier: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") <  to_timestamp(lit("1998-01-01")))
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+                            c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem
+      | JOIN orders   ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
+    * the same (user_id, ts) partitioning — a single shuffle. */
+  val qSessionize: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("ms", unix_millis(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("new_sess",
+        when(col("ms") - lag("ms", 1).over(w) > lit(1800000L), 1)
+          .when(lag("ms", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           ((max("ms") - min("ms")) / lit(1000.0)).as("span_s"),
+           round(sum("value"), 2).as("sess_value"))
+  }
+  val qSessionizeSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      | (max(ms) - min(ms)) / 1000.0 AS span_s,
+      | round(sum(value),2) AS sess_value
+      |FROM (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, value, ms,
+      |      CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      |           THEN 1
+      |           WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.1
+  /** RouteOnAttribute: single-pass tagged routing + per-route stats. */
+  val qRouteOnAttribute: Q = (s, d) => {
+    val routes = Seq(
+      "error"        -> (col("event_type") === "error"),
+      "purchase_big" -> (col("event_type") === "purchase" && col("value") > 100),
+      "clickview"    -> col("event_type").isin("click", "view"))
+    Route.tagged(Tables.events(s, d), routes)
+      .groupBy("route")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+  }
+  val qRouteOnAttributeSql: String =
+    """SELECT CASE WHEN event_type = 'error' THEN 'error'
+      |            WHEN event_type = 'purchase' AND value > 100 THEN 'purchase_big'
+      |            WHEN event_type IN ('click','view') THEN 'clickview'
+      |            ELSE 'unmatched' END AS route,
+      |       count(*) AS cnt, round(sum(value),2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** RouteOnContent: regex routing on document text. */
+  val qRouteOnContent: Q = (s, d) => {
+    Route.taggedOnContent(Tables.documents(s, d), "text",
+        Seq("sparky" -> "spark", "relational" -> "join|merge"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("first_doc"))
+  }
+  val qRouteOnContentSql: String =
+    """SELECT CASE WHEN regexp_matches(text, 'spark') THEN 'sparky'
+      |            WHEN regexp_matches(text, 'join|merge') THEN 'relational'
+      |            ELSE 'unmatched' END AS route,
+      |       count(*) AS cnt, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** UpdateAttribute/UpdateRecord: derived columns. */
+  val qUpdateAttribute: Q = (s, d) => {
+    Records.update(Tables.documents(s, d),
+        "lang_uc"  -> upper(col("lang")),
+        "head10"   -> substring(col("text"), 1, 10),
+        "kb"       -> round(col("n_chars") / lit(1024.0), 4))
+      .select("doc_id", "lang_uc", "head10", "kb")
+  }
+  val qUpdateAttributeSql: String =
+    """SELECT doc_id, upper(lang) AS lang_uc, substring(text,1,10) AS head10,
+      | round(n_chars/1024.0, 4) AS kb FROM documents""".stripMargin
+
+  /** ExtractText: regex capture groups to columns. */
+  val qExtractText: Q = (s, d) => {
+    Records.extractText(Tables.documents(s, d), "text",
+        "^([a-z]+) ([a-z]+)", Seq("w1" -> 1, "w2" -> 2))
+      .select("doc_id", "w1", "w2")
+  }
+  val qExtractTextSql: String =
+    """SELECT doc_id, regexp_extract(text, '^([a-z]+) ([a-z]+)', 1) AS w1,
+      | regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS w2 FROM documents""".stripMargin
+
+  /** ReplaceText: regex rewrite (digest output to keep rows small). */
+  val qReplaceText: Q = (s, d) => {
+    Records.replaceText(Tables.documents(s, d), "text", "[aeiou]", "_", "redacted")
+      .select(col("doc_id"), md5(col("redacted").cast("binary")).as("redacted_md5"))
+  }
+  val qReplaceTextSql: String =
+    """SELECT doc_id, md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS redacted_md5
+      |FROM documents""".stripMargin
+
+  /** EvaluateJsonPath: scalar JSON path extraction. */
+  val qEvaluateJsonPath: Q = (s, d) => {
+    Records.jsonPath(Tables.events(s, d), "props", "k_str" -> "$.k")
+      .select(col("event_id"), col("k_str").cast("long").as("k"))
+  }
+  val qEvaluateJsonPathSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  /** FlattenJson: schema-driven parse + flatten. */
+  val qFlattenJson: Q = (s, d) => {
+    Records.flattenJson(Tables.events(s, d), "props",
+        StructType(Seq(StructField("k", IntegerType))))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+  val qFlattenJsonSql: String =
+    """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod, count(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** QueryRecord: ad-hoc SQL over a record stream. */
+  val qQueryRecord: Q = (s, d) => {
+    QueryRecord(s, Tables.events(s, d),
+      """SELECT event_type, count(*) AS cnt, round(avg(value),2) AS avg_value
+        |FROM records WHERE value > 50 GROUP BY event_type""".stripMargin)
+  }
+  val qQueryRecordSql: String =
+    """SELECT event_type, count(*) AS cnt, round(avg(value),2) AS avg_value
+      |FROM events WHERE value > 50 GROUP BY event_type""".stripMargin
+
+  /** ValidateRecord: rule violations per record. */
+  val qValidateRecord: Q = (s, d) => {
+    Records.validate(Tables.events(s, d),
+        "nonneg_value" -> (col("value") >= 0),
+        "known_type"   -> col("event_type").isin("signup", "click", "error", "view", "purchase"),
+        "has_k"        -> get_json_object(col("props"), "$.k").isNotNull,
+        "valid_user"   -> (col("user_id") >= 0))
+      .select(col("event_id"), col("is_valid"),
+              size(col("violations")).cast("long").as("n_violations"))
+  }
+  val qValidateRecordSql: String =
+    """SELECT event_id,
+      | (CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 ELSE 0 END
+      |  + CASE WHEN NOT coalesce(event_type IN ('signup','click','error','view','purchase'), FALSE) THEN 1 ELSE 0 END
+      |  + CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 ELSE 0 END
+      |  + CASE WHEN NOT coalesce(user_id >= 0, FALSE) THEN 1 ELSE 0 END) = 0 AS is_valid,
+      | CAST(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 ELSE 0 END
+      |  + CASE WHEN NOT coalesce(event_type IN ('signup','click','error','view','purchase'), FALSE) THEN 1 ELSE 0 END
+      |  + CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 ELSE 0 END
+      |  + CASE WHEN NOT coalesce(user_id >= 0, FALSE) THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+      |FROM events""".stripMargin
+
+  /** PartitionRecord: derive partition key + per-partition stats. */
+  val qPartitionRecord: Q = (s, d) => {
+    Records.partitionKey(Tables.events(s, d), "event_date",
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+  }
+  val qPartitionRecordSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS cnt,
+      | round(sum(value),2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** SplitText: explode words + global term counts. */
+  val qSplitText: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
+  val qSplitTextSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word""".stripMargin
+
+  /** MergeRecord: ordered concat per group (digest to bound row size). */
+  val qMergeRecord: Q = (s, d) => {
+    Records.merge(Tables.documents(s, d), Seq("source"), "doc_id", "text", "|")
+      .select(col("source"), md5(col("merged").cast("binary")).as("merged_md5"))
+  }
+  val qMergeRecordSql: String =
+    """SELECT source, md5(string_agg(text, '|' ORDER BY doc_id)) AS merged_md5
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** MergeContent bin-packing: size-capped bins per source. */
+  val qMergeBins: Q = (s, d) => {
+    Records.binPack(Tables.documents(s, d), Seq("source"), "doc_id", "n_chars", 2000L)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bin_chars"))
+  }
+  val qMergeBinsSql: String =
+    """SELECT source, bin, count(*) AS n_docs, sum(n_chars) AS bin_chars
+      |FROM (SELECT source, n_chars,
+      |        CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) - n_chars) / 2000.0) AS BIGINT) AS bin
+      |      FROM documents)
+      |GROUP BY source, bin""".stripMargin
+
+  /** LookupRecord: two-level broadcast enrichment (nation, region). */
+  val qLookupRecord: Q = (s, d) => {
+    val enriched = Records.lookup(
+      Records.lookup(Tables.customer(s, d), Tables.nation(s, d),
+        Seq("c_nationkey" -> "n_nationkey")),
+      Tables.region(s, d), Seq("n_regionkey" -> "r_regionkey"))
+    enriched.select("c_custkey", "c_name", "n_name", "r_name")
+  }
+  val qLookupRecordSql: String =
+    """SELECT c_custkey, c_name, n_name, r_name
+      |FROM customer
+      | LEFT JOIN nation ON c_nationkey = n_nationkey
+      | LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  /** Fork/JoinEnrichment: aggregate side-channel re-joined. */
+  val qForkJoinEnrichment: Q = (s, d) => {
+    Records.forkJoinEnrich(Tables.orders(s, d), Seq("o_custkey"),
+        df => df.groupBy("o_custkey")
+                .agg(round(sum("o_totalprice"), 2).as("cust_total"),
+                     count(lit(1)).as("cust_orders")))
+      .select("o_orderkey", "o_custkey", "cust_total", "cust_orders")
+  }
+  val qForkJoinEnrichmentSql: String =
+    """SELECT o_orderkey, orders.o_custkey, cust_total, cust_orders
+      |FROM orders LEFT JOIN (
+      |  SELECT o_custkey, round(sum(o_totalprice),2) AS cust_total,
+      |         count(*) AS cust_orders
+      |  FROM orders GROUP BY o_custkey) agg
+      |ON orders.o_custkey = agg.o_custkey""".stripMargin
+
+  /** DeduplicateRecord (exact): canonical keeper per content hash. */
+  val qDedupeExact: Q = (s, d) => {
+    graft.operators.Dedup.exactSummary(Tables.documents(s, d), "text", "doc_id")
+  }
+  val qDedupeExactSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** SampleRecord: deterministic modulus sampling. */
+  val qSampleRecord: Q = (s, d) => {
+    Records.sampleByMod(Tables.documents(s, d), "doc_id", 7, 3)
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+  val qSampleRecordSql: String =
+    """SELECT count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE doc_id % 7 = 3""".stripMargin
+
+  /** EnforceOrder: per-key sequence numbers. */
+  val qEnforceOrder: Q = (s, d) => {
+    Records.enforceOrder(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"))
+      .select("event_id", "user_id", "seq")
+  }
+  val qEnforceOrderSql: String =
+    """SELECT event_id, user_id,
+      | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+      |FROM events""".stripMargin
+
+  /** SegmentContent: fixed-size chunks (digested). */
+  val qSegmentContent: Q = (s, d) => {
+    Records.segment(Tables.documents(s, d), "text", 100)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
+  val qSegmentContentSql: String =
+    """SELECT doc_id, chunk_idx,
+      | md5(substring(text, CAST(chunk_idx*100+1 AS INT), 100)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, CAST(ceil(length(text)/100.0) AS BIGINT)-1)) AS chunk_idx
+      |      FROM documents)""".stripMargin
+
+  /** HashContent: md5 + sha256 digests. */
+  val qHashContent: Q = (s, d) => {
+    Records.hashContent(Records.hashContent(
+        Tables.documents(s, d), "text", "md5", "text_md5"),
+        "text", "sha256", "text_sha256")
+      .select("doc_id", "text_md5", "text_sha256")
+  }
+  val qHashContentSql: String =
+    """SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+      |FROM documents""".stripMargin
+
+  /** ConvertRecord: type/format conversions. */
+  val qConvertRecord: Q = (s, d) => {
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity")).as("qty_floor"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("ship_ym"),
+      (col("l_returnflag") === "R").as("is_return"))
+  }
+  val qConvertRecordSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+      | strftime(l_shipdate, '%Y-%m') AS ship_ym, l_returnflag = 'R' AS is_return
+      |FROM lineitem""".stripMargin
+
+  /** AttributeRollingWindow: trailing 1h per-user sum. */
+  val qRollingWindow: Q = (s, d) => {
+    Records.rollingWindow(Tables.events(s, d), "user_id", "ts", "value", 3600000L)
+      .select(col("event_id"), col("user_id"), round(col("rolling_sum"), 2).as("rolling_1h"))
+  }
+  val qRollingWindowSql: String =
+    """SELECT event_id, user_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+      |FROM events""".stripMargin
+
+  /** Top-N per key. */
+  val qWindowTopN: Q = (s, d) => {
+    Records.topNPerKey(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
+  }
+  val qWindowTopNSql: String =
+    """SELECT o_custkey, o_orderkey, rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 2""".stripMargin
+
+  // -------------------------------------------------------------- export
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary"    -> q1PricingSummary,
+    "q3_shipping_priority"  -> q3ShippingPriority,
+    "q5_local_supplier"     -> q5LocalSupplier,
+    "q_sessionize"          -> qSessionize,
+    "q_route_on_attribute"  -> qRouteOnAttribute,
+    "q_route_on_content"    -> qRouteOnContent,
+    "q_update_attribute"    -> qUpdateAttribute,
+    "q_extract_text"        -> qExtractText,
+    "q_replace_text"        -> qReplaceText,
+    "q_evaluate_jsonpath"   -> qEvaluateJsonPath,
+    "q_flatten_json"        -> qFlattenJson,
+    "q_query_record"        -> qQueryRecord,
+    "q_validate_record"     -> qValidateRecord,
+    "q_partition_record"    -> qPartitionRecord,
+    "q_split_text"          -> qSplitText,
+    "q_merge_record"        -> qMergeRecord,
+    "q_merge_bins"          -> qMergeBins,
+    "q_lookup_record"       -> qLookupRecord,
+    "q_fork_join_enrichment" -> qForkJoinEnrichment,
+    "q_dedupe_exact"        -> qDedupeExact,
+    "q_sample_record"       -> qSampleRecord,
+    "q_enforce_order"       -> qEnforceOrder,
+    "q_segment_content"     -> qSegmentContent,
+    "q_hash_content"        -> qHashContent,
+    "q_convert_record"      -> qConvertRecord,
+    "q_rolling_window"      -> qRollingWindow,
+    "q_window_topn"         -> qWindowTopN)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary"    -> q1Sql,
+    "q3_shipping_priority"  -> q3Sql,
+    "q5_local_supplier"     -> q5Sql,
+    "q_sessionize"          -> qSessionizeSql,
+    "q_route_on_attribute"  -> qRouteOnAttributeSql,
+    "q_route_on_content"    -> qRouteOnContentSql,
+    "q_update_attribute"    -> qUpdateAttributeSql,
+    "q_extract_text"        -> qExtractTextSql,
+    "q_replace_text"        -> qReplaceTextSql,
+    "q_evaluate_jsonpath"   -> qEvaluateJsonPathSql,
+    "q_flatten_json"        -> qFlattenJsonSql,
+    "q_query_record"        -> qQueryRecordSql,
+    "q_validate_record"     -> qValidateRecordSql,
+    "q_partition_record"    -> qPartitionRecordSql,
+    "q_split_text"          -> qSplitTextSql,
+    "q_merge_record"        -> qMergeRecordSql,
+    "q_merge_bins"          -> qMergeBinsSql,
+    "q_lookup_record"       -> qLookupRecordSql,
+    "q_fork_join_enrichment" -> qForkJoinEnrichmentSql,
+    "q_dedupe_exact"        -> qDedupeExactSql,
+    "q_sample_record"       -> qSampleRecordSql,
+    "q_enforce_order"       -> qEnforceOrderSql,
+    "q_segment_content"     -> qSegmentContentSql,
+    "q_hash_content"        -> qHashContentSql,
+    "q_convert_record"      -> qConvertRecordSql,
+    "q_rolling_window"      -> qRollingWindowSql,
+    "q_window_topn"         -> qWindowTopNSql)
+}

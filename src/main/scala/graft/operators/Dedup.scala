@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family: NiFi DeduplicateRecord/DetectDuplicate plus the
+  * LLM-training-data near-dup suite (SURVEY.md §2.4).
+  *
+  * Scale posture: every near-dup variant is BLOCKED — candidate pairs
+  * are generated only inside small buckets (LSH bands, SimHash chunks,
+  * explicit blocking keys), never via an unblocked cross join. The
+  * quadratic term is bounded by bucket size, and every join key is a
+  * hash — uniform by construction, so no skew salting needed.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one canonical row per key (smallest tieBreaker).
+    * One shuffle on the content hash. */
+  def exact(df: DataFrame, contentCol: String, tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(contentCol)), col(contentCol))
+      .orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dedup summary: per content hash, the keeper id + copy count.
+    * groupBy gets map-side partial aggregation (unlike a window). */
+  def exactSummary(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as(s"${contentCol}_md5"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** Character shingles (n-grams) as a distinct array. */
+  private[graft] def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+
+  /** Word (token) array. */
+  private[graft] def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** MinHash signature: for seed i, min over shingles of murmur3(s, i).
+    * numHashes permutation approximations, deterministic (seeded). */
+  private[graft] def minHashSig(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => hash(s, i))))
+
+  /** MinHash + LSH near-duplicate PAIRS.
+    *
+    * shingle(n) → signature(numHashes) → split into `bands` bands →
+    * explode (band_id, band_hash, id) → self-join inside identical
+    * buckets → verify estimated Jaccard (signature agreement) ≥
+    * threshold. Shuffle: one explode-groupBy on (band_id, band_hash) —
+    * at 100 TB the bucket join carries only colliding candidates, and
+    * the verify step compares fixed-size signatures (not documents).
+    *
+    * Output: id_a < id_b, est_jaccard.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        minHashSig(charShingles(col(textCol), shingleN), numHashes).as("sig"))
+    // band_hash = hash of the signature slice for each band
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows)))))).as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"),
+                          col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+                          col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+                            (x, y) => when(x === y, 1).otherwise(0)),
+                   lit(0), (acc, v) => acc + v)
+          / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit) per document + banded near-dup pairs at hamming
+    * distance ≤ maxHamming. Bands: 4 × 16-bit chunks of the simhash —
+    * pairs within hamming ≤ 3 must agree on ≥1 chunk, so bucketing on
+    * chunks finds all such pairs (pigeonhole). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // per-bit vote: sum over tokens of (+1 | -1) for each of 64 bits
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, v) => a + v))
+    val sim = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    df.select(col(idCol).as("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs from simhash values via 16-bit chunk bucketing. */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = sigs.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("chunk_id", "chunk_val")))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+                           col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+                           col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard near-dup within explicit blocks (e.g. same source /
+    * language / length bucket). Pairs only inside a block. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+                      charShingles(col(textCol), n).as("grams"))
+    val a = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .select(col("block"), col("id_a"), col("id_b"),
+              (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup within blocks (label / IVF cell). */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                      threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** NiFi record-oriented processors (UpdateRecord, ValidateRecord,
+  * SplitRecord, MergeRecord/MergeContent, LookupRecord, Fork/Join
+  * Enrichment, SampleRecord, EnforceOrder, SegmentContent, HashContent,
+  * AttributeRollingWindow, PartitionRecord) re-expressed as declarative
+  * DataFrame transforms.
+  *
+  * Scale notes per op are on each method; the invariants:
+  *  - no `collect()` anywhere — everything stays a Catalyst plan;
+  *  - windows partition by a key (never a global single-partition sort
+  *    unless the op's semantics demand total order);
+  *  - enrichment joins broadcast the small side explicitly.
+  */
+object Records {
+
+  /** UpdateRecord / UpdateAttribute: derive or overwrite columns.
+    * Narrow, codegen'd, zero shuffle. */
+  def update(df: DataFrame, cols: (String, Column)*): DataFrame =
+    cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** ValidateRecord: evaluate named rules; adds `violations` (array of
+    * failed rule names) and boolean `is_valid`. Route with
+    * [[Route.onAttribute]] on `is_valid` for NiFi's valid/invalid
+    * relationships. Narrow, zero shuffle. */
+  def validate(df: DataFrame, rules: (String, Column)*): DataFrame = {
+    val viols = array(rules.map { case (n, c) =>
+      when(!coalesce(c, lit(false)), lit(n))
+    }: _*)
+    df.withColumn("violations", filter(viols, _.isNotNull))
+      .withColumn("is_valid", size(col("violations")) === 0)
+  }
+
+  /** SplitRecord / SplitText: explode a delimited content column into
+    * one row per piece (position preserved). Narrow. */
+  def split(df: DataFrame, contentCol: String, delim: String,
+            pieceCol: String = "piece", posCol: String = "pos"): DataFrame =
+    df.select(col("*"), posexplode(split_part_array(col(contentCol), delim)).as(Seq(posCol, pieceCol)))
+
+  private def split_part_array(c: Column, delim: String): Column =
+    org.apache.spark.sql.functions.split(c, java.util.regex.Pattern.quote(delim))
+
+  /** MergeRecord: ordered concatenation of content per group.
+    * One shuffle on the group key (map-side partial aggregation applies
+    * to the collect). Uses sort-within-struct so order is deterministic
+    * without a global sort. */
+  def merge(df: DataFrame, groupCols: Seq[String], orderCol: String,
+            contentCol: String, sep: String, outCol: String = "merged"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(orderCol), col(contentCol)))),
+                  s => s.getField(contentCol)),
+        sep).as(outCol))
+
+  /** MergeContent bin-packing: assign each record a bin id per group such
+    * that bins hold ~`binCap` of `sizeCol`. Streamable definition
+    * (identical in SQL): bin = floor((running_sum - size) / binCap),
+    * i.e. a record opens a new bin when the bytes before it fill the
+    * current bin. One shuffle on the group key. */
+  def binPack(df: DataFrame, groupCols: Seq[String], orderCol: String,
+              sizeCol: String, binCap: Long, binCol: String = "bin"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(binCol, floor((sum(col(sizeCol)).over(w) - col(sizeCol)) / binCap))
+  }
+
+  /** LookupRecord: enrich against a (small) lookup table. The lookup
+    * side is broadcast — no shuffle of the fact side, which is the only
+    * plan that survives a 100 TB fact table. */
+  def lookup(df: DataFrame, lookupDf: DataFrame, keys: Seq[(String, String)],
+             how: String = "left"): DataFrame = {
+    val cond = keys.map { case (l, r) => df(l) === lookupDf(r) }.reduce(_ && _)
+    df.join(broadcast(lookupDf), cond, how)
+  }
+
+  /** ForkEnrichment/JoinEnrichment: compute an aggregate view of the
+    * stream and re-join it onto the original rows. The enrichment is
+    * derived from the SAME scan (Spark reuses the exchange); join key is
+    * the group key, so the join co-partitions with the aggregation. */
+  def forkJoinEnrich(df: DataFrame, keyCols: Seq[String],
+                     enrich: DataFrame => DataFrame): DataFrame = {
+    val side = enrich(df)
+    df.join(side, keyCols, "left")
+  }
+
+  /** SampleRecord: deterministic hash-bucket sampling — stable across
+    * runs and partitionings (unlike `df.sample`). Keeps rows whose
+    * key hashes into `bucket` of `modulus`. Narrow. */
+  def sample(df: DataFrame, keyCol: String, modulus: Int, bucket: Int = 0): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol)), lit(modulus)) === bucket)
+
+  /** SampleRecord on a numeric key without hashing (portable across
+    * engines — used where an external oracle must reproduce the bucket). */
+  def sampleByMod(df: DataFrame, keyCol: String, modulus: Int, bucket: Int): DataFrame =
+    df.filter(pmod(col(keyCol), lit(modulus)) === bucket)
+
+  /** EnforceOrder: per-key sequence index by an ordering column.
+    * One shuffle on the key. */
+  def enforceOrder(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
+                   idxCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn(idxCol, row_number().over(w))
+  }
+
+  /** SegmentContent: split content into fixed-size character chunks, one
+    * row per chunk. Narrow (sequence+transform+explode, all codegen'd). */
+  def segment(df: DataFrame, contentCol: String, size: Int,
+              chunkCol: String = "chunk", idxCol: String = "chunk_idx"): DataFrame = {
+    val starts = sequence(lit(1), greatest(length(col(contentCol)), lit(1)), lit(size))
+    df.select(col("*"),
+        posexplode(transform(starts, s => col(contentCol).substr(s, lit(size))))
+          .as(Seq(idxCol, chunkCol)))
+      .withColumn(chunkCol, col(chunkCol).cast("string"))
+  }
+
+  /** HashContent: content digest column. md5 / sha2-256 / xxhash64. */
+  def hashContent(df: DataFrame, contentCol: String, algo: String = "md5",
+                  outCol: String = "content_hash"): DataFrame = {
+    val h = algo match {
+      case "md5"    => md5(col(contentCol).cast("binary"))
+      case "sha256" => sha2(col(contentCol).cast("binary"), 256)
+      case "xxhash64" => xxhash64(col(contentCol))
+      case other    => throw new IllegalArgumentException(s"unknown algo $other")
+    }
+    df.withColumn(outCol, h)
+  }
+
+  /** AttributeRollingWindow: per-key rolling aggregate over a trailing
+    * time range (milliseconds). Uses a RANGE window frame on the epoch —
+    * no self-join, one shuffle on the key. */
+  def rollingWindow(df: DataFrame, partCol: String, tsCol: String, valueCol: String,
+                    rangeMs: Long, outCol: String = "rolling_sum"): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-rangeMs, 0)
+    df.withColumn(outCol, sum(col(valueCol)).over(w))
+  }
+
+  /** Top-N per key (NiFi PrioritizeAttribute-style selection). Shuffles
+    * once on the key; with AQE the per-key sort is skew-aware. */
+  def topNPerKey(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column], n: Int,
+                 rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** ExtractText: regex capture groups → named columns. Narrow. */
+  def extractText(df: DataFrame, srcCol: String, pattern: String,
+                  groups: Seq[(String, Int)]): DataFrame =
+    groups.foldLeft(df) { case (d, (name, g)) =>
+      d.withColumn(name, regexp_extract(col(srcCol), pattern, g))
+    }
+
+  /** ReplaceText: regex rewrite (replace-all, NiFi's default). Narrow. */
+  def replaceText(df: DataFrame, contentCol: String, pattern: String,
+                  replacement: String, outCol: String = null): DataFrame =
+    df.withColumn(if (outCol == null) contentCol else outCol,
+      regexp_replace(col(contentCol), pattern, replacement))
+
+  /** EvaluateJsonPath: extract scalar JSON paths into columns.
+    * `paths` maps out-column -> JSON path (e.g. "$.k"). Narrow. */
+  def jsonPath(df: DataFrame, jsonCol: String, paths: (String, String)*): DataFrame =
+    paths.foldLeft(df) { case (d, (name, p)) =>
+      d.withColumn(name, get_json_object(col(jsonCol), p))
+    }
+
+  /** FlattenJson / JoltTransform-shape: parse a JSON column with a schema
+    * and flatten its top-level fields into columns. Narrow. */
+  def flattenJson(df: DataFrame, jsonCol: String, schema: DataType,
+                  prefix: String = ""): DataFrame = {
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schema))
+    val fields = schema.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    fields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(prefix + f, col("__j").getField(f))
+    }.drop("__j")
+  }
+
+  /** PartitionRecord: derive a partition key column; pair with
+    * `.write.partitionBy` or `.repartition` for physical layout. */
+  def partitionKey(df: DataFrame, keyCol: String, key: Column): DataFrame =
+    df.withColumn(keyCol, key)
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** NiFi RouteOnAttribute / RouteOnContent, Spark-first.
+  *
+  * NiFi routes each FlowFile to the first (or every) matching
+  * relationship. Here each route is a lazily-planned `filter` over the
+  * same scan: Catalyst pushes the predicate into the parquet source, so
+  * consuming one route reads only what that route needs — no
+  * materialization, no duplication of the input.
+  *
+  * Scale posture: routing is a narrow map-side op (zero shuffles). For a
+  * single-pass "write all routes" flow, use [[tagged]] +
+  * `write.partitionBy(routeCol)`.
+  */
+object Route {
+
+  /** Multi-way predicate routing: route name -> filtered DataFrame.
+    * Rows matching no predicate land in the `unmatched` route. A row
+    * can match several routes (NiFi "Route to all matching"). */
+  def onAttribute(df: DataFrame, routes: Seq[(String, Column)]): Map[String, DataFrame] = {
+    require(routes.nonEmpty, "at least one route required")
+    val matchedAny = routes.map(_._2).reduce(_ || _)
+    routes.map { case (n, c) => n -> df.filter(c) }.toMap +
+      ("unmatched" -> df.filter(!coalesce(matchedAny, lit(false))))
+  }
+
+  /** Single-pass tagged routing: ONE scan, adds `routeCol` holding the
+    * FIRST matching route name in priority order (NiFi "Route to
+    * 'matched' if any matches" with relationship priority). */
+  def tagged(df: DataFrame, routes: Seq[(String, Column)], routeCol: String = "route"): DataFrame = {
+    val tag = routes.foldRight(lit("unmatched")) { case ((n, c), acc) =>
+      when(coalesce(c, lit(false)), lit(n)).otherwise(acc)
+    }
+    df.withColumn(routeCol, tag)
+  }
+
+  /** RouteOnContent: regex match against a content column. */
+  def onContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)]): Map[String, DataFrame] =
+    onAttribute(df, routes.map { case (n, re) => n -> col(contentCol).rlike(re) })
+
+  /** RouteOnContent, single-pass tagged form. */
+  def taggedOnContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)],
+                      routeCol: String = "route"): DataFrame =
+    tagged(df, routes.map { case (n, re) => n -> col(contentCol).rlike(re) }, routeCol)
+}
