@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{El, TextAnalysis}
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** SURVEY.md §2.4 (+§2.1 #8): LLM-training-data pipeline queries —
+  * dedup family, similarity search, text analysis, multimodal plumbing,
+  * expression-language — with DuckDB oracles where SQL-expressible.
+  */
+object QueriesLlm {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** NiFi Expression Language compiled to Catalyst (SURVEY §2.1 #8). */
+  val qExpressionLanguage: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      El.compile("${lang:toUpper():append('-'):append(${source})}").as("tag"),
+      El.compile("${text:substring(0, 12):toUpper()}").as("head_uc"),
+      El.compileExpr("${n_chars:plus(5):multiply(2)}").as("chars_x"),
+      El.compileExpr("${lang:equals('en'):ifElse('english','other')}").as("lang_tag"))
+  }
+  val qExpressionLanguageSql: String =
+    """SELECT doc_id, upper(lang) || '-' || source AS tag,
+      | upper(substring(text, 1, 12)) AS head_uc,
+      | (n_chars + 5) * 2 AS chars_x,
+      | CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS lang_tag
+      |FROM documents""".stripMargin
+
+  /** Token counting: whitespace + BPE-ish pre-tokenizer (§2.4 #38). */
+  val qTokenCount: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishCount(col("text")).as("bpeish_tokens"))
+  }
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents""".stripMargin
+
+  /** Quality scoring (§2.4 #37): Gopher/C4-style deterministic mix. */
+  val qTextQuality: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+  }
+  val qTextQualitySql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
+    val nToks = s"len($toks)"
+    val stopList = "['the','of','and','to','in','is','a','that','it','for','was','on','with']"
+    val meanTok = s"length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest($nToks, 1)"
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / greatest(length(text), 1)"
+    val stopRatio = s"len(list_filter($toks, t -> list_contains($stopList, lower(t)))) * 1.0 / greatest($nToks, 1)"
+    s"""SELECT doc_id,
+       | CAST($nToks AS BIGINT) AS n_tokens,
+       | round($meanTok, 4) AS mean_tok_len,
+       | round($alpha, 4) AS alpha_ratio,
+       | round($stopRatio, 4) AS stopword_ratio,
+       | round((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+       |     + (CASE WHEN $meanTok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       |     + (CASE WHEN $stopRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+       |     + $alpha * 0.3, 4) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  /** Language ID (§2.4 #36) — heuristic, no SQL oracle (spec-tested). */
+  val qLangId: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+  }
+
+  /** Document fingerprint (§2.4 #39): normalize → md5. */
+  val qFingerprint: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  /** Rolling polynomial hash fingerprint — Long wrap-around semantics
+    * aren't expressible in DuckDB (overflow errors), spec-tested. */
+  val qFingerprintRolling: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+  }
+
+  /** N-gram Jaccard near-dup, blocked by source (§2.4 #32). */
+  val qDedupJaccard: Q = (s, d) => {
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
+        n = 3, threshold = 0.7)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+  val qDedupJaccardSql: String =
+    """WITH g AS (
+      |  SELECT source AS block, doc_id AS id,
+      |         list_distinct([substring(text, i, 3)
+      |                        FOR i IN range(1, greatest(length(text) - 1, 2))]) AS grams
+      |  FROM documents)
+      |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+      |       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (§2.4 #30) — signature-level, no SQL
+    * oracle (MinHash seeds aren't portable); spec asserts it finds the
+    * q_dedup_jaccard pairs (recall) on planted dups. */
+  val qDedupMinhash: Q = (s, d) => {
+    Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash signatures (§2.4 #31); pair-finding spec-tested on planted
+    * near-dups (hash bit semantics aren't portable to SQL). */
+  val qDedupSimhash: Q = (s, d) =>
+    Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+
+  /** Embedding-cosine near-dup, blocked by label (§2.4 #33). */
+  val qEmbedNeardup: Q = (s, d) => {
+    Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+  val qEmbedNeardupSql: String =
+    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin
+
+  /** Exact cosine top-k via per-partition heaps (§2.4 #34). */
+  val qEmbedCosineTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteForceTopKPartitioned(s, emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+  val qEmbedCosineTopkSql: String =
+    """SELECT query_id, vec_id, cos_sim, rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+      |         row_number() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                                 CAST(q.embedding AS DOUBLE[])), 6) DESC,
+      |                    c.vec_id) AS rk
+      |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      |  WHERE c.vec_id != q.vec_id)
+      |WHERE rk <= 5""".stripMargin
+
+  /** LSH-bucketed approximate top-k (§2.4 #35) — approximate by design,
+    * no SQL oracle; spec measures recall vs the exact path. */
+  val qAnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 6, tables = 4)
+  }
+
+  /** Multimodal payload plumbing (§2.4 #40): binary + typed metadata. */
+  val qMultimodalMeta: Q = (s, d) => {
+    Multimodal.toMedia(Tables.documents(s, d), "text", "text")
+      .select(col("doc_id"), col("media.modality").as("modality"),
+              col("media.n_bytes").as("n_bytes"))
+  }
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id, 'text' AS modality, CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------- export
+  val queries: Map[String, Q] = Map(
+    "q_expression_language" -> qExpressionLanguage,
+    "q_token_count"         -> qTokenCount,
+    "q_text_quality"        -> qTextQuality,
+    "q_lang_id"             -> qLangId,
+    "q_fingerprint"         -> qFingerprint,
+    "q_fingerprint_rolling" -> qFingerprintRolling,
+    "q_dedup_jaccard"       -> qDedupJaccard,
+    "q_dedup_minhash"       -> qDedupMinhash,
+    "q_dedup_simhash"       -> qDedupSimhash,
+    "q_embed_neardup"       -> qEmbedNeardup,
+    "q_embed_cosine_topk"   -> qEmbedCosineTopk,
+    "q_ann_lsh"             -> qAnnLsh,
+    "q_multimodal_meta"     -> qMultimodalMeta)
+
+  val oracles: Map[String, String] = Map(
+    "q_expression_language" -> qExpressionLanguageSql,
+    "q_token_count"         -> qTokenCountSql,
+    "q_text_quality"        -> qTextQualitySql,
+    "q_fingerprint"         -> qFingerprintSql,
+    "q_dedup_jaccard"       -> qDedupJaccardSql,
+    "q_embed_neardup"       -> qEmbedNeardupSql,
+    "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
+    "q_multimodal_meta"     -> qMultimodalMetaSql)
+}

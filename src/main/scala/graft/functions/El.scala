@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler for a subset of the NiFi Expression Language (the `${...}`
+  * templating NiFi exposes on every processor property — the reference
+  * deployment's flows configure processors with these) down to Catalyst
+  * `Column` expressions, so EL-driven transforms run codegen'd and
+  * distributed instead of per-record interpreted.
+  *
+  * Template syntax: free text with embedded `${subject:fn(args):fn2()}`
+  * expressions (concatenated); `$$` escapes a literal `$`.
+  * Subject: attribute (column) name, `'quoted name'`, or the standalone
+  * `literal('x')`. Arguments: `'strings'`, numbers, booleans, or nested
+  * `${...}` expressions.
+  *
+  * Example: `El.compile("${lang:toUpper():append('-'):append(${source})}")`.
+  */
+object El {
+
+  /** Parsed argument: the Column plus, for literals, the raw value (so
+    * functions needing Scala-level values — pad widths, format strings —
+    * don't have to reach into Catalyst internals). */
+  private sealed trait Arg { def col: Column }
+  private case class LitArg(value: Any, col: Column) extends Arg
+  private case class ExprArg(col: Column) extends Arg
+
+  /** Compile a full template (text + embedded expressions) to a Column. */
+  def compile(template: String): Column = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      if (template.startsWith("$$", i)) { sb.append('$'); i += 2 }
+      else if (template.startsWith("${", i)) {
+        if (sb.nonEmpty) { segs += lit(sb.toString); sb.clear() }
+        val (c, next) = parseExpression(template, i)
+        segs += c.cast("string")
+        i = next
+      } else { sb.append(template.charAt(i)); i += 1 }
+    }
+    if (sb.nonEmpty) segs += lit(sb.toString)
+    segs.toList match {
+      case Nil      => lit("")
+      case c :: Nil => c
+      case cs       => concat(cs: _*)
+    }
+  }
+
+  /** Compile a single `${...}` expression (no surrounding text), keeping
+    * its native type (boolean/number/...) instead of casting to string. */
+  def compileExpr(expression: String): Column = {
+    val t = expression.trim
+    require(t.startsWith("${") && t.endsWith("}"), s"not an EL expression: $expression")
+    val (c, next) = parseExpression(t, 0)
+    require(next == t.length, s"trailing characters in EL expression: $expression")
+    c
+  }
+
+  // ------------------------------------------------------------- parser
+  private def parseExpression(s: String, start: Int): (Column, Int) = {
+    var i = start + 2 // skip "${"
+    i = skipWs(s, i)
+    var subject: Column = null
+    if (s.charAt(i) == '\'') {
+      val (name, n) = parseQuoted(s, i); subject = col(name); i = n
+    } else {
+      val (word, n) = parseWord(s, i)
+      i = skipWs(s, n)
+      if (i < s.length && s.charAt(i) == '(') { // standalone function
+        val (args, n2) = parseArgs(s, i)
+        i = n2
+        subject = word match {
+          case "literal" => args.head.col
+          case other     => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
+        }
+      } else subject = col(word)
+    }
+    i = skipWs(s, i)
+    var c = subject
+    while (i < s.length && s.charAt(i) == ':') {
+      val (fname, n) = parseWord(s, i + 1)
+      i = skipWs(s, n)
+      val (args, n2) = if (i < s.length && s.charAt(i) == '(') parseArgs(s, i) else (Nil: List[Arg], i)
+      i = skipWs(s, n2)
+      c = apply(fname, c, args)
+    }
+    require(i < s.length && s.charAt(i) == '}', s"expected '}' at $i in: $s")
+    (c, i + 1)
+  }
+
+  private def parseArgs(s: String, start: Int): (List[Arg], Int) = {
+    var i = start + 1 // skip '('
+    val args = scala.collection.mutable.ListBuffer.empty[Arg]
+    i = skipWs(s, i)
+    while (s.charAt(i) != ')') {
+      val (a, n) = parseArg(s, i)
+      args += a
+      i = skipWs(s, n)
+      if (s.charAt(i) == ',') i = skipWs(s, i + 1)
+    }
+    (args.toList, i + 1)
+  }
+
+  private def parseArg(s: String, start: Int): (Arg, Int) = {
+    val ch = s.charAt(start)
+    if (ch == '\'') { val (v, n) = parseQuoted(s, start); (LitArg(v, lit(v)), n) }
+    else if (s.startsWith("${", start)) {
+      val (c, n) = parseExpression(s, start); (ExprArg(c), n)
+    } else if (ch.isDigit || ch == '-' || ch == '+') {
+      var i = start + 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      val tok = s.substring(start, i)
+      val v: Any = if (tok.contains('.')) tok.toDouble else tok.toLong
+      (LitArg(v, lit(v)), i)
+    } else {
+      val (word, n) = parseWord(s, start)
+      word match {
+        case "true"  => (LitArg(true, lit(true)), n)
+        case "false" => (LitArg(false, lit(false)), n)
+        case other   => throw new IllegalArgumentException(s"bad EL argument: $other")
+      }
+    }
+  }
+
+  private def parseQuoted(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    while (s.charAt(i) != '\'') {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    (sb.toString, i + 1)
+  }
+
+  private def parseWord(s: String, start: Int): (String, Int) = {
+    var i = skipWs(s, start)
+    val b = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+    require(i > b, s"expected identifier at $b in: $s")
+    (s.substring(b, i), i)
+  }
+
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  // ----------------------------------------------------- function table
+  /** NiFi EL semantics, each mapped to a codegen'd Spark expression. */
+  private def apply(fn: String, c: Column, args: List[Arg]): Column = {
+    def a0 = args.head.col
+    def a1 = args(1).col
+    fn match {
+    case "toUpper"          => upper(c)
+    case "toLower"          => lower(c)
+    case "trim"             => trim(c)
+    case "length"           => length(c).cast("long")
+    case "isEmpty"          => trim(c.cast("string")) === "" || c.isNull
+    // NiFi substring(start, end): 0-based, end-exclusive
+    case "substring" =>
+      args.map(_.col) match {
+        case a :: b :: Nil  => c.substr(a.cast("int") + 1, (b - a).cast("int"))
+        case a :: Nil      => c.substr(a.cast("int") + 1, length(c))
+        case _             => badArity(fn)
+      }
+    case "substringBefore"  => substring_index(c, argStr(args.head), 1)
+    case "substringAfter" =>
+      val pos = instr(c, argStr(args.head))
+      when(pos > 0, c.substr(pos + length(a0), length(c))).otherwise(c)
+    case "replace"          => replace(c, a0, a1)
+    case "replaceAll"       => regexp_replace(c, a0, a1)
+    case "replaceEmpty"     => when(trim(c.cast("string")) === "" || c.isNull, a0).otherwise(c)
+    case "append"           => concat(c, a0.cast("string"))
+    case "prepend"          => concat(a0.cast("string"), c)
+    case "padLeft"          => lpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else " ")
+    case "padRight"         => rpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else " ")
+    case "contains"         => c.contains(a0)
+    case "startsWith"       => c.startsWith(a0)
+    case "endsWith"         => c.endsWith(a0)
+    case "equals"           => c === a0
+    case "equalsIgnoreCase" => lower(c) === lower(a0)
+    case "matches"          => regexp_like(c, concat(lit("^(?:"), a0, lit(")$")))
+    case "find"             => regexp_like(c, a0)
+    case "plus"             => c + a0
+    case "minus"            => c - a0
+    case "multiply"         => c * a0
+    case "divide"           => c / a0
+    case "mod"              => c % a0
+    case "gt"               => c > a0
+    case "ge"               => c >= a0
+    case "lt"               => c < a0
+    case "le"               => c <= a0
+    case "and"              => c && a0
+    case "or"               => c || a0
+    case "not"              => !c
+    case "ifElse"           => when(c, a0).otherwise(a1)
+    case "toNumber"         => c.cast("long")
+    case "toDecimal"        => c.cast("double")
+    case "toString"         => c.cast("string")
+    case "toDate"           => if (args.isEmpty) to_timestamp(c) else to_timestamp(c, argStr(args.head))
+    case "format"           => date_format(c, argStr(args.head))
+    case "jsonPath"         => get_json_object(c, argStr(args.head))
+    case "hash" =>
+      argStr(args.head) match {
+        case "md5"    => md5(c.cast("binary"))
+        case "sha256" => sha2(c.cast("binary"), 256)
+        case a        => throw new IllegalArgumentException(s"hash: unknown algo $a")
+      }
+    case other => throw new IllegalArgumentException(s"unknown EL function: $other")
+    }
+  }
+
+  private def badArity(fn: String) =
+    throw new IllegalArgumentException(s"wrong number of arguments for EL function $fn")
+
+  /** Extract a literal string arg (for APIs that need Scala values). */
+  private def argStr(a: Arg): String = a match {
+    case LitArg(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(s"expected literal argument, got $other")
+  }
+
+  private def litInt(a: Arg): Int = a match {
+    case LitArg(v, _) => v.toString.toDouble.toInt
+    case other => throw new IllegalArgumentException(s"expected literal argument, got $other")
+  }
+}

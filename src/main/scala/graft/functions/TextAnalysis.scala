@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines (SURVEY.md §2.4):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure Column expressions (codegen'd, no UDFs) so they pipeline with
+  * scans and stay inside whole-stage codegen at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — the shape GPT-style BPE pre-tokenization produces
+    * (public regex family, simplified; RE2/Java compatible). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeishPattern), lit(0))).cast("long")
+
+  // -------------------------------------------------------- language ID
+  /** Per-language stopword profiles (public most-frequent-word lists,
+    * truncated). Latin scripts are discriminated by stopword hit rate;
+    * CJK by codepoint range share. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a", "that", "it", "for", "was", "on", "with"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se", "las", "por", "un", "para"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf", "ist"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que", "est", "pour"))
+
+  /** Score for one language: fraction of tokens found in its profile. */
+  private def langScore(toks: Column, lang: String): Column = {
+    val stop = array(profiles(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(stop, lower(t)))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Share of CJK codepoints among non-space characters. */
+  def cjkRatio(c: Column): Column = {
+    val nonSpace = regexp_replace(c, "\\s+", "")
+    length(regexp_replace(nonSpace, "[^\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]", "")).cast("double") /
+      greatest(length(nonSpace), lit(1)).cast("double")
+  }
+
+  /** N-gram/stopword-heuristic language ID: 'zh' if CJK share > 0.3,
+    * else the best-scoring Latin profile (≥ minScore), else 'und'.
+    * Deterministic tie-break: language code order en < es < de < fr by
+    * strictly-greater comparison over an ordered fold. */
+  def langId(c: Column, minScore: Double = 0.05): Column = {
+    val toks = wsTokens(c)
+    val scored = Seq("en", "es", "de", "fr").map(l => (l, langScore(toks, l)))
+    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(cjkRatio(c) > 0.3, "zh")
+      .when(best._2 >= minScore, best._1)
+      .otherwise("und")
+  }
+
+  // ----------------------------------------------------- quality scores
+  /** Punctuation character share. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Alphabetic character share (a-z, case-insensitive). */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** English stopword share of tokens (a quality signal: natural prose
+    * has 0.2–0.6; keyword spam and boilerplate fall outside). */
+  def stopwordRatio(c: Column): Column = langScore(wsTokens(c), "en")
+
+  /** Mean token length. */
+  def meanTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1] (Gopher/C4-style heuristic mix:
+    * doc-length band + alpha share + stopword presence + sane mean
+    * token length). Weights are fixed, documented, deterministic. */
+  def qualityScore(c: Column): Column = {
+    val lenOk  = when(length(c).between(50, 100000), 1.0).otherwise(0.0)
+    val tokOk  = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) >= 0.01, 1.0).otherwise(0.0)
+    lenOk * 0.25 + tokOk * 0.25 + stopOk * 0.2 + alphaRatio(c) * 0.3
+  }
+
+  // ------------------------------------------------------ fingerprints
+  /** Normalized content fingerprint: lowercase, collapse whitespace,
+    * md5. Stable under formatting-only edits. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")).cast("binary"))
+
+  /** Rolling polynomial hash: base-31 over code points, modulo 2^50
+    * (keeps every intermediate in range under ANSI mode: acc < 2^50,
+    * acc*31 + c < 2^56 — no Long overflow). Cheap non-cryptographic
+    * content id; pairs with [[fingerprint]] when md5 is overkill. */
+  def rollingHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+                        lit(1L << 50)))
+}

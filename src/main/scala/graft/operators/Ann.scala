@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.4 #34–35).
+  *
+  * Scale design: the query set is assumed small (≪ corpus) and is
+  * BROADCAST; the corpus is never shuffled in full. The exact path
+  * computes per-partition top-k with a bounded heap and shuffles only
+  * `partitions × queries × k` candidate rows for the final merge. The
+  * LSH path prunes the corpus to same-bucket candidates first.
+  */
+object Ann {
+
+  /** Exact brute-force cosine top-k, declarative form: broadcast-join
+    * corpus × queries, then per-query window. Selection orders by
+    * (round(sim,6) DESC, vec_id ASC) — fully deterministic and
+    * reproducible by an external engine. Use for modest corpora or as
+    * the oracle for the approximate paths. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+                                          col("embedding").as("q_vec"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("q_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Exact brute-force top-k, scale form: per-partition bounded heaps via
+    * mapPartitions (no global materialization of the candidate matrix),
+    * then a narrow merge. Output identical to [[bruteForceTopK]] —
+    * per-partition pruning uses the same (rounded sim, id) composite key
+    * as the final selection, so no candidate that could win globally is
+    * dropped locally. */
+  def bruteForceTopKPartitioned(spark: SparkSession, corpus: DataFrame,
+                                queries: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qs)
+    val partial = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        // per query: bounded min-heap keyed by (rounded sim asc, id desc)
+        // so the worst kept candidate is on top
+        val ord = Ordering.by[(Double, Long, Double), (Double, Long)] {
+          case (r, id, _) => (-r, id)
+        }
+        val heaps = Array.fill(queries.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long, Double)](ord))
+        it.foreach { case (id, vec) =>
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, qv) = queries(qi)
+            if (qid != id) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              val n = math.min(vec.length, qv.length)
+              while (i < n) {
+                val x = vec(i).toDouble; val y = qv(i).toDouble
+                dot += x * y; na += x * x; nb += y * y; i += 1
+              }
+              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+              val r = BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((r, id, sim))
+              else {
+                val (wr, wid, _) = h.head
+                if (r > wr || (r == wr && id < wid)) { h.dequeue(); h.enqueue((r, id, sim)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (r, id, _) => (queries(qi)._1, id, r) }
+        }
+      }.toDF("query_id", "vec_id", "cos_sim")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    partial.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * `tables` independent random-hyperplane signatures of `bits` bits;
+    * candidates = corpus rows sharing a bucket with the query in any
+    * table. Exact cosine + top-k over candidates only. Recall grows with
+    * `tables`, cost shrinks with `bits`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idAlias: String, vecAlias: String): DataFrame =
+      df.select(col("vec_id").as(idAlias), col("embedding").as(vecAlias),
+        explode(array((0 until tables).map(t =>
+          VectorFunctions.hyperplaneBucket(col("embedding"), bits, seed = t * 7919)): _*))
+          .as("bucket"))
+    val c = bucketed(corpus, "vec_id", "c_vec")
+    val q = bucketed(queries, "query_id", "q_vec")
+    val cand = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+}
