@@ -424,6 +424,21 @@ object QueriesCore {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
       |  FROM orders) WHERE rk <= 2""".stripMargin
 
+  /** Batch source fidelity (§2.5 #41): parquet → CSV → read-back with
+    * explicit schema → aggregate; must equal aggregating the original
+    * (doubles round-trip CSV losslessly via shortest-repr printing). */
+  val qSourceCsvRoundtrip: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val tmp = s"/tmp/graft_csv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.Io.writeCsv(c, tmp)
+    graft.sources.Io.readCsv(s, tmp, c.schema)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("sum_bal"))
+  }
+  val qSourceCsvRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal),2) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"    -> q1PricingSummary,
@@ -452,7 +467,8 @@ object QueriesCore {
     "q_hash_content"        -> qHashContent,
     "q_convert_record"      -> qConvertRecord,
     "q_rolling_window"      -> qRollingWindow,
-    "q_window_topn"         -> qWindowTopN)
+    "q_window_topn"         -> qWindowTopN,
+    "q_source_csv_roundtrip" -> qSourceCsvRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"    -> q1Sql,
@@ -481,5 +497,6 @@ object QueriesCore {
     "q_hash_content"        -> qHashContentSql,
     "q_convert_record"      -> qConvertRecordSql,
     "q_rolling_window"      -> qRollingWindowSql,
-    "q_window_topn"         -> qWindowTopNSql)
+    "q_window_topn"         -> qWindowTopNSql,
+    "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql)
 }

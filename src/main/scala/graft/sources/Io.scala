@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources/sinks — the NiFi Get/List/Fetch/Put file processors and
+  * ConvertRecord (controller-service readers/writers), Spark-first.
+  *
+  * NiFi moves one FlowFile per file; here every reader is a distributed
+  * columnar scan (splittable formats parallelize per block) and every
+  * writer is a distributed job. Schema is explicit where the format is
+  * textual (CSV/JSON) so 100 TB reads never pay schema inference.
+  */
+object Io {
+
+  /** CSV record reader. Pass a schema — inference scans the data twice
+    * and is banned at scale. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header).option("delimiter", delimiter)
+      .csv(path)
+
+  /** CSV record writer (optionally compressed: gzip/bzip2/none). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               compression: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("header", header).option("compression", compression)
+      .csv(path)
+
+  /** JSON-lines reader with explicit schema. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines writer (optionally compressed). */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet writer; zstd by default (best scan/size tradeoff at scale). */
+  def writeParquet(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+  /** PartitionRecord + PutFile: hive-partitioned parquet layout. The
+    * partition columns become directories, so downstream reads prune
+    * partitions from the path alone. */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                              compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** ConvertRecord: read `inFormat`, write `outFormat` (csv|json|parquet).
+    * One distributed pass, no driver materialization. */
+  def convert(spark: SparkSession, inPath: String, inFormat: String, schema: StructType,
+              outPath: String, outFormat: String): Unit = {
+    val df = inFormat match {
+      case "csv"     => readCsv(spark, inPath, schema)
+      case "json"    => readJsonl(spark, inPath, schema)
+      case "parquet" => readParquet(spark, inPath)
+      case f         => throw new IllegalArgumentException(s"unknown input format $f")
+    }
+    outFormat match {
+      case "csv"     => writeCsv(df, outPath)
+      case "json"    => writeJsonl(df, outPath)
+      case "parquet" => writeParquet(df, outPath)
+      case f         => throw new IllegalArgumentException(s"unknown output format $f")
+    }
+  }
+
+  /** ListFile: enumerate files (path, size, mtime) WITHOUT reading
+    * content — the binaryFile source prunes the content column when it
+    * isn't selected, so this is a metadata-only listing. */
+  def listFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("length").as("size"),
+              col("modificationTime").as("mtime"))
+
+  /** FetchFile: (path, content-bytes) rows — for feeding the multimodal
+    * pipeline with raw payloads. */
+  def fetchFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+}

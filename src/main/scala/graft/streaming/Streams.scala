@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming operators — the NiFi continuous-flow side
+  * (TailFile/ListenTCP/ConsumeKafka feeds, ControlRate back-pressure,
+  * DetectDuplicate state, rolling windows), Spark-first.
+  *
+  * Micro-batch + watermark state is the scale posture: state stores are
+  * per-key partitioned and RocksDB-backed on real clusters; every op
+  * here bounds its state with a watermark or timeout.
+  */
+object Streams {
+
+  /** TailFile/ListFile-as-stream: new files in `dir` become records.
+    * `maxFilesPerTrigger` is the ControlRate knob (bounds per-batch
+    * intake so one big backlog can't blow executor memory). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "json", maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format).load(dir)
+
+  /** Deterministic synthetic stream (rate source) — ListenX stand-in for
+    * tests/demos; `rowsPerSecond` is the ControlRate knob. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Windowed aggregation with a watermark (AttributeRollingWindow /
+    * windowed QueryRecord): per (key, window) counts + sums. Watermark
+    * bounds state: windows older than `delay` are finalized + evicted. */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+                  windowDur: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+
+  /** DetectDuplicate: drop records whose key was already seen within the
+    * watermark horizon. State is bounded by the watermark (NiFi's cache
+    * TTL equivalent). */
+  def dedupe(df: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
+
+  /** Session windows (gap-based), declarative: Spark's session_window
+    * merges events closer than `gap` into one window per key. */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-key count +
+    * max-value — the escape hatch for semantics session_window/window
+    * can't express (NiFi's stateful processors). Input: (key, value)
+    * pairs. NOTE: with ProcessingTimeTimeout the MGWS operator always
+    * requests another no-data batch (to fire timeouts), so
+    * `processAllAvailable()` never settles on an idle stream — run test
+    * / drain-style queries with
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false`. */
+  def runningStats(ds: Dataset[(String, Double)]): Dataset[(String, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (String, Long, Double)](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, mx) = state.get
+            state.remove()
+            (key, n, mx)
+          } else {
+            val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+            var n = n0; var mx = mx0
+            rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+            state.update((n, mx))
+            state.setTimeoutDuration("30 seconds")
+            (key, n, mx)
+          }
+      }
+  }
+
+  /** Start a query into an in-memory table (tests/interactive). */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+
+  /** Production file sink: exactly-once parquet append with checkpoint
+    * (PutFile for streams). */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).trigger(trigger).start()
+}

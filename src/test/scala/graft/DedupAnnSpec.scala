@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup}
+import graft.functions.VectorFunctions
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+  /** corpus with a planted near-dup (one word changed) + distinct docs */
+  private def docs = Seq(
+    (0L, baseText, "s0"),
+    (1L, baseText.replace("warm", "cold"), "s0"), // near-dup of 0
+    (2L, baseText, "s1"),                         // exact dup of 0, other block
+    (3L, "completely different content about distributed query engines and shuffle plans", "s0"),
+    (4L, "yet another unrelated string with its own vocabulary entirely", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("Dedup.exact keeps one canonical row per content") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+    assert(kept.count() == 4) // 0 and 2 collapse
+    assert(kept.filter(col("text") === baseText).select("doc_id").as[Long].collect() === Array(0L))
+  }
+
+  test("MinHash LSH finds planted near-dup and exact dup, not unrelated") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "missed planted near-dup")
+    assert(pairs.contains((0L, 2L)), "missed exact dup")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)), "false positive")
+  }
+
+  test("SimHash pairs: hamming 0 for exact dup, small for near-dup") {
+    // longer docs: simhash bit votes need enough tokens to be stable
+    // under a single-token edit
+    val longBase = Array.fill(5)(baseText).mkString(" ")
+    val longDocs = Seq(
+      (0L, longBase, "s0"),
+      (1L, longBase.replace("warm", "cold"), "s0"),   // 5 of ~85 tokens differ
+      (2L, longBase, "s1"),                           // exact dup of 0
+      (3L, "completely different content about distributed query engines and shuffle plans " * 5, "s0")
+    ).toDF("doc_id", "text", "source")
+    val sigs = Dedup.simHash(longDocs, "doc_id", "text")
+    val byId = sigs.select("id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(byId(a) ^ byId(b))
+    assert(ham(0L, 2L) == 0, "exact dup must have hamming 0")
+    assert(ham(0L, 1L) < ham(0L, 3L), "near-dup must be closer than unrelated")
+    val pairs = Dedup.simHashPairs(sigs, maxHamming = math.max(3, ham(0L, 1L)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "exact dup pair missed")
+    if (ham(0L, 1L) <= 3)
+      assert(pairs.contains((0L, 1L)), "hamming<=3 pair must be found (pigeonhole)")
+    assert(!pairs.contains((0L, 3L)), "unrelated docs flagged")
+  }
+
+  test("ngramJaccard respects blocking and threshold") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "source", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup in same block missed")
+    assert(!pairs.contains((0L, 2L)), "cross-block pair must not appear")
+  }
+
+  test("embeddingCosine finds the planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f), 1),
+      (1L, Array(0.99f, 0.01f, 0.5f), 1),  // near-dup of 0
+      (2L, Array(-1.0f, 0.2f, 0.0f), 1),
+      (3L, Array(1.0f, 0.0f, 0.5f), 2)     // same as 0, other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosine(vecs, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  private def randVecs(n: Int, dim: Int, seedBase: Int) = {
+    (0 until n).map { i =>
+      val r = new scala.util.Random(seedBase + i)
+      (i.toLong, Array.fill(dim)(r.nextFloat() - 0.5f), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("partitioned brute-force top-k equals declarative brute-force") {
+    val corpus = randVecs(300, 16, 7)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val a = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    val b = Ann.bruteForceTopKPartitioned(spark, corpus, queries, 10)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("LSH top-k achieves nontrivial recall vs exact") {
+    val corpus = randVecs(300, 16, 11)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(corpus, queries, 10, bits = 4, tables = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("native cosine expression equals HOF formulation and SQL registration works") {
+    val df = randVecs(50, 8, 3).select(col("vec_id"), col("embedding"))
+    val joined = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        VectorFunctions.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    val diffs = joined.select(max(abs(col("native") - col("hof")))).as[Double].collect()(0)
+    assert(diffs < 1e-12)
+    // SQL via GraftExtensions
+    df.createOrReplaceTempView("vt")
+    val viaSql = spark.sql(
+      "SELECT max(graft_cosine(a.embedding, a.embedding)) FROM vt a")
+      .as[Double].collect()(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+}

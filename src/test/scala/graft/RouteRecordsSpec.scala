@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Records, Route}
+
+class RouteRecordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "error", 10.0), (2L, "click", 200.0), (3L, "purchase", 150.0),
+    (4L, "weird", 5.0), (5L, "error", 20.0)
+  ).toDF("id", "etype", "value")
+
+  test("Route.onAttribute partitions rows; unmatched catches the rest") {
+    val routes = Route.onAttribute(events, Seq(
+      "err" -> (col("etype") === "error"),
+      "big" -> (col("value") > 100)))
+    assert(routes("err").select("id").as[Long].collect().sorted === Array(1L, 5L))
+    assert(routes("big").select("id").as[Long].collect().sorted === Array(2L, 3L))
+    assert(routes("unmatched").select("id").as[Long].collect() === Array(4L))
+  }
+
+  test("Route.tagged picks FIRST matching route (priority)") {
+    val tagged = Route.tagged(events, Seq(
+      "err" -> (col("etype") === "error"),
+      "big" -> (col("value") > 100)))
+    val m = tagged.select("id", "route").as[(Long, String)].collect().toMap
+    assert(m(1L) == "err" && m(5L) == "err")
+    assert(m(2L) == "big" && m(3L) == "big")
+    assert(m(4L) == "unmatched")
+  }
+
+  test("Records.validate flags each failed rule") {
+    val v = Records.validate(events,
+      "pos" -> (col("value") > 0),
+      "known" -> col("etype").isin("error", "click", "purchase"))
+    val bad = v.filter(!col("is_valid")).select("id", "violations")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(bad.keySet === Set(4L))
+    assert(bad(4L) === Seq("known"))
+  }
+
+  test("Records.split + merge round-trips content") {
+    val df = Seq((1L, "a b c"), (2L, "x y")).toDF("id", "text")
+    val pieces = Records.split(df, "text", " ")
+    assert(pieces.count() == 5)
+    val merged = Records.merge(pieces, Seq("id"), "pos", "piece", " ")
+    val m = merged.select("id", "merged").as[(Long, String)].collect().toMap
+    assert(m(1L) == "a b c" && m(2L) == "x y")
+  }
+
+  test("Records.binPack: no bin exceeds cap except single-oversize items") {
+    val df = (1 to 20).map(i => (1, i.toLong, 300L)).toDF("g", "ord", "sz")
+    val bins = Records.binPack(df, Seq("g"), "ord", "sz", 1000L)
+      .groupBy("bin").agg(sum("sz").as("total")).select("total").as[Long].collect()
+    assert(bins.forall(_ <= 1200L)) // 3×300 fits, 4th opens a new bin
+  }
+
+  test("Records.segment chunks cover the content exactly") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text")
+    val chunks = Records.segment(df, "text", 4)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    assert(chunks === Array("abcd", "efgh", "ij"))
+  }
+
+  test("Records.enforceOrder assigns dense per-key sequence") {
+    val df = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("k", "t")
+    val seqd = Records.enforceOrder(df, Seq("k"), Seq("t"))
+    val rows = seqd.filter(col("k") === 1).orderBy("seq")
+      .select("t").as[Int].collect()
+    assert(rows === Array(10, 20, 30))
+  }
+
+  test("Records.rollingWindow sums only the trailing range") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq((1, ts(0), 1.0), (1, ts(30), 2.0), (1, ts(90), 4.0))
+      .toDF("k", "ts", "v")
+    val r = Records.rollingWindow(df, "k", "ts", "v", 3600000L)
+      .orderBy("ts").select("rolling_sum").as[Double].collect()
+    assert(r === Array(1.0, 3.0, 6.0)) // 90min row: 30min+90min in range
+  }
+
+  test("Records.topNPerKey keeps n best with deterministic ties") {
+    val df = Seq((1, 10, "a"), (1, 30, "b"), (1, 30, "c"), (1, 5, "d"))
+      .toDF("k", "score", "tag")
+    val top = Records.topNPerKey(df, Seq("k"), Seq(col("score").desc, col("tag")), 2)
+      .orderBy("rk").select("tag").as[String].collect()
+    assert(top === Array("b", "c"))
+  }
+}
