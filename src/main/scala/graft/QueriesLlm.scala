@@ -117,7 +117,7 @@ object QueriesLlm {
     * q_dedup_jaccard pairs (recall) on planted dups. */
   val qDedupMinhash: Q = (s, d) => {
     Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.6)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

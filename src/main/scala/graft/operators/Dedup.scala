@@ -38,11 +38,10 @@ object Dedup {
   private[graft] def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
-  /** MinHash signature: for seed i, min over shingles of murmur3(s, i).
-    * numHashes permutation approximations, deterministic (seeded). */
-  private[graft] def minHashSig(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => hash(s, i))))
+  /** MinHash signature — native single-pass expression
+    * (graft.plans.MinHashSignature); deterministic, seeded. */
+  private[graft] def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column =
+    graft.plans.TextHashExpressions.minHashSig(text, shingleN, numHashes)
 
   /** MinHash + LSH near-duplicate PAIRS.
     *
@@ -56,29 +55,35 @@ object Dedup {
     * Output: id_a < id_b, est_jaccard.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 shingleN: Int = 5, numHashes: Int = 64, bands: Int = 8,
                  threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // signatures are reused three times (banding + both sides of the
+    // verify join) — cache; ~256 B/doc, spills to disk if needed
     val sig = df.select(col(idCol).as("id"),
-        minHashSig(charShingles(col(textCol), shingleN), numHashes).as("sig"))
-    // band_hash = hash of the signature slice for each band
-    val banded = sig.select(col("id"), col("sig"),
+        minHashSig(col(textCol), shingleN, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band_hash = hash of the signature slice for each band; candidates
+    // carry ONLY ids through the bucket join and are deduped BEFORE the
+    // (64-element) signature comparison — a pair colliding in k bands
+    // costs one verify, not k
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rows + 1, lit(rows)))))).as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"),
-                          col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-                          col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band_id", "band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
                             (x, y) => when(x === y, 1).otherwise(0)),
                    lit(0), (acc, v) => acc + v)
           / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -125,16 +130,26 @@ object Dedup {
     * language / length bucket). Pairs only inside a block. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // grams = sorted distinct 64-bit shingle hashes (native expression);
+    // Jaccard over hashed grams equals string-gram Jaccard up to a
+    // ~|S|²/2⁶⁴ collision probability
     val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-                      charShingles(col(textCol), n).as("grams"))
-    val a = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+                      graft.plans.TextHashExpressions.hashedShingles(col(textCol), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val a = g.select(col("block"), col("id").as("id_a"),
+                     col("grams").as("g_a"), col("n_grams").as("n_a"))
+    val b = g.select(col("block"), col("id").as("id_b"),
+                     col("grams").as("g_b"), col("n_grams").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      // size prefilter: J(a,b) ≤ min/max — prunes before the O(n)
+      // intersection; union is derived (|a|+|b|-|a∩b|), not computed
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+              greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn("inter",
+        graft.plans.TextHashExpressions.sortedIntersectCount(col("g_a"), col("g_b")).cast("double"))
       .select(col("block"), col("id_a"), col("id_b"),
-              (col("inter") / col("uni")).as("jaccard"))
+              (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
