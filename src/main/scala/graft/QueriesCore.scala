@@ -439,6 +439,80 @@ object QueriesCore {
     """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal),2) AS sum_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** Anti join: rows with no match (NiFi unmatched-enrichment route).
+    * Spark plans left_anti — no row widening, null-safe. */
+  val qAntiJoin: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Semi join: existence filter without duplication. */
+  val qSemiJoin: Q = (s, d) => {
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+  val qSemiJoinSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)""".stripMargin
+
+  /** Pivot: wide per-key counts (QueryRecord CASE-pivot shape). */
+  val qPivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .pivot("event_type", types).agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+  val qPivotSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+      | count(*) FILTER (event_type = 'click')    AS click,
+      | count(*) FILTER (event_type = 'error')    AS error,
+      | count(*) FILTER (event_type = 'purchase') AS purchase,
+      | count(*) FILTER (event_type = 'signup')   AS signup,
+      | count(*) FILTER (event_type = 'view')     AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Rollup: hierarchical subtotals in one pass. */
+  val qRollup: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * same linear-interpolation definition). */
+  val qPercentiles: Q = (s, d) => {
+    Tables.events(s, d).groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+           round(expr("percentile(value, 0.9)"), 4).as("p90"))
+  }
+  val qPercentilesSql: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+      | round(quantile_cont(value, 0.9), 4) AS p90
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Distinct counting per group (exact; the approx_count_distinct HLL
+    * variant is spec-tested against this within 5%). */
+  val qDistinctCount: Q = (s, d) => {
+    Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+  }
+  val qDistinctCountSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"    -> q1PricingSummary,
@@ -468,7 +542,13 @@ object QueriesCore {
     "q_convert_record"      -> qConvertRecord,
     "q_rolling_window"      -> qRollingWindow,
     "q_window_topn"         -> qWindowTopN,
-    "q_source_csv_roundtrip" -> qSourceCsvRoundtrip)
+    "q_source_csv_roundtrip" -> qSourceCsvRoundtrip,
+    "q_anti_join"           -> qAntiJoin,
+    "q_semi_join"           -> qSemiJoin,
+    "q_pivot"               -> qPivot,
+    "q_rollup"              -> qRollup,
+    "q_percentiles"         -> qPercentiles,
+    "q_distinct_count"      -> qDistinctCount)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"    -> q1Sql,
@@ -498,5 +578,11 @@ object QueriesCore {
     "q_convert_record"      -> qConvertRecordSql,
     "q_rolling_window"      -> qRollingWindowSql,
     "q_window_topn"         -> qWindowTopNSql,
-    "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql)
+    "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql,
+    "q_anti_join"           -> qAntiJoinSql,
+    "q_semi_join"           -> qSemiJoinSql,
+    "q_pivot"               -> qPivotSql,
+    "q_rollup"              -> qRollupSql,
+    "q_percentiles"         -> qPercentilesSql,
+    "q_distinct_count"      -> qDistinctCountSql)
 }
