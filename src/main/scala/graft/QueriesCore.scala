@@ -513,6 +513,29 @@ object QueriesCore {
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** As-of join: each purchase enriched with the user's most recent
+    * prior click (union + per-key window — no range cross-join; DuckDB
+    * validates via its native ASOF JOIN). Millisecond epoch on both
+    * engines; clicks pre-deduped per (user, ms) for determinism. */
+  val qAsofJoin: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("ms", unix_millis(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ms")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ms").agg(max("event_id").as("click_id"))
+    graft.operators.AsOfJoin.backward(purchases, clicks,
+        Seq("user_id"), "ms", "ms", Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("ms"),
+              col("asof_click_id").as("click_id"))
+  }
+  val qAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ms, c.click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"    -> q1PricingSummary,
@@ -548,7 +571,8 @@ object QueriesCore {
     "q_pivot"               -> qPivot,
     "q_rollup"              -> qRollup,
     "q_percentiles"         -> qPercentiles,
-    "q_distinct_count"      -> qDistinctCount)
+    "q_distinct_count"      -> qDistinctCount,
+    "q_asof_join"           -> qAsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"    -> q1Sql,
@@ -584,5 +608,6 @@ object QueriesCore {
     "q_pivot"               -> qPivotSql,
     "q_rollup"              -> qRollupSql,
     "q_percentiles"         -> qPercentilesSql,
-    "q_distinct_count"      -> qDistinctCountSql)
+    "q_distinct_count"      -> qDistinctCountSql,
+    "q_asof_join"           -> qAsofJoinSql)
 }
