@@ -164,6 +164,13 @@ object QueriesLlm {
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 6, tables = 4)
   }
 
+  /** IVF approximate top-k (§2.4 #35 scale path) — approximate, spec
+    * measures recall vs exact; rows-only for the driver. */
+  val qAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 16, nProbe = 4)
+  }
+
   /** Multimodal payload plumbing (§2.4 #40): binary + typed metadata. */
   val qMultimodalMeta: Q = (s, d) => {
     Multimodal.toMedia(Tables.documents(s, d), "text", "text")
@@ -188,6 +195,7 @@ object QueriesLlm {
     "q_embed_neardup"       -> qEmbedNeardup,
     "q_embed_cosine_topk"   -> qEmbedCosineTopk,
     "q_ann_lsh"             -> qAnnLsh,
+    "q_ann_ivf"             -> qAnnIvf,
     "q_multimodal_meta"     -> qMultimodalMeta)
 
   val oracles: Map[String, String] = Map(

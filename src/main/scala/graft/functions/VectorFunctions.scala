@@ -39,18 +39,9 @@ object VectorFunctions {
     }), lit(0.0), (acc, v) => acc + v)
 
   /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
-    * deterministic pseudo-random hyperplanes (seeded by plane index —
-    * reproducible across runs/executors with no RNG state). Plane j's
-    * i-th component is a hash-derived value in [-0.5, 0.5). */
-  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column = {
-    val planeBits = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") *
-            (pmod(hash(i, lit(j + seed)), lit(1000)).cast("double") / 1000.0 - 0.5)),
-        lit(0.0), (acc, p) => acc + p)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * deterministic pseudo-random hyperplanes (splitmix64-derived, no RNG
+    * state — reproducible across runs/executors). Native expression: one
+    * primitive loop per row instead of bits×dim interpreted lambdas. */
+  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column =
+    graft.plans.BinaryExpressions.hyperplaneBucket(v, bits, seed)
 }

@@ -90,6 +90,56 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k: cells = `nCells` hash-picked
+    * corpus vectors as centroids (deterministic — no RNG state, no
+    * training job); every corpus vector is assigned to its nearest
+    * centroid once, queries probe their `nProbe` nearest cells. The
+    * search join touches only corpus rows in probed cells — at scale
+    * cell assignment is one narrow pass and the per-query candidate set
+    * shrinks by ~nProbe/nCells. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def cells(df: DataFrame, idAlias: String, vecAlias: String, probes: Int): DataFrame =
+      df.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cents = bc.value
+          it.flatMap { case (id, vec) =>
+            val sims = cents.map { case (ci, cv) =>
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              val n = math.min(vec.length, cv.length)
+              while (i < n) {
+                val x = vec(i).toDouble; val y = cv(i).toDouble
+                dot += x * y; na += x * x; nb += y * y; i += 1
+              }
+              (ci, dot / (math.sqrt(na) * math.sqrt(nb)))
+            }
+            sims.sortBy { case (ci, s) => (-s, ci) }.take(probes)
+              .map { case (ci, _) => (id, vec, ci) }
+          }
+        }.toDF(idAlias, vecAlias, "cell")
+
+    val c = cells(corpus, "vec_id", "c_vec", 1)
+    val q = cells(queries, "query_id", "q_vec", nProbe)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * `tables` independent random-hyperplane signatures of `bits` bits;
     * candidates = corpus rows sharing a bucket with the query in any

@@ -183,4 +183,26 @@ object Records {
     * `.write.partitionBy` or `.repartition` for physical layout. */
   def partitionKey(df: DataFrame, keyCol: String, key: Column): DataFrame =
     df.withColumn(keyCol, key)
+
+  /** CompressContent: gzip a payload column in place (binary → binary).
+    * Per-record, unlike write-side codec compression — the NiFi
+    * semantic. Narrow. */
+  def compress(df: DataFrame, contentCol: String, outCol: String = null): DataFrame =
+    df.withColumn(if (outCol == null) contentCol else outCol,
+      graft.plans.BinaryExpressions.gzip(col(contentCol).cast("binary")))
+
+  /** CompressContent (decompress mode). */
+  def decompress(df: DataFrame, contentCol: String, outCol: String = null): DataFrame =
+    df.withColumn(if (outCol == null) contentCol else outCol,
+      graft.plans.BinaryExpressions.gunzip(col(contentCol)))
+
+  /** XML record reader (NiFi XMLReader): parse an XML string column with
+    * a schema and flatten its top-level fields. Narrow. */
+  def parseXml(df: DataFrame, xmlCol: String, schema: org.apache.spark.sql.types.StructType,
+               prefix: String = ""): DataFrame = {
+    val parsed = df.withColumn("__x", from_xml(col(xmlCol), lit(schema.toDDL)))
+    schema.fieldNames.foldLeft(parsed) { (d, f) =>
+      d.withColumn(prefix + f, col("__x").getField(f))
+    }.drop("__x")
+  }
 }

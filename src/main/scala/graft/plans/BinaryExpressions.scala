@@ -1,0 +1,92 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
+
+/** NiFi CompressContent, per-record: gzip a binary payload column (and
+  * back). Deterministic output (GZIPOutputStream writes no mtime).
+  * Eval-based expressions — the deflate loop dwarfs the per-row virtual
+  * call. */
+case class GzipCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gzip"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val bos = new ByteArrayOutputStream(math.max(64, bytes.length / 2))
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GzipDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gunzip"
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    val out = new ByteArrayOutputStream(256)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket, native form: `bits` sign bits of
+  * projections onto pseudo-random planes derived from splitmix64 of
+  * (seed, plane, component) — deterministic across executors, one
+  * primitive loop per row (the HOF formulation interprets
+  * bits × dim lambda calls per row). */
+case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      val base = (seed.toLong << 32) | (j.toLong << 20)
+      while (i < n) {
+        // splitmix64 of (seed | plane | component) → uniform in [-0.5, 0.5)
+        var x = base + i
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x = x ^ (x >>> 31)
+        val w = (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        proj += v.getFloat(i) * w
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BinaryExpressions {
+  def gzip(c: Column): Column =
+    ColumnBridge.column(GzipCompress(ColumnBridge.expression(c)))
+  def gunzip(c: Column): Column =
+    ColumnBridge.column(GzipDecompress(ColumnBridge.expression(c)))
+  def hyperplaneBucket(c: Column, bits: Int, seed: Int): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(c), bits, seed))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Ann, Records}
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seedBase: Int) = {
+    (0 until n).map { i =>
+      val r = new scala.util.Random(seedBase + i)
+      (i.toLong, Array.fill(dim)(r.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k achieves nontrivial recall vs exact") {
+    val corpus = randVecs(300, 16, 23)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(spark, corpus, queries, 10, nCells = 8, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("gzip compress/decompress round-trips content and shrinks repetitive payloads") {
+    val df = Seq((1L, "abc " * 500), (2L, "short")).toDF("id", "text")
+    val packed = Records.compress(df.withColumn("payload", col("text").cast("binary")), "payload", "gz")
+    val sizes = packed.select(col("id"), octet_length(col("payload")).as("raw"),
+                              octet_length(col("gz")).as("packed"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, a, b) => id -> (a, b) }.toMap
+    assert(sizes(1L)._2 < sizes(1L)._1 / 10, "repetitive payload should compress >10x")
+    val back = Records.decompress(packed, "gz", "restored")
+      .select(col("id"), col("restored").cast("string")).as[(Long, String)].collect().toMap
+    assert(back(1L) == "abc " * 500 && back(2L) == "short")
+  }
+
+  test("parseXml extracts schema fields from an XML column") {
+    val df = Seq(
+      (1L, "<rec><name>alpha</name><qty>3</qty></rec>"),
+      (2L, "<rec><name>beta</name><qty>7</qty></rec>")
+    ).toDF("id", "xml")
+    val schema = StructType(Seq(StructField("name", StringType), StructField("qty", IntegerType)))
+    val out = Records.parseXml(df, "xml", schema)
+      .select("id", "name", "qty").as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "alpha", 3), (2L, "beta", 7)))
+  }
+}
