@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew/layout utilities for the 100 TB posture (SURVEY.md §5):
+  * salting for skewed join keys, bucketing for shuffle-free repeated
+  * joins. */
+object Scale {
+
+  /** Salted join for skewed keys: the big (skewed) side gets a
+    * deterministic salt in [0, saltFactor); the small side is exploded
+    * saltFactor× so every (key, salt) bucket finds its match. Turns one
+    * hot partition into `saltFactor` even ones. Use when AQE's skew
+    * splitting isn't enough (e.g. a single key holding >GB). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int, how: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", how).drop("__salt")
+  }
+
+  /** Bucketed write: pre-shuffles once at write time so every future
+    * join/agg on `bucketCols` is shuffle-free (Spark reads bucket
+    * layout from the catalog). `table` lands in the session warehouse. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-regression specs: the physical plans the 100 TB posture depends
+  * on (pushdown, pruning, broadcasts, single-shuffle windows) must not
+  * silently degrade. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet, columns pruned") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+  }
+
+  test("q5: dimension joins are broadcast") {
+    val p = planOf("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q5 must not degenerate to a nested-loop join")
+  }
+
+  test("q_lookup_record: both lookups broadcast, fact side never shuffles") {
+    val p = planOf("q_lookup_record")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"lookups not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "lookup must not sort-merge the fact side")
+  }
+
+  test("q_rolling_window: single shuffle (no self-join)") {
+    val p = planOf("q_rolling_window")
+    assert(!p.contains("Join"), s"rolling window must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("q_asof_join: union+window, no range join") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a range cross-join:\n$p")
+    assert(p.contains("Window"), "as-of should use a window")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    // AQE prints codegen spans only in the final (executed) plan
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the "*(stageId)" marker
+    assert(p.contains("*(1)") && p.contains("*(2)"),
+      s"aggregation stages not codegen'd:\n$p")
+  }
+}
