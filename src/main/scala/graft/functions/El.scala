@@ -203,6 +203,20 @@ object El {
     case "toDate"           => if (args.isEmpty) to_timestamp(c) else to_timestamp(c, argStr(args.head))
     case "format"           => date_format(c, argStr(args.head))
     case "jsonPath"         => get_json_object(c, argStr(args.head))
+    case "base64Encode"     => base64(c.cast("binary"))
+    case "base64Decode"     => unbase64(c).cast("string")
+    case "urlEncode"        => url_encode(c)
+    case "urlDecode"        => url_decode(c)
+    case "indexOf"          => (instr(c, argStr(args.head)) - 1).cast("long")
+    case "lastIndexOf" =>
+      when(c.contains(a0),
+        (length(c) - (instr(reverse(c), reverse(a0)) + length(a0)) + 1).cast("long"))
+        .otherwise(lit(-1L))
+    case "getDelimitedField" =>
+      val delim = if (args.size > 1) argStr(args(1)) else ","
+      element_at(split(c, java.util.regex.Pattern.quote(delim)), litInt(args.head))
+    case "in"               => args.map(a => c === a.col).reduce(_ || _)
+    case "abs"              => abs(c)
     case "hash" =>
       argStr(args.head) match {
         case "md5"    => md5(c.cast("binary"))

@@ -91,22 +91,9 @@ object Dedup {
     * distance ≤ maxHamming. Bands: 4 × 16-bit chunks of the simhash —
     * pairs within hamming ≤ 3 must agree on ≥1 chunk, so bucketing on
     * chunks finds all such pairs (pigeonhole). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    // per-bit vote: sum over tokens of (+1 | -1) for each of 64 bits
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, v) => a + v))
-    val sim = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    df.select(col(idCol).as("id"), sim.as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.plans.TextHashExpressions.simHash64(col(textCol)).as("simhash"))
 
   /** Near-dup pairs from simhash values via 16-bit chunk bucketing. */
   def simHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {

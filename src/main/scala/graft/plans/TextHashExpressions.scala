@@ -139,7 +139,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash over whitespace tokens: per-token hash votes on each
+  * bit, sign of the vote sum becomes the bit. Single pass, no token
+  * array materialization (the HOF form interprets 64 lambdas per
+  * token). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      // skip whitespace
+      while (i < n && Character.isWhitespace(bytes(i).toChar)) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      if (i > start) {
+        val h = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def simHash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minHashSig(c: Column, shingleN: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), shingleN, numHashes))
   def hashedShingles(c: Column, shingleN: Int): Column =

@@ -64,6 +64,20 @@ class ElSpec extends SparkSpec {
     assert(eval("${literal('x'):toUpper()}") == "X")
   }
 
+  test("encoding and search functions") {
+    assert(eval("${lang:base64Encode()}") == "ZW4=")
+    assert(eval("${literal('ZW4='):base64Decode()}") == "en")
+    assert(eval("${text:urlEncode()}") == "hello+world" ||
+           eval("${text:urlEncode()}") == "hello%20world")
+    assert(evalExpr("${text:indexOf('world')}") == 6L)
+    assert(evalExpr("${text:indexOf('zzz')}") == -1L)
+    assert(evalExpr("${literal('abcabc'):lastIndexOf('bc')}") == 4L)
+    assert(evalExpr("${literal('abcabc'):lastIndexOf('zz')}") == -1L)
+    assert(eval("${literal('a|b|c'):getDelimitedField(2, '|')}") == "b")
+    assert(evalExpr("${lang:in('en', 'fr')}") == true)
+    assert(evalExpr("${lang:in('de', 'fr')}") == false)
+  }
+
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
