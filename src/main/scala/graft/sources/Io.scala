@@ -37,6 +37,18 @@ object Io {
   def writeJsonl(df: DataFrame, path: String, compression: String = "none"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
+  /** XML record reader/writer (NiFi XMLReader/XMLRecordSetWriter).
+    * NOTE: the Avro connector module is not part of this Spark
+    * distribution (and dependencies are frozen) — NiFi's Avro wire
+    * format maps to parquet here. */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType): DataFrame =
+    spark.read.format("xml").schema(schema).option("rowTag", rowTag).load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", "records").save(path)
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

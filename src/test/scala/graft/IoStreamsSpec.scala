@@ -36,6 +36,14 @@ class IoStreamsSpec extends SparkSpec {
     assert(back.length == 3 && back(1)._2 == "beta")
   }
 
+  test("xml file roundtrip preserves values") {
+    val dir = tmpDir("xml")
+    Io.writeXml(sample, dir, rowTag = "rec")
+    val back = Io.readXml(spark, dir, "rec", schema)
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(back === sample.orderBy("id").as[(Long, String, Double)].collect())
+  }
+
   test("partitioned parquet write creates hive layout and prunes") {
     val dir = tmpDir("part")
     Io.writeParquetPartitioned(sample.withColumn("bucket", col("id") % 2), dir, Seq("bucket"))

@@ -20,6 +20,16 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+    for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Scale.writeBucketed(a, "graft_bucket_a", Seq("k"), 4)
     Scale.writeBucketed(b, "graft_bucket_b", Seq("k"), 4)
     val joined = Scale.readTable(spark, "graft_bucket_a")
