@@ -536,6 +536,34 @@ object QueriesCore {
       |SELECT p.event_id, p.user_id, p.ms, c.click_id
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms""".stripMargin
 
+  /** Moving average over a bounded row frame (per-key smoother). */
+  val qMovingAvg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(-3, 0)
+    Tables.events(s, d).withColumn("ms", unix_millis(col("ts")))
+      .withColumn("mavg", round(avg("value").over(w), 4))
+      .select("event_id", "user_id", "mavg")
+  }
+  val qMovingAvgSql: String =
+    """SELECT event_id, user_id,
+      | round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+      |FROM events""".stripMargin
+
+  /** Statistical aggregates (corr / covar / stddev — both engines use
+    * the same sample definitions; rounded for summation-order noise). */
+  val qStatsAgg: Q = (s, d) => {
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+           round(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_cov"),
+           round(stddev_samp("l_extendedprice"), 2).as("price_sd"))
+  }
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      | round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
+      | round(stddev_samp(l_extendedprice), 2) AS price_sd
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"    -> q1PricingSummary,
@@ -572,7 +600,9 @@ object QueriesCore {
     "q_rollup"              -> qRollup,
     "q_percentiles"         -> qPercentiles,
     "q_distinct_count"      -> qDistinctCount,
-    "q_asof_join"           -> qAsofJoin)
+    "q_asof_join"           -> qAsofJoin,
+    "q_moving_avg"          -> qMovingAvg,
+    "q_stats_agg"           -> qStatsAgg)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"    -> q1Sql,
@@ -609,5 +639,7 @@ object QueriesCore {
     "q_rollup"              -> qRollupSql,
     "q_percentiles"         -> qPercentilesSql,
     "q_distinct_count"      -> qDistinctCountSql,
-    "q_asof_join"           -> qAsofJoinSql)
+    "q_asof_join"           -> qAsofJoinSql,
+    "q_moving_avg"          -> qMovingAvgSql,
+    "q_stats_agg"           -> qStatsAggSql)
 }
