@@ -112,6 +112,35 @@ object QueriesLlm {
       |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7""".stripMargin
 
+  /** End-to-end dedup decision: near-dup pairs → connected components →
+    * (id, cluster) labels. Oracle = DuckDB recursive-CTE transitive
+    * closure over the same pairs. */
+  val qDedupCluster: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
+        n = 3, threshold = 0.55)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusters(pairs, maxIter = 50)
+  }
+  val qDedupClusterSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT source AS block, doc_id AS id,
+      |         list_distinct([substring(text, i, 3)
+      |                        FOR i IN range(1, greatest(length(text) - 1, 2))]) AS grams
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS t FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION SELECT s, t FROM edges
+      |  UNION SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
   /** MinHash+LSH near-dup pairs (§2.4 #30) — signature-level, no SQL
     * oracle (MinHash seeds aren't portable); spec asserts it finds the
     * q_dedup_jaccard pairs (recall) on planted dups. */
@@ -190,6 +219,7 @@ object QueriesLlm {
     "q_fingerprint"         -> qFingerprint,
     "q_fingerprint_rolling" -> qFingerprintRolling,
     "q_dedup_jaccard"       -> qDedupJaccard,
+    "q_dedup_cluster"       -> qDedupCluster,
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
@@ -204,6 +234,7 @@ object QueriesLlm {
     "q_text_quality"        -> qTextQualitySql,
     "q_fingerprint"         -> qFingerprintSql,
     "q_dedup_jaccard"       -> qDedupJaccardSql,
+    "q_dedup_cluster"       -> qDedupClusterSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
     "q_multimodal_meta"     -> qMultimodalMetaSql)

@@ -140,6 +140,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup PAIRS → cluster ids: the step
+    * that turns pairwise similarity into keep/drop decisions. Iterative
+    * min-label propagation on DataFrames (alternating large-star-ish
+    * contraction): each round every node adopts the smallest label in
+    * its neighborhood; converges in O(log n) rounds for dedup-shaped
+    * graphs (small components). Shuffles on node id per round — no
+    * driver-side graph.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, cluster) where cluster =
+    * the component's minimum member id. Singleton docs aren't listed
+    * (their cluster is themselves).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min("dst"), first("src")).as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels) ...
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "dst_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_cluster").as("nbr_min"))
+        .join(labels, "id")
+        .select(col("id"), least(col("cluster"), col("nbr_min")).as("cluster"))
+      // ...then pointer-jumps through its label's label (path halving →
+      // O(log diameter) rounds instead of O(diameter))
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2")),
+              Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep/drop materialization: remove every near-duplicate except its
+    * cluster's minimum-id representative. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = clusters(pairs).filter(col("id") =!= col("cluster")).select("id")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup within blocks (label / IVF cell). */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                       threshold: Double): DataFrame = {

@@ -76,6 +76,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("clusters: connected components over pairs, min-id representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L && labels(9L) == 1L)
+    assert(labels(5L) == 5L && labels(6L) == 5L)
+  }
+
+  test("dropNearDuplicates keeps singletons and one representative per cluster") {
+    val all = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(all, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L))
+  }
+
   private def randVecs(n: Int, dim: Int, seedBase: Int) = {
     (0 until n).map { i =>
       val r = new scala.util.Random(seedBase + i)
