@@ -157,29 +157,38 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // label table = one row per node — orders of magnitude smaller than
+    // the edge list, so it's BROADCAST into every iteration join (the
+    // edge list never reshuffles). For graphs whose node count exceeds
+    // broadcast limits, drop the hints and let AQE pick shuffle joins.
+    // Each round's result is localCheckpoint'ed: iterative plans
+    // otherwise accumulate lineage and re-execute prior rounds inside
+    // broadcast jobs (observed 10×-per-round blowup). For fault-tolerant
+    // production runs set a checkpoint dir and swap for .checkpoint().
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min("dst"), first("src")).as("cluster"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node adopts min(own label, neighbors' labels) ...
       val propagated = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "dst_cluster"), "dst")
+        .join(broadcast(labels.withColumnRenamed("id", "dst")
+                              .withColumnRenamed("cluster", "dst_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_cluster").as("nbr_min"))
-        .join(labels, "id")
+        .join(broadcast(labels), "id")
         .select(col("id"), least(col("cluster"), col("nbr_min")).as("cluster"))
       // ...then pointer-jumps through its label's label (path halving →
       // O(log diameter) rounds instead of O(diameter))
       val next = propagated.as("x")
-        .join(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2")),
+        .join(broadcast(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2"))),
               Seq("cluster"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") < col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
