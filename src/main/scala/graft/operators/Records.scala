@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
-/** NiFi record-oriented processors (UpdateRecord, ValidateRecord,
+/** (Capability reference: NiFi 2.7 as deployed by
+  * /root/reference/dev.nifi.yaml:1.)
+  *
+  * NiFi record-oriented processors (UpdateRecord, ValidateRecord,
   * SplitRecord, MergeRecord/MergeContent, LookupRecord, Fork/Join
   * Enrichment, SampleRecord, EnforceOrder, SegmentContent, HashContent,
   * AttributeRollingWindow, PartitionRecord) re-expressed as declarative

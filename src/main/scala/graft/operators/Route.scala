@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** NiFi RouteOnAttribute / RouteOnContent, Spark-first.
+  * (Capability reference: the NiFi 2.7 deployment in
+  * /root/reference/dev.nifi.yaml:1 and /root/reference/README.md:1 —
+  * flows configured there route FlowFiles by attribute/content.)
   *
   * NiFi routes each FlowFile to the first (or every) matching
   * relationship. Here each route is a lazily-planned `filter` over the

@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-/** Structured Streaming operators — the NiFi continuous-flow side
+/** (Capability reference: NiFi 2.7 continuous flows as deployed by
+  * /root/reference/dev.nifi.yaml:1; Zookeeper-coordinated NiFi
+  * clustering maps to Spark's own driver/executor model.)
+  *
+  * Structured Streaming operators — the NiFi continuous-flow side
   * (TailFile/ListenTCP/ConsumeKafka feeds, ControlRate back-pressure,
   * DetectDuplicate state, rolling windows), Spark-first.
   *

@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of should use a window")
   }
 
+  test("no query in the catalog plans a Cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(q) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE prints codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
