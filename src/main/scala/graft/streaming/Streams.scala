@@ -87,6 +87,18 @@ object Streams {
       }
   }
 
+  /** Spark 4-native custom state: same running stats via
+    * `transformWithState` (the successor API to mapGroupsWithState —
+    * typed per-key state handles, TTL support, no no-data-batch
+    * surprises). Requires the RocksDB state store provider. */
+  def runningStatsTws(ds: Dataset[(String, Double)]): Dataset[(String, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Start a query into an in-memory table (tests/interactive). */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name)

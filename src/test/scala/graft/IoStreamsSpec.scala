@@ -135,6 +135,30 @@ class IoStreamsSpec extends SparkSpec {
     assert(counts === Array(1L, 2L))
   }
 
+  test("transformWithState running stats accumulate per key (Spark 4 API)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)]
+      input.addData(("a", 1.0), ("a", 5.0), ("b", 2.0), ("a", 3.0))
+      val stats = Streams.runningStatsTws(input.toDS())
+      val q = stats.writeStream.format("memory").queryName("tws_stats")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("tws_stats").as[(String, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last("a") == ("a", 3L, 5.0))
+      assert(last("b") == ("b", 1L, 2.0))
+    } finally {
+      if (prev.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState running stats accumulate per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
