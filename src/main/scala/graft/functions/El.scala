@@ -63,7 +63,7 @@ object El {
     var i = start + 2 // skip "${"
     i = skipWs(s, i)
     var subject: Column = null
-    if (s.charAt(i) == '\'') {
+    if (at(s, i) == '\'') {
       val (name, n) = parseQuoted(s, i); subject = col(name); i = n
     } else {
       val (word, n) = parseWord(s, i)
@@ -94,13 +94,20 @@ object El {
     var i = start + 1 // skip '('
     val args = scala.collection.mutable.ListBuffer.empty[Arg]
     i = skipWs(s, i)
-    while (s.charAt(i) != ')') {
+    while (at(s, i) != ')') {
       val (a, n) = parseArg(s, i)
       args += a
       i = skipWs(s, n)
-      if (s.charAt(i) == ',') i = skipWs(s, i + 1)
+      if (at(s, i) == ',') i = skipWs(s, i + 1)
     }
     (args.toList, i + 1)
+  }
+
+  /** Bounds-checked charAt: malformed templates get a parse error, not
+    * a StringIndexOutOfBoundsException. */
+  private def at(s: String, i: Int): Char = {
+    require(i < s.length, s"unterminated EL expression: $s")
+    s.charAt(i)
   }
 
   private def parseArg(s: String, start: Int): (Arg, Int) = {
@@ -127,7 +134,7 @@ object El {
   private def parseQuoted(s: String, start: Int): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
-    while (s.charAt(i) != '\'') {
+    while (at(s, i) != '\'') {
       if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
       else { sb.append(s.charAt(i)); i += 1 }
     }

@@ -76,6 +76,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Batched variant of [[extractFeatures]]: payloads are decoded in
+    * groups of `batchSize` — the iterator shape a real codec/model wants
+    * (amortized dispatch, contiguous buffers), mirroring `mapInPandas`
+    * batch semantics on PySpark clusters. Output identical to the
+    * per-row path. */
+  def extractFeaturesBatched(spark: SparkSession, df: DataFrame,
+                             payloadCol: String = "payload", dim: Int = 16,
+                             batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would submit `batch` as one contiguous request
+        val feats = batch.map(r => decodeStub(r.getAs[Array[Byte]](idx), dim))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** STUB resize marker for image payloads: records the intended target
     * size in the media struct (a real impl rewrites the payload). */
   def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =

@@ -199,6 +199,29 @@ object Records {
     df.withColumn(if (outCol == null) contentCol else outCol,
       graft.plans.BinaryExpressions.gunzip(col(contentCol)))
 
+  /** IdentifyMimeType: magic-byte sniffing on a binary payload column.
+    * Covers the formats a training-data pipeline meets; unknown →
+    * 'application/octet-stream'. Narrow, codegen'd (hex-prefix
+    * comparisons). */
+  def identifyMime(df: DataFrame, payloadCol: String,
+                   outCol: String = "mime_type"): DataFrame = {
+    val p = col(payloadCol)
+    def prefix(n: Int) = hex(substring(p, 1, n))
+    val mime =
+      when(prefix(2) === "1F8B", "application/gzip")
+        .when(prefix(4) === "89504E47", "image/png")
+        .when(prefix(3) === "FFD8FF", "image/jpeg")
+        .when(prefix(4) === "25504446", "application/pdf")
+        .when(prefix(4) === "504B0304", "application/zip")
+        .when(prefix(4) === "52494646", "audio/wav") // RIFF container
+        .when(substring(p, 1, 1).cast("string").isin("{", "["), "application/json")
+        .when(substring(p, 1, 1).cast("string") === "<", "application/xml")
+        .when(length(regexp_replace(substring(p, 1, 64).cast("string"),
+                                    "[\\x09\\x0A\\x0D\\x20-\\x7E]", "")) === 0, "text/plain")
+        .otherwise("application/octet-stream")
+    df.withColumn(outCol, mime)
+  }
+
   /** XML record reader (NiFi XMLReader): parse an XML string column with
     * a schema and flatten its top-level fields. Narrow. */
   def parseXml(df: DataFrame, xmlCol: String, schema: org.apache.spark.sql.types.StructType,

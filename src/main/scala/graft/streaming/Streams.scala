@@ -48,7 +48,7 @@ object Streams {
     * TTL equivalent). */
   def dedupe(df: DataFrame, tsCol: String, keyCols: Seq[String], delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Session windows (gap-based), declarative: Spark's session_window
     * merges events closer than `gap` into one window per key. */

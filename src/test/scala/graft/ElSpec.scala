@@ -81,4 +81,9 @@ class ElSpec extends SparkSpec {
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
+
+  test("malformed templates fail with a parse error, not an index crash") {
+    for (bad <- Seq("${lang", "${lang:toUpper(", "${lang:equals('x}", "${'unclosed}", "${}"))
+      intercept[IllegalArgumentException] { El.compile(bad) }
+  }
 }
