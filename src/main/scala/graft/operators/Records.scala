@@ -199,6 +199,20 @@ object Records {
     df.withColumn(if (outCol == null) contentCol else outCol,
       graft.plans.BinaryExpressions.gunzip(col(contentCol)))
 
+  /** DistributeLoad: spread rows across `n` partitions (round-robin) or
+    * co-locate by key columns — NiFi's load-balancing relationship,
+    * expressed as an explicit exchange. */
+  def distributeLoad(df: DataFrame, n: Int, keyCols: Seq[String] = Nil): DataFrame =
+    if (keyCols.isEmpty) df.repartition(n)
+    else df.repartition(n, keyCols.map(col): _*)
+
+  /** ConvertCharacterSet: re-encode a binary payload between charsets
+    * (NiFi ConvertCharacterSet). */
+  def convertCharset(df: DataFrame, payloadCol: String, from: String, to: String,
+                     outCol: String = null): DataFrame =
+    df.withColumn(if (outCol == null) payloadCol else outCol,
+      encode(decode(col(payloadCol), from), to))
+
   /** IdentifyMimeType: magic-byte sniffing on a binary payload column.
     * Covers the formats a training-data pipeline meets; unknown →
     * 'application/octet-stream'. Narrow, codegen'd (hex-prefix

@@ -82,6 +82,25 @@ object Io {
     }
   }
 
+  /** ExecuteSQL: read a database table/query over JDBC. Partition with
+    * (partitionColumn, lowerBound, upperBound, numPartitions) options at
+    * scale so the read parallelizes instead of funneling through one
+    * connection. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
+  /** PutDatabaseRecord: write a DataFrame to a database table over JDBC
+    * (each partition writes through its own connection). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite",
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode(mode).save()
+
   /** ListFile: enumerate files (path, size, mtime) WITHOUT reading
     * content — the binaryFile source prunes the content column when it
     * isn't selected, so this is a metadata-only listing. */

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Records
+import graft.sources.Io
+
+/** ExecuteSQL / PutDatabaseRecord against embedded Derby (the JDBC
+  * driver shipped with this Spark distribution). */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url =
+    s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graft_derby")}/db;create=true"
+
+  test("jdbc write + read roundtrip (ExecuteSQL / PutDatabaseRecord)") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "score")
+    Io.writeJdbc(df, url, "graft_t1")
+    val back = Io.readJdbc(spark, url, "graft_t1")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(back === Array((1L, "alpha", 1.5), (2L, "beta", -2.0)))
+  }
+
+  test("jdbc pushdown: dbtable can be a query") {
+    val df = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    Io.writeJdbc(df, url, "graft_t2")
+    // Derby folds unquoted identifiers to uppercase; Spark writes quoted
+    // lowercase columns, so the pushdown query must quote them too
+    val filtered = Io.readJdbc(spark, url,
+      """(SELECT "id", "v" FROM graft_t2 WHERE "id" <= 10) sub""")
+    assert(filtered.count() == 10)
+    assert(filtered.agg(sum("v")).as[Double].collect()(0) == (1 to 10).map(_ * 2.0).sum)
+  }
+
+  test("distributeLoad controls partitioning") {
+    val df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
+    assert(Records.distributeLoad(df, 7).rdd.getNumPartitions == 7)
+    val byKey = Records.distributeLoad(df, 5, Seq("k"))
+    assert(byKey.rdd.getNumPartitions == 5)
+    // co-location: all rows of one key land in one partition
+    val parts = byKey.select(col("k"), spark_partition_id().as("p"))
+      .distinct().groupBy("k").count().select("count").as[Long].collect()
+    assert(parts.forall(_ == 1L))
+  }
+
+  test("convertCharset re-encodes payloads") {
+    val df = Seq((1L, "héllo")).toDF("id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val latin = Records.convertCharset(df, "payload", "UTF-8", "ISO-8859-1", "latin")
+    val (utf8len, latinlen) = latin
+      .select(octet_length(col("payload")), octet_length(col("latin")))
+      .as[(Int, Int)].collect()(0)
+    assert(utf8len == 6 && latinlen == 5) // é is 2 bytes in UTF-8, 1 in latin-1
+    val back = Records.convertCharset(latin, "latin", "ISO-8859-1", "UTF-8", "roundtrip")
+      .select(col("roundtrip").cast("string")).as[String].collect()(0)
+    assert(back == "héllo")
+  }
+}
