@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Lightweight provenance — the NiFi data-provenance pillar mapped to
+  * Spark's QueryExecutionListener: every completed action records what
+  * ran (action name, duration, physical plan digest, fan-out). NiFi
+  * tracks per-FlowFile lineage; at 100 TB the per-record form is the
+  * wrong grain — per-ACTION lineage with the full physical plan (which
+  * encodes every source path and operator) is what a Spark-native
+  * engine can keep cheaply. Pair with the Spark event log for history
+  * server replay.
+  */
+object Provenance {
+
+  case class Event(tsMillis: Long, action: String, durationNs: Long,
+                   succeeded: Boolean, planDigest: String, planSummary: String)
+
+  final class Listener extends QueryExecutionListener {
+    private[Provenance] val events = new ConcurrentLinkedQueue[Event]()
+
+    private def digest(qe: QueryExecution): (String, String) = {
+      val plan = qe.executedPlan.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (hex, plan.linesIterator.take(12).mkString("\n"))
+    }
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val (hex, summary) = digest(qe)
+      events.add(Event(System.currentTimeMillis(), funcName, durationNs, succeeded = true, hex, summary))
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+      val (hex, summary) = digest(qe)
+      events.add(Event(System.currentTimeMillis(), funcName, durationNs = -1L, succeeded = false, hex, summary))
+    }
+  }
+
+  /** Attach a provenance listener to the session. */
+  def enable(spark: SparkSession): Listener = {
+    val l = new Listener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def disable(spark: SparkSession, l: Listener): Unit =
+    spark.listenerManager.unregister(l)
+
+  /** The recorded events as a DataFrame (queryable like any table). */
+  def log(spark: SparkSession, l: Listener): DataFrame = {
+    import spark.implicits._
+    l.events.asScala.toSeq.toDF()
+  }
+}
