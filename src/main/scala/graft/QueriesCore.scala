@@ -564,6 +564,28 @@ object QueriesCore {
       | round(stddev_samp(l_extendedprice), 2) AS price_sd
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** ScanContent: dictionary-term matching over document text. */
+  val qScanContent: Q = (s, d) => {
+    Records.scanContent(Tables.documents(s, d), "text",
+        Seq("spark", "join", "window", "stream"))
+      .select(col("doc_id"), array_join(col("matched_terms"), ",").as("matched"))
+  }
+  val qScanContentSql: String =
+    """SELECT doc_id,
+      | coalesce(array_to_string(list_filter(['spark','join','window','stream'],
+      |                                      t -> contains(text, t)), ','), '') AS matched
+      |FROM documents""".stripMargin
+
+  /** AttributesToJSON: attribute envelope serialization. */
+  val qAttrsToJson: Q = (s, d) => {
+    Records.attributesToJson(Tables.events(s, d), Seq("event_type", "user_id"))
+      .select("event_id", "attrs_json")
+  }
+  val qAttrsToJsonSql: String =
+    """SELECT event_id,
+      | to_json(struct_pack(event_type := event_type, user_id := user_id)) AS attrs_json
+      |FROM events""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"    -> q1PricingSummary,
@@ -602,7 +624,9 @@ object QueriesCore {
     "q_distinct_count"      -> qDistinctCount,
     "q_asof_join"           -> qAsofJoin,
     "q_moving_avg"          -> qMovingAvg,
-    "q_stats_agg"           -> qStatsAgg)
+    "q_stats_agg"           -> qStatsAgg,
+    "q_scan_content"        -> qScanContent,
+    "q_attrs_to_json"       -> qAttrsToJson)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"    -> q1Sql,
@@ -641,5 +665,7 @@ object QueriesCore {
     "q_distinct_count"      -> qDistinctCountSql,
     "q_asof_join"           -> qAsofJoinSql,
     "q_moving_avg"          -> qMovingAvgSql,
-    "q_stats_agg"           -> qStatsAggSql)
+    "q_stats_agg"           -> qStatsAggSql,
+    "q_scan_content"        -> qScanContentSql,
+    "q_attrs_to_json"       -> qAttrsToJsonSql)
 }

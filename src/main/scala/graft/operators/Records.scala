@@ -199,6 +199,20 @@ object Records {
     df.withColumn(if (outCol == null) contentCol else outCol,
       graft.plans.BinaryExpressions.gunzip(col(contentCol)))
 
+  /** ScanContent/ScanAttribute: match content against a dictionary of
+    * terms; adds an array of the terms found (dictionary order).
+    * Narrow, codegen'd — the dictionary is a literal array, no join. */
+  def scanContent(df: DataFrame, contentCol: String, dictionary: Seq[String],
+                  outCol: String = "matched_terms"): DataFrame =
+    df.withColumn(outCol,
+      filter(array(dictionary.map(lit): _*), t => contains(col(contentCol), t)))
+
+  /** AttributesToJSON: serialize selected columns as a JSON object
+    * column (NiFi's attribute envelope). */
+  def attributesToJson(df: DataFrame, cols: Seq[String],
+                       outCol: String = "attrs_json"): DataFrame =
+    df.withColumn(outCol, to_json(struct(cols.map(col): _*)))
+
   /** DistributeLoad: spread rows across `n` partitions (round-robin) or
     * co-locate by key columns — NiFi's load-balancing relationship,
     * expressed as an explicit exchange. */
