@@ -21,6 +21,16 @@ import graft.operators.{QueryRecord, Records, Route}
 object QueriesCore {
   type Q = (SparkSession, String) => DataFrame
 
+  /** DuckDB-faithful decimal rounding: round(x·10ⁿ)/10ⁿ — DuckDB
+    * implements round(x, n) exactly this way on doubles, so matching
+    * the operation order makes the rounded values bit-identical in both
+    * engines even when x·10ⁿ lands near a .5 boundary (BigDecimal-exact
+    * rounding of x, Spark's default, can differ there). */
+  def dround(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, n)
+    round(c * p) / p
+  }
+
   // ---------------------------------------------------------------- §2.3
   /** TPC-H Q1 shape: scan-heavy agg. One shuffle (partial aggs map-side);
     * filter + 7-column pruning pushed to parquet. */
@@ -29,13 +39,13 @@ object QueriesCore {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_base_price"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        dround(avg("l_quantity"), 2).as("avg_qty"),
+        dround(avg("l_extendedprice"), 2).as("avg_price"),
+        dround(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
   val q1Sql: String =
@@ -62,7 +72,7 @@ object QueriesCore {
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
                col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -96,7 +106,7 @@ object QueriesCore {
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
   val q5Sql: String =
     """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
@@ -125,7 +135,7 @@ object QueriesCore {
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
            ((max("ms") - min("ms")) / lit(1000.0)).as("span_s"),
-           round(sum("value"), 2).as("sess_value"))
+           dround(sum("value"), 2).as("sess_value"))
   }
   val qSessionizeSql: String =
     """SELECT user_id, session_id, count(*) AS n_events,
@@ -152,7 +162,7 @@ object QueriesCore {
       "clickview"    -> col("event_type").isin("click", "view"))
     Route.tagged(Tables.events(s, d), routes)
       .groupBy("route")
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), dround(sum("value"), 2).as("sum_value"))
   }
   val qRouteOnAttributeSql: String =
     """SELECT CASE WHEN event_type = 'error' THEN 'error'
@@ -181,7 +191,7 @@ object QueriesCore {
     Records.update(Tables.documents(s, d),
         "lang_uc"  -> upper(col("lang")),
         "head10"   -> substring(col("text"), 1, 10),
-        "kb"       -> round(col("n_chars") / lit(1024.0), 4))
+        "kb"       -> dround(col("n_chars") / lit(1024.0), 4))
       .select("doc_id", "lang_uc", "head10", "kb")
   }
   val qUpdateAttributeSql: String =
@@ -265,7 +275,7 @@ object QueriesCore {
     Records.partitionKey(Tables.events(s, d), "event_date",
         date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy("event_date")
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), dround(sum("value"), 2).as("sum_value"))
   }
   val qPartitionRecordSql: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS cnt,
@@ -324,7 +334,7 @@ object QueriesCore {
   val qForkJoinEnrichment: Q = (s, d) => {
     Records.forkJoinEnrich(Tables.orders(s, d), Seq("o_custkey"),
         df => df.groupBy("o_custkey")
-                .agg(round(sum("o_totalprice"), 2).as("cust_total"),
+                .agg(dround(sum("o_totalprice"), 2).as("cust_total"),
                      count(lit(1)).as("cust_orders")))
       .select("o_orderkey", "o_custkey", "cust_total", "cust_orders")
   }
@@ -403,7 +413,7 @@ object QueriesCore {
   /** AttributeRollingWindow: trailing 1h per-user sum. */
   val qRollingWindow: Q = (s, d) => {
     Records.rollingWindow(Tables.events(s, d), "user_id", "ts", "value", 3600000L)
-      .select(col("event_id"), col("user_id"), round(col("rolling_sum"), 2).as("rolling_1h"))
+      .select(col("event_id"), col("user_id"), dround(col("rolling_sum"), 2).as("rolling_1h"))
   }
   val qRollingWindowSql: String =
     """SELECT event_id, user_id,
@@ -433,7 +443,7 @@ object QueriesCore {
     graft.sources.Io.writeCsv(c, tmp)
     graft.sources.Io.readCsv(s, tmp, c.schema)
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("cnt"), dround(sum("c_acctbal"), 2).as("sum_bal"))
   }
   val qSourceCsvRoundtripSql: String =
     """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal),2) AS sum_bal
@@ -483,7 +493,7 @@ object QueriesCore {
   val qRollup: Q = (s, d) => {
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(dround(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
   }
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -494,8 +504,8 @@ object QueriesCore {
     * same linear-interpolation definition). */
   val qPercentiles: Q = (s, d) => {
     Tables.events(s, d).groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-           round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .agg(dround(expr("percentile(value, 0.5)"), 4).as("p50"),
+           dround(expr("percentile(value, 0.9)"), 4).as("p90"))
   }
   val qPercentilesSql: String =
     """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
@@ -540,7 +550,7 @@ object QueriesCore {
   val qMovingAvg: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(-3, 0)
     Tables.events(s, d).withColumn("ms", unix_millis(col("ts")))
-      .withColumn("mavg", round(avg("value").over(w), 4))
+      .withColumn("mavg", dround(avg("value").over(w), 4))
       .select("event_id", "user_id", "mavg")
   }
   val qMovingAvgSql: String =
@@ -553,9 +563,9 @@ object QueriesCore {
     * the same sample definitions; rounded for summation-order noise). */
   val qStatsAgg: Q = (s, d) => {
     Tables.lineitem(s, d).groupBy("l_returnflag")
-      .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
-           round(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_cov"),
-           round(stddev_samp("l_extendedprice"), 2).as("price_sd"))
+      .agg(dround(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+           dround(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_cov"),
+           dround(stddev_samp("l_extendedprice"), 2).as("price_sd"))
   }
   val qStatsAggSql: String =
     """SELECT l_returnflag,

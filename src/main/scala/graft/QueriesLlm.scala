@@ -13,6 +13,16 @@ import graft.operators.{Ann, Dedup, Multimodal}
 object QueriesLlm {
   type Q = (SparkSession, String) => DataFrame
 
+  /** DuckDB-faithful decimal rounding: round(x·10ⁿ)/10ⁿ — DuckDB
+    * implements round(x, n) exactly this way on doubles, so matching
+    * the operation order makes the rounded values bit-identical in both
+    * engines even when x·10ⁿ lands near a .5 boundary (BigDecimal-exact
+    * rounding of x, Spark's default, can differ there). */
+  def dround(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, n)
+    round(c * p) / p
+  }
+
   /** NiFi Expression Language compiled to Catalyst (SURVEY §2.1 #8). */
   val qExpressionLanguage: Q = (s, d) => {
     Tables.documents(s, d).select(
@@ -47,10 +57,10 @@ object QueriesLlm {
     Tables.documents(s, d).select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
-      round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      dround(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      dround(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+      dround(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      dround(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
   }
   val qTextQualitySql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
@@ -97,7 +107,7 @@ object QueriesLlm {
   val qDedupJaccard: Q = (s, d) => {
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
         n = 3, threshold = 0.7)
-      .select(col("block"), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("block"), col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
   }
   val qDedupJaccardSql: String =
     """WITH g AS (
@@ -158,7 +168,7 @@ object QueriesLlm {
   /** Embedding-cosine near-dup, blocked by label (§2.4 #33). */
   val qEmbedNeardup: Q = (s, d) => {
     Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
-      .select(col("block"), col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .select(col("block"), col("id_a"), col("id_b"), dround(col("cos_sim"), 6).as("cos_sim"))
   }
   val qEmbedNeardupSql: String =
     """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
