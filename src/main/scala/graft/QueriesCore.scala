@@ -142,8 +142,8 @@ object QueriesCore {
       | (max(ms) - min(ms)) / 1000.0 AS span_s,
       | round(sum(value),2) AS sess_value
       |FROM (
-      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, event_id, value, ms,
       |      CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
@@ -309,7 +309,7 @@ object QueriesCore {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bin_chars"))
   }
   val qMergeBinsSql: String =
-    """SELECT source, bin, count(*) AS n_docs, sum(n_chars) AS bin_chars
+    """SELECT source, bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
       |FROM (SELECT source, n_chars,
       |        CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
       |                     ROWS UNBOUNDED PRECEDING) - n_chars) / 2000.0) AS BIGINT) AS bin

@@ -34,6 +34,15 @@ def main(sf_dir, out_dir):
         try:
             want = con.execute(sql).fetchall()
             wcols = [d[0] for d in con.description]
+            # Driver-hash hazard: HUGEINT/DECIMAL oracle columns stringify
+            # differently from Spark's int64/double on the driver side even
+            # when values are equal. Force a FAIL so we add a CAST.
+            types = con.execute(f"DESCRIBE {sql}").fetchall()
+            hazard = [(c[0], c[1]) for c in types
+                      if c[1] in ("HUGEINT", "UHUGEINT") or c[1].startswith("DECIMAL")]
+            if hazard:
+                print(f"FAIL {name}: oracle col type hazard {hazard} — CAST to BIGINT/DOUBLE")
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); continue
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
