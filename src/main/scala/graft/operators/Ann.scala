@@ -29,6 +29,7 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosine(col("embedding"), col("q_vec")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim"))) // zero-norm vectors: undefined sim, excluded
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
@@ -69,13 +70,18 @@ object Ann {
                 val x = vec(i).toDouble; val y = qv(i).toDouble
                 dot += x * y; na += x * x; nb += y * y; i += 1
               }
-              val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-              val r = BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              val h = heaps(qi)
-              if (h.size < k) h.enqueue((r, id, sim))
-              else {
-                val (wr, wid, _) = h.head
-                if (r > wr || (r == wr && id < wid)) { h.dequeue(); h.enqueue((r, id, sim)) }
+              val denom = math.sqrt(na) * math.sqrt(nb)
+              // zero-norm vector → sim undefined (NaN): skip, mirroring the
+              // declarative path's isnan filter (and BigDecimal(NaN) throws)
+              if (denom > 0.0) {
+                val sim = dot / denom
+                val r = BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue((r, id, sim))
+                else {
+                  val (wr, wid, _) = h.head
+                  if (r > wr || (r == wr && id < wid)) { h.dequeue(); h.enqueue((r, id, sim)) }
+                }
               }
             }
             qi += 1
@@ -134,6 +140,7 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -147,10 +154,17 @@ object Ann {
     * `tables`, cost shrinks with `bits`. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, tables: Int = 4): DataFrame = {
+    // The table index is folded into the bucket value ((t << bits) | b):
+    // bucket domains of different hash tables are disjoint, so the join
+    // below only matches rows bucketed by the SAME table — without the
+    // fold, the small shared [0, 2^bits) domain made corpus rows from
+    // table i collide with query rows from table j, inflating the
+    // candidate set ~tables× past design.
     def bucketed(df: DataFrame, idAlias: String, vecAlias: String): DataFrame =
       df.select(col("vec_id").as(idAlias), col("embedding").as(vecAlias),
         explode(array((0 until tables).map(t =>
-          VectorFunctions.hyperplaneBucket(col("embedding"), bits, seed = t * 7919)): _*))
+          VectorFunctions.hyperplaneBucket(col("embedding"), bits, seed = t * 7919)
+            + lit(t.toLong << bits)): _*))
           .as("bucket"))
     val c = bucketed(corpus, "vec_id", "c_vec")
     val q = bucketed(queries, "query_id", "q_vec")
@@ -158,6 +172,7 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -60,10 +60,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // signatures are reused three times (banding + both sides of the
-    // verify join) — cache; ~256 B/doc, spills to disk if needed
+    // verify join) — localCheckpoint materializes them once (~256 B/doc,
+    // MEMORY_AND_DISK). Unlike persist(), the blocks are released by the
+    // ContextCleaner once the returned plan is unreachable — repeated
+    // calls in a long-lived session don't accumulate cached blocks.
     val sig = df.select(col(idCol).as("id"),
         minHashSig(col(textCol), shingleN, numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // band_hash = hash of the signature slice for each band; candidates
     // carry ONLY ids through the bucket join and are deduped BEFORE the
     // (64-element) signature comparison — a pair colliding in k bands
@@ -88,19 +91,34 @@ object Dedup {
   }
 
   /** SimHash (64-bit) per document + banded near-dup pairs at hamming
-    * distance ≤ maxHamming. Bands: 4 × 16-bit chunks of the simhash —
-    * pairs within hamming ≤ 3 must agree on ≥1 chunk, so bucketing on
-    * chunks finds all such pairs (pigeonhole). */
+    * distance ≤ maxHamming. Bands: the 64 bits are split into
+    * (maxHamming+1) chunks — a pair within the distance bound differs in
+    * ≤ maxHamming bits, so it must agree exactly on ≥1 chunk
+    * (pigeonhole), and bucketing on chunks finds ALL such pairs. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       graft.plans.TextHashExpressions.simHash64(col(textCol)).as("simhash"))
 
-  /** Near-dup pairs from simhash values via 16-bit chunk bucketing. */
+  /** Near-dup pairs from simhash values via chunk bucketing. The chunk
+    * count is DERIVED from maxHamming (maxHamming+1 bands) so the pair
+    * set is complete for any bound — not just ≤3. Larger bounds mean
+    * narrower chunks → bigger buckets → more candidate pairs to verify. */
   def simHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    // balanced partition of the 64 bits: chunk b = bits
+    // [floor(b*64/n), floor((b+1)*64/n)) — every chunk non-empty for
+    // n ≤ 64 (an empty chunk would make every pair collide)
+    val chunkCols = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val w = hi - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      call_function("shiftright", col("simhash"), lit(lo)).bitwiseAND(lit(mask))
+    }
     val chunked = sigs.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
-        .as(Seq("chunk_id", "chunk_val")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_id", "chunk_val")))
     val a = chunked.select(col("chunk_id"), col("chunk_val"),
                            col("id").as("id_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk_id"), col("chunk_val"),

@@ -15,6 +15,17 @@ object Scale {
     * splitting isn't enough (e.g. a single key holding >GB). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, how: String = "inner"): DataFrame = {
+    // Only big-side-preserving modes are sound: the small side is
+    // exploded saltFactor×, so any mode that emits UNMATCHED small rows
+    // ("right"/"full"/right_semi/right_anti) would emit each of them
+    // saltFactor times. Each big row carries exactly one salt, so
+    // inner/left/left_semi/left_anti emit big rows exactly once.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+                      "left_semi", "leftsemi", "semi",
+                      "left_anti", "leftanti", "anti")
+    require(allowed.contains(how.toLowerCase.replace(" ", "")),
+      s"saltedJoin: join type '$how' would duplicate unmatched small-side rows " +
+      s"${saltFactor}x; use one of $allowed (swap sides for right-preserving joins)")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -135,4 +135,45 @@ class DedupAnnSpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
+
+  test("simHashPairs is complete for maxHamming > 3 (derived bands)") {
+    // hand-built signatures at known hamming distances
+    val sigs = Seq(
+      (0L, 0L),
+      (1L, 0x1FL),              // hamming 5 from 0
+      (2L, 0x7FL),              // hamming 7 from 0, 2 from 1
+      (3L, -1L),                // hamming 64 from 0
+      (4L, 0L)                  // hamming 0 from 0
+    ).toDF("id", "simhash")
+    val all = (for {
+      a <- 0L to 4L; b <- 0L to 4L if a < b
+    } yield (a, b)).toSet
+    def brute(maxH: Int) = {
+      val byId = Map(0L -> 0L, 1L -> 0x1FL, 2L -> 0x7FL, 3L -> -1L, 4L -> 0L)
+      all.filter { case (a, b) => java.lang.Long.bitCount(byId(a) ^ byId(b)) <= maxH }
+    }
+    for (maxH <- Seq(0, 3, 5, 7, 11)) {
+      val got = Dedup.simHashPairs(sigs, maxH)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === brute(maxH), s"maxHamming=$maxH")
+    }
+    intercept[IllegalArgumentException](Dedup.simHashPairs(sigs, 64))
+  }
+
+  test("brute-force top-k skips zero-norm embeddings in both paths") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm: undefined cosine
+      (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val a = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    val b = Ann.bruteForceTopKPartitioned(spark, corpus, queries, 10)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(!a.exists(_._2 == 2L), "zero-norm vector must be excluded")
+    assert(a.map(_._2) === Set(1L, 3L))
+  }
 }

@@ -17,6 +17,21 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("saltedJoin left join preserves unmatched big rows exactly once") {
+    val big = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "label")
+    val out = Scale.saltedJoin(big, small, Seq("k"), saltFactor = 4, how = "left")
+    assert(out.count() == 100)
+    assert(out.filter(col("label").isNull).count() == 98)
+  }
+
+  test("saltedJoin rejects small-side-preserving join types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    for (how <- Seq("right", "full", "full_outer", "right_outer"))
+      intercept[IllegalArgumentException](
+        Scale.saltedJoin(df, df, Seq("k"), saltFactor = 4, how = how))
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
