@@ -21,7 +21,13 @@ object Bench {
     // warmup: JVM + executor pool + parquet footer reads
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter: `runMain graft.Bench q_a,q_b`
+    // (the driver passes no args → all queries)
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim).toSet else Set.empty
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

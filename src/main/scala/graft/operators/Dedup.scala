@@ -132,7 +132,20 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup within explicit blocks (e.g. same source /
-    * language / length bucket). Pairs only inside a block. */
+    * language / length bucket), with AllPairs-style PREFIX FILTERING
+    * (Bayardo et al., WWW'07; Xiao et al. PPJoin): candidate pairs come
+    * from an inverted index over each document's prefix — its
+    * (n − ⌈t·n⌉ + 1) globally RAREST grams under the total order
+    * (doc_frequency, gram) — instead of a block-wide cross join.
+    *
+    * Completeness: arrays viewed in that global order, if J(a,b) ≥ t the
+    * globally-smallest common gram must sit inside BOTH prefixes (if it
+    * escaped a's prefix, all common grams would lie in a's suffix of
+    * size ⌈t·|a|⌉−1 < ⌈t·max(|a|,|b|)⌉ ≤ |a∩b| — contradiction). So the
+    * prefix join loses no qualifying pair, while the quadratic term is
+    * bounded by rare-gram bucket sizes, not block sizes — the property
+    * that survives blocks of millions of docs at 100 TB.
+    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // grams = sorted distinct 64-bit shingle hashes (native expression);
@@ -141,16 +154,35 @@ object Dedup {
     val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
                       graft.plans.TextHashExpressions.hashedShingles(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val a = g.select(col("block"), col("id").as("id_a"),
-                     col("grams").as("g_a"), col("n_grams").as("n_a"))
-    val b = g.select(col("block"), col("id").as("id_b"),
-                     col("grams").as("g_b"), col("n_grams").as("n_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      // size prefilter: J(a,b) ≤ min/max — prunes before the O(n)
-      // intersection; union is derived (|a|+|b|-|a∩b|), not computed
-      .filter(least(col("n_a"), col("n_b")).cast("double") /
-              greatest(col("n_a"), col("n_b")) >= threshold)
+      .localCheckpoint(true) // reused by prefix indexing + both verify sides
+    // global doc-frequency per gram — rarity ranking only; jaccard math
+    // below stays on the exact hashed-gram sets
+    val gramDf = g.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df_cnt"))
+    // per-doc prefix: the p rarest grams, p = n_grams − ceil(t·n_grams) + 1
+    val wRare = Window.partitionBy("id").orderBy(col("df_cnt"), col("gram"))
+    val prefixes = g.select(col("block"), col("id"), col("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(gramDf, "gram")
+      .withColumn("rare_rank", row_number().over(wRare))
+      .filter(col("rare_rank") <=
+        col("n_grams") - ceil(col("n_grams") * threshold) + lit(1))
+      .select(col("block"), col("gram"), col("id"), col("n_grams"))
+    // candidates: docs sharing a prefix gram in the same block, with the
+    // size prefilter (J ≤ min/max) applied before the distinct
+    val cand = prefixes.as("a").join(prefixes.as("b"), Seq("block", "gram"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(least(col("a.n_grams"), col("b.n_grams")).cast("double") /
+              greatest(col("a.n_grams"), col("b.n_grams")) >= threshold)
+      .select(col("block"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify: exact intersection over the full sorted-hash arrays; union
+    // is derived (|a|+|b|-|a∩b|), not computed
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("g_a"),
+                     col("n_grams").as("n_a")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("g_b"),
+                     col("n_grams").as("n_b")), "id_b")
       .withColumn("inter",
         graft.plans.TextHashExpressions.sortedIntersectCount(col("g_a"), col("g_b")).cast("double"))
       .select(col("block"), col("id_a"), col("id_b"),
@@ -189,27 +221,38 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, neighbors' labels) ...
+      val t0 = System.nanoTime()
+      // each node adopts min(own label, neighbors' labels); the previous
+      // label rides along so convergence is read off the SAME
+      // materialization (no separate compare-join job per round).
+      // Materialized ONCE per round: the jumps below reference it from
+      // both the stream and broadcast side, and without the checkpoint
+      // each reference would re-execute the edge join.
       val propagated = edges
         .join(broadcast(labels.withColumnRenamed("id", "dst")
                               .withColumnRenamed("cluster", "dst_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_cluster").as("nbr_min"))
         .join(broadcast(labels), "id")
-        .select(col("id"), least(col("cluster"), col("nbr_min")).as("cluster"))
-      // ...then pointer-jumps through its label's label (path halving →
-      // O(log diameter) rounds instead of O(diameter))
-      val next = propagated.as("x")
-        .join(broadcast(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2"))),
-              Seq("cluster"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+        .select(col("id"), col("cluster").as("old"),
+                least(col("cluster"), col("nbr_min")).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") < col("old")).limit(1).count()
-      labels = next
+      // ...then pointer-jumps twice through its label's label (path
+      // halving; two hops per round → half the rounds for long chains).
+      // Both jumps run over the materialized label table — trivial plans.
+      def jump(df: DataFrame): DataFrame = {
+        val ptr = df.select(col("id").as("cluster"), col("cluster").as("cluster2"))
+        df.as("x").join(broadcast(ptr), Seq("cluster"), "left")
+          .select(col("id"), col("old"),
+            least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+      }
+      val next = jump(jump(propagated)).localCheckpoint(true)
+      val changed = next.filter(col("cluster") < col("old")).limit(1).count()
+      labels = next.select("id", "cluster")
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%6.2f s changed=$changed")
     }
     edges.unpersist()
     labels
