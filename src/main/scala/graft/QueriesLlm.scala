@@ -81,11 +81,39 @@ object QueriesLlm {
        |FROM documents""".stripMargin
   }
 
-  /** Language ID (§2.4 #36) — heuristic, no SQL oracle (spec-tested). */
+  /** Language ID (§2.4 #36) — stopword-profile heuristic; the oracle
+    * replays the same profiles, fold-style argmax tie-break, and CJK
+    * codepoint-share rule in DuckDB SQL. */
   val qLangId: Q = (s, d) => {
     Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
   }
+  val qLangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','a','that','it','for','was','on','with'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_en,
+      |    CAST(len(list_filter(toks, x -> list_contains(['de','la','que','el','en','y','los','del','se','las','por','un','para'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_es,
+      |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_de,
+      |    CAST(len(list_filter(toks, x -> list_contains(['de','la','le','et','les','des','en','un','du','une','que','est','pour'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_fr
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, s_en, s_es, s_de, s_fr,
+      |    CAST(length(regexp_replace(regexp_replace(text, '\s+', '', 'g'), '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(regexp_replace(text, '\s+', '', 'g')), 1) AS cjk
+      |  FROM s)
+      |SELECT doc_id,
+      |  CASE WHEN cjk > 0.3 THEN 'zh'
+      |       WHEN greatest(s_en,s_es,s_de,s_fr) >= 0.05 THEN
+      |         CASE WHEN s_fr > greatest(s_en,s_es,s_de) THEN 'fr'
+      |              WHEN s_de > greatest(s_en,s_es) THEN 'de'
+      |              WHEN s_es > s_en THEN 'es'
+      |              ELSE 'en' END
+      |       ELSE 'und' END AS lang_pred
+      |FROM r""".stripMargin
 
   /** Document fingerprint (§2.4 #39): normalize → md5. */
   val qFingerprint: Q = (s, d) => {
@@ -96,12 +124,20 @@ object QueriesLlm {
     """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
-  /** Rolling polynomial hash fingerprint — Long wrap-around semantics
-    * aren't expressible in DuckDB (overflow errors), spec-tested. */
+  /** Rolling polynomial hash fingerprint. Intermediates stay bounded
+    * (pmod 2^50 per step — ANSI-safe on the Spark side) which also makes
+    * the fold expressible in DuckDB as a list_reduce over codepoints. */
   val qFingerprintRolling: Q = (s, d) => {
     Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
   }
+  val qFingerprintRollingSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(unicode(substring(text, i, 1)) AS BIGINT) FOR i IN range(1, greatest(length(text),0) + 1)]),
+      |    (acc, ch) -> (acc * 31 + ch) % 1125899906842624) AS rolling_fp
+      |FROM documents""".stripMargin
 
   /** N-gram Jaccard near-dup, blocked by source (§2.4 #32). */
   val qDedupJaccard: Q = (s, d) => {
@@ -242,7 +278,9 @@ object QueriesLlm {
     "q_expression_language" -> qExpressionLanguageSql,
     "q_token_count"         -> qTokenCountSql,
     "q_text_quality"        -> qTextQualitySql,
+    "q_lang_id"             -> qLangIdSql,
     "q_fingerprint"         -> qFingerprintSql,
+    "q_fingerprint_rolling" -> qFingerprintRollingSql,
     "q_dedup_jaccard"       -> qDedupJaccardSql,
     "q_dedup_cluster"       -> qDedupClusterSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
