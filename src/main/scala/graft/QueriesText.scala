@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Parse, Records}
+
+/** Round-2 additions to SURVEY.md §2.1–2.2: text metrics, content
+  * encoding, mapping-based replacement, line routing, JSON array
+  * splitting, record-field surgery, grok/syslog parsing, CSV
+  * validation. Same oracle-parity conventions as [[QueriesCore]].
+  *
+  * The grok/syslog/csv queries synthesize their input lines
+  * deterministically from table columns and parse them back; the oracle
+  * recomputes the expected fields directly from the raw columns, so the
+  * parser (not the synthesizer) is what the hash-compare validates.
+  */
+object QueriesText {
+  import QueriesCore.Q
+
+  /** CountText: line/word/char metrics per document. */
+  val qCountText: Q = (s, d) => {
+    Records.countText(Tables.documents(s, d), "text")
+      .select("doc_id", "n_lines", "n_words", "n_chars")
+  }
+  val qCountTextSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** EncodeContent: base64 + hex encodings (of a bounded prefix, to keep
+    * the dump small) and a decode round-trip check. */
+  val qEncodeContent: Q = (s, d) => {
+    val head = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+    val enc = Records.encodeContent(
+      Records.encodeContent(head, "head", "base64", "b64"), "head", "hex", "hx")
+    Records.decodeContent(enc, "b64", "base64", "rt")
+      .select(col("doc_id"), col("b64"), col("hx"),
+              (col("rt") === col("head").cast("binary")).as("roundtrip_ok"))
+  }
+  val qEncodeContentSql: String =
+    """SELECT doc_id,
+      |  to_base64(encode(substring(text, 1, 24))) AS b64,
+      |  hex(encode(substring(text, 1, 24))) AS hx,
+      |  true AS roundtrip_ok
+      |FROM documents""".stripMargin
+
+  /** ReplaceTextWithMapping: ordered literal substitutions (digest to
+    * bound row size). */
+  val qReplaceMapping: Q = (s, d) => {
+    Records.replaceWithMapping(Tables.documents(s, d), "text",
+        Seq("the" -> "THE", "and" -> "AND", "data" -> "DATA"), "replaced")
+      .select(col("doc_id"), md5(col("replaced").cast("binary")).as("replaced_md5"))
+  }
+  val qReplaceMappingSql: String =
+    """SELECT doc_id,
+      | md5(replace(replace(replace(text, 'the', 'THE'), 'and', 'AND'), 'data', 'DATA')) AS replaced_md5
+      |FROM documents""".stripMargin
+
+  /** RouteText: per-line regex routing, rolled up per route. */
+  val qRouteText: Q = (s, d) => {
+    Records.routeText(Tables.documents(s, d), "text",
+        Seq("digits" -> "[0-9]", "sparky" -> "(?i)spark", "short" -> "^.{0,40}$"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n_lines"),
+           countDistinct(col("doc_id")).as("n_docs"))
+  }
+  val qRouteTextSql: String =
+    """WITH lines AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+      |SELECT CASE WHEN regexp_matches(line, '[0-9]') THEN 'digits'
+      |            WHEN regexp_matches(line, '(?i)spark') THEN 'sparky'
+      |            WHEN regexp_matches(line, '^.{0,40}$') THEN 'short'
+      |            ELSE 'unmatched' END AS route,
+      |       count(*) AS n_lines, count(DISTINCT doc_id) AS n_docs
+      |FROM lines GROUP BY 1""".stripMargin
+
+  /** SplitJson: build a per-user JSON array (sorted by event_id), split
+    * it back into elements, and aggregate the recovered values — the
+    * oracle computes the same aggregate straight off the rows. */
+  val qSplitJson: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val arr = e.groupBy("user_id").agg(
+      to_json(transform(array_sort(collect_list(struct(col("event_id"), col("k")))),
+                        x => x.getField("k"))).as("arr_json"))
+    Records.splitJson(arr, "arr_json")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_elems"),
+           sum(col("element").cast("long")).as("sum_k"))
+  }
+  val qSplitJsonSql: String =
+    """SELECT user_id, count(*) AS n_elems,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Remove/RenameRecordField on a struct column (drop one field, rename
+    * another; field order follows withField-append semantics). */
+  val qRecordFields: Q = (s, d) => {
+    val recs = Tables.orders(s, d).select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"),
+             col("o_custkey").as("cust")).as("m"))
+    val surgically = Records.renameField(Records.removeField(recs, "m.prio"), "m.status", "state")
+    surgically.select(col("o_orderkey"), to_json(col("m")).as("rec_json"))
+  }
+  val qRecordFieldsSql: String =
+    """SELECT o_orderkey,
+      | to_json(struct_pack(cust := o_custkey, state := o_orderstatus)) AS rec_json
+      |FROM orders""".stripMargin
+
+  /** ExtractGrok over deterministically synthesized log lines. */
+  val qExtractGrok: Q = (s, d) => {
+    val lines = Tables.events(s, d).select(col("event_id"),
+      concat(col("user_id").cast("string"), lit(" ["),
+             upper(col("event_type")), lit("] evt="),
+             col("event_id").cast("string")).as("line"))
+    // literal text between %{} references is regex-quoted by the grok
+    // compiler — no manual escaping of [ ]
+    Parse.extractGrok(lines, "line", "%{INT:uid} [%{WORD:etype}] evt=%{INT:evt}")
+      .select(col("event_id"), col("uid").cast("long").as("uid"),
+              col("etype"), col("evt").cast("long").as("evt"))
+  }
+  val qExtractGrokSql: String =
+    """SELECT event_id, CAST(user_id AS BIGINT) AS uid, upper(event_type) AS etype,
+      |       CAST(event_id AS BIGINT) AS evt
+      |FROM events""".stripMargin
+
+  /** ParseSyslog over deterministically synthesized RFC-3164 lines;
+    * oracle recomputes pri/facility/severity/host/tag/pid/msg directly. */
+  val qParseSyslog: Q = (s, d) => {
+    val lines = Tables.events(s, d).select(col("event_id"),
+      concat(lit("<"), (col("user_id") % 192).cast("int").cast("string"), lit(">"),
+             lit("Feb  5 12:00:00 "),
+             concat(lit("h"), (col("user_id") % 10).cast("string")), lit(" "),
+             col("event_type"), lit("["), (col("event_id") % 97).cast("string"),
+             lit("]: value "), col("event_id").cast("string")).as("line"))
+    Parse.parseSyslog(lines, "line")
+      .select(col("event_id"), col("pri"), col("facility"), col("severity"),
+              col("sl_host"), col("sl_tag"), col("sl_pid"), col("sl_msg"))
+  }
+  val qParseSyslogSql: String =
+    """SELECT event_id,
+      |  CAST(user_id % 192 AS INT) AS pri,
+      |  CAST(floor((user_id % 192) / 8) AS INT) AS facility,
+      |  CAST((user_id % 192) % 8 AS INT) AS severity,
+      |  'h' || CAST(user_id % 10 AS VARCHAR) AS sl_host,
+      |  event_type AS sl_tag,
+      |  CAST(event_id % 97 AS INT) AS sl_pid,
+      |  'value ' || CAST(event_id AS VARCHAR) AS sl_msg
+      |FROM events""".stripMargin
+
+  /** ValidateCsv over synthesized delimited lines; oracle recomputes the
+    * rule outcomes from the raw columns. */
+  val qValidateCsv: Q = (s, d) => {
+    val lines = Tables.orders(s, d).select(col("o_orderkey"),
+      concat_ws(",", col("o_orderkey"), col("o_custkey"),
+                col("o_orderstatus"), col("o_orderpriority")).as("line"))
+    Parse.validateCsv(lines, "line", ",", expectedFields = 4, Seq(
+        (1, "key_numeric", f => f.rlike("^\\d+$")),
+        // deterministic failures at every SF so both routes are exercised
+        (2, "cust_not_7x", f => f.cast("long") % 7 =!= 0),
+        (3, "status_known", f => f.isin("O", "F", "P")),
+        (4, "prio_format", f => f.rlike("^\\d-[A-Z ]+$"))))
+      .select(col("o_orderkey"), col("is_valid"),
+              size(col("violations")).cast("long").as("n_violations"))
+  }
+  val qValidateCsvSql: String =
+    """SELECT o_orderkey,
+      |  (o_custkey % 7 <> 0 AND o_orderstatus IN ('O','F','P')
+      |   AND regexp_matches(o_orderpriority, '^\d-[A-Z ]+$')) AS is_valid,
+      |  CAST((CASE WHEN o_custkey % 7 <> 0 THEN 0 ELSE 1 END)
+      |     + (CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      |     + (CASE WHEN regexp_matches(o_orderpriority, '^\d-[A-Z ]+$') THEN 0 ELSE 1 END)
+      |   AS BIGINT) AS n_violations
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------------- export
+  val queries: Map[String, Q] = Map(
+    "q_count_text"      -> qCountText,
+    "q_encode_content"  -> qEncodeContent,
+    "q_replace_mapping" -> qReplaceMapping,
+    "q_route_text"      -> qRouteText,
+    "q_split_json"      -> qSplitJson,
+    "q_record_fields"   -> qRecordFields,
+    "q_extract_grok"    -> qExtractGrok,
+    "q_parse_syslog"    -> qParseSyslog,
+    "q_validate_csv"    -> qValidateCsv)
+
+  val oracles: Map[String, String] = Map(
+    "q_count_text"      -> qCountTextSql,
+    "q_encode_content"  -> qEncodeContentSql,
+    "q_replace_mapping" -> qReplaceMappingSql,
+    "q_route_text"      -> qRouteTextSql,
+    "q_split_json"      -> qSplitJsonSql,
+    "q_record_fields"   -> qRecordFieldsSql,
+    "q_extract_grok"    -> qExtractGrokSql,
+    "q_parse_syslog"    -> qParseSyslogSql,
+    "q_validate_csv"    -> qValidateCsvSql)
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Log/line parsing operators (NiFi ExtractGrok, ParseSyslog,
+  * ValidateCsv). (Capability reference: NiFi 2.7 as deployed by
+  * /root/reference/dev.nifi.yaml:1.)
+  *
+  * All narrow, codegen'd regexp work — the 100 TB cost model is one
+  * regex pass per record, no shuffle, fully pushdown-friendly upstream.
+  */
+object Parse {
+
+  /** Grok base patterns (public grok pattern library subset, re-expressed
+    * as RE2/Java-compatible regexes — no possessive quantifiers). */
+  val grokPatterns: Map[String, String] = Map(
+    "WORD"       -> "\\b\\w+\\b",
+    "NOTSPACE"   -> "\\S+",
+    "DATA"       -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT"        -> "[+-]?\\d+",
+    "NUMBER"     -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP"         -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "TIMESTAMP_ISO8601" ->
+      "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+    "LOGLEVEL"   -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
+
+  private val grokRef = "%\\{(\\w+)(?::(\\w+))?\\}".r
+
+  /** Compile a grok expression (`%{PATTERN:name}` references + literal
+    * text) into (regex with capture groups, field names in group order).
+    * Unnamed references (`%{INT}`) match without capturing. */
+  def compileGrok(expr: String): (String, Seq[String]) = {
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- grokRef.findAllMatchIn(expr)) {
+      sb.append(java.util.regex.Pattern.quote(expr.substring(last, m.start)))
+      val pat = grokPatterns.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
+      if (m.group(2) != null) { names += m.group(2); sb.append(s"($pat)") }
+      else sb.append(s"(?:$pat)")
+      last = m.end
+    }
+    sb.append(java.util.regex.Pattern.quote(expr.substring(last)))
+    (sb.toString, names.toSeq)
+  }
+
+  /** ExtractGrok: parse a line column with a grok expression; one output
+    * column per named reference (null when the line doesn't match —
+    * NiFi's `unmatched` relationship is a `route` on those nulls). */
+  def extractGrok(df: DataFrame, lineCol: String, expr: String): DataFrame = {
+    val (regex, names) = compileGrok(expr)
+    names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+      // regexp_extract returns "" on no-match: surface as null instead
+      val v = regexp_extract(col(lineCol), regex, i + 1)
+      d.withColumn(name, when(col(lineCol).rlike(regex), v))
+    }
+  }
+
+  /** RFC-3164-ish syslog line: `<PRI>MMM dd HH:mm:ss host tag[pid]: msg`
+    * (pri, pid optional — the common relaxed form ParseSyslog accepts). */
+  val syslogRegex: String =
+    "^(?:<(\\d+)>)?" +                                    // 1 pri
+    "([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) " +   // 2 timestamp
+    "(\\S+) " +                                           // 3 host
+    "([^\\s:\\[]+)(?:\\[(\\d+)\\])?: " +                  // 4 tag, 5 pid
+    "(.*)$"                                               // 6 msg
+
+  /** ParseSyslog: structured fields from a syslog line column; severity/
+    * facility derived from PRI (pri = facility*8 + severity). */
+  def parseSyslog(df: DataFrame, lineCol: String): DataFrame = {
+    val l = col(lineCol)
+    def grp(i: Int): Column = when(l.rlike(syslogRegex), regexp_extract(l, syslogRegex, i))
+    // optional groups capture "" when absent — null them before the cast
+    // (ANSI mode rejects cast('' as int))
+    val pri = when(grp(1) =!= "", grp(1)).cast("int")
+    df.withColumn("pri", pri)
+      .withColumn("facility", floor(pri / 8).cast("int"))
+      .withColumn("severity", (pri % 8).cast("int"))
+      .withColumn("sl_ts", grp(2))
+      .withColumn("sl_host", grp(3))
+      .withColumn("sl_tag", grp(4))
+      .withColumn("sl_pid", when(grp(5) =!= "", grp(5)).cast("int"))
+      .withColumn("sl_msg", grp(6))
+  }
+
+  /** ValidateCsv: check a delimited line column against per-field rules.
+    * `fieldRules` = (1-based field index, rule name, validator over the
+    * extracted field). Adds `violations` and `is_valid` like
+    * [[Records.validate]]; a missing field (index past the split) is a
+    * violation of that rule. */
+  def validateCsv(df: DataFrame, lineCol: String, delim: String,
+                  expectedFields: Int,
+                  fieldRules: Seq[(Int, String, Column => Column)]): DataFrame = {
+    val parts = split(col(lineCol), java.util.regex.Pattern.quote(delim), -1)
+    val arity: (String, Column) = "field_count" -> (size(parts) === expectedFields)
+    val rules: Seq[(String, Column)] = arity +: fieldRules.map {
+      case (idx, name, rule) =>
+        name -> (size(parts) >= idx && coalesce(rule(element_at(parts, idx)), lit(false)))
+    }
+    Records.validate(df, rules: _*)
+  }
+}

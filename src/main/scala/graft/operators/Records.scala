@@ -259,4 +259,101 @@ object Records {
       d.withColumn(prefix + f, col("__x").getField(f))
     }.drop("__x")
   }
+
+  /** CountText: per-record line / word / character metrics (NiFi
+    * CountText emits these as attributes). Narrow, codegen'd. */
+  def countText(df: DataFrame, contentCol: String): DataFrame = {
+    val c = col(contentCol)
+    df.withColumn("n_lines",
+        size(org.apache.spark.sql.functions.split(c, "\n", -1)).cast("long"))
+      .withColumn("n_words",
+        size(filter(org.apache.spark.sql.functions.split(c, "\\s+"),
+                    t => length(t) > 0)).cast("long"))
+      .withColumn("n_chars", length(c).cast("long"))
+  }
+
+  /** EncodeContent (encode mode): base64 or hex encoding of a payload
+    * column. Narrow. */
+  def encodeContent(df: DataFrame, contentCol: String, encoding: String,
+                    outCol: String = "encoded"): DataFrame = {
+    val payload = col(contentCol).cast("binary")
+    val enc = encoding.toLowerCase match {
+      case "base64" => base64(payload)
+      case "hex"    => hex(payload)
+      case other    => throw new IllegalArgumentException(
+        s"unsupported encoding '$other' (base64|hex)")
+    }
+    df.withColumn(outCol, enc)
+  }
+
+  /** EncodeContent (decode mode): inverse of [[encodeContent]]; output
+    * is binary. Narrow. */
+  def decodeContent(df: DataFrame, contentCol: String, encoding: String,
+                    outCol: String = "decoded"): DataFrame = {
+    val dec = encoding.toLowerCase match {
+      case "base64" => unbase64(col(contentCol))
+      case "hex"    => unhex(col(contentCol))
+      case other    => throw new IllegalArgumentException(
+        s"unsupported encoding '$other' (base64|hex)")
+    }
+    df.withColumn(outCol, dec)
+  }
+
+  /** ReplaceTextWithMapping: literal find→replace pairs applied in the
+    * given order (NiFi applies its mapping file sequentially; ordering
+    * matters when keys overlap — document the mapping accordingly).
+    * Narrow, codegen'd. */
+  def replaceWithMapping(df: DataFrame, contentCol: String,
+                         mapping: Seq[(String, String)],
+                         outCol: String = null): DataFrame = {
+    val out = mapping.foldLeft(col(contentCol)) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    df.withColumn(if (outCol == null) contentCol else outCol, out)
+  }
+
+  /** RouteText: split content into lines and route each line by the
+    * first matching regex (NiFi RouteText line-oriented routing).
+    * Output: original columns + (line_no, line, route). Narrow —
+    * the explode multiplies rows but nothing shuffles. */
+  def routeText(df: DataFrame, contentCol: String,
+                routes: Seq[(String, String)],
+                unmatched: String = "unmatched"): DataFrame = {
+    val lines = df.select(col("*"),
+      posexplode(org.apache.spark.sql.functions.split(col(contentCol), "\n", -1))
+        .as(Seq("line_no", "line")))
+    val route = routes.foldRight(lit(unmatched): Column) {
+      case ((name, pattern), alt) => when(col("line").rlike(pattern), lit(name)).otherwise(alt)
+    }
+    lines.withColumn("route", route)
+  }
+
+  /** SplitJson: explode a JSON-array column into one row per element
+    * (NiFi SplitJson with a root array path). Elements surface as raw
+    * JSON strings (`elemCol`) with their array position — feed
+    * [[jsonPath]] / `from_json` downstream for typed access. Narrow. */
+  def splitJson(df: DataFrame, jsonCol: String,
+                posCol: String = "pos", elemCol: String = "element"): DataFrame =
+    df.select(col("*"),
+      posexplode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+        .as(Seq(posCol, elemCol)))
+
+  /** RemoveRecordField: drop a top-level column ("name") or a struct
+    * field ("name.sub", arbitrary depth via Column.dropFields). Narrow. */
+  def removeField(df: DataFrame, path: String): DataFrame =
+    path.split("\\.", 2) match {
+      case Array(top)      => df.drop(top)
+      case Array(top, sub) => df.withColumn(top, col(top).dropFields(sub))
+    }
+
+  /** RenameRecordField: rename a top-level column or a struct field
+    * (one level of nesting; the renamed field is appended after the
+    * struct's remaining fields, matching withField semantics). */
+  def renameField(df: DataFrame, path: String, to: String): DataFrame =
+    path.split("\\.", 2) match {
+      case Array(top)      => df.withColumnRenamed(top, to)
+      case Array(top, sub) =>
+        df.withColumn(top, col(top).withField(to, col(s"$top.$sub")).dropFields(sub))
+    }
 }
