@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Parse, Records}
+import graft.operators.{Parse, Records, Route}
 
 /** Round-2 additions to SURVEY.md §2.1–2.2: text metrics, content
   * encoding, mapping-based replacement, line routing, JSON array
@@ -176,6 +176,24 @@ object QueriesText {
       |   AS BIGINT) AS n_violations
       |FROM orders""".stripMargin
 
+  /** RouteOnAttribute driven by flow-definition-style EL predicate
+    * strings (NiFi dynamic properties), compiled to Catalyst booleans. */
+  val qRouteEl: Q = (s, d) => {
+    Route.taggedFromElConfig(Tables.documents(s, d), Seq(
+        "english" -> "${lang:equals('en')}",
+        "long"    -> "${n_chars:gt(300)}",
+        "sparky"  -> "${text:contains('spark')}"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+  val qRouteElSql: String =
+    """SELECT CASE WHEN lang = 'en' THEN 'english'
+      |            WHEN n_chars > 300 THEN 'long'
+      |            WHEN strpos(text, 'spark') > 0 THEN 'sparky'
+      |            ELSE 'unmatched' END AS route,
+      |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -186,7 +204,8 @@ object QueriesText {
     "q_record_fields"   -> qRecordFields,
     "q_extract_grok"    -> qExtractGrok,
     "q_parse_syslog"    -> qParseSyslog,
-    "q_validate_csv"    -> qValidateCsv)
+    "q_validate_csv"    -> qValidateCsv,
+    "q_route_el"        -> qRouteEl)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -197,5 +216,6 @@ object QueriesText {
     "q_record_fields"   -> qRecordFieldsSql,
     "q_extract_grok"    -> qExtractGrokSql,
     "q_parse_syslog"    -> qParseSyslogSql,
-    "q_validate_csv"    -> qValidateCsvSql)
+    "q_validate_csv"    -> qValidateCsvSql,
+    "q_route_el"        -> qRouteElSql)
 }

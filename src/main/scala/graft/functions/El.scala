@@ -59,34 +59,58 @@ object El {
   }
 
   // ------------------------------------------------------------- parser
+  /** Multi-attribute subject state: `anyAttribute`/`allAttributes` carry
+    * a column per named attribute; chained functions apply element-wise
+    * until a reducing function (`join`, `count`) collapses them, or the
+    * closing `}` reduces a boolean chain with OR (any) / AND (all) —
+    * NiFi's semantics for multi-attribute expressions. */
   private def parseExpression(s: String, start: Int): (Column, Int) = {
     var i = start + 2 // skip "${"
     i = skipWs(s, i)
-    var subject: Column = null
+    var subjects: Seq[Column] = Nil
+    var combineAny = false // true → reduce with OR, false → AND
+    var multi = false
     if (at(s, i) == '\'') {
-      val (name, n) = parseQuoted(s, i); subject = col(name); i = n
+      val (name, n) = parseQuoted(s, i); subjects = Seq(col(name)); i = n
     } else {
       val (word, n) = parseWord(s, i)
       i = skipWs(s, n)
       if (i < s.length && s.charAt(i) == '(') { // standalone function
         val (args, n2) = parseArgs(s, i)
         i = n2
-        subject = word match {
-          case "literal" => args.head.col
-          case other     => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
+        word match {
+          case "literal" => subjects = Seq(args.head.col)
+          case "anyAttribute" =>
+            subjects = args.map(a => col(argStr(a))); multi = true; combineAny = true
+          case "allAttributes" =>
+            subjects = args.map(a => col(argStr(a))); multi = true; combineAny = false
+          case other => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
         }
-      } else subject = col(word)
+        require(subjects.nonEmpty, s"$word needs at least one attribute name")
+      } else subjects = Seq(col(word))
     }
     i = skipWs(s, i)
-    var c = subject
     while (i < s.length && s.charAt(i) == ':') {
       val (fname, n) = parseWord(s, i + 1)
       i = skipWs(s, n)
       val (args, n2) = if (i < s.length && s.charAt(i) == '(') parseArgs(s, i) else (Nil: List[Arg], i)
       i = skipWs(s, n2)
-      c = apply(fname, c, args)
+      fname match {
+        case "join" if multi =>
+          subjects = Seq(concat_ws(argStr(args.head), subjects.map(_.cast("string")): _*))
+          multi = false
+        case "count" if multi =>
+          subjects = Seq(subjects.map(_.cast("boolean").cast("int"))
+            .reduce(_ + _).cast("long"))
+          multi = false
+        case _ => subjects = subjects.map(c => apply(fname, c, args))
+      }
     }
     require(i < s.length && s.charAt(i) == '}', s"expected '}' at $i in: $s")
+    val c =
+      if (!multi) subjects.head
+      else if (combineAny) subjects.map(_.cast("boolean")).reduce(_ || _)
+      else subjects.map(_.cast("boolean")).reduce(_ && _)
     (c, i + 1)
   }
 
@@ -177,8 +201,25 @@ object El {
     case "substringAfter" =>
       val pos = instr(c, argStr(args.head))
       when(pos > 0, c.substr(pos + length(a0), length(c))).otherwise(c)
+    case "substringBeforeLast" =>
+      // everything before the LAST occurrence; whole string when absent
+      val after = substring_index(c, argStr(args.head), -1)
+      when(c.contains(a0), c.substr(lit(1), length(c) - length(after) - length(a0)))
+        .otherwise(c)
+    case "substringAfterLast" =>
+      when(c.contains(a0), substring_index(c, argStr(args.head), -1)).otherwise(c)
     case "replace"          => replace(c, a0, a1)
     case "replaceAll"       => regexp_replace(c, a0, a1)
+    case "replaceFirst" =>
+      // first regex match replaced with a LITERAL replacement (no $n
+      // backreference expansion, unlike NiFi's Java-regex semantics)
+      val pat = argStr(args.head)
+      val pre = regexp_extract(c, s"(?s)^(.*?)(?:$pat)", 1)
+      val matched = regexp_extract(c, s"(?s)^.*?($pat)", 1)
+      when(regexp_like(c, lit(pat)),
+        concat(pre, a1, c.substr(length(pre) + length(matched) + 1, length(c))))
+        .otherwise(c)
+    case "replaceNull"      => when(c.isNull, a0).otherwise(c)
     case "replaceEmpty"     => when(trim(c.cast("string")) === "" || c.isNull, a0).otherwise(c)
     case "append"           => concat(c, a0.cast("string"))
     case "prepend"          => concat(a0.cast("string"), c)
@@ -224,10 +265,59 @@ object El {
       element_at(split(c, java.util.regex.Pattern.quote(delim)), litInt(args.head))
     case "in"               => args.map(a => c === a.col).reduce(_ || _)
     case "abs"              => abs(c)
+    case "isNull"           => c.isNull
+    case "notNull"          => c.isNotNull
+    case "repeat"           => repeat(c, litInt(args.head))
+    case "toRadix" =>
+      // Long.toString(v, radix) semantics: lowercase digits; optional
+      // zero-pad width as second arg
+      val encoded = lower(conv(c.cast("string"), 10, litInt(args.head)))
+      if (args.size > 1) lpad(encoded, litInt(args(1)), "0") else encoded
+    case "fromRadix"        => conv(c, litInt(args.head), 10).cast("long")
+    case "math" =>
+      argStr(args.head) match {
+        case "sqrt"  => sqrt(c)
+        case "ceil"  => ceil(c).cast("long")
+        case "floor" => floor(c).cast("long")
+        case "log"   => log(c)
+        case "log10" => log10(c)
+        case "exp"   => exp(c)
+        case "abs"   => abs(c)
+        case a       => throw new IllegalArgumentException(s"math: unknown function $a")
+      }
+    case "escapeJson" =>
+      Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    case "unescapeJson" =>
+      // \\ must unescape atomically (else \\n reads as \ + \n): park it
+      // in a sentinel first, restore last
+      Seq("\\\\" -> "\u0000", "\\t" -> "\t", "\\r" -> "\r", "\\n" -> "\n",
+          "\\\"" -> "\"", "\u0000" -> "\\")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    case "escapeXml" =>
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+          "\"" -> "&quot;", "'" -> "&apos;")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    case "unescapeXml" =>
+      Seq("&apos;" -> "'", "&quot;" -> "\"", "&gt;" -> ">",
+          "&lt;" -> "<", "&amp;" -> "&")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    case "escapeCsv" =>
+      // RFC-4180: quote when the value holds a delimiter/quote/newline,
+      // doubling embedded quotes
+      when(c.rlike("[,\"\r\n]"),
+        concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
+        .otherwise(c)
+    case "unescapeCsv" =>
+      when(c.rlike("^\".*\"$"),
+        replace(c.substr(lit(2), length(c) - 2), lit("\"\""), lit("\"")))
+        .otherwise(c)
     case "hash" =>
       argStr(args.head) match {
         case "md5"    => md5(c.cast("binary"))
+        case "sha1"   => sha1(c.cast("binary"))
         case "sha256" => sha2(c.cast("binary"), 256)
+        case "sha512" => sha2(c.cast("binary"), 512)
         case a        => throw new IllegalArgumentException(s"hash: unknown algo $a")
       }
     case other => throw new IllegalArgumentException(s"unknown EL function: $other")

@@ -48,4 +48,20 @@ object Route {
   def taggedOnContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)],
                       routeCol: String = "route"): DataFrame =
     tagged(df, routes.map { case (n, re) => n -> col(contentCol).rlike(re) }, routeCol)
+
+  /** RouteOnAttribute straight from flow-definition-style configuration:
+    * route name → NiFi Expression Language predicate string (exactly
+    * what a NiFi flow definition stores as RouteOnAttribute dynamic
+    * properties). Each EL predicate compiles to a Catalyst boolean via
+    * [[graft.functions.El.compileExpr]] — so a flow's routing config
+    * ports verbatim and still runs codegen'd. */
+  def fromElConfig(df: DataFrame, routes: Seq[(String, String)]): Map[String, DataFrame] =
+    onAttribute(df, routes.map { case (n, el) =>
+      n -> graft.functions.El.compileExpr(el).cast("boolean") })
+
+  /** Tagged single-pass form of [[fromElConfig]]. */
+  def taggedFromElConfig(df: DataFrame, routes: Seq[(String, String)],
+                         routeCol: String = "route"): DataFrame =
+    tagged(df, routes.map { case (n, el) =>
+      n -> graft.functions.El.compileExpr(el).cast("boolean") }, routeCol)
 }

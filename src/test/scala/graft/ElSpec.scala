@@ -78,6 +78,54 @@ class ElSpec extends SparkSpec {
     assert(evalExpr("${lang:in('de', 'fr')}") == false)
   }
 
+  test("last-occurrence substrings and replaceFirst/replaceNull") {
+    assert(eval("${literal('a.b.c'):substringBeforeLast('.')}") == "a.b")
+    assert(eval("${literal('a.b.c'):substringAfterLast('.')}") == "c")
+    assert(eval("${literal('nodots'):substringBeforeLast('.')}") == "nodots")
+    assert(eval("${literal('nodots'):substringAfterLast('.')}") == "nodots")
+    assert(eval("${literal('a1b2'):replaceFirst('[0-9]', 'X')}") == "aXb2")
+    assert(eval("${literal('abc'):replaceFirst('[0-9]', 'X')}") == "abc")
+    val withNull = Seq((Option.empty[String], 1L)).toDF("text", "n")
+    assert(withNull.select(El.compile("${text:replaceNull('fallback')}"))
+      .collect()(0).getString(0) == "fallback")
+    assert(evalExpr("${text:isNull()}") == false)
+    assert(evalExpr("${text:notNull()}") == true)
+  }
+
+  test("radix, repeat, math") {
+    assert(eval("${n:toRadix(16)}") == "2a")
+    assert(eval("${n:toRadix(2, 8)}") == "00101010")
+    assert(evalExpr("${literal('ff'):fromRadix(16)}") == 255L)
+    assert(eval("${lang:repeat(3)}") == "enenen")
+    assert(evalExpr("${n:math('sqrt')}").asInstanceOf[Double] > 6.48)
+    assert(evalExpr("${literal('2.5'):toDecimal():math('ceil')}") == 3L)
+  }
+
+  test("escape families round-trip") {
+    val json = """say "hi"\now"""
+    val df = Seq((json, 1L)).toDF("text", "n")
+    val rt = df.select(El.compile("${text:escapeJson():unescapeJson()}")).collect()(0).getString(0)
+    assert(rt == json)
+    assert(eval("${literal('a<b&c'):escapeXml()}") == "a&lt;b&amp;c")
+    assert(eval("${literal('a&lt;b'):unescapeXml()}") == "a<b")
+    assert(eval("${literal('v,w'):escapeCsv()}") == "\"v,w\"")
+    assert(eval("${literal('say \"hi\"'):escapeCsv():unescapeCsv()}") == "say \"hi\"")
+    assert(eval("${literal('plain'):escapeCsv()}") == "plain")
+    assert(eval("${lang:hash('sha1')}") ==
+      org.apache.commons.codec.digest.DigestUtils.sha1Hex("en"))
+  }
+
+  test("multi-attribute subjects: any/all, join, count") {
+    val df = Seq(("alpha", "beta", 7L)).toDF("a", "b", "n")
+    def e(t: String): Any = df.select(El.compileExpr(t)).collect()(0).get(0)
+    assert(e("${anyAttribute('a','b'):startsWith('al')}") == true)
+    assert(e("${allAttributes('a','b'):startsWith('al')}") == false)
+    assert(e("${allAttributes('a','b'):length():ge(4)}") == true)
+    assert(e("${allAttributes('a','b'):join('-')}") == "alpha-beta")
+    assert(e("${allAttributes('a','b'):contains('a'):count()}") == 2L)
+    assert(e("${anyAttribute('a','b'):contains('et'):count()}") == 1L)
+  }
+
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
