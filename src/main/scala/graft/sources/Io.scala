@@ -92,6 +92,25 @@ object Io {
       .option("url", url).option("dbtable", table)
       .options(options).load()
 
+  /** GenerateTableFetch analog: PARTITIONED JDBC read — the fetch is
+    * split into `numPartitions` range slices of `partitionColumn`
+    * (NiFi generates one paged query per flowfile; here every slice is
+    * an executor-side query, so a 10⁹-row table fans out across the
+    * cluster instead of serializing through one connection — the only
+    * JDBC ingest shape that survives at scale). Bounds are inclusive,
+    * as in Spark's JDBC partitioning contract. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partitionColumn: String, lowerBound: Long,
+                          upperBound: Long, numPartitions: Int,
+                          options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound.toString)
+      .option("upperBound", upperBound.toString)
+      .option("numPartitions", numPartitions.toString)
+      .options(options).load()
+
   /** PutDatabaseRecord: write a DataFrame to a database table over JDBC
     * (each partition writes through its own connection). */
   def writeJdbc(df: DataFrame, url: String, table: String,

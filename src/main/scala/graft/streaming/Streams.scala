@@ -99,6 +99,41 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** MonitorActivity: inactivity detection per key in EVENT time. Emits
+    * `(key, "inactive", lastSeenMs)` when the watermark passes
+    * lastSeen + threshold with no new records, and
+    * `(key, "activity.restored", tsMs)` on resumption — NiFi
+    * MonitorActivity's one-flowfile-per-transition contract. Requires
+    * the RocksDB state store provider (transformWithState). */
+  def monitorActivity(ds: Dataset[(String, java.sql.Timestamp)],
+                      thresholdMs: Long, delay: String): Dataset[(String, String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.toDF("key", "ts").withWatermark("ts", delay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new MonitorActivityProcessor(thresholdMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Streaming near-dup dedup (single-band SimHash): drop records whose
+    * 64-bit SimHash agrees with an already-seen one on the top
+    * `prefixBits` (highest-vote bits) within the watermark horizon. A
+    * streaming relaxation of [[graft.operators.Dedup.simHashPairs]]:
+    * one band ⇒ recall < 1 (bounded by prefix agreement), but state
+    * stays one key per retained record and the op composes with any
+    * downstream batch verify. */
+  def dedupeNearSimhash(df: DataFrame, textCol: String, tsCol: String,
+                        delay: String, prefixBits: Int = 48): DataFrame = {
+    require(prefixBits > 0 && prefixBits <= 64, "prefixBits in (0, 64]")
+    df.withColumn("__band",
+        shiftright(graft.plans.TextHashExpressions.simHash64(col(textCol)),
+                   64 - prefixBits))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__band"))
+      .drop("__band")
+  }
+
   /** Start a query into an in-memory table (tests/interactive). */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name)

@@ -31,6 +31,20 @@ class JdbcSpec extends SparkSpec {
     assert(filtered.agg(sum("v")).as[Double].collect()(0) == (1 to 10).map(_ * 2.0).sum)
   }
 
+  test("partitioned jdbc fetch slices ranges across partitions (GenerateTableFetch)") {
+    val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+    Io.writeJdbc(df, url, "graft_t3")
+    val fetched = Io.readJdbcPartitioned(spark, url, "graft_t3",
+      partitionColumn = "\"id\"", lowerBound = 1L, upperBound = 1000L,
+      numPartitions = 8)
+    assert(fetched.rdd.getNumPartitions == 8)
+    // every slice fetched rows and nothing was lost or duplicated
+    val perPart = fetched.select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .groupBy("p").count().select("count").as[Long].collect()
+    assert(perPart.length == 8 && perPart.sum == 1000L)
+    assert(fetched.agg(sum("id")).as[Long].collect()(0) == 500500L)
+  }
+
   test("distributeLoad controls partitioning") {
     val df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
     assert(Records.distributeLoad(df, 7).rdd.getNumPartitions == 7)

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+class MonitorActivitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key, "")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally {
+      if (prev.nonEmpty) spark.conf.set(key, prev) else spark.conf.unset(key)
+    }
+  }
+
+  test("monitorActivity emits inactive on watermark passing, restored on resume") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Timestamp)]
+      // threshold 30 s, watermark delay 0 for deterministic advancement
+      val out = Streams.monitorActivity(input.toDS(), thresholdMs = 30000L, delay = "0 seconds")
+      val q = out.writeStream.format("memory").queryName("monitor")
+        .outputMode("append").start()
+      try {
+        input.addData(("a", ts(0)), ("a", ts(10)), ("b", ts(12)))
+        q.processAllAvailable() // watermark -> 12s: nothing inactive yet
+        input.addData(("b", ts(50)))
+        q.processAllAvailable() // watermark -> 50s: a is inactive (10+30 < 50)
+        input.addData(("a", ts(60)))
+        q.processAllAvailable() // a resumes -> restored
+        input.addData(("c", ts(200)))
+        q.processAllAvailable() // watermark -> 200: a and b both inactive again
+        val rows = spark.table("monitor").as[(String, String, Long)].collect().toSet
+        assert(rows.contains(("a", "inactive", 10000L)))
+        assert(rows.contains(("a", "activity.restored", 60000L)))
+        assert(rows.contains(("b", "inactive", 50000L)))
+        assert(rows.contains(("a", "inactive", 60000L)))
+      } finally q.stop()
+    }
+  }
+
+  test("dedupeNearSimhash drops prefix-agreeing near-dups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Array.fill(8)(
+      "the quick brown fox jumps over the lazy dog while the cat watches nearby").mkString(" ")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDS().toDF("id", "text", "ts")
+    // pinned texts: ids 1/2 differ at simhash bits 25 and 48 (hamming 2),
+    // so the top-15 band collapses them while id 3 (hamming 37) survives
+    val out = Streams.dedupeNearSimhash(df, "text", "ts", "10 minutes", prefixBits = 15)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, base, ts(1)),
+        (2L, base.replaceFirst("lazy", "idle"), ts(2)), // near-dup of 1 (one token changed)
+        (3L, "completely different content about distributed query engines and shuffles " * 8, ts(3)))
+      q.processAllAvailable()
+      val kept = spark.table("neardup").select("id").as[Long].collect().toSet
+      assert(kept.contains(3L), "unrelated doc must survive")
+      assert(kept.size == 2, s"near-dup should collapse to one of (1,2): kept $kept")
+      assert(kept.contains(1L) || kept.contains(2L))
+    } finally q.stop()
+  }
+}
