@@ -81,8 +81,10 @@ object QueriesText {
     * it back into elements, and aggregate the recovered values — the
     * oracle computes the same aggregate straight off the rows. */
   val qSplitJson: Q = (s, d) => {
-    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val e = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(4)) === 0) // bounded demo cohort
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
     val arr = e.groupBy("user_id").agg(
       to_json(transform(array_sort(collect_list(struct(col("event_id"), col("k")))),
                         x => x.getField("k"))).as("arr_json"))
@@ -94,7 +96,7 @@ object QueriesText {
   val qSplitJsonSql: String =
     """SELECT user_id, count(*) AS n_elems,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-      |FROM events GROUP BY user_id""".stripMargin
+      |FROM events WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin
 
   /** Remove/RenameRecordField on a struct column (drop one field, rename
     * another; field order follows withField-append semantics). */
