@@ -177,14 +177,19 @@ object Dedup {
       .select(col("block"), col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify: exact intersection over the full sorted-hash arrays; union
-    // is derived (|a|+|b|-|a∩b|), not computed
+    // is derived (|a|+|b|-|a∩b|), not computed. The merge aborts early
+    // (-1) once J ≥ t is unreachable — required = ⌈t/(1+t)·(|a|+|b|)⌉,
+    // minus 1 of slack so float-boundary pairs still get exact counts
+    // for the jaccard filter below.
     cand
       .join(g.select(col("id").as("id_a"), col("grams").as("g_a"),
                      col("n_grams").as("n_a")), "id_a")
       .join(g.select(col("id").as("id_b"), col("grams").as("g_b"),
                      col("n_grams").as("n_b")), "id_b")
       .withColumn("inter",
-        graft.plans.TextHashExpressions.sortedIntersectCount(col("g_a"), col("g_b")).cast("double"))
+        graft.plans.TextHashExpressions.sortedIntersectAtLeast(col("g_a"), col("g_b"),
+          greatest(ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")))
+            .cast("int") - 1, lit(0))).cast("double"))
       .select(col("block"), col("id_a"), col("id_b"),
               (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

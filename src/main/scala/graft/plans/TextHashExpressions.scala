@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -178,6 +178,42 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** |A ∩ B| for two SORTED distinct long arrays with an early-abort
+  * bound: once the remaining elements can no longer reach `required`,
+  * returns -1 immediately. For threshold joins (Jaccard ≥ t ⟺
+  * |A∩B| ≥ t/(1+t)·(|A|+|B|)) most non-matching pairs abort midway —
+  * same exact count as [[SortedIntersectCount]] whenever the result
+  * is ≥ required. */
+case class SortedIntersectAtLeast(left: Expression, right: Expression,
+                                  requiredExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = requiredExpr
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val required = r.asInstanceOf[Int]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      if (c + math.min(nx - i, ny - j) < required) return -1
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    if (c >= required) c else -1
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(left = f, right = s, requiredExpr = t)
+}
+
 object TextHashExpressions {
   def simHash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
@@ -188,4 +224,8 @@ object TextHashExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sortedIntersectAtLeast(a: Column, b: Column, required: Column): Column =
+    ColumnBridge.column(SortedIntersectAtLeast(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      ColumnBridge.expression(required)))
 }
