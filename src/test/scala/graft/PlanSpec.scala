@@ -61,4 +61,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") && p.contains("*(2)"),
       s"aggregation stages not codegen'd:\n$p")
   }
+
+  test("per-record parse/transform queries stay narrow (zero exchanges)") {
+    // one regex/codec pass per record — any Exchange here would be a
+    // 100 TB regression
+    for (q <- Seq("q_count_text", "q_encode_content", "q_replace_mapping",
+                  "q_extract_grok", "q_parse_syslog", "q_validate_csv",
+                  "q_record_fields")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("ngramJaccard verify joins are hash joins, not nested loops") {
+    val p = planOf("q_dedup_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-filtered jaccard must not nested-loop:\n$p")
+  }
 }
