@@ -196,6 +196,36 @@ object QueriesText {
       |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** PackageFlowFile → UnpackContent round-trip: bundle each customer's
+    * orders into one packed row, unpack back with fragment indexes. */
+  val qPackUnpack: Q = (s, d) => {
+    val packed = Records.pack(Tables.orders(s, d), Seq("o_custkey"), "o_orderkey",
+      Seq("o_orderstatus"))
+    Records.unpack(packed, "packed")
+      .select(col("o_custkey"), col("frag_idx"), col("o_orderkey"), col("o_orderstatus"))
+  }
+  val qPackUnpackSql: String =
+    """SELECT o_custkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INT) AS frag_idx,
+      |  o_orderkey, o_orderstatus
+      |FROM orders""".stripMargin
+
+  /** JoltTransformJSON (shift/default subset) over the event props. */
+  val qJolt: Q = (s, d) => {
+    Records.joltTransform(Tables.events(s, d), "props",
+        shift = Seq("$.k" -> "payload.k", "$.missing" -> "payload.m"),
+        defaults = Seq("payload.k" -> "0", "payload.m" -> "none", "meta.v" -> "1"))
+      .select(col("event_id"), col("jolted"))
+  }
+  val qJoltSql: String =
+    """SELECT event_id,
+      |  to_json(struct_pack(
+      |    payload := struct_pack(
+      |      k := coalesce(json_extract_string(props, '$.k'), '0'),
+      |      m := 'none'),
+      |    meta := struct_pack(v := '1'))) AS jolted
+      |FROM events""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -207,7 +237,9 @@ object QueriesText {
     "q_extract_grok"    -> qExtractGrok,
     "q_parse_syslog"    -> qParseSyslog,
     "q_validate_csv"    -> qValidateCsv,
-    "q_route_el"        -> qRouteEl)
+    "q_route_el"        -> qRouteEl,
+    "q_pack_unpack"     -> qPackUnpack,
+    "q_jolt"            -> qJolt)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -219,5 +251,7 @@ object QueriesText {
     "q_extract_grok"    -> qExtractGrokSql,
     "q_parse_syslog"    -> qParseSyslogSql,
     "q_validate_csv"    -> qValidateCsvSql,
-    "q_route_el"        -> qRouteElSql)
+    "q_route_el"        -> qRouteElSql,
+    "q_pack_unpack"     -> qPackUnpackSql,
+    "q_jolt"            -> qJoltSql)
 }

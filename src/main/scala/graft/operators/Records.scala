@@ -182,6 +182,45 @@ object Records {
     }.drop("__j")
   }
 
+  /** JoltTransformJSON (shift + default subset): restructure a JSON
+    * string column per a declarative spec.
+    *  - `shift`: (source JSONPath-ish `$.a.b`, destination dotted path
+    *    `x.y`) — the value moves to the new location;
+    *  - `defaults`: (destination path, literal) — fills the slot when
+    *    the shifted value is absent (Jolt's default semantics).
+    * Values are string-typed (`get_json_object` extraction); nesting in
+    * destination paths builds nested structs. Narrow, codegen'd — the
+    * whole transform is one expression tree per record. */
+  def joltTransform(df: DataFrame, jsonCol: String,
+                    shift: Seq[(String, String)],
+                    defaults: Seq[(String, String)] = Nil,
+                    outCol: String = "jolted"): DataFrame = {
+    // leaf expression per destination path: shifted value with default
+    // fallback (defaults-only paths become constants)
+    val leaves = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    for ((src, dst) <- shift)
+      leaves(dst) = get_json_object(col(jsonCol), src)
+    for ((dst, v) <- defaults)
+      leaves(dst) = leaves.get(dst).map(c => coalesce(c, lit(v))).getOrElse(lit(v))
+    // fold dotted destination paths into nested structs, preserving
+    // first-seen order at every level
+    def build(paths: Seq[(List[String], Column)]): Column = {
+      val grouped = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[(List[String], Column)]]
+      for ((segs, c) <- paths)
+        grouped.getOrElseUpdate(segs.head, scala.collection.mutable.ArrayBuffer.empty) += ((segs, c))
+      struct(grouped.map { case (seg, entries) =>
+        val (leafEntries, deeper) = entries.partition(_._1.lengthCompare(1) == 0)
+        require(leafEntries.isEmpty || deeper.isEmpty,
+          s"jolt spec: '$seg' is both a leaf and a branch")
+        val c = if (deeper.isEmpty) leafEntries.head._2
+                else build(deeper.map { case (segs, c) => (segs.tail, c) }.toSeq)
+        c.as(seg)
+      }.toSeq: _*)
+    }
+    val tree = build(leaves.toSeq.map { case (p, c) => (p.split("\\.").toList, c) })
+    df.withColumn(outCol, to_json(tree))
+  }
+
   /** PartitionRecord: derive a partition key column; pair with
     * `.write.partitionBy` or `.repartition` for physical layout. */
   def partitionKey(df: DataFrame, keyCol: String, key: Column): DataFrame =
@@ -338,6 +377,34 @@ object Records {
       posexplode(from_json(col(jsonCol),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
         .as(Seq(posCol, elemCol)))
+
+  /** PackageFlowFile / MergeContent(defragment): bundle each group's
+    * rows into ONE row holding an ordered array of payload structs.
+    * One shuffle on the group key; the array order is deterministic
+    * (array_sort on the leading order column) without a global sort. */
+  def pack(df: DataFrame, groupCols: Seq[String], orderCol: String,
+           payloadCols: Seq[String], packedCol: String = "packed"): DataFrame = {
+    val fields = (orderCol +: payloadCols.filterNot(_ == orderCol)).map(c => col(c).as(c))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(fields: _*))).as(packedCol))
+  }
+
+  /** UnpackContent: explode a packed array back to one row per element
+    * (`frag_idx` = position within the package), flattening the struct
+    * fields. Exact inverse of [[pack]]. Narrow. */
+  def unpack(df: DataFrame, packedCol: String,
+             fragCol: String = "frag_idx"): DataFrame = {
+    val elemFields = df.schema(packedCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames
+    val exploded = df.select(col("*"),
+        posexplode(col(packedCol)).as(Seq(fragCol, "__elem")))
+      .drop(packedCol)
+    elemFields.foldLeft(exploded) { (d, f) =>
+      d.withColumn(f, col(s"__elem.$f"))
+    }.drop("__elem")
+  }
 
   /** RemoveRecordField: drop a top-level column ("name") or a struct
     * field ("name.sub", arbitrary depth via Column.dropFields). Narrow. */

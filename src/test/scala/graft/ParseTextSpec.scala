@@ -93,6 +93,30 @@ class ParseTextSpec extends SparkSpec {
     assert(out(2)._5.isEmpty && out(2)._8.isEmpty)
   }
 
+  test("pack/unpack round-trips groups with fragment order") {
+    val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c")).toDF("g", "seq", "v")
+    val packed = Records.pack(df, Seq("g"), "seq", Seq("v"))
+    assert(packed.count() == 2)
+    val back = Records.unpack(packed, "packed")
+      .select("g", "frag_idx", "seq", "v").as[(Long, Int, Long, String)]
+      .collect().toSet
+    // fragments ordered by seq within each package
+    assert(back === Set((1L, 0, 5L, "b"), (1L, 1, 10L, "a"), (2L, 0, 7L, "c")))
+  }
+
+  test("joltTransform shifts, nests, and defaults") {
+    val df = Seq((1L, """{"a":{"b":"v1"},"n":7}"""), (2L, """{"n":9}""")).toDF("id", "j")
+    val out = Records.joltTransform(df, "j",
+        shift = Seq("$.a.b" -> "x.y", "$.n" -> "num"),
+        defaults = Seq("x.y" -> "dflt", "tag" -> "t0"))
+      .select("id", "jolted").as[(Long, String)].collect().toMap
+    assert(out(1L) == """{"x":{"y":"v1"},"num":"7","tag":"t0"}""")
+    assert(out(2L) == """{"x":{"y":"dflt"},"num":"9","tag":"t0"}""")
+    intercept[IllegalArgumentException] {
+      Records.joltTransform(df, "j", Seq("$.a" -> "x", "$.n" -> "x.y"))
+    }
+  }
+
   test("validateCsv flags arity and per-field violations") {
     val df = Seq(
       (1L, "10,alpha,O"),
