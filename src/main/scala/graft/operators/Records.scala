@@ -238,6 +238,21 @@ object Records {
     df.withColumn(if (outCol == null) contentCol else outCol,
       graft.plans.BinaryExpressions.gunzip(col(contentCol)))
 
+  /** EncryptContent: AES-GCM payload encryption with Spark's native
+    * expression (codegen'd, per-record — NiFi's EncryptContent grain).
+    * GCM prepends a random IV, so ciphertexts differ run to run;
+    * [[decryptContent]] is the inverse. Key must be 16/24/32 bytes. */
+  def encryptContent(df: DataFrame, contentCol: String, key: String,
+                     outCol: String = "encrypted"): DataFrame =
+    df.withColumn(outCol,
+      aes_encrypt(col(contentCol).cast("binary"), lit(key.getBytes("UTF-8"))))
+
+  /** EncryptContent (decrypt mode). */
+  def decryptContent(df: DataFrame, contentCol: String, key: String,
+                     outCol: String = "decrypted"): DataFrame =
+    df.withColumn(outCol,
+      aes_decrypt(col(contentCol), lit(key.getBytes("UTF-8"))))
+
   /** ScanContent/ScanAttribute: match content against a dictionary of
     * terms; adds an array of the terms found (dictionary order).
     * Narrow, codegen'd — the dictionary is a literal array, no join. */

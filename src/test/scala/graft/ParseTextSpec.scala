@@ -117,6 +117,20 @@ class ParseTextSpec extends SparkSpec {
     }
   }
 
+  test("encryptContent/decryptContent round-trip (AES-GCM)") {
+    val key = "0123456789abcdef" // 16-byte AES key
+    val df = Seq((1L, "secret payload")).toDF("id", "text")
+    val enc = Records.encryptContent(df, "text", key)
+    val rt = Records.decryptContent(enc, "encrypted", key)
+      .select(col("decrypted").cast("string")).as[String].collect()(0)
+    assert(rt == "secret payload")
+    // ciphertext is bound to the key
+    intercept[Exception] {
+      Records.decryptContent(enc, "encrypted", "ffffffffffffffff")
+        .select(col("decrypted")).collect()
+    }
+  }
+
   test("validateCsv flags arity and per-field violations") {
     val df = Seq(
       (1L, "10,alpha,O"),
