@@ -208,8 +208,12 @@ object Dedup {
     * (their cluster is themselves).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // SELF-LOOPS are added so "min over neighborhood" includes the
+    // node's own label — one broadcast join per round instead of two
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // label table = one row per node — orders of magnitude smaller than
@@ -221,26 +225,32 @@ object Dedup {
     // broadcast jobs (observed 10×-per-round blowup). For fault-tolerant
     // production runs set a checkpoint dir and swap for .checkpoint().
     var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min("dst"), first("src")).as("cluster"))
+      .agg(min("dst").as("cluster"))
       .localCheckpoint(true)
+    // convergence via the label-sum invariant: every label move is
+    // strictly downward, so the total is monotone decreasing and the
+    // fixpoint is exactly "sum unchanged" — no compare-join needed.
+    // (Σ ids must fit a long: fine up to ~10⁹ nodes with ~10⁹ ids;
+    // beyond that switch the probe back to a changed-count.)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("cluster")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null ⟺ empty graph
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      // each node adopts min(own label, neighbors' labels); the previous
-      // label rides along so convergence is read off the SAME
-      // materialization (no separate compare-join job per round).
-      // Materialized ONCE per round: the jumps below reference it from
-      // both the stream and broadcast side, and without the checkpoint
-      // each reference would re-execute the edge join.
+      // each node adopts min over its closed neighborhood (self-loops
+      // make that include its own label). Materialized ONCE per round:
+      // the jumps below reference it from both the stream and broadcast
+      // side, and without the checkpoint each reference would re-execute
+      // the edge join.
       val propagated = edges
         .join(broadcast(labels.withColumnRenamed("id", "dst")
                               .withColumnRenamed("cluster", "dst_cluster")), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min("dst_cluster").as("nbr_min"))
-        .join(broadcast(labels), "id")
-        .select(col("id"), col("cluster").as("old"),
-                least(col("cluster"), col("nbr_min")).as("cluster"))
+        .agg(min("dst_cluster").as("cluster"))
         .localCheckpoint(true)
       // ...then pointer-jumps twice through its label's label (path
       // halving; two hops per round → half the rounds for long chains).
@@ -248,16 +258,17 @@ object Dedup {
       def jump(df: DataFrame): DataFrame = {
         val ptr = df.select(col("id").as("cluster"), col("cluster").as("cluster2"))
         df.as("x").join(broadcast(ptr), Seq("cluster"), "left")
-          .select(col("id"), col("old"),
+          .select(col("id"),
             least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
       }
       val next = jump(jump(propagated)).localCheckpoint(true)
-      val changed = next.filter(col("cluster") < col("old")).limit(1).count()
-      labels = next.select("id", "cluster")
-      converged = changed == 0
+      val newSum = labelSum(next)
+      labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%6.2f s changed=$changed")
+        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%6.2f s sum=$newSum")
     }
     edges.unpersist()
     labels
