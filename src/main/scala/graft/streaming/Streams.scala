@@ -34,6 +34,15 @@ object Streams {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
+  /** ListenTCP: newline-delimited records from a TCP socket, one `value`
+    * string column. Pipe into [[graft.operators.Parse.parseSyslog]] for
+    * ListenSyslog semantics. (Spark's socket source is single-receiver —
+    * at scale front it with a distributed log; the operator surface
+    * stays the same.) */
+  def socketStream(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
   /** Windowed aggregation with a watermark (AttributeRollingWindow /
     * windowed QueryRecord): per (key, window) counts + sums. Watermark
     * bounds state: windows older than `delay` are finalized + evicted. */

@@ -46,6 +46,39 @@ class MonitorActivitySpec extends SparkSpec {
     }
   }
 
+  test("socketStream ingests newline records from a live TCP server (ListenTCP)") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    // one-shot server: accept, write three syslog-ish lines, close
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("<13>Feb  5 12:00:00 web01 sshd[1]: hello")
+      out.println("<14>Feb  5 12:00:01 web02 cron[2]: tick")
+      out.println("plain line")
+      out.flush()
+      Thread.sleep(3000) // keep the connection up while the source reads
+      sock.close(); server.close()
+    })
+    t.setDaemon(true); t.start()
+    val lines = Streams.socketStream(spark, "127.0.0.1", port)
+    val parsed = graft.operators.Parse.parseSyslog(lines, "value")
+    val q = parsed.writeStream.format("memory").queryName("tcp_lines")
+      .outputMode("append").start()
+    try {
+      // socket source has no end-of-stream: poll until the rows land
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); n = spark.table("tcp_lines").count()
+      }
+      assert(n >= 3, s"expected 3 socket records, got $n")
+      val hosts = spark.table("tcp_lines").select("sl_host")
+        .as[Option[String]].collect().flatten.toSet
+      assert(hosts == Set("web01", "web02"))
+    } finally { q.stop(); t.interrupt() }
+  }
+
   test("dedupeNearSimhash drops prefix-agreeing near-dups within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = Array.fill(8)(

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON outputs (BENCH_r{N}.json or a raw Bench line).
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold%]
+
+Accepts either the driver's wrapper ({"tail": "...{json}..."}) or the
+bare one-line JSON graft.Bench prints. Reports per-query deltas beyond
+the threshold (default 30%, i.e. shared-box noise) and total movement.
+"""
+import json, re, sys
+
+
+def load(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+        if "queries" in d:
+            return d
+        if "tail" in d:  # driver wrapper: bench line embedded in sbt tail
+            m = re.search(r'\{"metric".*?\}(?=\n|\\n|$)', d["tail"])
+            if m:
+                return json.loads(m.group(0))
+        raise SystemExit(f"{path}: no bench payload found")
+    except json.JSONDecodeError:
+        m = re.search(r'\{"metric".*\}', raw)
+        if not m:
+            raise SystemExit(f"{path}: no bench JSON line found")
+        return json.loads(m.group(0))
+
+
+def main(old_path, new_path, threshold=30.0):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({(new['value'] - old['value']) / old['value'] * 100:+.0f}%)  "
+          f"queries: {len(oq)} -> {len(nq)}")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print("added:  ", ", ".join(f"{q} ({nq[q]:.2f}s)" for q in added))
+    if removed:
+        print("removed:", ", ".join(f"{q} ({oq[q]:.2f}s)" for q in removed))
+    moved = []
+    for q in sorted(set(oq) & set(nq)):
+        a, b = oq[q], nq[q]
+        if a <= 0:
+            continue
+        pct = (b - a) / a * 100
+        if abs(pct) >= threshold and abs(b - a) >= 0.25:
+            moved.append((pct, q, a, b))
+    for pct, q, a, b in sorted(moved, reverse=True):
+        print(f"  {q:28s} {a:6.2f}s -> {b:6.2f}s ({pct:+.0f}%)")
+    if not moved:
+        print(f"no per-query movement beyond {threshold:.0f}% (+0.25s floor)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 30.0)
