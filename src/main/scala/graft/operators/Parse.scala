@@ -22,9 +22,25 @@ object Parse {
     "INT"        -> "[+-]?\\d+",
     "NUMBER"     -> "[+-]?\\d+(?:\\.\\d+)?",
     "IP"         -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "HOSTNAME"   -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}\\.?)+\\b",
+    "UUID"       -> "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "MAC"        -> "(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
+    "UNIXPATH"   -> "(?:/[\\w.-]+)+/?",
+    "URIPROTO"   -> "[A-Za-z][A-Za-z0-9+.-]*",
+    "QS"         -> "\"[^\"]*\"",
+    "HTTPDATE"   -> "\\d{2}/\\w{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
     "TIMESTAMP_ISO8601" ->
       "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
     "LOGLEVEL"   -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
+
+  /** Common Log Format line (the COMMONAPACHELOG composite): use with
+    * [[extractGrok]] to parse access logs into
+    * (clientip, ident, auth, timestamp, verb, request, httpversion,
+    * response, bytes). */
+  val commonApacheLog: String =
+    "%{IP:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} " +
+    "[%{HTTPDATE:timestamp}] \"%{WORD:verb} %{NOTSPACE:request} " +
+    "HTTP/%{NUMBER:httpversion}\" %{INT:response} %{INT:bytes}"
 
   private val grokRef = "%\\{(\\w+)(?::(\\w+))?\\}".r
 

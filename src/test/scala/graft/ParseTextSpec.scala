@@ -78,6 +78,18 @@ class ParseTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Parse.compileGrok("%{NOPE:x}"))
   }
 
+  test("commonApacheLog composite parses an access-log line") {
+    val line = """203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326"""
+    val df = Seq((1L, line)).toDF("id", "line")
+    val out = Parse.extractGrok(df, "line", Parse.commonApacheLog)
+      .select("clientip", "auth", "verb", "request", "response", "bytes")
+      .as[(String, String, String, String, String, String)].collect()(0)
+    assert(out == (("203.0.113.9", "frank", "GET", "/apache_pb.gif", "200", "2326")))
+    val bad = Seq((1L, "not a log line")).toDF("id", "line")
+    assert(Parse.extractGrok(bad, "line", Parse.commonApacheLog)
+      .select("clientip").as[Option[String]].collect()(0).isEmpty)
+  }
+
   test("parseSyslog parses pri/host/tag/pid/msg and derives facility/severity") {
     val df = Seq(
       (1L, "<13>Feb  5 12:00:00 web01 sshd[4242]: accepted key"),

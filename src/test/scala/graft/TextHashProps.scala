@@ -46,6 +46,19 @@ object TextHashProps extends Properties("TextHash") {
       got == ia.toSet.intersect(ib.toSet).size
     }
 
+  property("sortedIntersectAtLeast: exact count iff reachable, else -1") =
+    Prop.forAll(text, text, Gen.choose(0, 50)) { (a, b, required) =>
+      val ia = evalShingles(a, 3)
+      val ib = evalShingles(b, 3)
+      val arrTpe = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+      val truth = ia.toSet.intersect(ib.toSet).size
+      val got = graft.plans.SortedIntersectAtLeast(
+        Literal.create(ia, arrTpe), Literal.create(ib, arrTpe),
+        Literal(required)
+      ).eval(null).asInstanceOf[Int]
+      if (truth >= required) got == truth else got == -1
+    }
+
   property("minhash signature is deterministic and length-k") =
     Prop.forAll(text) { s =>
       val a = evalMinhash(s, 5, 64)
