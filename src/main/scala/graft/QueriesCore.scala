@@ -121,6 +121,78 @@ object QueriesCore {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q7 shape: nation-pair trade volume by year. Both nation
+    * lookups broadcast; the fact chain shuffles only on the join keys. */
+  val q7VolumeShipping: Q = (s, d) => {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+              col("l_shipdate") <= to_timestamp(lit("1996-12-31")))
+    l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume),2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         l_extendedprice*(1-l_discount) AS volume
+      |  FROM lineitem
+      |   JOIN orders   ON l_orderkey = o_orderkey
+      |   JOIN customer ON o_custkey = c_custkey
+      |   JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 shape: top returned-revenue customers (deterministic
+    * tie-break on custkey so the LIMIT is stable in both engines). */
+  val q10ReturnedItems: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") <  to_timestamp(lit("1996-07-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      // exact integer-cents accumulation: per-customer sums here are
+      // large enough that 2dp rounding of a float sum still exposes
+      // accumulation-order drift between engines; summing
+      // floor(x·100 + 0.5) as longs is order-independent and identical
+      // in both (floor avoids HALF_UP-vs-rint divergence)
+      .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+                  .cast("long")) / lit(100.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |       CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+      |FROM customer
+      | JOIN orders   ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
   val qSessionize: Q = (s, d) => {
@@ -601,6 +673,8 @@ object QueriesCore {
     "q1_pricing_summary"    -> q1PricingSummary,
     "q3_shipping_priority"  -> q3ShippingPriority,
     "q5_local_supplier"     -> q5LocalSupplier,
+    "q7_volume_shipping"    -> q7VolumeShipping,
+    "q10_returned_items"    -> q10ReturnedItems,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -642,6 +716,8 @@ object QueriesCore {
     "q1_pricing_summary"    -> q1Sql,
     "q3_shipping_priority"  -> q3Sql,
     "q5_local_supplier"     -> q5Sql,
+    "q7_volume_shipping"    -> q7Sql,
+    "q10_returned_items"    -> q10Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,
