@@ -246,6 +246,63 @@ object QueriesLlm {
     Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 16, nProbe = 4)
   }
 
+  /** Within-document repetition signal (Gopher-style top-token share). */
+  val qRepetition: Q = (s, d) => {
+    Tables.documents(s, d).select(col("doc_id"),
+      QueriesCore.dround(TextAnalysis.topTokenFraction(col("text")), 6).as("top_tok_frac"))
+  }
+  val qRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY 1)
+      |SELECT d.doc_id, round(coalesce(mx * 1.0 / total, 0), 6) AS top_tok_frac
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+
+  /** PII redaction over deterministically synthesized contact lines; the
+    * oracle replays the same regex chain (RE2, 'g'). */
+  val qRedactPii: Q = (s, d) => {
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" or call 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0.0."), (col("doc_id") % 255).cast("string"),
+        lit(" card 4111111111111111")).as("line"))
+    withPii.select(col("doc_id"),
+      md5(TextAnalysis.redactPii(col("line")).cast("binary")).as("redacted_md5"))
+  }
+  val qRedactPiiSql: String =
+    """SELECT doc_id, md5(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |      || ' or call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' card 4111111111111111',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '(?:\+?1[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{12,19}\b', '<NUMBER>', 'g')) AS redacted_md5
+      |FROM documents""".stripMargin
+
+  /** Train/eval contamination: corpus docs sharing ≥ minShared 12-gram
+    * shingles with a (deterministic) benchmark subset. */
+  val qContamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", shingleN = 12, minShared = 5)
+      .select(col("corpus_id"), col("bench_id"), col("shared"))
+  }
+  val qContaminationSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 12)
+      |                                FOR i IN range(1, greatest(length(text) - 10, 2))]) AS grams
+      |  FROM documents),
+      |b AS (SELECT * FROM g WHERE doc_id % 50 = 0)
+      |SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared
+      |FROM g a JOIN b ON a.doc_id != b.doc_id
+      |WHERE len(list_intersect(a.grams, b.grams)) >= 5""".stripMargin
+
   /** Multimodal payload plumbing (§2.4 #40): binary + typed metadata. */
   val qMultimodalMeta: Q = (s, d) => {
     Multimodal.toMedia(Tables.documents(s, d), "text", "text")
@@ -272,6 +329,9 @@ object QueriesLlm {
     "q_embed_cosine_topk"   -> qEmbedCosineTopk,
     "q_ann_lsh"             -> qAnnLsh,
     "q_ann_ivf"             -> qAnnIvf,
+    "q_repetition"          -> qRepetition,
+    "q_redact_pii"          -> qRedactPii,
+    "q_contamination"       -> qContamination,
     "q_multimodal_meta"     -> qMultimodalMeta)
 
   val oracles: Map[String, String] = Map(
@@ -285,5 +345,8 @@ object QueriesLlm {
     "q_dedup_cluster"       -> qDedupClusterSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
+    "q_repetition"          -> qRepetitionSql,
+    "q_redact_pii"          -> qRedactPiiSql,
+    "q_contamination"       -> qContaminationSql,
     "q_multimodal_meta"     -> qMultimodalMetaSql)
 }

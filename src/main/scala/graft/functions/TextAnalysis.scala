@@ -98,6 +98,25 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "\\s+", " ")).cast("binary"))
 
+  /** Within-document repetition (Gopher-style): fraction of tokens taken
+    * by the single most frequent token. Native single-pass expression —
+    * narrow, no shuffle, unlike an explode+groupBy formulation. */
+  def topTokenFraction(c: Column): Column =
+    graft.plans.TextHashExpressions.topTokenFraction(c)
+
+  /** PII redaction: emails, North-American-style phone numbers, IPv4
+    * addresses and long digit runs (card/account numbers) replaced with
+    * type tokens. Regex-pass-per-record; extend the pattern list per
+    * jurisdiction. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "(?:\\+?1[-. ])?(?:\\(\\d{3}\\)|\\b\\d{3})[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{12,19}\\b" -> "<NUMBER>")
+
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (x, (pat, tok)) => regexp_replace(x, pat, tok) }
+
   /** Rolling polynomial hash: base-31 over code points, modulo 2^50
     * (keeps every intermediate in range under ANSI mode: acc < 2^50,
     * acc*31 + c < 2^56 — no Long overflow). Cheap non-cryptographic

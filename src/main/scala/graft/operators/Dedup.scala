@@ -195,6 +195,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination detection: corpus documents sharing at
+    * least `minShared` character n-gram shingles with any benchmark
+    * document (train/test decontamination). Inverted-index join on
+    * shingle hash — the benchmark side (eval sets: small) is BROADCAST,
+    * the corpus explodes to |corpus|×|shingles| rows but never
+    * self-joins. hashedShingles arrays are distinct, so the match count
+    * IS the exact intersection size. Output: (corpus_id, bench_id,
+    * shared). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 12, minShared: Int = 5): DataFrame = {
+    def shingled(df: DataFrame, idAlias: String): DataFrame =
+      df.select(col(idCol).as(idAlias),
+        explode(graft.plans.TextHashExpressions.hashedShingles(col(textCol), shingleN)).as("sh"))
+    shingled(corpus, "corpus_id")
+      .join(broadcast(shingled(benchmark, "bench_id")), "sh")
+      .filter(col("corpus_id") =!= col("bench_id"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over near-dup PAIRS → cluster ids: the step
     * that turns pairwise similarity into keep/drop decisions. Iterative
     * min-label propagation on DataFrames (alternating large-star-ish

@@ -214,7 +214,44 @@ case class SortedIntersectAtLeast(left: Expression, right: Expression,
     copy(left = f, right = s, requiredExpr = t)
 }
 
+/** Fraction of whitespace tokens taken by the single most frequent
+  * token — the Gopher-style within-document repetition signal. One pass,
+  * one small hash map per row (token counts keyed by token hash; the
+  * ~|tokens|²/2⁶⁴ collision probability is negligible). */
+case class TopTokenFraction(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_top_token_fraction"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val counts = new java.util.HashMap[Long, Int]()
+    var total = 0
+    var max = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(bytes(i).toChar)) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      if (i > start) {
+        total += 1
+        val h = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
+        val c = counts.merge(h, 1, (a, b) => a + b)
+        if (c > max) max = c
+      }
+    }
+    if (total == 0) 0.0 else max.toDouble / total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
+  def topTokenFraction(c: Column): Column =
+    ColumnBridge.column(TopTokenFraction(ColumnBridge.expression(c)))
   def simHash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minHashSig(c: Column, shingleN: Int, numHashes: Int): Column =

@@ -7,6 +7,42 @@ import graft.operators.Multimodal
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("topTokenFraction measures within-document repetition") {
+    val df = Seq(
+      (1L, "a a a a"),            // one token dominates: 1.0
+      (2L, "a b c d"),            // all distinct: 0.25
+      (3L, "spam spam spam x y"), // 3/5
+      (4L, "")                    // empty: 0
+    ).toDF("id", "text")
+    val f = df.select(col("id"), TextAnalysis.topTokenFraction(col("text")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(f(1L) == 1.0 && f(2L) == 0.25 && f(3L) == 0.6 && f(4L) == 0.0)
+  }
+
+  test("redactPii replaces emails, phones, IPs and card numbers") {
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org or (415) 555-1234, host 192.168.0.1, card 4111111111111111 ok"))
+      .toDF("id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).as[String].collect()(0)
+    assert(out == "mail <EMAIL> or <PHONE>, host <IP>, card <NUMBER> ok")
+    // short digit runs and plain words untouched
+    val clean = df.select(TextAnalysis.redactPii(lit("order 12345 from alice"))).as[String].collect()(0)
+    assert(clean == "order 12345 from alice")
+  }
+
+  test("contamination finds corpus docs overlapping the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix then the quick brown fox jumps over the lazy dog tonight suffix"), // contains benchmark
+      (2L, "completely unrelated content about query engines and shuffle plans"),
+      (100L, "the quick brown fox jumps over the lazy dog tonight") // benchmark itself: excluded
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.contamination(corpus, bench, "doc_id", "text",
+        shingleN = 12, minShared = 5)
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)))
+  }
+
   test("langId identifies stopword-heavy samples and CJK") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was happy with the sun"),
