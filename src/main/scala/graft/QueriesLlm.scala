@@ -313,6 +313,21 @@ object QueriesLlm {
     """SELECT doc_id, 'text' AS modality, CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  /** Video frame-sampling plumbing (§2.4 #40): every stride-th frame
+    * index explodes to a row; the oracle checks the closed form. */
+  val qFrameSample: Q = (s, d) => {
+    val meta = Tables.documents(s, d).select(col("doc_id"),
+      ((col("n_chars") % 50) + 1).cast("int").as("n_frames"))
+    Multimodal.frameSample(meta, "n_frames", stride = 7)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), max("frame_idx").cast("long").as("max_idx"))
+  }
+  val qFrameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST(floor((n_chars % 50) / 7) + 1 AS BIGINT) AS n_sampled,
+      |  CAST(7 * floor((n_chars % 50) / 7) AS BIGINT) AS max_idx
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -332,7 +347,8 @@ object QueriesLlm {
     "q_repetition"          -> qRepetition,
     "q_redact_pii"          -> qRedactPii,
     "q_contamination"       -> qContamination,
-    "q_multimodal_meta"     -> qMultimodalMeta)
+    "q_multimodal_meta"     -> qMultimodalMeta,
+    "q_frame_sample"        -> qFrameSample)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -348,5 +364,6 @@ object QueriesLlm {
     "q_repetition"          -> qRepetitionSql,
     "q_redact_pii"          -> qRedactPiiSql,
     "q_contamination"       -> qContaminationSql,
-    "q_multimodal_meta"     -> qMultimodalMetaSql)
+    "q_multimodal_meta"     -> qMultimodalMetaSql,
+    "q_frame_sample"        -> qFrameSampleSql)
 }
