@@ -226,6 +226,41 @@ object QueriesText {
       |    meta := struct_pack(v := '1'))) AS jolted
       |FROM events""".stripMargin
 
+  /** Composite NiFi-flow parity, hash-checked end-to-end:
+    * EvaluateJsonPath → UpdateAttribute(EL) → RouteOnAttribute →
+    * MergeRecord(ordered digest) per (route, day) — four processors as
+    * ONE Catalyst plan, verified as one oracle. */
+  val qFlowComposite: Q = (s, d) => {
+    val e = Records.jsonPath(Tables.events(s, d), "props", "k" -> "$.k")
+    val up = Records.update(e,
+      "k" -> col("k").cast("long"),
+      "day" -> date_format(col("ts"), "yyyy-MM-dd"),
+      "user_tag" -> graft.functions.El.compile("u-${user_id:padLeft(4, '0')}"))
+    val routed = Route.tagged(up, Seq(
+      "alerts"    -> (col("event_type") === "error"),
+      "purchases" -> (col("event_type") === "purchase"),
+      "traffic"   -> col("event_type").isin("click", "view")))
+    routed.groupBy("route", "day")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           md5(concat_ws("|",
+             transform(array_sort(collect_list(struct(col("event_id"), col("user_tag")))),
+                       x => x.getField("user_tag"))).cast("binary")).as("tags_md5"))
+  }
+  val qFlowCompositeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |         'u-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS user_tag,
+      |         CASE WHEN event_type = 'error' THEN 'alerts'
+      |              WHEN event_type = 'purchase' THEN 'purchases'
+      |              WHEN event_type IN ('click','view') THEN 'traffic'
+      |              ELSE 'unmatched' END AS route
+      |  FROM events)
+      |SELECT route, day, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       md5(string_agg(user_tag, '|' ORDER BY event_id)) AS tags_md5
+      |FROM e GROUP BY route, day""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -239,7 +274,8 @@ object QueriesText {
     "q_validate_csv"    -> qValidateCsv,
     "q_route_el"        -> qRouteEl,
     "q_pack_unpack"     -> qPackUnpack,
-    "q_jolt"            -> qJolt)
+    "q_jolt"            -> qJolt,
+    "q_flow_composite"  -> qFlowComposite)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -253,5 +289,6 @@ object QueriesText {
     "q_validate_csv"    -> qValidateCsvSql,
     "q_route_el"        -> qRouteElSql,
     "q_pack_unpack"     -> qPackUnpackSql,
-    "q_jolt"            -> qJoltSql)
+    "q_jolt"            -> qJoltSql,
+    "q_flow_composite"  -> qFlowCompositeSql)
 }
