@@ -46,6 +46,36 @@ class MonitorActivitySpec extends SparkSpec {
     }
   }
 
+  test("composite flow runs unchanged as a stream (jsonPath -> EL -> route -> windowed agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, String, Timestamp)]
+    val df = input.toDS().toDF("event_id", "user_id", "event_type", "props", "ts")
+    // the same batch operators compose on a streaming DataFrame
+    val e = graft.operators.Records.jsonPath(df, "props", "k" -> "$.k")
+    val up = graft.operators.Records.update(e,
+      "k" -> org.apache.spark.sql.functions.col("k").cast("long"),
+      "user_tag" -> graft.functions.El.compile("u-${user_id:padLeft(4, '0')}"))
+    val routed = graft.operators.Route.tagged(up, Seq(
+      "alerts" -> (org.apache.spark.sql.functions.col("event_type") === "error"),
+      "traffic" -> org.apache.spark.sql.functions.col("event_type").isin("click", "view")))
+    val agg = Streams.windowedAgg(routed, "ts", "route", "k", "10 minutes", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("flow_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 7L, "error", """{"k":5}""", ts(0)),
+        (2L, 8L, "click", """{"k":3}""", ts(30)),
+        (3L, 9L, "view", """{"k":2}""", ts(60)))
+      q.processAllAvailable()
+      input.addData((4L, 1L, "click", """{"k":1}""", ts(3600))) // advance watermark, close window 1
+      q.processAllAvailable()
+      val rows = spark.table("flow_stream")
+        .select("route", "cnt", "sum_value").as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("alerts", 1L, 5L)))
+      assert(rows.contains(("traffic", 2L, 5L)))
+    } finally q.stop()
+  }
+
   test("socketStream ingests newline records from a live TCP server (ListenTCP)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
