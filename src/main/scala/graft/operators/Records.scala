@@ -189,8 +189,10 @@ object Records {
     *  - `defaults`: (destination path, literal) — fills the slot when
     *    the shifted value is absent (Jolt's default semantics).
     * Values are string-typed (`get_json_object` extraction); nesting in
-    * destination paths builds nested structs. Narrow, codegen'd — the
-    * whole transform is one expression tree per record. */
+    * destination paths builds nested structs. A shifted path that is
+    * absent in the input AND has no default renders as an omitted field
+    * (to_json drops nulls — Jolt's remove-on-missing behavior). Narrow,
+    * codegen'd — the whole transform is one expression tree per record. */
   def joltTransform(df: DataFrame, jsonCol: String,
                     shift: Seq[(String, String)],
                     defaults: Seq[(String, String)] = Nil,

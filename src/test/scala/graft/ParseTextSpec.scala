@@ -124,6 +124,10 @@ class ParseTextSpec extends SparkSpec {
       .select("id", "jolted").as[(Long, String)].collect().toMap
     assert(out(1L) == """{"x":{"y":"v1"},"num":"7","tag":"t0"}""")
     assert(out(2L) == """{"x":{"y":"dflt"},"num":"9","tag":"t0"}""")
+    // a missing source with no default is omitted from the output doc
+    val omitted = Records.joltTransform(df, "j", Seq("$.nope" -> "gone", "$.n" -> "num"))
+      .select("jolted").as[String].collect()(0)
+    assert(omitted == """{"num":"7"}""")
     intercept[IllegalArgumentException] {
       Records.joltTransform(df, "j", Seq("$.a" -> "x", "$.n" -> "x.y"))
     }
