@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -102,37 +102,25 @@ object Ann {
     * centroid once, queries probe their `nProbe` nearest cells. The
     * search join touches only corpus rows in probed cells — at scale
     * cell assignment is one narrow pass and the per-query candidate set
-    * shrinks by ~nProbe/nCells. */
+    * shrinks by ~nProbe/nCells. `lloydIters > 0` refines the centroids
+    * with that many deterministic k-means iterations
+    * ([[refineCentroids]]) — better-balanced cells, higher recall per
+    * probe, at one assignment pass per iteration. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
     import spark.implicits._
-    val centroids: Array[(Int, Array[Float])] = corpus
+    val init: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val centroids =
+      if (lloydIters > 0) refineCentroids(spark, corpus, init, lloydIters) else init
     val bc = spark.sparkContext.broadcast(centroids)
 
     def cells(df: DataFrame, idAlias: String, vecAlias: String, probes: Int): DataFrame =
-      df.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val cents = bc.value
-          it.flatMap { case (id, vec) =>
-            val sims = cents.map { case (ci, cv) =>
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-              val n = math.min(vec.length, cv.length)
-              while (i < n) {
-                val x = vec(i).toDouble; val y = cv(i).toDouble
-                dot += x * y; na += x * x; nb += y * y; i += 1
-              }
-              (ci, dot / (math.sqrt(na) * math.sqrt(nb)))
-            }
-            sims.sortBy { case (ci, s) => (-s, ci) }.take(probes)
-              .map { case (ci, _) => (id, vec, ci) }
-          }
-        }.toDF(idAlias, vecAlias, "cell")
+      assignCells(spark, df, bc, probes).toDF(idAlias, vecAlias, "cell")
 
     val c = cells(corpus, "vec_id", "c_vec", 1)
     val q = cells(queries, "query_id", "q_vec", nProbe)
@@ -145,6 +133,71 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Nearest-centroid assignment by cosine, `probes` cells per vector.
+    * One narrow pass over the data against broadcast centroids. */
+  private def assignCells(spark: SparkSession, df: DataFrame,
+                          bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]],
+                          probes: Int): Dataset[(Long, Array[Float], Int)] = {
+    import spark.implicits._
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (id, vec) =>
+          val sims = cents.map { case (ci, cv) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            val n = math.min(vec.length, cv.length)
+            while (i < n) {
+              val x = vec(i).toDouble; val y = cv(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            (ci, dot / (math.sqrt(na) * math.sqrt(nb)))
+          }
+          sims.sortBy { case (ci, s) => (-s, ci) }.take(probes)
+            .map { case (ci, _) => (id, vec, ci) }
+        }
+      }
+  }
+
+  /** Deterministic Lloyd refinement of the IVF centroids: each
+    * iteration reassigns every corpus vector to its nearest centroid
+    * and replaces the centroid with the cell mean. Per-cell sums stream
+    * over the group SORTED by vec_id (flatMapSortedGroups), so the
+    * float accumulation order — and therefore the refined centroids —
+    * are identical across runs and partitionings. Empty cells keep
+    * their previous centroid. Cost: one assignment pass + one
+    * `nCells`-row collect per iteration. */
+  private[operators] def refineCentroids(spark: SparkSession, corpus: DataFrame,
+                                         init: Array[(Int, Array[Float])],
+                                         iters: Int): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    var cents = init
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val stats: Array[(Int, Array[Double], Long)] = assignCells(spark, corpus, bc, 1)
+        .groupByKey(_._3)
+        .flatMapSortedGroups(col("_1")) { (cell: Int, rows: Iterator[(Long, Array[Float], Int)]) =>
+          var sums: Array[Double] = null
+          var n = 0L
+          rows.foreach { case (_, vec, _) =>
+            if (sums == null) sums = new Array[Double](vec.length)
+            var i = 0
+            while (i < math.min(vec.length, sums.length)) { sums(i) += vec(i); i += 1 }
+            n += 1
+          }
+          Iterator.single((cell, sums, n))
+        }.collect()
+      val byCell = stats.map(s => s._1 -> s).toMap
+      cents = cents.map { case (ci, old) =>
+        byCell.get(ci) match {
+          case Some((_, sums, n)) if n > 0 => (ci, sums.map(s => (s / n).toFloat))
+          case _                           => (ci, old)
+        }
+      }
+    }
+    cents
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by

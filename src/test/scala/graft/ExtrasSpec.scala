@@ -25,6 +25,19 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF with Lloyd-refined centroids is deterministic and keeps recall") {
+    val corpus = randVecs(300, 16, 23)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = Ann.ivfTopK(spark, corpus, queries, 10, nCells = 8, nProbe = 4, lloydIters = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b, "refined IVF must be deterministic across runs")
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined IVF recall too low: $recall")
+  }
+
   test("gzip compress/decompress round-trips content and shrinks repetitive payloads") {
     val df = Seq((1L, "abc " * 500), (2L, "short")).toDF("id", "text")
     val packed = Records.compress(df.withColumn("payload", col("text").cast("binary")), "payload", "gz")
