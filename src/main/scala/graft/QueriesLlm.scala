@@ -246,6 +246,43 @@ object QueriesLlm {
     Ann.ivfTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 16, nProbe = 4)
   }
 
+  /** Int8-quantized similarity search (§2.4 #34 storage path): cosine
+    * top-k over QUANTIZED-then-reconstructed embeddings — demonstrates
+    * that the 4×-smaller representation preserves the ranking; the
+    * oracle replays the quantization math (floor-based half-up) in SQL. */
+  val qEmbedQuantized: Q = (s, d) => {
+    import graft.functions.VectorFunctions
+    val rec = Tables.embeddings(s, d).select(col("vec_id"),
+      VectorFunctions.dequantize8(VectorFunctions.quantize8(col("embedding"))).as("r"))
+    val qs = rec.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("r").as("q_r"))
+    val cand = rec.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dround(VectorFunctions.cosineHof(col("r"), col("q_r")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+  val qEmbedQuantizedSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+      |  FROM e),
+      |r AS (SELECT vec_id, list_transform(v, x -> floor(x / scale + 0.5) * scale) AS rec FROM s)
+      |SELECT query_id, vec_id, cos_sim, rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |         round(list_cosine_similarity(c.rec, q.rec), 6) AS cos_sim,
+      |         row_number() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(c.rec, q.rec), 6) DESC, c.vec_id) AS rk
+      |  FROM r c, (SELECT * FROM r WHERE vec_id < 8) q
+      |  WHERE c.vec_id != q.vec_id)
+      |WHERE rk <= 5""".stripMargin
+
   /** Within-document repetition signal (Gopher-style top-token share). */
   val qRepetition: Q = (s, d) => {
     Tables.documents(s, d).select(col("doc_id"),
@@ -344,6 +381,7 @@ object QueriesLlm {
     "q_embed_cosine_topk"   -> qEmbedCosineTopk,
     "q_ann_lsh"             -> qAnnLsh,
     "q_ann_ivf"             -> qAnnIvf,
+    "q_embed_quantized"     -> qEmbedQuantized,
     "q_repetition"          -> qRepetition,
     "q_redact_pii"          -> qRedactPii,
     "q_contamination"       -> qContamination,
@@ -361,6 +399,7 @@ object QueriesLlm {
     "q_dedup_cluster"       -> qDedupClusterSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
+    "q_embed_quantized"     -> qEmbedQuantizedSql,
     "q_repetition"          -> qRepetitionSql,
     "q_redact_pii"          -> qRedactPiiSql,
     "q_contamination"       -> qContaminationSql,

@@ -38,6 +38,26 @@ object VectorFunctions {
       val dd = x.cast("double") - y.cast("double"); dd * dd
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale
+    * `max|xᵢ|/127` plus integer codes `⌊xᵢ/scale + 0.5⌋` (floor-based
+    * half-up — identical on every engine, unlike round()'s mode
+    * differences). At 100 TB this is the storage/bandwidth lever for
+    * similarity search: 4× smaller vectors with ~0.4%-of-scale error
+    * per component (production packs codes into binary; arrays keep
+    * this demonstration engine-portable). Zero vectors quantize to
+    * zero codes with scale 1. */
+  def quantize8(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(scale.as("scale"),
+      transform(v, x => floor(x.cast("double") / scale + 0.5).cast("int")).as("codes"))
+  }
+
+  /** Inverse of [[quantize8]]: reconstructed `array<double>` =
+    * codeᵢ · scale. */
+  def dequantize8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (splitmix64-derived, no RNG
     * state — reproducible across runs/executors). Native expression: one

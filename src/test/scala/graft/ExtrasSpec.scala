@@ -38,6 +38,28 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.5, s"refined IVF recall too low: $recall")
   }
 
+  test("int8 quantization bounds reconstruction error and preserves top-k") {
+    import graft.functions.VectorFunctions
+    val corpus = randVecs(200, 16, 31)
+    val rec = corpus.select(col("vec_id"),
+      col("embedding"),
+      VectorFunctions.dequantize8(VectorFunctions.quantize8(col("embedding"))).as("r"))
+    // per-component error <= scale/2 = max|x|/254
+    val maxErr = rec.select(max(aggregate(
+        zip_with(col("embedding"), col("r"), (a, b) => abs(a.cast("double") - b)),
+        lit(0.0), (acc, v) => greatest(acc, v)))).as[Double].collect()(0)
+    assert(maxErr <= 0.5 / 254 + 1e-9, s"reconstruction error too large: $maxErr")
+    // ranking preserved: exact top-10 vs reconstructed top-10 recall
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recD = rec.select(col("vec_id"), col("r").cast("array<float>").as("embedding"))
+    val approx = Ann.bruteForceTopK(recD, recD.filter(col("vec_id") < 5), 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized top-k recall too low: $recall")
+  }
+
   test("gzip compress/decompress round-trips content and shrinks repetitive payloads") {
     val df = Seq((1L, "abc " * 500), (2L, "short")).toDF("id", "text")
     val packed = Records.compress(df.withColumn("payload", col("text").cast("binary")), "payload", "gz")
