@@ -365,6 +365,58 @@ object QueriesLlm {
       |  CAST(7 * floor((n_chars % 50) / 7) AS BIGINT) AS max_idx
       |FROM documents""".stripMargin
 
+  /** Real container-header parsing (§2.4 #40b): payloads with valid
+    * PNG/GIF/BMP/WAV/JPEG headers are synthesized from doc columns
+    * (format by doc_id mod 5), then graft_media_header parses the
+    * dimensions back out; the oracle recomputes them in closed form. */
+  val qMediaHeader: Q = (s, d) => {
+    import org.apache.spark.sql.Column
+    def beHex(c: Column, nBytes: Int): Column = lpad(hex(c), nBytes * 2, "0")
+    def leHex(c: Column, nBytes: Int): Column = {
+      val be = beHex(c, nBytes)
+      concat((nBytes - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+    }
+    val doc = Tables.documents(s, d)
+    val w = (col("doc_id") % 1000 + 16).cast("int")
+    val h = (col("doc_id") % 500 + 9).cast("int")
+    val rate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      beHex(w, 4), beHex(h, 4), lit("0806000000"))
+    val gifHex = concat(lit("474946383961"), leHex(w, 2), leHex(h, 2), lit("F70000"))
+    val bmpHex = concat(lit("424D" + "0" * 24 + "28000000"),
+      leHex(w, 4), leHex(h, 4), lit("0100"), leHex(lit(24), 2))
+    val wavHex = concat(lit("52494646"), leHex(lit(36), 4), lit("57415645" + "666D7420"),
+      leHex(lit(16), 4), leHex(lit(1), 2), leHex(ch, 2), leHex(rate, 4),
+      leHex((rate * ch * 2).cast("int"), 4), leHex((ch * 2).cast("int"), 2), leHex(lit(16), 2))
+    val jpegHex = concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000"
+        + "FFC0" + "0011" + "08"),
+      beHex(h, 2), beHex(w, 2), lit("03" + "011100" + "021101" + "031101"))
+    val payload = unhex(
+      when(col("doc_id") % 5 === 0, pngHex)
+        .when(col("doc_id") % 5 === 1, gifHex)
+        .when(col("doc_id") % 5 === 2, bmpHex)
+        .when(col("doc_id") % 5 === 3, wavHex)
+        .otherwise(jpegHex))
+    doc.select(col("doc_id"), Multimodal.parseHeader(payload).as("hdr"))
+      .select(col("doc_id"), col("hdr.format").as("format"),
+        col("hdr.width").as("width"), col("hdr.height").as("height"),
+        col("hdr.sample_rate").as("sample_rate"), col("hdr.channels").as("channels"),
+        col("hdr.bit_depth").as("bit_depth"))
+  }
+  val qMediaHeaderSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |       WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' ELSE 'jpeg' END AS format,
+      |  CASE WHEN doc_id % 5 = 3 THEN NULL ELSE CAST(doc_id % 1000 + 16 AS INT) END AS width,
+      |  CASE WHEN doc_id % 5 = 3 THEN NULL ELSE CAST(doc_id % 500 + 9 AS INT) END AS height,
+      |  CASE WHEN doc_id % 5 = 3 THEN CAST((doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 4 WHEN 2 THEN 3
+      |       WHEN 3 THEN CAST(doc_id % 2 + 1 AS INT) WHEN 4 THEN 3 END AS channels,
+      |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8 WHEN 2 THEN 24
+      |       WHEN 3 THEN 16 WHEN 4 THEN 8 END AS bit_depth
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -386,7 +438,8 @@ object QueriesLlm {
     "q_redact_pii"          -> qRedactPii,
     "q_contamination"       -> qContamination,
     "q_multimodal_meta"     -> qMultimodalMeta,
-    "q_frame_sample"        -> qFrameSample)
+    "q_frame_sample"        -> qFrameSample,
+    "q_media_header"        -> qMediaHeader)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -404,5 +457,6 @@ object QueriesLlm {
     "q_redact_pii"          -> qRedactPiiSql,
     "q_contamination"       -> qContaminationSql,
     "q_multimodal_meta"     -> qMultimodalMetaSql,
-    "q_frame_sample"        -> qFrameSampleSql)
+    "q_frame_sample"        -> qFrameSampleSql,
+    "q_media_header"        -> qMediaHeaderSql)
 }

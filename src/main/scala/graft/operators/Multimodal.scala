@@ -105,6 +105,13 @@ object Multimodal {
       .withField("width", lit(width))
       .withField("height", lit(height)))
 
+  /** REAL (non-stub) header metadata: parse container headers
+    * (PNG/JPEG/GIF/BMP/WAV) from the payload's first bytes — the
+    * route/filter step that runs on every payload BEFORE any decode.
+    * Native expression, one pass over the header region only. */
+  def parseHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.MediaExpressions.mediaHeader(payload)
+
   /** Frame sampling plumbing for video payloads: one output row per
     * sampled frame index (every `stride`-th of `n_frames`). The real
     * decoder would attach frame bytes; the stub attaches the index. */
