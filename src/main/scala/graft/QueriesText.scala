@@ -261,6 +261,47 @@ object QueriesText {
       |       md5(string_agg(user_tag, '|' ORDER BY event_id)) AS tags_md5
       |FROM e GROUP BY route, day""".stripMargin
 
+  /** EvaluateXPath (§2.1): XML docs synthesized from columns, values
+    * extracted back with XPath — incl. a count() over repeated nodes.
+    * The oracle recomputes from the raw columns, validating the XPath
+    * evaluation itself. */
+  val qXpathExtract: Q = (s, d) => {
+    val words = slice(filter(split(col("text"), "\\s+"), t => length(t) > 0), 1, 5)
+    val xml = concat(lit("<doc><id>"), col("doc_id"), lit("</id><src>"), col("source"),
+      lit("</src><ws>"),
+      array_join(transform(words, w => concat(lit("<w>"), w, lit("</w>"))), ""),
+      lit("</ws></doc>"))
+    Records.evaluateXPath(
+        Tables.documents(s, d).select(col("doc_id"), xml.as("xml")),
+        "xml", Map("src" -> "/doc/src", "first_w" -> "/doc/ws/w[1]"))
+      .withColumn("n_w", xpath_long(col("xml"), lit("count(/doc/ws/w)")))
+      .select("doc_id", "src", "first_w", "n_w")
+  }
+  val qXpathExtractSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |             list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |           FROM documents)
+      |SELECT doc_id, source AS src,
+      |       coalesce(toks[1], '') AS first_w,
+      |       CAST(least(len(toks), 5) AS BIGINT) AS n_w
+      |FROM t""".stripMargin
+
+  /** SplitXml (§2.1): explode repeated <w> nodes to one row each. */
+  val qSplitXml: Q = (s, d) => {
+    val words = slice(filter(split(col("text"), "\\s+"), t => length(t) > 0), 1, 4)
+    val xml = concat(lit("<ws>"),
+      array_join(transform(words, w => concat(lit("<w>"), w, lit("</w>"))), ""),
+      lit("</ws>"))
+    Records.splitXml(
+        Tables.documents(s, d).select(col("doc_id"), xml.as("xml")),
+        "xml", "/ws/w/text()", outCol = "word")
+      .select("doc_id", "word")
+  }
+  val qSplitXmlSql: String =
+    """SELECT doc_id, unnest(
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)[1:4]) AS word
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -275,7 +316,9 @@ object QueriesText {
     "q_route_el"        -> qRouteEl,
     "q_pack_unpack"     -> qPackUnpack,
     "q_jolt"            -> qJolt,
-    "q_flow_composite"  -> qFlowComposite)
+    "q_flow_composite"  -> qFlowComposite,
+    "q_xpath_extract"   -> qXpathExtract,
+    "q_split_xml"       -> qSplitXml)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -290,5 +333,7 @@ object QueriesText {
     "q_route_el"        -> qRouteElSql,
     "q_pack_unpack"     -> qPackUnpackSql,
     "q_jolt"            -> qJoltSql,
-    "q_flow_composite"  -> qFlowCompositeSql)
+    "q_flow_composite"  -> qFlowCompositeSql,
+    "q_xpath_extract"   -> qXpathExtractSql,
+    "q_split_xml"       -> qSplitXmlSql)
 }

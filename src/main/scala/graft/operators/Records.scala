@@ -316,6 +316,19 @@ object Records {
     }.drop("__x")
   }
 
+  /** EvaluateXPath (NiFi): extract one string value per XPath expression
+    * into a new column. Spark-native xpath expressions — narrow, no UDF. */
+  def evaluateXPath(df: DataFrame, xmlCol: String, paths: Map[String, String]): DataFrame =
+    paths.foldLeft(df) { case (d, (name, p)) =>
+      d.withColumn(name, xpath_string(col(xmlCol), lit(p)))
+    }
+
+  /** SplitXml (NiFi): one output row per node matched by `path` (its
+    * text content). `path` must end in text() or select text nodes. */
+  def splitXml(df: DataFrame, xmlCol: String, path: String,
+               outCol: String = "fragment"): DataFrame =
+    df.withColumn(outCol, explode(xpath(col(xmlCol), lit(path))))
+
   /** CountText: per-record line / word / character metrics (NiFi
     * CountText emits these as attributes). Narrow, codegen'd. */
   def countText(df: DataFrame, contentCol: String): DataFrame = {
