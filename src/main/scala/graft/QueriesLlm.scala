@@ -365,6 +365,30 @@ object QueriesLlm {
       |  CAST(7 * floor((n_chars % 50) / 7) AS BIGINT) AS max_idx
       |FROM documents""".stripMargin
 
+  /** URL canonicalization (§2.4): messy URLs synthesized from doc
+    * columns (mixed-case host, www., tracking params, fragment, trailing
+    * slash); normalizeUrl must land exactly on the closed-form canonical
+    * URL the oracle computes. */
+  val qUrlNormalize: Q = (s, d) => {
+    val sub = when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit(""))
+    val trail = when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit(""))
+    val url = concat(lit("https://"), sub, col("source"), lit(".Example.com/p/"),
+      col("doc_id"), trail,
+      lit("?utm_source=feed&id="), col("doc_id") % 13, lit("&utm_campaign=c&q=t#sec"))
+    Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        TextAnalysis.urlHost(col("url")).as("host"),
+        TextAnalysis.urlDomain(col("url")).as("domain"),
+        TextAnalysis.normalizeUrl(col("url")).as("clean_url"))
+  }
+  val qUrlNormalizeSql: String =
+    """SELECT doc_id,
+      |  source || '.example.com' AS host,
+      |  'example.com' AS domain,
+      |  'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+      |    || '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&q=t' AS clean_url
+      |FROM documents""".stripMargin
+
   /** Real container-header parsing (§2.4 #40b): payloads with valid
     * PNG/GIF/BMP/WAV/JPEG headers are synthesized from doc columns
     * (format by doc_id mod 5), then graft_media_header parses the
@@ -439,7 +463,8 @@ object QueriesLlm {
     "q_contamination"       -> qContamination,
     "q_multimodal_meta"     -> qMultimodalMeta,
     "q_frame_sample"        -> qFrameSample,
-    "q_media_header"        -> qMediaHeader)
+    "q_media_header"        -> qMediaHeader,
+    "q_url_normalize"       -> qUrlNormalize)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -458,5 +483,6 @@ object QueriesLlm {
     "q_contamination"       -> qContaminationSql,
     "q_multimodal_meta"     -> qMultimodalMetaSql,
     "q_frame_sample"        -> qFrameSampleSql,
-    "q_media_header"        -> qMediaHeaderSql)
+    "q_media_header"        -> qMediaHeaderSql,
+    "q_url_normalize"       -> qUrlNormalizeSql)
 }

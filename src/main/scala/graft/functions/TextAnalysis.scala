@@ -117,6 +117,41 @@ object TextAnalysis {
   def redactPii(c: Column): Column =
     piiPatterns.foldLeft(c) { case (x, (pat, tok)) => regexp_replace(x, pat, tok) }
 
+  // -------------------------------------------------------------- URLs
+  /** Query-param names dropped by [[normalizeUrl]]: click/campaign
+    * trackers that fragment otherwise-identical URLs (the major cause of
+    * spurious URL-level "uniqueness" in crawled corpora). */
+  val trackingParams: String = "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|igshid"
+
+  /** Lowercased host with any leading www. stripped. */
+  def urlHost(c: Column): Column =
+    regexp_replace(lower(parse_url(c, lit("HOST"))), "^www\\.", "")
+
+  /** Registrable-domain heuristic: last two host labels. (A full answer
+    * needs the public-suffix list; two labels is the standard cheap
+    * approximation for corpus-level grouping.) */
+  def urlDomain(c: Column): Column = {
+    val labels = split(urlHost(c), "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(urlHost(c))
+  }
+
+  /** Canonical URL for dedup/grouping: lowercase scheme+host, www.
+    * stripped, fragment dropped, tracking params removed (other params
+    * kept in order), trailing path slashes trimmed. Deterministic —
+    * never widens: normalize(normalize(u)) == normalize(u). */
+  def normalizeUrl(c: Column): Column = {
+    val scheme = lower(coalesce(parse_url(c, lit("PROTOCOL")), lit("https")))
+    val path = regexp_replace(coalesce(parse_url(c, lit("PATH")), lit("")), "/+$", "")
+    val q = coalesce(parse_url(c, lit("QUERY")), lit(""))
+    val kept = filter(split(q, "&"),
+      p => length(p) > 0 && !p.rlike(s"(?i)^(?:$trackingParams)="))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), urlHost(c), path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   /** Rolling polynomial hash: base-31 over code points, modulo 2^50
     * (keeps every intermediate in range under ANSI mode: acc < 2^50,
     * acc*31 + c < 2^56 — no Long overflow). Cheap non-cryptographic
