@@ -365,6 +365,50 @@ object QueriesLlm {
       |  CAST(7 * floor((n_chars % 50) / 7) AS BIGINT) AS max_idx
       |FROM documents""".stripMargin
 
+  /** Boilerplate line removal (§2.4): 3-line docs where line 1 is shared
+    * across ~1/7th of the corpus (dropped at sf≥0.01, kept at sf0.001 —
+    * the doc-frequency threshold is what's under test). The digest sorts
+    * lines so the oracle needn't reproduce order (order is spec-tested). */
+  val qLineDedup: Q = (s, d) => {
+    val docs3 = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("H"), col("doc_id") % 7, lit("\n"),
+             lit("B"), col("doc_id"), lit("\n"),
+             substring(col("text"), 1, 30)).as("txt"))
+    Dedup.dropBoilerplateLines(docs3, "doc_id", "txt", minDocFreq = 60)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(split(col("clean_text"), "\n", -1)), "\n")
+          .cast("binary")).as("clean_md5"),
+        col("n_kept"))
+  }
+  val qLineDedupSql: String =
+    """WITH t AS (SELECT doc_id, 'H' || CAST(doc_id % 7 AS VARCHAR) AS l1,
+      |                  'B' || CAST(doc_id AS VARCHAR) AS l2,
+      |                  substring(text, 1, 30) AS l3 FROM documents),
+      |l AS (SELECT doc_id, unnest([l1, l2, l3]) AS line FROM t),
+      |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+      |k AS (SELECT doc_id, line FROM l JOIN f USING (line) WHERE df < 60)
+      |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY line)) AS clean_md5,
+      |       count(*) AS n_kept
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  /** Corpus vocabulary head (§2.4): top-25 tokens by frequency with a
+    * deterministic (count desc, token asc) order — the Zipf head every
+    * tokenizer/quality audit starts from. Explode → map-side-combined
+    * groupBy on the token, then a single-partition top-k. */
+  val qTokenTopk: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("token"))
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(25)
+  }
+  val qTokenTopkSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                x -> len(x) > 0)) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin
+
   /** URL canonicalization (§2.4): messy URLs synthesized from doc
     * columns (mixed-case host, www., tracking params, fragment, trailing
     * slash); normalizeUrl must land exactly on the closed-form canonical
@@ -464,7 +508,9 @@ object QueriesLlm {
     "q_multimodal_meta"     -> qMultimodalMeta,
     "q_frame_sample"        -> qFrameSample,
     "q_media_header"        -> qMediaHeader,
-    "q_url_normalize"       -> qUrlNormalize)
+    "q_url_normalize"       -> qUrlNormalize,
+    "q_line_dedup"          -> qLineDedup,
+    "q_token_topk"          -> qTokenTopk)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -484,5 +530,7 @@ object QueriesLlm {
     "q_multimodal_meta"     -> qMultimodalMetaSql,
     "q_frame_sample"        -> qFrameSampleSql,
     "q_media_header"        -> qMediaHeaderSql,
-    "q_url_normalize"       -> qUrlNormalizeSql)
+    "q_url_normalize"       -> qUrlNormalizeSql,
+    "q_line_dedup"          -> qLineDedupSql,
+    "q_token_topk"          -> qTokenTopkSql)
 }

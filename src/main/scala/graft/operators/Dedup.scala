@@ -303,6 +303,32 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus boilerplate line removal (CCNet/RefinedWeb-style
+    * preprocessing): a line occurring in ≥ minDocFreq distinct documents
+    * is boilerplate (headers, nav, cookie banners, legal footers) and is
+    * dropped from EVERY document; per-doc line order is preserved in the
+    * rebuilt text. Shuffles: one hash-groupBy for line doc-frequency
+    * (map-side combine on the line hash — uniform key), one anti-join,
+    * one per-doc rebuild. Lines travel as 64-bit hashes through the
+    * frequency pass; full strings only cross the wire for the rebuild.
+    * Output: (idCol, clean_text, n_kept). */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__line_no", "__line")))
+    val boiler = lines.groupBy(xxhash64(col("__line")).as("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__lh")
+    lines.join(boiler, xxhash64(col("__line")) === col("__lh"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__line_no"), col("__line")))),
+          x => x.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Embedding-cosine near-dup within blocks (label / IVF cell). */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                       threshold: Double): DataFrame = {
