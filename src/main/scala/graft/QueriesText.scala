@@ -261,6 +261,48 @@ object QueriesText {
       |       md5(string_agg(user_tag, '|' ORDER BY event_id)) AS tags_md5
       |FROM e GROUP BY route, day""".stripMargin
 
+  /** CalculateRecordStats (§2.2): total + per-category-value counts. */
+  val qRecordStats: Q = (s, d) =>
+    Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
+  val qRecordStatsSql: String =
+    """SELECT 'total' AS stat, NULL AS value, count(*) AS n FROM documents
+      |UNION ALL SELECT 'source', source, count(*) FROM documents GROUP BY source
+      |UNION ALL SELECT 'lang', lang, count(*) FROM documents GROUP BY lang""".stripMargin
+
+  /** AttributesToCSV (§2.2): RFC-4180 line with synthesized
+    * delimiter/quote-bearing cells to exercise quoting + doubling. */
+  val qAttrsToCsv: Q = (s, d) => {
+    val df = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      concat(col("o_orderpriority"), lit(",v")).as("pri"),
+      concat(lit("a\""), col("o_orderstatus")).as("qv"))
+    Records.attributesToCsv(df, Seq("o_orderkey", "o_orderstatus", "pri", "qv"))
+      .select("o_orderkey", "attrs_csv")
+  }
+  val qAttrsToCsvSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+      |  || '"' || o_orderpriority || ',v"' || ','
+      |  || '"a""' || o_orderstatus || '"' AS attrs_csv
+      |FROM orders""".stripMargin
+
+  /** ConvertJSONToSQL (§2.2): JSON object → INSERT statement; the note
+    * field carries an apostrophe so literal doubling is exercised. */
+  val qJsonToSql: Q = (s, d) => {
+    val j = Tables.documents(s, d).select(col("doc_id"),
+      to_json(struct(col("doc_id"), col("source"),
+        concat(substring(col("text"), 1, 10), lit("'s")).as("note"))).as("j"))
+    Records.jsonToSql(j, "j", "docs",
+        Seq("doc_id" -> false, "source" -> true, "note" -> true))
+      .select(col("doc_id"), col("sql"))
+  }
+  val qJsonToSqlSql: String =
+    """SELECT doc_id,
+      |  'INSERT INTO docs (doc_id, source, note) VALUES ('
+      |  || CAST(doc_id AS VARCHAR) || ', ' || chr(39) || source || chr(39) || ', '
+      |  || chr(39) || substring(text, 1, 10) || chr(39) || chr(39) || 's' || chr(39)
+      |  || ')' AS sql
+      |FROM documents""".stripMargin
+
   /** EvaluateXPath (§2.1): XML docs synthesized from columns, values
     * extracted back with XPath — incl. a count() over repeated nodes.
     * The oracle recomputes from the raw columns, validating the XPath
@@ -318,7 +360,10 @@ object QueriesText {
     "q_jolt"            -> qJolt,
     "q_flow_composite"  -> qFlowComposite,
     "q_xpath_extract"   -> qXpathExtract,
-    "q_split_xml"       -> qSplitXml)
+    "q_split_xml"       -> qSplitXml,
+    "q_record_stats"    -> qRecordStats,
+    "q_attrs_to_csv"    -> qAttrsToCsv,
+    "q_json_to_sql"     -> qJsonToSql)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -335,5 +380,8 @@ object QueriesText {
     "q_jolt"            -> qJoltSql,
     "q_flow_composite"  -> qFlowCompositeSql,
     "q_xpath_extract"   -> qXpathExtractSql,
-    "q_split_xml"       -> qSplitXmlSql)
+    "q_split_xml"       -> qSplitXmlSql,
+    "q_record_stats"    -> qRecordStatsSql,
+    "q_attrs_to_csv"    -> qAttrsToCsvSql,
+    "q_json_to_sql"     -> qJsonToSqlSql)
 }

@@ -269,6 +269,50 @@ object Records {
                        outCol: String = "attrs_json"): DataFrame =
     df.withColumn(outCol, to_json(struct(cols.map(col): _*)))
 
+  /** AttributesToCSV (NiFi): selected columns as one RFC-4180 line —
+    * values holding a delimiter/quote/newline are quoted, embedded
+    * quotes doubled, nulls empty. Narrow, codegen'd. */
+  def attributesToCsv(df: DataFrame, cols: Seq[String],
+                      outCol: String = "attrs_csv"): DataFrame = {
+    val cells = cols.map { c =>
+      val s = coalesce(col(c).cast("string"), lit(""))
+      when(s.rlike("[\",\\n\\r]"),
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s)
+    }
+    df.withColumn(outCol, concat_ws(",", cells: _*))
+  }
+
+  /** CalculateRecordStats (NiFi): total record count plus per-value
+    * counts for each category column, as (stat, value, n) rows. Each
+    * category is one map-side-combined groupBy; no joins. */
+  def recordStats(df: DataFrame, categoryCols: Seq[String]): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n"))
+      .select(lit("total").as("stat"), lit(null).cast("string").as("value"), col("n"))
+    categoryCols
+      .map(c => df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(c).as("stat"), col("value"), col("n")))
+      .foldLeft(total)(_ unionByName _)
+  }
+
+  /** ConvertJSONToSQL (NiFi): turn a JSON object column into an INSERT
+    * statement for `table`. `cols` maps field name → true when the SQL
+    * literal must be quoted (strings; '' doubling), false for numerics
+    * (emitted verbatim). JSON nulls/absent fields become SQL NULL. */
+  def jsonToSql(df: DataFrame, jsonCol: String, table: String,
+                cols: Seq[(String, Boolean)], outCol: String = "sql"): DataFrame = {
+    val values = cols.map { case (name, quoted) =>
+      val v = get_json_object(col(jsonCol), s"$$.$name")
+      val literal =
+        if (quoted) concat(lit("'"), regexp_replace(v, "'", "''"), lit("'")) else v
+      coalesce(literal, lit("NULL"))
+    }
+    df.withColumn(outCol, concat(
+      lit(s"INSERT INTO $table (${cols.map(_._1).mkString(", ")}) VALUES ("),
+      concat_ws(", ", values: _*), lit(")")))
+  }
+
   /** DistributeLoad: spread rows across `n` partitions (round-robin) or
     * co-locate by key columns — NiFi's load-balancing relationship,
     * expressed as an explicit exchange. */
