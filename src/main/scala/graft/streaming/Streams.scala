@@ -143,6 +143,24 @@ object Streams {
       .drop("__band")
   }
 
+  /** Stream-stream interval join — the Wait/Notify + JoinEnrichment
+    * correlation pattern on two LIVE streams: a left record joins right
+    * records with the same key whose event time lands within
+    * ±`withinSec` of its own. Both sides are watermarked, so Spark can
+    * bound the buffered join state (evict once the watermark passes the
+    * interval) — state growth is O(in-flight window), not O(stream).
+    * Column names must be disjoint apart from the keys. */
+  def joinWithinInterval(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         delay: String, withinSec: Int): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $withinSec SECONDS") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+  }
+
   /** Start a query into an in-memory table (tests/interactive). */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
