@@ -303,6 +303,57 @@ object QueriesText {
       |  || ')' AS sql
       |FROM documents""".stripMargin
 
+  /** ParseCEF (§2.2): ArcSight CEF lines synthesized from events —
+    * header pipes + key=value extensions (msg holds spaces, exercising
+    * the value-runs-to-next-key rule); oracle recomputes from raw
+    * columns. */
+  val qParseCef: Q = (s, d) => {
+    val lines = Tables.events(s, d).select(col("event_id"),
+      concat(lit("CEF:0|graft|engine|1.0|SIG-"), col("event_id") % 50,
+        lit("|"), col("event_type"), lit("|"), col("event_id") % 10,
+        lit("|src=10.0.0."), col("user_id") % 255,
+        lit(" spt="), col("event_id") % 65535,
+        lit(" msg=value "), col("event_id")).as("line"))
+    Parse.parseCef(lines, "line", Seq("src", "spt", "msg"))
+      .select(col("event_id"), col("cef_version"), col("cef_sig_id"),
+        col("cef_name"), col("cef_severity"), col("cef_src"),
+        col("cef_spt").cast("long").as("cef_spt"), col("cef_msg"))
+  }
+  val qParseCefSql: String =
+    """SELECT event_id,
+      |  CAST(0 AS INT) AS cef_version,
+      |  'SIG-' || CAST(event_id % 50 AS VARCHAR) AS cef_sig_id,
+      |  event_type AS cef_name,
+      |  CAST(event_id % 10 AS VARCHAR) AS cef_severity,
+      |  '10.0.0.' || CAST(user_id % 255 AS VARCHAR) AS cef_src,
+      |  CAST(event_id % 65535 AS BIGINT) AS cef_spt,
+      |  'value ' || CAST(event_id AS VARCHAR) AS cef_msg
+      |FROM events""".stripMargin
+
+  /** GeoEnrichIP-style range lookup (§2.2/§2.6): event IPs enriched
+    * against a 25-row nation range table via broadcast range join — the
+    * big side never shuffles. Nation n owns 10.[8n..8n+7].*.*; the
+    * second octet is user_id % 200, so every IP hits exactly one range. */
+  val qIpLookup: Q = (s, d) => {
+    val ips = Tables.events(s, d).select(col("event_id"),
+      concat(lit("10."), col("user_id") % 200, lit(".7."),
+             col("event_id") % 250).as("ip"))
+    val base = lit(167772160L) // 10.0.0.0
+    val ranges = Tables.nation(s, d).select(col("n_name"),
+      (base + col("n_nationkey") * 8L * 65536L).as("ip_start"),
+      (base + (col("n_nationkey") + 1L) * 8L * 65536L - 1L).as("ip_end"))
+    graft.operators.Scale.broadcastRangeJoin(
+        ips, ranges, Parse.ipv4ToLong(col("ip")), "ip_start", "ip_end")
+      .select("event_id", "ip", "n_name")
+  }
+  val qIpLookupSql: String =
+    """SELECT e.event_id,
+      |       '10.' || CAST(e.user_id % 200 AS VARCHAR) || '.7.'
+      |         || CAST(e.event_id % 250 AS VARCHAR) AS ip,
+      |       n.n_name
+      |FROM events e JOIN nation n
+      |  ON n.n_nationkey = CAST(floor((e.user_id % 200) / 8) AS INT)""".stripMargin
+
   /** EvaluateXPath (§2.1): XML docs synthesized from columns, values
     * extracted back with XPath — incl. a count() over repeated nodes.
     * The oracle recomputes from the raw columns, validating the XPath
@@ -363,7 +414,9 @@ object QueriesText {
     "q_split_xml"       -> qSplitXml,
     "q_record_stats"    -> qRecordStats,
     "q_attrs_to_csv"    -> qAttrsToCsv,
-    "q_json_to_sql"     -> qJsonToSql)
+    "q_json_to_sql"     -> qJsonToSql,
+    "q_parse_cef"       -> qParseCef,
+    "q_ip_lookup"       -> qIpLookup)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -383,5 +436,7 @@ object QueriesText {
     "q_split_xml"       -> qSplitXmlSql,
     "q_record_stats"    -> qRecordStatsSql,
     "q_attrs_to_csv"    -> qAttrsToCsvSql,
-    "q_json_to_sql"     -> qJsonToSqlSql)
+    "q_json_to_sql"     -> qJsonToSqlSql,
+    "q_parse_cef"       -> qParseCefSql,
+    "q_ip_lookup"       -> qIpLookupSql)
 }

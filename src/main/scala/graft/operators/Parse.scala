@@ -102,6 +102,44 @@ object Parse {
       .withColumn("sl_msg", grp(6))
   }
 
+  /** Dotted-quad IPv4 → unsigned 32-bit value as a long (for range/CIDR
+    * joins). Null for malformed addresses (ANSI-safe). */
+  def ipv4ToLong(c: Column): Column = {
+    val p = split(c, "\\.")
+    when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
+      element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long"))
+  }
+
+  /** ParseCEF (NiFi ParseCEF): ArcSight Common Event Format —
+    * `CEF:version|vendor|product|device_version|sig_id|name|severity|ext`
+    * where `ext` is space-separated key=value pairs. Header fields split
+    * on unescaped `|`; requested extension keys are pulled with anchored
+    * regexes (a value runs until the next ` key=` or end). Narrow. */
+  def parseCef(df: DataFrame, lineCol: String,
+               extensionKeys: Seq[String]): DataFrame = {
+    val l = col(lineCol)
+    val hdr = "^CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$"
+    def grp(i: Int): Column = when(l.rlike(hdr), regexp_extract(l, hdr, i))
+    val base = df
+      .withColumn("cef_version", when(grp(1) =!= "", grp(1)).cast("int"))
+      .withColumn("cef_vendor", grp(2))
+      .withColumn("cef_product", grp(3))
+      .withColumn("cef_device_version", grp(4))
+      .withColumn("cef_sig_id", grp(5))
+      .withColumn("cef_name", grp(6))
+      .withColumn("cef_severity", grp(7))
+      .withColumn("__ext", grp(8))
+    extensionKeys.foldLeft(base) { (d, k) =>
+      val kq = java.util.regex.Pattern.quote(k)
+      val pat = s"(?:^|\\s)$kq=(.*?)(?=\\s+\\S+=|$$)"
+      d.withColumn(s"cef_$k",
+        when(col("__ext").rlike(pat), regexp_extract(col("__ext"), pat, 1)))
+    }.drop("__ext")
+  }
+
   /** ValidateCsv: check a delimited line column against per-field rules.
     * `fieldRules` = (1-based field index, rule name, validator over the
     * extracted field). Adds `violations` and `is_valid` like

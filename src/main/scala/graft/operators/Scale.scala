@@ -33,6 +33,21 @@ object Scale {
     saltedBig.join(saltedSmall, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Broadcast range join: enrich a big fact stream against a SMALL
+    * interval table (IP→geo ranges, tier thresholds, time buckets) —
+    * `value ∈ [startCol, endCol]`. The ranges side is broadcast, so the
+    * big side is never shuffled and Catalyst plans
+    * BroadcastNestedLoopJoin with the band predicate pushed into the
+    * probe — the only formulation that survives 100 TB on the fact side
+    * (a shuffle range-join would re-partition the big side for nothing;
+    * a cross join would explode). Ranges must stay broadcast-size. */
+  def broadcastRangeJoin(big: DataFrame, ranges: DataFrame,
+                         value: org.apache.spark.sql.Column,
+                         startCol: String, endCol: String,
+                         how: String = "inner"): DataFrame =
+    big.join(broadcast(ranges),
+      value >= col(startCol) && value <= col(endCol), how)
+
   /** Bucketed write: pre-shuffles once at write time so every future
     * join/agg on `bucketCols` is shuffle-free (Spark reads bucket
     * layout from the catalog). `table` lands in the session warehouse. */
