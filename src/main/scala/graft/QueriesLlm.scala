@@ -365,6 +365,50 @@ object QueriesLlm {
       |  CAST(7 * floor((n_chars % 50) / 7) AS BIGINT) AS max_idx
       |FROM documents""".stripMargin
 
+  /** Unigram-LM quality proxy (§2.4): score each document by the mean
+    * negative log2 probability of its tokens under the corpus's own
+    * unigram distribution (high = rare/garbled, low = common prose).
+    * Two map-side-combined aggregations + one join; the corpus total
+    * rides along as a broadcast 1-row cross join — no collect(). */
+  val qUnigramLogprob: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(lower(col("text")))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(freq, "tok").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(dround(avg(-log2(col("cnt").cast("double") / col("total"))), 4)
+        .as("avg_neg_logp"))
+  }
+  val qUnigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                       x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+      |SELECT doc_id, round(avg(-log2(CAST(cnt AS DOUBLE) / total)), 4) AS avg_neg_logp
+      |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
+
+  /** Per-label embedding centroids (§2.4), first 4 dimensions: the
+    * building block of IVF training / semantic-dedup cluster summaries.
+    * posexplode → (label, dim) groupBy keeps the whole reduction
+    * map-side-combinable; no vectors are collected anywhere. */
+  val qEmbedCentroid: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(dround(avg(col("v").cast("double")), 6).as("mean_v"))
+  }
+  val qEmbedCentroidSql: String =
+    """SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS mean_v
+      |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |             generate_subscripts(embedding, 1) AS dim
+      |      FROM embeddings)
+      |WHERE dim <= 4 GROUP BY label, dim""".stripMargin
+
   /** Boilerplate line removal (§2.4): 3-line docs where line 1 is shared
     * across ~1/7th of the corpus (dropped at sf≥0.01, kept at sf0.001 —
     * the doc-frequency threshold is what's under test). The digest sorts
@@ -510,7 +554,9 @@ object QueriesLlm {
     "q_media_header"        -> qMediaHeader,
     "q_url_normalize"       -> qUrlNormalize,
     "q_line_dedup"          -> qLineDedup,
-    "q_token_topk"          -> qTokenTopk)
+    "q_token_topk"          -> qTokenTopk,
+    "q_unigram_logprob"     -> qUnigramLogprob,
+    "q_embed_centroid"      -> qEmbedCentroid)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -532,5 +578,7 @@ object QueriesLlm {
     "q_media_header"        -> qMediaHeaderSql,
     "q_url_normalize"       -> qUrlNormalizeSql,
     "q_line_dedup"          -> qLineDedupSql,
-    "q_token_topk"          -> qTokenTopkSql)
+    "q_token_topk"          -> qTokenTopkSql,
+    "q_unigram_logprob"     -> qUnigramLogprobSql,
+    "q_embed_centroid"      -> qEmbedCentroidSql)
 }

@@ -303,6 +303,23 @@ object QueriesText {
       |  || ')' AS sql
       |FROM documents""".stripMargin
 
+  /** ModifyBytes (§2.2): strip a 5-byte head + 3-byte tail from the
+    * payload; oracle replays the blob substring. */
+  val qModifyBytes: Q = (s, d) => {
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Records.modifyBytes(payloads, "payload", dropHead = 5, dropTail = 3)
+      .select(col("doc_id"), md5(col("trimmed")).as("trimmed_md5"),
+        octet_length(col("trimmed")).cast("long").as("trimmed_len"))
+  }
+  // DuckDB has no BLOB substring; the synthetic text is ASCII, so the
+  // VARCHAR substring is byte-identical to the Spark-side binary trim
+  val qModifyBytesSql: String =
+    """SELECT doc_id,
+      |  md5(substring(text, 6, greatest(length(text) - 8, 0))) AS trimmed_md5,
+      |  CAST(greatest(octet_length(encode(text)) - 8, 0) AS BIGINT) AS trimmed_len
+      |FROM documents""".stripMargin
+
   /** ParseCEF (§2.2): ArcSight CEF lines synthesized from events —
     * header pipes + key=value extensions (msg holds spaces, exercising
     * the value-runs-to-next-key rule); oracle recomputes from raw
@@ -416,7 +433,8 @@ object QueriesText {
     "q_attrs_to_csv"    -> qAttrsToCsv,
     "q_json_to_sql"     -> qJsonToSql,
     "q_parse_cef"       -> qParseCef,
-    "q_ip_lookup"       -> qIpLookup)
+    "q_ip_lookup"       -> qIpLookup,
+    "q_modify_bytes"    -> qModifyBytes)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -438,5 +456,6 @@ object QueriesText {
     "q_attrs_to_csv"    -> qAttrsToCsvSql,
     "q_json_to_sql"     -> qJsonToSqlSql,
     "q_parse_cef"       -> qParseCefSql,
-    "q_ip_lookup"       -> qIpLookupSql)
+    "q_ip_lookup"       -> qIpLookupSql,
+    "q_modify_bytes"    -> qModifyBytesSql)
 }

@@ -269,6 +269,15 @@ object Records {
                        outCol: String = "attrs_json"): DataFrame =
     df.withColumn(outCol, to_json(struct(cols.map(col): _*)))
 
+  /** ModifyBytes (NiFi): trim a fixed number of bytes from the head and
+    * tail of a binary payload (fixed-length header/trailer stripping).
+    * Shorter payloads yield empty, never error. Narrow, codegen'd. */
+  def modifyBytes(df: DataFrame, payloadCol: String, dropHead: Int, dropTail: Int,
+                  outCol: String = "trimmed"): DataFrame = {
+    val len = greatest(octet_length(col(payloadCol)) - dropHead - dropTail, lit(0))
+    df.withColumn(outCol, col(payloadCol).substr(lit(dropHead + 1), len))
+  }
+
   /** AttributesToCSV (NiFi): selected columns as one RFC-4180 line —
     * values holding a delimiter/quote/newline are quoted, embedded
     * quotes doubled, nulls empty. Narrow, codegen'd. */
