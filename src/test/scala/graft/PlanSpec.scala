@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("q_ip_lookup: range join broadcasts the ranges, never shuffles the facts") {
+    val p = planOf("q_ip_lookup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join must be a broadcast nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), "range join degenerated to cartesian")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fact side of the range join must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE prints codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
