@@ -167,14 +167,26 @@ object Dedup {
       .withColumn("rare_rank", row_number().over(wRare))
       .filter(col("rare_rank") <=
         col("n_grams") - ceil(col("n_grams") * threshold) + lit(1))
-      .select(col("block"), col("gram"), col("id"), col("n_grams"))
-    // candidates: docs sharing a prefix gram in the same block, with the
-    // size prefilter (J ≤ min/max) applied before the distinct
+      .select(col("block"), col("gram"), col("id"), col("n_grams"),
+        col("rare_rank").as("pos"))
+    // candidates: docs sharing a prefix gram in the same block. Pruned
+    // BEFORE the distinct by (a) the size prefilter (J ≤ min/max) and
+    // (b) PPJoin's positional filter: a match at positions (i, j) of the
+    // two rarity-sorted gram lists bounds the overlap by
+    // 1 + min(n_a − i, n_b − j); occurrences that can't reach the
+    // required ⌈t/(1+t)·(n_a+n_b)⌉ are dropped. Completeness holds
+    // because a qualifying pair's FIRST common gram always passes the
+    // bound — later (redundant) occurrences are what get pruned, which
+    // is most of the bucket-join output on high-similarity corpora.
+    val required = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n_grams") + col("b.n_grams")))
     val cand = prefixes.as("a").join(prefixes.as("b"), Seq("block", "gram"))
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.n_grams"), col("b.n_grams")).cast("double") /
               greatest(col("a.n_grams"), col("b.n_grams")) >= threshold)
-      .select(col("block"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(lit(1) + least(col("a.n_grams") - col("a.pos"),
+                             col("b.n_grams") - col("b.pos")) >= required)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify: exact intersection over the full sorted-hash arrays; union
     // is derived (|a|+|b|-|a∩b|), not computed. The merge aborts early
@@ -182,7 +194,7 @@ object Dedup {
     // minus 1 of slack so float-boundary pairs still get exact counts
     // for the jaccard filter below.
     cand
-      .join(g.select(col("id").as("id_a"), col("grams").as("g_a"),
+      .join(g.select(col("id").as("id_a"), col("block"), col("grams").as("g_a"),
                      col("n_grams").as("n_a")), "id_a")
       .join(g.select(col("id").as("id_b"), col("grams").as("g_b"),
                      col("n_grams").as("n_b")), "id_b")
@@ -230,12 +242,17 @@ object Dedup {
     * (their cluster is themselves).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // The pair source is typically EXPENSIVE (LSH/prefix-filter
+    // pipelines); materialize it ONCE before fanning out — each union
+    // branch below re-executes its subtree otherwise (no common-subplan
+    // reuse across unions; measured 4× pair-gen in the cluster bench).
+    val p = pairs.localCheckpoint(true)
     // SELF-LOOPS are added so "min over neighborhood" includes the
     // node's own label — one broadcast join per round instead of two
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
-      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // label table = one row per node — orders of magnitude smaller than
