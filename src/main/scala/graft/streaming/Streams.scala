@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** (Capability reference: NiFi 2.7 continuous flows as deployed by
   * /root/reference/dev.nifi.yaml:1; Zookeeper-coordinated NiFi
@@ -27,6 +27,21 @@ object Streams {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .format(format).load(dir)
+
+  /** Binary media file stream (GetFile over a media drop directory):
+    * each arriving file becomes one row (path, modificationTime, length,
+    * content binary) — pair with `Multimodal.parseHeader` to route by
+    * container format without decoding. */
+  def binaryFileStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq( // binaryFile's fixed schema (streaming requires it stated)
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format("binaryFile").load(dir)
 
   /** Deterministic synthetic stream (rate source) — ListenX stand-in for
     * tests/demos; `rowsPerSecond` is the ControlRate knob. */
