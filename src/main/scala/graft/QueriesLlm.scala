@@ -253,13 +253,13 @@ object QueriesLlm {
   val qEmbedQuantized: Q = (s, d) => {
     import graft.functions.VectorFunctions
     val rec = Tables.embeddings(s, d).select(col("vec_id"),
-      VectorFunctions.dequantize8(VectorFunctions.quantize8(col("embedding"))).as("r"))
+      VectorFunctions.requantize8(col("embedding")).as("r"))
     val qs = rec.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("r").as("q_r"))
     val cand = rec.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        dround(VectorFunctions.cosineHof(col("r"), col("q_r")), 6).as("cos_sim"))
+        dround(VectorFunctions.cosine(col("r"), col("q_r")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)

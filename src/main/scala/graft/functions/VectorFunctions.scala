@@ -58,6 +58,13 @@ object VectorFunctions {
   def dequantize8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Fused quantize→dequantize round trip (native expression): the
+    * reconstructed vectors without materializing codes — use this when
+    * only the reconstruction is needed (the composed HOF form re-runs
+    * the scale aggregate per element: O(dim²) interpreted). */
+  def requantize8(v: Column): Column =
+    graft.plans.BinaryExpressions.requantize8(v)
+
   /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (splitmix64-derived, no RNG
     * state — reproducible across runs/executors). Native expression: one

@@ -82,6 +82,42 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Fused int8 quantize→dequantize round trip over an `array<float>`:
+  * scale = max|xᵢ|/127 (1.0 for all-zero), reconstructed value =
+  * ⌊xᵢ/scale + 0.5⌋·scale — one primitive loop per row. The HOF
+  * formulation (`dequantize8(quantize8(v))`) duplicates the scale
+  * AGGREGATE subtree into every lambda element evaluation (O(dim²)
+  * interpreted steps per row — measured ~3 s for 2000×64 floats); this
+  * runs the same math in O(dim). */
+case class Requantize8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_requantize8"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble / scale + 0.5) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
   def gzip(c: Column): Column =
     ColumnBridge.column(GzipCompress(ColumnBridge.expression(c)))
@@ -89,4 +125,7 @@ object BinaryExpressions {
     ColumnBridge.column(GzipDecompress(ColumnBridge.expression(c)))
   def hyperplaneBucket(c: Column, bits: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(c), bits, seed))
+
+  def requantize8(c: Column): Column =
+    ColumnBridge.column(Requantize8(ColumnBridge.expression(c)))
 }

@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
-  * `array<float>` columns, with whole-stage codegen (`doGenCode` emits a
-  * fused primitive loop — no per-element boxing, no UDF serialization).
-  * This is the hot inner op of ANN / embedding near-dup at 100 TB scale;
-  * the codegen'd loop is ~10× the higher-order-function formulation and
-  * stays inside the surrounding WholeStageCodegen span.
+  * `array<float>` or `array<double>` columns (each side independently
+  * typed — math is double either way), with whole-stage codegen
+  * (`doGenCode` emits a fused primitive loop — no per-element boxing,
+  * no UDF serialization). This is the hot inner op of ANN / embedding
+  * near-dup at 100 TB scale; the codegen'd loop is ~10× the
+  * higher-order-function formulation and stays inside the surrounding
+  * WholeStageCodegen span.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -21,14 +23,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _)  => false
+    case t => throw new IllegalArgumentException(
+      s"graft_cosine expects array<float|double>, got $t")
+  }
+  private lazy val leftDouble = isDouble(left)
+  private lazy val rightDouble = isDouble(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -39,12 +50,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val getX = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = $getX;
+         |  double $yv = $getY;
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
