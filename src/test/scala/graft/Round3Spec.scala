@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, VectorFunctions}
+import graft.operators.{Dedup, Parse, Records}
+
+/** Edge cases for the round-3 operators beyond what the DuckDB oracles
+  * exercise: malformed inputs, null handling, idempotence, and
+  * HOF-vs-native equivalence. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeUrl: idempotent, handles no-query/no-path/only-tracking URLs") {
+    val urls = Seq(
+      "https://WWW.Ex.COM/a/b/?utm_source=x",     // only tracking → no '?'
+      "http://ex.com",                             // no path, no query
+      "https://ex.com/p?id=1&utm_b=2&q=3#frag",    // mixed params + fragment
+      "https://sub.ex.com/deep/path/")
+      .toDF("url").select(TextAnalysis.normalizeUrl(col("url")).as("n"))
+    val out = urls.as[String].collect().toSeq
+    assert(out === Seq(
+      "https://ex.com/a/b",
+      "http://ex.com",
+      "https://ex.com/p?id=1&q=3",
+      "https://sub.ex.com/deep/path"))
+    // idempotence: normalize(normalize(u)) == normalize(u)
+    val again = urls.select(TextAnalysis.normalizeUrl(col("n"))).as[String].collect().toSeq
+    assert(again === out)
+  }
+
+  test("urlDomain: two-label heuristic, single-label host unchanged") {
+    val d = Seq("https://a.b.ex.org/x", "https://localhost/x")
+      .toDF("u").select(TextAnalysis.urlDomain(col("u"))).as[String].collect().toSeq
+    assert(d === Seq("ex.org", "localhost"))
+  }
+
+  test("parseCef: malformed lines yield nulls; missing extension keys null") {
+    val out = Parse.parseCef(
+      Seq("CEF:0|v|p|1|sig|name|5|src=1.2.3.4 msg=hello world",
+          "not a cef line").toDF("line"),
+      "line", Seq("src", "dst", "msg"))
+    val rows = out.select("cef_version", "cef_name", "cef_src", "cef_dst", "cef_msg")
+      .collect()
+    assert(rows(0).toSeq === Seq(0, "name", "1.2.3.4", null, "hello world"))
+    assert(rows(1).toSeq === Seq(null, null, null, null, null))
+  }
+
+  test("ipv4ToLong: valid, boundary, malformed") {
+    val out = Seq("0.0.0.0", "255.255.255.255", "10.1.2.3", "999.1.2", "x.y.z.w")
+      .toDF("ip").select(Parse.ipv4ToLong(col("ip")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(out === Seq(0L, 4294967295L, 167838211L, -1L, -1L))
+  }
+
+  test("jsonToSql: null/absent fields become SQL NULL; quotes doubled") {
+    val out = Records.jsonToSql(
+      Seq("""{"a":1,"b":"it's"}""", """{"a":2}""").toDF("j"),
+      "j", "t", Seq("a" -> false, "b" -> true))
+      .select("sql").as[String].collect().toSeq
+    assert(out === Seq(
+      "INSERT INTO t (a, b) VALUES (1, 'it''s')",
+      "INSERT INTO t (a, b) VALUES (2, NULL)"))
+  }
+
+  test("attributesToCsv: nulls empty, embedded quotes/commas/newlines quoted") {
+    val out = Records.attributesToCsv(
+      Seq((Some("plain"), Some("a,b"), Some("q\"t"), None: Option[String]))
+        .toDF("w", "x", "y", "z"), Seq("w", "x", "y", "z"))
+      .select("attrs_csv").as[String].head
+    assert(out === "plain,\"a,b\",\"q\"\"t\",")
+  }
+
+  test("dropBoilerplateLines preserves per-doc line order") {
+    val docs = Seq(
+      (1L, "COMMON\nfirst1\nsecond1"),
+      (2L, "first2\nCOMMON\nsecond2"),
+      (3L, "first3\nsecond3\nCOMMON")).toDF("id", "txt")
+    val out = Dedup.dropBoilerplateLines(docs, "id", "txt", minDocFreq = 3)
+      .orderBy("id").select("clean_text", "n_kept")
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("first1\nsecond1", 2L), ("first2\nsecond2", 2L),
+      ("first3\nsecond3", 2L)))
+  }
+
+  test("requantize8 equals the composed HOF quantize->dequantize exactly") {
+    val vecs = Seq(
+      Array(0.5f, -1.25f, 3.75f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f), // all-zero → scale 1.0
+      Array(-127.0f, 127.0f, 63.5f, -0.001f)).toDF("v")
+    val both = vecs.select(
+      VectorFunctions.requantize8(col("v")).as("native"),
+      VectorFunctions.dequantize8(VectorFunctions.quantize8(col("v"))).as("hof"))
+    val rows = both.as[(Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("evaluateXPath and splitXml on attributes and empty matches") {
+    val xml = Seq("""<r a="1"><x>u</x><x>v</x></r>""", "<r></r>").toDF("xml")
+    val ex = Records.evaluateXPath(xml, "xml", Map("attr" -> "/r/@a", "x1" -> "/r/x[1]"))
+      .select("attr", "x1").as[(String, String)].collect().toSeq
+    assert(ex === Seq(("1", "u"), ("", ""))) // xpath_string yields "" on no match
+    val split = Records.splitXml(xml, "xml", "/r/x/text()", "w")
+      .select("w").as[String].collect().toSeq
+    assert(split === Seq("u", "v")) // empty doc explodes to zero rows
+  }
+}
