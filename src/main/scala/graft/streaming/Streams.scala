@@ -188,4 +188,47 @@ object Streams {
     df.writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append()).trigger(trigger).start()
+
+  /** Idempotent streaming JDBC upsert sink (PutDatabaseRecord on a
+    * stream): each micro-batch delete+inserts its rows keyed on
+    * `keyCols` inside one transaction per partition, so a replayed
+    * batch (restart recovery) overwrites instead of duplicating —
+    * effectively-once for keyed output. Rows within a batch must be
+    * key-unique (dedupe upstream, e.g. `Records.topNPerKey` k=1).
+    * The target table must exist with matching quoted column names. */
+  def toJdbcUpsertSink(df: DataFrame, url: String, table: String,
+                       keyCols: Seq[String], checkpoint: String): StreamingQuery = {
+    val cols = df.schema.fieldNames.toSeq
+    val keyIdx = keyCols.map(cols.indexOf)
+    require(keyIdx.forall(_ >= 0), s"keyCols $keyCols must be in ${cols}")
+    val delSql = s"DELETE FROM $table WHERE " +
+      keyCols.map(c => s""""$c" = ?""").mkString(" AND ")
+    val insSql = s"INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          if (rows.nonEmpty) {
+            val conn = java.sql.DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val del = conn.prepareStatement(delSql)
+              val ins = conn.prepareStatement(insSql)
+              rows.foreach { r =>
+                keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                  del.setObject(pi + 1, r.get(ci)) }
+                del.addBatch()
+                cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                ins.addBatch()
+              }
+              del.executeBatch(); ins.executeBatch()
+              conn.commit()
+            } finally conn.close()
+          }
+        }
+        ()
+      }
+      .start()
+  }
 }
