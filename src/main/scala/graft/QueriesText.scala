@@ -320,6 +320,40 @@ object QueriesText {
       |  CAST(greatest(octet_length(encode(text)) - 8, 0) AS BIGINT) AS trimmed_len
       |FROM documents""".stripMargin
 
+  /** SplitContent (§2.2): binary payload split on the space byte —
+    * segments (incl. empties from runs/edges) must match DuckDB's
+    * string_split on the same ASCII text. */
+  val qSplitContent: Q = (s, d) => {
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 50).cast("binary").as("payload"))
+    Records.splitContent(payloads, "payload", " ".getBytes)
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("segment")).as("seg_md5"))
+  }
+  val qSplitContentSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, md5(parts[i]) AS seg_md5
+      |FROM (SELECT doc_id, string_split(substring(text, 1, 50), ' ') AS parts
+      |      FROM documents), LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)""".stripMargin
+
+  /** ValidateXml (§2.2): docs where id % 7 = 0 get truncated (invalid)
+    * XML; the schema's required field drives the verdict. */
+  val qValidateXml: Q = (s, d) => {
+    val xml = when(col("doc_id") % 7 === 0, lit("<r><id>"))
+      .otherwise(concat(lit("<r><id>"), col("doc_id"), lit("</id><s>"),
+        col("source"), lit("</s></r>")))
+    val df = Tables.documents(s, d).select(col("doc_id"), xml.as("xml"))
+    Records.validateXml(df,
+        "xml", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType))),
+        requiredField = "id")
+      .select("doc_id", "xml_valid")
+  }
+  val qValidateXmlSql: String =
+    """SELECT doc_id, doc_id % 7 != 0 AS xml_valid FROM documents""".stripMargin
+
   /** ParseCEF (§2.2): ArcSight CEF lines synthesized from events —
     * header pipes + key=value extensions (msg holds spaces, exercising
     * the value-runs-to-next-key rule); oracle recomputes from raw
@@ -434,7 +468,9 @@ object QueriesText {
     "q_json_to_sql"     -> qJsonToSql,
     "q_parse_cef"       -> qParseCef,
     "q_ip_lookup"       -> qIpLookup,
-    "q_modify_bytes"    -> qModifyBytes)
+    "q_modify_bytes"    -> qModifyBytes,
+    "q_split_content"   -> qSplitContent,
+    "q_validate_xml"    -> qValidateXml)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -457,5 +493,7 @@ object QueriesText {
     "q_json_to_sql"     -> qJsonToSqlSql,
     "q_parse_cef"       -> qParseCefSql,
     "q_ip_lookup"       -> qIpLookupSql,
-    "q_modify_bytes"    -> qModifyBytesSql)
+    "q_modify_bytes"    -> qModifyBytesSql,
+    "q_split_content"   -> qSplitContentSql,
+    "q_validate_xml"    -> qValidateXmlSql)
 }

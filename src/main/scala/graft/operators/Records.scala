@@ -278,6 +278,26 @@ object Records {
     df.withColumn(outCol, col(payloadCol).substr(lit(dropHead + 1), len))
   }
 
+  /** SplitContent (NiFi): one output row per segment of a binary
+    * payload split at a delimiter byte sequence (native expression;
+    * empty segments kept). Adds (seg_idx from 1, segment). */
+  def splitContent(df: DataFrame, payloadCol: String, delim: Array[Byte],
+                   outCol: String = "segment"): DataFrame =
+    df.select(col("*"),
+        posexplode(graft.plans.BinaryExpressions.splitBinary(
+          col(payloadCol), lit(delim))).as(Seq("__i", outCol)))
+      .withColumn("seg_idx", col("__i") + 1).drop("__i")
+
+  /** ValidateXml (NiFi XML reader validation): parse against a schema
+    * and route on whether `requiredField` materialized — malformed XML
+    * or a missing mandatory element fails validation. */
+  def validateXml(df: DataFrame, xmlCol: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  requiredField: String, outCol: String = "xml_valid"): DataFrame =
+    df.withColumn("__x", from_xml(col(xmlCol), lit(schema.toDDL)))
+      .withColumn(outCol, col(s"__x.$requiredField").isNotNull)
+      .drop("__x")
+
   /** AttributesToCSV (NiFi): selected columns as one RFC-4180 line —
     * values holding a delimiter/quote/newline are quoted, embedded
     * quotes doubled, nulls empty. Narrow, codegen'd. */

@@ -82,6 +82,39 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** NiFi SplitContent: split a binary payload at every occurrence of a
+  * delimiter byte sequence (delimiter removed; empty segments kept, so
+  * consecutive/trailing delimiters round-trip — same contract as
+  * string split). One scan, no regex. */
+case class SplitBinary(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_split_binary"
+
+  override protected def nullSafeEval(payload: Any, delim: Any): Any = {
+    val p = payload.asInstanceOf[Array[Byte]]
+    val d = delim.asInstanceOf[Array[Byte]]
+    if (d.isEmpty) return new GenericArrayData(Array[Any](p))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    while (i <= p.length - d.length) {
+      var j = 0
+      while (j < d.length && p(i + j) == d(j)) j += 1
+      if (j == d.length) {
+        out += java.util.Arrays.copyOfRange(p, start, i)
+        i += d.length
+        start = i
+      } else i += 1
+    }
+    out += java.util.Arrays.copyOfRange(p, start, p.length)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused int8 quantize→dequantize round trip over an `array<float>`:
   * scale = max|xᵢ|/127 (1.0 for all-zero), reconstructed value =
   * ⌊xᵢ/scale + 0.5⌋·scale — one primitive loop per row. The HOF
@@ -128,4 +161,8 @@ object BinaryExpressions {
 
   def requantize8(c: Column): Column =
     ColumnBridge.column(Requantize8(ColumnBridge.expression(c)))
+
+  def splitBinary(payload: Column, delim: Column): Column =
+    ColumnBridge.column(SplitBinary(
+      ColumnBridge.expression(payload), ColumnBridge.expression(delim)))
 }

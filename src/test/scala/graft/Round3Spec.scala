@@ -94,6 +94,28 @@ class Round3Spec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("splitContent: multi-byte delimiter, edge/consecutive delimiters, no match") {
+    def segs(payload: String, delim: String): Seq[String] =
+      Records.splitContent(Seq(payload.getBytes).toDF("payload"), "payload",
+          delim.getBytes)
+        .orderBy("seg_idx").select("segment")
+        .as[Array[Byte]].collect().toSeq.map(new String(_))
+    assert(segs("a--bb--c", "--") === Seq("a", "bb", "c"))
+    assert(segs("--a----b--", "--") === Seq("", "a", "", "b", ""))
+    assert(segs("nodelim", "--") === Seq("nodelim"))
+    assert(segs("", "--") === Seq(""))
+  }
+
+  test("validateXml: malformed and missing-required-field XML fail") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val out = Records.validateXml(
+      Seq("<r><id>5</id></r>", "<r><other>x</other></r>", "<r><id>broken").toDF("xml"),
+      "xml", schema, "id")
+      .select("xml_valid").as[Boolean].collect().toSeq
+    assert(out === Seq(true, false, false))
+  }
+
   test("evaluateXPath and splitXml on attributes and empty matches") {
     val xml = Seq("""<r a="1"><x>u</x><x>v</x></r>""", "<r></r>").toDF("xml")
     val ex = Records.evaluateXPath(xml, "xml", Map("attr" -> "/r/@a", "x1" -> "/r/x[1]"))
