@@ -106,11 +106,10 @@ object Parse {
     * joins). Null for malformed addresses (ANSI-safe). */
   def ipv4ToLong(c: Column): Column = {
     val p = split(c, "\\.")
-    when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
-      element_at(p, 1).cast("long") * 16777216L +
-      element_at(p, 2).cast("long") * 65536L +
-      element_at(p, 3).cast("long") * 256L +
-      element_at(p, 4).cast("long"))
+    def oct(i: Int): Column = element_at(p, i).cast("long")
+    when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$") &&
+         oct(1) <= 255 && oct(2) <= 255 && oct(3) <= 255 && oct(4) <= 255,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
   }
 
   /** ParseCEF (NiFi ParseCEF): ArcSight Common Event Format —

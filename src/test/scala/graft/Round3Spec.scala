@@ -46,10 +46,11 @@ class Round3Spec extends SparkSpec {
   }
 
   test("ipv4ToLong: valid, boundary, malformed") {
-    val out = Seq("0.0.0.0", "255.255.255.255", "10.1.2.3", "999.1.2", "x.y.z.w")
+    val out = Seq("0.0.0.0", "255.255.255.255", "10.1.2.3", "999.1.2", "x.y.z.w",
+        "999.1.2.3", "10.256.0.1")
       .toDF("ip").select(Parse.ipv4ToLong(col("ip")).as("v"))
       .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
-    assert(out === Seq(0L, 4294967295L, 167838211L, -1L, -1L))
+    assert(out === Seq(0L, 4294967295L, 167838211L, -1L, -1L, -1L, -1L))
   }
 
   test("jsonToSql: null/absent fields become SQL NULL; quotes doubled") {
