@@ -291,23 +291,37 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("dst_cluster").as("cluster"))
         .localCheckpoint(true)
-      // ...then pointer-jumps twice through its label's label (path
-      // halving; two hops per round → half the rounds for long chains).
-      // Both jumps run over the materialized label table — trivial plans.
-      def jump(df: DataFrame): DataFrame = {
-        val ptr = df.select(col("id").as("cluster"), col("cluster").as("cluster2"))
-        df.as("x").join(broadcast(ptr), Seq("cluster"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+      // Convergence is checked on the PROPAGATED table: every move is
+      // strictly downward, so an unchanged sum means propagate was the
+      // identity — and a propagate fixpoint IS the answer (if an edge
+      // (u,v) had labels L(u) < L(v), v's closed-neighborhood min would
+      // beat L(v); so labels are constant per component, and since
+      // label values are always member ids bounded below by the
+      // component minimum, that constant is the minimum). The final
+      // round then skips the pointer jumps entirely.
+      val sumP = labelSum(propagated)
+      if (sumP == prevSum) {
+        labels = propagated
+        converged = true
+      } else {
+        // ...then pointer-jumps twice through its label's label (path
+        // halving; two hops per round → half the rounds for long
+        // chains). Both jumps run over the materialized label table.
+        def jump(df: DataFrame): DataFrame = {
+          val ptr = df.select(col("id").as("cluster"), col("cluster").as("cluster2"))
+          df.as("x").join(broadcast(ptr), Seq("cluster"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+        }
+        val next = jump(jump(propagated)).localCheckpoint(true)
+        val newSum = labelSum(next)
+        labels = next
+        prevSum = newSum
       }
-      val next = jump(jump(propagated)).localCheckpoint(true)
-      val newSum = labelSum(next)
-      labels = next
-      converged = newSum == prevSum
-      prevSum = newSum
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%6.2f s sum=$newSum")
+        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"sum=$prevSum converged=$converged")
     }
     edges.unpersist()
     labels
