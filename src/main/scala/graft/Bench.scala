@@ -39,14 +39,27 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // 3dp keeps the whole line short enough for log-tail windows;
-    // build.sbt's StdoutOutput strategy keeps it free of sbt prefixes.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // /proc/loadavg at finish: lets bench_compare.py flag runs made under
+    // external load (shared-box noise produced phantom 5-20x regressions).
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    // The per-query map (~3 KB for 90 queries) overflows the driver's
+    // stdout tail capture, so it goes to a file; stdout gets ONE short
+    // (<200 B) total-only line the driver can always parse whole.
+    val detail =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"loadavg":"$loadavg","sf":"$sfDir","queries":$qs}"""
+    val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
+    try {
+      java.nio.file.Files.createDirectories(detailPath.getParent)
+      java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     spark.stop()

@@ -178,8 +178,13 @@ object Dedup {
     // because a qualifying pair's FIRST common gram always passes the
     // bound — later (redundant) occurrences are what get pruned, which
     // is most of the bucket-join output on high-similarity corpora.
+    // epsilon inside the ceil mirrors the verify stage's minus-1 slack:
+    // the float product t/(1+t)·(n_a+n_b) can round a hair ABOVE the
+    // exact rational bound (e.g. t=0.8, sum=63 → 28.000…4 → ceil 29 vs
+    // true 28), which would prune exact-boundary qualifying pairs before
+    // verify ever sees them
     val required = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.n_grams") + col("b.n_grams")))
+      (col("a.n_grams") + col("b.n_grams")) - lit(1e-9))
     val cand = prefixes.as("a").join(prefixes.as("b"), Seq("block", "gram"))
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.n_grams"), col("b.n_grams")).cast("double") /
@@ -257,8 +262,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // label table = one row per node — orders of magnitude smaller than
     // the edge list, so it's BROADCAST into every iteration join (the
-    // edge list never reshuffles). For graphs whose node count exceeds
-    // broadcast limits, drop the hints and let AQE pick shuffle joins.
+    // edge list never reshuffles). The hint is SIZE-GATED: one row per
+    // node at ~48 B (two longs + row overhead), hinted only while the
+    // estimate fits the session's autoBroadcastJoinThreshold. Past that
+    // the hint is dropped and the planner/AQE picks a shuffle join —
+    // the path a 100 TB run with billions of paired docs must take, or
+    // the driver OOMs collecting the broadcast.
     // Each round's result is localCheckpoint'ed: iterative plans
     // otherwise accumulate lineage and re-execute prior rounds inside
     // broadcast jobs (observed 10×-per-round blowup). For fault-tolerant
@@ -266,6 +275,12 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("cluster"))
       .localCheckpoint(true)
+    // node count is fixed across rounds (propagate preserves the id set),
+    // so the gate is decided once; labels is already materialized, so the
+    // count is a cheap scan of checkpointed blocks
+    val useBroadcast = shouldBroadcastLabels(labels.count(),
+      pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
+    def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // convergence via the label-sum invariant: every label move is
     // strictly downward, so the total is monotone decreasing and the
     // fixpoint is exactly "sum unchanged" — no compare-join needed.
@@ -285,12 +300,7 @@ object Dedup {
       // the jumps below reference it from both the stream and broadcast
       // side, and without the checkpoint each reference would re-execute
       // the edge join.
-      val propagated = edges
-        .join(broadcast(labels.withColumnRenamed("id", "dst")
-                              .withColumnRenamed("cluster", "dst_cluster")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("dst_cluster").as("cluster"))
-        .localCheckpoint(true)
+      val propagated = propagateOnce(edges, labels, useBroadcast).localCheckpoint(true)
       // Convergence is checked on the PROPAGATED table: every move is
       // strictly downward, so an unchanged sum means propagate was the
       // identity — and a propagate fixpoint IS the answer (if an edge
@@ -309,7 +319,7 @@ object Dedup {
         // chains). Both jumps run over the materialized label table.
         def jump(df: DataFrame): DataFrame = {
           val ptr = df.select(col("id").as("cluster"), col("cluster").as("cluster2"))
-          df.as("x").join(broadcast(ptr), Seq("cluster"), "left")
+          df.as("x").join(hinted(ptr), Seq("cluster"), "left")
             .select(col("id"),
               least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
         }
@@ -325,6 +335,35 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** One min-label propagation round: every node adopts the minimum
+    * label over its closed neighborhood (self-loops included upstream).
+    * Package-private and checkpoint-free so PlanSpec can assert the
+    * join strategy actually flips with the broadcast gate — clusters()
+    * itself localCheckpoints each round, which severs the lineage the
+    * plan snapshots would otherwise show. */
+  private[graft] def propagateOnce(edges: DataFrame, labels: DataFrame,
+                                   useBroadcast: Boolean): DataFrame = {
+    val lbl = labels.withColumnRenamed("id", "dst")
+      .withColumnRenamed("cluster", "dst_cluster")
+    edges.join(if (useBroadcast) broadcast(lbl) else lbl, "dst")
+      .groupBy(col("src").as("id"))
+      .agg(min("dst_cluster").as("cluster"))
+  }
+
+  /** Broadcast gate for the clusters() label table: one row per node at
+    * ~48 estimated bytes (two longs + unsafe-row overhead) must fit the
+    * configured autoBroadcastJoinThreshold; a non-positive threshold
+    * (e.g. "-1", broadcast disabled) always refuses. Pure so the gate
+    * itself is unit-testable. */
+  private[graft] def shouldBroadcastLabels(nNodes: Long, thresholdConf: String): Boolean = {
+    val trimmed = thresholdConf.trim
+    if (trimmed.startsWith("-")) return false // "-1" = broadcast disabled
+    val bytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(trimmed)
+      catch { case _: Throwable => 10L * 1024 * 1024 }
+    bytes > 0 && nNodes * 48L <= bytes
   }
 
   /** Keep/drop materialization: remove every near-duplicate except its

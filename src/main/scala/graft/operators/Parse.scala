@@ -115,12 +115,17 @@ object Parse {
   /** ParseCEF (NiFi ParseCEF): ArcSight Common Event Format —
     * `CEF:version|vendor|product|device_version|sig_id|name|severity|ext`
     * where `ext` is space-separated key=value pairs. Header fields split
-    * on unescaped `|`; requested extension keys are pulled with anchored
-    * regexes (a value runs until the next ` key=` or end). Narrow. */
+    * on UNESCAPED `|` — each header group is `(?:\\.|[^|\\])*`, so a
+    * spec-legal `\|` (or any other backslash escape) inside a header
+    * value stays within its field instead of desyncing the rest of the
+    * line. Escapes are NOT unquoted in the output (values carry the raw
+    * `\|`). Requested extension keys are pulled with anchored regexes
+    * (a value runs until the next ` key=` or end). Narrow. */
   def parseCef(df: DataFrame, lineCol: String,
                extensionKeys: Seq[String]): DataFrame = {
     val l = col(lineCol)
-    val hdr = "^CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$"
+    val h = "((?:\\\\.|[^|\\\\])*)" // one header field honoring CEF escaping
+    val hdr = s"^CEF:(\\d+)\\|$h\\|$h\\|$h\\|$h\\|$h\\|$h\\|(.*)$$"
     def grp(i: Int): Column = when(l.rlike(hdr), regexp_extract(l, hdr, i))
     val base = df
       .withColumn("cef_version", when(grp(1) =!= "", grp(1)).cast("int"))

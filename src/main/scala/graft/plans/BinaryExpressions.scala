@@ -127,13 +127,30 @@ case class Requantize8(child: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_requantize8"
 
+  // accept array<float> and array<double>; anything else is an ANALYSIS
+  // error (an unchecked getFloat over a double array reads garbage bits)
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    def at(i: Int): Double = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(v.getFloat(i).toDouble)
+      val a = math.abs(at(i))
       if (a > maxAbs) maxAbs = a
       i += 1
     }
@@ -141,7 +158,7 @@ case class Requantize8(child: Expression)
     val out = new Array[Double](n)
     i = 0
     while (i < n) {
-      out(i) = math.floor(v.getFloat(i).toDouble / scale + 0.5) * scale
+      out(i) = math.floor(at(i) / scale + 0.5) * scale
       i += 1
     }
     new GenericArrayData(out)

@@ -164,16 +164,29 @@ object Streams {
     * ±`withinSec` of its own. Both sides are watermarked, so Spark can
     * bound the buffered join state (evict once the watermark passes the
     * interval) — state growth is O(in-flight window), not O(stream).
-    * Column names must be disjoint apart from the keys. */
+    * Key/timestamp columns MAY share names across the two sides (the
+    * right side is renamed internally; a shared key name appears once in
+    * the output, a shared ts name comes back as `<name>__r`). All OTHER
+    * column names must be disjoint. */
   def joinWithinInterval(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
                          delay: String, withinSec: Int): DataFrame = {
+    // col(name) against two streams that share `name` is an ambiguous
+    // reference — rename the right side's key/ts before the join
+    val keyCollide = rightKey == leftKey
+    val tsCollide = rightTs == leftTs
+    val rk = if (keyCollide) rightKey + "__r" else rightKey
+    val rts = if (tsCollide) rightTs + "__r" else rightTs
+    var r0 = right
+    if (keyCollide) r0 = r0.withColumnRenamed(rightKey, rk)
+    if (tsCollide) r0 = r0.withColumnRenamed(rightTs, rts)
     val l = left.withWatermark(leftTs, delay)
-    val r = right.withWatermark(rightTs, delay)
-    l.join(r, col(leftKey) === col(rightKey) &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $withinSec SECONDS") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+    val r = r0.withWatermark(rts, delay)
+    val joined = l.join(r, col(leftKey) === col(rk) &&
+      col(rts) >= col(leftTs) - expr(s"INTERVAL $withinSec SECONDS") &&
+      col(rts) <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+    if (keyCollide) joined.drop(rk) else joined // equal values — keep one
   }
 
   /** Start a query into an in-memory table (tests/interactive). */
@@ -224,7 +237,17 @@ object Streams {
               }
               del.executeBatch(); ins.executeBatch()
               conn.commit()
-            } finally conn.close()
+            } catch {
+              case e: Throwable =>
+                // roll back the open transaction so close() doesn't
+                // reject (Derby throws on close-with-active-txn, which
+                // would MASK the real micro-batch failure cause)
+                try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+                throw e
+            } finally {
+              try conn.close()
+              catch { case _: Throwable => () } // original exception wins
+            }
           }
         }
         ()

@@ -87,4 +87,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"prefix-filtered jaccard must not nested-loop:\n$p")
   }
+
+  test("clusters label-propagation join flips broadcast -> shuffle with the gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("cluster"))
+    val on = graft.operators.Dedup.propagateOnce(edges, labels, useBroadcast = true)
+      .queryExecution.sparkPlan.toString
+    assert(on.contains("BroadcastHashJoin"), s"gate on but no broadcast:\n$on")
+    // with the hint withheld AND auto-broadcast disabled (the 100 TB
+    // regime: label table too big to collect), the planner must pick a
+    // non-broadcast join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val off = graft.operators.Dedup.propagateOnce(edges, labels, useBroadcast = false)
+        .queryExecution.sparkPlan.toString
+      assert(!off.contains("BroadcastHashJoin"), s"gate off but still broadcast:\n$off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Parse}
+
+/** Round-4 fixes: CEF header escaping, Requantize8 input typing, the
+  * size-gated broadcast in connected components, and the PPJoin
+  * positional-filter float boundary. */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseCef: escaped pipes inside header fields don't desync the line") {
+    val out = Parse.parseCef(
+      Seq("""CEF:0|ven\|dor|p|1|sig|na\|me|5|src=1.2.3.4 msg=ok""").toDF("line"),
+      "line", Seq("src", "msg"))
+      .select("cef_vendor", "cef_product", "cef_name", "cef_severity", "cef_src", "cef_msg")
+      .head
+    // escapes stay raw in the output; fields after the escape keep sync
+    assert(out.toSeq === Seq("""ven\|dor""", "p", """na\|me""", "5", "1.2.3.4", "ok"))
+  }
+
+  test("requantize8 accepts array<double> and rejects non-numeric arrays") {
+    val d = Seq(Seq(0.5, -1.25, 3.75, 0.0)).toDF("v")
+    val fromDouble = d.select(VectorFunctions.requantize8(col("v")))
+      .as[Seq[Double]].head
+    val fromFloat = Seq(Array(0.5f, -1.25f, 3.75f, 0.0f)).toDF("v")
+      .select(VectorFunctions.requantize8(col("v"))).as[Seq[Double]].head
+    assert(fromDouble === fromFloat)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq("a", "b")).toDF("v")
+        .select(VectorFunctions.requantize8(col("v"))).collect()
+    }
+    assert(err.getMessage.contains("graft_requantize8"))
+  }
+
+  test("clusters broadcast gate: size and disabled-threshold cases") {
+    assert(Dedup.shouldBroadcastLabels(100L, "10m"))
+    assert(Dedup.shouldBroadcastLabels(1000L, "10485760b"))
+    assert(!Dedup.shouldBroadcastLabels(1000000000L, "10m")) // 48 GB estimate
+    assert(!Dedup.shouldBroadcastLabels(100L, "-1"))         // broadcast disabled
+  }
+
+  test("clusters: identical labels through the shuffle-join (gate-off) path") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+      val labels = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ngramJaccard: exact-boundary threshold pairs survive the positional filter") {
+    // two docs with |a|=|b|=9 distinct grams and |a∩b|=8 → J = 8/10 = 0.8
+    // exactly; at t=0.8 the float required-overlap bound rounds to 8.0000…x
+    // without the epsilon and the ceil would demand 9. Strings of 11 chars
+    // give 9 distinct 3-grams; sharing a 10-char run shares 8 grams.
+    val docs = Seq((1L, "abcdefghijk"), (2L, "abcdefghijZ"))
+      .toDF("doc_id", "text").withColumn("block", lit(0))
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", "block",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 0.8)))
+  }
+}

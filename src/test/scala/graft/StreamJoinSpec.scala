@@ -40,4 +40,23 @@ class StreamJoinSpec extends SparkSpec {
     val rows = spark.table("ss_join").as[(String, Double, String)].collect().toSet
     assert(rows === Set(("k1", 9.5, "ups"), ("k4", 7.0, "dhl")))
   }
+
+  test("joinWithinInterval: key and ts columns may share names across sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(String, Timestamp, Double)]
+    val right = MemoryStream[(String, Timestamp, String)]
+    left.addData(("k1", ts(100), 9.5), ("k2", ts(100), 1.0))
+    right.addData(("k1", ts(103), "ups"), ("k2", ts(130), "fedex"))
+    // both sides name their columns key/ts — the operator renames
+    // internally instead of throwing an ambiguous-reference error
+    val joined = Streams.joinWithinInterval(
+      left.toDF.toDF("key", "ts", "amount"),
+      right.toDF.toDF("key", "ts", "carrier"),
+      "key", "key", "ts", "ts", delay = "10 seconds", withinSec = 5)
+    val q = Streams.toMemorySink(joined.select("key", "amount", "carrier"), "ss_join_same")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_same").as[(String, Double, String)].collect().toSet
+    assert(rows === Set(("k1", 9.5, "ups")))
+  }
 }
