@@ -521,6 +521,25 @@ object QueriesCore {
     """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal),2) AS sum_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** Avro roundtrip (ConvertRecord's AvroReader/Writer leg — NiFi's
+    * default wire format): orders → avro container files (via the
+    * bundled avro-core, one file per partition) → read back → aggregate.
+    * Timestamps cross the format as logical timestamp-micros; the hash
+    * match against the parquet-side oracle proves lossless transport. */
+  val qSourceAvroRoundtrip: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val tmp = s"/tmp/graft_avro_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.AvroIo.writeAvro(o, tmp)
+    graft.sources.AvroIo.readAvro(s, tmp, o.schema)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dround(sum("o_totalprice"), 2).as("sum_price"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("max_date"))
+  }
+  val qSourceAvroRoundtripSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price,
+      |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Anti join: rows with no match (NiFi unmatched-enrichment route).
     * Spark plans left_anti — no row widening, null-safe. */
   val qAntiJoin: Q = (s, d) => {
@@ -700,6 +719,7 @@ object QueriesCore {
     "q_rolling_window"      -> qRollingWindow,
     "q_window_topn"         -> qWindowTopN,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtrip,
+    "q_source_avro_roundtrip" -> qSourceAvroRoundtrip,
     "q_anti_join"           -> qAntiJoin,
     "q_semi_join"           -> qSemiJoin,
     "q_pivot"               -> qPivot,
@@ -743,6 +763,7 @@ object QueriesCore {
     "q_rolling_window"      -> qRollingWindowSql,
     "q_window_topn"         -> qWindowTopNSql,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql,
+    "q_source_avro_roundtrip" -> qSourceAvroRoundtripSql,
     "q_anti_join"           -> qAntiJoinSql,
     "q_semi_join"           -> qSemiJoinSql,
     "q_pivot"               -> qPivotSql,

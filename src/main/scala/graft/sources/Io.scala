@@ -38,9 +38,9 @@ object Io {
     df.write.mode("overwrite").option("compression", compression).json(path)
 
   /** XML record reader/writer (NiFi XMLReader/XMLRecordSetWriter).
-    * NOTE: the Avro connector module is not part of this Spark
-    * distribution (and dependencies are frozen) — NiFi's Avro wire
-    * format maps to parquet here. */
+    * For NiFi's Avro wire format see [[AvroIo]] (container files over
+    * the bundled avro-core; the spark-avro datasource module isn't in
+    * this distribution). */
   def readXml(spark: SparkSession, path: String, rowTag: String,
               schema: StructType): DataFrame =
     spark.read.format("xml").schema(schema).option("rowTag", rowTag).load(path)
@@ -64,20 +64,25 @@ object Io {
     df.write.mode("overwrite").option("compression", compression)
       .partitionBy(partitionCols: _*).parquet(path)
 
-  /** ConvertRecord: read `inFormat`, write `outFormat` (csv|json|parquet).
-    * One distributed pass, no driver materialization. */
+  /** ConvertRecord: read `inFormat`, write `outFormat`
+    * (csv|json|parquet|avro). One distributed pass, no driver
+    * materialization. Avro goes through [[AvroIo]] (container files via
+    * the bundled avro-core; the spark-avro datasource module isn't in
+    * this distribution). */
   def convert(spark: SparkSession, inPath: String, inFormat: String, schema: StructType,
               outPath: String, outFormat: String): Unit = {
     val df = inFormat match {
       case "csv"     => readCsv(spark, inPath, schema)
       case "json"    => readJsonl(spark, inPath, schema)
       case "parquet" => readParquet(spark, inPath)
+      case "avro"    => AvroIo.readAvro(spark, inPath, schema)
       case f         => throw new IllegalArgumentException(s"unknown input format $f")
     }
     outFormat match {
       case "csv"     => writeCsv(df, outPath)
       case "json"    => writeJsonl(df, outPath)
       case "parquet" => writeParquet(df, outPath)
+      case "avro"    => AvroIo.writeAvro(df, outPath)
       case f         => throw new IllegalArgumentException(s"unknown output format $f")
     }
   }

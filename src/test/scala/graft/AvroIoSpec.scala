@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.AvroIo
+
+/** Avro container-file reader/writer over the bundled avro-core jars:
+  * all supported primitive types + nulls must survive the roundtrip
+  * bit-exactly, and the reader must parallelize over files. */
+class AvroIoSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("flag", BooleanType, nullable = true),
+    StructField("small", IntegerType, nullable = true),
+    StructField("ratio_f", FloatType, nullable = true),
+    StructField("ratio_d", DoubleType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("blob", BinaryType, nullable = true),
+    StructField("day", DateType, nullable = true),
+    StructField("at", TimestampType, nullable = true)))
+
+  test("all primitive types + nulls roundtrip exactly") {
+    val rows = Seq(
+      Row(1L, true, 42, 1.5f, 2.25, "alpha", Array[Byte](1, 2, 3),
+        Date.valueOf("2024-02-29"), Timestamp.valueOf("2024-02-29 12:34:56.123456")),
+      Row(2L, null, null, null, null, null, null, null, null),
+      Row(3L, false, -7, Float.MinPositiveValue, Double.MaxValue, "ünïcødé ☃",
+        Array.emptyByteArray, Date.valueOf("1969-12-31"),
+        Timestamp.valueOf("1969-12-31 23:59:59.999999")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = "/tmp/graft_avro_spec_types"
+    AvroIo.writeAvro(df, dir)
+    val back = AvroIo.readAvro(spark, dir, schema)
+    assert(back.schema === schema)
+    val a = df.collect().sortBy(_.getLong(0))
+    val b = back.collect().sortBy(_.getLong(0))
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      // binary needs element-wise compare; Row.equals uses reference
+      // equality for Array[Byte]
+      (0 until schema.length).foreach { i =>
+        (x.get(i), y.get(i)) match {
+          case (p: Array[Byte], q: Array[Byte]) => assert(p.toSeq === q.toSeq)
+          case (p, q) => assert(p === q, s"field ${schema(i).name}")
+        }
+      }
+    }
+  }
+
+  test("writer emits one container file per partition; reader fans out") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select($"id").repartition(4)
+    val dir = "/tmp/graft_avro_spec_parts"
+    AvroIo.writeAvro(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4)
+    val back = AvroIo.readAvro(spark, dir,
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    assert(back.rdd.getNumPartitions > 1) // listing parallelized, not one task
+    assert(back.as[Long].collect().sorted === (0L until 1000L).toArray)
+  }
+
+  test("Io.convert handles avro in both directions") {
+    import spark.implicits._
+    val src = "/tmp/graft_avro_convert_src"
+    val mid = "/tmp/graft_avro_convert_mid"
+    val out = "/tmp/graft_avro_convert_out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.sources.Io.writeParquet(df, src)
+    graft.sources.Io.convert(spark, src, "parquet", df.schema, mid, "avro")
+    graft.sources.Io.convert(spark, mid, "avro", df.schema, out, "parquet")
+    val back = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
+    assert(back === Array((1L, "a"), (2L, "b")))
+  }
+
+  test("unsupported nested types are rejected with a clear error") {
+    val nested = StructType(Seq(StructField("arr", ArrayType(LongType), nullable = true)))
+    val err = intercept[IllegalArgumentException] {
+      AvroIo.avroSchemaJson(nested, "r")
+    }
+    assert(err.getMessage.contains("unsupported type"))
+  }
+}
