@@ -161,12 +161,15 @@ object QueriesLlm {
   /** End-to-end dedup decision: near-dup pairs → connected components →
     * (id, cluster) labels. Oracle = DuckDB recursive-CTE transitive
     * closure over the same pairs. */
-  val qDedupCluster: Q = (s, d) => {
-    val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
+  /** The pair source qDedupCluster clusters — exposed so PlanAudit can
+    * re-run clustering with a per-round plan probe. */
+  def dedupClusterPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
         n = 3, threshold = 0.55)
       .select(col("id_a"), col("id_b"))
-    Dedup.clusters(pairs, maxIter = 50)
-  }
+
+  val qDedupCluster: Q = (s, d) =>
+    Dedup.clusters(dedupClusterPairs(s, d), maxIter = 50)
   val qDedupClusterSql: String =
     """WITH RECURSIVE g AS (
       |  SELECT source AS block, doc_id AS id,

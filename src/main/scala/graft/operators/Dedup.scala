@@ -244,9 +244,12 @@ object Dedup {
     *
     * Input: (id_a, id_b) pairs. Output: (id, cluster) where cluster =
     * the component's minimum member id. Singleton docs aren't listed
-    * (their cluster is themselves).
+    * (their cluster is themselves). `roundProbe` receives each round's
+    * pre-checkpoint propagate DataFrame (for plan capture — see
+    * tools/PlanAudit); the default is a no-op.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 10,
+               roundProbe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // The pair source is typically EXPENSIVE (LSH/prefix-filter
     // pipelines); materialize it ONCE before fanning out — each union
     // branch below re-executes its subtree otherwise (no common-subplan
@@ -300,7 +303,12 @@ object Dedup {
       // the jumps below reference it from both the stream and broadcast
       // side, and without the checkpoint each reference would re-execute
       // the edge join.
-      val propagated = propagateOnce(edges, labels, useBroadcast).localCheckpoint(true)
+      // the probe sees the PRE-checkpoint round plan (localCheckpoint
+      // severs lineage, so snapshots taken after the fact show only
+      // `Scan ExistingRDD`); planning is shared with the checkpoint run
+      val pre = propagateOnce(edges, labels, useBroadcast)
+      roundProbe(iter + 1, pre)
+      val propagated = pre.localCheckpoint(true)
       // Convergence is checked on the PROPAGATED table: every move is
       // strictly downward, so an unchanged sum means propagate was the
       // identity — and a propagate fixpoint IS the answer (if an edge

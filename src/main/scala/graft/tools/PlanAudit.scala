@@ -73,6 +73,27 @@ object PlanAudit {
       (name, n, exchanges, wholeStage, cartesian, shufWrite, shufRead, spill)
     }
 
+    // Iterative-algorithm blind spot: q_dedup_cluster.txt shows only
+    // `Scan ExistingRDD` (localCheckpoint severs lineage). Re-run the
+    // clustering with the round probe so the committed snapshot shows
+    // the REAL per-round join shape (broadcast-vs-shuffle, exchange
+    // count) the 100 TB posture depends on.
+    {
+      val rounds = new StringBuilder
+      rounds.append(s"== q_dedup_cluster per-round propagate plans (sf=$sfDir) ==\n")
+      rounds.append("Captured pre-checkpoint each round; labels rows stay constant,\n")
+      rounds.append("so round 1's shape is every round's shape.\n")
+      val pairs = graft.QueriesLlm.dedupClusterPairs(spark, sfDir)
+      graft.operators.Dedup.clusters(pairs, maxIter = 50, roundProbe = (round, df) => {
+        rounds.append(s"\n--- round $round (pre-checkpoint, pre-AQE physical) ---\n")
+        rounds.append(df.queryExecution.sparkPlan.toString)
+      }).collect()
+      Files.write(outDir.resolve("q_dedup_cluster_rounds.txt"),
+        rounds.toString.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      spark.catalog.clearCache()
+    }
+
     val md = new StringBuilder
     md.append("# Plan audit\n\n")
     md.append(s"Scale factor dir: `$sfDir`; `local[$cpus]`, AQE on. ")

@@ -109,4 +109,26 @@ class PlanSpec extends SparkSpec {
       assert(!off.contains("BroadcastHashJoin"), s"gate off but still broadcast:\n$off")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("clusters round plan: edges never reshuffle, one exchange post-aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    // materialized inputs, as inside clusters() (edges persisted, labels
+    // checkpointed) — the plan then shows only the round's own work
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("cluster")).localCheckpoint(true)
+    // executedPlan (not sparkPlan): exchanges are inserted by
+    // EnsureRequirements during physical preparation
+    val p = graft.operators.Dedup.propagateOnce(edges, labels, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"round join not broadcast:\n$p")
+    // exactly one hash exchange: the post-join partial-agg shuffle of
+    // per-node rows. A second exchange would mean the full edge list
+    // reshuffles every round — the at-scale killer.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle in a CC round:\n$p")
+  }
 }
