@@ -50,7 +50,15 @@ object TextAnalysis {
   /** N-gram/stopword-heuristic language ID: 'zh' if CJK share > 0.3,
     * else the best-scoring Latin profile (≥ minScore), else 'und'.
     * Deterministic tie-break: language code order en < es < de < fr by
-    * strictly-greater comparison over an ordered fold. */
+    * strictly-greater comparison over an ordered fold.
+    *
+    * SUPPORTED SET: {en, es, de, fr, zh}; any other language, code,
+    * numeric, or degenerate input falls to 'und' (LangIdSpec asserts
+    * per-language precision on planted prose and that out-of-set text
+    * never misclassifies). A production corpus wants a trained n-gram
+    * profile model (e.g. CLD-style) behind this same column contract;
+    * the testdata here is English-synthetic, so a stopword heuristic
+    * is the honest ceiling. */
   def langId(c: Column, minScore: Double = 0.05): Column = {
     val toks = wsTokens(c)
     val scored = Seq("en", "es", "de", "fr").map(l => (l, langScore(toks, l)))

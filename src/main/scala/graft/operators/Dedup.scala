@@ -148,6 +148,16 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // debug-only stage probe: materializes intermediates to attribute
+    // wall time (changes pipelining; NEVER on outside GRAFT_CC_DEBUG)
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def probe(label: String, d: DataFrame): DataFrame =
+      if (!dbg) d else {
+        val t0 = System.nanoTime()
+        val out = d.localCheckpoint(true)
+        println(f"[nj] $label ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=${out.count()}")
+        out
+      }
     // grams = sorted distinct 64-bit shingle hashes (native expression);
     // Jaccard over hashed grams equals string-gram Jaccard up to a
     // ~|S|²/2⁶⁴ collision probability
@@ -155,20 +165,25 @@ object Dedup {
                       graft.plans.TextHashExpressions.hashedShingles(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .localCheckpoint(true) // reused by prefix indexing + both verify sides
+    if (dbg) println(s"[nj] g rows=${g.count()}")
     // global doc-frequency per gram — rarity ranking only; jaccard math
-    // below stays on the exact hashed-gram sets
+    // below stays on the exact hashed-gram sets. (An explicit broadcast
+    // of this table was A/B-measured at sf0.1 and REVERTED: the
+    // materialization barrier cost more than the saved probe-side
+    // shuffle; AQE already converts the join to broadcast at runtime
+    // when the gram table is small.)
     val gramDf = g.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df_cnt"))
     // per-doc prefix: the p rarest grams, p = n_grams − ceil(t·n_grams) + 1
     val wRare = Window.partitionBy("id").orderBy(col("df_cnt"), col("gram"))
-    val prefixes = g.select(col("block"), col("id"), col("n_grams"),
+    val prefixes = probe("prefixes", g.select(col("block"), col("id"), col("n_grams"),
         explode(col("grams")).as("gram"))
       .join(gramDf, "gram")
       .withColumn("rare_rank", row_number().over(wRare))
       .filter(col("rare_rank") <=
         col("n_grams") - ceil(col("n_grams") * threshold) + lit(1))
       .select(col("block"), col("gram"), col("id"), col("n_grams"),
-        col("rare_rank").as("pos"))
+        col("rare_rank").as("pos")))
     // candidates: docs sharing a prefix gram in the same block. Pruned
     // BEFORE the distinct by (a) the size prefilter (J ≤ min/max) and
     // (b) PPJoin's positional filter: a match at positions (i, j) of the
@@ -193,12 +208,13 @@ object Dedup {
                              col("b.n_grams") - col("b.pos")) >= required)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val cand2 = probe("candidates", cand)
     // verify: exact intersection over the full sorted-hash arrays; union
     // is derived (|a|+|b|-|a∩b|), not computed. The merge aborts early
     // (-1) once J ≥ t is unreachable — required = ⌈t/(1+t)·(|a|+|b|)⌉,
     // minus 1 of slack so float-boundary pairs still get exact counts
     // for the jaccard filter below.
-    cand
+    cand2
       .join(g.select(col("id").as("id_a"), col("block"), col("grams").as("g_a"),
                      col("n_grams").as("n_a")), "id_a")
       .join(g.select(col("id").as("id_b"), col("grams").as("g_b"),
@@ -254,14 +270,27 @@ object Dedup {
     // pipelines); materialize it ONCE before fanning out — each union
     // branch below re-executes its subtree otherwise (no common-subplan
     // reuse across unions; measured 4× pair-gen in the cluster bench).
-    val p = pairs.localCheckpoint(true)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (debug) println(f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    val p = timed("pairs materialize")(pairs.localCheckpoint(true))
     // SELF-LOOPS are added so "min over neighborhood" includes the
-    // node's own label — one broadcast join per round instead of two
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(p.select(col("id_a").as("src"), col("id_a").as("dst")))
-      .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
-      .distinct()
+    // node's own label — one broadcast join per round instead of two.
+    // One explode scan, NOT a 4-way union (4 scans), and NO distinct:
+    // duplicate edges cannot change a min-aggregation, so the dedup
+    // shuffle would only buy a narrower per-round join probe — measured
+    // a net loss at sf0.1 and a full extra shuffle of 4|pairs| rows at
+    // any scale.
+    val edges = p.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")),
+        struct(col("id_a").as("src"), col("id_a").as("dst")),
+        struct(col("id_b").as("src"), col("id_b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // label table = one row per node — orders of magnitude smaller than
     // the edge list, so it's BROADCAST into every iteration join (the
@@ -275,15 +304,10 @@ object Dedup {
     // otherwise accumulate lineage and re-execute prior rounds inside
     // broadcast jobs (observed 10×-per-round blowup). For fault-tolerant
     // production runs set a checkpoint dir and swap for .checkpoint().
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min("dst").as("cluster"))
-      .localCheckpoint(true)
-    // node count is fixed across rounds (propagate preserves the id set),
-    // so the gate is decided once; labels is already materialized, so the
-    // count is a cheap scan of checkpointed blocks
-    val useBroadcast = shouldBroadcastLabels(labels.count(),
-      pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
-    def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    var labels = timed("edges + init labels")(
+      edges.groupBy(col("src").as("id"))
+        .agg(min("dst").as("cluster"))
+        .localCheckpoint(true))
     // convergence via the label-sum invariant: every label move is
     // strictly downward, so the total is monotone decreasing and the
     // fixpoint is exactly "sum unchanged" — no compare-join needed.
@@ -293,7 +317,14 @@ object Dedup {
       val r = df.agg(sum("cluster")).head
       if (r.isNullAt(0)) 0L else r.getLong(0) // null ⟺ empty graph
     }
-    var prevSum = labelSum(labels)
+    // node count is fixed across rounds (propagate preserves the id set),
+    // so the broadcast gate is decided once — fused into the first sum
+    // job (both scan the just-checkpointed label blocks)
+    val firstAgg = labels.agg(sum("cluster"), count(lit(1))).head
+    var prevSum = if (firstAgg.isNullAt(0)) 0L else firstAgg.getLong(0)
+    val useBroadcast = shouldBroadcastLabels(firstAgg.getLong(1),
+      pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))
+    def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -360,19 +391,25 @@ object Dedup {
       .agg(min("dst_cluster").as("cluster"))
   }
 
-  /** Broadcast gate for the clusters() label table: one row per node at
-    * ~48 estimated bytes (two longs + unsafe-row overhead) must fit the
-    * configured autoBroadcastJoinThreshold; a non-positive threshold
+  /** Generic size gate for broadcast hints on tables whose row count is
+    * known (already materialized): rows × estimated bytes/row must fit
+    * the configured autoBroadcastJoinThreshold; a non-positive threshold
     * (e.g. "-1", broadcast disabled) always refuses. Pure so the gate
     * itself is unit-testable. */
-  private[graft] def shouldBroadcastLabels(nNodes: Long, thresholdConf: String): Boolean = {
+  private[graft] def shouldBroadcast(nRows: Long, rowBytes: Long,
+                                     thresholdConf: String): Boolean = {
     val trimmed = thresholdConf.trim
     if (trimmed.startsWith("-")) return false // "-1" = broadcast disabled
     val bytes =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(trimmed)
       catch { case _: Throwable => 10L * 1024 * 1024 }
-    bytes > 0 && nNodes * 48L <= bytes
+    bytes > 0 && nRows * rowBytes <= bytes
   }
+
+  /** clusters() label-table gate: one row per node at ~48 estimated
+    * bytes (two longs + unsafe-row overhead). */
+  private[graft] def shouldBroadcastLabels(nNodes: Long, thresholdConf: String): Boolean =
+    shouldBroadcast(nNodes, 48L, thresholdConf)
 
   /** Keep/drop materialization: remove every near-duplicate except its
     * cluster's minimum-id representative. */

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** ListenHTTP (NiFi's push-ingestion endpoint), Spark-first: an
+  * in-process HTTP server spools each POST body to a file in
+  * `spoolDir`; a [[Streams.fileStream]] / [[Streams.binaryFileStream]]
+  * over that directory turns the spool into a structured stream —
+  * exactly-once from the spool onward, back-pressured by
+  * `maxFilesPerTrigger`.
+  *
+  * Files appear ATOMICALLY (written to a `.tmp` sibling then renamed)
+  * so the file source never reads a half-written body. One file per
+  * request keeps the contract simple; batch upstream for tiny-record
+  * workloads. Like Spark's socket source this is a single-receiver
+  * ingress — at scale, terminate HTTP at a distributed log and swap
+  * the source line; the downstream flow binds to the directory/stream,
+  * not the server.
+  */
+object ListenHttp {
+
+  /** Start the endpoint. POST /<path> with a body → one spool file
+    * `<epochMs>-<seq><suffix>`; responds 200 with the filename.
+    * Non-POST methods get 405. Returns the running server — callers own
+    * its lifecycle (`stop(0)`). Port 0 picks a free port
+    * (`server.getAddress.getPort`). */
+  def start(port: Int, spoolDir: String, path: String = "/ingest",
+            suffix: String = ".dat"): HttpServer = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val seq = new AtomicLong(0L)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") {
+          ex.sendResponseHeaders(405, -1L)
+        } else {
+          val body = ex.getRequestBody.readAllBytes()
+          val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
+          val tmp: Path = dir.resolve(name + ".tmp")
+          Files.write(tmp, body)
+          // rename is atomic on the same filesystem: the stream source
+          // either sees the complete file or nothing
+          Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          val resp = name.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          ex.getResponseBody.write(resp)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    server
+  }
+}

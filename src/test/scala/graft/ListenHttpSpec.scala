@@ -1,0 +1,51 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.streaming.{ListenHttp, Streams}
+
+/** ListenHTTP → spool dir → file stream: posted JSON bodies become
+  * streaming rows; non-POST is rejected; files appear atomically. */
+class ListenHttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("posted bodies flow through the file stream as records") {
+    val spool = Files.createTempDirectory("graft_listen_http").toString
+    val server = ListenHttp.start(0, spool, suffix = ".json")
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() === 200)
+        r.body()
+      }
+      val names = Seq(
+        post("""{"user":"a","n":1}"""),
+        post("""{"user":"b","n":2}"""),
+        post("""{"user":"a","n":3}"""))
+      assert(names.distinct.size === 3, "spool filenames must be unique")
+      // GET must be rejected, and must not create spool files
+      val getResp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(getResp.statusCode() === 405)
+      assert(new java.io.File(spool).listFiles().count(_.getName.endsWith(".json")) === 3)
+      // consume the spool as a stream (the downstream half of ListenHTTP)
+      val schema = StructType(Seq(
+        StructField("user", StringType), StructField("n", org.apache.spark.sql.types.LongType)))
+      val stream = Streams.fileStream(spark, spool, schema, format = "json")
+      val q = Streams.toMemorySink(stream, "listen_http_rows")
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("listen_http_rows").as[(String, Long)].collect().toSet
+      assert(rows === Set(("a", 1L), ("b", 2L), ("a", 3L)))
+    } finally server.stop(0)
+  }
+}
