@@ -28,9 +28,27 @@ def load(path):
         return json.loads(m.group(0))
 
 
+def load_warn(d, label):
+    """Flag runs made under external load: loadavg is recorded at bench
+    finish (tools/bench_detail.json); a 1-min average well above the
+    bench's own footprint means shared-box noise — BENCH_r03's phantom
+    5-20x 'regressions' were exactly this."""
+    la = d.get("loadavg", "")
+    if la:
+        try:
+            one_min = float(la.split()[0])
+            if one_min > 4.0:
+                print(f"WARNING: {label} ran under load (loadavg {la}) — "
+                      f"treat per-query deltas as noise-suspect")
+        except ValueError:
+            pass
+
+
 def main(old_path, new_path, threshold=30.0):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
+    load_warn(old, "old run")
+    load_warn(new, "new run")
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({(new['value'] - old['value']) / old['value'] * 100:+.0f}%)  "
           f"queries: {len(oq)} -> {len(nq)}")
