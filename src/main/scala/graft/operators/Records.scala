@@ -342,6 +342,24 @@ object Records {
       concat_ws(", ", values: _*), lit(")")))
   }
 
+  /** ExecuteScript: arbitrary per-record logic as a JVM function —
+    * NiFi's scripting escape hatch. LAST RESORT by design: a black-box
+    * function breaks whole-stage codegen, predicate pushdown, and
+    * column pruning, so every other operator in this package should be
+    * preferred; this exists for the genuinely-imperative remainder.
+    * The operator stays narrow (no shuffle) and distributed. */
+  def executeScript(df: DataFrame, outSchema: org.apache.spark.sql.types.StructType)
+                   (fn: org.apache.spark.sql.Row => org.apache.spark.sql.Row): DataFrame =
+    df.map(fn)(org.apache.spark.sql.Encoders.row(outSchema))
+
+  /** ExecuteStreamCommand-shaped variant: the function sees a whole
+    * partition's iterator (amortize per-batch setup — external process,
+    * model handle, dictionary — across the partition, the same reason
+    * NiFi streams a FlowFile through one spawned process). */
+  def executeScriptPartitions(df: DataFrame, outSchema: org.apache.spark.sql.types.StructType)
+                             (fn: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
+    df.mapPartitions(fn)(org.apache.spark.sql.Encoders.row(outSchema))
+
   /** DistributeLoad: spread rows across `n` partitions (round-robin) or
     * co-locate by key columns — NiFi's load-balancing relationship,
     * expressed as an explicit exchange. */

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.StructType
   * columnar scan (splittable formats parallelize per block) and every
   * writer is a distributed job. Schema is explicit where the format is
   * textual (CSV/JSON) so 100 TB reads never pay schema inference.
+  *
+  * OBJECT STORES (NiFi GetS3Object/PutS3Object etc.): every path here
+  * resolves through the Hadoop FileSystem API, so cloud storage is a
+  * PATH SCHEME, not an operator — `s3a://bucket/...`, `gs://...`,
+  * `abfs://...` work unchanged on clusters whose distribution carries
+  * the matching connector jars (hadoop-aws etc.; not bundled in this
+  * sandbox, which has no egress anyway). No code change needed at the
+  * operator layer.
   */
 object Io {
 

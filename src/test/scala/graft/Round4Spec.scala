@@ -51,6 +51,30 @@ class Round4Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("executeScript: per-record and per-partition escape hatches stay narrow") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("tagged", StringType)))
+    val perRecord = graft.operators.Records.executeScript(df, outSchema) { r =>
+      Row(r.getLong(0) * 10, r.getString(1) + "!")
+    }
+    assert(perRecord.as[(Long, String)].collect().toSet ===
+      Set((10L, "a!"), (20L, "b!"), (30L, "c!")))
+    // per-partition: setup cost paid once per partition, not per row
+    val perPart = graft.operators.Records.executeScriptPartitions(df, outSchema) { it =>
+      val prefix = s"p:" // stands in for an expensive per-partition handle
+      it.map(r => Row(r.getLong(0), prefix + r.getString(1)))
+    }
+    assert(perPart.as[(Long, String)].collect().toSet ===
+      Set((1L, "p:a"), (2L, "p:b"), (3L, "p:c")))
+    // the escape hatch must not introduce a shuffle
+    val plan = perRecord.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"executeScript must stay narrow:\n$plan")
+  }
+
   test("ngramJaccard: exact-boundary threshold pairs survive the positional filter") {
     // two docs with |a|=|b|=9 distinct grams and |a∩b|=8 → J = 8/10 = 0.8
     // exactly; at t=0.8 the float required-overlap bound rounds to 8.0000…x
