@@ -93,28 +93,29 @@ object Http {
           out
         }
 
+        type InFlight = (java.util.concurrent.CompletableFuture[HttpResponse[String]],
+                         HttpRequest)
         rows.grouped(concurrency).flatMap { batch =>
-          val futures = batch.map { row =>
+          // fire the whole batch async first (bounded concurrency =
+          // batch size), then drain — Left carries a pre-dispatch error
+          val dispatched: Seq[(Row, Either[String, InFlight])] = batch.map { row =>
             val url = if (row.isNullAt(urlIdx)) null else row.getString(urlIdx)
-            if (url == null || url.trim.isEmpty)
-              (row, null, Some("null or empty url"))
+            if (url == null || url.trim.isEmpty) (row, Left("null or empty url"))
             else {
               val body = bodyIdx.flatMap(i => Option(row.getString(i)))
               try {
                 val req = buildRequest(url, body)
-                (row, client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
-                  -> req, None)
+                (row, Right((client.sendAsync(req, HttpResponse.BodyHandlers.ofString()), req)))
               } catch { // malformed URI etc.
                 case e: Exception =>
-                  (row, null, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+                  (row, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
               }
             }
           }
-          futures.map {
-            case (row, null, Some(err)) =>
+          dispatched.map {
+            case (row, Left(err)) =>
               Row.fromSeq(row.toSeq ++ Seq(null, null, err))
-            case (row, (future: java.util.concurrent.CompletableFuture[
-                HttpResponse[String]] @unchecked, req: HttpRequest), None) =>
+            case (row, Right((future, req))) =>
               val (status, body, err) =
                 try {
                   val r = future.join()
@@ -128,8 +129,6 @@ object Http {
                 }
               Row.fromSeq(row.toSeq ++
                 Seq(status.orNull, body.orNull, err.orNull))
-            case (row, _, _) => // unreachable by construction
-              Row.fromSeq(row.toSeq ++ Seq(null, null, "internal dispatch error"))
           }
         }
       }
