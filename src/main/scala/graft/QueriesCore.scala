@@ -677,6 +677,28 @@ object QueriesCore {
       |                                      t -> contains(text, t)), ','), '') AS matched
       |FROM documents""".stripMargin
 
+  /** ExecuteScript (§2.5 48m): the per-record JVM escape hatch, here
+    * running a deterministic function so DuckDB can oracle it — proves
+    * the escape hatch preserves row-level semantics end-to-end. */
+  val qExecuteScript: Q = (s, d) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    Records.executeScript(c, StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("tag", StringType),
+      StructField("bal_cents", LongType)))) { r =>
+      Row(r.getLong(0),
+        r.getString(1).toUpperCase + (if (r.getDouble(2) < 0) ":NEG" else ":POS"),
+        math.round(r.getDouble(2) * 100))
+    }
+  }
+  val qExecuteScriptSql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) || CASE WHEN c_acctbal < 0 THEN ':NEG' ELSE ':POS' END AS tag,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer""".stripMargin
+
   /** AttributesToJSON: attribute envelope serialization. */
   val qAttrsToJson: Q = (s, d) => {
     Records.attributesToJson(Tables.events(s, d), Seq("event_type", "user_id"))
@@ -730,6 +752,7 @@ object QueriesCore {
     "q_moving_avg"          -> qMovingAvg,
     "q_stats_agg"           -> qStatsAgg,
     "q_scan_content"        -> qScanContent,
+    "q_execute_script"      -> qExecuteScript,
     "q_attrs_to_json"       -> qAttrsToJson)
 
   val oracles: Map[String, String] = Map(
@@ -774,5 +797,6 @@ object QueriesCore {
     "q_moving_avg"          -> qMovingAvgSql,
     "q_stats_agg"           -> qStatsAggSql,
     "q_scan_content"        -> qScanContentSql,
+    "q_execute_script"      -> qExecuteScriptSql,
     "q_attrs_to_json"       -> qAttrsToJsonSql)
 }

@@ -82,6 +82,23 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("streaming enrichment: consume -> invokeHttp -> sink (NiFi's top flow)") {
+    withServer { (_, port) =>
+      implicit val sqlCtx = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      ms.addData(1L, 2L)
+      val stream = ms.toDF.toDF("id")
+        .withColumn("url", concat(lit(s"http://127.0.0.1:$port/ok/"), col("id")))
+      val enriched = Http.invokeHttp(stream, "url", concurrency = 2)
+        .select("id", "http_status", "http_body")
+      assert(enriched.isStreaming)
+      val q = graft.streaming.Streams.toMemorySink(enriched, "http_enrich")
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("http_enrich").as[(Long, Int, String)].collect().toSet
+      assert(rows === Set((1L, 200, "hello 1"), (2L, 200, "hello 2")))
+    }
+  }
+
   test("failure route: unreachable host, malformed and null urls") {
     // port 1 on localhost: connection refused fast
     val df = Seq(
