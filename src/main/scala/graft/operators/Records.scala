@@ -298,6 +298,48 @@ object Records {
       .withColumn(outCol, col(s"__x.$requiredField").isNotNull)
       .drop("__x")
 
+  /** TransformXml (NiFi): apply an XSLT 1.0 stylesheet to an XML
+    * payload column via the JDK's javax.xml.transform. The stylesheet
+    * is compiled to a `Templates` ONCE per partition (Templates is
+    * thread-safe; per-row `Transformer`s are cheap after compilation),
+    * so the operator is narrow, distributed, and amortizes compilation
+    * like NiFi's processor-level stylesheet cache. External DTD /
+    * stylesheet resolution is DISABLED (no XXE, no egress). Rows whose
+    * payload fails to parse get null output + the error message in
+    * `<outCol>_error` — NiFi's failure relationship. */
+  def transformXml(df: DataFrame, xmlCol: String, xslt: String,
+                   outCol: String = "transformed"): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(outCol, StringType, nullable = true),
+      StructField(s"${outCol}_error", StringType, nullable = true)))
+    val xmlIdx = df.schema.fieldIndex(xmlCol)
+    df.mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+      val factory = javax.xml.transform.TransformerFactory.newInstance()
+      try {
+        factory.setAttribute(javax.xml.XMLConstants.ACCESS_EXTERNAL_DTD, "")
+        factory.setAttribute(javax.xml.XMLConstants.ACCESS_EXTERNAL_STYLESHEET, "")
+      } catch { case _: IllegalArgumentException => () } // factory w/o the attrs
+      val templates = factory.newTemplates(new javax.xml.transform.stream.StreamSource(
+        new java.io.StringReader(xslt)))
+      rows.map { r =>
+        val (out, err) =
+          if (r.isNullAt(xmlIdx)) (null, "null xml payload")
+          else try {
+            val w = new java.io.StringWriter()
+            templates.newTransformer().transform(
+              new javax.xml.transform.stream.StreamSource(
+                new java.io.StringReader(r.getString(xmlIdx))),
+              new javax.xml.transform.stream.StreamResult(w))
+            (w.toString, null)
+          } catch {
+            case e: Exception => (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(out, err))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** AttributesToCSV (NiFi): selected columns as one RFC-4180 line —
     * values holding a delimiter/quote/newline are quoted, embedded
     * quotes doubled, nulls empty. Narrow, codegen'd. */

@@ -75,6 +75,29 @@ class Round4Spec extends SparkSpec {
       s"executeScript must stay narrow:\n$plan")
   }
 
+  test("transformXml: XSLT reshapes payloads; malformed XML routes to error") {
+    val xslt =
+      """<?xml version="1.0"?>
+        |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+        |  <xsl:output method="text"/>
+        |  <xsl:template match="/rec">
+        |    <xsl:value-of select="name"/>:<xsl:value-of select="qty"/>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val df = Seq(
+      (1L, "<rec><name>ax</name><qty>5</qty></rec>"),
+      (2L, "<rec><name>bx</name><qty>7</qty></rec>"),
+      (3L, "<rec><unclosed>"),
+      (4L, null: String)).toDF("id", "xml")
+    val out = graft.operators.Records.transformXml(df, "xml", xslt)
+      .select("id", "transformed", "transformed_error")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1).trim === "ax:5" && out(0).isNullAt(2))
+    assert(out(1).getString(1).trim === "bx:7" && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).getString(2) != null)
+    assert(out(3).isNullAt(1) && out(3).getString(2) === "null xml payload")
+  }
+
   test("ngramJaccard: exact-boundary threshold pairs survive the positional filter") {
     // two docs with |a|=|b|=9 distinct grams and |a∩b|=8 → J = 8/10 = 0.8
     // exactly; at t=0.8 the float required-overlap bound rounds to 8.0000…x
