@@ -77,6 +77,16 @@ class AvroIoSpec extends SparkSpec {
     assert(back === Array((1L, "a"), (2L, "b")))
   }
 
+  test("empty input roundtrips to an empty DataFrame (header-only files)") {
+    import spark.implicits._
+    val df = spark.range(0, 100).select($"id").filter($"id" < 0).repartition(2)
+    val dir = "/tmp/graft_avro_spec_empty"
+    AvroIo.writeAvro(df, dir)
+    val back = AvroIo.readAvro(spark, dir,
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    assert(back.count() === 0)
+  }
+
   test("unsupported nested types are rejected with a clear error") {
     val nested = StructType(Seq(StructField("arr", ArrayType(LongType), nullable = true)))
     val err = intercept[IllegalArgumentException] {
