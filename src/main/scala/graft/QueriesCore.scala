@@ -699,6 +699,20 @@ object QueriesCore {
       |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
       |FROM customer""".stripMargin
 
+  /** Mergeable HLL sketch rollup (§2.6 55): per-(type,status) sketches
+    * of user ids over events, unioned up to event_type — the
+    * pre-aggregate-once / roll-up-anywhere pattern. NO DuckDB oracle
+    * (DataSketches HLL registers differ from DuckDB's HLL); SketchesSpec
+    * proves union==direct and ≤2% error vs exact instead. */
+  val qHllRollup: Q = (s, d) => {
+    val fine = graft.operators.Sketches.hllBySegment(
+      Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    graft.operators.Sketches.hllRollup(fine, Seq("event_type"))
+      .select(col("event_type"),
+        graft.operators.Sketches.hllEstimate(col("hll")).cast("long").as("approx_users"))
+  }
+
   /** AttributesToJSON: attribute envelope serialization. */
   val qAttrsToJson: Q = (s, d) => {
     Records.attributesToJson(Tables.events(s, d), Seq("event_type", "user_id"))
@@ -753,6 +767,7 @@ object QueriesCore {
     "q_stats_agg"           -> qStatsAgg,
     "q_scan_content"        -> qScanContent,
     "q_execute_script"      -> qExecuteScript,
+    "q_hll_rollup"          -> qHllRollup,
     "q_attrs_to_json"       -> qAttrsToJson)
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Mergeable HLL sketches: estimates track exact distinct counts, and
+  * the union rollup equals sketching the raw data directly — the
+  * property that lets a 100 TB pipeline pre-aggregate once and answer
+  * every coarser rollup from sketches. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = (0 until 20000).map { i =>
+    // day in 0..9, source in 0..3, user ids overlapping across days
+    (i % 10, s"s${i % 4}", s"user${i % 1327}")
+  }.toDF("day", "source", "user")
+
+  test("approxDistinct within 2% of exact per group") {
+    val approx = Sketches.approxDistinct(events, Seq("source"), "user")
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy("source").agg(countDistinct("user").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.02,
+        s"group $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("rollup of per-(day,source) sketches equals sketching raw data") {
+    val fine = Sketches.hllBySegment(events, Seq("day", "source"), "user")
+    val rolled = Sketches.hllRollup(fine, Seq("source"))
+      .select(col("source"), Sketches.hllEstimate(col("hll")).cast("long").as("est"))
+      .as[(String, Long)].collect().toMap
+    val direct = Sketches.hllBySegment(events, Seq("source"), "user")
+      .select(col("source"), Sketches.hllEstimate(col("hll")).cast("long").as("est"))
+      .as[(String, Long)].collect().toMap
+    // merge-then-estimate must EQUAL estimate-of-direct-sketch: HLL
+    // union is lossless over register maxima, not an approximation of
+    // an approximation
+    assert(rolled === direct)
+  }
+
+  test("global rollup from fine segments matches exact total distinct within 2%") {
+    val fine = Sketches.hllBySegment(events, Seq("day"), "user")
+    val total = Sketches.hllRollup(fine, Nil)
+      .select(Sketches.hllEstimate(col("hll")).cast("long")).as[Long].head
+    val exact = events.select(countDistinct("user")).as[Long].head
+    assert(math.abs(total - exact).toDouble / exact <= 0.02,
+      s"rolled $total vs exact $exact")
+  }
+}
