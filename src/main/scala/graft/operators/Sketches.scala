@@ -41,4 +41,52 @@ object Sketches {
     hllBySegment(df, groupCols, valueCol, lgK)
       .select(groupCols.map(col) :+
         hll_sketch_estimate(col("hll")).cast("long").as("approx_distinct"): _*)
+
+  // ------------------------------------------------- theta set algebra
+
+  /** One compact Theta sketch per partition of `valueCol` (strings).
+    * Theta sketches support INTERSECTION, which HLL cannot — the tool
+    * for corpus-overlap questions ("how much of source B is already in
+    * source A?") without a full distinct-join. Executor-side work is a
+    * single hash-update stream per partition; only ~KB-sized compact
+    * sketches leave the executors. */
+  private def partitionSketches(df: DataFrame, valueCol: String,
+                                lgK: Int): Array[Array[Byte]] = {
+    import org.apache.datasketches.theta.UpdateSketch
+    val idx = df.schema.fieldIndex(valueCol)
+    df.select(col(valueCol)).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+      val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+      rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getString(0)))
+      Iterator.single(sk.compact().toByteArray)
+    }(org.apache.spark.sql.Encoders.BINARY).collect()
+    // bounded driver traffic: numPartitions × (≤ 8·2^lgK bytes compact)
+  }
+
+  /** Corpus overlap: estimated |A|, |B|, |A∩B| and Jaccard of the
+    * distinct `valueCol` sets of two DataFrames (e.g. document
+    * fingerprints of two sources, before committing to a full cross-
+    * corpus dedup). Distributed sketching, driver-side union/intersect
+    * of per-partition sketches (KBs each). Returns one row:
+    * (distinct_a, distinct_b, overlap, jaccard). */
+  def corpusOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                    lgK: Int = 14): DataFrame = {
+    import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches => DsSketches}
+    val spark = a.sparkSession
+    def unionOf(parts: Array[Array[Byte]]): CompactSketch = {
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      parts.foreach(p => u.union(DsSketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(p))))
+      u.getResult
+    }
+    val ua = unionOf(partitionSketches(a, valueCol, lgK))
+    val ub = unionOf(partitionSketches(b, valueCol, lgK))
+    val inter: Intersection = SetOperation.builder().buildIntersection()
+    inter.intersect(ua); inter.intersect(ub)
+    val est = (ua.getEstimate, ub.getEstimate, inter.getResult.getEstimate)
+    val jac = if (est._1 + est._2 - est._3 <= 0) 0.0
+              else est._3 / (est._1 + est._2 - est._3)
+    import spark.implicits._
+    Seq((math.round(est._1), math.round(est._2), math.round(est._3), jac))
+      .toDF("distinct_a", "distinct_b", "overlap", "jaccard")
+  }
 }

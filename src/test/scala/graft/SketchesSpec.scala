@@ -41,6 +41,23 @@ class SketchesSpec extends SparkSpec {
     assert(rolled === direct)
   }
 
+  test("theta corpusOverlap estimates |A|, |B|, intersection and jaccard") {
+    // A = users 0..9999, B = users 5000..14999 → overlap 5000, jaccard 1/3
+    val a = (0 until 10000).map(i => s"u$i").toDF("k").repartition(4)
+    val b = (5000 until 15000).map(i => s"u$i").toDF("k").repartition(3)
+    val r = Sketches.corpusOverlap(a, b, "k")
+      .as[(Long, Long, Long, Double)].head
+    assert(math.abs(r._1 - 10000).toDouble / 10000 <= 0.03, s"|A| ${r._1}")
+    assert(math.abs(r._2 - 10000).toDouble / 10000 <= 0.03, s"|B| ${r._2}")
+    assert(math.abs(r._3 - 5000).toDouble / 5000 <= 0.06, s"overlap ${r._3}")
+    assert(math.abs(r._4 - 1.0 / 3) <= 0.03, s"jaccard ${r._4}")
+    // disjoint corpora → ~zero overlap
+    val d = Sketches.corpusOverlap(
+      Seq("x1", "x2", "x3").toDF("k"), Seq("y1", "y2").toDF("k"), "k")
+      .as[(Long, Long, Long, Double)].head
+    assert(d._3 === 0L && d._4 === 0.0)
+  }
+
   test("global rollup from fine segments matches exact total distinct within 2%") {
     val fine = Sketches.hllBySegment(events, Seq("day"), "user")
     val total = Sketches.hllRollup(fine, Nil)
