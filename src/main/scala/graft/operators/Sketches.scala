@@ -62,6 +62,39 @@ object Sketches {
     // bounded driver traffic: numPartitions × (≤ 8·2^lgK bytes compact)
   }
 
+  // -------------------------------------------------- KLL quantiles
+
+  /** Mergeable quantiles: one KLL sketch per partition of `valueCol`
+    * (doubles), merged on the driver, evaluated at `quantiles`.
+    * Completes the sketch family (HLL: distinct counts, Theta: set
+    * algebra, KLL: distributions): unlike `approx_percentile`, KLL
+    * sketches can be persisted per segment and MERGED for any later
+    * rollup without rescanning — same KB-sized-state posture as
+    * [[corpusOverlap]]. Returns one row per requested quantile:
+    * (quantile, value). Normalized rank error ~1.7% at the default
+    * k=200. */
+  def quantileSketch(df: DataFrame, valueCol: String,
+                     quantiles: Seq[Double], k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0,1]")
+    val spark = df.sparkSession
+    val parts: Array[Array[Byte]] =
+      df.select(col(valueCol).cast("double")).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getDouble(0)))
+        Iterator.single(sk.toByteArray)
+      }(org.apache.spark.sql.Encoders.BINARY).collect()
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    parts.foreach { p =>
+      merged.merge(KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(p)))
+    }
+    import spark.implicits._
+    if (merged.isEmpty) quantiles.map(q => (q, Double.NaN)).toDF("quantile", "value")
+    else quantiles.map(q => (q, merged.getQuantile(q))).toDF("quantile", "value")
+  }
+
   /** Corpus overlap: estimated |A|, |B|, |A∩B| and Jaccard of the
     * distinct `valueCol` sets of two DataFrames (e.g. document
     * fingerprints of two sources, before committing to a full cross-

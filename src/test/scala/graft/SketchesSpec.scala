@@ -58,6 +58,25 @@ class SketchesSpec extends SparkSpec {
     assert(d._3 === 0L && d._4 === 0.0)
   }
 
+  test("KLL quantile sketch tracks exact percentiles within rank tolerance") {
+    // uniform 0..99999 shuffled across partitions: quantile q ≈ 100000q
+    val vals = scala.util.Random.shuffle((0 until 100000).toVector)
+      .map(_.toDouble).toDF("v").repartition(8)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = Sketches.quantileSketch(vals, "v", qs)
+      .as[(Double, Double)].collect().toMap
+    qs.foreach { q =>
+      val expected = q * 100000
+      // 1.7% normalized RANK error at k=200 → value error ~1700 on uniform
+      assert(math.abs(got(q) - expected) <= 2500,
+        s"q=$q got ${got(q)} expected ~$expected")
+    }
+    // empty input → NaN values, not a crash
+    val empty = Sketches.quantileSketch(vals.filter(col("v") < 0), "v", Seq(0.5))
+      .as[(Double, Double)].head
+    assert(empty._2.isNaN)
+  }
+
   test("global rollup from fine segments matches exact total distinct within 2%") {
     val fine = Sketches.hllBySegment(events, Seq("day"), "user")
     val total = Sketches.hllRollup(fine, Nil)
