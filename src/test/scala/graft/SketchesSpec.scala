@@ -58,6 +58,32 @@ class SketchesSpec extends SparkSpec {
     assert(d._3 === 0L && d._4 === 0.0)
   }
 
+  test("HLL sketch aggregation works on a watermarked stream") {
+    // streaming distinct-users per window: the sketch agg is just
+    // another Tungsten aggregate, so it composes with watermark state
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    ms.addData(("u1", ts(10)), ("u2", ts(20)), ("u1", ts(30)), // window 0
+               ("u3", ts(70)), ("u3", ts(80)))                 // window 1
+    val agged = ms.toDF.toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(hll_sketch_agg(col("user")).as("hll"))
+      .select(col("window.start").as("w"),
+        hll_sketch_estimate(col("hll")).cast("long").as("users"))
+    // Complete mode: with all data preloaded the watermark never passes
+    // the windows, so Append would emit nothing before the query stops
+    val q = graft.streaming.Streams.toMemorySink(agged, "hll_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hll_stream")
+      .select(date_format(col("w"), "mm").cast("int"), col("users"))
+      .as[(Int, Long)].collect().toMap
+    assert(rows === Map(0 -> 2L, 1 -> 1L))
+  }
+
   test("KLL quantile sketch tracks exact percentiles within rank tolerance") {
     // uniform 0..99999 shuffled across partitions: quantile q ≈ 100000q
     val vals = scala.util.Random.shuffle((0 until 100000).toVector)
