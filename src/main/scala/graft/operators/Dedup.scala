@@ -314,13 +314,13 @@ object Dedup {
     // (Σ ids must fit a long: fine up to ~10⁹ nodes with ~10⁹ ids;
     // beyond that switch the probe back to a changed-count.)
     def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("cluster")).head
+      val r = df.agg(sum("cluster")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null ⟺ empty graph
     }
     // node count is fixed across rounds (propagate preserves the id set),
     // so the broadcast gate is decided once — fused into the first sum
     // job (both scan the just-checkpointed label blocks)
-    val firstAgg = labels.agg(sum("cluster"), count(lit(1))).head
+    val firstAgg = labels.agg(sum("cluster"), count(lit(1))).head()
     var prevSum = if (firstAgg.isNullAt(0)) 0L else firstAgg.getLong(0)
     val useBroadcast = shouldBroadcastLabels(firstAgg.getLong(1),
       pairs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m"))

@@ -75,6 +75,25 @@ class Round4Spec extends SparkSpec {
       s"executeScript must stay narrow:\n$plan")
   }
 
+  test("clusters converges on a 20k-node pathological graph within maxIter") {
+    // worst shapes for label propagation: one long chain (diameter
+    // 10000 — pointer jumping must collapse it in O(log n) rounds, not
+    // O(n)) + one big star + isolated pairs, all in one pair table
+    val chain = (0L until 10000L).map(i => (i, i + 1))          // 0-...-10000
+    val star = (1L to 5000L).map(i => (20000L, 20000L + i))     // hub 20000
+    val pairs2 = (0L until 2500L).map(i => (30000L + 2 * i, 30001L + 2 * i))
+    val pairs = (chain ++ star ++ pairs2).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    // chain: all nodes label 0
+    assert((0L to 10000L).forall(labels(_) == 0L), "chain not fully collapsed")
+    // star: hub + leaves all label 20000
+    assert(labels(20000L) == 20000L && (1L to 5000L).forall(i => labels(20000L + i) == 20000L))
+    // isolated pairs: each labeled by its smaller member
+    assert((0L until 2500L).forall(i => labels(30001L + 2 * i) == 30000L + 2 * i))
+    assert(labels.size === 10001 + 5001 + 5000)
+  }
+
   test("transformXml: XSLT reshapes payloads; malformed XML routes to error") {
     val xslt =
       """<?xml version="1.0"?>
