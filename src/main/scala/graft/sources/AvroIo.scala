@@ -109,6 +109,37 @@ object AvroIo {
     }
   }
 
+  /** ExtractAvroMetadata (NiFi): schema JSON + codec + record count of
+    * each container file, WITHOUT deserializing records (the reader
+    * skips blocks; counts come from block headers). One row per file. */
+  def avroMetadata(spark: SparkSession, path: String): DataFrame = {
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hconf.value)
+    val files = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
+    val parallelism = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(files, parallelism).map { file =>
+      val reader = new DataFileReader[GenericRecord](
+        new FsInput(new Path(file), hconf.value),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        var n = 0L
+        while (reader.hasNext) { // hops block to block via block counts
+          n += reader.getBlockCount
+          reader.nextBlock()
+        }
+        Row(file, reader.getSchema.toString, reader.getMetaString("avro.codec"), n)
+      } finally reader.close()
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("schema_json", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("codec", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("records", org.apache.spark.sql.types.LongType))))
+  }
+
   /** DataFrame ← avro container files: the file listing parallelizes
     * across the cluster; each task streams its files record-by-record
     * (no whole-file buffering, so file size is bounded only by disk). */

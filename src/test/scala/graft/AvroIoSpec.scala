@@ -77,6 +77,21 @@ class AvroIoSpec extends SparkSpec {
     assert(back === Array((1L, "a"), (2L, "b")))
   }
 
+  test("avroMetadata reads schema/codec/record counts from headers only") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select($"id").repartition(4)
+    val dir = "/tmp/graft_avro_spec_meta"
+    AvroIo.writeAvro(df, dir)
+    val meta = AvroIo.avroMetadata(spark, dir)
+      .select("codec", "records").as[(String, Long)].collect()
+    assert(meta.length === 4)
+    assert(meta.forall(_._1 == "snappy"))
+    assert(meta.map(_._2).sum === 1000L)
+    val schemaJson = AvroIo.avroMetadata(spark, dir)
+      .select("schema_json").as[String].head
+    assert(schemaJson.contains("\"name\":\"id\""))
+  }
+
   test("empty input roundtrips to an empty DataFrame (header-only files)") {
     import spark.implicits._
     val df = spark.range(0, 100).select($"id").filter($"id" < 0).repartition(2)
