@@ -216,6 +216,34 @@ object QueriesLlm {
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin
 
+  /** SemDeDup-style semantic dedup end-to-end (§2.4): embedding-cosine
+    * pairs within blocks → connected components → keep each cluster's
+    * min-id representative + all singletons. The full keep/drop
+    * decision a training-data pipeline makes, hash-checked against a
+    * DuckDB recursive-closure oracle. */
+  val qSemanticDedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", "label", 0.35)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dropNearDuplicates(emb, "vec_id", pairs).select("vec_id", "label")
+  }
+  val qSemanticDedupSql: String =
+    """WITH RECURSIVE e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+      |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION SELECT s, t FROM edges
+      |  UNION SELECT reach.id, e2.t FROM reach JOIN edges e2 ON reach.r = e2.s),
+      |losers AS (SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |           WHERE id <> cluster)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
+
   /** Exact cosine top-k via per-partition heaps (§2.4 #34). */
   val qEmbedCosineTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -545,6 +573,7 @@ object QueriesLlm {
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
+    "q_semantic_dedup"      -> qSemanticDedup,
     "q_embed_cosine_topk"   -> qEmbedCosineTopk,
     "q_ann_lsh"             -> qAnnLsh,
     "q_ann_ivf"             -> qAnnIvf,
@@ -571,6 +600,7 @@ object QueriesLlm {
     "q_dedup_jaccard"       -> qDedupJaccardSql,
     "q_dedup_cluster"       -> qDedupClusterSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
+    "q_semantic_dedup"      -> qSemanticDedupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
     "q_embed_quantized"     -> qEmbedQuantizedSql,
     "q_repetition"          -> qRepetitionSql,
