@@ -84,9 +84,17 @@ object El {
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = true
           case "allAttributes" =>
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = false
+          // NiFi's nondeterministic standalones — documented as such
+          // (excluded from every oracle query for exactly that reason)
+          case "now" => subjects = Seq(current_timestamp())
+          case "UUID" | "uuid" => subjects = Seq(expr("uuid()"))
+          case "random" => // NiFi: uniform long in [0, Long.MaxValue)
+            subjects = Seq((rand() * Long.MaxValue).cast("long"))
+          case "hostname" => // deterministic per driver; fine for tagging
+            subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostName))
           case other => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
         }
-        require(subjects.nonEmpty, s"$word needs at least one attribute name")
+        require(subjects.nonEmpty, s"$word needs at least one attribute name or be a 0-arg standalone")
       } else subjects = Seq(col(word))
     }
     i = skipWs(s, i)

@@ -126,6 +126,23 @@ class ElSpec extends SparkSpec {
     assert(e("${anyAttribute('a','b'):contains('et'):count()}") == 1L)
   }
 
+  test("nondeterministic standalones: now/UUID/random/hostname") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1, 2).toDF("x")
+    val year = java.time.Year.now.getValue.toString
+    val rows = df.select(
+      El.compile("${now():format('yyyy')}").as("y"),
+      El.compile("${UUID()}").as("u"),
+      El.compileExpr("${random()}").as("r"),
+      El.compile("${hostname()}").as("h")).collect()
+    assert(rows.forall(_.getString(0) == year))
+    val uuids = rows.map(_.getString(1))
+    assert(uuids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(uuids.distinct.length == 2, "uuid must differ per row")
+    assert(rows.forall(r => r.getLong(2) >= 0L))
+    assert(rows.forall(_.getString(3).nonEmpty))
+  }
+
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
