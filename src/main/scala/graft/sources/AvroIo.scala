@@ -88,10 +88,19 @@ object AvroIo {
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     df.foreachPartition { rows: Iterator[Row] =>
-      val pid = TaskContext.getPartitionId()
+      val ctx = TaskContext.get()
+      val pid = ctx.partitionId()
       val schema = new Schema.Parser().parse(avroJson)
-      val part = new Path(path, f"part-$pid%05d.avro")
-      val out = part.getFileSystem(hconf.value).create(part, true)
+      val partFs = new Path(path).getFileSystem(hconf.value)
+      // task-attempt-unique temp + rename: a task that dies mid-write
+      // leaves only a .tmp (never a partial final file), and a retried
+      // or speculative attempt re-produces identical bytes from the
+      // same deterministic partition, so whichever rename lands last
+      // yields a correct file. The bare create(dest) alternative
+      // corrupts the partition on any retry at scale.
+      val tmp = new Path(path, s".part-$pid-${ctx.taskAttemptId()}.avro.tmp")
+      val dest = new Path(path, f"part-$pid%05d.avro")
+      val out = partFs.create(tmp, true)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       writer.create(schema, out)
@@ -106,6 +115,9 @@ object AvroIo {
           writer.append(rec)
         }
       } finally writer.close() // also closes the stream
+      if (partFs.exists(dest)) partFs.delete(dest, false) // failed prior attempt
+      if (!partFs.rename(tmp, dest)) partFs.delete(tmp, false) // identical twin won
+      ()
     }
   }
 
