@@ -29,7 +29,7 @@ object ListenHttp {
     * its lifecycle (`stop(0)`). Port 0 picks a free port
     * (`server.getAddress.getPort`). */
   def start(port: Int, spoolDir: String, path: String = "/ingest",
-            suffix: String = ".dat"): HttpServer = {
+            suffix: String = ".dat", handlerThreads: Int = 8): HttpServer = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     val seq = new AtomicLong(0L)
@@ -52,6 +52,13 @@ object ListenHttp {
         }
       } finally ex.close()
     })
+    // concurrent request handling (the default executor serializes on
+    // the dispatch thread); spool names stay unique via the AtomicLong.
+    // Daemon threads: server.stop() has no executor hook, so the pool
+    // must never pin the JVM
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      handlerThreads,
+      (r: Runnable) => { val t = new Thread(r, "graft-listen-http"); t.setDaemon(true); t }))
     server.start()
     server
   }
