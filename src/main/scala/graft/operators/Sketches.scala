@@ -53,7 +53,6 @@ object Sketches {
   private def partitionSketches(df: DataFrame, valueCol: String,
                                 lgK: Int): Array[Array[Byte]] = {
     import org.apache.datasketches.theta.UpdateSketch
-    val idx = df.schema.fieldIndex(valueCol)
     df.select(col(valueCol)).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
       val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
       rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getString(0)))

@@ -48,4 +48,29 @@ class ListenHttpSpec extends SparkSpec {
       assert(rows === Set(("a", 1L), ("b", 2L), ("a", 3L)))
     } finally server.stop(0)
   }
+
+  test("concurrent posts land as distinct complete spool files") {
+    val spool = Files.createTempDirectory("graft_listen_http_c").toString
+    val server = ListenHttp.start(0, spool, suffix = ".txt")
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val posts = (0 until 40).map { i =>
+        Future {
+          client.send(
+            HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+              .POST(HttpRequest.BodyPublishers.ofString(s"payload-$i")).build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+        }
+      }
+      assert(Await.result(Future.sequence(posts), 30.seconds).forall(_ == 200))
+      val files = new java.io.File(spool).listFiles().filter(_.getName.endsWith(".txt"))
+      assert(files.length === 40, "every concurrent post must spool exactly one file")
+      val bodies = files.map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).toSet
+      assert(bodies === (0 until 40).map(i => s"payload-$i").toSet)
+    } finally server.stop(0)
+  }
 }
