@@ -75,6 +75,13 @@ class Round4Spec extends SparkSpec {
       s"executeScript must stay narrow:\n$plan")
   }
 
+  test("driver contract: entry() returns rows and every query has a catalog type") {
+    assert(SparkEntry.entry(spark).count() > 0, "flagship entry must return rows")
+    // every oracle key must have a matching query; no orphaned SQL
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
   test("clusters converges on a 20k-node pathological graph within maxIter") {
     // worst shapes for label propagation: one long chain (diameter
     // 10000 — pointer jumping must collapse it in O(log n) rounds, not
