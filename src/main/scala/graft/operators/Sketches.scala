@@ -44,48 +44,84 @@ object Sketches {
 
   // ------------------------------------------------- theta set algebra
 
-  /** One compact Theta sketch per partition of `valueCol` (strings).
-    * Theta sketches support INTERSECTION, which HLL cannot — the tool
-    * for corpus-overlap questions ("how much of source B is already in
-    * source A?") without a full distinct-join. Executor-side work is a
-    * single hash-update stream per partition; only ~KB-sized compact
-    * sketches leave the executors. */
-  private def partitionSketches(df: DataFrame, valueCol: String,
-                                lgK: Int): Array[Array[Byte]] = {
-    import org.apache.datasketches.theta.UpdateSketch
-    df.select(col(valueCol)).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+  /** Two-level executor-side merge: per-partition blobs are shuffled
+    * into ~√P groups and merged INSIDE executors; the driver collects
+    * only the ≤√P group results. At 100 TB (~800k input partitions)
+    * that is ~900 sketches to the driver instead of 800k — the merge
+    * work itself stays distributed. */
+  private def groupMerged(parts: org.apache.spark.sql.Dataset[Array[Byte]],
+                          mergeGroup: Iterator[Array[Byte]] => Array[Byte])
+      : Array[Array[Byte]] = {
+    val p = math.max(1, parts.rdd.getNumPartitions)
+    val groups = math.max(1, math.round(math.sqrt(p.toDouble)).toInt)
+    parts.repartition(groups)
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty else Iterator.single(mergeGroup(it))
+      }(org.apache.spark.sql.Encoders.BINARY)
+      .collect()
+  }
+
+  /** One compact Theta sketch per partition of `valueCol` (strings),
+    * merged executor-side to ≤√P group sketches. Theta sketches support
+    * INTERSECTION, which HLL cannot — the tool for corpus-overlap
+    * questions ("how much of source B is already in source A?") without
+    * a full distinct-join. Executor-side work is a single hash-update
+    * stream per partition; only ~KB-sized group sketches reach the
+    * driver. */
+  private[graft] def thetaGroupSketches(df: DataFrame, valueCol: String,
+                                        lgK: Int): Array[Array[Byte]] = {
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch, Sketches => DsSketches}
+    val parts = df.select(col(valueCol)).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
       val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
       rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getString(0)))
       Iterator.single(sk.compact().toByteArray)
-    }(org.apache.spark.sql.Encoders.BINARY).collect()
-    // bounded driver traffic: numPartitions × (≤ 8·2^lgK bytes compact)
+    }(org.apache.spark.sql.Encoders.BINARY)
+    groupMerged(parts, { it =>
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      it.foreach(b => u.union(DsSketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(b))))
+      u.getResult.toByteArray
+    })
   }
 
   // -------------------------------------------------- KLL quantiles
 
+  /** Per-partition KLL sketches merged executor-side to ≤√P group
+    * sketches (same two-level posture as [[thetaGroupSketches]]). */
+  private[graft] def kllGroupSketches(df: DataFrame, valueCol: String,
+                                      k: Int): Array[Array[Byte]] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val parts = df.select(col(valueCol).cast("double")).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+      val sk = KllDoublesSketch.newHeapInstance(k)
+      rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getDouble(0)))
+      Iterator.single(sk.toByteArray)
+    }(org.apache.spark.sql.Encoders.BINARY)
+    groupMerged(parts, { it =>
+      val m = KllDoublesSketch.newHeapInstance(k)
+      it.foreach(b => m.merge(KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))))
+      m.toByteArray
+    })
+  }
+
   /** Mergeable quantiles: one KLL sketch per partition of `valueCol`
-    * (doubles), merged on the driver, evaluated at `quantiles`.
-    * Completes the sketch family (HLL: distinct counts, Theta: set
-    * algebra, KLL: distributions): unlike `approx_percentile`, KLL
-    * sketches can be persisted per segment and MERGED for any later
-    * rollup without rescanning — same KB-sized-state posture as
-    * [[corpusOverlap]]. Returns one row per requested quantile:
-    * (quantile, value). Normalized rank error ~1.7% at the default
-    * k=200. */
+    * (doubles), merged in two levels (executor groups → driver),
+    * evaluated at `quantiles`. Completes the sketch family (HLL:
+    * distinct counts, Theta: set algebra, KLL: distributions): unlike
+    * `approx_percentile`, KLL sketches can be persisted per segment and
+    * MERGED for any later rollup without rescanning — same
+    * KB-sized-state posture as [[corpusOverlap]]. Returns one row per
+    * requested quantile: (quantile, value). Normalized rank error ~1.7%
+    * at the default k=200. */
   def quantileSketch(df: DataFrame, valueCol: String,
                      quantiles: Seq[Double], k: Int = 200): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0,1]")
     val spark = df.sparkSession
-    val parts: Array[Array[Byte]] =
-      df.select(col(valueCol).cast("double")).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
-        val sk = KllDoublesSketch.newHeapInstance(k)
-        rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getDouble(0)))
-        Iterator.single(sk.toByteArray)
-      }(org.apache.spark.sql.Encoders.BINARY).collect()
+    val groups = kllGroupSketches(df, valueCol, k)
     val merged = KllDoublesSketch.newHeapInstance(k)
-    parts.foreach { p =>
+    groups.foreach { p =>
       merged.merge(KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(p)))
     }
@@ -97,9 +133,10 @@ object Sketches {
   /** Corpus overlap: estimated |A|, |B|, |A∩B| and Jaccard of the
     * distinct `valueCol` sets of two DataFrames (e.g. document
     * fingerprints of two sources, before committing to a full cross-
-    * corpus dedup). Distributed sketching, driver-side union/intersect
-    * of per-partition sketches (KBs each). Returns one row:
-    * (distinct_a, distinct_b, overlap, jaccard). */
+    * corpus dedup). Distributed sketching AND merging: executors union
+    * per-partition sketches within √P groups; the driver only
+    * union/intersects the ≤√P group results (KBs each). Returns one
+    * row: (distinct_a, distinct_b, overlap, jaccard). */
   def corpusOverlap(a: DataFrame, b: DataFrame, valueCol: String,
                     lgK: Int = 14): DataFrame = {
     import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches => DsSketches}
@@ -110,8 +147,8 @@ object Sketches {
         org.apache.datasketches.memory.Memory.wrap(p))))
       u.getResult
     }
-    val ua = unionOf(partitionSketches(a, valueCol, lgK))
-    val ub = unionOf(partitionSketches(b, valueCol, lgK))
+    val ua = unionOf(thetaGroupSketches(a, valueCol, lgK))
+    val ub = unionOf(thetaGroupSketches(b, valueCol, lgK))
     val inter: Intersection = SetOperation.builder().buildIntersection()
     inter.intersect(ua); inter.intersect(ub)
     val est = (ua.getEstimate, ub.getEstimate, inter.getResult.getEstimate)

@@ -103,6 +103,27 @@ class SketchesSpec extends SparkSpec {
     assert(empty._2.isNaN)
   }
 
+  test("theta/KLL merge is two-level: driver collects ≤√P group sketches") {
+    // 36 input partitions → ≤6 group sketches reach the driver; the
+    // per-partition merge happens inside executors (the 100 TB posture:
+    // ~800k partitions → ~900 driver blobs, not 800k)
+    val df = (0 until 50000).map(i => s"u${i % 4000}").toDF("k").repartition(36)
+    val g = Sketches.thetaGroupSketches(df, "k", 14)
+    assert(g.length <= 6 && g.nonEmpty, s"got ${g.length} group sketches for 36 partitions")
+    // 4000 distinct < 2^14 nominal entries → every sketch is in EXACT
+    // mode, so the two-level union estimate is exactly the distinct
+    // count regardless of merge grouping
+    import org.apache.datasketches.theta.{SetOperation, Sketches => DsSketches}
+    val u = SetOperation.builder().setLogNominalEntries(14).buildUnion()
+    g.foreach(b => u.union(DsSketches.wrapCompactSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))))
+    assert(math.round(u.getResult.getEstimate) === 4000L)
+
+    val vals = (0 until 10000).map(_.toDouble).toDF("v").repartition(25)
+    val kg = Sketches.kllGroupSketches(vals, "v", 200)
+    assert(kg.length <= 5 && kg.nonEmpty, s"got ${kg.length} KLL group sketches for 25 partitions")
+  }
+
   test("global rollup from fine segments matches exact total distinct within 2%") {
     val fine = Sketches.hllBySegment(events, Seq("day"), "user")
     val total = Sketches.hllRollup(fine, Nil)
