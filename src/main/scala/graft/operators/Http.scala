@@ -47,6 +47,13 @@ object Http {
       StructField("http_error", StringType, nullable = true)))
     val urlIdx = inSchema.fieldIndex(urlCol)
     val bodyIdx = bodyCol.map(inSchema.fieldIndex)
+    // fail fast at plan time: a non-string column would otherwise throw
+    // ClassCastException mid-job inside tasks, failing the whole job
+    // instead of landing rows in the http_error failure route
+    require(inSchema(urlIdx).dataType == StringType,
+      s"url column '$urlCol' must be string, got ${inSchema(urlIdx).dataType.catalogString}")
+    bodyIdx.foreach(i => require(inSchema(i).dataType == StringType,
+      s"body column '${bodyCol.get}' must be string, got ${inSchema(i).dataType.catalogString}"))
     val m = method.toUpperCase
     val hdrs = headers.toSeq
 

@@ -115,8 +115,18 @@ object AvroIo {
           writer.append(rec)
         }
       } finally writer.close() // also closes the stream
-      if (partFs.exists(dest)) partFs.delete(dest, false) // failed prior attempt
-      if (!partFs.rename(tmp, dest)) partFs.delete(tmp, false) // identical twin won
+      // rename-FIRST commit: a committed dest is never deleted, so a
+      // killed speculative attempt can't drop an already-committed
+      // partition file. Attempts produce identical bytes from the same
+      // deterministic partition, so "dest already exists" IS success
+      // (the twin won — just discard our tmp). Anything else is a real
+      // commit failure and must fail the task loudly, not silently
+      // succeed with no output.
+      if (!partFs.rename(tmp, dest)) {
+        if (partFs.exists(dest)) partFs.delete(tmp, false)
+        else throw new java.io.IOException(
+          s"AvroIo commit failed: rename $tmp -> $dest failed and no committed file exists")
+      }
       ()
     }
   }
@@ -165,14 +175,29 @@ object AvroIo {
       .sorted
     val parallelism = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val fields = schema.fields
+    // reader (expected) schema derived from the Spark schema: Avro then
+    // resolves writer fields BY NAME, so container files with a
+    // different field order (schema evolution, files from NiFi or
+    // another producer) land in the right columns instead of silently
+    // transposing; missing nullable fields take their null default.
+    val expectedJson = avroSchemaJson(schema, "graft_record")
     val rdd = spark.sparkContext.parallelize(files, parallelism).flatMap { file =>
+      val expected = new Schema.Parser().parse(expectedJson)
       val reader = new DataFileReader[GenericRecord](
         new FsInput(new Path(file), hconf.value),
-        new GenericDatumReader[GenericRecord]())
+        new GenericDatumReader[GenericRecord](null, expected))
+      // close on task completion too: an early-terminated scan
+      // (limit/take, downstream short-circuit) never drives hasNext to
+      // exhaustion, which would otherwise leak the handle for the
+      // task's lifetime
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+      val tc = TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
       new Iterator[Row] {
         def hasNext: Boolean = {
-          val h = reader.hasNext
-          if (!h) reader.close()
+          val h = !closed && reader.hasNext
+          if (!h) closeOnce()
           h
         }
         def next(): Row = {

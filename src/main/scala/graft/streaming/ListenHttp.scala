@@ -25,11 +25,16 @@ object ListenHttp {
 
   /** Start the endpoint. POST /<path> with a body → one spool file
     * `<epochMs>-<seq><suffix>`; responds 200 with the filename.
-    * Non-POST methods get 405. Returns the running server — callers own
-    * its lifecycle (`stop(0)`). Port 0 picks a free port
+    * Non-POST methods get 405; bodies over `maxBodyBytes` get 413 (the
+    * partial spool is discarded). Request bodies STREAM straight to the
+    * `.tmp` spool file in 64 KiB chunks — constant memory per handler
+    * thread, so an oversized or malicious POST can't OOM the ingest
+    * JVM. Returns the running server — callers own its lifecycle
+    * (`stop(0)`). Port 0 picks a free port
     * (`server.getAddress.getPort`). */
   def start(port: Int, spoolDir: String, path: String = "/ingest",
-            suffix: String = ".dat", handlerThreads: Int = 8): HttpServer = {
+            suffix: String = ".dat", handlerThreads: Int = 8,
+            maxBodyBytes: Long = 256L << 20): HttpServer = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     val seq = new AtomicLong(0L)
@@ -39,16 +44,32 @@ object ListenHttp {
         if (ex.getRequestMethod != "POST") {
           ex.sendResponseHeaders(405, -1L)
         } else {
-          val body = ex.getRequestBody.readAllBytes()
           val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
           val tmp: Path = dir.resolve(name + ".tmp")
-          Files.write(tmp, body)
-          // rename is atomic on the same filesystem: the stream source
-          // either sees the complete file or nothing
-          Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          val resp = name.getBytes("UTF-8")
-          ex.sendResponseHeaders(200, resp.length.toLong)
-          ex.getResponseBody.write(resp)
+          val in = ex.getRequestBody
+          val out = Files.newOutputStream(tmp)
+          var written = 0L
+          var overflow = false
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0 && !overflow) {
+              written += n
+              if (written > maxBodyBytes) overflow = true
+              else { out.write(buf, 0, n); n = in.read(buf) }
+            }
+          } finally out.close()
+          if (overflow) {
+            Files.deleteIfExists(tmp)
+            ex.sendResponseHeaders(413, -1L)
+          } else {
+            // rename is atomic on the same filesystem: the stream source
+            // either sees the complete file or nothing
+            Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            val resp = name.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, resp.length.toLong)
+            ex.getResponseBody.write(resp)
+          }
         }
       } finally ex.close()
     })

@@ -102,6 +102,40 @@ class AvroIoSpec extends SparkSpec {
     assert(back.count() === 0)
   }
 
+  test("reader resolves fields BY NAME: reordered/evolved container files land in the right columns") {
+    import spark.implicits._
+    // writer schema order (k, v); read with the columns swapped — Avro
+    // schema resolution must match by name, not position
+    val dir = "/tmp/graft_avro_spec_evolution"
+    AvroIo.writeAvro(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val swapped = StructType(Seq(
+      StructField("v", StringType, nullable = true),
+      StructField("k", LongType, nullable = false)))
+    val back = AvroIo.readAvro(spark, dir, swapped)
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(back === Array((1L, "a"), (2L, "b")))
+    // a reader field ABSENT from the files takes its null default
+    // (forward-compatible schema evolution), instead of transposing
+    val widened = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("extra", StringType, nullable = true),
+      StructField("v", StringType, nullable = true)))
+    val rows = AvroIo.readAvro(spark, dir, widened)
+      .select("k", "extra", "v").collect().sortBy(_.getLong(0))
+    assert(rows.map(r => (r.getLong(0), r.get(1), r.getString(2))).toSeq ===
+      Seq((1L, null, "a"), (2L, null, "b")))
+  }
+
+  test("early-terminated scans (limit) don't wedge the reader") {
+    import spark.implicits._
+    val dir = "/tmp/graft_avro_spec_limit"
+    AvroIo.writeAvro(spark.range(0, 1000).select($"id"), dir)
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    // limit short-circuits before hasNext exhaustion; the task-completion
+    // listener must close the file handle without breaking the scan
+    assert(AvroIo.readAvro(spark, dir, schema).limit(5).count() === 5)
+  }
+
   test("unsupported nested types are rejected with a clear error") {
     val nested = StructType(Seq(StructField("arr", ArrayType(LongType), nullable = true)))
     val err = intercept[IllegalArgumentException] {

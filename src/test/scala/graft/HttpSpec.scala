@@ -99,6 +99,19 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("non-string url/body columns are rejected at plan time, not mid-job") {
+    val df = Seq((1, 2L)).toDF("id", "url")
+    val err = intercept[IllegalArgumentException] {
+      Http.invokeHttp(df, "url")
+    }
+    assert(err.getMessage.contains("must be string"))
+    val err2 = intercept[IllegalArgumentException] {
+      Http.invokeHttp(Seq((1, "http://x", 9)).toDF("id", "url", "b"),
+        "url", method = "POST", bodyCol = Some("b"))
+    }
+    assert(err2.getMessage.contains("must be string"))
+  }
+
   test("failure route: unreachable host, malformed and null urls") {
     // port 1 on localhost: connection refused fast
     val df = Seq(

@@ -49,6 +49,30 @@ class ListenHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("bodies stream to the spool at constant memory; oversize gets 413") {
+    val spool = Files.createTempDirectory("graft_listen_http_big").toString
+    // 1 MiB cap: a 4 MiB POST must be refused with 413 and leave no
+    // spool file (not even a .tmp); an 800 KiB POST streams through
+    val server = ListenHttp.start(0, spool, suffix = ".bin", maxBodyBytes = 1L << 20)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(body: Array[Byte]) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val big = Array.fill[Byte](4 << 20)(7)
+      assert(post(big).statusCode() === 413)
+      assert(new java.io.File(spool).listFiles().isEmpty,
+        "oversize POST must not leave spool or tmp files")
+      val ok = Array.fill[Byte](800 << 10)(9)
+      val r = post(ok)
+      assert(r.statusCode() === 200)
+      val f = new java.io.File(spool, r.body())
+      assert(f.length() === ok.length.toLong)
+    } finally server.stop(0)
+  }
+
   test("concurrent posts land as distinct complete spool files") {
     val spool = Files.createTempDirectory("graft_listen_http_c").toString
     val server = ListenHttp.start(0, spool, suffix = ".txt")
