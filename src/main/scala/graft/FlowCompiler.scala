@@ -1,0 +1,202 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Records, Route}
+
+/** Flow-definition compiler — NiFi Registry parity (the reference
+  * deploys a registry for versioned flow definitions,
+  * nifi-registry/deployement.yaml:1): NiFi users author flows as
+  * versioned JSON artifacts, not code. This compiles a flow-definition
+  * snapshot subset — `flowContents` with `processors`, `inputPorts`,
+  * `outputPorts`, `connections` — into ONE composed Catalyst plan over
+  * the graft operators, so a flow authored as data runs as a single
+  * declarative DataFrame pipeline (lazy, optimized end-to-end; no
+  * per-processor materialization).
+  *
+  * Supported processor types (matched on the simple name suffix, so
+  * full NiFi type ids like `org.apache.nifi.processors.standard.
+  * RouteOnAttribute` work verbatim):
+  *
+  *  - `EvaluateJsonPath` — dynamic properties `col -> $.path` over the
+  *    content column (property `Content Column`, default `content`).
+  *  - `UpdateAttribute` — dynamic properties `col -> EL template`; a
+  *    property that is exactly one `${...}` expression keeps its native
+  *    type ([[graft.functions.El.compileExpr]]), anything else compiles
+  *    as a string template ([[graft.functions.El.compile]]) — NiFi
+  *    semantics (all properties evaluate against the INCOMING record).
+  *  - `RouteOnAttribute` — dynamic properties `route -> EL predicate`
+  *    ([[Route.taggedFromElConfig]] single-pass tagged routing: first
+  *    match in property order wins, non-matches tag `unmatched`).
+  *    Property `Route Column` (default `route`) names the tag column.
+  *  - `RouteOnContent` — dynamic properties `route -> regex` over the
+  *    content column.
+  *  - `ReplaceText` — `Search Value` regex replaced with `Replacement
+  *    Value` in the content column.
+  *  - `QueryRecord` — property `Query` (or the first dynamic property):
+  *    Spark SQL with `FLOWFILE` as the incoming relation name.
+  *
+  * Connections wire `source.id -> destination.id`; a connection from a
+  * router with `selectedRelationships` that name a PROPER subset of its
+  * routes filters the tagged stream to those routes (naming every
+  * route, or none, passes the single-scan tagged stream through
+  * unfiltered — no plan split). Fan-in unions by name; fan-out shares
+  * the upstream plan. Input ports bind to caller-supplied DataFrames by
+  * port name; output ports name the compiled results.
+  */
+object FlowCompiler {
+
+  final case class Processor(id: String, name: String, tpe: String,
+                             props: Seq[(String, String)])
+  final case class Connection(src: String, dst: String, rels: Seq[String])
+  final case class Flow(name: String,
+                        processors: Seq[Processor],
+                        inputPorts: Seq[(String, String)],  // id -> name
+                        outputPorts: Seq[(String, String)], // id -> name
+                        connections: Seq[Connection])
+
+  /** Parse the flow-definition JSON subset. Property order is preserved
+    * (it is route priority for RouteOnAttribute). */
+  def parse(json: String): Flow = {
+    val root = new ObjectMapper().readTree(json)
+    val fc = if (root.has("flowContents")) root.get("flowContents") else root
+    def str(n: JsonNode, f: String, dflt: String = ""): String =
+      if (n != null && n.has(f)) n.get(f).asText() else dflt
+    def arr(f: String): Seq[JsonNode] =
+      if (fc.has(f)) fc.get(f).elements().asScala.toSeq else Nil
+    val procs = arr("processors").map { p =>
+      val props = if (p.has("properties"))
+        p.get("properties").fields().asScala.toSeq
+          .map(e => e.getKey -> e.getValue.asText())
+      else Nil
+      Processor(str(p, "identifier"), str(p, "name"), str(p, "type"), props)
+    }
+    def ports(f: String) = arr(f).map(p => str(p, "identifier") -> str(p, "name"))
+    val conns = arr("connections").map { c =>
+      val rels = if (c.has("selectedRelationships"))
+        c.get("selectedRelationships").elements().asScala.toSeq.map(_.asText())
+      else Nil
+      Connection(str(c.get("source"), "id"), str(c.get("destination"), "id"), rels)
+    }
+    Flow(str(fc, "name", "flow"), procs, ports("inputPorts"), ports("outputPorts"), conns)
+  }
+
+  /** Compile + bind: `inputs` maps input-port NAMES to DataFrames;
+    * returns output-port NAME -> composed DataFrame. */
+  def compile(spark: SparkSession, flow: Flow,
+              inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val procById = flow.processors.map(p => p.id -> p).toMap
+    val inPortName = flow.inputPorts.toMap
+    val outPortName = flow.outputPorts.toMap
+    val incoming = flow.connections.groupBy(_.dst)
+
+    // node id -> compiled DataFrame, memoized so fan-out shares one plan
+    val compiled = scala.collection.mutable.Map.empty[String, DataFrame]
+    var visiting = Set.empty[String] // cycle guard
+
+    def routeColOf(p: Processor): String =
+      p.props.collectFirst { case ("Route Column", v) => v }.getOrElse("route")
+
+    /** The stream a connection delivers: the source's output, filtered
+      * to the selected routes when the source is a router and the
+      * selection is a proper subset. */
+    def connInput(c: Connection): DataFrame = {
+      val up = compileNode(c.src)
+      procById.get(c.src) match {
+        case Some(p) if p.tpe.endsWith("RouteOnAttribute") || p.tpe.endsWith("RouteOnContent") =>
+          val allRoutes = dynamicProps(p).map(_._1) :+ "unmatched"
+          if (c.rels.isEmpty || allRoutes.forall(c.rels.contains)) up
+          else up.filter(col(routeColOf(p)).isin(c.rels: _*))
+        case _ => up
+      }
+    }
+
+    def compileNode(id: String): DataFrame = compiled.getOrElseUpdate(id, {
+      require(!visiting.contains(id), s"flow has a cycle through $id")
+      visiting += id
+      val out = inPortName.get(id) match {
+        case Some(port) =>
+          inputs.getOrElse(port, throw new IllegalArgumentException(
+            s"no input bound for port '$port' (have: ${inputs.keys.mkString(", ")})"))
+        case None =>
+          val ins = incoming.getOrElse(id, Nil).map(connInput)
+          if (outPortName.contains(id)) {
+            require(ins.nonEmpty, s"output port ${outPortName(id)} has no incoming connection")
+            ins.reduce(_ unionByName _)
+          } else {
+            val p = procById.getOrElse(id, throw new IllegalArgumentException(
+              s"connection references unknown node $id"))
+            require(ins.nonEmpty, s"processor ${p.name} has no incoming connection")
+            applyProcessor(spark, p, ins.reduce(_ unionByName _))
+          }
+      }
+      visiting -= id
+      out
+    })
+
+    flow.outputPorts.map { case (id, name) => name -> compileNode(id) }.toMap
+  }
+
+  /** One-call convenience: parse + compile. */
+  def compile(spark: SparkSession, json: String,
+              inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    compile(spark, parse(json), inputs)
+
+  // ---------------------------------------------------------- processors
+
+  /** Fixed (framework) property names per processor — everything else
+    * is a dynamic property, NiFi-style. */
+  private val fixedProps = Set("Content Column", "Route Column", "Routing Strategy",
+    "Destination", "Return Type", "Search Value", "Replacement Value",
+    "Replacement Strategy", "Query", "Record Reader", "Record Writer",
+    "Include Zero Record FlowFiles", "Cache Schema")
+
+  private def dynamicProps(p: Processor): Seq[(String, String)] =
+    p.props.filterNot { case (k, _) => fixedProps.contains(k) }
+
+  private def prop(p: Processor, name: String, dflt: String): String =
+    p.props.collectFirst { case (`name`, v) => v }.getOrElse(dflt)
+
+  /** A property that is exactly one `${...}` expression keeps its EL
+    * native type; anything else is a string template. */
+  private def compileProperty(template: String): Column = {
+    val t = template.trim
+    if (t.startsWith("${") && t.endsWith("}") &&
+        t.indexOf("${", 2) < 0) // single expression, no trailing text
+      scala.util.Try(graft.functions.El.compileExpr(t))
+        .getOrElse(graft.functions.El.compile(template))
+    else graft.functions.El.compile(template)
+  }
+
+  private def applyProcessor(spark: SparkSession, p: Processor, in: DataFrame): DataFrame = {
+    val simple = p.tpe.split('.').last
+    simple match {
+      case "EvaluateJsonPath" =>
+        Records.jsonPath(in, prop(p, "Content Column", "content"), dynamicProps(p): _*)
+      case "UpdateAttribute" =>
+        Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t) }: _*)
+      case "RouteOnAttribute" =>
+        Route.taggedFromElConfig(in, dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
+      case "RouteOnContent" =>
+        Route.taggedOnContent(in, prop(p, "Content Column", "content"),
+          dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
+      case "ReplaceText" =>
+        Records.replaceText(in, prop(p, "Content Column", "content"),
+          prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))
+      case "QueryRecord" =>
+        val sql = p.props.collectFirst { case ("Query", v) => v }
+          .orElse(dynamicProps(p).headOption.map(_._2))
+          .getOrElse(throw new IllegalArgumentException(
+            s"QueryRecord ${p.name} needs a Query property"))
+        val view = s"flowfile_${math.abs(p.id.hashCode).toString}"
+        in.createOrReplaceTempView(view)
+        spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
+      case other => throw new IllegalArgumentException(
+        s"unsupported processor type in flow definition: $other (${p.tpe})")
+    }
+  }
+}

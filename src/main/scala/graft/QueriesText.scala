@@ -261,6 +261,17 @@ object QueriesText {
       |       md5(string_agg(user_tag, '|' ORDER BY event_id)) AS tags_md5
       |FROM e GROUP BY route, day""".stripMargin
 
+  /** Flow-definition parity (NiFi Registry): the SAME four-processor
+    * pipeline as [[qFlowComposite]], but compiled by [[FlowCompiler]]
+    * from the committed versioned-flow JSON instead of hand-coded —
+    * must hash-match the identical DuckDB oracle. */
+  val qFlowDefinition: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/composite_events.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("events" -> Tables.events(s, d)))("summary")
+  }
+
   /** CalculateRecordStats (§2.2): total + per-category-value counts. */
   val qRecordStats: Q = (s, d) =>
     Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
@@ -461,6 +472,7 @@ object QueriesText {
     "q_pack_unpack"     -> qPackUnpack,
     "q_jolt"            -> qJolt,
     "q_flow_composite"  -> qFlowComposite,
+    "q_flow_definition" -> qFlowDefinition,
     "q_xpath_extract"   -> qXpathExtract,
     "q_split_xml"       -> qSplitXml,
     "q_record_stats"    -> qRecordStats,
@@ -486,6 +498,7 @@ object QueriesText {
     "q_pack_unpack"     -> qPackUnpackSql,
     "q_jolt"            -> qJoltSql,
     "q_flow_composite"  -> qFlowCompositeSql,
+    "q_flow_definition" -> qFlowCompositeSql,
     "q_xpath_extract"   -> qXpathExtractSql,
     "q_split_xml"       -> qSplitXmlSql,
     "q_record_stats"    -> qRecordStatsSql,
