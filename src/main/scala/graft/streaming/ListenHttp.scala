@@ -5,6 +5,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, regexp_extract}
 
 /** ListenHTTP (NiFi's push-ingestion endpoint), Spark-first: an
   * in-process HTTP server spools each POST body to a file in
@@ -82,5 +84,106 @@ object ListenHttp {
       (r: Runnable) => { val t = new Thread(r, "graft-listen-http"); t.setDaemon(true); t }))
     server.start()
     server
+  }
+
+  // --------------------------------------- HandleHttpRequest/Response
+
+  /** HandleHttpRequest + HandleHttpResponse (NiFi's synchronous
+    * request-reply pair): each POST spools with a correlation id (the
+    * spool FILENAME), then the handler blocks until a flow deposits
+    * `<id>.resp` in `replyDir` — written by [[writeReplies]] from any
+    * batch or `foreachBatch` streaming leg — and answers 200 with that
+    * body. No reply within `replyTimeoutMs` → 504.
+    *
+    * The reply channel is a directory, not driver memory, so the flow
+    * side stays fully distributed (executors write reply files
+    * directly; any shared filesystem works across JVMs). Synchronous
+    * capacity = `handlerThreads` in-flight exchanges — an edge
+    * request-reply ingress, same single-receiver contract as [[start]];
+    * scale out by fronting with a load balancer over several
+    * instances. */
+  def startRequestReply(port: Int, spoolDir: String, replyDir: String,
+                        path: String = "/exchange", suffix: String = ".dat",
+                        handlerThreads: Int = 8, maxBodyBytes: Long = 256L << 20,
+                        replyTimeoutMs: Long = 30000L, pollMs: Long = 25L): HttpServer = {
+    val dir = Paths.get(spoolDir)
+    val replies = Paths.get(replyDir)
+    Files.createDirectories(dir)
+    Files.createDirectories(replies)
+    val seq = new AtomicLong(0L)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") {
+          ex.sendResponseHeaders(405, -1L)
+        } else {
+          val id = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}"
+          val tmp: Path = dir.resolve(id + suffix + ".tmp")
+          val in = ex.getRequestBody
+          val out = Files.newOutputStream(tmp)
+          var written = 0L
+          var overflow = false
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0 && !overflow) {
+              written += n
+              if (written > maxBodyBytes) overflow = true
+              else { out.write(buf, 0, n); n = in.read(buf) }
+            }
+          } finally out.close()
+          if (overflow) {
+            Files.deleteIfExists(tmp)
+            ex.sendResponseHeaders(413, -1L)
+          } else {
+            Files.move(tmp, dir.resolve(id + suffix), StandardCopyOption.ATOMIC_MOVE)
+            // block this handler thread until the flow replies or the
+            // deadline passes; .resp files appear atomically (tmp+rename
+            // in writeReplies) so a read never sees a partial body
+            val respFile = replies.resolve(id + ".resp")
+            val deadline = System.currentTimeMillis() + replyTimeoutMs
+            while (!Files.exists(respFile) && System.currentTimeMillis() < deadline)
+              Thread.sleep(pollMs)
+            if (Files.exists(respFile)) {
+              val body = Files.readAllBytes(respFile)
+              Files.deleteIfExists(respFile)
+              ex.sendResponseHeaders(200, if (body.length == 0) -1L else body.length.toLong)
+              if (body.length > 0) ex.getResponseBody.write(body)
+            } else ex.sendResponseHeaders(504, -1L)
+          }
+        }
+      } finally ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      handlerThreads,
+      (r: Runnable) => { val t = new Thread(r, "graft-http-exchange"); t.setDaemon(true); t }))
+    server.start()
+    server
+  }
+
+  /** Correlation id column for a spooled request row: strips directory
+    * and `suffix` from the file-source `path` column. */
+  def correlationId(pathCol: org.apache.spark.sql.Column, suffix: String = ".dat"): org.apache.spark.sql.Column =
+    regexp_extract(pathCol, "([^/]+)" + java.util.regex.Pattern.quote(suffix) + "$", 1)
+
+  /** Flow-side reply leg: writes one `<id>.resp` per row into
+    * `replyDir` (tmp + atomic rename), straight from executors — call
+    * on a batch result or inside `foreachBatch`. `bodyCol` may be
+    * string or binary. */
+  def writeReplies(df: DataFrame, replyDir: String,
+                   idCol: String = "id", bodyCol: String = "body"): Unit = {
+    df.select(col(idCol).cast("string"), col(bodyCol).cast("binary"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val d = Paths.get(replyDir)
+        Files.createDirectories(d)
+        rows.foreach { r =>
+          val id = r.getString(0)
+          require(id != null && id.nonEmpty && !id.contains('/'),
+            s"bad correlation id '$id'")
+          val tmp = d.resolve(id + ".resp.tmp")
+          Files.write(tmp, r.getAs[Array[Byte]](1))
+          Files.move(tmp, d.resolve(id + ".resp"), StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
   }
 }

@@ -73,6 +73,63 @@ class ListenHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("request-reply: live POSTs block until the streaming flow answers them") {
+    val spool = Files.createTempDirectory("graft_hhr_spool").toString
+    val replies = Files.createTempDirectory("graft_hhr_reply").toString
+    val server = ListenHttp.startRequestReply(0, spool, replies,
+      replyTimeoutMs = 30000, pollMs = 10)
+    try {
+      val port = server.getAddress.getPort
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def post(body: String) = Future {
+        val client = HttpClient.newHttpClient()
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/exchange"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val futures = Seq(post("alpha"), post("beta"), post("gamma"))
+      // wait until all three requests are spooled, then run the flow:
+      // binary file stream -> uppercase transform -> reply files
+      val spoolDir = new java.io.File(spool)
+      val deadline = System.currentTimeMillis() + 15000
+      while (spoolDir.listFiles().count(_.getName.endsWith(".dat")) < 3 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(spoolDir.listFiles().count(_.getName.endsWith(".dat")) === 3)
+      val q = Streams.binaryFileStream(spark, spool)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          ListenHttp.writeReplies(
+            batch.select(
+              ListenHttp.correlationId(col("path")).as("id"),
+              upper(col("content").cast("string")).as("body")),
+            replies)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(30000); q.stop()
+      val got = Await.result(scala.concurrent.Future.sequence(futures), 30.seconds).toSet
+      assert(got === Set((200, "ALPHA"), (200, "BETA"), (200, "GAMMA")))
+    } finally server.stop(0)
+  }
+
+  test("request-reply: no reply within the deadline answers 504") {
+    val spool = Files.createTempDirectory("graft_hhr_spool2").toString
+    val replies = Files.createTempDirectory("graft_hhr_reply2").toString
+    val server = ListenHttp.startRequestReply(0, spool, replies,
+      replyTimeoutMs = 300, pollMs = 10)
+    try {
+      val port = server.getAddress.getPort
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/exchange"))
+          .POST(HttpRequest.BodyPublishers.ofString("never answered")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 504)
+      // the request itself is still durably spooled for async processing
+      assert(new java.io.File(spool).listFiles().count(_.getName.endsWith(".dat")) === 1)
+    } finally server.stop(0)
+  }
+
   test("concurrent posts land as distinct complete spool files") {
     val spool = Files.createTempDirectory("graft_listen_http_c").toString
     val server = ListenHttp.start(0, spool, suffix = ".txt")
