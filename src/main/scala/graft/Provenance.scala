@@ -57,4 +57,34 @@ object Provenance {
     import spark.implicits._
     l.events.asScala.toSeq.toDF()
   }
+
+  /** Drain the listener's buffered events into a persistent parquet log
+    * (append) — NiFi's provenance REPOSITORY. Returns the number of
+    * events flushed. The in-memory queue empties atomically via poll,
+    * so concurrent new events are kept for the next flush, and a flush
+    * of nothing writes nothing. Call periodically (or at action
+    * boundaries); the log is an ordinary parquet table, so history
+    * accumulates across sessions and restarts. */
+  def flush(spark: SparkSession, l: Listener, dir: String): Int = {
+    import spark.implicits._
+    val drained = Iterator.continually(l.events.poll()).takeWhile(_ != null).toSeq
+    if (drained.nonEmpty)
+      drained.toDF().coalesce(1).write.mode("append").parquet(dir)
+    drained.size
+  }
+
+  /** Query the persistent provenance log — NiFi's lineage-search
+    * surface. Filters: events at/after `sinceMillis`, by exact `action`
+    * name, by physical-plan `planDigest` ("which runs executed exactly
+    * this plan?"). All filters push down to the parquet scan. */
+  def query(spark: SparkSession, dir: String,
+            sinceMillis: Long = 0L,
+            action: Option[String] = None,
+            planDigest: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var df = spark.read.parquet(dir).filter(col("tsMillis") >= sinceMillis)
+    action.foreach(a => df = df.filter(col("action") === a))
+    planDigest.foreach(h => df = df.filter(col("planDigest") === h))
+    df
+  }
 }

@@ -25,6 +25,38 @@ class ProvenanceSpec extends SparkSpec {
     } finally Provenance.disable(spark, l)
   }
 
+  test("flushed events persist across a session restart and are queryable by digest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prov_log").toString + "/log"
+    val l = Provenance.enable(spark)
+    val t0 = System.currentTimeMillis()
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      df.filter(col("id") > 0).count()
+      df.select(upper(col("v"))).collect()
+      eventually {
+        assert(Provenance.log(spark, l).count() >= 2)
+      }
+      assert(Provenance.flush(spark, l, dir) >= 2)
+      // drained: a second flush has nothing to write
+      assert(Provenance.flush(spark, l, dir) === 0)
+    } finally Provenance.disable(spark, l)
+
+    // a FRESH session (new state, same warehouse) must see the log —
+    // the repository is a parquet table, not listener memory
+    val restarted = spark.newSession()
+    val all = Provenance.query(restarted, dir, sinceMillis = t0)
+    assert(all.count() >= 2)
+    val digest = all.filter(col("action") === "count")
+      .select("planDigest").as[String](org.apache.spark.sql.Encoders.STRING).head
+    val byDigest = Provenance.query(restarted, dir, planDigest = Some(digest))
+    assert(byDigest.count() >= 1)
+    assert(byDigest.select("action").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().forall(_ == "count"))
+    // action filter composes with time filter
+    assert(Provenance.query(restarted, dir, sinceMillis = t0,
+      action = Some("collect")).count() >= 1)
+  }
+
   private def eventually[T](body: => T): T = {
     var last: Throwable = null
     for (_ <- 1 to 50) {
