@@ -30,13 +30,26 @@ object QueriesLlm {
       El.compile("${lang:toUpper():append('-'):append(${source})}").as("tag"),
       El.compile("${text:substring(0, 12):toUpper()}").as("head_uc"),
       El.compileExpr("${n_chars:plus(5):multiply(2)}").as("chars_x"),
-      El.compileExpr("${lang:equals('en'):ifElse('english','other')}").as("lang_tag"))
+      El.compileExpr("${lang:equals('en'):ifElse('english','other')}").as("lang_tag"),
+      El.compileExpr("${text:substring(0, 20):escapeHtml4()}").as("head_html"),
+      El.compileExpr("${source:padRight(10, '.')}").as("src_pad"),
+      El.compileExpr("${lang:repeat(2)}").as("lang2"),
+      El.compileExpr("${text:getDelimitedField(2, ' ')}").as("second_field"),
+      El.compileExpr("${n_chars:math('pow', 2)}").as("chars_sq"),
+      El.compileExpr("${n_chars:math('max', 3000)}").as("chars_floor"))
   }
   val qExpressionLanguageSql: String =
     """SELECT doc_id, upper(lang) || '-' || source AS tag,
       | upper(substring(text, 1, 12)) AS head_uc,
       | (n_chars + 5) * 2 AS chars_x,
-      | CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS lang_tag
+      | CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS lang_tag,
+      | replace(replace(replace(replace(substring(text, 1, 20),
+      |   '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') AS head_html,
+      | rpad(source, 10, '.') AS src_pad,
+      | repeat(lang, 2) AS lang2,
+      | split_part(text, ' ', 2) AS second_field,
+      | pow(n_chars, 2) AS chars_sq,
+      | greatest(n_chars, 3000) AS chars_floor
       |FROM documents""".stripMargin
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer (§2.4 #38). */

@@ -92,6 +92,8 @@ object El {
             subjects = Seq((rand() * Long.MaxValue).cast("long"))
           case "hostname" => // deterministic per driver; fine for tagging
             subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostName))
+          case "ip" =>
+            subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostAddress))
           case other => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
         }
         require(subjects.nonEmpty, s"$word needs at least one attribute name or be a 0-arg standalone")
@@ -256,8 +258,16 @@ object El {
     case "toNumber"         => c.cast("long")
     case "toDecimal"        => c.cast("double")
     case "toString"         => c.cast("string")
-    case "toDate"           => if (args.isEmpty) to_timestamp(c) else to_timestamp(c, argStr(args.head))
-    case "format"           => date_format(c, argStr(args.head))
+    // toDate(fmt, tz): the string names a wall time IN tz → shift to
+    // the session zone; format(fmt, tz): render the instant AS tz wall
+    // time (NiFi's optional timezone arguments on both)
+    case "toDate" =>
+      if (args.isEmpty) to_timestamp(c)
+      else if (args.size == 1) to_timestamp(c, argStr(args.head))
+      else to_utc_timestamp(to_timestamp(c, argStr(args.head)), argStr(args(1)))
+    case "format" =>
+      if (args.size <= 1) date_format(c, argStr(args.head))
+      else date_format(from_utc_timestamp(c, argStr(args(1))), argStr(args.head))
     case "jsonPath"         => get_json_object(c, argStr(args.head))
     case "base64Encode"     => base64(c.cast("binary"))
     case "base64Decode"     => unbase64(c).cast("string")
@@ -291,6 +301,10 @@ object El {
         case "log10" => log10(c)
         case "exp"   => exp(c)
         case "abs"   => abs(c)
+        // two-operand Math methods take the operand as the second arg
+        case "pow"   => pow(c, a1)
+        case "max"   => greatest(c, a1)
+        case "min"   => least(c, a1)
         case a       => throw new IllegalArgumentException(s"math: unknown function $a")
       }
     case "escapeJson" =>
@@ -301,6 +315,14 @@ object El {
       // in a sentinel first, restore last
       Seq("\\\\" -> "\u0000", "\\t" -> "\t", "\\r" -> "\r", "\\n" -> "\n",
           "\\\"" -> "\"", "\u0000" -> "\\")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    // the portable HTML entity subset (& < > "): identical for the
+    // html3/html4 variants; extended named entities are out of scope
+    case "escapeHtml3" | "escapeHtml4" =>
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;")
+        .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
+    case "unescapeHtml3" | "unescapeHtml4" =>
+      Seq("&quot;" -> "\"", "&gt;" -> ">", "&lt;" -> "<", "&amp;" -> "&")
         .foldLeft(c) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
     case "escapeXml" =>
       Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",

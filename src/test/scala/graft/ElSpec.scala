@@ -143,6 +143,34 @@ class ElSpec extends SparkSpec {
     assert(rows.forall(_.getString(3).nonEmpty))
   }
 
+  test("html escapes, two-operand math, ip standalone") {
+    assert(eval("${text:replace('world', '<b>&\"x\"</b>'):escapeHtml4()}")
+      == "hello &lt;b&gt;&amp;&quot;x&quot;&lt;/b&gt;")
+    assert(eval("${text:replace('world', '<x>'):escapeHtml4():unescapeHtml4()}")
+      == "hello <x>")
+    assert(eval("${lang:escapeHtml3()}") == "en") // no-op on clean text
+    assert(evalExpr("${n:math('pow', 2)}") == 1764.0)
+    assert(evalExpr("${n:math('max', 100)}") == 100L)
+    assert(evalExpr("${n:math('min', 100)}") == 42L)
+    assert(eval("${ip()}").asInstanceOf[String].nonEmpty)
+  }
+
+  test("format/toDate with timezone arguments") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    // 2024-06-01 12:00 UTC = 08:00 in New York (EDT)
+    val df = Seq("2024-06-01 12:00:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"), lit("x").as("pad"))
+    val shown = df.select(
+      El.compileExpr("${ts:format('yyyy-MM-dd HH:mm', 'America/New_York')}"))
+      .collect()(0).getString(0)
+    assert(shown == "2024-06-01 08:00")
+    // parsing the New York wall time back yields the original instant
+    val back = df.select(El.compileExpr(
+      "${ts:format('yyyy-MM-dd HH:mm:ss', 'America/New_York'):toDate('yyyy-MM-dd HH:mm:ss', 'America/New_York'):format('yyyy-MM-dd HH:mm:ss')}"))
+      .collect()(0).getString(0)
+    assert(back == "2024-06-01 12:00:00")
+  }
+
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
