@@ -32,7 +32,10 @@ def load_warn(d, label):
     """Flag runs made under external load: loadavg is recorded at bench
     finish (tools/bench_detail.json); a 1-min average well above the
     bench's own footprint means shared-box noise — BENCH_r03's phantom
-    5-20x 'regressions' were exactly this."""
+    5-20x 'regressions' were exactly this. Returns the 1-min loadavg
+    (None if unrecorded) so per-query rows can be annotated too —
+    BENCH_r04's q_ip_lookup 'regression' (1.77->5.42s under loadavg
+    3.11, quiet-box 1.11s) showed totals-only guarding isn't enough."""
     la = d.get("loadavg", "")
     if la:
         try:
@@ -40,15 +43,26 @@ def load_warn(d, label):
             if one_min > 4.0:
                 print(f"WARNING: {label} ran under load (loadavg {la}) — "
                       f"treat per-query deltas as noise-suspect")
+            return one_min
         except ValueError:
             pass
+    return None
 
 
 def main(old_path, new_path, threshold=30.0):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
-    load_warn(old, "old run")
-    load_warn(new, "new run")
+    old_la = load_warn(old, "old run")
+    new_la = load_warn(new, "new run")
+    # per-query noise annotation: any delta measured under load names
+    # the loaded side so a phantom never reads as a real regression
+    noisy_sides = [s for s, la in (("old", old_la), ("new", new_la))
+                   if la is not None and la > 2.0]
+    noise_tag = ""
+    if noisy_sides:
+        las = {"old": old_la, "new": new_la}
+        noise_tag = "  [noise-suspect: " + ", ".join(
+            f"{s} loadavg {las[s]:.2f}" for s in noisy_sides) + "]"
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({(new['value'] - old['value']) / old['value'] * 100:+.0f}%)  "
           f"queries: {len(oq)} -> {len(nq)}")
@@ -67,7 +81,7 @@ def main(old_path, new_path, threshold=30.0):
         if abs(pct) >= threshold and abs(b - a) >= 0.25:
             moved.append((pct, q, a, b))
     for pct, q, a, b in sorted(moved, reverse=True):
-        print(f"  {q:28s} {a:6.2f}s -> {b:6.2f}s ({pct:+.0f}%)")
+        print(f"  {q:28s} {a:6.2f}s -> {b:6.2f}s ({pct:+.0f}%){noise_tag}")
     if not moved:
         print(f"no per-query movement beyond {threshold:.0f}% (+0.25s floor)")
 
