@@ -131,7 +131,7 @@ object FlowCompiler {
             val p = procById.getOrElse(id, throw new IllegalArgumentException(
               s"connection references unknown node $id"))
             require(ins.nonEmpty, s"processor ${p.name} has no incoming connection")
-            applyProcessor(spark, p, ins.reduce(_ unionByName _))
+            applyProcessor(spark, p, ins)
           }
       }
       visiting -= id
@@ -153,7 +153,9 @@ object FlowCompiler {
   private val fixedProps = Set("Content Column", "Route Column", "Routing Strategy",
     "Destination", "Return Type", "Search Value", "Replacement Value",
     "Replacement Strategy", "Query", "Record Reader", "Record Writer",
-    "Include Zero Record FlowFiles", "Cache Schema")
+    "Include Zero Record FlowFiles", "Cache Schema", "Hash Algorithm",
+    "Output Column", "Mode", "Attributes List", "Dictionary",
+    "Join Key", "Join Type")
 
   private def dynamicProps(p: Processor): Seq[(String, String)] =
     p.props.filterNot { case (k, _) => fixedProps.contains(k) }
@@ -172,9 +174,40 @@ object FlowCompiler {
     else graft.functions.El.compile(template)
   }
 
-  private def applyProcessor(spark: SparkSession, p: Processor, in: DataFrame): DataFrame = {
+  private def applyProcessor(spark: SparkSession, p: Processor,
+                             inputs: Seq[DataFrame]): DataFrame = {
     val simple = p.tpe.split('.').last
+    // all processors are single-stream (fan-in unions by name) except
+    // JoinEnrichment, which joins its two incoming connections
+    lazy val in = inputs.reduce(_ unionByName _)
     simple match {
+      case "JoinEnrichment" =>
+        require(inputs.size == 2,
+          s"JoinEnrichment ${p.name} needs exactly 2 incoming connections, got ${inputs.size}")
+        val key = prop(p, "Join Key", "id")
+        val joinType = prop(p, "Join Type", "left_outer")
+        inputs(0).join(inputs(1), Seq(key), joinType)
+      case "ExtractText" =>
+        // each dynamic property is out-column -> its own regex (capture
+        // group 1, NiFi's convention for the first unnamed group)
+        val src = prop(p, "Content Column", "content")
+        dynamicProps(p).foldLeft(in) { case (d, (name, regex)) =>
+          Records.extractText(d, src, regex, Seq(name -> 1))
+        }
+      case "HashContent" =>
+        Records.hashContent(in, prop(p, "Content Column", "content"),
+          prop(p, "Hash Algorithm", "md5"), prop(p, "Output Column", "content_hash"))
+      case "EncodeContent" =>
+        Records.encodeContent(in, prop(p, "Content Column", "content"),
+          prop(p, "Mode", "base64"), prop(p, "Output Column", "encoded"))
+      case "AttributesToJSON" =>
+        Records.attributesToJson(in,
+          prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Output Column", "attrs_json"))
+      case "ScanContent" =>
+        Records.scanContent(in, prop(p, "Content Column", "content"),
+          prop(p, "Dictionary", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Output Column", "matched_terms"))
       case "EvaluateJsonPath" =>
         Records.jsonPath(in, prop(p, "Content Column", "content"), dynamicProps(p): _*)
       case "UpdateAttribute" =>

@@ -84,6 +84,87 @@ class FlowCompilerSpec extends SparkSpec {
     assert(e3.getMessage.contains("cycle"))
   }
 
+  test("JoinEnrichment joins its two incoming connections on the configured key") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "j", "type": "org.apache.nifi.processors.standard.JoinEnrichment",
+        |     "properties": {"Join Key": "id", "Join Type": "inner"}}],
+        |  "inputPorts": [
+        |    {"identifier": "i1", "name": "facts"}, {"identifier": "i2", "name": "dims"}],
+        |  "outputPorts": [{"identifier": "o", "name": "enriched"}],
+        |  "connections": [
+        |    {"source": {"id": "i1"}, "destination": {"id": "j"}},
+        |    {"source": {"id": "i2"}, "destination": {"id": "j"}},
+        |    {"source": {"id": "j"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow, Map(
+      "facts" -> Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v"),
+      "dims" -> Seq((1, "a"), (3, "c")).toDF("id", "name")))("enriched")
+    assert(out.select("id", "name").as[(Int, String)].collect().sorted ===
+      Array((1, "a"), (3, "c")))
+  }
+
+  test("ExtractText/HashContent/EncodeContent/AttributesToJSON/ScanContent compile") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "ex", "type": "ExtractText",
+        |     "properties": {"Content Column": "txt", "num": "n=([0-9]+)", "word": "w=([a-z]+)"}},
+        |    {"identifier": "h", "type": "HashContent",
+        |     "properties": {"Content Column": "txt", "Hash Algorithm": "sha256", "Output Column": "h"}},
+        |    {"identifier": "enc", "type": "EncodeContent",
+        |     "properties": {"Content Column": "word", "Mode": "hex", "Output Column": "word_hex"}},
+        |    {"identifier": "sc", "type": "ScanContent",
+        |     "properties": {"Content Column": "txt", "Dictionary": "alpha, beta", "Output Column": "terms"}},
+        |    {"identifier": "aj", "type": "AttributesToJSON",
+        |     "properties": {"Attributes List": "num, word", "Output Column": "aj"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "ex"}},
+        |    {"source": {"id": "ex"}, "destination": {"id": "h"}},
+        |    {"source": {"id": "h"}, "destination": {"id": "enc"}},
+        |    {"source": {"id": "enc"}, "destination": {"id": "sc"}},
+        |    {"source": {"id": "sc"}, "destination": {"id": "aj"}},
+        |    {"source": {"id": "aj"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val row = FlowCompiler.compile(spark, flow,
+      Map("in" -> Seq("n=42 w=alpha").toDF("txt")))("out")
+      .select("num", "word", "h", "word_hex", "terms", "aj").collect()(0)
+    assert(row.getString(0) === "42")
+    assert(row.getString(1) === "alpha")
+    assert(row.getString(2).length === 64) // sha256 hex
+    assert(row.getString(3) === "616C706861")
+    assert(row.getSeq[String](4) === Seq("alpha"))
+    assert(row.getString(5) === """{"num":"42","word":"alpha"}""")
+  }
+
+  test("a flow compiles against a STREAMING input (narrow processors)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    ms.addData("n=1 w=aa", "n=2 w=bb", "n=3 w=aa")
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "ex", "type": "ExtractText",
+        |     "properties": {"Content Column": "txt", "w": "w=([a-z]+)"}},
+        |    {"identifier": "r", "type": "RouteOnAttribute",
+        |     "properties": {"aa": "${w:equals('aa')}"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "lines"}],
+        |  "outputPorts": [{"identifier": "o", "name": "aa_only"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "ex"}},
+        |    {"source": {"id": "ex"}, "destination": {"id": "r"}},
+        |    {"source": {"id": "r"}, "destination": {"id": "o"},
+        |     "selectedRelationships": ["aa"]}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow,
+      Map("lines" -> ms.toDF.toDF("txt")))("aa_only")
+    assert(out.isStreaming, "compiled flow must stay a streaming Dataset")
+    val q = graft.streaming.Streams.toMemorySink(out, "flow_stream_out")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("flow_stream_out").select("txt").as[String].collect().sorted ===
+      Array("n=1 w=aa", "n=3 w=aa"))
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
