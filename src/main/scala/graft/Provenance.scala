@@ -87,4 +87,61 @@ object Provenance {
     planDigest.foreach(h => df = df.filter(col("planDigest") === h))
     df
   }
+
+  // ------------------------------------------------------- streaming
+
+  /** Per-micro-batch lineage for continuous flows (NiFi provenance is
+    * continuous; QueryExecutionListener only sees batch actions). One
+    * event per completed micro-batch: which query, which batch, how
+    * many rows, from which sources into which sink. */
+  case class StreamEvent(tsMillis: Long, queryId: String, runId: String,
+                         queryName: String, batchId: Long, numInputRows: Long,
+                         sources: Seq[String], sink: String)
+
+  final class StreamListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    private[Provenance] val events = new ConcurrentLinkedQueue[StreamEvent]()
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      events.add(StreamEvent(System.currentTimeMillis(),
+        p.id.toString, p.runId.toString, Option(p.name).getOrElse(""),
+        p.batchId, p.numInputRows,
+        p.sources.toSeq.map(_.description), p.sink.description))
+    }
+  }
+
+  /** Attach a per-micro-batch provenance listener to the session's
+    * stream manager. */
+  def enableStreaming(spark: SparkSession): StreamListener = {
+    val l = new StreamListener
+    spark.streams.addListener(l)
+    l
+  }
+
+  def disableStreaming(spark: SparkSession, l: StreamListener): Unit =
+    spark.streams.removeListener(l)
+
+  /** Drain buffered stream events into a persistent parquet log —
+    * same contract as [[flush]]. */
+  def flushStream(spark: SparkSession, l: StreamListener, dir: String): Int = {
+    import spark.implicits._
+    val drained = Iterator.continually(l.events.poll()).takeWhile(_ != null).toSeq
+    if (drained.nonEmpty)
+      drained.toDF().coalesce(1).write.mode("append").parquet(dir)
+    drained.size
+  }
+
+  /** Query the streaming provenance log by time/query name. */
+  def queryStream(spark: SparkSession, dir: String,
+                  sinceMillis: Long = 0L,
+                  queryName: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var df = spark.read.parquet(dir).filter(col("tsMillis") >= sinceMillis)
+    queryName.foreach(n => df = df.filter(col("queryName") === n))
+    df
+  }
 }

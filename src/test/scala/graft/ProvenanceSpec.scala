@@ -57,6 +57,29 @@ class ProvenanceSpec extends SparkSpec {
       action = Some("collect")).count() >= 1)
   }
 
+  test("streaming provenance: one event per micro-batch, persisted and queryable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prov_stream").toString + "/log"
+    implicit val sqlCtx = spark.sqlContext
+    val l = Provenance.enableStreaming(spark)
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      ms.addData(1L, 2L, 3L)
+      val q = graft.streaming.Streams.toMemorySink(
+        ms.toDF.toDF("v"), "prov_stream_sink")
+      q.processAllAvailable(); q.stop()
+      eventually {
+        assert(Provenance.flushStream(spark, l, dir) >= 1,
+          "no stream progress events recorded")
+      }
+      val rows = Provenance.queryStream(spark.newSession(), dir,
+        queryName = Some("prov_stream_sink"))
+      assert(rows.count() >= 1)
+      val first = rows.orderBy("batchId").select("numInputRows", "sink").collect()(0)
+      assert(first.getLong(0) === 3L)
+      assert(first.getString(1).toLowerCase.contains("memory"))
+    } finally Provenance.disableStreaming(spark, l)
+  }
+
   private def eventually[T](body: => T): T = {
     var last: Throwable = null
     for (_ <- 1 to 50) {
