@@ -164,14 +164,15 @@ object FlowCompiler {
     p.props.collectFirst { case (`name`, v) => v }.getOrElse(dflt)
 
   /** A property that is exactly one `${...}` expression keeps its EL
-    * native type; anything else is a string template. */
-  private def compileProperty(template: String): Column = {
+    * native type; anything else is a string template. The input's
+    * column set rides along so matching-attribute forms resolve. */
+  private def compileProperty(template: String, cols: Seq[String]): Column = {
     val t = template.trim
     if (t.startsWith("${") && t.endsWith("}") &&
         t.indexOf("${", 2) < 0) // single expression, no trailing text
-      scala.util.Try(graft.functions.El.compileExpr(t))
-        .getOrElse(graft.functions.El.compile(template))
-    else graft.functions.El.compile(template)
+      scala.util.Try(graft.functions.El.compileExpr(t, cols))
+        .getOrElse(graft.functions.El.compile(template, cols))
+    else graft.functions.El.compile(template, cols)
   }
 
   private def applyProcessor(spark: SparkSession, p: Processor,
@@ -211,7 +212,8 @@ object FlowCompiler {
       case "EvaluateJsonPath" =>
         Records.jsonPath(in, prop(p, "Content Column", "content"), dynamicProps(p): _*)
       case "UpdateAttribute" =>
-        Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t) }: _*)
+        val cols = in.columns.toSeq
+        Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t, cols) }: _*)
       case "RouteOnAttribute" =>
         Route.taggedFromElConfig(in, dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
       case "RouteOnContent" =>

@@ -26,6 +26,20 @@ object El {
   private case class LitArg(value: Any, col: Column) extends Arg
   private case class ExprArg(col: Column) extends Arg
 
+  /** Schema context for `anyMatchingAttribute`/`allMatchingAttributes`
+    * (the only EL forms that need to KNOW the column set: they select
+    * attributes by NAME REGEX). Compile-time, driver-side only. */
+  private val availableCols = new scala.util.DynamicVariable[Seq[String]](Nil)
+
+  /** Compile with a known column set, enabling the matching-attribute
+    * forms: `${allMatchingAttributes('err.*'):isEmpty():not()}` etc. */
+  def compile(template: String, available: Seq[String]): Column =
+    availableCols.withValue(available)(compile(template))
+
+  /** [[compileExpr]] with a known column set (native result type). */
+  def compileExpr(expression: String, available: Seq[String]): Column =
+    availableCols.withValue(available)(compileExpr(expression))
+
   /** Compile a full template (text + embedded expressions) to a Column. */
   def compile(template: String): Column = {
     val segs = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -84,6 +98,15 @@ object El {
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = true
           case "allAttributes" =>
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = false
+          case "anyMatchingAttribute" | "allMatchingAttributes" =>
+            val regex = argStr(args.head)
+            require(availableCols.value.nonEmpty,
+              s"$word needs the column set: compile with El.compile(template, df.columns)")
+            val matched = availableCols.value.filter(_.matches(regex))
+            require(matched.nonEmpty,
+              s"$word('$regex') matched no columns (available: ${availableCols.value.mkString(", ")})")
+            subjects = matched.map(col); multi = true
+            combineAny = word == "anyMatchingAttribute"
           // NiFi's nondeterministic standalones — documented as such
           // (excluded from every oracle query for exactly that reason)
           case "now" => subjects = Seq(current_timestamp())

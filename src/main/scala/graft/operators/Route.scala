@@ -57,11 +57,14 @@ object Route {
     * ports verbatim and still runs codegen'd. */
   def fromElConfig(df: DataFrame, routes: Seq[(String, String)]): Map[String, DataFrame] =
     onAttribute(df, routes.map { case (n, el) =>
-      n -> graft.functions.El.compileExpr(el).cast("boolean") })
+      n -> graft.functions.El.compileExpr(el, df.columns.toSeq).cast("boolean") })
 
-  /** Tagged single-pass form of [[fromElConfig]]. */
+  /** Tagged single-pass form of [[fromElConfig]]. The input's column
+    * set is supplied to the EL compiler, so matching-attribute
+    * predicates (`${anyMatchingAttribute('err.*'):...}`) work in
+    * routing config. */
   def taggedFromElConfig(df: DataFrame, routes: Seq[(String, String)],
                          routeCol: String = "route"): DataFrame =
     tagged(df, routes.map { case (n, el) =>
-      n -> graft.functions.El.compileExpr(el).cast("boolean") }, routeCol)
+      n -> graft.functions.El.compileExpr(el, df.columns.toSeq).cast("boolean") }, routeCol)
 }

@@ -171,6 +171,25 @@ class ElSpec extends SparkSpec {
     assert(back == "2024-06-01 12:00:00")
   }
 
+  test("matching-attribute forms resolve column names by regex against the schema") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("", "boom", "fine")).toDF("err_a", "err_b", "note")
+    def e(t: String): Any =
+      df.select(El.compileExpr(t, df.columns.toSeq)).collect()(0).get(0)
+    assert(e("${anyMatchingAttribute('err_.*'):isEmpty()}") == true)
+    assert(e("${allMatchingAttributes('err_.*'):isEmpty()}") == false)
+    assert(e("${allMatchingAttributes('err_.*'):join('|')}") == "|boom")
+    // no schema context → clear error, not a silent empty match
+    val noCtx = intercept[IllegalArgumentException] {
+      El.compileExpr("${anyMatchingAttribute('x.*'):isEmpty()}")
+    }
+    assert(noCtx.getMessage.contains("column set"))
+    val noMatch = intercept[IllegalArgumentException] {
+      El.compileExpr("${anyMatchingAttribute('zzz.*'):isEmpty()}", df.columns.toSeq)
+    }
+    assert(noMatch.getMessage.contains("matched no columns"))
+  }
+
   test("unknown function rejected") {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
