@@ -272,6 +272,23 @@ object QueriesText {
     FlowCompiler.compile(s, json, Map("events" -> Tables.events(s, d)))("summary")
   }
 
+  /** Two-input flow definition (JoinEnrichment): orders enriched with
+    * customer via a derived join key, aggregated per market segment by
+    * QueryRecord — the whole DAG authored as committed JSON. */
+  val qFlowEnrichment: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/enrich_orders.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map(
+      "orders" -> Tables.orders(s, d),
+      "customer" -> Tables.customer(s, d)))("by_segment")
+  }
+  val qFlowEnrichmentSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** CalculateRecordStats (§2.2): total + per-category-value counts. */
   val qRecordStats: Q = (s, d) =>
     Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
@@ -473,6 +490,7 @@ object QueriesText {
     "q_jolt"            -> qJolt,
     "q_flow_composite"  -> qFlowComposite,
     "q_flow_definition" -> qFlowDefinition,
+    "q_flow_enrichment" -> qFlowEnrichment,
     "q_xpath_extract"   -> qXpathExtract,
     "q_split_xml"       -> qSplitXml,
     "q_record_stats"    -> qRecordStats,
@@ -499,6 +517,7 @@ object QueriesText {
     "q_jolt"            -> qJoltSql,
     "q_flow_composite"  -> qFlowCompositeSql,
     "q_flow_definition" -> qFlowCompositeSql,
+    "q_flow_enrichment" -> qFlowEnrichmentSql,
     "q_xpath_extract"   -> qXpathExtractSql,
     "q_split_xml"       -> qSplitXmlSql,
     "q_record_stats"    -> qRecordStatsSql,

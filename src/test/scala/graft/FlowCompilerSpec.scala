@@ -84,6 +84,15 @@ class FlowCompilerSpec extends SparkSpec {
     assert(e3.getMessage.contains("cycle"))
   }
 
+  test("committed enrichment flow: JoinEnrichment plan broadcasts the dim side") {
+    val out = QueriesText.qFlowEnrichment(spark, sf)
+    out.collect()
+    // customer is the small side at test SF — the compiled join must
+    // resolve to a broadcast hash join (AQE final plan), not a shuffle
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "enrichment join should broadcast the small side")
+  }
+
   test("JoinEnrichment joins its two incoming connections on the configured key") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
