@@ -228,17 +228,38 @@ object Records {
   def partitionKey(df: DataFrame, keyCol: String, key: Column): DataFrame =
     df.withColumn(keyCol, key)
 
-  /** CompressContent: gzip a payload column in place (binary → binary).
-    * Per-record, unlike write-side codec compression — the NiFi
-    * semantic. Narrow. */
-  def compress(df: DataFrame, contentCol: String, outCol: String = null): DataFrame =
-    df.withColumn(if (outCol == null) contentCol else outCol,
-      graft.plans.BinaryExpressions.gzip(col(contentCol).cast("binary")))
+  /** CompressContent: compress a payload column in place (binary →
+    * binary), per-record — the NiFi semantic, unlike write-side codec
+    * compression. Codecs: gzip | zstd | lz4 | snappy (NiFi's set; each
+    * backed by the codec jar Spark already ships). Narrow. */
+  def compress(df: DataFrame, contentCol: String, outCol: String = null,
+               codec: String = "gzip"): DataFrame = {
+    val payload = col(contentCol).cast("binary")
+    val compressed = codec.toLowerCase match {
+      case "gzip"   => graft.plans.BinaryExpressions.gzip(payload)
+      case "zstd"   => graft.plans.BinaryExpressions.zstd(payload)
+      case "lz4"    => graft.plans.BinaryExpressions.lz4(payload)
+      case "snappy" => graft.plans.BinaryExpressions.snappy(payload)
+      case other    => throw new IllegalArgumentException(
+        s"unsupported codec '$other' (gzip|zstd|lz4|snappy)")
+    }
+    df.withColumn(if (outCol == null) contentCol else outCol, compressed)
+  }
 
-  /** CompressContent (decompress mode). */
-  def decompress(df: DataFrame, contentCol: String, outCol: String = null): DataFrame =
-    df.withColumn(if (outCol == null) contentCol else outCol,
-      graft.plans.BinaryExpressions.gunzip(col(contentCol)))
+  /** CompressContent (decompress mode); same codec set. */
+  def decompress(df: DataFrame, contentCol: String, outCol: String = null,
+                 codec: String = "gzip"): DataFrame = {
+    val payload = col(contentCol)
+    val plain = codec.toLowerCase match {
+      case "gzip"   => graft.plans.BinaryExpressions.gunzip(payload)
+      case "zstd"   => graft.plans.BinaryExpressions.unzstd(payload)
+      case "lz4"    => graft.plans.BinaryExpressions.unlz4(payload)
+      case "snappy" => graft.plans.BinaryExpressions.unsnappy(payload)
+      case other    => throw new IllegalArgumentException(
+        s"unsupported codec '$other' (gzip|zstd|lz4|snappy)")
+    }
+    df.withColumn(if (outCol == null) contentCol else outCol, plain)
+  }
 
   /** EncryptContent: AES-GCM payload encryption with Spark's native
     * expression (codegen'd, per-record — NiFi's EncryptContent grain).
@@ -390,6 +411,29 @@ object Records {
     * column pruning, so every other operator in this package should be
     * preferred; this exists for the genuinely-imperative remainder.
     * The operator stays narrow (no shuffle) and distributed. */
+  /** ExecuteStreamCommand (NiFi): stream records through an EXTERNAL
+    * command's stdin/stdout. One process per PARTITION (rdd.pipe), not
+    * per record — records flow as lines, so a 100 TB scan spawns
+    * `numPartitions` processes total, pipelined. Line-oriented
+    * contract: each input row's `contentCol` is one stdin line; every
+    * stdout line becomes one output row (a pure per-line filter like
+    * grep may emit fewer rows; an enricher like `tr` emits 1:1 —
+    * alignment is the command's responsibility, as in NiFi). Last-
+    * resort escape hatch like [[executeScript]]: the command is opaque
+    * to Catalyst (no pushdown/codegen through it). */
+  def executeStreamCommand(df: DataFrame, contentCol: String,
+                           command: Seq[String],
+                           outCol: String = "line"): DataFrame = {
+    require(command.nonEmpty, "command must not be empty")
+    val spark = df.sparkSession
+    val piped = df.select(col(contentCol).cast("string"))
+      .rdd.map(_.getString(0)).pipe(command)
+    spark.createDataFrame(piped.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.StringType))))
+  }
+
   def executeScript(df: DataFrame, outSchema: org.apache.spark.sql.types.StructType)
                    (fn: org.apache.spark.sql.Row => org.apache.spark.sql.Row): DataFrame =
     df.map(fn)(org.apache.spark.sql.Encoders.row(outSchema))

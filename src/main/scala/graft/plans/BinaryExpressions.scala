@@ -45,6 +45,97 @@ case class GzipDecompress(child: Expression)
     copy(child = newChild)
 }
 
+/** CompressContent's remaining codecs (NiFi supports gzip, snappy,
+  * lz4, zstd): each backed by the codec jar Spark itself ships for
+  * parquet/shuffle compression, so no new dependency. zstd and lz4 use
+  * their self-describing FRAME formats (interoperable with the
+  * command-line tools and NiFi's codecs); snappy is the raw block
+  * format with the length header Snappy.compress embeds. */
+case class ZstdCompress(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zstd"
+  override protected def nullSafeEval(input: Any): Any =
+    com.github.luben.zstd.Zstd.compress(input.asInstanceOf[Array[Byte]], level)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ZstdDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_unzstd"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val known = com.github.luben.zstd.Zstd.decompressedSize(bytes)
+    if (known > 0) com.github.luben.zstd.Zstd.decompress(bytes, known.toInt)
+    else { // frame without content size (foreign producer): stream it
+      val in = new com.github.luben.zstd.ZstdInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(256)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Lz4Compress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_lz4"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val bos = new ByteArrayOutputStream(math.max(64, bytes.length / 2))
+    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Lz4Decompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_unlz4"
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = new net.jpountz.lz4.LZ4FrameInputStream(
+      new ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    val out = new ByteArrayOutputStream(256)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SnappyCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_snappy"
+  override protected def nullSafeEval(input: Any): Any =
+    org.xerial.snappy.Snappy.compress(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SnappyDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_unsnappy"
+  override protected def nullSafeEval(input: Any): Any =
+    org.xerial.snappy.Snappy.uncompress(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket, native form: `bits` sign bits of
   * projections onto pseudo-random planes derived from splitmix64 of
   * (seed, plane, component) — deterministic across executors, one
@@ -173,6 +264,18 @@ object BinaryExpressions {
     ColumnBridge.column(GzipCompress(ColumnBridge.expression(c)))
   def gunzip(c: Column): Column =
     ColumnBridge.column(GzipDecompress(ColumnBridge.expression(c)))
+  def zstd(c: Column, level: Int = 3): Column =
+    ColumnBridge.column(ZstdCompress(ColumnBridge.expression(c), level))
+  def unzstd(c: Column): Column =
+    ColumnBridge.column(ZstdDecompress(ColumnBridge.expression(c)))
+  def lz4(c: Column): Column =
+    ColumnBridge.column(Lz4Compress(ColumnBridge.expression(c)))
+  def unlz4(c: Column): Column =
+    ColumnBridge.column(Lz4Decompress(ColumnBridge.expression(c)))
+  def snappy(c: Column): Column =
+    ColumnBridge.column(SnappyCompress(ColumnBridge.expression(c)))
+  def unsnappy(c: Column): Column =
+    ColumnBridge.column(SnappyDecompress(ColumnBridge.expression(c)))
   def hyperplaneBucket(c: Column, bits: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(c), bits, seed))
 

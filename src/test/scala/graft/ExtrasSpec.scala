@@ -73,6 +73,33 @@ class ExtrasSpec extends SparkSpec {
     assert(back(1L) == "abc " * 500 && back(2L) == "short")
   }
 
+  test("zstd/lz4/snappy compress round-trips (NiFi's remaining CompressContent codecs)") {
+    val df = Seq((1L, "abc " * 500), (2L, "short"), (3L, "")).toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    for (codec <- Seq("zstd", "lz4", "snappy")) {
+      val packed = Records.compress(df, "payload", "packed", codec)
+      val back = Records.decompress(packed, "packed", "restored", codec)
+        .select(col("id"), col("restored").cast("string")).as[(Long, String)].collect().toMap
+      assert(back(1L) == "abc " * 500 && back(2L) == "short" && back(3L) == "",
+        s"codec $codec round-trip failed")
+      val shrunk = packed.filter(col("id") === 1L)
+        .select(octet_length(col("packed"))).as[Int].head
+      assert(shrunk < 2000, s"codec $codec: repetitive 2000B payload should shrink, got $shrunk")
+    }
+    intercept[IllegalArgumentException] { Records.compress(df, "payload", "x", "brotli") }
+  }
+
+  test("executeStreamCommand pipes records through an external process per partition") {
+    val df = Seq("alpha", "bravo", "charlie").toDF("line").repartition(2)
+    val upper = Records.executeStreamCommand(df, "line", Seq("tr", "a-z", "A-Z"))
+      .as[String].collect().sorted
+    assert(upper === Array("ALPHA", "BRAVO", "CHARLIE"))
+    // a filtering command may emit fewer rows — that's the contract
+    val filtered = Records.executeStreamCommand(df, "line", Seq("grep", "a"))
+      .as[String].collect().sorted
+    assert(filtered === Array("alpha", "bravo", "charlie").filter(_.contains("a")))
+  }
+
   test("parseXml extracts schema fields from an XML column") {
     val df = Seq(
       (1L, "<rec><name>alpha</name><qty>3</qty></rec>"),
