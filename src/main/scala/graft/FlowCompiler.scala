@@ -155,7 +155,8 @@ object FlowCompiler {
     "Replacement Strategy", "Query", "Record Reader", "Record Writer",
     "Include Zero Record FlowFiles", "Cache Schema", "Hash Algorithm",
     "Output Column", "Mode", "Attributes List", "Dictionary",
-    "Join Key", "Join Type")
+    "Join Key", "Join Type", "Record Hashing Columns", "Tie Breaker",
+    "Number of Relationships", "Partition Columns")
 
   private def dynamicProps(p: Processor): Seq[(String, String)] =
     p.props.filterNot { case (k, _) => fixedProps.contains(k) }
@@ -209,6 +210,15 @@ object FlowCompiler {
         Records.scanContent(in, prop(p, "Content Column", "content"),
           prop(p, "Dictionary", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           prop(p, "Output Column", "matched_terms"))
+      case "DeduplicateRecord" =>
+        // keep one canonical row per hashed content, smallest tie-breaker
+        graft.operators.Dedup.exact(in,
+          prop(p, "Record Hashing Columns", "content"),
+          prop(p, "Tie Breaker", in.columns.head))
+      case "DistributeLoad" =>
+        Records.distributeLoad(in,
+          prop(p, "Number of Relationships", "8").trim.toInt,
+          prop(p, "Partition Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case "EvaluateJsonPath" =>
         Records.jsonPath(in, prop(p, "Content Column", "content"), dynamicProps(p): _*)
       case "UpdateAttribute" =>

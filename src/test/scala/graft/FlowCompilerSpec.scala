@@ -174,6 +174,28 @@ class FlowCompilerSpec extends SparkSpec {
       Array("n=1 w=aa", "n=3 w=aa"))
   }
 
+  test("DeduplicateRecord and DistributeLoad compile in a flow") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "dd", "type": "DeduplicateRecord",
+        |     "properties": {"Record Hashing Columns": "txt", "Tie Breaker": "id"}},
+        |    {"identifier": "dl", "type": "DistributeLoad",
+        |     "properties": {"Number of Relationships": "3"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "dd"}},
+        |    {"source": {"id": "dd"}, "destination": {"id": "dl"}},
+        |    {"source": {"id": "dl"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow, Map(
+      "in" -> Seq((3, "dup"), (1, "dup"), (2, "only")).toDF("id", "txt")))("out")
+    // dedup keeps the smallest id per content; load distributed over 3 partitions
+    assert(out.select("id", "txt").as[(Int, String)].collect().sortBy(_._1)
+      === Array((1, "dup"), (2, "only")))
+    assert(out.rdd.getNumPartitions === 3)
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
