@@ -146,4 +146,54 @@ object Io {
   def fetchFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(col("path"), col("content"))
+
+  /** ListFile with NiFi's STATE semantics, for scheduled batch runs
+    * (the streaming half of List+Fetch is `Streams.fileStream`, which
+    * tracks its own offsets): each call returns only files NOT yet
+    * listed — strictly newer than the recorded max modification time,
+    * or same-mtime files whose paths weren't seen at the boundary
+    * (NiFi's timestamp-tie handling) — then advances the state
+    * atomically (tmp + rename). State and listing both go through the
+    * Hadoop FileSystem API, so any scheme works (file://, memfs://,
+    * s3a:// on clusters with connectors). Returns (path, size, mtime).
+    * Driver-side listing; the listing (not the data) must fit the
+    * driver, same contract as NiFi's ListFile. */
+  def listIncremental(spark: SparkSession, dir: String, statePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val stateP = new Path(statePath)
+    val stateFs = stateP.getFileSystem(conf)
+    // state = "<maxMtime>\n<path-at-boundary>..." (one per line)
+    val (lastMtime, seenAtBoundary): (Long, Set[String]) =
+      if (stateFs.exists(stateP)) {
+        val in = stateFs.open(stateP)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val lines = text.linesIterator.toSeq
+        (lines.headOption.map(_.trim.toLong).getOrElse(Long.MinValue),
+         lines.drop(1).toSet)
+      } else (Long.MinValue, Set.empty[String])
+    // the state file is never itself listable (covers state kept
+    // inside the watched directory)
+    val stateUri = stateFs.makeQualified(stateP).toString
+    val all = fs.listStatus(dirPath).toSeq.filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .filter { case (p, _, _) => p != stateUri && p != stateUri + ".tmp" }
+    val fresh = all.filter { case (p, _, m) =>
+      m > lastMtime || (m == lastMtime && !seenAtBoundary.contains(p))
+    }
+    if (fresh.nonEmpty) {
+      val newMax = math.max(lastMtime, fresh.map(_._3).max)
+      val boundary = all.collect { case (p, _, m) if m == newMax => p }
+      val tmp = new Path(statePath + ".tmp")
+      val out = stateFs.create(tmp, true)
+      out.write((newMax.toString +: boundary).mkString("\n").getBytes("UTF-8"))
+      out.close()
+      if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
+      stateFs.rename(tmp, stateP)
+    }
+    import spark.implicits._
+    fresh.toDF("path", "size", "mtime")
+  }
 }

@@ -39,6 +39,29 @@ class MemFsSpec extends SparkSpec {
     assert(back.filter($"part" === "y").count() === 1)
   }
 
+  test("listIncremental returns each file exactly once across scheduled runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_list_inc").toString
+    val state = dir + "/.graft_list_state"
+    def touch(name: String, mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, name.getBytes("UTF-8"))
+      assert(f.setLastModified(mtime))
+    }
+    touch("a.txt", 1000000L); touch("b.txt", 2000000L)
+    val first = Io.listIncremental(spark, dir, state)
+    assert(first.select("path").as[String].collect().map(_.split('/').last).sorted
+      === Array("a.txt", "b.txt"))
+    // nothing new → empty second run
+    assert(Io.listIncremental(spark, dir, state).count() === 0)
+    // a file sharing the boundary mtime is still picked up (tie
+    // handling), plus a strictly newer one; neither is re-listed after
+    touch("c.txt", 2000000L); touch("d.txt", 3000000L)
+    val third = Io.listIncremental(spark, dir, state)
+    assert(third.select("path").as[String].collect().map(_.split('/').last).sorted
+      === Array("c.txt", "d.txt"))
+    assert(Io.listIncremental(spark, dir, state).count() === 0)
+  }
+
   test("AvroIo container files round-trip through the scheme (incl. rename-first commit)") {
     MemFs.clear()
     val schema = StructType(Seq(
