@@ -158,4 +158,28 @@ object Sketches {
     Seq((math.round(est._1), math.round(est._2), math.round(est._3), jac))
       .toDF("distinct_a", "distinct_b", "overlap", "jaccard")
   }
+
+  /** Corpus difference — the remaining Theta set operation (A-not-B):
+    * estimated distinct values of `valueCol` present in `a` but NOT in
+    * `b` ("how much NEW data does this source add?" before committing
+    * to an ingest). Same two-level sketch posture as [[corpusOverlap]].
+    * Returns one row: (distinct_a, distinct_b, a_not_b). */
+  def corpusDifference(a: DataFrame, b: DataFrame, valueCol: String,
+                       lgK: Int = 14): DataFrame = {
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches => DsSketches}
+    val spark = a.sparkSession
+    def unionOf(parts: Array[Array[Byte]]): CompactSketch = {
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      parts.foreach(p => u.union(DsSketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(p))))
+      u.getResult
+    }
+    val ua = unionOf(thetaGroupSketches(a, valueCol, lgK))
+    val ub = unionOf(thetaGroupSketches(b, valueCol, lgK))
+    val diff = SetOperation.builder().buildANotB().aNotB(ua, ub)
+    import spark.implicits._
+    Seq((math.round(ua.getEstimate), math.round(ub.getEstimate),
+         math.round(diff.getEstimate)))
+      .toDF("distinct_a", "distinct_b", "a_not_b")
+  }
 }

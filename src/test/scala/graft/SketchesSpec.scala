@@ -58,6 +58,19 @@ class SketchesSpec extends SparkSpec {
     assert(d._3 === 0L && d._4 === 0.0)
   }
 
+  test("theta corpusDifference estimates |A \\ B|") {
+    // A = 0..9999, B = 5000..14999 → A\B = 5000
+    val a = (0 until 10000).map(i => s"u$i").toDF("k").repartition(4)
+    val b = (5000 until 15000).map(i => s"u$i").toDF("k").repartition(3)
+    val r = Sketches.corpusDifference(a, b, "k").as[(Long, Long, Long)].head
+    assert(math.abs(r._3 - 5000).toDouble / 5000 <= 0.06, s"a_not_b ${r._3}")
+    // B fully covers A → nothing new
+    val covered = Sketches.corpusDifference(
+      Seq("x1", "x2").toDF("k"), Seq("x1", "x2", "x3").toDF("k"), "k")
+      .as[(Long, Long, Long)].head
+    assert(covered._3 === 0L)
+  }
+
   test("HLL sketch aggregation works on a watermarked stream") {
     // streaming distinct-users per window: the sketch agg is just
     // another Tungsten aggregate, so it composes with watermark state
