@@ -237,7 +237,7 @@ object FlowCompiler {
           .orElse(dynamicProps(p).headOption.map(_._2))
           .getOrElse(throw new IllegalArgumentException(
             s"QueryRecord ${p.name} needs a Query property"))
-        val view = s"flowfile_${math.abs(p.id.hashCode).toString}"
+        val view = s"flowfile_${(p.id.hashCode & Int.MaxValue).toString}"
         in.createOrReplaceTempView(view)
         spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
       case other => throw new IllegalArgumentException(

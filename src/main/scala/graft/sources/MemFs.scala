@@ -65,6 +65,8 @@ class MemFs extends FileSystem {
     val k = key(f)
     if (!overwrite && files.containsKey(k))
       throw new IOException(s"memfs: $k already exists")
+    if (dirs.containsKey(k))
+      throw new IOException(s"memfs: $k is a directory")
     // parent directories materialize implicitly, like an object store
     markDirs(k)
     val buf = new ByteArrayOutputStream() {
