@@ -124,6 +124,26 @@ object Io {
       .option("numPartitions", numPartitions.toString)
       .options(options).load()
 
+  /** ListDatabaseTables (NiFi): enumerate tables visible through a JDBC
+    * connection as a DataFrame of (catalog, schema, table, type) — the
+    * discovery half of a generate-fetch ingest (pair with
+    * [[readJdbcPartitioned]] per listed table). Driver-side metadata
+    * call: the listing is small by construction. */
+  def listJdbcTables(spark: SparkSession, url: String,
+                     types: Seq[String] = Seq("TABLE")): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", types.toArray)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+      while (rs.next())
+        rows += ((Option(rs.getString("TABLE_CAT")).getOrElse(""),
+                  Option(rs.getString("TABLE_SCHEM")).getOrElse(""),
+                  rs.getString("TABLE_NAME"), rs.getString("TABLE_TYPE")))
+      import spark.implicits._
+      rows.toSeq.toDF("catalog", "schema", "table", "type")
+    } finally conn.close()
+  }
+
   /** PutDatabaseRecord: write a DataFrame to a database table over JDBC
     * (each partition writes through its own connection). */
   def writeJdbc(df: DataFrame, url: String, table: String,

@@ -45,6 +45,18 @@ class JdbcSpec extends SparkSpec {
     assert(fetched.agg(sum("id")).as[Long].collect()(0) == 500500L)
   }
 
+  test("listJdbcTables enumerates tables through connection metadata (ListDatabaseTables)") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    Io.writeJdbc(df, url, "graft_list_a")
+    Io.writeJdbc(df, url, "graft_list_b")
+    val tables = Io.listJdbcTables(spark, url)
+      .select("table").as[String].collect().map(_.toLowerCase).toSet
+    assert(Set("graft_list_a", "graft_list_b").subsetOf(tables),
+      s"missing listed tables in $tables")
+    assert(Io.listJdbcTables(spark, url).columns.toSeq ===
+      Seq("catalog", "schema", "table", "type"))
+  }
+
   test("distributeLoad controls partitioning") {
     val df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
     assert(Records.distributeLoad(df, 7).rdd.getNumPartitions == 7)
