@@ -144,6 +144,94 @@ object Io {
     } finally conn.close()
   }
 
+  /** QueryDatabaseTable (NiFi): STATEFUL incremental JDBC fetch — each
+    * call reads only rows whose `maxValueColumn` exceeds the recorded
+    * state, then advances the state atomically (the same tmp+rename
+    * file contract as [[listIncremental]], any Hadoop FS scheme). The
+    * incremental slice itself is an executor-side pushdown query
+    * (`WHERE col > last`), so only new rows cross the wire. Numeric or
+    * monotonically-increasing columns only (NiFi's contract too —
+    * timestamps ride as epoch numbers). Returns the new rows. */
+  def readJdbcIncremental(spark: SparkSession, url: String, table: String,
+                          maxValueColumn: String, statePath: String,
+                          options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stateP = new Path(statePath)
+    val stateFs = stateP.getFileSystem(conf)
+    val last: Option[String] =
+      if (stateFs.exists(stateP)) {
+        val in = stateFs.open(stateP)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        if (s.nonEmpty) Some(s) else None
+      } else None
+    val slice = last match {
+      case Some(v) =>
+        s"""(SELECT * FROM $table WHERE "$maxValueColumn" > $v) graft_inc"""
+      case None => table
+    }
+    val fresh = readJdbc(spark, url, slice, options)
+    // driver-side max over the fetched slice advances the state; empty
+    // slice leaves state untouched (no rows → no progress to record)
+    val newMax = fresh.agg(org.apache.spark.sql.functions.max(col(maxValueColumn)))
+      .collect()(0)
+    if (!newMax.isNullAt(0)) {
+      val tmp = new Path(statePath + ".tmp")
+      val out = stateFs.create(tmp, true)
+      out.write(newMax.get(0).toString.getBytes("UTF-8"))
+      out.close()
+      if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
+      stateFs.rename(tmp, stateP)
+    }
+    fresh
+  }
+
+  /** TailFile (NiFi): byte-offset tailing of ONE growing file for
+    * scheduled batch runs — returns the COMPLETE lines appended since
+    * the recorded offset and advances the state (offset + a partial
+    * trailing line is left for the next run; truncation/rotation
+    * resets to the start). Driver-side read of the new byte range
+    * only; the tail of a single file is small by construction (the
+    * distributed analog for many/rotated files is
+    * [[listIncremental]] / `Streams.fileStream`). */
+  def tailFile(spark: SparkSession, file: String, statePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val stateP = new Path(statePath)
+    val stateFs = stateP.getFileSystem(conf)
+    val lastOffset: Long =
+      if (stateFs.exists(stateP)) {
+        val in = stateFs.open(stateP)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        if (s.nonEmpty) s.toLong else 0L
+      } else 0L
+    val len = if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+    val start = if (len < lastOffset) 0L else lastOffset // truncated/rotated → restart
+    import spark.implicits._
+    if (len <= start) return Seq.empty[String].toDF("line")
+    val in = fs.open(p)
+    val bytes = try {
+      in.seek(start)
+      val buf = new Array[Byte]((len - start).toInt)
+      in.readFully(start, buf)
+      buf
+    } finally in.close()
+    // only COMPLETE lines are emitted; the trailing partial stays for
+    // the next run (NiFi's tail semantics)
+    val lastNl = bytes.lastIndexOf('\n'.toByte)
+    val (complete, consumed) =
+      if (lastNl < 0) (Array.emptyByteArray, 0L) else (bytes.take(lastNl + 1), lastNl + 1L)
+    val tmp = new Path(statePath + ".tmp")
+    val out = stateFs.create(tmp, true)
+    out.write((start + consumed).toString.getBytes("UTF-8"))
+    out.close()
+    if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
+    stateFs.rename(tmp, stateP)
+    new String(complete, "UTF-8").linesIterator.toSeq.toDF("line")
+  }
+
   /** PutDatabaseRecord: write a DataFrame to a database table over JDBC
     * (each partition writes through its own connection). */
   def writeJdbc(df: DataFrame, url: String, table: String,

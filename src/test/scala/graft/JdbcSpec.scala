@@ -57,6 +57,39 @@ class JdbcSpec extends SparkSpec {
       Seq("catalog", "schema", "table", "type"))
   }
 
+  test("readJdbcIncremental fetches each row exactly once across runs (QueryDatabaseTable)") {
+    val state = java.nio.file.Files.createTempDirectory("graft_qdt").toString + "/state"
+    Io.writeJdbc(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), url, "graft_inc_t")
+    val first = Io.readJdbcIncremental(spark, url, "graft_inc_t", "id", state)
+    assert(first.select("id").as[Long].collect().sorted === Array(1L, 2L))
+    // no new rows → empty, state untouched
+    assert(Io.readJdbcIncremental(spark, url, "graft_inc_t", "id", state).count() === 0)
+    // appended rows only
+    Io.writeJdbc(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), url, "graft_inc_t", mode = "append")
+    val third = Io.readJdbcIncremental(spark, url, "graft_inc_t", "id", state)
+    assert(third.select("id").as[Long].collect().sorted === Array(3L, 4L))
+    assert(Io.readJdbcIncremental(spark, url, "graft_inc_t", "id", state).count() === 0)
+  }
+
+  test("tailFile returns appended complete lines once; truncation resets (TailFile)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tail")
+    val f = dir.resolve("app.log")
+    val state = dir.resolve("tail.state").toString
+    def append(s: String) = java.nio.file.Files.write(f, s.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    append("one\ntwo\npart")
+    val first = Io.tailFile(spark, f.toString, state)
+    assert(first.as[String].collect() === Array("one", "two"),
+      "partial trailing line must wait for completion")
+    append("ial\nthree\n")
+    val second = Io.tailFile(spark, f.toString, state)
+    assert(second.as[String].collect() === Array("partial", "three"))
+    assert(Io.tailFile(spark, f.toString, state).count() === 0)
+    // rotation: smaller file restarts from the top
+    java.nio.file.Files.write(f, "fresh\n".getBytes("UTF-8"))
+    assert(Io.tailFile(spark, f.toString, state).as[String].collect() === Array("fresh"))
+  }
+
   test("distributeLoad controls partitioning") {
     val df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
     assert(Records.distributeLoad(df, 7).rdd.getNumPartitions == 7)
