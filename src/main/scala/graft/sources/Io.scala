@@ -167,6 +167,11 @@ object Io {
       } else None
     val slice = last match {
       case Some(v) =>
+        // the state value is interpolated into SQL — enforce the
+        // numeric-column contract so a corrupted state file fails fast
+        // instead of injecting
+        require(v.matches("-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"),
+          s"non-numeric incremental state '$v' — maxValueColumn must be numeric")
         s"""(SELECT * FROM $table WHERE "$maxValueColumn" > $v) graft_inc"""
       case None => table
     }
