@@ -613,6 +613,17 @@ object Records {
     }.drop("__elem")
   }
 
+  /** UpdateRecord (NiFi): SET a field by record path — a top-level
+    * column ("name") or a nested struct field ("name.sub.leaf",
+    * arbitrary depth via Column.withField), leaving sibling fields
+    * intact. Also creates the field when absent (withField semantics).
+    * Narrow. */
+  def updateField(df: DataFrame, path: String, value: Column): DataFrame =
+    path.split("\\.", 2) match {
+      case Array(top)      => df.withColumn(top, value)
+      case Array(top, sub) => df.withColumn(top, col(top).withField(sub, value))
+    }
+
   /** RemoveRecordField: drop a top-level column ("name") or a struct
     * field ("name.sub", arbitrary depth via Column.dropFields). Narrow. */
   def removeField(df: DataFrame, path: String): DataFrame =

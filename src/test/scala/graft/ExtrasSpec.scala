@@ -100,6 +100,19 @@ class ExtrasSpec extends SparkSpec {
     assert(filtered === Array("alpha", "bravo", "charlie").filter(_.contains("a")))
   }
 
+  test("updateField sets nested struct fields in place (UpdateRecord)") {
+    val df = Seq((1L, ("alpha", 10))).toDF("id", "rec")
+      .select(col("id"), col("rec").cast("struct<name:string,qty:int>"))
+    val updated = Records.updateField(df, "rec.qty", lit(99))
+    assert(updated.select("rec.name", "rec.qty").as[(String, Int)].head === ("alpha", 99))
+    // absent field is CREATED; top-level path replaces the column
+    val widened = Records.updateField(df, "rec.note", lit("new"))
+    assert(widened.select("rec.note").as[String].head === "new")
+    assert(widened.select("rec.name").as[String].head === "alpha")
+    val replaced = Records.updateField(df, "id", lit(7L))
+    assert(replaced.select("id").as[Long].head === 7L)
+  }
+
   test("parseXml extracts schema fields from an XML column") {
     val df = Seq(
       (1L, "<rec><name>alpha</name><qty>3</qty></rec>"),
