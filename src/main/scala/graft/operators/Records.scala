@@ -613,6 +613,17 @@ object Records {
     }.drop("__elem")
   }
 
+  /** UnpackContent, zip mode (NiFi): one row per archived file —
+    * (original columns, entry_name, entry_data). Directory entries are
+    * skipped; archives explode in place with no driver involvement.
+    * Narrow (per-record inflate loop inside one native expression). */
+  def unpackZip(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("__e",
+        explode(graft.plans.BinaryExpressions.zipEntries(col(contentCol).cast("binary"))))
+      .withColumn("entry_name", col("__e.name"))
+      .withColumn("entry_data", col("__e.data"))
+      .drop("__e")
+
   /** UpdateRecord (NiFi): SET a field by record path — a top-level
     * column ("name") or a nested struct field ("name.sub.leaf",
     * arbitrary depth via Column.withField), leaving sibling fields

@@ -136,6 +136,42 @@ case class SnappyDecompress(child: Expression)
     copy(child = newChild)
 }
 
+/** UnpackContent (zip mode): explode a zip-archive payload into its
+  * entries as array<struct<name, data>> — pair with `explode` for one
+  * row per archived file (NiFi's UnpackContent relationship shape).
+  * Directory entries are skipped; a malformed archive throws (route
+  * the error with a try/failure wrapper upstream if needed). */
+case class ZipEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("data", BinaryType, nullable = false))))
+  override def prettyName: String = "graft_zip_entries"
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = new java.util.zip.ZipInputStream(
+      new ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var e = in.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) {
+        val out = new ByteArrayOutputStream(math.max(64, e.getSize.toInt.max(0)))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getName),
+          out.toByteArray)
+      }
+      e = in.getNextEntry
+    }
+    in.close()
+    new GenericArrayData(rows.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket, native form: `bits` sign bits of
   * projections onto pseudo-random planes derived from splitmix64 of
   * (seed, plane, component) — deterministic across executors, one
@@ -276,6 +312,8 @@ object BinaryExpressions {
     ColumnBridge.column(SnappyCompress(ColumnBridge.expression(c)))
   def unsnappy(c: Column): Column =
     ColumnBridge.column(SnappyDecompress(ColumnBridge.expression(c)))
+  def zipEntries(c: Column): Column =
+    ColumnBridge.column(ZipEntries(ColumnBridge.expression(c)))
   def hyperplaneBucket(c: Column, bits: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(c), bits, seed))
 

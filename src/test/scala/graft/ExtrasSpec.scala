@@ -100,6 +100,27 @@ class ExtrasSpec extends SparkSpec {
     assert(filtered === Array("alpha", "bravo", "charlie").filter(_.contains("a")))
   }
 
+  test("unpackZip explodes archive entries into rows (UnpackContent)") {
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("dir/")) // skipped
+      z.closeEntry()
+      entries.foreach { case (n, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val df = Seq((1L, zip("a.txt" -> "alpha", "sub/b.txt" -> "beta")),
+                 (2L, zip("c.txt" -> "gamma"))).toDF("id", "archive")
+    val out = Records.unpackZip(df, "archive")
+      .select(col("id"), col("entry_name"), col("entry_data").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    assert(out === Set((1L, "a.txt", "alpha"), (1L, "sub/b.txt", "beta"),
+                       (2L, "c.txt", "gamma")))
+  }
+
   test("updateField sets nested struct fields in place (UpdateRecord)") {
     val df = Seq((1L, ("alpha", 10))).toDF("id", "rec")
       .select(col("id"), col("rec").cast("struct<name:string,qty:int>"))
