@@ -474,6 +474,83 @@ object QueriesText {
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)[1:4]) AS word
       |FROM documents""".stripMargin
 
+  /** ForkRecord: pack events into per-user arrays of records, fork one
+    * record back out per element with the parent key carried along —
+    * the oracle recomputes fork order straight off the rows. */
+  val qForkRecord: Q = (s, d) => {
+    val e = Tables.events(s, d).filter(pmod(col("user_id"), lit(5)) === 1)
+    val packed = e.groupBy("user_id").agg(
+      array_sort(collect_list(struct(col("event_id"), col("event_type")))).as("recs"))
+    Records.forkRecord(packed, "recs", Seq("user_id"))
+      .select(col("user_id"), col("fork_idx").cast("long").as("fork_idx"),
+              col("event_id"), col("event_type"))
+  }
+  val qForkRecordSql: String =
+    """SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS fork_idx,
+      |  event_id, event_type
+      |FROM events WHERE user_id % 5 = 1""".stripMargin
+
+  /** LookupAttribute: static key→value map as a literal expression (no
+    * join, no shuffle); `zh` is deliberately absent to exercise the
+    * default. */
+  val qLookupAttribute: Q = (s, d) => {
+    Records.lookupAttribute(Tables.documents(s, d), "lang",
+        Map("en" -> "germanic", "de" -> "germanic",
+            "es" -> "romance", "fr" -> "romance"),
+        "family", default = Some("other"))
+      .select("doc_id", "lang", "family")
+  }
+  val qLookupAttributeSql: String =
+    """SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+      |            WHEN 'es' THEN 'romance'  WHEN 'fr' THEN 'romance'
+      |            ELSE 'other' END AS family
+      |FROM documents""".stripMargin
+
+  /** CryptographicHashAttribute: per-attribute digests (md5 + sha256)
+    * alongside the originals. */
+  val qHashAttributes: Q = (s, d) => {
+    val md5d = Records.hashAttributes(Tables.documents(s, d), Seq("source"), "md5")
+    Records.hashAttributes(md5d, Seq("lang"), "sha256")
+      .select("doc_id", "source_hash", "lang_hash")
+  }
+  val qHashAttributesSql: String =
+    """SELECT doc_id, md5(source) AS source_hash, sha256(lang) AS lang_hash
+      |FROM documents""".stripMargin
+
+  /** ValidateJson: mangle a deterministic subset of the props documents
+    * (drop the opening brace → parse failure; swap in a document missing
+    * the required field → structural failure) and validate the rest. */
+  val qValidateJson: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"),
+      when(pmod(col("event_id"), lit(7)) === 0, expr("substring(props, 2)"))
+        .when(pmod(col("event_id"), lit(11)) === 3, lit("""{"x": 1}"""))
+        .otherwise(col("props")).as("doc"))
+    Records.validateJson(e, "doc",
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType), Seq("k"))
+      .select("event_id", "route")
+  }
+  val qValidateJsonSql: String =
+    """WITH t AS (SELECT event_id,
+      |  CASE WHEN event_id % 7 = 0 THEN substring(props, 2)
+      |       WHEN event_id % 11 = 3 THEN '{"x": 1}'
+      |       ELSE props END AS doc FROM events)
+      |SELECT event_id,
+      |  CASE WHEN json_valid(doc) AND json_extract(doc, '$.k') IS NOT NULL
+      |       THEN 'valid' ELSE 'invalid' END AS route
+      |FROM t""".stripMargin
+
+  /** GenerateFlowFile: deterministic synthetic records — the oracle
+    * regenerates the identical rows from a bare range. */
+  val qGenerate: Q = (s, _) =>
+    graft.sources.Io.generate(s, 1000)
+  val qGenerateSql: String =
+    """SELECT CAST(i AS BIGINT) AS id, md5(CAST(i AS VARCHAR)) AS content,
+      |       CAST(i % 10 AS BIGINT) AS bucket
+      |FROM range(1000) t(i)""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -500,7 +577,12 @@ object QueriesText {
     "q_ip_lookup"       -> qIpLookup,
     "q_modify_bytes"    -> qModifyBytes,
     "q_split_content"   -> qSplitContent,
-    "q_validate_xml"    -> qValidateXml)
+    "q_validate_xml"    -> qValidateXml,
+    "q_fork_record"     -> qForkRecord,
+    "q_lookup_attribute" -> qLookupAttribute,
+    "q_hash_attributes" -> qHashAttributes,
+    "q_validate_json"   -> qValidateJson,
+    "q_generate"        -> qGenerate)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -527,5 +609,10 @@ object QueriesText {
     "q_ip_lookup"       -> qIpLookupSql,
     "q_modify_bytes"    -> qModifyBytesSql,
     "q_split_content"   -> qSplitContentSql,
-    "q_validate_xml"    -> qValidateXmlSql)
+    "q_validate_xml"    -> qValidateXmlSql,
+    "q_fork_record"     -> qForkRecordSql,
+    "q_lookup_attribute" -> qLookupAttributeSql,
+    "q_hash_attributes" -> qHashAttributesSql,
+    "q_validate_json"   -> qValidateJsonSql,
+    "q_generate"        -> qGenerateSql)
 }

@@ -39,6 +39,32 @@ object Records {
       .withColumn("is_valid", size(col("violations")) === 0)
   }
 
+  /** ValidateJson: structural validation of a JSON column against a
+    * required schema — NiFi ValidateJson with a JSON schema whose
+    * `required` array names top-level fields. A record is valid when
+    * the document parses (`from_json` yields a non-null struct) AND
+    * every required field is present and non-null. Adds a route column
+    * (`valid`/`invalid`); filter it for NiFi's two relationships.
+    * Narrow, zero shuffle, stays in codegen (JacksonParser). */
+  def validateJson(df: DataFrame, jsonCol: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   required: Seq[String],
+                   routeCol: String = "route"): DataFrame = {
+    // PERMISSIVE from_json yields a struct of nulls on malformed input,
+    // so parse failure is only observable through the corrupt-record
+    // column (a type mismatch on a schema field also lands there —
+    // stricter than a bare json_valid, which is what a schema check is).
+    val corrupt = "__corrupt"
+    require(!schema.fieldNames.contains(corrupt), s"schema may not contain $corrupt")
+    val parsed = from_json(col(jsonCol), schema.add(corrupt,
+        org.apache.spark.sql.types.StringType),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    val fieldsOk = required.map(f => parsed.getField(f).isNotNull)
+      .foldLeft(parsed.isNotNull && parsed.getField(corrupt).isNull)(_ && _)
+    df.withColumn(routeCol,
+      when(fieldsOk, lit("valid")).otherwise(lit("invalid")))
+  }
+
   /** SplitRecord / SplitText: explode a delimited content column into
     * one row per piece (position preserved). Narrow. */
   def split(df: DataFrame, contentCol: String, delim: String,
@@ -81,6 +107,19 @@ object Records {
     df.join(broadcast(lookupDf), cond, how)
   }
 
+  /** LookupAttribute (NiFi SimpleKeyValueLookupService): enrich from a
+    * STATIC key→value mapping carried as a literal map expression — no
+    * join, no broadcast table, no shuffle; the map rides inside the
+    * plan and stays in whole-stage codegen. For table-sized lookups use
+    * [[lookup]] (broadcast join); this is for config-sized maps
+    * (country codes, tier names) where even a broadcast is overhead. */
+  def lookupAttribute(df: DataFrame, keyCol: String, mapping: Map[String, String],
+                      outCol: String, default: Option[String] = None): DataFrame = {
+    require(mapping.nonEmpty, "lookupAttribute needs a non-empty mapping")
+    val hit = element_at(typedLit(mapping), col(keyCol).cast("string"))
+    df.withColumn(outCol, default.fold(hit)(d => coalesce(hit, lit(d))))
+  }
+
   /** ForkEnrichment/JoinEnrichment: compute an aggregate view of the
     * stream and re-join it onto the original rows. The enrichment is
     * derived from the SAME scan (Spark reuses the exchange); join key is
@@ -108,6 +147,22 @@ object Records {
                    idxCol: String = "seq"): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
     df.withColumn(idxCol, row_number().over(w))
+  }
+
+  /** CryptographicHashAttribute: digest each named attribute column
+    * into `<col><suffix>`. Per-column analog of [[hashContent]] (NiFi
+    * separates the two processors; both are narrow codegen'd scans). */
+  def hashAttributes(df: DataFrame, cols: Seq[String], algo: String = "sha256",
+                     suffix: String = "_hash"): DataFrame = {
+    def digest(c: Column): Column = algo match {
+      case "md5"      => md5(c.cast("binary"))
+      case "sha1"     => sha1(c.cast("binary"))
+      case "sha256"   => sha2(c.cast("binary"), 256)
+      case "sha512"   => sha2(c.cast("binary"), 512)
+      case "xxhash64" => xxhash64(c)
+      case other      => throw new IllegalArgumentException(s"unknown algo $other")
+    }
+    cols.foldLeft(df)((d, c) => d.withColumn(c + suffix, digest(col(c))))
   }
 
   /** SegmentContent: split content into fixed-size character chunks, one
@@ -611,6 +666,27 @@ object Records {
     elemFields.foldLeft(exploded) { (d, f) =>
       d.withColumn(f, col(s"__elem.$f"))
     }.drop("__elem")
+  }
+
+  /** ForkRecord (NiFi): fork one record per element of a nested
+    * array-of-records column, flattening the element's fields to the
+    * top level and carrying the listed parent fields onto every forked
+    * record (NiFi's "Include Parent Fields"). Parent fields win name
+    * collisions (the element's field is suffixed `_forked`), matching
+    * NiFi's parent-precedence. Narrow — posexplode multiplies rows but
+    * nothing shuffles. */
+  def forkRecord(df: DataFrame, arrayCol: String, parentCols: Seq[String],
+                 idxCol: String = "fork_idx"): DataFrame = {
+    val elemFields = df.schema(arrayCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames
+    val exploded = df.select(parentCols.map(col) :+
+      posexplode(col(arrayCol)).as(Seq(idxCol, "__rec")): _*)
+    elemFields.foldLeft(exploded) { (d, f) =>
+      val out = if (parentCols.contains(f) || f == idxCol) f + "_forked" else f
+      d.withColumn(out, col(s"__rec.$f"))
+    }.drop("__rec")
   }
 
   /** UnpackContent, zip mode (NiFi): one row per archived file —

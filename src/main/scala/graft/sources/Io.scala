@@ -22,6 +22,20 @@ import org.apache.spark.sql.types.StructType
   */
 object Io {
 
+  /** GenerateFlowFile: deterministic synthetic records for flow tests
+    * and load generation — `n` rows of (id, content, bucket) where
+    * content is a digest of the id, so every engine regenerates the
+    * exact same data (NiFi GenerateFlowFile with Unique FlowFiles).
+    * Distributed from birth: `spark.range` splits the id space evenly
+    * across `parts` partitions with no driver materialization. */
+  def generate(spark: SparkSession, n: Long, buckets: Int = 10,
+               parts: Int = 0): DataFrame = {
+    val base = if (parts > 0) spark.range(0L, n, 1L, parts) else spark.range(n)
+    base.select(col("id"),
+      md5(col("id").cast("string")).as("content"),
+      pmod(col("id"), lit(buckets.toLong)).as("bucket"))
+  }
+
   /** CSV record reader. Pass a schema — inference scans the data twice
     * and is banned at scale. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.operators.Records
+import graft.sources.Io
+
+/** Round-5 operator additions: ForkRecord, LookupAttribute,
+  * CryptographicHashAttribute, ValidateJson, GenerateFlowFile. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("forkRecord flattens array elements and carries parent fields") {
+    val df = Seq(
+      (1L, "a", Seq((10L, "x"), (11L, "y"))),
+      (2L, "b", Seq((20L, "z")))
+    ).toDF("id", "tag", "recs")
+    val forked = Records.forkRecord(df, "recs", Seq("id", "tag"))
+    assert(forked.columns.toSeq === Seq("id", "tag", "fork_idx", "_1", "_2"))
+    val rows = forked.orderBy("id", "fork_idx")
+      .select("id", "tag", "fork_idx", "_1", "_2").as[(Long, String, Int, Long, String)].collect()
+    assert(rows === Array((1L, "a", 0, 10L, "x"), (1L, "a", 1, 11L, "y"),
+                          (2L, "b", 0, 20L, "z")))
+  }
+
+  test("forkRecord suffixes element fields that collide with parent fields") {
+    val df = Seq((1L, Seq((7L, "x")))).toDF("id", "recs")
+      .select(col("id"), transform(col("recs"),
+        r => struct(r.getField("_1").as("id"), r.getField("_2").as("v"))).as("recs"))
+    val forked = Records.forkRecord(df, "recs", Seq("id"))
+    assert(forked.columns.contains("id_forked"))
+    val r = forked.select("id", "id_forked", "v").as[(Long, Long, String)].head()
+    assert(r === ((1L, 7L, "x")))
+  }
+
+  test("lookupAttribute maps hits, defaults misses, no join in the plan") {
+    val df = Seq("en", "fr", "zh").toDF("lang")
+    val out = Records.lookupAttribute(df, "lang",
+      Map("en" -> "germanic", "fr" -> "romance"), "family", Some("other"))
+    assert(out.orderBy("lang").as[(String, String)].collect() ===
+      Array(("en", "germanic"), ("fr", "romance"), ("zh", "other")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), "static map lookup must not plan a join")
+  }
+
+  test("lookupAttribute without a default leaves misses null") {
+    val out = Records.lookupAttribute(Seq("zz").toDF("k"),
+      "k", Map("a" -> "b"), "v")
+    assert(out.select("v").as[Option[String]].head().isEmpty)
+  }
+
+  test("hashAttributes digests each column; unknown algo rejected") {
+    val df = Seq(("s1", "en")).toDF("source", "lang")
+    val out = Records.hashAttributes(
+      Records.hashAttributes(df, Seq("source"), "md5"), Seq("lang"), "sha256")
+    val r = out.select("source_hash", "lang_hash").as[(String, String)].head()
+    // reference digests computed with java.security.MessageDigest
+    def hex(algo: String, s: String) =
+      java.security.MessageDigest.getInstance(algo)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r._1 === hex("MD5", "s1"))
+    assert(r._2 === hex("SHA-256", "en"))
+    intercept[IllegalArgumentException] {
+      Records.hashAttributes(df, Seq("source"), "crc32")
+    }
+  }
+
+  test("validateJson routes parse failures and missing required fields to invalid") {
+    val schema = new StructType().add("k", LongType)
+    val df = Seq(
+      ("ok",      """{"k": 5}"""),
+      ("missing", """{"x": 1}"""),
+      ("broken",  """"k": 5}"""),
+      ("knull",   """{"k": null}""")
+    ).toDF("case", "doc")
+    val out = Records.validateJson(df, "doc", schema, Seq("k"))
+      .select("case", "route").as[(String, String)].collect().toMap
+    assert(out === Map("ok" -> "valid", "missing" -> "invalid",
+                       "broken" -> "invalid", "knull" -> "invalid"))
+  }
+
+  test("validateJson with no required fields only checks parseability") {
+    val schema = new StructType().add("k", LongType)
+    val out = Records.validateJson(
+        Seq("""{"x": 1}""", "nope").toDF("doc"), "doc", schema, Nil)
+      .select("route").as[String].collect().sorted
+    assert(out === Array("invalid", "valid"))
+  }
+
+  test("generate is deterministic, partitioned as asked, and collision-free") {
+    val a = Io.generate(spark, 100, buckets = 4, parts = 8)
+    assert(a.rdd.getNumPartitions === 8)
+    val rows = a.orderBy("id").as[(Long, String, Long)].collect()
+    assert(rows.length === 100)
+    assert(rows.map(_._1).toSeq === (0L until 100L))
+    assert(rows.forall { case (id, _, b) => b === id % 4 })
+    assert(rows.map(_._2).distinct.length === 100)
+    // regeneration is bit-identical
+    val b = Io.generate(spark, 100, buckets = 4, parts = 8)
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(rows === b)
+  }
+}
