@@ -39,6 +39,15 @@ import graft.operators.{Records, Route}
   *    Value` in the content column.
   *  - `QueryRecord` — property `Query` (or the first dynamic property):
   *    Spark SQL with `FLOWFILE` as the incoming relation name.
+  *  - Plus: `JoinEnrichment` (two-input join), `ExtractText`,
+  *    `HashContent`, `EncodeContent`, `AttributesToJSON`, `ScanContent`,
+  *    `DeduplicateRecord`, `DistributeLoad`, `SplitText`, `RouteText`
+  *    (router — `selectedRelationships` filter like RouteOnAttribute),
+  *    `CountText`, `LookupAttribute` (dynamic properties are the
+  *    key→value map), `CryptographicHashAttribute`, `ValidateJson`
+  *    (property `Schema` is a DDL string), `ForkRecord`, `SampleRecord`,
+  *    `MergeRecord`, `PartitionRecord`, and `GenerateFlowFile` (a SOURCE
+  *    — needs no incoming connection).
   *
   * Connections wire `source.id -> destination.id`; a connection from a
   * router with `selectedRelationships` that name a PROPER subset of its
@@ -107,7 +116,8 @@ object FlowCompiler {
     def connInput(c: Connection): DataFrame = {
       val up = compileNode(c.src)
       procById.get(c.src) match {
-        case Some(p) if p.tpe.endsWith("RouteOnAttribute") || p.tpe.endsWith("RouteOnContent") =>
+        case Some(p) if p.tpe.endsWith("RouteOnAttribute") || p.tpe.endsWith("RouteOnContent") ||
+                        p.tpe.endsWith("RouteText") =>
           val allRoutes = dynamicProps(p).map(_._1) :+ "unmatched"
           if (c.rels.isEmpty || allRoutes.forall(c.rels.contains)) up
           else up.filter(col(routeColOf(p)).isin(c.rels: _*))
@@ -130,7 +140,8 @@ object FlowCompiler {
           } else {
             val p = procById.getOrElse(id, throw new IllegalArgumentException(
               s"connection references unknown node $id"))
-            require(ins.nonEmpty, s"processor ${p.name} has no incoming connection")
+            require(ins.nonEmpty || isSource(p),
+              s"processor ${p.name} has no incoming connection")
             applyProcessor(spark, p, ins)
           }
       }
@@ -156,7 +167,15 @@ object FlowCompiler {
     "Include Zero Record FlowFiles", "Cache Schema", "Hash Algorithm",
     "Output Column", "Mode", "Attributes List", "Dictionary",
     "Join Key", "Join Type", "Record Hashing Columns", "Tie Breaker",
-    "Number of Relationships", "Partition Columns")
+    "Number of Relationships", "Partition Columns",
+    "Delimiter", "Lookup Column", "Default Value", "Schema",
+    "Required Fields", "Array Column", "Parent Fields", "Key Column",
+    "Modulus", "Bucket", "Group Columns", "Order Column", "Separator",
+    "File Count", "Buckets")
+
+  /** Processors that originate data (no incoming connection needed). */
+  private def isSource(p: Processor): Boolean =
+    p.tpe.split('.').last == "GenerateFlowFile"
 
   private def dynamicProps(p: Processor): Seq[(String, String)] =
     p.props.filterNot { case (k, _) => fixedProps.contains(k) }
@@ -232,6 +251,48 @@ object FlowCompiler {
       case "ReplaceText" =>
         Records.replaceText(in, prop(p, "Content Column", "content"),
           prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))
+      case "GenerateFlowFile" =>
+        require(inputs.isEmpty, s"GenerateFlowFile ${p.name} is a source — no incoming connections")
+        graft.sources.Io.generate(spark, prop(p, "File Count", "100").trim.toLong,
+          prop(p, "Buckets", "10").trim.toInt)
+      case "SplitText" =>
+        Records.split(in, prop(p, "Content Column", "content"),
+          prop(p, "Delimiter", "\n"))
+      case "RouteText" =>
+        Records.routeText(in, prop(p, "Content Column", "content"), dynamicProps(p))
+      case "CountText" =>
+        Records.countText(in, prop(p, "Content Column", "content"))
+      case "LookupAttribute" =>
+        // dynamic properties ARE the key->value mapping (NiFi's
+        // SimpleKeyValueLookupService inlined into the processor config)
+        Records.lookupAttribute(in, prop(p, "Lookup Column", "key"),
+          dynamicProps(p).toMap, prop(p, "Output Column", "looked_up"),
+          p.props.collectFirst { case ("Default Value", v) => v })
+      case "CryptographicHashAttribute" =>
+        Records.hashAttributes(in,
+          prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Hash Algorithm", "sha256"))
+      case "ValidateJson" =>
+        Records.validateJson(in, prop(p, "Content Column", "content"),
+          org.apache.spark.sql.types.StructType.fromDDL(prop(p, "Schema", "")),
+          prop(p, "Required Fields", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Route Column", "route"))
+      case "ForkRecord" =>
+        Records.forkRecord(in, prop(p, "Array Column", "recs"),
+          prop(p, "Parent Fields", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case "SampleRecord" =>
+        Records.sampleByMod(in, prop(p, "Key Column", "id"),
+          prop(p, "Modulus", "10").trim.toInt, prop(p, "Bucket", "0").trim.toInt)
+      case "MergeRecord" =>
+        Records.merge(in,
+          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Order Column", "id"), prop(p, "Content Column", "content"),
+          prop(p, "Separator", "\n"), prop(p, "Output Column", "merged"))
+      case "PartitionRecord" =>
+        val (name, tmpl) = dynamicProps(p).headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"PartitionRecord ${p.name} needs one dynamic property (column -> EL)"))
+        Records.partitionKey(in, name, compileProperty(tmpl, in.columns.toSeq))
       case "QueryRecord" =>
         val sql = p.props.collectFirst { case ("Query", v) => v }
           .orElse(dynamicProps(p).headOption.map(_._2))

@@ -289,6 +289,34 @@ object QueriesText {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Third committed flow, over the round-5 vocabulary: RouteText as a
+    * router (selectedRelationships proper subset → filtered stream),
+    * CryptographicHashAttribute, LookupAttribute, QueryRecord rollup. */
+  val qFlowLines: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/lines_pipeline.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("documents" -> Tables.documents(s, d)))("by_route")
+  }
+  val qFlowLinesSql: String =
+    """WITH lines AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |         CASE WHEN regexp_matches(line, '\bmerge\b') THEN 'merges'
+      |              WHEN regexp_matches(line, '\bwindow\b') THEN 'windows'
+      |              WHEN regexp_matches(line, '\bhash\b') THEN 'hashy'
+      |              ELSE 'unmatched' END AS route,
+      |         md5(line) AS lh
+      |  FROM lines)
+      |SELECT route,
+      |       CASE route WHEN 'windows' THEN 'high' WHEN 'hashy' THEN 'low'
+      |                  ELSE 'none' END AS priority,
+      |       count(*) AS n_lines, count(DISTINCT doc_id) AS n_docs,
+      |       md5(string_agg(lh, '|' ORDER BY doc_id, lh)) AS lines_md5
+      |FROM r WHERE route IN ('windows', 'hashy')
+      |GROUP BY route""".stripMargin
+
   /** CalculateRecordStats (§2.2): total + per-category-value counts. */
   val qRecordStats: Q = (s, d) =>
     Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
@@ -578,6 +606,7 @@ object QueriesText {
     "q_modify_bytes"    -> qModifyBytes,
     "q_split_content"   -> qSplitContent,
     "q_validate_xml"    -> qValidateXml,
+    "q_flow_lines"      -> qFlowLines,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
@@ -610,6 +639,7 @@ object QueriesText {
     "q_modify_bytes"    -> qModifyBytesSql,
     "q_split_content"   -> qSplitContentSql,
     "q_validate_xml"    -> qValidateXmlSql,
+    "q_flow_lines"      -> qFlowLinesSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,

@@ -196,6 +196,68 @@ class FlowCompilerSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 3)
   }
 
+  test("GenerateFlowFile is a source; SampleRecord and MergeRecord compile downstream") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "gen", "type": "GenerateFlowFile",
+        |     "properties": {"File Count": "20", "Buckets": "4"}},
+        |    {"identifier": "samp", "type": "SampleRecord",
+        |     "properties": {"Key Column": "id", "Modulus": "2", "Bucket": "1"}},
+        |    {"identifier": "mrg", "type": "MergeRecord",
+        |     "properties": {"Group Columns": "bucket", "Order Column": "id",
+        |                    "Content Column": "content", "Separator": ","}}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "gen"}, "destination": {"id": "samp"}},
+        |    {"source": {"id": "samp"}, "destination": {"id": "mrg"}},
+        |    {"source": {"id": "mrg"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow, Map.empty)("out")
+    // odd ids only → buckets 1 and 3; ids 1,5,9,13,17 land in bucket 1
+    val merged = out.select("bucket", "merged").as[(Long, String)].collect().toMap
+    assert(merged.keySet === Set(1L, 3L))
+    assert(merged(1L).split(",").length === 5)
+  }
+
+  test("ValidateJson, ForkRecord, PartitionRecord, SplitText and CountText compile") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "vj", "type": "ValidateJson",
+        |     "properties": {"Content Column": "doc", "Schema": "k BIGINT",
+        |                    "Required Fields": "k"}},
+        |    {"identifier": "pk", "type": "PartitionRecord",
+        |     "properties": {"shard": "${id:mod(2)}"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "vj"}},
+        |    {"source": {"id": "vj"}, "destination": {"id": "pk"}},
+        |    {"source": {"id": "pk"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow, Map(
+      "in" -> Seq((1L, """{"k": 9}"""), (2L, "oops")).toDF("id", "doc")))("out")
+    val rows = out.select("id", "route", "shard").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows === Array((1L, "valid", 1L), (2L, "invalid", 0L)))
+
+    val split = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "st", "type": "SplitText",
+        |     "properties": {"Content Column": "txt"}},
+        |    {"identifier": "ct", "type": "CountText",
+        |     "properties": {"Content Column": "piece"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "st"}},
+        |    {"source": {"id": "st"}, "destination": {"id": "ct"}},
+        |    {"source": {"id": "ct"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val lines = FlowCompiler.compile(spark, split, Map(
+      "in" -> Seq("one two\nthree").toDF("txt")))("out")
+    assert(lines.select("piece", "n_words").as[(String, Long)].collect().sortBy(_._1)
+      === Array(("one two", 2L), ("three", 1L)))
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
