@@ -165,6 +165,26 @@ object Records {
     cols.foldLeft(df)((d, c) => d.withColumn(c + suffix, digest(col(c))))
   }
 
+  /** VerifyContentMAC, signing leg: HMAC of the content column under a
+    * shared secret key (hex-encoded output alongside the payload). The
+    * key is config — it rides in the plan, never in a column. */
+  def macContent(df: DataFrame, contentCol: String, key: Array[Byte],
+                 algorithm: String = "HmacSHA256",
+                 outCol: String = "content_mac"): DataFrame =
+    df.withColumn(outCol,
+      hex(graft.plans.BinaryExpressions.hmac(col(contentCol).cast("binary"), key, algorithm)))
+
+  /** VerifyContentMAC, verification leg: recompute the HMAC and route
+    * `success`/`failure` on constant-content equality with the claimed
+    * MAC column (hex, case-insensitive). Narrow, zero shuffle. */
+  def verifyMac(df: DataFrame, contentCol: String, macCol: String,
+                key: Array[Byte], algorithm: String = "HmacSHA256",
+                routeCol: String = "route"): DataFrame = {
+    val expect = hex(graft.plans.BinaryExpressions.hmac(col(contentCol).cast("binary"), key, algorithm))
+    df.withColumn(routeCol,
+      when(upper(col(macCol)) === upper(expect), lit("success")).otherwise(lit("failure")))
+  }
+
   /** SegmentContent: split content into fixed-size character chunks, one
     * row per chunk. Narrow (sequence+transform+explode, all codegen'd). */
   def segment(df: DataFrame, contentCol: String, size: Int,

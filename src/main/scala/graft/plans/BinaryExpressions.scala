@@ -295,6 +295,30 @@ case class Requantize8(child: Expression)
     copy(child = newChild)
 }
 
+/** HMAC (NiFi VerifyContentMAC): keyed-hash message authentication
+  * code over a binary payload. The key is flow CONFIG, not data — it
+  * rides in the expression (closure-serialized to executors), never in
+  * a column. One initialized Mac per thread (cloned via ThreadLocal —
+  * Mac is not thread-safe); doFinal resets it for the next row. */
+case class HmacExpr(child: Expression, algorithm: String, key: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  require(key.nonEmpty, "HMAC key must be non-empty")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hmac"
+  @transient private lazy val macTL: ThreadLocal[javax.crypto.Mac] =
+    new ThreadLocal[javax.crypto.Mac] {
+      override def initialValue(): javax.crypto.Mac = {
+        val m = javax.crypto.Mac.getInstance(algorithm)
+        m.init(new javax.crypto.spec.SecretKeySpec(key, algorithm))
+        m
+      }
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    macTL.get().doFinal(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
   def gzip(c: Column): Column =
     ColumnBridge.column(GzipCompress(ColumnBridge.expression(c)))
@@ -320,6 +344,8 @@ object BinaryExpressions {
   def requantize8(c: Column): Column =
     ColumnBridge.column(Requantize8(ColumnBridge.expression(c)))
 
+  def hmac(c: Column, key: Array[Byte], algorithm: String = "HmacSHA256"): Column =
+    ColumnBridge.column(HmacExpr(ColumnBridge.expression(c), algorithm, key))
   def splitBinary(payload: Column, delim: Column): Column =
     ColumnBridge.column(SplitBinary(
       ColumnBridge.expression(payload), ColumnBridge.expression(delim)))

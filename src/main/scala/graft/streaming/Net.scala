@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** ListenUDP / PutTCP / PutUDP (NiFi's datagram + socket edge
+  * processors), Spark-first.
+  *
+  * Ingress mirrors [[ListenHttp]]: a receiver thread spools datagrams
+  * to files (atomic tmp+rename), a file stream over the spool directory
+  * is the actual source — exactly-once from the spool onward, and the
+  * flow binds to the directory, not the socket. Egress writes straight
+  * from executors, one connection per PARTITION (not per row), so the
+  * connection count scales with parallelism, not data volume.
+  */
+object Net {
+
+  /** Handle for a running UDP listener. */
+  final class UdpListener private[Net] (val socket: DatagramSocket,
+                                        stopFlag: AtomicBoolean,
+                                        thread: Thread) {
+    def port: Int = socket.getLocalPort
+    def stop(): Unit = {
+      stopFlag.set(true)
+      socket.close() // unblocks receive()
+      thread.join(5000)
+    }
+  }
+
+  /** ListenUDP: spool datagrams to `spoolDir`, BATCHED — one spool file
+    * per `batchSize` datagrams (or on `flushMs` idle timeout), one line
+    * per datagram (UTF-8 text payloads; newlines inside a datagram are
+    * escaped to `\n`). Read the spool with
+    * `spark.readStream.format("text")` / [[Streams.fileStream]].
+    * Batching matters: UDP rates make one-file-per-datagram unreadable
+    * for any file source. Single-receiver ingress like the socket
+    * source — front with a distributed log at scale; the downstream
+    * flow never changes. Port 0 picks a free port (`listener.port`). */
+  def listenUdp(port: Int, spoolDir: String, batchSize: Int = 100,
+                flushMs: Long = 250L, maxPacketBytes: Int = 64 * 1024,
+                suffix: String = ".log"): UdpListener = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val socket = new DatagramSocket(port)
+    socket.setSoTimeout(flushMs.toInt.max(1))
+    val stop = new AtomicBoolean(false)
+    val seq = new AtomicLong(0L)
+    val thread = new Thread(() => {
+      val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+      def flush(): Unit = if (batch.nonEmpty) {
+        val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, batch.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        batch.clear()
+      }
+      val buf = new Array[Byte](maxPacketBytes)
+      while (!stop.get()) {
+        val pkt = new DatagramPacket(buf, buf.length)
+        try {
+          socket.receive(pkt)
+          val line = new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+          batch += line.replace("\r\n", "\\n").replace("\n", "\\n")
+          if (batch.size >= batchSize) flush()
+        } catch {
+          case _: java.net.SocketTimeoutException => flush() // idle → drain
+          case _: java.net.SocketException if stop.get() => // closed by stop()
+        }
+      }
+      flush()
+    }, "graft-listen-udp")
+    thread.setDaemon(true)
+    thread.start()
+    new UdpListener(socket, stop, thread)
+  }
+
+  /** PutTCP: write a string column over TCP, newline-delimited, ONE
+    * connection per partition opened on the executor (never the
+    * driver). Distributed fan-in: the receiver sees `numPartitions`
+    * concurrent connections — size partitions accordingly or front
+    * with a load balancer. */
+  def putTcp(df: DataFrame, host: String, port: Int,
+             valueCol: String = "value", connectTimeoutMs: Int = 5000): Unit =
+    df.select(col(valueCol).cast("string")).foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val sock = new Socket()
+        try {
+          sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+          rows.foreach { r =>
+            out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+          }
+          out.flush()
+        } finally sock.close()
+      }
+    }
+
+  /** PutUDP: one datagram per row from a shared per-partition socket.
+    * Fire-and-forget semantics (UDP): no delivery guarantee — NiFi's
+    * contract too. Rows longer than `maxPacketBytes` fail the task
+    * rather than truncate silently. */
+  def putUdp(df: DataFrame, host: String, port: Int,
+             valueCol: String = "value", maxPacketBytes: Int = 64 * 1024): Unit =
+    df.select(col(valueCol).cast("string")).foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val socket = new DatagramSocket()
+        val target = new InetSocketAddress(host, port)
+        try rows.foreach { r =>
+          val bytes = r.getString(0).getBytes(UTF_8)
+          require(bytes.length <= maxPacketBytes,
+            s"row of ${bytes.length} B exceeds datagram limit $maxPacketBytes")
+          socket.send(new DatagramPacket(bytes, bytes.length, target))
+        } finally socket.close()
+      }
+    }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Net
+
+/** ListenUDP spool source + PutTCP/PutUDP executor-side sinks, driven
+  * over live loopback sockets. */
+class NetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listenUdp spools datagrams in batches; text source reads them back") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-udp").toString
+    val listener = Net.listenUdp(0, spool, batchSize = 4, flushMs = 100)
+    try {
+      val sender = new DatagramSocket()
+      val target = new InetSocketAddress("127.0.0.1", listener.port)
+      val msgs = (1 to 10).map(i => s"pkt-$i") :+ "multi\nline"
+      msgs.foreach { m =>
+        val b = m.getBytes(UTF_8)
+        sender.send(new DatagramPacket(b, b.length, target))
+      }
+      sender.close()
+      // wait for the idle flush to drain the tail batch
+      val deadline = System.currentTimeMillis() + 10000
+      def lines() = spark.read.textFile(spool).collect().sorted
+      while (lines().length < msgs.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = lines()
+      assert(got.length === msgs.length)
+      assert(got.contains("pkt-7"))
+      // embedded newline was escaped so one datagram stays one line
+      assert(got.contains("multi\\nline"))
+      // batching: fewer spool files than datagrams
+      val files = new java.io.File(spool).listFiles().count(!_.getName.endsWith(".tmp"))
+      assert(files < msgs.length, s"expected batched spool files, got $files")
+    } finally listener.stop()
+  }
+
+  test("putTcp delivers every row newline-delimited, one connection per partition") {
+    val server = new ServerSocket(0)
+    val received = new ConcurrentLinkedQueue[String]()
+    val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new CountDownLatch(2) // 2 partitions → 2 connections
+    val acceptor = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val s = server.accept()
+          connections.incrementAndGet()
+          new Thread(() => {
+            val in = scala.io.Source.fromInputStream(s.getInputStream, "UTF-8")
+            try in.getLines().foreach(received.add) finally { in.close(); s.close() }
+            done.countDown()
+          }).start()
+        } catch { case _: java.net.SocketException => }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try {
+      val df = spark.range(0, 20, 1, 2).select(concat(lit("row-"), col("id")).as("value"))
+      Net.putTcp(df, "127.0.0.1", server.getLocalPort)
+      assert(done.await(15, TimeUnit.SECONDS), "receiver did not finish")
+      val got = received.iterator().asScala.toSeq.sorted
+      assert(got === (0 until 20).map(i => s"row-$i").sorted)
+      assert(connections.get() === 2)
+    } finally server.close()
+  }
+
+  test("putUdp sends one datagram per row and rejects oversized rows") {
+    val receiver = new DatagramSocket(0)
+    receiver.setSoTimeout(5000)
+    val df = Seq("a", "bb", "ccc").toDF("value").repartition(1)
+    Net.putUdp(df, "127.0.0.1", receiver.getLocalPort)
+    val got = (1 to 3).map { _ =>
+      val pkt = new DatagramPacket(new Array[Byte](128), 128)
+      receiver.receive(pkt)
+      new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+    }.sorted
+    receiver.close()
+    assert(got === Seq("a", "bb", "ccc"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Net.putUdp(Seq("x" * 100).toDF("value"), "127.0.0.1", 9, maxPacketBytes = 10)
+    }
+    assert(err.getMessage.contains("datagram limit") ||
+           Option(err.getCause).exists(_.getMessage.contains("datagram limit")))
+  }
+
+  private implicit class RichJIterator[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}

@@ -88,6 +88,26 @@ class Round5Spec extends SparkSpec {
     assert(out === Array("invalid", "valid"))
   }
 
+  test("macContent matches RFC 4231 HMAC-SHA256 test vectors; verifyMac routes tampering") {
+    // RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    val key = "Jefe".getBytes("UTF-8")
+    val df = Seq("what do ya want for nothing?").toDF("content")
+    val mac = Records.macContent(df, "content", key)
+      .select("content_mac").as[String].head()
+    assert(mac.toLowerCase ===
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // verification leg: intact row routes success, tampered content fails
+    val signed = Records.macContent(df, "content", key)
+    assert(Records.verifyMac(signed, "content", "content_mac", key)
+      .select("route").as[String].head() === "success")
+    val tampered = signed.withColumn("content", lit("what do ya want for nothing!"))
+    assert(Records.verifyMac(tampered, "content", "content_mac", key)
+      .select("route").as[String].head() === "failure")
+    // wrong key fails too
+    assert(Records.verifyMac(signed, "content", "content_mac", "nope".getBytes("UTF-8"))
+      .select("route").as[String].head() === "failure")
+  }
+
   test("generate is deterministic, partitioned as asked, and collision-free") {
     val a = Io.generate(spark, 100, buckets = 4, parts = 8)
     assert(a.rdd.getNumPartitions === 8)
