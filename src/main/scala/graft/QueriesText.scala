@@ -579,6 +579,60 @@ object QueriesText {
       |       CAST(i % 10 AS BIGINT) AS bucket
       |FROM range(1000) t(i)""".stripMargin
 
+  /** ExtractEmailHeaders: synthesize RFC-822 messages from order rows
+    * (with a FOLDED Subject continuation line and a conditional header)
+    * and parse them back — the oracle recomputes the expected headers
+    * straight from the raw columns, so the parser is what's checked. */
+  val qEmailHeaders: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val msg = concat(
+      lit("From: cust-"), col("o_custkey"), lit("@example.com\r\n"),
+      lit("To: ops@example.com\r\n"),
+      lit("Subject: Order "), col("o_orderkey"),
+      lit("\r\n viapriority "), col("o_orderpriority"), lit("\r\n"),
+      when(col("o_orderstatus") === "F", lit("X-Flag: done\r\n")).otherwise(lit("")),
+      lit("\r\nBody: thanks; Subject: decoy\r\n"))
+    Parse.extractEmailHeaders(o.select(col("o_orderkey"), msg.as("msg")), "msg",
+        Seq("From", "Subject", "X-Flag"))
+      .select("o_orderkey", "email_from", "email_subject", "email_x_flag")
+  }
+  val qEmailHeadersSql: String =
+    """SELECT o_orderkey,
+      |  'cust-' || o_custkey || '@example.com' AS email_from,
+      |  'Order ' || o_orderkey || ' viapriority ' || o_orderpriority AS email_subject,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'done' END AS email_x_flag
+      |FROM orders""".stripMargin
+
+  /** Wait/Notify release gate: orders wait until their customer has a
+    * BUILDING-segment signal row; per-route rollup. */
+  val qWaitNotify: Q = (s, d) => {
+    val signals = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Records.waitRelease(Tables.orders(s, d), signals, Seq("o_custkey" -> "c_custkey"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+  }
+  val qWaitNotifySql: String =
+    """SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 'success' ELSE 'wait' END AS route,
+      |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders o LEFT JOIN (
+      |  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+      |  ON o.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** RetryFlowFile: seeded retry counters bumped once, routed against
+    * the max-retries budget. */
+  val qRetry: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"),
+      pmod(col("event_id"), lit(5)).cast("int").as("flowfile_retries"))
+    Records.retryFlowFile(e, maxRetries = 3)
+      .select("event_id", "flowfile_retries", "route")
+  }
+  val qRetrySql: String =
+    """SELECT event_id, CAST(event_id % 5 + 1 AS INT) AS flowfile_retries,
+      |  CASE WHEN event_id % 5 + 1 <= 3 THEN 'retry' ELSE 'retries_exceeded' END AS route
+      |FROM events""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -611,7 +665,10 @@ object QueriesText {
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
     "q_validate_json"   -> qValidateJson,
-    "q_generate"        -> qGenerate)
+    "q_generate"        -> qGenerate,
+    "q_email_headers"   -> qEmailHeaders,
+    "q_wait_notify"     -> qWaitNotify,
+    "q_retry"           -> qRetry)
 
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
@@ -644,5 +701,8 @@ object QueriesText {
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,
     "q_validate_json"   -> qValidateJsonSql,
-    "q_generate"        -> qGenerateSql)
+    "q_generate"        -> qGenerateSql,
+    "q_email_headers"   -> qEmailHeadersSql,
+    "q_wait_notify"     -> qWaitNotifySql,
+    "q_retry"           -> qRetrySql)
 }

@@ -160,4 +160,25 @@ object Parse {
     }
     Records.validate(df, rules: _*)
   }
+
+  /** ExtractEmailHeaders (NiFi): named RFC-822/5322 headers from a raw
+    * message column. The header block ends at the first blank line;
+    * folded continuation lines (leading whitespace) are unfolded before
+    * matching; header names match case-insensitively, first occurrence
+    * wins (RFC 5322 trace-field convention). Output columns
+    * `email_<name>` (lowercased, `-`→`_`). Narrow, regex-only. */
+  def extractEmailHeaders(df: DataFrame, msgCol: String,
+                          headers: Seq[String]): DataFrame = {
+    // header block = everything before the first blank line; unfold
+    // CRLF/NL + leading-whitespace continuations into single spaces
+    val block = regexp_replace(
+      regexp_extract(col(msgCol), "(?s)^(.*?)(?:\\r?\\n\\r?\\n|$)", 1),
+      "\\r?\\n[ \\t]+", " ")
+    headers.foldLeft(df) { (d, h) =>
+      val hq = java.util.regex.Pattern.quote(h)
+      val pat = s"(?im)^$hq:[ \\t]*(.*?)[ \\t]*$$"
+      val out = "email_" + h.toLowerCase.replace('-', '_')
+      d.withColumn(out, when(block.rlike(pat), regexp_extract(block, pat, 1)))
+    }
+  }
 }

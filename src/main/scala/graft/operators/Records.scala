@@ -120,6 +120,40 @@ object Records {
     df.withColumn(outCol, default.fold(hit)(d => coalesce(hit, lit(d))))
   }
 
+  /** Wait/Notify (NiFi's release-gate pair), batch form: a row whose
+    * release key has a row in `signals` routes `success`, the rest
+    * route `wait` (re-run the gate when more signals land — NiFi's
+    * polling loop becomes re-execution of a declarative plan). The
+    * signal side is distinct-projected and broadcast when small
+    * (Catalyst's call via AQE); the waiting side never shuffles in the
+    * broadcast plan. Streaming form: a stream-stream join within a
+    * watermark interval ([[graft.streaming.Streams.joinWithinInterval]]). */
+  def waitRelease(df: DataFrame, signals: DataFrame,
+                  keys: Seq[(String, String)],
+                  routeCol: String = "route"): DataFrame = {
+    val marker = "__signaled"
+    val sig = signals.select(keys.map { case (_, r) => col(r) }: _*)
+      .distinct().withColumn(marker, lit(true))
+    val cond = keys.map { case (l, r) => df(l) === sig(r) }.reduce(_ && _)
+    val tagged = df.join(sig, cond, "left")
+      .withColumn(routeCol, when(col(marker).isNotNull, lit("success")).otherwise(lit("wait")))
+    keys.map { case (_, r) => sig(r) }
+      .foldLeft(tagged)((d, c) => d.drop(c))
+      .drop(marker)
+  }
+
+  /** RetryFlowFile (NiFi): bump the retry counter and route `retry`
+    * until `maxRetries` attempts are spent, then `retries_exceeded`.
+    * Creates the counter at 0 when absent. Narrow. */
+  def retryFlowFile(df: DataFrame, retriesCol: String = "flowfile_retries",
+                    maxRetries: Int = 3, routeCol: String = "route"): DataFrame = {
+    val seeded = if (df.columns.contains(retriesCol)) df
+                 else df.withColumn(retriesCol, lit(0))
+    seeded.withColumn(retriesCol, coalesce(col(retriesCol), lit(0)) + lit(1))
+      .withColumn(routeCol,
+        when(col(retriesCol) <= maxRetries, lit("retry")).otherwise(lit("retries_exceeded")))
+  }
+
   /** ForkEnrichment/JoinEnrichment: compute an aggregate view of the
     * stream and re-join it onto the original rows. The enrichment is
     * derived from the SAME scan (Spark reuses the exchange); join key is

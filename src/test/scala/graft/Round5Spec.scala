@@ -88,6 +88,41 @@ class Round5Spec extends SparkSpec {
     assert(out === Array("invalid", "valid"))
   }
 
+  test("extractEmailHeaders: case-insensitive names, folding, first occurrence wins, body ignored") {
+    val msg = "Received: a\r\nreceived: b\r\nSUBJECT: hello\r\n world\r\nFrom: x@y.z\r\n" +
+      "\r\nSubject: decoy body line\r\n"
+    val out = graft.operators.Parse.extractEmailHeaders(
+        Seq(msg).toDF("msg"), "msg", Seq("Subject", "From", "Received", "X-Missing"))
+      .select("email_subject", "email_from", "email_received", "email_x_missing")
+      .as[(String, String, String, Option[String])].head()
+    assert(out._1 === "hello world")   // unfolded continuation
+    assert(out._2 === "x@y.z")
+    assert(out._3 === "a")             // first occurrence, case-insensitive
+    assert(out._4.isEmpty)             // absent header is null, not ""
+  }
+
+  test("waitRelease routes signaled keys success, keeps schema, handles empty signals") {
+    val waiting = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val signals = Seq(2L, 2L, 3L).toDF("sk") // duplicates collapse
+    val out = Records.waitRelease(waiting, signals, Seq("k" -> "sk"))
+    assert(out.columns.toSeq === Seq("k", "v", "route"))
+    assert(out.orderBy("k").select("k", "route").as[(Long, String)].collect() ===
+      Array((1L, "wait"), (2L, "success"), (3L, "success")))
+    val none = Records.waitRelease(waiting, signals.filter(lit(false)), Seq("k" -> "sk"))
+    assert(none.select("route").as[String].collect().forall(_ == "wait"))
+  }
+
+  test("retryFlowFile seeds a missing counter, treats null as zero, routes on budget") {
+    val noCounter = Records.retryFlowFile(Seq("x").toDF("v"), maxRetries = 1)
+    assert(noCounter.select("flowfile_retries", "route").as[(Int, String)].head() ===
+      ((1, "retry")))
+    val withNull = Seq(("a", Some(3)), ("b", None), ("c", Some(1)))
+      .toDF("v", "flowfile_retries")
+    val out = Records.retryFlowFile(withNull, maxRetries = 3)
+      .select("v", "flowfile_retries", "route").as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out === Array(("a", 4, "retries_exceeded"), ("b", 1, "retry"), ("c", 2, "retry")))
+  }
+
   test("macContent matches RFC 4231 HMAC-SHA256 test vectors; verifyMac routes tampering") {
     // RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
     val key = "Jefe".getBytes("UTF-8")
