@@ -260,6 +260,61 @@ object Io {
       .option("url", url).option("dbtable", table)
       .options(options).mode(mode).save()
 
+  /** UpdateDatabaseTable (NiFi): evolve a JDBC table's DDL to accept a
+    * DataFrame schema — CREATE TABLE when absent, ALTER TABLE ADD
+    * COLUMN per missing column; never drops or retypes (NiFi's
+    * contract: additive evolution only). Driver-side metadata + DDL —
+    * pair with [[writeJdbc]] `mode="append"` for the data. Returns the
+    * column names it added. */
+  def updateDatabaseTable(url: String, table: String,
+                          schema: StructType): Seq[String] = {
+    def ident(s: String): String = {
+      require(s.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe SQL identifier '$s'")
+      s
+    }
+    def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType      => "BIGINT"
+        case IntegerType   => "INTEGER"
+        case ShortType     => "SMALLINT"
+        case DoubleType    => "DOUBLE"
+        case FloatType     => "REAL"
+        case BooleanType   => "BOOLEAN"
+        case TimestampType => "TIMESTAMP"
+        case DateType      => "DATE"
+        case StringType    => "VARCHAR(4000)"
+        case BinaryType    => "BLOB"
+        case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"no JDBC DDL mapping for ${other.catalogString}")
+      }
+    }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // JDBC metadata stores case-normalized names (Derby uppercases)
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, "%")
+      val existing = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+      val st = conn.createStatement()
+      try {
+        if (existing.isEmpty) {
+          val cols = schema.fields
+            .map(f => s"${ident(f.name)} ${sqlType(f.dataType)}").mkString(", ")
+          st.executeUpdate(s"CREATE TABLE ${ident(table)} ($cols)")
+          schema.fieldNames.toSeq
+        } else {
+          val missing = schema.fields.filterNot(f => existing.contains(f.name.toLowerCase))
+          missing.foreach { f =>
+            st.executeUpdate(
+              s"ALTER TABLE ${ident(table)} ADD COLUMN ${ident(f.name)} ${sqlType(f.dataType)}")
+          }
+          missing.map(_.name).toSeq
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** ListFile: enumerate files (path, size, mtime) WITHOUT reading
     * content — the binaryFile source prunes the content column when it
     * isn't selected, so this is a metadata-only listing. */

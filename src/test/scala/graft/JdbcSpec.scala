@@ -101,6 +101,29 @@ class JdbcSpec extends SparkSpec {
     assert(parts.forall(_ == 1L))
   }
 
+  test("updateDatabaseTable creates, evolves additively, and rejects unsafe identifiers") {
+    import org.apache.spark.sql.types._
+    val v1 = new StructType().add("id", LongType).add("name", StringType)
+    // create from scratch
+    assert(Io.updateDatabaseTable(url, "graft_evolve", v1) === Seq("id", "name"))
+    Io.writeJdbc(Seq((1L, "a")).toDF("id", "name"), url, "graft_evolve", mode = "append")
+    // evolve: only the new column is added, existing data survives
+    val v2 = v1.add("score", DoubleType)
+    assert(Io.updateDatabaseTable(url, "graft_evolve", v2) === Seq("score"))
+    Io.writeJdbc(Seq((2L, "b", 9.5)).toDF("id", "name", "score"),
+      url, "graft_evolve", mode = "append")
+    val back = Io.readJdbc(spark, url, "graft_evolve")
+      .orderBy("id").select("id", "name", "score")
+      .as[(Long, String, Option[Double])].collect()
+    assert(back === Array((1L, "a", None), (2L, "b", Some(9.5))))
+    // idempotent when nothing is missing
+    assert(Io.updateDatabaseTable(url, "graft_evolve", v2) === Seq.empty)
+    // DDL injection guard
+    intercept[IllegalArgumentException] {
+      Io.updateDatabaseTable(url, "bad; DROP TABLE x", v1)
+    }
+  }
+
   test("convertCharset re-encodes payloads") {
     val df = Seq((1L, "héllo")).toDF("id", "text")
       .withColumn("payload", encode(col("text"), "UTF-8"))
