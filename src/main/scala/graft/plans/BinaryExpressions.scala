@@ -305,6 +305,12 @@ case class HmacExpr(child: Expression, algorithm: String, key: Array[Byte])
   require(key.nonEmpty, "HMAC key must be non-empty")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_hmac"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary input, got ${other.catalogString}")
+    }
   @transient private lazy val macTL: ThreadLocal[javax.crypto.Mac] =
     new ThreadLocal[javax.crypto.Mac] {
       override def initialValue(): javax.crypto.Mac = {

@@ -16,5 +16,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    // graft_hmac(payload, key [, algorithm]) — key/algorithm must be
+    // literals (flow config, not data; mirrors Records.macContent)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hmac"),
+      new ExpressionInfo(classOf[HmacExpr].getName, "graft_hmac"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "graft_hmac(payload, key [, algorithm])")
+        def lit(i: Int, what: String): String = {
+          require(children(i).foldable, s"graft_hmac $what must be a literal")
+          children(i).eval().toString
+        }
+        val algo = if (children.size == 3) lit(2, "algorithm") else "HmacSHA256"
+        HmacExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+            children(0), org.apache.spark.sql.types.BinaryType),
+          algo, lit(1, "key").getBytes("UTF-8"))
+      }))
   }
 }

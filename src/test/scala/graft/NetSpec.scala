@@ -71,6 +71,41 @@ class NetSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("ListenSyslog over UDP: datagrams -> spool -> parseSyslog fields") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-syslog").toString
+    val listener = Net.listenUdp(0, spool, batchSize = 2, flushMs = 100)
+    try {
+      val sender = new DatagramSocket()
+      val target = new InetSocketAddress("127.0.0.1", listener.port)
+      Seq("<34>Oct 11 22:14:15 host1 sshd[123]: accepted",
+          "<13>Oct 12 08:00:01 host2 cron: job started").foreach { m =>
+        val b = m.getBytes(UTF_8)
+        sender.send(new DatagramPacket(b, b.length, target))
+      }
+      sender.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.read.textFile(spool).count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val parsed = graft.operators.Parse.parseSyslog(
+          spark.read.textFile(spool).toDF("value"), "value")
+        .select("sl_host", "severity", "sl_pid").orderBy("sl_host")
+        .as[(String, Int, Option[Int])].collect()
+      assert(parsed === Array(("host1", 2, Some(123)), ("host2", 5, None)))
+    } finally listener.stop()
+  }
+
+  test("graft_hmac is callable from SQL with literal key, rejects column keys") {
+    spark.sql("SELECT hex(graft_hmac('what do ya want for nothing?', 'Jefe')) AS m")
+      .as[String].collect() match {
+      case Array(m) => assert(m.toLowerCase ===
+        "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_hmac('x', content) FROM (SELECT 'k' AS content)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("putUdp sends one datagram per row and rejects oversized rows") {
     val receiver = new DatagramSocket(0)
     receiver.setSoTimeout(5000)
