@@ -635,8 +635,9 @@ object Records {
     val enc = encoding.toLowerCase match {
       case "base64" => base64(payload)
       case "hex"    => hex(payload)
+      case "base32" => graft.plans.BinaryExpressions.base32(payload)
       case other    => throw new IllegalArgumentException(
-        s"unsupported encoding '$other' (base64|hex)")
+        s"unsupported encoding '$other' (base64|hex|base32)")
     }
     df.withColumn(outCol, enc)
   }
@@ -648,8 +649,9 @@ object Records {
     val dec = encoding.toLowerCase match {
       case "base64" => unbase64(col(contentCol))
       case "hex"    => unhex(col(contentCol))
+      case "base32" => graft.plans.BinaryExpressions.unbase32(col(contentCol))
       case other    => throw new IllegalArgumentException(
-        s"unsupported encoding '$other' (base64|hex)")
+        s"unsupported encoding '$other' (base64|hex|base32)")
     }
     df.withColumn(outCol, dec)
   }

@@ -295,6 +295,66 @@ case class Requantize8(child: Expression)
     copy(child = newChild)
 }
 
+/** RFC 4648 base32 (NiFi EncodeContent's third encoding — Spark has
+  * base64/hex builtins but no base32). Padded canonical alphabet;
+  * decode rejects non-alphabet characters (null result would mask data
+  * corruption — NiFi routes those to failure). */
+object Base32 {
+  private val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private val reverse: Array[Byte] = {
+    val r = Array.fill[Byte](128)(-1)
+    alphabet.zipWithIndex.foreach { case (c, i) => r(c) = i.toByte }
+    r
+  }
+  def encode(in: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder((in.length + 4) / 5 * 8)
+    var buf = 0L; var bits = 0; var i = 0
+    while (i < in.length) {
+      buf = (buf << 8) | (in(i) & 0xffL); bits += 8
+      while (bits >= 5) { bits -= 5; sb.append(alphabet(((buf >> bits) & 31).toInt)) }
+      i += 1
+    }
+    if (bits > 0) sb.append(alphabet(((buf << (5 - bits)) & 31).toInt))
+    while (sb.length % 8 != 0) sb.append('=')
+    sb.toString
+  }
+  def decode(s: String): Array[Byte] = {
+    val trimmed = s.takeWhile(_ != '=')
+    val out = new ByteArrayOutputStream(trimmed.length * 5 / 8 + 1)
+    var buf = 0L; var bits = 0; var i = 0
+    while (i < trimmed.length) {
+      val c = trimmed.charAt(i)
+      val v = if (c < 128) reverse(c) else -1
+      require(v >= 0, s"invalid base32 character '$c'")
+      buf = (buf << 5) | v; bits += 5
+      if (bits >= 8) { bits -= 8; out.write(((buf >> bits) & 0xff).toInt) }
+      i += 1
+    }
+    out.toByteArray
+  }
+}
+
+case class Base32Encode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_base32"
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Base32.encode(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Base32Decode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_unbase32"
+  override protected def nullSafeEval(input: Any): Any =
+    Base32.decode(input.toString)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** HMAC (NiFi VerifyContentMAC): keyed-hash message authentication
   * code over a binary payload. The key is flow CONFIG, not data — it
   * rides in the expression (closure-serialized to executors), never in
@@ -350,6 +410,10 @@ object BinaryExpressions {
   def requantize8(c: Column): Column =
     ColumnBridge.column(Requantize8(ColumnBridge.expression(c)))
 
+  def base32(c: Column): Column =
+    ColumnBridge.column(Base32Encode(ColumnBridge.expression(c)))
+  def unbase32(c: Column): Column =
+    ColumnBridge.column(Base32Decode(ColumnBridge.expression(c)))
   def hmac(c: Column, key: Array[Byte], algorithm: String = "HmacSHA256"): Column =
     ColumnBridge.column(HmacExpr(ColumnBridge.expression(c), algorithm, key))
   def splitBinary(payload: Column, delim: Column): Column =

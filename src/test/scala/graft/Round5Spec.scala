@@ -143,6 +143,50 @@ class Round5Spec extends SparkSpec {
       .select("route").as[String].head() === "failure")
   }
 
+  test("base32 encode matches RFC 4648 vectors; decode round-trips and rejects junk") {
+    val vectors = Seq(
+      "" -> "", "f" -> "MY======", "fo" -> "MZXQ====", "foo" -> "MZXW6===",
+      "foob" -> "MZXW6YQ=", "fooba" -> "MZXW6YTB", "foobar" -> "MZXW6YTBOI======")
+    val df = vectors.map(_._1).toDF("content")
+    val enc = Records.encodeContent(df, "content", "base32", "b32")
+      .select("content", "b32").as[(String, String)].collect().toMap
+    vectors.foreach { case (in, want) => assert(enc(in) === want, s"encode '$in'") }
+    val rt = Records.decodeContent(
+        Records.encodeContent(df, "content", "base32", "b32"), "b32", "base32", "back")
+      .select(col("content"), col("back").cast("string"))
+      .as[(String, String)].collect()
+    assert(rt.forall { case (a, b) => a == b })
+    val err = intercept[Exception] {
+      Records.decodeContent(Seq("not-base32!").toDF("b32"), "b32", "base32", "x").collect()
+    }
+    def mentionsBase32(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("base32")) || mentionsBase32(t.getCause))
+    assert(mentionsBase32(err))
+  }
+
+  test("MapCache: put/fetch last-write-wins, tombstones, compact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mapcache").toString + "/cache"
+    graft.operators.MapCache.put(
+      Seq(("a", "1"), ("b", "2")).toDF("k", "v"), path, "k", "v")
+    graft.operators.MapCache.put(
+      Seq(("a", "9"), ("c", "3")).toDF("k", "v"), path, "k", "v") // a overwritten
+    graft.operators.MapCache.remove(Seq("b").toDF("k"), path, "k") // b tombstoned
+    def fetchAll() = graft.operators.MapCache.fetch(
+        Seq("a", "b", "c", "zz").toDF("k"), path, "k")
+      .orderBy("k").select("k", "cached").as[(String, Option[String])].collect()
+    val got = fetchAll()
+    assert(got === Array(("a", Some("9")), ("b", None), ("c", Some("3")), ("zz", None)))
+    // broadcast on the fetch plan, probe side not shuffled for the join
+    val plan = graft.operators.MapCache.fetch(Seq("a").toDF("k"), path, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // compact rewrites to one live generation with identical fetch results
+    graft.operators.MapCache.compact(spark, path)
+    assert(fetchAll() === got)
+    val gens = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("gen="))
+    assert(gens.toSeq === Seq("gen=0"))
+  }
+
   test("generate is deterministic, partitioned as asked, and collision-free") {
     val a = Io.generate(spark, 100, buckets = 4, parts = 8)
     assert(a.rdd.getNumPartitions === 8)
