@@ -23,6 +23,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** DetectDuplicate (NiFi's cache-backed form): route each row
+    * `duplicate`/`non-duplicate` against a persistent [[MapCache]] of
+    * previously-seen keys, then record this batch's new keys back into
+    * the cache — so duplicates are detected ACROSS runs, not just
+    * within one batch (cache the run id as the value for provenance).
+    * In-batch repeats of an unseen key all route non-duplicate, as in
+    * NiFi (the cache write happens after the batch's routing decision).
+    * Cache contract (dimension-sized, single writer) is MapCache's.
+    * Streaming form: [[graft.streaming.Streams.dedupe]]. */
+  def detectDuplicate(df: DataFrame, cachePath: String, keyCol: String,
+                      runTag: String = "seen",
+                      routeCol: String = "route"): DataFrame = {
+    val routed = MapCache.fetch(df, cachePath, keyCol, "__cached")
+      .withColumn(routeCol,
+        when(col("__cached").isNotNull, lit("duplicate")).otherwise(lit("non-duplicate")))
+      .drop("__cached")
+      .localCheckpoint(true) // route BEFORE the cache write lands
+    MapCache.put(
+      routed.filter(col(routeCol) === "non-duplicate")
+        .select(col(keyCol)).distinct().withColumn("__v", lit(runTag)),
+      cachePath, keyCol, "__v")
+    routed
+  }
+
   /** Exact-dedup summary: per content hash, the keeper id + copy count.
     * groupBy gets map-side partial aggregation (unlike a window). */
   def exactSummary(df: DataFrame, contentCol: String, idCol: String): DataFrame =

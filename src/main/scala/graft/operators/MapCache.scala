@@ -53,6 +53,15 @@ object MapCache {
     * log is small by contract, so the window sort is cheap; output is
     * (key, value). */
   def entries(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasGens = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("gen="))
+    if (!hasGens) { // empty cache: no generations yet
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+    }
     val log = spark.read.option("basePath", path).parquet(s"$path/gen=*")
     val w = Window.partitionBy("key").orderBy(col("gen").desc)
     log.withColumn("__rn", row_number().over(w))

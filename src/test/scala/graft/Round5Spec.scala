@@ -187,6 +187,23 @@ class Round5Spec extends SparkSpec {
     assert(gens.toSeq === Seq("gen=0"))
   }
 
+  test("detectDuplicate routes against the cache across runs and records new keys") {
+    import graft.operators.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft-detect").toString + "/cache"
+    val run1 = Dedup.detectDuplicate(
+      Seq("a", "b", "a").toDF("k"), path, "k", runTag = "run1")
+    // first sight of every key (in-batch repeat still non-duplicate)
+    assert(run1.select("route").as[String].collect().forall(_ == "non-duplicate"))
+    val run2 = Dedup.detectDuplicate(
+        Seq("a", "c").toDF("k"), path, "k", runTag = "run2")
+      .orderBy("k").select("k", "route").as[(String, String)].collect()
+    assert(run2 === Array(("a", "duplicate"), ("c", "non-duplicate")))
+    // cache now holds all three keys
+    val cached = graft.operators.MapCache.entries(spark, path)
+      .orderBy("key").as[(String, String)].collect()
+    assert(cached === Array(("a", "run1"), ("b", "run1"), ("c", "run2")))
+  }
+
   test("generate is deterministic, partitioned as asked, and collision-free") {
     val a = Io.generate(spark, 100, buckets = 4, parts = 8)
     assert(a.rdd.getNumPartitions === 8)
