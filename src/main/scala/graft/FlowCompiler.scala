@@ -243,6 +243,19 @@ object FlowCompiler {
       case "UpdateAttribute" =>
         val cols = in.columns.toSeq
         Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t, cols) }: _*)
+      case "UpdateRecord" =>
+        // NiFi UpdateRecord: dynamic properties are RecordPath -> value
+        // (EL template); slashes become the dot paths updateField sets
+        val cols = in.columns.toSeq
+        dynamicProps(p).foldLeft(in) { case (d, (path, tmpl)) =>
+          require(path.startsWith("/"), s"UpdateRecord ${p.name}: property '$path' must be a record path")
+          Records.updateField(d, path.drop(1).replace('/', '.'), compileProperty(tmpl, cols))
+        }
+      case "EvaluateRecordPath" =>
+        // dynamic properties are out-column -> RecordPath to extract
+        dynamicProps(p).foldLeft(in) { case (d, (name, path)) =>
+          d.withColumn(name, graft.functions.RecordPath.compile(path))
+        }
       case "RouteOnAttribute" =>
         Route.taggedFromElConfig(in, dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
       case "RouteOnContent" =>

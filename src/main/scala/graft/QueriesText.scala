@@ -566,8 +566,9 @@ object QueriesText {
       |       WHEN event_id % 11 = 3 THEN '{"x": 1}'
       |       ELSE props END AS doc FROM events)
       |SELECT event_id,
-      |  CASE WHEN json_valid(doc) AND json_extract(doc, '$.k') IS NOT NULL
-      |       THEN 'valid' ELSE 'invalid' END AS route
+      |  CASE WHEN NOT json_valid(doc) THEN 'invalid'
+      |       WHEN json_extract(doc, '$.k') IS NULL THEN 'invalid'
+      |       ELSE 'valid' END AS route
       |FROM t""".stripMargin
 
   /** GenerateFlowFile: deterministic synthetic records — the oracle
@@ -633,6 +634,28 @@ object QueriesText {
       |  CASE WHEN event_id % 5 + 1 <= 3 THEN 'retry' ELSE 'retries_exceeded' END AS route
       |FROM events""".stripMargin
 
+  /** RecordPath compiler: nested struct/array/map extraction by NiFi
+    * record paths — the oracle recomputes every projection from the
+    * flat columns the nested record was built from. */
+  val qRecordPath: Q = (s, d) => {
+    import graft.functions.RecordPath
+    val recs = Tables.orders(s, d).select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"),
+             array(col("o_custkey"), col("o_orderkey")).as("ks"),
+             map(lit("prio"), col("o_orderpriority")).as("m")).as("rec"))
+    recs.select(col("o_orderkey"),
+      RecordPath.compile("/rec/status").as("status"),
+      RecordPath.compile("/rec/ks[0]").as("first_k"),
+      RecordPath.compile("/rec/ks[-1]").as("last_k"),
+      RecordPath.compile("/rec/m['prio']").as("prio"),
+      RecordPath.compile("/rec/m['absent']").as("missing"))
+  }
+  val qRecordPathSql: String =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  o_custkey AS first_k, o_orderkey AS last_k,
+      |  o_orderpriority AS prio, CAST(NULL AS VARCHAR) AS missing
+      |FROM orders""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -667,6 +690,7 @@ object QueriesText {
     "q_validate_json"   -> qValidateJson,
     "q_generate"        -> qGenerate,
     "q_email_headers"   -> qEmailHeaders,
+    "q_record_path"     -> qRecordPath,
     "q_wait_notify"     -> qWaitNotify,
     "q_retry"           -> qRetry)
 
@@ -703,6 +727,7 @@ object QueriesText {
     "q_validate_json"   -> qValidateJsonSql,
     "q_generate"        -> qGenerateSql,
     "q_email_headers"   -> qEmailHeadersSql,
+    "q_record_path"     -> qRecordPathSql,
     "q_wait_notify"     -> qWaitNotifySql,
     "q_retry"           -> qRetrySql)
 }

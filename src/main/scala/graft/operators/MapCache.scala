@@ -82,12 +82,16 @@ object MapCache {
 
   /** Compact: rewrite the whole log as one fresh generation holding
     * only live entries (run when generations accumulate; single-writer
-    * window applies). */
+    * window applies). Write-then-swap: the replacement log is fully
+    * written to a sibling temp dir BEFORE the old log is deleted, so a
+    * failed compaction leaves the original cache intact. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val live = entries(spark, path).localCheckpoint(true)
     val p = new Path(path)
+    val tmp = new Path(path + ".compact.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    entries(spark, path).write.parquet(s"$tmp/gen=0")
     fs.delete(p, true)
-    live.write.parquet(s"$path/gen=0")
+    require(fs.rename(tmp, p), s"compact swap failed: could not rename $tmp to $p")
   }
 }

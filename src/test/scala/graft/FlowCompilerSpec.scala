@@ -258,6 +258,27 @@ class FlowCompilerSpec extends SparkSpec {
       === Array(("one two", 2L), ("three", 1L)))
   }
 
+  test("UpdateRecord sets struct fields by record path; EvaluateRecordPath extracts") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "ur", "type": "UpdateRecord",
+        |     "properties": {"/meta/stamp": "${id:plus(100)}"}},
+        |    {"identifier": "rp", "type": "EvaluateRecordPath",
+        |     "properties": {"stamp": "/meta/stamp", "tag": "/meta/tag"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "ur"}},
+        |    {"source": {"id": "ur"}, "destination": {"id": "rp"}},
+        |    {"source": {"id": "rp"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .select(col("id"), struct(col("tag").as("tag")).as("meta"))
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+      .select("id", "stamp", "tag").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Array((1L, 101L, "a"), (2L, 102L, "b")))
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {

@@ -187,6 +187,31 @@ class Round5Spec extends SparkSpec {
     assert(gens.toSeq === Seq("gen=0"))
   }
 
+  test("RecordPath: nested fields, indexes, wildcards, map keys; plan-time typo check") {
+    import graft.functions.RecordPath
+    val df = Seq((1L, "x")).toDF("id", "tag").select(col("id"),
+      struct(col("tag").as("t"),
+             array(lit(10L), lit(20L), lit(30L)).as("ns"),
+             array(struct(lit("a").as("w"), lit(1L).as("n")),
+                   struct(lit("b").as("w"), lit(2L).as("n"))).as("recs"),
+             map(lit("k1"), lit("v1")).as("m")).as("rec"))
+    val out = df.select(
+      RecordPath.compile("/rec/t").as("t"),
+      RecordPath.compile("/rec/ns[1]").as("second"),
+      RecordPath.compile("/rec/ns[-1]").as("last"),
+      RecordPath.compile("/rec/ns[9]").as("oob"),
+      RecordPath.compile("/rec/recs[*]/w").as("ws"),
+      RecordPath.compile("/rec/m['k1']").as("v1"),
+      RecordPath.compile("/rec/m['nope']").as("vmiss"))
+      .as[(String, Long, Long, Option[Long], Seq[String], String, Option[String])].head()
+    assert(out === (("x", 20L, 30L, None, Seq("a", "b"), "v1", None)))
+    // a typo'd struct field fails ANALYSIS, not silently null
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(RecordPath.compile("/rec/typo")).collect()
+    }
+    intercept[IllegalArgumentException] { RecordPath.compile("no-slash") }
+  }
+
   test("detectDuplicate routes against the cache across runs and records new keys") {
     import graft.operators.Dedup
     val path = java.nio.file.Files.createTempDirectory("graft-detect").toString + "/cache"
