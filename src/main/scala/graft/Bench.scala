@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR, emits ONE JSON line. Queries run in name order
   * after a session warmup action, so the first timed query doesn't pay
-  * executor/codegen startup. */
+  * executor/codegen startup. Each query runs SPARK_GRAFT_BENCH_REPS
+  * times (default 3) and reports its median; per-query [min,max] ranges
+  * land in tools/bench_detail.json. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,18 +41,31 @@ object Bench {
       if (args.nonEmpty) args(0).split(",").map(_.trim).toSet else Set.empty
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // Each query runs `reps` times and reports its MEDIAN: three rounds
+    // of judging were polluted by ±40% single-shot swings (shared-box
+    // scheduling, GC landing mid-query) that medians kill, while a real
+    // regression moves all three reps. min/max go to bench_detail so a
+    // reader can see whether two rounds' ranges even overlap.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: a query's leftover cached state must not tax
-      // the ones after it
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate reps/queries: drop SQL cache AND leftover localCheckpoint
+        // RDD blocks (clearCache alone leaves those in the block manager,
+        // where 100 queries' worth of them taxes later heavy queries)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
+      }.sorted
+      (name, times(times.size / 2), times.head, times.last)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
+    val qRange = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // /proc/loadavg at finish: lets bench_compare.py flag runs made under
     // external load (shared-box noise produced phantom 5-20x regressions).
@@ -61,14 +76,14 @@ object Bench {
     // stdout tail capture, so it goes to a file; stdout gets ONE short
     // (<200 B) total-only line the driver can always parse whole.
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"loadavg":"$loadavg","sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange}"""
     val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)
       java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     spark.stop()

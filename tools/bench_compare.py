@@ -72,6 +72,10 @@ def main(old_path, new_path, threshold=30.0):
         print("added:  ", ", ".join(f"{q} ({nq[q]:.2f}s)" for q in added))
     if removed:
         print("removed:", ", ".join(f"{q} ({oq[q]:.2f}s)" for q in removed))
+    # r6+: "queries" values are per-query MEDIANS of `reps` runs in one
+    # JVM; "query_ranges" carries [min,max] so a delta whose ranges
+    # overlap reads as noise even before the loadavg annotation.
+    o_rng, n_rng = old.get("query_ranges", {}), new.get("query_ranges", {})
     moved = []
     for q in sorted(set(oq) & set(nq)):
         a, b = oq[q], nq[q]
@@ -81,7 +85,16 @@ def main(old_path, new_path, threshold=30.0):
         if abs(pct) >= threshold and abs(b - a) >= 0.25:
             moved.append((pct, q, a, b))
     for pct, q, a, b in sorted(moved, reverse=True):
-        print(f"  {q:28s} {a:6.2f}s -> {b:6.2f}s ({pct:+.0f}%){noise_tag}")
+        rng = ""
+        if q in o_rng or q in n_rng:
+            def fr(r):
+                return f"[{r[0]:.2f}..{r[1]:.2f}]" if r else "[-]"
+            rng = f"  ranges {fr(o_rng.get(q))} -> {fr(n_rng.get(q))}"
+            ov = (q in o_rng and q in n_rng
+                  and o_rng[q][0] <= n_rng[q][1] and n_rng[q][0] <= o_rng[q][1])
+            if ov:
+                rng += " (overlap: noise-suspect)"
+        print(f"  {q:28s} {a:6.2f}s -> {b:6.2f}s ({pct:+.0f}%){noise_tag}{rng}")
     if not moved:
         print(f"no per-query movement beyond {threshold:.0f}% (+0.25s floor)")
 
