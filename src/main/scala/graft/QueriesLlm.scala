@@ -573,6 +573,63 @@ object QueriesLlm {
       |       WHEN 3 THEN 16 WHEN 4 THEN 8 END AS bit_depth
       |FROM documents""".stripMargin
 
+  /** REAL media decode (§2.4 #40, r6): payloads are REAL files — PNGs
+    * encoded by JDK ImageIO (red gradient rBase+x, constant g/b) and
+    * hand-written PCM16 WAVs (±amp square wave) — decoded back by
+    * [[Multimodal.decodeMedia]] (ImageIO pixels / javax.sound PCM). The
+    * oracle recomputes every statistic in closed form: gradient mean is
+    * rBase+(w−1)/2, square-wave RMS is exactly amp/32768. Columns that
+    * don't apply to a modality are null. */
+  val qMediaDecode: Q = (s, d) => {
+    val synth = udf { (id: Long) =>
+      if (id % 2 == 0)
+        Multimodal.synthPng((id % 16 + 4).toInt, (id % 8 + 2).toInt,
+          (id % 200).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+      else
+        Multimodal.synthWavSquare(((id % 8) * 4000 + 8000).toInt,
+          (id % 50 + 8).toInt, ((id % 4 + 1) * 4096).toInt)
+    }
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id")).withColumn("payload", synth(col("doc_id")))
+    Multimodal.decodeMedia(s, withPayload).select(
+      col("doc_id"),
+      col("decoded.kind").as("kind"),
+      col("decoded.width").as("width"),
+      col("decoded.height").as("height"),
+      dround(col("decoded.mean_r"), 4).as("mean_r"),
+      dround(col("decoded.mean_g"), 4).as("mean_g"),
+      dround(col("decoded.mean_b"), 4).as("mean_b"),
+      dround(col("decoded.mean_lum"), 4).as("mean_lum"),
+      col("decoded.sample_rate").as("sample_rate"),
+      col("decoded.n_frames").as("n_frames"),
+      dround(col("decoded.duration_s"), 6).as("duration_s"),
+      dround(col("decoded.rms"), 4).as("rms"))
+  }
+  val qMediaDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 16 + 4 AS INT) END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 2 AS INT) END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    round((doc_id % 200) + (doc_id % 16 + 3) * 0.5e0, 4) END AS mean_r,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    round(CAST(doc_id * 7 % 256 AS DOUBLE), 4) END AS mean_g,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    round(CAST(doc_id * 13 % 256 AS DOUBLE), 4) END AS mean_b,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    round(0.299e0 * ((doc_id % 200) + (doc_id % 16 + 3) * 0.5e0)
+      |        + 0.587e0 * (doc_id * 7 % 256)
+      |        + 0.114e0 * (doc_id * 13 % 256), 4) END AS mean_lum,
+      |  CASE WHEN doc_id % 2 = 1 THEN
+      |    CAST((doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 50 + 8 AS BIGINT) END AS n_frames,
+      |  CASE WHEN doc_id % 2 = 1 THEN
+      |    round(CAST(doc_id % 50 + 8 AS DOUBLE)
+      |        / ((doc_id % 8) * 4000 + 8000), 6) END AS duration_s,
+      |  CASE WHEN doc_id % 2 = 1 THEN
+      |    round((doc_id % 4 + 1) * 4096 / 32768e0, 4) END AS rms
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -597,6 +654,7 @@ object QueriesLlm {
     "q_multimodal_meta"     -> qMultimodalMeta,
     "q_frame_sample"        -> qFrameSample,
     "q_media_header"        -> qMediaHeader,
+    "q_media_decode"        -> qMediaDecode,
     "q_url_normalize"       -> qUrlNormalize,
     "q_line_dedup"          -> qLineDedup,
     "q_token_topk"          -> qTokenTopk,
@@ -622,6 +680,7 @@ object QueriesLlm {
     "q_multimodal_meta"     -> qMultimodalMetaSql,
     "q_frame_sample"        -> qFrameSampleSql,
     "q_media_header"        -> qMediaHeaderSql,
+    "q_media_decode"        -> qMediaDecodeSql,
     "q_url_normalize"       -> qUrlNormalizeSql,
     "q_line_dedup"          -> qLineDedupSql,
     "q_token_topk"          -> qTokenTopkSql,

@@ -1,6 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,15 +13,25 @@ import org.apache.spark.sql.types._
 /** Multimodal columns for training-data pipelines (SURVEY.md §2.4 #40).
   *
   * Media payloads are opaque `binary` columns with a typed metadata
-  * struct. The Spark-side plumbing — schema, batched partition-wise
-  * processing, deterministic partitioning — is real; the actual
-  * image/audio DECODE is stubbed (this container has no codec libs)
-  * behind [[decodeStub]], which produces a deterministic fake so tests
-  * and plans are reproducible. Swap `decodeStub` for a real decoder
-  * (e.g. a JNI/FFM codec or `mapInPandas` on PySpark clusters) without
-  * touching anything else.
+  * struct. Decode is REAL and JDK-only: `javax.imageio.ImageIO` for
+  * PNG/JPEG/GIF/BMP pixels, `javax.sound.sampled` for WAV PCM — no
+  * external codec jars. All decode work runs batched inside
+  * `mapPartitions` with reusable row/sample buffers (the shape a heavier
+  * codec or model runtime would want), and a payload that fails to
+  * decode yields nulls, never an exception — one corrupt file among
+  * billions must not fail the job.
+  *
+  * Reference behavior: NiFi media flows pair IdentifyMimeType with
+  * metadata/feature extraction before routing; `parseHeader` (native
+  * expression, header bytes only) is the cheap route/filter step and
+  * [[decodeMedia]]/[[extractFeatures]] are the paid decode that runs
+  * after filtering.
   */
 object Multimodal {
+
+  // ImageIO's default stream cache spills to disk temp files — at a
+  // payload per row that is an fs metadata storm; decode in memory.
+  ImageIO.setUseCache(false)
 
   val metaType: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
@@ -39,48 +54,255 @@ object Multimodal {
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("int").as("n_frames")))
 
-  /** STUB — deterministic fake "decoded features": `dim` floats derived
-    * from a rolling hash of the payload bytes. Replace with a real codec
-    * for production. Runs batched per partition (the real decoder would
-    * amortize model/codec init exactly here). */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+  // ------------------------------------------------------------- decode
+
+  final case class DecodedImage(width: Int, height: Int, meanR: Double,
+                                meanG: Double, meanB: Double, meanLum: Double)
+  final case class DecodedAudio(sampleRate: Int, nFrames: Long,
+                                durationS: Double, rms: Double)
+
+  /** REAL image decode (JDK ImageIO: PNG/JPEG/GIF/BMP): verified pixel
+    * dimensions plus per-channel means and BT.601 mean luminance,
+    * accumulated through a reusable one-row buffer. None on anything
+    * ImageIO can't decode. */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val px = rowBuf(x)
+          sr += (px >>> 16) & 0xFF
+          sg += (px >>> 8) & 0xFF
+          sb += px & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val mr = sr / n; val mg = sg / n; val mb = sb / n
+      Some(DecodedImage(w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL WAV PCM decode (JDK javax.sound.sampled): sample rate, frame
+    * count, duration, and RMS amplitude of the normalized 16-bit signal,
+    * streamed through a reusable frame buffer (payloads never fully
+    * expanded to a sample array). None for non-PCM16 or undecodable. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload == null || payload.length < 44) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val le = !fmt.isBigEndian
+        val buf = new Array[Byte](math.max(fmt.getFrameSize, 2) * 4096)
+        var sumSq = 0.0
+        var nSamp = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s =
+              if (le) ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort
+              else (((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)).toShort
+            val v = s / 32768.0
+            sumSq += v * v
+            nSamp += 1
+            i += 2
+          }
+          read = ais.read(buf)
+        }
+        if (nSamp == 0) return None
+        val rate = fmt.getSampleRate.toInt
+        val frames = nSamp / fmt.getChannels
+        Some(DecodedAudio(rate, frames, frames.toDouble / rate,
+          math.sqrt(sumSq / nSamp)))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  val decodedType: StructType = StructType(Seq(
+    StructField("kind", StringType), // image | audio | null = undecodable
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("mean_lum", DoubleType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType)))
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private val nullDecoded: Row =
+    Row(null, null, null, null, null, null, null, null, null, null, null)
+
+  private def decodedRow(b: Array[Byte]): Row =
+    if (isWav(b))
+      decodeWav(b).map(a => Row("audio", null, null, null, null, null, null,
+        a.sampleRate, a.nFrames, a.durationS, a.rms)).getOrElse(nullDecoded)
+    else
+      decodeImage(b).map(i => Row("image", i.width, i.height, i.meanR, i.meanG,
+        i.meanB, i.meanLum, null, null, null, null)).getOrElse(nullDecoded)
+
+  /** REAL decode operator: adds a `decoded` struct ([[decodedType]]) per
+    * payload — verified pixel dims + channel means + luminance for
+    * images, sample rate + frames + duration + RMS for WAV. Runs
+    * partition-wise; a payload neither decoder accepts yields an
+    * all-null struct (job never fails on corrupt bytes). */
+  def decodeMedia(spark: SparkSession, df: DataFrame,
+                  payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField("decoded", decodedType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ decodedRow(r.getAs[Array[Byte]](idx)))
+      }
+    }(enc)
+  }
+
+  // ----------------------------------------------------------- features
+
+  /** REAL feature extraction from payload bytes, `dim` floats:
+    *  - decodable image → normalized luminance histogram (`dim` bins);
+    *  - decodable WAV   → RMS energy envelope over `dim` equal windows;
+    *  - anything else   → normalized byte-value histogram (`dim` bins) —
+    *    a real signal (magic/encoding distribution), not a fake.
+    * Deterministic; distinct payloads of different composition map to
+    * distinct vectors. */
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var j = 0
-    var x = h
-    while (j < dim) {
-      x = x * 6364136223846793005L + 1442695040888963407L // splitmix-ish LCG
-      out(j) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
-      j += 1
+    if (payload == null || payload.isEmpty || dim <= 0) return out
+    if (isWav(payload)) {
+      wavEnvelope(payload, dim) match {
+        case Some(env) => return env
+        case None      => ()
+      }
+    } else if (looksLikeImage(payload)) {
+      luminanceHistogram(payload, dim) match {
+        case Some(hist) => return hist
+        case None       => ()
+      }
     }
+    // byte-value histogram: bin i counts bytes in [i*256/dim, (i+1)*256/dim)
+    var i = 0
+    while (i < payload.length) {
+      out((payload(i) & 0xFF) * dim / 256) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { out(j) /= payload.length; j += 1 }
     out
   }
 
-  /** Partition-wise feature extraction over the payload column: adds
-    * `features array<float>`. The iterator shape is where a real decoder
-    * would batch I/O / reuse buffers; the stub keeps the plumbing
-    * (schema, encoder, per-partition init) identical. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||            // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  private def luminanceHistogram(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val out = new Array[Float](dim)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val px = rowBuf(x)
+          val lum = (299 * ((px >>> 16) & 0xFF) + 587 * ((px >>> 8) & 0xFF) +
+            114 * (px & 0xFF)) / 1000
+          out(lum * dim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+      Some(out)
+    } catch { case _: Exception => None }
+
+  private def wavEnvelope(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val le = !fmt.isBigEndian
+        val all = ais.readAllBytes() // payload-bounded; WAV already in memory
+        val nSamp = all.length / 2
+        if (nSamp == 0) return None
+        val out = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        var k = 0
+        while (k < nSamp) {
+          val i = k * 2
+          val s =
+            if (le) ((all(i) & 0xFF) | (all(i + 1) << 8)).toShort
+            else (((all(i) & 0xFF) << 8) | (all(i + 1) & 0xFF)).toShort
+          val v = (s / 32768.0).toFloat
+          val bin = math.min(dim - 1, (k.toLong * dim / nSamp).toInt)
+          out(bin) += v * v
+          cnt(bin) += 1
+          k += 1
+        }
+        var j = 0
+        while (j < dim) {
+          out(j) = if (cnt(j) > 0) math.sqrt(out(j) / cnt(j)).toFloat else 0f
+          j += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-wise REAL feature extraction over the payload column:
+    * adds `features array<float>` (see [[features]] for the per-modality
+    * definition). Per-partition init happens in the `mapPartitions`
+    * closure — where a heavier codec/model runtime would load once. */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       payloadCol: String = "payload", dim: Int = 16): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
-      // per-partition init happens here (codec/model load in a real impl)
       it.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ decodeStub(payload, dim).toSeq)
+        Row.fromSeq(r.toSeq :+ features(payload, dim).toSeq)
       }
     }(enc)
   }
 
   /** Batched variant of [[extractFeatures]]: payloads are decoded in
-    * groups of `batchSize` — the iterator shape a real codec/model wants
-    * (amortized dispatch, contiguous buffers), mirroring `mapInPandas`
-    * batch semantics on PySpark clusters. Output identical to the
-    * per-row path. */
+    * groups of `batchSize` — the iterator shape a heavy codec/model
+    * wants (amortized dispatch, contiguous buffers), mirroring
+    * `mapInPandas` batch semantics on PySpark clusters. Output identical
+    * to the per-row path. */
   def extractFeaturesBatched(spark: SparkSession, df: DataFrame,
                              payloadCol: String = "payload", dim: Int = 16,
                              batchSize: Int = 64): DataFrame = {
@@ -89,8 +311,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would submit `batch` as one contiguous request
-        val feats = batch.map(r => decodeStub(r.getAs[Array[Byte]](idx), dim))
+        val feats = batch.map(r => features(r.getAs[Array[Byte]](idx), dim))
         batch.iterator.zip(feats.iterator).map { case (r, f) =>
           Row.fromSeq(r.toSeq :+ f.toSeq)
         }
@@ -98,23 +319,106 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize marker for image payloads: records the intended target
-    * size in the media struct (a real impl rewrites the payload). */
-  def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =
-    df.withColumn("media", col("media")
-      .withField("width", lit(width))
-      .withField("height", lit(height)))
+  // ------------------------------------------------------------- resize
 
-  /** REAL (non-stub) header metadata: parse container headers
+  /** REAL image resize: decodable image payloads are decoded (ImageIO),
+    * scaled to `width`×`height` (bilinear), and re-encoded as PNG in
+    * place; non-image payloads pass through untouched. If a `media`
+    * struct column exists its width/height/n_bytes are refreshed. */
+  def resizeImage(spark: SparkSession, df: DataFrame, width: Int, height: Int,
+                  payloadCol: String = "payload"): DataFrame = {
+    require(width > 0 && height > 0, "resize target must be positive")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    val resized = df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val next =
+          try {
+            val img =
+              if (payload == null) null
+              else ImageIO.read(new ByteArrayInputStream(payload))
+            if (img == null) payload
+            else {
+              val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, width, height, null)
+              } finally g.dispose()
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => payload }
+        Row.fromSeq(r.toSeq.updated(idx, next))
+      }
+    }(enc)
+    if (resized.schema.fieldNames.contains("media"))
+      resized.withColumn("media", col("media")
+        .withField("width", lit(width))
+        .withField("height", lit(height))
+        .withField("n_bytes", octet_length(col(payloadCol)).cast("long")))
+    else resized
+  }
+
+  // -------------------------------------------------------------- synth
+
+  /** Deterministic REAL PNG: `w`×`h` with red gradient `rBase + x` along
+    * x and constant g/b — encoded by the same JDK ImageIO the decoder
+    * reads back, so channel means have the closed form
+    * (rBase + (w-1)/2, g, b). Test/oracle payload generator. */
+  def synthPng(w: Int, h: Int, rBase: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((rBase + x) << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL WAV (PCM16 LE mono): `nFrames` samples of an
+    * alternating ±`amp` square wave at `rate` Hz — RMS is exactly
+    * amp/32768. Test/oracle payload generator. */
+  def synthWavSquare(rate: Int, nFrames: Int, amp: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(rate)
+      .putInt(rate * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      out.putShort(if (i % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Header metadata (REAL, native expression): parse container headers
     * (PNG/JPEG/GIF/BMP/WAV) from the payload's first bytes — the
     * route/filter step that runs on every payload BEFORE any decode.
-    * Native expression, one pass over the header region only. */
+    * One pass over the header region only. */
   def parseHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.plans.MediaExpressions.mediaHeader(payload)
 
   /** Frame sampling plumbing for video payloads: one output row per
-    * sampled frame index (every `stride`-th of `n_frames`). The real
-    * decoder would attach frame bytes; the stub attaches the index. */
+    * sampled frame index (every `stride`-th of `n_frames`). */
   def frameSample(df: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))))

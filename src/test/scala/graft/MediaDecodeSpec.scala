@@ -1,0 +1,102 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real JDK media decode (§2.4 #40): ImageIO pixels / javax.sound PCM,
+  * cross-checked against the header-only native expression. */
+class MediaDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decoded image dims and channel means match the synthesized closed form") {
+    // red gradient 50+x over 10×6, g=77, b=200
+    val png = Multimodal.synthPng(10, 6, 50, 77, 200)
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width == 10 && d.height == 6)
+    assert(d.meanR == 50 + 4.5) // rBase + (w-1)/2, exact
+    assert(d.meanG == 77.0 && d.meanB == 200.0)
+    assert(d.meanLum == 0.299 * 54.5 + 0.587 * 77 + 0.114 * 200)
+  }
+
+  test("header parse and real decode agree on dimensions (png/bmp/gif/jpeg)") {
+    val img = new BufferedImage(23, 11, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 11; x <- 0 until 23) img.setRGB(x, y, (x * 11 + y) << 8)
+    val payloads = Seq("png", "bmp", "gif", "jpg").map { fmt =>
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK cannot write $fmt")
+      fmt -> bos.toByteArray
+    }
+    val df = payloads.toDF("fmt", "payload")
+    val both = Multimodal.decodeMedia(spark, df)
+      .select(col("fmt"), Multimodal.parseHeader(col("payload")).as("hdr"),
+        col("decoded"))
+      .select(col("fmt"), col("hdr.width").as("hw"), col("hdr.height").as("hh"),
+        col("decoded.width").as("dw"), col("decoded.height").as("dh"),
+        col("decoded.kind").as("kind"))
+      .as[(String, Option[Int], Option[Int], Option[Int], Option[Int], String)]
+      .collect()
+    assert(both.length == 4)
+    both.foreach { case (fmt, hw, hh, dw, dh, kind) =>
+      assert(kind == "image", s"$fmt must decode")
+      assert(dw.contains(23) && dh.contains(11), s"$fmt decoded dims")
+      assert(hw == dw && hh == dh, s"$fmt header dims must equal decoded dims")
+    }
+  }
+
+  test("wav decode: rate, frames, duration, exact square-wave rms; header agrees") {
+    val wav = Multimodal.synthWavSquare(16000, 123, 8192)
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.sampleRate == 16000 && a.nFrames == 123L)
+    assert(a.rms == 8192 / 32768.0) // exactly 0.25
+    assert(math.abs(a.durationS - 123.0 / 16000) < 1e-12)
+    val hdr = Seq(Tuple1(wav)).toDF("payload")
+      .select(Multimodal.parseHeader(col("payload")).as("h"))
+      .select("h.format", "h.sample_rate", "h.channels", "h.bit_depth")
+      .as[(String, Int, Int, Int)].head()
+    assert(hdr == (("wav", 16000, 1, 16)))
+  }
+
+  test("resizeImage really rescales payload pixels; non-images pass through") {
+    val df = Seq(
+      (1L, Multimodal.synthPng(16, 8, 10, 20, 30)),
+      (2L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val out = Multimodal.resizeImage(spark, df, 4, 3)
+      .select("id", "payload").as[(Long, Array[Byte])].collect().toMap
+    val resized = Multimodal.decodeImage(out(1L)).get
+    assert(resized.width == 4 && resized.height == 3)
+    // constant g/b survive bilinear resampling exactly
+    assert(resized.meanG == 20.0 && resized.meanB == 30.0)
+    assert(new String(out(2L), "UTF-8") == "not an image")
+  }
+
+  test("corrupt and truncated payloads yield null decode, never an exception") {
+    val junk = Array.tabulate(64)(i => (i * 37 + 11).toByte)
+    val truncatedPng = Multimodal.synthPng(8, 8, 0, 0, 0).take(20)
+    val df = Seq((1L, junk), (2L, truncatedPng), (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val kinds = Multimodal.decodeMedia(spark, df)
+      .select("id", "decoded.kind").as[(Long, Option[String])].collect().toMap
+    assert(kinds.values.forall(_.isEmpty))
+  }
+
+  test("features are real per-modality signals") {
+    val dim = 8
+    // solid black image → all luminance mass in bin 0
+    val black = Multimodal.features(Multimodal.synthPng(6, 6, 0, 0, 0), dim)
+    assert(black(0) == 1.0f && black.drop(1).forall(_ == 0f))
+    // solid white → all mass in the top bin
+    val white = Multimodal.features(Multimodal.synthPng(6, 6, 255 - 5, 255, 255), dim)
+    assert(white(dim - 1) > 0.8f)
+    // constant-amplitude square wave → flat RMS envelope at amp/32768
+    val env = Multimodal.features(Multimodal.synthWavSquare(8000, 800, 16384), dim)
+    assert(env.forall(v => math.abs(v - 0.5f) < 1e-6))
+    // non-media → normalized byte histogram
+    val text = Multimodal.features("aaab".getBytes("US-ASCII"), dim)
+    assert(math.abs(text.sum - 1.0f) < 1e-6 && text(('a' / 32)) == 1.0f)
+  }
+}
