@@ -272,7 +272,9 @@ object FlowCompiler {
         Records.split(in, prop(p, "Content Column", "content"),
           prop(p, "Delimiter", "\n"))
       case "RouteText" =>
-        Records.routeText(in, prop(p, "Content Column", "content"), dynamicProps(p))
+        // route column must match what connInput filters on (routeColOf)
+        Records.routeText(in, prop(p, "Content Column", "content"), dynamicProps(p),
+          routeCol = prop(p, "Route Column", "route"))
       case "CountText" =>
         Records.countText(in, prop(p, "Content Column", "content"))
       case "LookupAttribute" =>

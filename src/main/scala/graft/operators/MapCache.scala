@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,9 +24,29 @@ import org.apache.spark.sql.functions._
   * mapGroupsWithState instead. */
 object MapCache {
 
+  private def hasGens(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("gen="))
+
+  private def asideOf(path: String) = new Path(path + ".old")
+
+  /** Complete a crashed compact swap: if the live log is gone but the
+    * aside survives (crash between rename-aside and rename-in), restore
+    * it. WRITERS call this before mutating; readers never rename (they
+    * fall back to the aside read-only, so a reader racing the
+    * single-writer compactor stays safe). */
+  private def recoverAside(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path)
+    val aside = asideOf(path)
+    if (!hasGens(fs, p) && hasGens(fs, aside)) {
+      fs.delete(p, true) // at most an empty/genless shell
+      require(fs.rename(aside, p), s"cannot restore $aside after a crashed compact")
+    }
+  }
+
   private def nextGen(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAside(fs, path)
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).map(_.getPath.getName)
       .collect { case n if n.startsWith("gen=") => n.drop(4).toLong }
@@ -51,22 +71,32 @@ object MapCache {
 
   /** Live entries: last-write-wins per key, tombstones dropped. The
     * log is small by contract, so the window sort is cheap; output is
-    * (key, value). */
+    * (key, value). Ties within one generation break by max(value) —
+    * the documented `put` contract — so repeated reads are
+    * deterministic even for a sloppy duplicate-key put. Reads fall
+    * back to the `.old` aside a crashed compact can leave, so a
+    * concurrent fetch/detectDuplicate never silently sees an EMPTY
+    * cache mid-compaction. */
   def entries(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasGens = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("gen="))
-    if (!hasGens) { // empty cache: no generations yet
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+    val readPath =
+      if (hasGens(fs, p)) Some(path)
+      else if (hasGens(fs, asideOf(path))) Some(path + ".old")
+      else None
+    readPath match {
+      case None => // empty cache: no generations anywhere
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("key", StringType), StructField("value", StringType))))
+      case Some(base) =>
+        val log = spark.read.option("basePath", base).parquet(s"$base/gen=*")
+        val w = Window.partitionBy("key")
+          .orderBy(col("gen").desc, col("value").desc_nulls_last)
+        log.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("value").isNotNull)
+          .select("key", "value")
     }
-    val log = spark.read.option("basePath", path).parquet(s"$path/gen=*")
-    val w = Window.partitionBy("key").orderBy(col("gen").desc)
-    log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("value").isNotNull)
-      .select("key", "value")
   }
 
   /** Fetch: enrich `df` with the cached value for `keyCol` (null when
@@ -82,16 +112,26 @@ object MapCache {
 
   /** Compact: rewrite the whole log as one fresh generation holding
     * only live entries (run when generations accumulate; single-writer
-    * window applies). Write-then-swap: the replacement log is fully
-    * written to a sibling temp dir BEFORE the old log is deleted, so a
-    * failed compaction leaves the original cache intact. */
+    * window applies). Swap order is write → rename the live log ASIDE →
+    * rename the replacement in → delete the aside: at no instant is
+    * there no readable log (a delete-then-rename swap has a window
+    * where a crash loses the cache and readers see it as EMPTY —
+    * indistinguishable from fresh, which would route every
+    * detectDuplicate key as non-duplicate). A crash mid-swap is healed
+    * by the next writer ([[recoverAside]]) and bridged by readers
+    * ([[entries]] aside fallback). */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + ".compact.tmp")
+    val aside = asideOf(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAside(fs, path)
     fs.delete(tmp, true)
+    fs.delete(aside, true) // stale aside can only coexist with a live log
     entries(spark, path).write.parquet(s"$tmp/gen=0")
-    fs.delete(p, true)
+    if (fs.exists(p))
+      require(fs.rename(p, aside), s"compact swap: cannot move $p aside")
     require(fs.rename(tmp, p), s"compact swap failed: could not rename $tmp to $p")
+    fs.delete(aside, true)
   }
 }

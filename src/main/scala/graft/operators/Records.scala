@@ -675,14 +675,15 @@ object Records {
     * the explode multiplies rows but nothing shuffles. */
   def routeText(df: DataFrame, contentCol: String,
                 routes: Seq[(String, String)],
-                unmatched: String = "unmatched"): DataFrame = {
+                unmatched: String = "unmatched",
+                routeCol: String = "route"): DataFrame = {
     val lines = df.select(col("*"),
       posexplode(org.apache.spark.sql.functions.split(col(contentCol), "\n", -1))
         .as(Seq("line_no", "line")))
     val route = routes.foldRight(lit(unmatched): Column) {
       case ((name, pattern), alt) => when(col("line").rlike(pattern), lit(name)).otherwise(alt)
     }
-    lines.withColumn("route", route)
+    lines.withColumn(routeCol, route)
   }
 
   /** SplitJson: explode a JSON-array column into one row per element

@@ -22,6 +22,50 @@ import org.apache.spark.sql.types.StructType
   */
 object Io {
 
+  // ------- crash-safe single-file state (shared by the stateful sources)
+
+  /** Read small state written by [[writeStateAtomic]]: prefers the live
+    * file, falls back to the `.old` aside a crash can leave behind.
+    * None when neither exists (fresh state). */
+  private[graft] def readStateString(fs: org.apache.hadoop.fs.FileSystem,
+                                     stateP: org.apache.hadoop.fs.Path): Option[String] = {
+    val aside = new org.apache.hadoop.fs.Path(stateP.toString + ".old")
+    val p =
+      if (fs.exists(stateP)) Some(stateP)
+      else if (fs.exists(aside)) Some(aside)
+      else None
+    p.map { path =>
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+  }
+
+  /** Crash-safe overwrite of a small state file: write `.tmp`, rename
+    * the live file ASIDE (`.old`), rename `.tmp` in, delete the aside.
+    * A plain delete-then-rename swap has a window where NO state exists
+    * (a crash there silently resets the source and every row replays);
+    * here at every instant either the live file or the aside holds a
+    * valid state, and [[readStateString]] recovers whichever survived.
+    * Crash recovery direction is at-least-once: a crash mid-swap replays
+    * the last slice rather than losing it. */
+  private[graft] def writeStateAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                                      stateP: org.apache.hadoop.fs.Path,
+                                      content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(stateP.toString + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(stateP.toString + ".old")
+    // recover a previous crash that left only the aside
+    if (!fs.exists(stateP) && fs.exists(aside))
+      require(fs.rename(aside, stateP), s"state recovery: cannot restore $aside")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // stale aside can only coexist with a live file (crash after step 3)
+    if (fs.exists(aside)) fs.delete(aside, false)
+    if (fs.exists(stateP))
+      require(fs.rename(stateP, aside), s"state swap: cannot move $stateP aside")
+    require(fs.rename(tmp, stateP), s"state swap: cannot rename $tmp to $stateP")
+    fs.delete(aside, false)
+  }
+
   /** GenerateFlowFile: deterministic synthetic records for flow tests
     * and load generation — `n` rows of (id, content, bucket) where
     * content is a digest of the id, so every engine regenerates the
@@ -173,12 +217,7 @@ object Io {
     val conf = spark.sparkContext.hadoopConfiguration
     val stateP = new Path(statePath)
     val stateFs = stateP.getFileSystem(conf)
-    val last: Option[String] =
-      if (stateFs.exists(stateP)) {
-        val in = stateFs.open(stateP)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        if (s.nonEmpty) Some(s) else None
-      } else None
+    val last: Option[String] = readStateString(stateFs, stateP).map(_.trim).filter(_.nonEmpty)
     val slice = last match {
       case Some(v) =>
         // the state value is interpolated into SQL — enforce the
@@ -189,19 +228,21 @@ object Io {
         s"""(SELECT * FROM $table WHERE "$maxValueColumn" > $v) graft_inc"""
       case None => table
     }
-    val fresh = readJdbc(spark, url, slice, options)
-    // driver-side max over the fetched slice advances the state; empty
-    // slice leaves state untouched (no rows → no progress to record)
+    // materialize the slice ONCE (eager localCheckpoint) BEFORE reading
+    // its max and advancing state: the returned frame is served from the
+    // checkpointed blocks, so no downstream action can re-run the JDBC
+    // query after state has moved — rows committed to the source table
+    // between the state advance and the caller's action(s) would
+    // otherwise be returned now AND fetched again next run. The slice is
+    // bounded by the incremental window (executor storage holds it — the
+    // same bound NiFi's per-trigger buffer has).
+    val fresh = readJdbc(spark, url, slice, options).localCheckpoint(true)
+    // driver-side max over the materialized slice advances the state;
+    // empty slice leaves state untouched (no rows → no progress to record)
     val newMax = fresh.agg(org.apache.spark.sql.functions.max(col(maxValueColumn)))
       .collect()(0)
-    if (!newMax.isNullAt(0)) {
-      val tmp = new Path(statePath + ".tmp")
-      val out = stateFs.create(tmp, true)
-      out.write(newMax.get(0).toString.getBytes("UTF-8"))
-      out.close()
-      if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
-      stateFs.rename(tmp, stateP)
-    }
+    if (!newMax.isNullAt(0))
+      writeStateAtomic(stateFs, stateP, newMax.get(0).toString)
     fresh
   }
 
@@ -221,11 +262,8 @@ object Io {
     val stateP = new Path(statePath)
     val stateFs = stateP.getFileSystem(conf)
     val lastOffset: Long =
-      if (stateFs.exists(stateP)) {
-        val in = stateFs.open(stateP)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        if (s.nonEmpty) s.toLong else 0L
-      } else 0L
+      readStateString(stateFs, stateP).map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(0L)
     val len = if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
     val start = if (len < lastOffset) 0L else lastOffset // truncated/rotated → restart
     import spark.implicits._
@@ -242,12 +280,7 @@ object Io {
     val lastNl = bytes.lastIndexOf('\n'.toByte)
     val (complete, consumed) =
       if (lastNl < 0) (Array.emptyByteArray, 0L) else (bytes.take(lastNl + 1), lastNl + 1L)
-    val tmp = new Path(statePath + ".tmp")
-    val out = stateFs.create(tmp, true)
-    out.write((start + consumed).toString.getBytes("UTF-8"))
-    out.close()
-    if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
-    stateFs.rename(tmp, stateP)
+    writeStateAtomic(stateFs, stateP, (start + consumed).toString)
     new String(complete, "UTF-8").linesIterator.toSeq.toDF("line")
   }
 
@@ -292,10 +325,24 @@ object Io {
     }
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      // JDBC metadata stores case-normalized names (Derby uppercases)
-      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, "%")
+      // Ask the driver how IT case-folds unquoted identifiers instead of
+      // assuming uppercase (Derby/H2/Oracle fold up, PostgreSQL/MySQL
+      // fold down — an uppercase probe there finds nothing and we'd
+      // wrongly CREATE an existing table). getColumns' table argument is
+      // a SEARCH PATTERN: escape '_'/'%' so 'graft_evolve' can't match
+      // an unrelated 'graftXevolve' and silently skip needed ADDs.
+      val md = conn.getMetaData
+      val normalized =
+        if (md.storesUpperCaseIdentifiers) table.toUpperCase
+        else if (md.storesLowerCaseIdentifiers) table.toLowerCase
+        else table
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      val pattern = normalized
+        .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       val existing = scala.collection.mutable.Set.empty[String]
-      while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+      val rs = md.getColumns(null, null, pattern, "%")
+      try while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+      finally rs.close()
       val st = conn.createStatement()
       try {
         if (existing.isEmpty) {
@@ -349,31 +396,27 @@ object Io {
     val stateFs = stateP.getFileSystem(conf)
     // state = "<maxMtime>\n<path-at-boundary>..." (one per line)
     val (lastMtime, seenAtBoundary): (Long, Set[String]) =
-      if (stateFs.exists(stateP)) {
-        val in = stateFs.open(stateP)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val lines = text.linesIterator.toSeq
-        (lines.headOption.map(_.trim.toLong).getOrElse(Long.MinValue),
-         lines.drop(1).toSet)
-      } else (Long.MinValue, Set.empty[String])
+      readStateString(stateFs, stateP) match {
+        case Some(text) =>
+          val lines = text.linesIterator.toSeq
+          (lines.headOption.map(_.trim.toLong).getOrElse(Long.MinValue),
+           lines.drop(1).toSet)
+        case None => (Long.MinValue, Set.empty[String])
+      }
     // the state file is never itself listable (covers state kept
     // inside the watched directory)
     val stateUri = stateFs.makeQualified(stateP).toString
     val all = fs.listStatus(dirPath).toSeq.filter(_.isFile)
       .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
-      .filter { case (p, _, _) => p != stateUri && p != stateUri + ".tmp" }
+      .filter { case (p, _, _) =>
+        p != stateUri && p != stateUri + ".tmp" && p != stateUri + ".old" }
     val fresh = all.filter { case (p, _, m) =>
       m > lastMtime || (m == lastMtime && !seenAtBoundary.contains(p))
     }
     if (fresh.nonEmpty) {
       val newMax = math.max(lastMtime, fresh.map(_._3).max)
       val boundary = all.collect { case (p, _, m) if m == newMax => p }
-      val tmp = new Path(statePath + ".tmp")
-      val out = stateFs.create(tmp, true)
-      out.write((newMax.toString +: boundary).mkString("\n").getBytes("UTF-8"))
-      out.close()
-      if (stateFs.exists(stateP)) stateFs.delete(stateP, false)
-      stateFs.rename(tmp, stateP)
+      writeStateAtomic(stateFs, stateP, (newMax.toString +: boundary).mkString("\n"))
     }
     import spark.implicits._
     fresh.toDF("path", "size", "mtime")

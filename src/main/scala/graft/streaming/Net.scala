@@ -65,7 +65,10 @@ object Net {
         try {
           socket.receive(pkt)
           val line = new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
-          batch += line.replace("\r\n", "\\n").replace("\n", "\\n")
+          // escape ALL line terminators Hadoop's reader recognizes —
+          // \r\n, \n, and bare \r (a lone CR also splits lines there,
+          // which would break the one-datagram-one-line spool invariant)
+          batch += line.replace("\r\n", "\\n").replace("\n", "\\n").replace("\r", "\\n")
           if (batch.size >= batchSize) flush()
         } catch {
           case _: java.net.SocketTimeoutException => flush() // idle → drain

@@ -71,6 +71,49 @@ class JdbcSpec extends SparkSpec {
     assert(Io.readJdbcIncremental(spark, url, "graft_inc_t", "id", state).count() === 0)
   }
 
+  test("readJdbcIncremental: rows committed between state advance and the caller's " +
+       "action are neither duplicated nor lost (exactly-once under a live writer)") {
+    val state = java.nio.file.Files.createTempDirectory("graft_qdt_live").toString + "/state"
+    Io.writeJdbc(Seq((1L, "a")).toDF("id", "v"), url, "graft_inc_live")
+    val slice1 = Io.readJdbcIncremental(spark, url, "graft_inc_live", "id", state)
+    // state is now advanced; a live writer commits id=2 BEFORE the caller
+    // ever acts on the returned frame (and between its repeated actions)
+    Io.writeJdbc(Seq((2L, "b")).toDF("id", "v"), url, "graft_inc_live", mode = "append")
+    // the slice was materialized before the advance: every action sees
+    // the same rows — a lazy frame would re-run the JDBC query here,
+    // return id=2 now AND fetch it again next run
+    assert(slice1.select("id").as[Long].collect() === Array(1L))
+    assert(slice1.select("id").as[Long].collect() === Array(1L))
+    val slice2 = Io.readJdbcIncremental(spark, url, "graft_inc_live", "id", state)
+    assert(slice2.select("id").as[Long].collect() === Array(2L))
+    assert(Io.readJdbcIncremental(spark, url, "graft_inc_live", "id", state).count() === 0)
+  }
+
+  test("state swap never leaves a moment with no recoverable state") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    val stateP = new Path(dir.resolve("s").toString)
+    val fs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Io.writeStateAtomic(fs, stateP, "v1")
+    assert(Io.readStateString(fs, stateP).contains("v1"))
+    Io.writeStateAtomic(fs, stateP, "v2")
+    assert(Io.readStateString(fs, stateP).contains("v2"))
+    assert(!fs.exists(new Path(stateP.toString + ".old")), "aside cleaned up")
+    // crash window 1: live was renamed aside, new never renamed in —
+    // readers must still see the OLD value, not an empty/fresh state
+    fs.rename(stateP, new Path(stateP.toString + ".old"))
+    assert(Io.readStateString(fs, stateP).contains("v2"))
+    // the next write self-recovers the aside and completes the swap
+    Io.writeStateAtomic(fs, stateP, "v3")
+    assert(Io.readStateString(fs, stateP).contains("v3"))
+    assert(!fs.exists(new Path(stateP.toString + ".old")))
+    // crash window 2: stale aside left after a completed rename-in
+    fs.create(new Path(stateP.toString + ".old"), true).close()
+    Io.writeStateAtomic(fs, stateP, "v4")
+    assert(Io.readStateString(fs, stateP).contains("v4"))
+    assert(!fs.exists(new Path(stateP.toString + ".old")))
+  }
+
   test("tailFile returns appended complete lines once; truncation resets (TailFile)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tail")
     val f = dir.resolve("app.log")

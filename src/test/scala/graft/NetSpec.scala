@@ -19,7 +19,7 @@ class NetSpec extends SparkSpec {
     try {
       val sender = new DatagramSocket()
       val target = new InetSocketAddress("127.0.0.1", listener.port)
-      val msgs = (1 to 10).map(i => s"pkt-$i") :+ "multi\nline"
+      val msgs = (1 to 10).map(i => s"pkt-$i") ++ Seq("multi\nline", "bare\rcr")
       msgs.foreach { m =>
         val b = m.getBytes(UTF_8)
         sender.send(new DatagramPacket(b, b.length, target))
@@ -35,6 +35,9 @@ class NetSpec extends SparkSpec {
       assert(got.contains("pkt-7"))
       // embedded newline was escaped so one datagram stays one line
       assert(got.contains("multi\\nline"))
+      // a bare \r is a line terminator to Hadoop's reader too — it must
+      // be escaped or the datagram splits into two records
+      assert(got.contains("bare\\ncr"))
       // batching: fewer spool files than datagrams
       val files = new java.io.File(spool).listFiles().count(!_.getName.endsWith(".tmp"))
       assert(files < msgs.length, s"expected batched spool files, got $files")
