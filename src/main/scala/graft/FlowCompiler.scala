@@ -48,6 +48,17 @@ import graft.operators.{Records, Route}
   *    (property `Schema` is a DDL string), `ForkRecord`, `SampleRecord`,
   *    `MergeRecord`, `PartitionRecord`, and `GenerateFlowFile` (a SOURCE
   *    — needs no incoming connection).
+  *  - Parse family (r6): `ParseSyslog`, `ParseCEF` (property `Extension
+  *    Keys`), `ExtractGrok` (property `Grok Expression`),
+  *    `EvaluateXPath` (dynamic properties `col -> xpath`), `SplitXml`
+  *    (property `Split Path`).
+  *  - Content family (r6): `ReplaceTextWithMapping` (dynamic properties
+  *    are the ordered find→replace pairs), `SegmentContent` (`Segment
+  *    Size`), `CompressContent` (`Mode` compress|decompress +
+  *    `Compression Format`), `EncodeContent` decode mode (`Mode` +
+  *    `Encoding`), `ConvertJSONToSQL` (`Table Name`; dynamic properties
+  *    `column -> string|number` in INSERT order), `MergeContent`
+  *    bin-packing (`Size Column`, `Maximum Group Size`).
   *
   * Connections wire `source.id -> destination.id`; a connection from a
   * router with `selectedRelationships` that name a PROPER subset of its
@@ -171,7 +182,9 @@ object FlowCompiler {
     "Delimiter", "Lookup Column", "Default Value", "Schema",
     "Required Fields", "Array Column", "Parent Fields", "Key Column",
     "Modulus", "Bucket", "Group Columns", "Order Column", "Separator",
-    "File Count", "Buckets")
+    "File Count", "Buckets", "Encoding", "Extension Keys", "Grok Expression",
+    "Split Path", "Segment Size", "Compression Format", "Table Name",
+    "Size Column", "Maximum Group Size")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -219,8 +232,57 @@ object FlowCompiler {
         Records.hashContent(in, prop(p, "Content Column", "content"),
           prop(p, "Hash Algorithm", "md5"), prop(p, "Output Column", "content_hash"))
       case "EncodeContent" =>
-        Records.encodeContent(in, prop(p, "Content Column", "content"),
-          prop(p, "Mode", "base64"), prop(p, "Output Column", "encoded"))
+        // NiFi shape: Mode = encode|decode + Encoding = base64|hex|base32;
+        // a Mode that names an encoding directly is accepted as shorthand
+        val contentCol = prop(p, "Content Column", "content")
+        prop(p, "Mode", "base64").toLowerCase match {
+          case "decode" => Records.decodeContent(in, contentCol,
+            prop(p, "Encoding", "base64"), prop(p, "Output Column", "decoded"))
+          case "encode" => Records.encodeContent(in, contentCol,
+            prop(p, "Encoding", "base64"), prop(p, "Output Column", "encoded"))
+          case shorthand => Records.encodeContent(in, contentCol,
+            shorthand, prop(p, "Output Column", "encoded"))
+        }
+      case "ParseSyslog" =>
+        graft.operators.Parse.parseSyslog(in, prop(p, "Content Column", "content"))
+      case "ParseCEF" =>
+        graft.operators.Parse.parseCef(in, prop(p, "Content Column", "content"),
+          prop(p, "Extension Keys", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case "ExtractGrok" =>
+        graft.operators.Parse.extractGrok(in, prop(p, "Content Column", "content"),
+          prop(p, "Grok Expression", "%{GREEDYDATA:grok_match}"))
+      case "EvaluateXPath" =>
+        // dynamic properties are out-column -> XPath over the content column
+        Records.evaluateXPath(in, prop(p, "Content Column", "content"),
+          dynamicProps(p).toMap)
+      case "SplitXml" =>
+        Records.splitXml(in, prop(p, "Content Column", "content"),
+          prop(p, "Split Path", "/*/*/text()"), prop(p, "Output Column", "fragment"))
+      case "ReplaceTextWithMapping" =>
+        // dynamic properties ARE the ordered find -> replace mapping
+        Records.replaceWithMapping(in, prop(p, "Content Column", "content"),
+          dynamicProps(p))
+      case "SegmentContent" =>
+        Records.segment(in, prop(p, "Content Column", "content"),
+          prop(p, "Segment Size", "1000").trim.toInt)
+      case "CompressContent" =>
+        val codec = prop(p, "Compression Format", "gzip")
+        if (prop(p, "Mode", "compress").equalsIgnoreCase("decompress"))
+          Records.decompress(in, prop(p, "Content Column", "content"), codec = codec)
+        else Records.compress(in, prop(p, "Content Column", "content"), codec = codec)
+      case "ConvertJSONToSQL" =>
+        // dynamic properties: column -> string|number, in INSERT-list order
+        Records.jsonToSql(in, prop(p, "Content Column", "content"),
+          prop(p, "Table Name", "t"),
+          dynamicProps(p).map { case (k, v) => k -> v.trim.toLowerCase.startsWith("s") },
+          prop(p, "Output Column", "sql"))
+      case "MergeContent" =>
+        // Bin-Packing Algorithm strategy: cumulative-size bin assignment
+        Records.binPack(in,
+          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Order Column", "id"), prop(p, "Size Column", "size"),
+          prop(p, "Maximum Group Size", "1000").trim.toLong,
+          prop(p, "Output Column", "bin"))
       case "AttributesToJSON" =>
         Records.attributesToJson(in,
           prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,

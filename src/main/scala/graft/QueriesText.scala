@@ -317,6 +317,27 @@ object QueriesText {
       |FROM r WHERE route IN ('windows', 'hashy')
       |GROUP BY route""".stripMargin
 
+  /** Fourth committed flow (r6), over the parse family: UpdateAttribute
+    * synthesizes an RFC-3164 syslog line per document via an EL template,
+    * ParseSyslog structures it, ExtractGrok pulls event id + status from
+    * the message, QueryRecord rolls up per facility+severity — the whole
+    * parse pipeline authored as versioned JSON, one composed plan. */
+  val qFlowParse: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/parse_syslog.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("documents" -> Tables.documents(s, d)))("by_facility")
+  }
+  val qFlowParseSql: String =
+    """WITH s AS (
+      |  SELECT doc_id % 190 AS pri, doc_id % 5 AS h, doc_id % 97 AS pid,
+      |         doc_id AS eid
+      |  FROM documents)
+      |SELECT CAST(pri // 8 AS INT) AS facility, CAST(pri % 8 AS INT) AS severity,
+      |       count(*) AS n, count(DISTINCT h) AS n_hosts,
+      |       min(eid) AS min_event, CAST(max(pid) AS INT) AS max_pid
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** CalculateRecordStats (§2.2): total + per-category-value counts. */
   val qRecordStats: Q = (s, d) =>
     Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
@@ -684,6 +705,7 @@ object QueriesText {
     "q_split_content"   -> qSplitContent,
     "q_validate_xml"    -> qValidateXml,
     "q_flow_lines"      -> qFlowLines,
+    "q_flow_parse"      -> qFlowParse,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
@@ -721,6 +743,7 @@ object QueriesText {
     "q_split_content"   -> qSplitContentSql,
     "q_validate_xml"    -> qValidateXmlSql,
     "q_flow_lines"      -> qFlowLinesSql,
+    "q_flow_parse"      -> qFlowParseSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,

@@ -279,6 +279,85 @@ class FlowCompilerSpec extends SparkSpec {
     assert(out === Array((1L, 101L, "a"), (2L, 102L, "b")))
   }
 
+  test("parse family compiles: ParseCEF, EvaluateXPath, SplitXml") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "cef", "type": "org.apache.nifi.processors.standard.ParseCEF",
+        |     "properties": {"Content Column": "cef_line", "Extension Keys": "src, act"}},
+        |    {"identifier": "xp", "type": "EvaluateXPath",
+        |     "properties": {"Content Column": "xml", "who": "/doc/who/text()"}},
+        |    {"identifier": "sx", "type": "SplitXml",
+        |     "properties": {"Content Column": "xml", "Split Path": "/doc/item/text()"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "cef"}},
+        |    {"source": {"id": "cef"}, "destination": {"id": "xp"}},
+        |    {"source": {"id": "xp"}, "destination": {"id": "sx"}},
+        |    {"source": {"id": "sx"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((
+      "CEF:0|acme|fw|1.0|100|blocked|5|src=10.0.0.9 act=deny",
+      "<doc><who>ada</who><item>a</item><item>b</item></doc>"
+    )).toDF("cef_line", "xml")
+    val rows = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+      .select("cef_vendor", "cef_severity", "cef_src", "who", "fragment")
+      .as[(String, String, String, String, String)].collect().sorted
+    assert(rows === Array(
+      ("acme", "5", "10.0.0.9", "ada", "a"),
+      ("acme", "5", "10.0.0.9", "ada", "b")))
+  }
+
+  test("content family compiles: mapping, segments, compress and encode round-trips, SQL gen, bin-pack") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "map", "type": "ReplaceTextWithMapping",
+        |     "properties": {"Content Column": "content", "colour": "color", "err": "error"}},
+        |    {"identifier": "seg", "type": "SegmentContent",
+        |     "properties": {"Content Column": "content", "Segment Size": "6"}},
+        |    {"identifier": "comp", "type": "CompressContent",
+        |     "properties": {"Content Column": "chunk", "Mode": "compress", "Compression Format": "gzip"}},
+        |    {"identifier": "deco", "type": "CompressContent",
+        |     "properties": {"Content Column": "chunk", "Mode": "decompress", "Compression Format": "gzip"}},
+        |    {"identifier": "enc", "type": "EncodeContent",
+        |     "properties": {"Content Column": "chunk", "Mode": "encode", "Encoding": "base32", "Output Column": "b32"}},
+        |    {"identifier": "dec", "type": "EncodeContent",
+        |     "properties": {"Content Column": "b32", "Mode": "decode", "Encoding": "base32", "Output Column": "back"}},
+        |    {"identifier": "sql", "type": "ConvertJSONToSQL",
+        |     "properties": {"Content Column": "meta", "Table Name": "events",
+        |                    "id": "number", "name": "string"}},
+        |    {"identifier": "bin", "type": "MergeContent",
+        |     "properties": {"Order Column": "chunk_idx", "Size Column": "chunk_idx",
+        |                    "Maximum Group Size": "3"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "map"}},
+        |    {"source": {"id": "map"}, "destination": {"id": "seg"}},
+        |    {"source": {"id": "seg"}, "destination": {"id": "comp"}},
+        |    {"source": {"id": "comp"}, "destination": {"id": "deco"}},
+        |    {"source": {"id": "deco"}, "destination": {"id": "enc"}},
+        |    {"source": {"id": "enc"}, "destination": {"id": "dec"}},
+        |    {"source": {"id": "dec"}, "destination": {"id": "sql"}},
+        |    {"source": {"id": "sql"}, "destination": {"id": "bin"}},
+        |    {"source": {"id": "bin"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq(("the colour of err logs", """{"id": 7, "name": "o'brien"}"""))
+      .toDF("content", "meta")
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+      .withColumn("chunk_str", col("chunk").cast("string"))
+      .withColumn("back_str", col("back").cast("string"))
+    val rows = out.select("chunk_idx", "chunk_str", "back_str", "sql", "bin")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // mapping applied in order, then 6-char segments of the mapped text
+    assert(rows.map(_._2).mkString === "the color of error logs")
+    // compress -> decompress -> base32 -> back is the identity
+    assert(rows.forall(r => r._2 == r._3))
+    assert(rows.head._4 === "INSERT INTO events (id, name) VALUES (7, 'o''brien')")
+    // bin ids advance as cumulative size crosses the 3-unit cap
+    assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
