@@ -36,7 +36,21 @@ object QueriesLlm {
       El.compileExpr("${lang:repeat(2)}").as("lang2"),
       El.compileExpr("${text:getDelimitedField(2, ' ')}").as("second_field"),
       El.compileExpr("${n_chars:math('pow', 2)}").as("chars_sq"),
-      El.compileExpr("${n_chars:math('max', 3000)}").as("chars_floor"))
+      El.compileExpr("${n_chars:math('max', 3000)}").as("chars_floor"),
+      // r6: instant arithmetic — build a date from doc columns, shift it,
+      // render it back (toInstant/plusDays/minusHours/formatInstant)
+      El.compileExpr(
+        "${literal('2024-03-'):append(${doc_id:mod(25):plus(1):padLeft(2, '0')})" +
+        ":append(' 12:00:00')" +
+        ":toInstant('yyyy-MM-dd HH:mm:ss', 'UTC')" +
+        ":plusDays(3):minusHours(6)" +
+        ":formatInstant('yyyy-MM-dd HH:mm', 'UTC')}").as("shifted_ts"),
+      // r6: url round-trip + NiFi default pad char
+      El.compileExpr("${source:prepend('q a/'):urlEncode()}").as("url_enc"),
+      El.compileExpr("${source:prepend('q a/'):urlEncode():urlDecode()}").as("url_dec"),
+      El.compileExpr("${lang:padLeft(6)}").as("lang_pad"),
+      El.compileExpr(
+        "${doc_id:prepend('{\"k\":\"v'):append('\"}'):jsonPath('$.k')}").as("json_k"))
   }
   val qExpressionLanguageSql: String =
     """SELECT doc_id, upper(lang) || '-' || source AS tag,
@@ -49,7 +63,13 @@ object QueriesLlm {
       | repeat(lang, 2) AS lang2,
       | split_part(text, ' ', 2) AS second_field,
       | pow(n_chars, 2) AS chars_sq,
-      | greatest(n_chars, 3000) AS chars_floor
+      | greatest(n_chars, 3000) AS chars_floor,
+      | strftime(make_timestamp(2024, 3, CAST(doc_id % 25 + 1 AS INT), 12, 0, 0)
+      |          + INTERVAL 3 DAY - INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS shifted_ts,
+      | 'q+a%2F' || source AS url_enc,
+      | 'q a/' || source AS url_dec,
+      | lpad(lang, 6, '_') AS lang_pad,
+      | 'v' || CAST(doc_id AS VARCHAR) AS json_k
       |FROM documents""".stripMargin
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer (§2.4 #38). */

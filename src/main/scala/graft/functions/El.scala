@@ -256,8 +256,9 @@ object El {
     case "replaceEmpty"     => when(trim(c.cast("string")) === "" || c.isNull, a0).otherwise(c)
     case "append"           => concat(c, a0.cast("string"))
     case "prepend"          => concat(a0.cast("string"), c)
-    case "padLeft"          => lpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else " ")
-    case "padRight"         => rpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else " ")
+    // NiFi's documented default pad character is '_', not a space
+    case "padLeft"          => lpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else "_")
+    case "padRight"         => rpad(c, litInt(args.head), if (args.size > 1) argStr(args(1)) else "_")
     case "contains"         => c.contains(a0)
     case "startsWith"       => c.startsWith(a0)
     case "endsWith"         => c.endsWith(a0)
@@ -291,6 +292,26 @@ object El {
     case "format" =>
       if (args.size <= 1) date_format(c, argStr(args.head))
       else date_format(from_utc_timestamp(c, argStr(args(1))), argStr(args.head))
+    // NiFi 2.x instant forms: toInstant parses a wall time in the given
+    // zone, formatInstant renders the instant as that zone's wall time
+    // (same semantics as the toDate/format pair)
+    case "toInstant" =>
+      if (args.isEmpty) to_timestamp(c)
+      else if (args.size == 1) to_timestamp(c, argStr(args.head))
+      else to_utc_timestamp(to_timestamp(c, argStr(args.head)), argStr(args(1)))
+    case "formatInstant" =>
+      if (args.size <= 1) date_format(c, argStr(args.head))
+      else date_format(from_utc_timestamp(c, argStr(args(1))), argStr(args.head))
+    // instant arithmetic (java.time-style): the argument count is a
+    // compile-time literal, so the interval folds into the plan
+    case "plusDays"     => c + expr(s"INTERVAL ${litInt(args.head)} DAY")
+    case "minusDays"    => c - expr(s"INTERVAL ${litInt(args.head)} DAY")
+    case "plusHours"    => c + expr(s"INTERVAL ${litInt(args.head)} HOUR")
+    case "minusHours"   => c - expr(s"INTERVAL ${litInt(args.head)} HOUR")
+    case "plusMinutes"  => c + expr(s"INTERVAL ${litInt(args.head)} MINUTE")
+    case "minusMinutes" => c - expr(s"INTERVAL ${litInt(args.head)} MINUTE")
+    case "plusSeconds"  => c + expr(s"INTERVAL ${litInt(args.head)} SECOND")
+    case "minusSeconds" => c - expr(s"INTERVAL ${litInt(args.head)} SECOND")
     case "jsonPath"         => get_json_object(c, argStr(args.head))
     case "base64Encode"     => base64(c.cast("binary"))
     case "base64Decode"     => unbase64(c).cast("string")

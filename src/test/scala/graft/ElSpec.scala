@@ -34,7 +34,31 @@ class ElSpec extends SparkSpec {
     assert(eval("${text:append('!')}") == "hello world!")
     assert(eval("${text:prepend('>> ')}") == ">> hello world")
     assert(eval("${lang:padLeft(4, '*')}") == "**en")
+    assert(eval("${lang:padLeft(4)}") == "__en") // NiFi default pad is '_'
+    assert(eval("${lang:padRight(4)}") == "en__")
     assert(evalExpr("${text:length()}") == 11L)
+  }
+
+  test("instant family: toInstant/formatInstant/plus-minus arithmetic") {
+    assert(evalExpr("${literal('2024-03-05 10:20:30')" +
+      ":toInstant('yyyy-MM-dd HH:mm:ss', 'UTC')" +
+      ":plusDays(3):formatInstant('yyyy-MM-dd HH:mm:ss', 'UTC')}")
+      == "2024-03-08 10:20:30")
+    assert(evalExpr("${literal('2024-03-05 10:20:30')" +
+      ":toInstant('yyyy-MM-dd HH:mm:ss', 'UTC')" +
+      ":minusHours(11):plusMinutes(10):minusSeconds(30)" +
+      ":formatInstant('yyyy-MM-dd HH:mm:ss', 'UTC')}")
+      == "2024-03-04 23:30:00")
+    // zone-aware round trip: 09:00 in New York is 14:00 UTC (March 5 is EST)
+    assert(evalExpr("${literal('2024-03-05 09:00:00')" +
+      ":toInstant('yyyy-MM-dd HH:mm:ss', 'America/New_York')" +
+      ":formatInstant('HH:mm', 'UTC')}") == "14:00")
+  }
+
+  test("url and json functions") {
+    assert(evalExpr("${text:urlEncode()}") == "hello+world")
+    assert(evalExpr("${text:urlEncode():urlDecode()}") == "hello world")
+    assert(evalExpr("${literal('{\"k\": 7}'):jsonPath('$.k')}") == "7")
   }
 
   test("boolean and comparison functions") {
