@@ -42,4 +42,48 @@ class StreamRestartSpec extends SparkSpec {
     assert(q3.awaitTermination(120000))
     assert(spark.read.schema(schema).parquet(out).count() == 3)
   }
+
+  test("committed STREAMING flow definition: live spool -> compiled flow -> " +
+       "exactly-once sink, restart resumes without duplicates") {
+    val in = Files.createTempDirectory("graft_flow_in").toString
+    val out = Files.createTempDirectory("graft_flow_out").toString + "/alerts"
+    val ckpt = Files.createTempDirectory("graft_flow_ckpt").toString
+    val schema = StructType(Seq(StructField("line", StringType)))
+    val flowJson = {
+      val s = getClass.getResourceAsStream("/flows/syslog_stream.json")
+      try scala.io.Source.fromInputStream(s, "UTF-8").mkString finally s.close()
+    }
+    def syslog(pri: Int, host: String, msg: String) =
+      s"""{"line": "<$pri>Oct 11 22:14:15 $host app[7]: $msg"}"""
+    def spool(name: String, lines: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Path.of(in, name), lines.mkString("\n") + "\n")
+    // pri = facility*8 + severity → severity 2 (critical) and 6 (normal)
+    spool("b0.json", Seq(syslog(10, "h1", "disk fail"), syslog(14, "h1", "login ok")))
+
+    def runOnce(): Unit = {
+      // recompile from the committed JSON each run — the restart resumes
+      // through the flow definition, not a long-lived query object
+      val alerts = FlowCompiler.compile(spark, flowJson,
+        Map("syslog" -> Streams.fileStream(spark, in, schema)))("alerts")
+      assert(alerts.isStreaming, "compiled flow must stay a streaming frame")
+      val q = Streams.toParquetSink(alerts.select("alert", "severity", "sl_msg"),
+        out, ckpt, Trigger.AvailableNow())
+      assert(q.awaitTermination(120000), "flow run did not finish")
+    }
+    runOnce()
+    val first = spark.read.parquet(out).select("alert").as[String].collect()
+    assert(first === Array("sev2:h1"), "only the selected critical route may land")
+
+    // new spool files, then restart from the same checkpoint
+    spool("b1.json", Seq(syslog(2, "h2", "kernel oops"), syslog(30, "h3", "noise")))
+    runOnce()
+    val all = spark.read.parquet(out)
+      .select("alert", "sl_msg").as[(String, String)].collect().sorted
+    assert(all === Array(("sev2:h1", "disk fail"), ("sev2:h2", "kernel oops")),
+      "restart must pick up only new critical lines, no duplicates")
+
+    // idle restart: no new input, no new rows
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+  }
 }
