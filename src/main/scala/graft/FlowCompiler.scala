@@ -184,7 +184,8 @@ object FlowCompiler {
     "Modulus", "Bucket", "Group Columns", "Order Column", "Separator",
     "File Count", "Buckets", "Encoding", "Extension Keys", "Grok Expression",
     "Split Path", "Segment Size", "Compression Format", "Table Name",
-    "Size Column", "Maximum Group Size")
+    "Size Column", "Maximum Group Size", "URL Column", "HTTP Method",
+    "Body Column")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -276,6 +277,13 @@ object FlowCompiler {
           prop(p, "Table Name", "t"),
           dynamicProps(p).map { case (k, v) => k -> v.trim.toLowerCase.startsWith("s") },
           prop(p, "Output Column", "sql"))
+      case "InvokeHTTP" =>
+        // dynamic properties become request headers (NiFi's semantics)
+        graft.operators.Http.invokeHttp(in,
+          prop(p, "URL Column", "url"),
+          prop(p, "HTTP Method", "GET"),
+          p.props.collectFirst { case ("Body Column", v) => v },
+          dynamicProps(p).toMap)
       case "MergeContent" =>
         // Bin-Packing Algorithm strategy: cumulative-size bin assignment
         Records.binPack(in,
@@ -375,7 +383,12 @@ object FlowCompiler {
           .orElse(dynamicProps(p).headOption.map(_._2))
           .getOrElse(throw new IllegalArgumentException(
             s"QueryRecord ${p.name} needs a Query property"))
-        val view = s"flowfile_${(p.id.hashCode & Int.MaxValue).toString}"
+        // unique per compile call, not just per processor id: two flows
+        // (or two compiles of one flow) composing concurrently in one
+        // session must never overwrite each other's temp view between
+        // registration and spark.sql resolution
+        val view = s"flowfile_${(p.id.hashCode & Int.MaxValue).toString}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
         in.createOrReplaceTempView(view)
         spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
       case other => throw new IllegalArgumentException(

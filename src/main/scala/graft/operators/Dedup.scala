@@ -39,7 +39,11 @@ object Dedup {
       .withColumn(routeCol,
         when(col("__cached").isNotNull, lit("duplicate")).otherwise(lit("non-duplicate")))
       .drop("__cached")
-      .localCheckpoint(true) // route BEFORE the cache write lands
+      // route BEFORE the cache write lands. Eager localCheckpoint pins
+      // the whole routed batch in executor storage — batch size is
+      // bounded by what executors hold (the per-trigger/per-run batch
+      // contract), not by the corpus; don't feed an unbounded scan here.
+      .localCheckpoint(true)
     MapCache.put(
       routed.filter(col(routeCol) === "non-duplicate")
         .select(col(keyCol)).distinct().withColumn("__v", lit(runTag)),

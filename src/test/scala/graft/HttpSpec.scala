@@ -112,6 +112,31 @@ class HttpSpec extends SparkSpec {
     assert(err2.getMessage.contains("must be string"))
   }
 
+  test("InvokeHTTP authored from a flow definition enriches through a compiled flow") {
+    withServer { (_, port) =>
+      val flow = FlowCompiler.parse(
+        s"""{"flowContents": {
+           |  "processors": [
+           |    {"identifier": "u", "type": "UpdateAttribute",
+           |     "properties": {"url": "http://127.0.0.1:$port/ok/$${id}"}},
+           |    {"identifier": "h", "type": "org.apache.nifi.processors.standard.InvokeHTTP",
+           |     "properties": {"URL Column": "url", "HTTP Method": "GET",
+           |                    "X-Graft-Run": "flow"}}],
+           |  "inputPorts": [{"identifier": "i", "name": "in"}],
+           |  "outputPorts": [{"identifier": "o", "name": "out"}],
+           |  "connections": [
+           |    {"source": {"id": "i"}, "destination": {"id": "u"}},
+           |    {"source": {"id": "u"}, "destination": {"id": "h"}},
+           |    {"source": {"id": "h"}, "destination": {"id": "o"}}]}}""".stripMargin)
+      val out = FlowCompiler.compile(spark, flow,
+        Map("in" -> Seq(1, 2).toDF("id").coalesce(1)))("out")
+        .select("id", "http_status", "http_body")
+        .collect().sortBy(_.getInt(0))
+      assert(out(0).toSeq === Seq(1, 200, "hello 1"))
+      assert(out(1).toSeq === Seq(2, 200, "hello 2"))
+    }
+  }
+
   test("failure route: unreachable host, malformed and null urls") {
     // port 1 on localhost: connection refused fast
     val df = Seq(
