@@ -650,6 +650,45 @@ object QueriesLlm {
       |    round((doc_id % 4 + 1) * 4096 / 32768e0, 4) END AS rms
       |FROM documents""".stripMargin
 
+  /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
+    * assignment per shard — the precomputed packing a pretraining data
+    * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
+    * parallelism = shards, no global sort. Oracle recomputes the
+    * cumulative-sum bin in closed form. */
+  val qTokenPack: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 16).as("shard"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    graft.operators.Scale.packSequences(docs, "shard", "doc_id", "n_tok", 200L)
+  }
+  val qTokenPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 16 AS shard,
+      |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                              x -> length(x) > 0)) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT *,
+      |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS prior
+      |      FROM t)
+      |SELECT doc_id, shard, n_tok,
+      |       CAST(floor(prior / 200.0) AS BIGINT) AS pack_id
+      |FROM c""".stripMargin
+
+  /** Stratified mixture sampling (§2.4, r6): deterministic per-source
+    * keep rates (id-mod selection, no RNG) — the fixed-ratio corpus
+    * mixing step. Narrow codegen'd filter; same selection reproduces in
+    * the oracle. */
+  val qSampleStratified: Q = (s, d) => {
+    graft.operators.Scale.sampleStratified(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+      "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+  }
+  val qSampleStratifiedSql: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE doc_id % 100 <
+      |      CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -679,7 +718,9 @@ object QueriesLlm {
     "q_line_dedup"          -> qLineDedup,
     "q_token_topk"          -> qTokenTopk,
     "q_unigram_logprob"     -> qUnigramLogprob,
-    "q_embed_centroid"      -> qEmbedCentroid)
+    "q_embed_centroid"      -> qEmbedCentroid,
+    "q_token_pack"          -> qTokenPack,
+    "q_sample_stratified"   -> qSampleStratified)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -705,5 +746,7 @@ object QueriesLlm {
     "q_line_dedup"          -> qLineDedupSql,
     "q_token_topk"          -> qTokenTopkSql,
     "q_unigram_logprob"     -> qUnigramLogprobSql,
-    "q_embed_centroid"      -> qEmbedCentroidSql)
+    "q_embed_centroid"      -> qEmbedCentroidSql,
+    "q_token_pack"          -> qTokenPackSql,
+    "q_sample_stratified"   -> qSampleStratifiedSql)
 }

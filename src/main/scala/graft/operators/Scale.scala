@@ -67,4 +67,44 @@ object Scale {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Training-sequence packing (LLM pipeline): concat-and-chunk — view
+    * each shard's documents (in `orderCol` order) as one concatenated
+    * token stream and chunk it at `maxTokens` boundaries; a document
+    * goes to the pack where its cumulative offset STARTS, so documents
+    * are never split and a pack may run over by less than the
+    * straddling document's length (segment oversized docs upstream
+    * with `Records.segment` if a hard cap matters). This offset rule is
+    * what makes the assignment ONE window expression — strict
+    * close-the-bin greedy packing is inherently sequential. Sharding is
+    * what makes it 100 TB-shaped: each shard packs independently under
+    * one window partition (no global sort), parallelism = number of
+    * shards; pick shards >> executors and dimension shard size so one
+    * shard's docs fit one task. Documents with the same
+    * (shard, `packCol`) concatenate into one training sequence
+    * downstream. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokenCountCol: String, maxTokens: Long,
+                    packCol: String = "pack_id"): DataFrame =
+    Records.binPack(df, Seq(shardCol), orderCol, tokenCountCol, maxTokens, packCol)
+
+  /** Stratified mixture sampling (LLM pipeline): keep a deterministic
+    * per-stratum fraction of rows — the "mix sources at fixed ratios"
+    * step of corpus assembly. Selection is `idCol % modulus <
+    * rate*modulus`, so it is reproducible across runs/engines (no RNG),
+    * survives repartitioning, and is expressible in any SQL oracle.
+    * Strata absent from `rates` keep `defaultRate`. Narrow — one
+    * codegen'd filter, no shuffle. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       modulus: Int = 100): DataFrame = {
+    require(modulus > 0, "modulus must be positive")
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * modulus)): org.apache.spark.sql.Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(math.round(rate * modulus))).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(modulus)) < threshold)
+  }
 }

@@ -32,6 +32,58 @@ class ScaleSpec extends SparkSpec {
         Scale.saltedJoin(df, df, Seq("k"), saltFactor = 4, how = how))
   }
 
+  test("packSequences: offset-chunk packing per shard, docs never split") {
+    val cap = 100L
+    val docs = Seq(
+      (1L, 0L, 40L), (2L, 0L, 40L), (3L, 0L, 40L), (4L, 0L, 90L),
+      (11L, 1L, 60L), (12L, 1L, 60L), (13L, 1L, 150L), (14L, 1L, 10L)
+    ).toDF("doc_id", "shard", "n_tok")
+    val packed = graft.operators.Scale
+      .packSequences(docs, "shard", "doc_id", "n_tok", cap)
+      .select("shard", "pack_id", "doc_id", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    val byPack = packed.groupBy(p => (p._1, p._2)).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    // shard 0 offsets: 0,40,80,120 -> doc 3 STARTS before the 100
+    // boundary so it joins pack 0 (pack may run over by the straddler)
+    assert(byPack((0L, 0L)) === Seq(1L, 2L, 3L))
+    assert(byPack((0L, 1L)) === Seq(4L))
+    // shard 1 offsets: 0,60,120,270 -> the oversized doc 13 spans packs
+    // 1..2 but is assigned where it starts; doc 14 starts in pack 2
+    assert(byPack((1L, 0L)) === Seq(11L, 12L))
+    assert(byPack((1L, 1L)) === Seq(13L))
+    assert(byPack((1L, 2L)) === Seq(14L))
+    // invariants: packs are contiguous runs, and every pack's first doc
+    // starts inside that pack's token window
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((shard, pack), ds) =>
+      val inShard = packed.filter(_._1 == shard).sortBy(_._3)
+      val firstDoc = ds.map(_._3).min
+      val start = inShard.takeWhile(_._3 != firstDoc).map(_._4).sum
+      assert(start >= pack * cap && start < (pack + 1) * cap,
+        s"pack ($shard,$pack) first doc starts at offset $start")
+    }
+  }
+
+  test("sampleStratified keeps deterministic per-stratum fractions") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val kept = graft.operators.Scale
+      .sampleStratified(df, "id", "src", Map("a" -> 0.5), defaultRate = 0.1)
+      .select("id", "src").as[(Long, String)].collect()
+    val aKept = kept.count(_._2 == "a")
+    val bKept = kept.count(_._2 == "b")
+    // id%100<50 over evens of 0..999: exactly half of stratum a
+    assert(aKept === 250 && bKept === 50)
+    // deterministic: the same call yields the same rows
+    val again = graft.operators.Scale
+      .sampleStratified(df, "id", "src", Map("a" -> 0.5), defaultRate = 0.1)
+      .select("id", "src").as[(Long, String)].collect()
+    assert(kept.sorted === again.sorted)
+    intercept[IllegalArgumentException] {
+      graft.operators.Scale.sampleStratified(df, "id", "src", Map("a" -> 1.5))
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
