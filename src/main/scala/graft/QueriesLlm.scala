@@ -650,6 +650,32 @@ object QueriesLlm {
       |    round((doc_id % 4 + 1) * 4096 / 32768e0, 4) END AS rms
       |FROM documents""".stripMargin
 
+  /** REAL frame-sampling decode (§2.4 #40a, r6): animated GIFs are
+    * synthesized with one solid-gray frame per index (JDK ImageIO
+    * sequence writer), then every 2nd frame is decoded back — only the
+    * sampled frames pay decode cost. The oracle enumerates the sampled
+    * indices with generate_series and recomputes each frame's exact
+    * gray level. */
+  val qFrameDecode: Q = (s, d) => {
+    val synth = udf { (id: Long) =>
+      val n = (id % 5 + 2).toInt
+      Multimodal.synthGif(8, 4, (0 until n).map(i => (id % 200 + 10 * i).toInt))
+    }
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id")).withColumn("payload", synth(col("doc_id")))
+    Multimodal.decodeFrames(s, withPayload, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("frame_w"), col("frame_h"), dround(col("mean_r"), 4).as("mean_r"))
+  }
+  val qFrameDecodeSql: String =
+    """SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |       CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+      |       CAST(8 AS INT) AS frame_w, CAST(4 AS INT) AS frame_h,
+      |       round(CAST(doc_id % 200 + 10 * fi AS DOUBLE), 4) AS mean_r
+      |FROM (SELECT doc_id,
+      |        unnest(generate_series(0, CAST(doc_id % 5 + 1 AS BIGINT), 2)) AS fi
+      |      FROM documents)""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -720,7 +746,8 @@ object QueriesLlm {
     "q_unigram_logprob"     -> qUnigramLogprob,
     "q_embed_centroid"      -> qEmbedCentroid,
     "q_token_pack"          -> qTokenPack,
-    "q_sample_stratified"   -> qSampleStratified)
+    "q_sample_stratified"   -> qSampleStratified,
+    "q_frame_decode"        -> qFrameDecode)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -748,5 +775,6 @@ object QueriesLlm {
     "q_unigram_logprob"     -> qUnigramLogprobSql,
     "q_embed_centroid"      -> qEmbedCentroidSql,
     "q_token_pack"          -> qTokenPackSql,
-    "q_sample_stratified"   -> qSampleStratifiedSql)
+    "q_sample_stratified"   -> qSampleStratifiedSql,
+    "q_frame_decode"        -> qFrameDecodeSql)
 }

@@ -31,6 +31,25 @@ object El {
     * attributes by NAME REGEX). Compile-time, driver-side only. */
   private val availableCols = new scala.util.DynamicVariable[Seq[String]](Nil)
 
+  /** State context for NiFi's state functions (`getStateValue`): the
+    * processor-state map a stateful UpdateAttribute reads. State is
+    * resolved at COMPILE time to a literal (NiFi evaluates state per
+    * onTrigger, i.e. per batch — not per record), so the compiled plan
+    * stays codegen'd. Load the map from wherever the state lives
+    * (e.g. `MapCache.entries(...).collect` for a dimension-sized map). */
+  private val stateValues = new scala.util.DynamicVariable[Map[String, String]](Map.empty)
+
+  /** Compile with a processor-state map, enabling `getStateValue('key')`
+    * (plus a column set for the matching-attribute forms). */
+  def compileWithState(template: String, state: Map[String, String],
+                       available: Seq[String] = Nil): Column =
+    stateValues.withValue(state)(availableCols.withValue(available)(compile(template)))
+
+  /** [[compileExpr]] with a processor-state map (native result type). */
+  def compileExprWithState(expression: String, state: Map[String, String],
+                           available: Seq[String] = Nil): Column =
+    stateValues.withValue(state)(availableCols.withValue(available)(compileExpr(expression)))
+
   /** Compile with a known column set, enabling the matching-attribute
     * forms: `${allMatchingAttributes('err.*'):isEmpty():not()}` etc. */
   def compile(template: String, available: Seq[String]): Column =
@@ -113,6 +132,9 @@ object El {
           case "UUID" | "uuid" => subjects = Seq(expr("uuid()"))
           case "random" => // NiFi: uniform long in [0, Long.MaxValue)
             subjects = Seq((rand() * Long.MaxValue).cast("long"))
+          case "getStateValue" => // NiFi state functions: batch-time lookup
+            val key = argStr(args.head)
+            subjects = Seq(lit(stateValues.value.get(key).orNull))
           case "hostname" => // deterministic per driver; fine for tagging
             subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostName))
           case "ip" =>

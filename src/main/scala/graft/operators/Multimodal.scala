@@ -410,6 +410,98 @@ object Multimodal {
     out.array()
   }
 
+  /** Deterministic REAL animated GIF: one solid-gray frame per entry in
+    * `grays`, written by the JDK ImageIO sequence writer — the decoder
+    * reads the exact gray levels back (solid frames quantize losslessly
+    * to one palette entry). Test/oracle payload generator. */
+  def synthGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        try { g2.setColor(new java.awt.Color(g, g, g)); g2.fillRect(0, 0, w, h) }
+        finally g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling decode: every `stride`-th frame of a
+    * multi-frame payload (animated GIF; single-frame formats yield
+    * frame 0), with per-frame pixel statistics. One reader per payload,
+    * frames read on demand — only the SAMPLED frames are decoded.
+    * Empty for undecodable payloads. */
+  def sampleGifFrames(payload: Array[Byte], stride: Int): Seq[(Int, Int, Int, Int, Double, Double, Double)] = {
+    if (payload == null || payload.length < 6 || stride <= 0) return Nil
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Nil
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val px = rowBuf(x)
+                sr += (px >>> 16) & 0xFF; sg += (px >>> 8) & 0xFF; sb += px & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = w.toDouble * h
+            (i, n, w, h, sr / cnt, sg / cnt, sb / cnt)
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Partition-wise REAL frame-sampling operator: one output row per
+    * sampled frame — input columns + (frame_idx, n_frames, frame_w,
+    * frame_h, mean_r, mean_g, mean_b). The decode-only-sampled-frames
+    * contract is what survives video-scale payloads: cost is
+    * frames/stride, not frames. */
+  def decodeFrames(spark: SparkSession, df: DataFrame, stride: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("n_frames", IntegerType))
+      .add(StructField("frame_w", IntegerType))
+      .add(StructField("frame_h", IntegerType))
+      .add(StructField("mean_r", DoubleType))
+      .add(StructField("mean_g", DoubleType))
+      .add(StructField("mean_b", DoubleType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        sampleGifFrames(r.getAs[Array[Byte]](idx), stride).map {
+          case (i, n, w, h, mr, mg, mb) =>
+            // Seq[Any]: a mixed Int/Double Seq literal would widen the
+            // ints to Double and break the encoder's INT columns
+            Row.fromSeq(r.toSeq ++ Seq[Any](i, n, w, h, mr, mg, mb))
+        }
+      }
+    }(enc)
+  }
+
   /** Header metadata (REAL, native expression): parse container headers
     * (PNG/JPEG/GIF/BMP/WAV) from the payload's first bytes — the
     * route/filter step that runs on every payload BEFORE any decode.

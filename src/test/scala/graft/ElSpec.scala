@@ -55,6 +55,19 @@ class ElSpec extends SparkSpec {
       ":formatInstant('HH:mm', 'UTC')}") == "14:00")
   }
 
+  test("state functions: getStateValue resolves from the batch state map") {
+    val df = Seq(("hello", "en")).toDF("text", "lang")
+    val state = Map("last_run" -> "2024-03-05", "watermark" -> "42")
+    val out = df.select(
+      El.compileWithState("run:${getStateValue('last_run')}", state).as("a"),
+      El.compileExprWithState("${getStateValue('watermark'):toNumber():plus(8)}", state).as("b"),
+      El.compileExprWithState("${getStateValue('missing'):isNull()}", state).as("c"))
+      .collect()(0)
+    assert(out.getString(0) == "run:2024-03-05")
+    assert(out.getLong(1) == 50L)
+    assert(out.getBoolean(2))
+  }
+
   test("url and json functions") {
     assert(evalExpr("${text:urlEncode()}") == "hello+world")
     assert(evalExpr("${text:urlEncode():urlDecode()}") == "hello world")

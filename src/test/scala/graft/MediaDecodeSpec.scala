@@ -84,6 +84,25 @@ class MediaDecodeSpec extends SparkSpec {
     assert(kinds.values.forall(_.isEmpty))
   }
 
+  test("animated GIF frame sampling decodes only the sampled frames, exactly") {
+    val gif = Multimodal.synthGif(6, 3, Seq(10, 60, 110, 160))
+    val frames = Multimodal.sampleGifFrames(gif, stride = 2)
+    assert(frames.map(f => (f._1, f._2, f._3, f._4)) === Seq((0, 4, 6, 3), (2, 4, 6, 3)))
+    assert(frames.map(_._5) === Seq(10.0, 110.0), "solid gray levels decode exactly")
+    assert(frames.map(f => (f._6, f._7)) === Seq((10.0, 10.0), (110.0, 110.0)))
+    // stride 1 decodes all four; single-frame formats yield frame 0
+    assert(Multimodal.sampleGifFrames(gif, 1).map(_._1) === Seq(0, 1, 2, 3))
+    val png = Multimodal.synthPng(5, 5, 20, 30, 40)
+    assert(Multimodal.sampleGifFrames(png, 2).map(f => (f._1, f._2)) === Seq((0, 1)))
+    // corrupt payloads yield no frames, never an exception
+    assert(Multimodal.sampleGifFrames(Array.tabulate(32)(_.toByte), 2) === Nil)
+    // operator form: rows explode per sampled frame
+    val df = Seq((7L, gif)).toDF("id", "payload")
+    val rows = Multimodal.decodeFrames(spark, df, stride = 3)
+      .select("id", "frame_idx", "mean_r").as[(Long, Int, Double)].collect().sorted
+    assert(rows === Array((7L, 0, 10.0), (7L, 3, 160.0)))
+  }
+
   test("features are real per-modality signals") {
     val dim = 8
     // solid black image → all luminance mass in bin 0
