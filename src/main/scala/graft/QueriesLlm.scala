@@ -676,6 +676,40 @@ object QueriesLlm {
       |        unnest(generate_series(0, CAST(doc_id % 5 + 1 AS BIGINT), 2)) AS fi
       |      FROM documents)""".stripMargin
 
+  /** Exact substring-span dedup (§2.4, r6): docs get a shared boilerplate
+    * prefix (doc_id mod 7 variants) so 4-token spans provably recur
+    * across ~1/7 of the corpus; duplicateSpans must flag exactly the
+    * positions the oracle recomputes token-by-token. */
+  val qDupSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("the shared span marker number "), col("doc_id") % 7,
+             lit(" ends here "), col("text")).as("txt"))
+    Dedup.duplicateSpans(docs, "doc_id", "txt", spanTokens = 4, minDocs = 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        md5(array_join(array_sort(collect_list(
+          concat(col("pos").cast("string"), lit(":"), col("span")))), "|")
+          .cast("binary")).as("spans_md5"))
+  }
+  val qDupSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(
+      |           'the shared span marker number ' || CAST(doc_id % 7 AS VARCHAR)
+      |             || ' ends here ' || text, '\s+'),
+      |           x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |w AS (SELECT doc_id, i AS pos,
+      |             array_to_string(list_slice(ts, i + 1, i + 4), ' ') AS span
+      |      FROM t, LATERAL (SELECT unnest(range(0, len(ts) - 4 + 1)) AS i) r
+      |      WHERE len(ts) >= 4),
+      |g AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT w.* FROM w JOIN g USING (span))
+      |SELECT doc_id, count(*) AS n_dup_spans,
+      |       md5(string_agg(CAST(pos AS VARCHAR) || ':' || span, '|'
+      |                      ORDER BY CAST(pos AS VARCHAR) || ':' || span)) AS spans_md5
+      |FROM f GROUP BY doc_id""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -747,7 +781,8 @@ object QueriesLlm {
     "q_embed_centroid"      -> qEmbedCentroid,
     "q_token_pack"          -> qTokenPack,
     "q_sample_stratified"   -> qSampleStratified,
-    "q_frame_decode"        -> qFrameDecode)
+    "q_frame_decode"        -> qFrameDecode,
+    "q_dup_spans"           -> qDupSpans)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -776,5 +811,6 @@ object QueriesLlm {
     "q_embed_centroid"      -> qEmbedCentroidSql,
     "q_token_pack"          -> qTokenPackSql,
     "q_sample_stratified"   -> qSampleStratifiedSql,
-    "q_frame_decode"        -> qFrameDecodeSql)
+    "q_frame_decode"        -> qFrameDecodeSql,
+    "q_dup_spans"           -> qDupSpansSql)
 }

@@ -472,6 +472,34 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Exact substring-span dedup (the "repeated 50-token span" pass of
+    * training-data dedup, à la Lee et al. 2022 — here over whitespace
+    * tokens): flag every `spanTokens`-token window whose exact text
+    * recurs in ≥ `minDocs` distinct documents. Window enumeration is
+    * NARROW (slice over each doc's token array, ~n_tokens rows per
+    * doc); ONE shuffle groups identical spans (map-side partial
+    * countDistinct), and the flag join rides the same span key, so at
+    * 100 TB the cost is two exchanges of (span, id) pairs — never an
+    * all-pairs comparison. Output: one row per flagged occurrence
+    * (idCol, pos, span, n_docs); mask or cut the spans downstream with
+    * the positions. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0 && minDocs >= 2, "spanTokens > 0, minDocs >= 2")
+    val toks = df
+      .select(col(idCol), graft.functions.TextAnalysis.wsTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= spanTokens)
+    val wins = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), size(col("__ts")) - spanTokens),
+        i => array_join(slice(col("__ts"), i + 1, lit(spanTokens)), " ")))
+        .as(Seq("pos", "span")))
+    val repeated = wins.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    wins.join(repeated, "span").select(col(idCol), col("pos"), col("span"), col("n_docs"))
+  }
+
   /** Embedding-cosine near-dup within blocks (label / IVF cell). */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                       threshold: Double): DataFrame = {

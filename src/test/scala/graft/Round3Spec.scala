@@ -83,6 +83,23 @@ class Round3Spec extends SparkSpec {
       ("first3\nsecond3", 2L)))
   }
 
+  test("duplicateSpans flags exactly the recurring token windows") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one"),     // shares alpha..delta with doc 2
+      (2L, "x alpha beta gamma delta two"),   // same span, offset 1
+      (3L, "alpha beta qq gamma delta"),      // broken span — no 4-window match
+      (4L, "short one")                       // too short for a 4-window
+    ).toDF("id", "txt")
+    val flagged = Dedup.duplicateSpans(docs, "id", "txt", spanTokens = 4, minDocs = 2)
+      .select("id", "pos", "span", "n_docs")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(flagged === Array(
+      (1L, 0, "alpha beta gamma delta", 2L),
+      (2L, 1, "alpha beta gamma delta", 2L)))
+    // raising minDocs above the recurrence kills the flag
+    assert(Dedup.duplicateSpans(docs, "id", "txt", 4, minDocs = 3).count() === 0)
+  }
+
   test("requantize8 equals the composed HOF quantize->dequantize exactly") {
     val vecs = Seq(
       Array(0.5f, -1.25f, 3.75f, 0.0f),
