@@ -710,6 +710,43 @@ object QueriesLlm {
       |                      ORDER BY CAST(pos AS VARCHAR) || ':' || span)) AS spans_md5
       |FROM f GROUP BY doc_id""".stripMargin
 
+  /** Cut pass over the flagged spans (§2.4, r6): rebuild text with every
+    * covered token removed; the oracle recomputes coverage and the
+    * ordered rebuild token-by-token. */
+  val qCutSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("the shared span marker number "), col("doc_id") % 7,
+             lit(" ends here "), col("text")).as("txt"))
+    Dedup.cutDuplicateSpans(docs, "doc_id", "txt", spanTokens = 4, minDocs = 2)
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+  }
+  val qCutSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(
+      |           'the shared span marker number ' || CAST(doc_id % 7 AS VARCHAR)
+      |             || ' ends here ' || text, '\s+'),
+      |           x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |w AS (SELECT doc_id, i AS pos,
+      |             array_to_string(list_slice(ts, i + 1, i + 4), ' ') AS span
+      |      FROM t, LATERAL (SELECT unnest(range(0, len(ts) - 4 + 1)) AS i) r
+      |      WHERE len(ts) >= 4),
+      |g AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, pos + o AS idx
+      |        FROM w JOIN g USING (span),
+      |             LATERAL (SELECT unnest(range(0, 4)) AS o) q),
+      |tok AS (SELECT doc_id, unnest(ts) AS tok,
+      |               generate_subscripts(ts, 1) - 1 AS idx
+      |        FROM t),
+      |kept AS (SELECT tok.* FROM tok
+      |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+      |         WHERE cov.doc_id IS NULL)
+      |SELECT doc_id, count(*) AS n_kept,
+      |       md5(string_agg(tok, ' ' ORDER BY idx)) AS clean_md5
+      |FROM kept GROUP BY doc_id""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -782,7 +819,8 @@ object QueriesLlm {
     "q_token_pack"          -> qTokenPack,
     "q_sample_stratified"   -> qSampleStratified,
     "q_frame_decode"        -> qFrameDecode,
-    "q_dup_spans"           -> qDupSpans)
+    "q_dup_spans"           -> qDupSpans,
+    "q_cut_spans"           -> qCutSpans)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -812,5 +850,6 @@ object QueriesLlm {
     "q_token_pack"          -> qTokenPackSql,
     "q_sample_stratified"   -> qSampleStratifiedSql,
     "q_frame_decode"        -> qFrameDecodeSql,
-    "q_dup_spans"           -> qDupSpansSql)
+    "q_dup_spans"           -> qDupSpansSql,
+    "q_cut_spans"           -> qCutSpansSql)
 }

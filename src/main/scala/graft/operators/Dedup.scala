@@ -500,6 +500,33 @@ object Dedup {
     wins.join(repeated, "span").select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
+  /** Cut the spans [[duplicateSpans]] flags: rebuild each document's
+    * text with every token covered by a flagged window removed
+    * (overlapping windows union naturally — coverage is per token
+    * index). Same scale shape as the flag pass plus one anti-join of
+    * (id, token_idx) pairs and a per-doc ordered rebuild. Output:
+    * (idCol, clean_text, n_kept) — docs shorter than a window pass
+    * through untouched; a doc whose EVERY token is covered emits no
+    * row (fully-boilerplate documents are dropped, which is the
+    * dedup-pipeline intent). */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    val flagged = duplicateSpans(df, idCol, textCol, spanTokens, minDocs)
+    val covered = flagged.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + spanTokens - 1)).as("__idx"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(graft.functions.TextAnalysis.wsTokens(col(textCol)))
+        .as(Seq("__idx", "__tok")))
+    toks.join(covered, Seq(idCol, "__idx"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Embedding-cosine near-dup within blocks (label / IVF cell). */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                       threshold: Double): DataFrame = {

@@ -100,6 +100,28 @@ class Round3Spec extends SparkSpec {
     assert(Dedup.duplicateSpans(docs, "id", "txt", 4, minDocs = 3).count() === 0)
   }
 
+  test("cutDuplicateSpans removes exactly the covered tokens, in order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one"),
+      (2L, "x alpha beta gamma delta two"),
+      (3L, "alpha beta qq gamma delta"),
+      (4L, "short one")
+    ).toDF("id", "txt")
+    val cleaned = Dedup.cutDuplicateSpans(docs, "id", "txt", spanTokens = 4, minDocs = 2)
+      .select("id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(cleaned === Array(
+      (1L, "one", 1L),
+      (2L, "x two", 2L),
+      (3L, "alpha beta qq gamma delta", 5L),
+      (4L, "short one", 2L)))
+    // a fully-covered doc emits no row
+    val twins = Seq((1L, "same four token span"), (2L, "same four token span"))
+      .toDF("id", "txt")
+    val out = Dedup.cutDuplicateSpans(twins, "id", "txt", 4, 2).count()
+    assert(out === 0)
+  }
+
   test("requantize8 equals the composed HOF quantize->dequantize exactly") {
     val vecs = Seq(
       Array(0.5f, -1.25f, 3.75f, 0.0f),
