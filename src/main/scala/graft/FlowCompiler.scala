@@ -185,7 +185,7 @@ object FlowCompiler {
     "File Count", "Buckets", "Encoding", "Extension Keys", "Grok Expression",
     "Split Path", "Segment Size", "Compression Format", "Table Name",
     "Size Column", "Maximum Group Size", "URL Column", "HTTP Method",
-    "Body Column")
+    "Body Column", "Schema Name")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -358,8 +358,13 @@ object FlowCompiler {
           prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           prop(p, "Hash Algorithm", "sha256"))
       case "ValidateJson" =>
-        Records.validateJson(in, prop(p, "Content Column", "content"),
-          org.apache.spark.sql.types.StructType.fromDDL(prop(p, "Schema", "")),
+        // schema-name access strategy (registry) wins over inline DDL
+        val schema = p.props.collectFirst { case ("Schema Name", v) => v } match {
+          case Some(registered) => SchemaRegistry.get(registered)
+          case None =>
+            org.apache.spark.sql.types.StructType.fromDDL(prop(p, "Schema", ""))
+        }
+        Records.validateJson(in, prop(p, "Content Column", "content"), schema,
           prop(p, "Required Fields", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           prop(p, "Route Column", "route"))
       case "ForkRecord" =>

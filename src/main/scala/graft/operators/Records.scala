@@ -484,6 +484,22 @@ object Records {
     df.withColumn(outCol, concat_ws(",", cells: _*))
   }
 
+  /** UpdateCounter (NiFi): named side-channel counters incremented as
+    * records flow past, WITHOUT forking the plan or breaking codegen —
+    * Spark-first this is `Dataset.observe`: the counters ride the
+    * existing job as observed metrics and surface per action through
+    * `QueryExecutionListener` / `df.collectResult` observedMetrics (the
+    * same listener surface `graft.Provenance` uses). `counters` maps
+    * counter name → predicate (use `lit(true)` for every-record). */
+  def updateCounter(df: DataFrame, observationName: String,
+                    counters: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    require(counters.nonEmpty, "at least one counter")
+    val aggs = counters.toSeq.map { case (name, pred) =>
+      count(when(pred, lit(1))).as(name)
+    }
+    df.observe(observationName, aggs.head, aggs.tail: _*)
+  }
+
   /** CalculateRecordStats (NiFi): total record count plus per-value
     * counts for each category column, as (stat, value, n) rows. Each
     * category is one map-side-combined groupBy; no joins. */

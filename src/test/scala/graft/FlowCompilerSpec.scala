@@ -358,6 +358,35 @@ class FlowCompilerSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
   }
 
+  test("ValidateJson resolves a registered Schema Name; unknown names fail loudly") {
+    SchemaRegistry.register("event_v1", "k BIGINT, tag STRING")
+    try {
+      def flowJson(schemaName: String) =
+        s"""{"flowContents": {
+           |  "processors": [
+           |    {"identifier": "v", "type": "ValidateJson",
+           |     "properties": {"Content Column": "payload",
+           |                    "Schema Name": "$schemaName",
+           |                    "Required Fields": "k"}}],
+           |  "inputPorts": [{"identifier": "i", "name": "in"}],
+           |  "outputPorts": [{"identifier": "o", "name": "out"}],
+           |  "connections": [
+           |    {"source": {"id": "i"}, "destination": {"id": "v"}},
+           |    {"source": {"id": "v"}, "destination": {"id": "o"}}]}}""".stripMargin
+      val in = Seq("""{"k": 1, "tag": "a"}""", """{"tag": "missing k"}""", "not json")
+        .toDF("payload")
+      val routes = FlowCompiler.compile(spark, FlowCompiler.parse(flowJson("event_v1")),
+        Map("in" -> in))("out")
+        .select("route").as[String].collect().sorted
+      assert(routes === Array("invalid", "invalid", "valid"))
+      val err = intercept[IllegalArgumentException] {
+        FlowCompiler.compile(spark, FlowCompiler.parse(flowJson("nope_v9")),
+          Map("in" -> in))("out")
+      }
+      assert(err.getMessage.contains("not registered"))
+    } finally SchemaRegistry.clear()
+  }
+
   test("fan-in unions by name; ReplaceText and RouteOnContent compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {

@@ -100,6 +100,32 @@ class Round3Spec extends SparkSpec {
     assert(Dedup.duplicateSpans(docs, "id", "txt", 4, minDocs = 3).count() === 0)
   }
 
+  test("updateCounter: named counters ride the job as observed metrics") {
+    val captured = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => captured.put(k, v) }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Seq(1, 2, 3, 4, 5).toDF("n")
+      val out = Records.updateCounter(df, "graft_counters",
+        Map("all" -> lit(true), "big" -> (col("n") > 3))).collect()
+      assert(out.length === 5, "counters must not change the stream")
+      val deadline = System.currentTimeMillis() + 15000
+      while (!captured.containsKey("graft_counters") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val m = captured.get("graft_counters")
+      assert(m != null, "observed metrics never arrived")
+      assert(m.getAs[Long]("all") === 5L && m.getAs[Long]("big") === 2L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("cutDuplicateSpans removes exactly the covered tokens, in order") {
     val docs = Seq(
       (1L, "alpha beta gamma delta one"),
