@@ -511,14 +511,36 @@ object Dedup {
     * dedup-pipeline intent). */
   def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                         spanTokens: Int, minDocs: Int = 2): DataFrame = {
-    val flagged = duplicateSpans(df, idCol, textCol, spanTokens, minDocs)
-    val covered = flagged.select(col(idCol),
-      explode(sequence(col("pos"), col("pos") + spanTokens - 1)).as("__idx"))
+    // The cut pass never needs the span TEXT downstream, so the flag
+    // pass here keys on xxhash64(span): span strings are computed and
+    // hashed inside the map stage and only 8-byte keys cross both
+    // shuffles (vs full window text in [[duplicateSpans]]). At bench
+    // scale this measures flat (sf0.1 is stage-overhead-bound); the
+    // win is shuffle BYTES — ~k·wordlen per window down to 8 B — which
+    // is what dominates at corpus scale. A hash collision can only
+    // OVER-cut: ~n²/2⁶⁵ spans corpus-wide (≈0.03 spans at a trillion
+    // windows) — exactness-critical flagging stays on
+    // [[duplicateSpans]].
+    val toks = df
+      .select(col(idCol), graft.functions.TextAnalysis.wsTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= spanTokens)
+    val winsH = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), size(col("__ts")) - spanTokens),
+        i => xxhash64(array_join(slice(col("__ts"), i + 1, lit(spanTokens)), " "))))
+        .as(Seq("pos", "__sh")))
+    val repeated = winsH.groupBy("__sh")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__sh")
+    val covered = winsH.join(repeated, "__sh")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + spanTokens - 1)).as("__idx"))
       .distinct()
-    val toks = df.select(col(idCol),
+    val allToks = df.select(col(idCol),
       posexplode(graft.functions.TextAnalysis.wsTokens(col(textCol)))
         .as(Seq("__idx", "__tok")))
-    toks.join(covered, Seq(idCol, "__idx"), "left_anti")
+    allToks.join(covered, Seq(idCol, "__idx"), "left_anti")
       .groupBy(idCol)
       .agg(
         array_join(transform(

@@ -62,6 +62,30 @@ class MemFsSpec extends SparkSpec {
     assert(Io.listIncremental(spark, dir, state).count() === 0)
   }
 
+  test("crash-safe state swap and MapCache run on the object-store scheme") {
+    MemFs.clear()
+    import org.apache.hadoop.fs.Path
+    val stateP = new Path("memfs://bucket/state/inc.state")
+    val fs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Io.writeStateAtomic(fs, stateP, "v1")
+    Io.writeStateAtomic(fs, stateP, "v2")
+    assert(Io.readStateString(fs, stateP).contains("v2"))
+    // crash window (live renamed aside): readers still see v2 via memfs
+    assert(fs.rename(stateP, new Path(stateP.toString + ".old")))
+    assert(Io.readStateString(fs, stateP).contains("v2"))
+    Io.writeStateAtomic(fs, stateP, "v3") // next writer heals
+    assert(Io.readStateString(fs, stateP).contains("v3"))
+    assert(!fs.exists(new Path(stateP.toString + ".old")))
+    // MapCache generation log + compact swap over the same scheme
+    val cache = "memfs://bucket/cache/seen"
+    graft.operators.MapCache.put(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), cache, "k", "v")
+    graft.operators.MapCache.remove(Seq("b").toDF("k"), cache, "k")
+    graft.operators.MapCache.compact(spark, cache)
+    val entries = graft.operators.MapCache.entries(spark, cache)
+      .as[(String, String)].collect().toMap
+    assert(entries === Map("a" -> "1"))
+  }
+
   test("AvroIo container files round-trip through the scheme (incl. rename-first commit)") {
     MemFs.clear()
     val schema = StructType(Seq(
