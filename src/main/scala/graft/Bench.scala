@@ -59,7 +59,12 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         dt
       }.sorted
-      (name, times(times.size / 2), times.head, times.last)
+      // true median: average the two middles for even rep counts (the
+      // upper-middle alone would bias every number toward the slow rep)
+      val med =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+      (name, med, times.head, times.last)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }

@@ -253,9 +253,10 @@ object FlowCompiler {
         graft.operators.Parse.extractGrok(in, prop(p, "Content Column", "content"),
           prop(p, "Grok Expression", "%{GREEDYDATA:grok_match}"))
       case "EvaluateXPath" =>
-        // dynamic properties are out-column -> XPath over the content column
+        // dynamic properties are out-column -> XPath over the content
+        // column; Seq keeps the authored property order as column order
         Records.evaluateXPath(in, prop(p, "Content Column", "content"),
-          dynamicProps(p).toMap)
+          dynamicProps(p))
       case "SplitXml" =>
         Records.splitXml(in, prop(p, "Content Column", "content"),
           prop(p, "Split Path", "/*/*/text()"), prop(p, "Output Column", "fragment"))
@@ -395,7 +396,9 @@ object FlowCompiler {
         val view = s"flowfile_${(p.id.hashCode & Int.MaxValue).toString}_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)
         in.createOrReplaceTempView(view)
-        spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
+        try spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
+        finally spark.catalog.dropTempView(view) // resolved eagerly; a
+        // leaked view per compile would pin the upstream plan forever
       case other => throw new IllegalArgumentException(
         s"unsupported processor type in flow definition: $other (${p.tpe})")
     }

@@ -483,17 +483,22 @@ object Dedup {
     * all-pairs comparison. Output: one row per flagged occurrence
     * (idCol, pos, span, n_docs); mask or cut the spans downstream with
     * the positions. */
+  /** (id, pos, span): every `spanTokens`-token window of every doc long
+    * enough to have one. Narrow — slice over the token array. */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int): DataFrame =
+    df.select(col(idCol), graft.functions.TextAnalysis.wsTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= spanTokens)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ts")) - spanTokens),
+          i => array_join(slice(col("__ts"), i + 1, lit(spanTokens)), " ")))
+          .as(Seq("pos", "span")))
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      spanTokens: Int, minDocs: Int = 2): DataFrame = {
     require(spanTokens > 0 && minDocs >= 2, "spanTokens > 0, minDocs >= 2")
-    val toks = df
-      .select(col(idCol), graft.functions.TextAnalysis.wsTokens(col(textCol)).as("__ts"))
-      .filter(size(col("__ts")) >= spanTokens)
-    val wins = toks.select(col(idCol),
-      posexplode(transform(
-        sequence(lit(0), size(col("__ts")) - spanTokens),
-        i => array_join(slice(col("__ts"), i + 1, lit(spanTokens)), " ")))
-        .as(Seq("pos", "span")))
+    val wins = spanWindows(df, idCol, textCol, spanTokens)
     val repeated = wins.groupBy("span")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -501,34 +506,30 @@ object Dedup {
   }
 
   /** Cut the spans [[duplicateSpans]] flags: rebuild each document's
-    * text with every token covered by a flagged window removed
+    * token stream with every token covered by a flagged window removed
     * (overlapping windows union naturally — coverage is per token
     * index). Same scale shape as the flag pass plus one anti-join of
     * (id, token_idx) pairs and a per-doc ordered rebuild. Output:
-    * (idCol, clean_text, n_kept) — docs shorter than a window pass
-    * through untouched; a doc whose EVERY token is covered emits no
-    * row (fully-boilerplate documents are dropped, which is the
+    * (idCol, clean_text, n_kept). `clean_text` is the kept tokens
+    * joined with single spaces — the rebuild is TOKEN-level, so
+    * original whitespace (newlines, tabs, runs of spaces) normalizes
+    * away even in docs with nothing cut; a doc whose EVERY token is
+    * covered emits no row (fully-boilerplate documents drop, the
     * dedup-pipeline intent). */
   def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                         spanTokens: Int, minDocs: Int = 2): DataFrame = {
     // The cut pass never needs the span TEXT downstream, so the flag
-    // pass here keys on xxhash64(span): span strings are computed and
-    // hashed inside the map stage and only 8-byte keys cross both
-    // shuffles (vs full window text in [[duplicateSpans]]). At bench
-    // scale this measures flat (sf0.1 is stage-overhead-bound); the
-    // win is shuffle BYTES — ~k·wordlen per window down to 8 B — which
-    // is what dominates at corpus scale. A hash collision can only
-    // OVER-cut: ~n²/2⁶⁵ spans corpus-wide (≈0.03 spans at a trillion
-    // windows) — exactness-critical flagging stays on
-    // [[duplicateSpans]].
-    val toks = df
-      .select(col(idCol), graft.functions.TextAnalysis.wsTokens(col(textCol)).as("__ts"))
-      .filter(size(col("__ts")) >= spanTokens)
-    val winsH = toks.select(col(idCol),
-      posexplode(transform(
-        sequence(lit(0), size(col("__ts")) - spanTokens),
-        i => xxhash64(array_join(slice(col("__ts"), i + 1, lit(spanTokens)), " "))))
-        .as(Seq("pos", "__sh")))
+    // pass keys on xxhash64(span): the span string from spanWindows is
+    // hashed in the same projection that built it (map stage) and only
+    // 8-byte keys cross both shuffles (vs full window text in
+    // [[duplicateSpans]]). At bench scale this measures flat (sf0.1 is
+    // stage-overhead-bound); the win is shuffle BYTES — ~k·wordlen per
+    // window down to 8 B — which is what dominates at corpus scale. A
+    // hash collision can only OVER-cut: ~n²/2⁶⁵ spans corpus-wide
+    // (≈0.03 spans at a trillion windows) — exactness-critical flagging
+    // stays on [[duplicateSpans]].
+    val winsH = spanWindows(df, idCol, textCol, spanTokens)
+      .select(col(idCol), col("pos"), xxhash64(col("span")).as("__sh"))
     val repeated = winsH.groupBy("__sh")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -74,9 +74,13 @@ object MapCache {
     * (key, value). Ties within one generation break by max(value) —
     * the documented `put` contract — so repeated reads are
     * deterministic even for a sloppy duplicate-key put. Reads fall
-    * back to the `.old` aside a crashed compact can leave, so a
-    * concurrent fetch/detectDuplicate never silently sees an EMPTY
-    * cache mid-compaction. */
+    * back to the `.old` aside a crashed compact can leave, so a read
+    * that RESOLVES mid-swap sees the old log instead of an empty
+    * cache. (The fallback bridges the listing instant only: a job
+    * whose scan was planned against gen files a LATER compact deletes
+    * fails loudly with missing-file errors, never silently-empty —
+    * quiesce readers around compact, the same single-writer window the
+    * object doc states.) */
   def entries(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -324,21 +324,36 @@ object Multimodal {
   /** REAL image resize: decodable image payloads are decoded (ImageIO),
     * scaled to `width`×`height` (bilinear), and re-encoded as PNG in
     * place; non-image payloads pass through untouched. If a `media`
-    * struct column exists its width/height/n_bytes are refreshed. */
+    * struct column exists, its width/height/n_bytes are refreshed ONLY
+    * on rows actually resized — a WAV or corrupt payload must not be
+    * stamped with image dimensions it doesn't have. */
   def resizeImage(spark: SparkSession, df: DataFrame, width: Int, height: Int,
                   payloadCol: String = "payload"): DataFrame = {
     require(width > 0 && height > 0, "resize target must be positive")
     val idx = df.schema.fieldIndex(payloadCol)
+    // media sub-field positions resolved by NAME at plan time (the
+    // struct may be a superset or reordering of metaType)
+    val mediaFields: Option[(Int, Int, Int, Int)] =
+      df.schema.fieldNames.indexOf("media") match {
+        case -1 => None
+        case mi => df.schema(mi).dataType match {
+          case t: StructType
+            if Seq("n_bytes", "width", "height").forall(t.fieldNames.contains) =>
+            Some((mi, t.fieldIndex("n_bytes"), t.fieldIndex("width"),
+              t.fieldIndex("height")))
+          case _ => None
+        }
+      }
     val enc = RowEncoder.encoderFor(df.schema)
-    val resized = df.mapPartitions { it =>
+    df.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val next =
+        val resized: Option[Array[Byte]] =
           try {
             val img =
               if (payload == null) null
               else ImageIO.read(new ByteArrayInputStream(payload))
-            if (img == null) payload
+            if (img == null) None
             else {
               val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
               val g = dst.createGraphics()
@@ -349,18 +364,26 @@ object Multimodal {
               } finally g.dispose()
               val bos = new ByteArrayOutputStream()
               ImageIO.write(dst, "png", bos)
-              bos.toByteArray
+              Some(bos.toByteArray)
             }
-          } catch { case _: Exception => payload }
-        Row.fromSeq(r.toSeq.updated(idx, next))
+          } catch { case _: Exception => None }
+        resized match {
+          case None => r
+          case Some(bytes) =>
+            val base = r.toSeq.updated(idx, bytes)
+            val withMedia = mediaFields match {
+              case Some((mi, nbI, wI, hI)) if !r.isNullAt(mi) =>
+                val m = r.getStruct(mi)
+                base.updated(mi, Row.fromSeq(m.toSeq
+                  .updated(nbI, bytes.length.toLong)
+                  .updated(wI, width)
+                  .updated(hI, height)))
+              case _ => base
+            }
+            Row.fromSeq(withMedia)
+        }
       }
     }(enc)
-    if (resized.schema.fieldNames.contains("media"))
-      resized.withColumn("media", col("media")
-        .withField("width", lit(width))
-        .withField("height", lit(height))
-        .withField("n_bytes", octet_length(col(payloadCol)).cast("long")))
-    else resized
   }
 
   // -------------------------------------------------------------- synth

@@ -619,11 +619,16 @@ object Records {
   }
 
   /** EvaluateXPath (NiFi): extract one string value per XPath expression
-    * into a new column. Spark-native xpath expressions — narrow, no UDF. */
-  def evaluateXPath(df: DataFrame, xmlCol: String, paths: Map[String, String]): DataFrame =
+    * into a new column, in the GIVEN order (flow definitions rely on
+    * property order for output column order). Spark-native xpath
+    * expressions — narrow, no UDF. */
+  def evaluateXPath(df: DataFrame, xmlCol: String, paths: Seq[(String, String)]): DataFrame =
     paths.foldLeft(df) { case (d, (name, p)) =>
       d.withColumn(name, xpath_string(col(xmlCol), lit(p)))
     }
+
+  def evaluateXPath(df: DataFrame, xmlCol: String, paths: Map[String, String]): DataFrame =
+    evaluateXPath(df, xmlCol, paths.toSeq)
 
   /** SplitXml (NiFi): one output row per node matched by `path` (its
     * text content). `path` must end in text() or select text nodes. */

@@ -101,9 +101,20 @@ object Scale {
     require(modulus > 0, "modulus must be positive")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
-    val threshold = rates.foldLeft(lit(math.round(defaultRate * modulus)): org.apache.spark.sql.Column) {
+    // rate granularity is 1/modulus — a positive rate that rounds to a
+    // zero threshold would silently drop its whole stratum, so fail
+    // loudly and tell the caller to raise the modulus
+    def thresholdOf(rate: Double, what: String): Long = {
+      val t = math.round(rate * modulus)
+      require(rate == 0.0 || t >= 1,
+        s"$what rate $rate is below the 1/$modulus granularity — raise `modulus`")
+      t
+    }
+    val threshold = rates.foldLeft(
+      lit(thresholdOf(defaultRate, "default")): org.apache.spark.sql.Column) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit(math.round(rate * modulus))).otherwise(acc)
+        when(col(strataCol) === stratum, lit(thresholdOf(rate, s"stratum '$stratum'")))
+          .otherwise(acc)
     }
     df.filter(pmod(col(idCol), lit(modulus)) < threshold)
   }

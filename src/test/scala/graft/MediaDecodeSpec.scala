@@ -72,6 +72,23 @@ class MediaDecodeSpec extends SparkSpec {
     // constant g/b survive bilinear resampling exactly
     assert(resized.meanG == 20.0 && resized.meanB == 30.0)
     assert(new String(out(2L), "UTF-8") == "not an image")
+    // media struct: only ACTUALLY resized rows get new dims — a WAV or
+    // text payload must not be stamped as a width x height image
+    val mixed = Seq(
+      (1L, Multimodal.synthPng(16, 8, 10, 20, 30)),
+      (2L, Multimodal.synthWavSquare(8000, 100, 4096)),
+      (3L, "plain".getBytes("UTF-8"))
+    ).toDF("id", "content")
+    val withMedia = Multimodal.toMedia(mixed, "content", "mixed")
+    val after = Multimodal.resizeImage(spark, withMedia, 4, 3)
+      .select(col("id"), col("media.width"), col("media.height"), col("media.n_bytes"),
+        octet_length(col("payload")).cast("long"))
+      .as[(Long, Option[Int], Option[Int], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(after(1L)._2.contains(4) && after(1L)._3.contains(3))
+    assert(after(1L)._4 === after(1L)._5, "resized row's n_bytes refreshed")
+    assert(after(2L)._2.isEmpty && after(2L)._3.isEmpty, "WAV keeps null dims")
+    assert(after(3L)._2.isEmpty && after(3L)._3.isEmpty, "text keeps null dims")
   }
 
   test("corrupt and truncated payloads yield null decode, never an exception") {
