@@ -27,21 +27,15 @@ object MapCache {
   private def hasGens(fs: FileSystem, p: Path): Boolean =
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("gen="))
 
-  private def asideOf(path: String) = new Path(path + ".old")
-
   /** Complete a crashed compact swap: if the live log is gone but the
     * aside survives (crash between rename-aside and rename-in), restore
     * it. WRITERS call this before mutating; readers never rename (they
     * fall back to the aside read-only, so a reader racing the
-    * single-writer compactor stays safe). */
-  private def recoverAside(fs: FileSystem, path: String): Unit = {
-    val p = new Path(path)
-    val aside = asideOf(path)
-    if (!hasGens(fs, p) && hasGens(fs, aside)) {
-      fs.delete(p, true) // at most an empty/genless shell
-      require(fs.rename(aside, p), s"cannot restore $aside after a crashed compact")
-    }
-  }
+    * single-writer compactor stays safe). Protocol shared with the
+    * stateful sources — [[graft.sources.AtomicSwap]], validity here =
+    * "directory has generations". */
+  private def recoverAside(fs: FileSystem, path: String): Unit =
+    graft.sources.AtomicSwap.recover(fs, new Path(path), hasGens(fs, _), recursive = true)
 
   private def nextGen(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
@@ -85,9 +79,7 @@ object MapCache {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val readPath =
-      if (hasGens(fs, p)) Some(path)
-      else if (hasGens(fs, asideOf(path))) Some(path + ".old")
-      else None
+      graft.sources.AtomicSwap.resolve(fs, p, hasGens(fs, _)).map(_.toString)
     readPath match {
       case None => // empty cache: no generations anywhere
         import org.apache.spark.sql.types._
@@ -127,15 +119,10 @@ object MapCache {
   def compact(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + ".compact.tmp")
-    val aside = asideOf(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAside(fs, path)
     fs.delete(tmp, true)
-    fs.delete(aside, true) // stale aside can only coexist with a live log
     entries(spark, path).write.parquet(s"$tmp/gen=0")
-    if (fs.exists(p))
-      require(fs.rename(p, aside), s"compact swap: cannot move $p aside")
-    require(fs.rename(tmp, p), s"compact swap failed: could not rename $tmp to $p")
-    fs.delete(aside, true)
+    graft.sources.AtomicSwap.swapIn(fs, tmp, p, recursive = true)
   }
 }

@@ -33,6 +33,34 @@ object Multimodal {
   // payload per row that is an fs metadata storm; decode in memory.
   ImageIO.setUseCache(false)
 
+  /** Decompression-bomb guard: a corrupt/adversarial header can declare
+    * e.g. 65500×65500 px, and letting ImageIO allocate that
+    * BufferedImage throws OutOfMemoryError — an Error no
+    * `catch Exception` contains, killing the executor. Every decode
+    * path checks HEADER dimensions (reader metadata only, no pixel
+    * allocation) against this cap first and bails to None above it.
+    * 64 MP ≈ 256 MB of INT_RGB — roomy for real data, far below
+    * task-killing. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Dimension-capped ImageIO read: header dims first, full decode only
+    * when w*h fits [[MaxDecodePixels]]. Null when unreadable/oversized. */
+  private def readImageCapped(payload: Array[Byte]): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   val metaType: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
@@ -68,7 +96,7 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload == null || payload.length < 8) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readImageCapped(payload)
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
@@ -189,8 +217,9 @@ object Multimodal {
     * Deterministic; distinct payloads of different composition map to
     * distinct vectors. */
   def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (dim <= 0) return Array.emptyFloatArray // before the dim-sized alloc
     val out = new Array[Float](dim)
-    if (payload == null || payload.isEmpty || dim <= 0) return out
+    if (payload == null || payload.isEmpty) return out
     if (isWav(payload)) {
       wavEnvelope(payload, dim) match {
         case Some(env) => return env
@@ -222,7 +251,7 @@ object Multimodal {
 
   private def luminanceHistogram(payload: Array[Byte], dim: Int): Option[Array[Float]] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readImageCapped(payload)
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
@@ -352,7 +381,7 @@ object Multimodal {
           try {
             val img =
               if (payload == null) null
-              else ImageIO.read(new ByteArrayInputStream(payload))
+              else readImageCapped(payload)
             if (img == null) None
             else {
               val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -473,6 +502,10 @@ object Multimodal {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           (0 until n by stride).map { i =>
+            // header dims before pixel allocation (see MaxDecodePixels);
+            // one oversized frame marks the whole payload undecodable
+            if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxDecodePixels)
+              return Nil
             val img = reader.read(i)
             val w = img.getWidth; val h = img.getHeight
             var sr = 0.0; var sg = 0.0; var sb = 0.0

@@ -25,45 +25,28 @@ object Io {
   // ------- crash-safe single-file state (shared by the stateful sources)
 
   /** Read small state written by [[writeStateAtomic]]: prefers the live
-    * file, falls back to the `.old` aside a crash can leave behind.
-    * None when neither exists (fresh state). */
+    * file, falls back to the `.old` aside a crash can leave behind
+    * ([[AtomicSwap.resolve]]). None when neither exists (fresh state). */
   private[graft] def readStateString(fs: org.apache.hadoop.fs.FileSystem,
-                                     stateP: org.apache.hadoop.fs.Path): Option[String] = {
-    val aside = new org.apache.hadoop.fs.Path(stateP.toString + ".old")
-    val p =
-      if (fs.exists(stateP)) Some(stateP)
-      else if (fs.exists(aside)) Some(aside)
-      else None
-    p.map { path =>
+                                     stateP: org.apache.hadoop.fs.Path): Option[String] =
+    AtomicSwap.resolve(fs, stateP, fs.exists).map { path =>
       val in = fs.open(path)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-  }
 
-  /** Crash-safe overwrite of a small state file: write `.tmp`, rename
-    * the live file ASIDE (`.old`), rename `.tmp` in, delete the aside.
-    * A plain delete-then-rename swap has a window where NO state exists
-    * (a crash there silently resets the source and every row replays);
-    * here at every instant either the live file or the aside holds a
-    * valid state, and [[readStateString]] recovers whichever survived.
-    * Crash recovery direction is at-least-once: a crash mid-swap replays
-    * the last slice rather than losing it. */
+  /** Crash-safe overwrite of a small state file via [[AtomicSwap]]
+    * (write `.tmp` → rename live aside → rename in → delete aside): at
+    * every instant either the live file or the aside holds a valid
+    * state. Crash recovery direction is at-least-once: a crash mid-swap
+    * replays the last slice rather than losing it. */
   private[graft] def writeStateAtomic(fs: org.apache.hadoop.fs.FileSystem,
                                       stateP: org.apache.hadoop.fs.Path,
                                       content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(stateP.toString + ".tmp")
-    val aside = new org.apache.hadoop.fs.Path(stateP.toString + ".old")
-    // recover a previous crash that left only the aside
-    if (!fs.exists(stateP) && fs.exists(aside))
-      require(fs.rename(aside, stateP), s"state recovery: cannot restore $aside")
+    AtomicSwap.recover(fs, stateP, fs.exists, recursive = false)
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // stale aside can only coexist with a live file (crash after step 3)
-    if (fs.exists(aside)) fs.delete(aside, false)
-    if (fs.exists(stateP))
-      require(fs.rename(stateP, aside), s"state swap: cannot move $stateP aside")
-    require(fs.rename(tmp, stateP), s"state swap: cannot rename $tmp to $stateP")
-    fs.delete(aside, false)
+    AtomicSwap.swapIn(fs, tmp, stateP, recursive = false)
   }
 
   /** GenerateFlowFile: deterministic synthetic records for flow tests
@@ -209,7 +192,11 @@ object Io {
     * incremental slice itself is an executor-side pushdown query
     * (`WHERE col > last`), so only new rows cross the wire. Numeric or
     * monotonically-increasing columns only (NiFi's contract too —
-    * timestamps ride as epoch numbers). Returns the new rows. */
+    * timestamps ride as epoch numbers). Returns the new rows,
+    * materialized to a parquet spool at `statePath + ".spool"` before
+    * the state advances (exactly-once under a live writer); the
+    * returned frame stays valid until the NEXT call with the same
+    * statePath overwrites the spool. */
   def readJdbcIncremental(spark: SparkSession, url: String, table: String,
                           maxValueColumn: String, statePath: String,
                           options: Map[String, String] = Map.empty): DataFrame = {
@@ -228,17 +215,24 @@ object Io {
         s"""(SELECT * FROM $table WHERE "$maxValueColumn" > $v) graft_inc"""
       case None => table
     }
-    // materialize the slice ONCE (eager localCheckpoint) BEFORE reading
-    // its max and advancing state: the returned frame is served from the
-    // checkpointed blocks, so no downstream action can re-run the JDBC
-    // query after state has moved — rows committed to the source table
-    // between the state advance and the caller's action(s) would
-    // otherwise be returned now AND fetched again next run. The slice is
-    // bounded by the incremental window (executor storage holds it — the
-    // same bound NiFi's per-trigger buffer has).
-    val fresh = readJdbc(spark, url, slice, options).localCheckpoint(true)
-    // driver-side max over the materialized slice advances the state;
-    // empty slice leaves state untouched (no rows → no progress to record)
+    // materialize the slice ONCE — spool it to parquet BEFORE reading
+    // its max and advancing state: the returned frame reads the spool,
+    // so no downstream action can re-run the JDBC query after state has
+    // moved (rows committed to the source between the state advance and
+    // the caller's action(s) would otherwise be returned now AND
+    // fetched again next run). Parquet spool rather than an eager
+    // localCheckpoint: the bootstrap run (no state yet) fetches the
+    // WHOLE table, which must land on distributed disk, not pinned
+    // executor-memory blocks — and a spool leaves nothing to unpersist
+    // across scheduled runs. The spool is overwritten per call: the
+    // returned frame is valid until the NEXT call with this statePath
+    // (NiFi's per-trigger result lifetime).
+    val spool = statePath + ".spool"
+    readJdbc(spark, url, slice, options)
+      .write.mode("overwrite").parquet(spool)
+    val fresh = spark.read.parquet(spool)
+    // driver-side max over the spooled slice advances the state; empty
+    // slice leaves state untouched (no rows → no progress to record)
     val newMax = fresh.agg(org.apache.spark.sql.functions.max(col(maxValueColumn)))
       .collect()(0)
     if (!newMax.isNullAt(0))

@@ -120,6 +120,21 @@ class MediaDecodeSpec extends SparkSpec {
     assert(rows === Array((7L, 0, 10.0), (7L, 3, 160.0)))
   }
 
+  test("oversized header dims bail before pixel allocation (bomb guard)") {
+    val png = Multimodal.synthPng(8, 8, 1, 2, 3)
+    // patch IHDR to claim 65535 x 65535 (4.3 G pixels)
+    val bomb = png.clone()
+    bomb(16) = 0; bomb(17) = 0; bomb(18) = 0xFF.toByte; bomb(19) = 0xFF.toByte
+    bomb(20) = 0; bomb(21) = 0; bomb(22) = 0xFF.toByte; bomb(23) = 0xFF.toByte
+    assert(Multimodal.decodeImage(bomb).isEmpty, "must refuse, not allocate")
+    // features falls back to the byte histogram rather than decoding
+    val f = Multimodal.features(bomb, 8)
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+    // non-positive dims return empty instead of NegativeArraySizeException
+    assert(Multimodal.features("x".getBytes("UTF-8"), -1).isEmpty)
+    assert(Multimodal.features("x".getBytes("UTF-8"), 0).isEmpty)
+  }
+
   test("features are real per-modality signals") {
     val dim = 8
     // solid black image → all luminance mass in bin 0
