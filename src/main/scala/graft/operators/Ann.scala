@@ -105,9 +105,18 @@ object Ann {
     * shrinks by ~nProbe/nCells. `lloydIters > 0` refines the centroids
     * with that many deterministic k-means iterations
     * ([[refineCentroids]]) — better-balanced cells, higher recall per
-    * probe, at one assignment pass per iteration. */
+    * probe, at one assignment pass per iteration.
+    *
+    * Query-set scale: with `broadcastQueries = true` (default) the
+    * probed query side is broadcast — right when queries are
+    * dimension-table-sized. For LARGE query sets (corpus-vs-corpus
+    * retrieval, dataset joins) pass `false`: both sides then SHUFFLE on
+    * the cell id and the join never ships the query set to every
+    * executor — the fully-distributed path, no driver or broadcast
+    * bound on either side. Results are identical. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
+              broadcastQueries: Boolean = true): DataFrame = {
     import spark.implicits._
     val init: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -124,7 +133,8 @@ object Ann {
 
     val c = cells(corpus, "vec_id", "c_vec", 1)
     val q = cells(queries, "query_id", "q_vec", nProbe)
-    val cand = c.join(broadcast(q), Seq("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val cand = c.join(qSide, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6).as("cos_sim"))

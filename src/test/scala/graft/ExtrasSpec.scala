@@ -38,6 +38,32 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.5, s"refined IVF recall too low: $recall")
   }
 
+  test("IVF large-query path: shuffle join matches the broadcast path exactly") {
+    val corpus = randVecs(300, 16, 23)
+    val queries = corpus.filter(col("vec_id") < 40) // "large" query set
+    def run(bcast: Boolean) =
+      Ann.ivfTopK(spark, corpus, queries, 5, nCells = 8, nProbe = 4,
+        broadcastQueries = bcast)
+    assert(run(true).collect().map(_.toSeq).toSet ===
+           run(false).collect().map(_.toSeq).toSet,
+      "both join strategies must return identical neighbors")
+    // the hint really comes off: with auto-broadcast disabled (as at
+    // scale, where the query side exceeds the threshold) the unhinted
+    // path plans a shuffle join while the hinted path still broadcasts
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val shuffled = run(false).queryExecution.executedPlan.toString
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        "large-query path must not broadcast once the side is over-threshold")
+      assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"),
+        s"expected a shuffle join, got:\n$shuffled")
+      assert(run(true).queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "hinted path keeps the broadcast")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("int8 quantization bounds reconstruction error and preserves top-k") {
     import graft.functions.VectorFunctions
     val corpus = randVecs(200, 16, 31)
