@@ -405,7 +405,10 @@ object El {
         concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
         .otherwise(c)
     case "unescapeCsv" =>
-      when(c.rlike("^\".*\"$"),
+      // (?s): a quoted cell may contain the very newlines escapeCsv
+      // quotes it for — without DOTALL the wrapper regex can't match
+      // across them and the cell stays escaped
+      when(c.rlike("(?s)^\".*\"$"),
         replace(c.substr(lit(2), length(c) - 2), lit("\"\""), lit("\"")))
         .otherwise(c)
     case "hash" =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.functions.El
 
 class ElSpec extends SparkSpec {
@@ -66,6 +67,28 @@ class ElSpec extends SparkSpec {
     assert(out.getString(0) == "run:2024-03-05")
     assert(out.getLong(1) == 50L)
     assert(out.getBoolean(2))
+  }
+
+  test("escape families are exact inverses on generated adversarial strings") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab,\"'\n\r\t<>&\\$ {}%+".toCharArray
+    val strs = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = strs.toDF("s")
+    val pairs = Seq(
+      "escapeCsv" -> "unescapeCsv",
+      "escapeJson" -> "unescapeJson",
+      "escapeXml" -> "unescapeXml",
+      "escapeHtml4" -> "unescapeHtml4",
+      "base64Encode" -> "base64Decode",
+      "urlEncode" -> "urlDecode")
+    pairs.foreach { case (esc, unesc) =>
+      val mismatches = df.select(col("s"),
+          El.compileExpr(s"$${s:$esc():$unesc()}").as("rt"))
+        .filter(col("s") =!= col("rt")).count()
+      assert(mismatches === 0L, s"$esc -> $unesc is not an inverse")
+    }
   }
 
   test("url and json functions") {

@@ -64,6 +64,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches the cumulative-offset reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i % 11).toLong, (rnd.nextInt(120) + 1).toLong)
+    }
+    val cap = 97L
+    val got = graft.operators.Scale
+      .packSequences(rows.toDF("doc_id", "shard", "n_tok"), "shard", "doc_id", "n_tok", cap)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // reference: per shard, pack = floor(prior-cumulative-size / cap)
+    val expected = rows.groupBy(_._2).flatMap { case (_, docs) =>
+      docs.sortBy(_._1).scanLeft(((-1L), 0L)) { case ((_, acc), (id, _, n)) =>
+        (id, acc + n)
+      }.drop(1).zip(docs.sortBy(_._1)).map { case ((id, cum), (_, _, n)) =>
+        id -> (cum - n) / cap
+      }
+    }
+    assert(got === expected)
+  }
+
   test("sampleStratified keeps deterministic per-stratum fractions") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "src")
