@@ -35,6 +35,26 @@ class GeneratedInputSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("parseCEF inverts generated headers and extension key-values") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 150).map { i =>
+      val sev = rnd.nextInt(11)
+      val sig = s"sig-${rnd.nextInt(900)}"
+      val src = s"10.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      val act = Seq("allow", "deny", "drop")(rnd.nextInt(3))
+      (s"CEF:0|acme|fw|1.${i % 10}|$sig|blocked thing|$sev|src=$src act=$act cnt=$i",
+        sig, sev.toString, src, act)
+    }
+    val parsed = Parse.parseCef(
+      rows.toDF("line", "e_sig", "e_sev", "e_src", "e_act"),
+      "line", Seq("src", "act"))
+    val bad = parsed.filter(
+      col("cef_vendor") =!= "acme" || col("cef_product") =!= "fw" ||
+      col("cef_sig_id") =!= col("e_sig") || col("cef_severity") =!= col("e_sev") ||
+      col("cef_src") =!= col("e_src") || col("cef_act") =!= col("e_act")).count()
+    assert(bad === 0L)
+  }
+
   test("base32/base64/hex encode-decode round-trip random binary payloads") {
     val rnd = new scala.util.Random(13)
     val payloads = (1 to 150).map { i =>
