@@ -185,7 +185,7 @@ object FlowCompiler {
     "File Count", "Buckets", "Encoding", "Extension Keys", "Grok Expression",
     "Split Path", "Segment Size", "Compression Format", "Table Name",
     "Size Column", "Maximum Group Size", "URL Column", "HTTP Method",
-    "Body Column", "Schema Name")
+    "Body Column", "Schema Name", "Match Requirement", "Number of Copies")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -331,7 +331,13 @@ object FlowCompiler {
         Route.taggedFromElConfig(in, dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
       case "RouteOnContent" =>
         Route.taggedOnContent(in, prop(p, "Content Column", "content"),
-          dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
+          dynamicProps(p), routeCol = prop(p, "Route Column", "route"),
+          matchWhole = prop(p, "Match Requirement", "content must contain match")
+            .toLowerCase.contains("exactly"))
+      case "DuplicateFlowFile" =>
+        // NiFi's load-generation processor: N copies per record with a
+        // copy index (0 = the original). Narrow explode.
+        Records.duplicateRows(in, prop(p, "Number of Copies", "1").trim.toInt)
       case "ReplaceText" =>
         Records.replaceText(in, prop(p, "Content Column", "content"),
           prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))

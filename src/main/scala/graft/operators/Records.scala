@@ -484,6 +484,15 @@ object Records {
     df.withColumn(outCol, concat_ws(",", cells: _*))
   }
 
+  /** DuplicateFlowFile (NiFi): emit `copies` EXTRA rows per record for
+    * load generation/testing — `copy_idx` 0 is the original, 1..copies
+    * the duplicates. Narrow explode, no shuffle. */
+  def duplicateRows(df: DataFrame, copies: Int,
+                    idxCol: String = "copy_idx"): DataFrame = {
+    require(copies >= 0, "copies must be >= 0")
+    df.withColumn(idxCol, explode(sequence(lit(0), lit(copies))))
+  }
+
   /** UpdateCounter (NiFi): named side-channel counters incremented as
     * records flow past, WITHOUT forking the plan or breaking codegen —
     * Spark-first this is `Dataset.observe`: the counters ride the

@@ -40,14 +40,24 @@ object Route {
     df.withColumn(routeCol, tag)
   }
 
-  /** RouteOnContent: regex match against a content column. */
-  def onContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)]): Map[String, DataFrame] =
-    onAttribute(df, routes.map { case (n, re) => n -> col(contentCol).rlike(re) })
+  /** RouteOnContent: regex match against a content column.
+    * `matchWhole = true` is NiFi's "content must match exactly" Match
+    * Requirement (the regex must cover the WHOLE content); false is
+    * "content must contain match" (find anywhere, the default). */
+  def onContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)],
+                matchWhole: Boolean = false): Map[String, DataFrame] =
+    onAttribute(df, routes.map { case (n, re) =>
+      n -> contentPredicate(col(contentCol), re, matchWhole) })
 
   /** RouteOnContent, single-pass tagged form. */
   def taggedOnContent(df: DataFrame, contentCol: String, routes: Seq[(String, String)],
-                      routeCol: String = "route"): DataFrame =
-    tagged(df, routes.map { case (n, re) => n -> col(contentCol).rlike(re) }, routeCol)
+                      routeCol: String = "route",
+                      matchWhole: Boolean = false): DataFrame =
+    tagged(df, routes.map { case (n, re) =>
+      n -> contentPredicate(col(contentCol), re, matchWhole) }, routeCol)
+
+  private def contentPredicate(c: Column, re: String, whole: Boolean): Column =
+    if (whole) c.rlike(s"(?s)^(?:$re)$$") else c.rlike(re)
 
   /** RouteOnAttribute straight from flow-definition-style configuration:
     * route name → NiFi Expression Language predicate string (exactly

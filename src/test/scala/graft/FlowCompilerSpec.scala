@@ -358,6 +358,30 @@ class FlowCompilerSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
   }
 
+  test("RouteOnContent Match Requirement and DuplicateFlowFile compile") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "r", "type": "RouteOnContent",
+        |     "properties": {"Content Column": "txt",
+        |                    "Match Requirement": "content must match exactly",
+        |                    "digits": "[0-9]+"}},
+        |    {"identifier": "d", "type": "DuplicateFlowFile",
+        |     "properties": {"Number of Copies": "2"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "r"}},
+        |    {"source": {"id": "r"}, "destination": {"id": "d"}, "selectedRelationships": ["digits"]},
+        |    {"source": {"id": "d"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq("123", "abc", "12a").toDF("txt") // exactly-digits vs contains-digits
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+      .select("txt", "copy_idx").as[(String, Int)].collect().sorted
+    // "12a" contains digits but is not WHOLLY digits -> filtered out;
+    // each surviving row fans to 1 original + 2 copies
+    assert(out === Array(("123", 0), ("123", 1), ("123", 2)))
+  }
+
   test("ValidateJson resolves a registered Schema Name; unknown names fail loudly") {
     SchemaRegistry.register("event_v1", "k BIGINT, tag STRING")
     try {
