@@ -484,6 +484,36 @@ object Records {
     df.withColumn(outCol, concat_ws(",", cells: _*))
   }
 
+  /** FuzzyHashContent (NiFi): context-triggered piecewise hash of the
+    * content (ssdeep-style CTPH — see [[graft.plans.FuzzyHash]]):
+    * localized edits change only the digest characters of the chunks
+    * they touch, so near-identical payloads get near-identical digests.
+    * Digest format "blocksize:digest:digest2x". Narrow native
+    * expression, one pass per payload. */
+  def fuzzyHashContent(df: DataFrame, contentCol: String,
+                       outCol: String = "fuzzy_hash"): DataFrame =
+    df.withColumn(outCol, graft.plans.FuzzyHashExpr(col(contentCol)))
+
+  /** Similarity of two CTPH digests in [0, 100]: Levenshtein ratio over
+    * the matching-granularity digest pair — equal block sizes compare
+    * both digests (best wins), adjacent block sizes compare the
+    * cross-granularity pair, anything further apart is incomparable
+    * (0). All builtin codegen'd expressions. */
+  def fuzzyHashSimilarity(a: Column, b: Column): Column = {
+    def part(c: Column, i: Int) =
+      element_at(org.apache.spark.sql.functions.split(c, ":", -1), i)
+    def bsOf(c: Column) = part(c, 1).cast("long")
+    def ratio(x: Column, y: Column): Column =
+      round((lit(1.0) - levenshtein(x, y) /
+        greatest(length(x), length(y), lit(1)).cast("double")) * 100)
+    val (aBs, bBs) = (bsOf(a), bsOf(b))
+    when(aBs === bBs,
+        greatest(ratio(part(a, 2), part(b, 2)), ratio(part(a, 3), part(b, 3))))
+      .when(aBs === bBs * 2, ratio(part(a, 2), part(b, 3)))
+      .when(aBs * 2 === bBs, ratio(part(a, 3), part(b, 2)))
+      .otherwise(lit(0.0))
+  }
+
   /** DuplicateFlowFile (NiFi): emit `copies` EXTRA rows per record for
     * load generation/testing — `copy_idx` 0 is the original, 1..copies
     * the duplicates. Narrow explode, no shuffle. */

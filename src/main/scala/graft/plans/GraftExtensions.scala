@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(0), org.apache.spark.sql.types.BinaryType),
           algo, lit(1, "key").getBytes("UTF-8"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fuzzy_hash"),
+      new ExpressionInfo(classOf[FuzzyHashExpr].getName, "graft_fuzzy_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FuzzyHashExpr(children.head)))
   }
 }
