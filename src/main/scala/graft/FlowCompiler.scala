@@ -77,7 +77,8 @@ object FlowCompiler {
                         processors: Seq[Processor],
                         inputPorts: Seq[(String, String)],  // id -> name
                         outputPorts: Seq[(String, String)], // id -> name
-                        connections: Seq[Connection])
+                        connections: Seq[Connection],
+                        funnels: Seq[String] = Nil)         // pass-through ids
 
   /** Parse the flow-definition JSON subset. Property order is preserved
     * (it is route priority for RouteOnAttribute). */
@@ -102,13 +103,43 @@ object FlowCompiler {
       else Nil
       Connection(str(c.get("source"), "id"), str(c.get("destination"), "id"), rels)
     }
-    Flow(str(fc, "name", "flow"), procs, ports("inputPorts"), ports("outputPorts"), conns)
+    val funnels = arr("funnels").map(f => str(f, "identifier"))
+    Flow(str(fc, "name", "flow"), procs, ports("inputPorts"), ports("outputPorts"),
+      conns, funnels)
+  }
+
+  /** NiFi Parameter Contexts: property values reference environment
+    * parameters as `#{name}`; substitution happens before compilation
+    * (NiFi resolves parameters when it materializes the versioned flow
+    * into a process group). Unknown references fail loudly — a flow
+    * must not silently run with a literal `#{...}` in its config. */
+  private val paramRef = "#\\{([A-Za-z0-9 ._-]+)\\}".r
+  private def substituteParams(flow: Flow, params: Map[String, String]): Flow = {
+    def sub(v: String): String =
+      paramRef.replaceAllIn(v, m => {
+        val name = m.group(1)
+        java.util.regex.Matcher.quoteReplacement(
+          params.getOrElse(name, throw new IllegalArgumentException(
+            s"flow references parameter '#{$name}' but no such parameter was " +
+            s"provided (have: ${params.keys.toSeq.sorted.mkString(", ")})")))
+      })
+    flow.copy(processors = flow.processors.map(p =>
+      p.copy(props = p.props.map { case (k, v) => k -> sub(v) })))
   }
 
   /** Compile + bind: `inputs` maps input-port NAMES to DataFrames;
-    * returns output-port NAME -> composed DataFrame. */
+    * returns output-port NAME -> composed DataFrame. `parameters` feeds
+    * NiFi-style `#{name}` references in property values. */
+  def compile(spark: SparkSession, flow: Flow, inputs: Map[String, DataFrame],
+              parameters: Map[String, String]): Map[String, DataFrame] =
+    compileResolved(spark, substituteParams(flow, parameters), inputs)
+
   def compile(spark: SparkSession, flow: Flow,
-              inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+              inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    compile(spark, flow, inputs, Map.empty[String, String])
+
+  private def compileResolved(spark: SparkSession, flow: Flow,
+                              inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val procById = flow.processors.map(p => p.id -> p).toMap
     val inPortName = flow.inputPorts.toMap
     val outPortName = flow.outputPorts.toMap
@@ -148,6 +179,10 @@ object FlowCompiler {
           if (outPortName.contains(id)) {
             require(ins.nonEmpty, s"output port ${outPortName(id)} has no incoming connection")
             ins.reduce(_ unionByName _)
+          } else if (flow.funnels.contains(id)) {
+            // NiFi Funnel: pure fan-in pass-through (union by name)
+            require(ins.nonEmpty, s"funnel $id has no incoming connection")
+            ins.reduce(_ unionByName _)
           } else {
             val p = procById.getOrElse(id, throw new IllegalArgumentException(
               s"connection references unknown node $id"))
@@ -167,6 +202,11 @@ object FlowCompiler {
   def compile(spark: SparkSession, json: String,
               inputs: Map[String, DataFrame]): Map[String, DataFrame] =
     compile(spark, parse(json), inputs)
+
+  /** One-call convenience with NiFi parameter-context values. */
+  def compile(spark: SparkSession, json: String, inputs: Map[String, DataFrame],
+              parameters: Map[String, String]): Map[String, DataFrame] =
+    compile(spark, parse(json), inputs, parameters)
 
   // ---------------------------------------------------------- processors
 

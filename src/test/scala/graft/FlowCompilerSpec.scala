@@ -358,6 +358,45 @@ class FlowCompilerSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
   }
 
+  test("parameter contexts substitute #{name} in property values; funnels fan in") {
+    val json =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "r1", "type": "RouteOnAttribute",
+        |     "properties": {"big": "${n:gt(#{threshold})}"}},
+        |    {"identifier": "r2", "type": "RouteOnAttribute",
+        |     "properties": {"big": "${n:gt(#{threshold})}"}},
+        |    {"identifier": "sql", "type": "ConvertJSONToSQL",
+        |     "properties": {"Content Column": "meta", "Table Name": "#{target table}",
+        |                    "n": "number"}}],
+        |  "funnels": [{"identifier": "fun"}],
+        |  "inputPorts": [
+        |    {"identifier": "i1", "name": "a"}, {"identifier": "i2", "name": "b"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i1"}, "destination": {"id": "r1"}},
+        |    {"source": {"id": "i2"}, "destination": {"id": "r2"}},
+        |    {"source": {"id": "r1"}, "destination": {"id": "fun"}, "selectedRelationships": ["big"]},
+        |    {"source": {"id": "r2"}, "destination": {"id": "fun"}, "selectedRelationships": ["big"]},
+        |    {"source": {"id": "fun"}, "destination": {"id": "sql"}},
+        |    {"source": {"id": "sql"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val a = Seq((1L, """{"n": 1}"""), (9L, """{"n": 9}""")).toDF("n", "meta")
+    val b = Seq((2L, """{"n": 2}"""), (8L, """{"n": 8}""")).toDF("n", "meta")
+    val out = FlowCompiler.compile(spark, json, Map("a" -> a, "b" -> b),
+      Map("threshold" -> "5", "target table" -> "events"))("out")
+      .select("n", "sql").as[(Long, String)].collect().sorted
+    // both branches' >5 rows funnel into one stream; the table parameter lands
+    assert(out === Array(
+      (8L, "INSERT INTO events (n) VALUES (8)"),
+      (9L, "INSERT INTO events (n) VALUES (9)")))
+    // unknown parameter fails loudly at compile
+    val err = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, json, Map("a" -> a, "b" -> b),
+        Map("threshold" -> "5"))
+    }
+    assert(err.getMessage.contains("target table"))
+  }
+
   test("RouteOnContent Match Requirement and DuplicateFlowFile compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
