@@ -225,7 +225,8 @@ object FlowCompiler {
     "File Count", "Buckets", "Encoding", "Extension Keys", "Grok Expression",
     "Split Path", "Segment Size", "Compression Format", "Table Name",
     "Size Column", "Maximum Group Size", "URL Column", "HTTP Method",
-    "Body Column", "Schema Name", "Match Requirement", "Number of Copies")
+    "Body Column", "Schema Name", "Match Requirement", "Number of Copies",
+    "Lookup File")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -394,6 +395,18 @@ object FlowCompiler {
           routeCol = prop(p, "Route Column", "route"))
       case "CountText" =>
         Records.countText(in, prop(p, "Content Column", "content"))
+      case "LookupRecord" =>
+        // NiFi's CSVRecordLookupService inlined: 'Lookup File' is a
+        // header-ful CSV (schema inferred — controller-service config,
+        // read once at compile, dimension-sized by the lookup contract)
+        val path = prop(p, "Lookup File", "")
+        require(path.nonEmpty, s"LookupRecord ${p.name} needs a Lookup File")
+        val lookupDf = spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(path)
+        val keys = prop(p, "Join Key", "key").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        in.join(org.apache.spark.sql.functions.broadcast(lookupDf),
+          keys, prop(p, "Join Type", "left"))
       case "LookupAttribute" =>
         // dynamic properties ARE the key->value mapping (NiFi's
         // SimpleKeyValueLookupService inlined into the processor config)

@@ -358,6 +358,29 @@ class FlowCompilerSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
   }
 
+  test("LookupRecord reads its CSV lookup service file and broadcasts the join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup")
+    java.nio.file.Files.writeString(dir.resolve("tiers.csv"),
+      "plan,tier\nfree,bronze\npro,gold\n")
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "lk", "type": "LookupRecord",
+         |     "properties": {"Lookup File": "${dir.resolve("tiers.csv")}",
+         |                    "Join Key": "plan"}}],
+         |  "inputPorts": [{"identifier": "i", "name": "in"}],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i"}, "destination": {"id": "lk"}},
+         |    {"source": {"id": "lk"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((1L, "free"), (2L, "pro"), (3L, "trial")).toDF("id", "plan")
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+    val rows = out.select("id", "tier").as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows === Array((1L, Some("bronze")), (2L, Some("gold")), (3L, None)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "lookup side must broadcast")
+  }
+
   test("parameter contexts substitute #{name} in property values; funnels fan in") {
     val json =
       """{"flowContents": {
