@@ -358,6 +358,23 @@ class FlowCompilerSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.length > 1 && rows.map(_._5).sorted === rows.map(_._5))
   }
 
+  test("committed parameterized flow: funnel -> CSV lookup -> parameterized route") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flow_lookup")
+    java.nio.file.Files.writeString(dir.resolve("tiers.csv"),
+      "plan,tier\nfree,bronze\npro,gold\n")
+    val json = {
+      val s = getClass.getResourceAsStream("/flows/lookup_enrich.json")
+      try scala.io.Source.fromInputStream(s, "UTF-8").mkString finally s.close()
+    }
+    val a = Seq((3L, "free"), (9L, "pro")).toDF("n", "plan")
+    val b = Seq((7L, "free"), (1L, "pro")).toDF("n", "plan")
+    val out = FlowCompiler.compile(spark, json,
+      Map("events_a" -> a, "events_b" -> b),
+      Map("lookup_dir" -> dir.toString, "min_n" -> "5"))("enriched")
+      .select("n", "tier").as[(Long, String)].collect().sorted
+    assert(out === Array((7L, "bronze"), (9L, "gold")))
+  }
+
   test("LookupRecord reads its CSV lookup service file and broadcasts the join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lookup")
     java.nio.file.Files.writeString(dir.resolve("tiers.csv"),
