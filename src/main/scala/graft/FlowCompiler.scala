@@ -112,17 +112,21 @@ object FlowCompiler {
     * parameters as `#{name}`; substitution happens before compilation
     * (NiFi resolves parameters when it materializes the versioned flow
     * into a process group). Unknown references fail loudly — a flow
-    * must not silently run with a literal `#{...}` in its config. */
+    * must not silently run with a literal `#{...}` in its config. A
+    * literal `#{` is written `##{`, NiFi's escape. */
   private val paramRef = "#\\{([A-Za-z0-9 ._-]+)\\}".r
   private def substituteParams(flow: Flow, params: Map[String, String]): Flow = {
+    // park NiFi's ##{ escape in a sentinel so escaped references are
+    // neither substituted nor reported missing, then restore as #{
+    val sentinel = "\u0000GRAFT_ESC\u0000"
     def sub(v: String): String =
-      paramRef.replaceAllIn(v, m => {
+      paramRef.replaceAllIn(v.replace("##{", sentinel), m => {
         val name = m.group(1)
         java.util.regex.Matcher.quoteReplacement(
           params.getOrElse(name, throw new IllegalArgumentException(
             s"flow references parameter '#{$name}' but no such parameter was " +
             s"provided (have: ${params.keys.toSeq.sorted.mkString(", ")})")))
-      })
+      }).replace(sentinel, "#{")
     flow.copy(processors = flow.processors.map(p =>
       p.copy(props = p.props.map { case (k, v) => k -> sub(v) })))
   }
@@ -401,8 +405,10 @@ object FlowCompiler {
         // read once at compile, dimension-sized by the lookup contract)
         val path = prop(p, "Lookup File", "")
         require(path.nonEmpty, s"LookupRecord ${p.name} needs a Lookup File")
-        val lookupDf = spark.read.option("header", "true")
-          .option("inferSchema", "true").csv(path)
+        // all-string read (no inferSchema): NiFi's CSV lookup matches
+        // keys as STRINGS — inference would coerce "01" and "1" to the
+        // same int key and silently retype the looked-up columns
+        val lookupDf = spark.read.option("header", "true").csv(path)
         val keys = prop(p, "Join Key", "key").split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         in.join(org.apache.spark.sql.functions.broadcast(lookupDf),

@@ -407,8 +407,10 @@ object El {
     case "unescapeCsv" =>
       // (?s): a quoted cell may contain the very newlines escapeCsv
       // quotes it for — without DOTALL the wrapper regex can't match
-      // across them and the cell stays escaped
-      when(c.rlike("(?s)^\".*\"$"),
+      // across them and the cell stays escaped. \A..\z, not ^..$: $
+      // matches BEFORE a trailing newline, so `"a"\n` would fire the
+      // branch and get mangled by the fixed-offset unwrap.
+      when(c.rlike("(?s)\\A\".*\"\\z"),
         replace(c.substr(lit(2), length(c) - 2), lit("\"\""), lit("\"")))
         .otherwise(c)
     case "hash" =>

@@ -57,7 +57,9 @@ object Route {
       n -> contentPredicate(col(contentCol), re, matchWhole) }, routeCol)
 
   private def contentPredicate(c: Column, re: String, whole: Boolean): Column =
-    if (whole) c.rlike(s"(?s)^(?:$re)$$") else c.rlike(re)
+    // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline, so
+    // ^$ would accept "123\n" as exactly-digits (NiFi's matches() won't)
+    if (whole) c.rlike(s"(?s)\\A(?:$re)\\z") else c.rlike(re)
 
   /** RouteOnAttribute straight from flow-definition-style configuration:
     * route name → NiFi Expression Language predicate string (exactly

@@ -38,18 +38,22 @@ object FuzzyHash {
   }
 
   /** (blockSize, digest@blockSize, digest@2·blockSize). Deterministic;
-    * empty input → ("3:", "") equivalents. */
+    * empty input → ("3:", "") equivalents. CTPH restarts at a finer
+    * granularity when the digest is too short to be comparable (fewer
+    * than half the target chars); the restart carries the previous
+    * digest forward — digestAt(bs) at one iteration IS digestAt(2·bs')
+    * of the next — so each halving costs ONE pass, not two. */
   def digest(bytes: Array[Byte]): (Long, String, String) = {
     var bs = initialBlockSize(bytes.length)
-    while (true) {
-      val d1 = digestAt(bytes, bs)
-      val d2 = digestAt(bytes, bs * 2)
-      // CTPH restarts at a finer granularity when the digest is too
-      // short to be comparable (fewer than half the target chars)
-      if (d1.length >= DigestChars / 2 || bs <= 3) return (bs, d1, d2)
+    var d1 = digestAt(bytes, bs)
+    var d2: String = null // lazily: only the no-restart path needs it
+    while (d1.length < DigestChars / 2 && bs > 3) {
+      d2 = d1
       bs /= 2
+      d1 = digestAt(bytes, bs)
     }
-    throw new IllegalStateException("unreachable")
+    if (d2 == null) d2 = digestAt(bytes, bs * 2)
+    (bs, d1, d2)
   }
 
   /** One CTPH pass at one block size: rolling 7-byte window triggers a

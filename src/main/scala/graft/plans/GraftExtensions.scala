@@ -36,7 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_fuzzy_hash"),
       new ExpressionInfo(classOf[FuzzyHashExpr].getName, "graft_fuzzy_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FuzzyHashExpr(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // arity-check + binary cast like graft_hmac above: without the
+        // cast a struct argument would hash its InternalRow debug
+        // string, which varies with the physical representation
+        require(children.size == 1, "graft_fuzzy_hash(content)")
+        FuzzyHashExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.BinaryType))
+      }))
   }
 }

@@ -435,6 +435,21 @@ class FlowCompilerSpec extends SparkSpec {
         Map("threshold" -> "5"))
     }
     assert(err.getMessage.contains("target table"))
+    // NiFi's ##{ escape: a literal #{x} neither substitutes nor errors
+    val escFlow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "u", "type": "UpdateAttribute",
+        |     "properties": {"tag": "ref ##{n} here"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "u"}},
+        |    {"source": {"id": "u"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val escOut = FlowCompiler.compile(spark, escFlow,
+      Map("in" -> Seq(1L).toDF("n")), Map.empty[String, String])("out")
+      .select("tag").as[String].head()
+    assert(escOut === "ref #{n} here")
   }
 
   test("RouteOnContent Match Requirement and DuplicateFlowFile compile") {
@@ -453,10 +468,11 @@ class FlowCompilerSpec extends SparkSpec {
         |    {"source": {"id": "i"}, "destination": {"id": "r"}},
         |    {"source": {"id": "r"}, "destination": {"id": "d"}, "selectedRelationships": ["digits"]},
         |    {"source": {"id": "d"}, "destination": {"id": "o"}}]}}""".stripMargin)
-    val in = Seq("123", "abc", "12a").toDF("txt") // exactly-digits vs contains-digits
+    // "12a" contains digits but is not WHOLLY digits; "99\n" has a
+    // trailing newline that Java's $ would wrongly accept — \z must not
+    val in = Seq("123", "abc", "12a", "99\n").toDF("txt")
     val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
       .select("txt", "copy_idx").as[(String, Int)].collect().sorted
-    // "12a" contains digits but is not WHOLLY digits -> filtered out;
     // each surviving row fans to 1 original + 2 copies
     assert(out === Array(("123", 0), ("123", 1), ("123", 2)))
   }
