@@ -786,6 +786,22 @@ object QueriesLlm {
       |WHERE doc_id % 100 <
       |      CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END""".stripMargin
 
+  /** Deterministic global corpus shuffle (§2.4, r6): seeded epoch
+    * reshuffle with exact global positions — the order a pretraining
+    * loader reads. md5-keyed so the oracle reproduces the identical
+    * permutation; the Spark side assigns positions with
+    * range-partition + zipWithIndex, never a one-partition window. */
+  val qGlobalShuffle: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    graft.operators.Scale.globalShuffle(docs, "doc_id", "epoch3")
+      .withColumn("shard", col("pos") % 8)
+  }
+  val qGlobalShuffleSql: String =
+    """SELECT doc_id, source,
+      |       row_number() OVER (ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos,
+      |       (row_number() OVER (ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -818,6 +834,7 @@ object QueriesLlm {
     "q_embed_centroid"      -> qEmbedCentroid,
     "q_token_pack"          -> qTokenPack,
     "q_sample_stratified"   -> qSampleStratified,
+    "q_global_shuffle"      -> qGlobalShuffle,
     "q_frame_decode"        -> qFrameDecode,
     "q_dup_spans"           -> qDupSpans,
     "q_cut_spans"           -> qCutSpans)
@@ -849,6 +866,7 @@ object QueriesLlm {
     "q_embed_centroid"      -> qEmbedCentroidSql,
     "q_token_pack"          -> qTokenPackSql,
     "q_sample_stratified"   -> qSampleStratifiedSql,
+    "q_global_shuffle"      -> qGlobalShuffleSql,
     "q_frame_decode"        -> qFrameDecodeSql,
     "q_dup_spans"           -> qDupSpansSql,
     "q_cut_spans"           -> qCutSpansSql)

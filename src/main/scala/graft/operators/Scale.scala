@@ -88,6 +88,35 @@ object Scale {
                     packCol: String = "pack_id"): DataFrame =
     Records.binPack(df, Seq(shardCol), orderCol, tokenCountCol, maxTokens, packCol)
 
+  /** Deterministic global corpus shuffle (LLM pipeline): every training
+    * epoch wants the corpus in a different but REPRODUCIBLE order. The
+    * shuffle key is `md5(seed || ':' || id)` — engine-agnostic, so the
+    * same (seed, corpus) yields the same permutation anywhere, and a new
+    * epoch is just a new seed. `posCol` gets the row's exact position in
+    * that order: this is `row_number() OVER (ORDER BY key)`, but the
+    * naive window puts every row through ONE partition — instead we
+    * range-partition on the key (the same sampled-boundary exchange a
+    * global sort uses), sort within partitions, and let `zipWithIndex`
+    * add each partition's global offset (a tiny per-partition count job
+    * whose shuffle stage is reused, not re-run). No single-partition
+    * stage anywhere, so it survives 100 TB. Ties (md5 collisions) are
+    * broken by `idCol`, keeping the total order fully deterministic. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String,
+                    posCol: String = "pos", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val key = "__shuffle_key"
+    val keyed = df.withColumn(key,
+      md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = keyed.repartitionByRange(parts, col(key), col(idCol))
+      .sortWithinPartitions(key, idCol)
+    val schema = sorted.schema.add(posCol, LongType, nullable = false)
+    val withPos = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(withPos, schema).drop(key)
+  }
+
   /** Stratified mixture sampling (LLM pipeline): keep a deterministic
     * per-stratum fraction of rows — the "mix sources at fixed ratios"
     * step of corpus assembly. Selection is `idCol % modulus <

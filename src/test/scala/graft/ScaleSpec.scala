@@ -104,6 +104,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("globalShuffle: exact permutation, reproducible, seed-sensitive") {
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val a = Scale.globalShuffle(df, "id", "epoch1", numPartitions = 7)
+    val rows = a.select("id", "pos").as[(Long, Long)].collect()
+    // positions are exactly 0..n-1 (a permutation, no gaps/dupes)
+    assert(rows.map(_._2).sorted.toSeq === (0L until 500L))
+    // every column survives
+    assert(a.columns.toSeq === Seq("id", "body", "pos"))
+    // reproducible: same seed gives the identical assignment
+    val b = Scale.globalShuffle(df, "id", "epoch1", numPartitions = 3)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val c = Scale.globalShuffle(df, "id", "epoch2", numPartitions = 7)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(rows.sortBy(_._1).map(_._2).toSeq !== c.sortBy(_._1).map(_._2).toSeq)
+    // and matches the reference permutation computed driver-side
+    val expected = (0L until 500L).sortBy { i =>
+      val k = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch1:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (k, i)
+    }.zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    rows.foreach { case (id, p) => assert(p === expected(id)) }
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
