@@ -802,6 +802,73 @@ object QueriesLlm {
       |       (row_number() OVER (ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard
       |FROM documents""".stripMargin
 
+  /** End-to-end training-data pipeline (§2.4, r6 flagship): the whole
+    * curation chain as ONE composed plan — quality score + language ID
+    * (narrow, codegen'd) → keep en docs above threshold → exact dedup
+    * (one shuffle on the content hash) → per-source corpus rollup
+    * (map-side partial agg). This is the shape a 100 TB curation run
+    * takes: two shuffles total (dedup window + final groupBy), filters
+    * evaluated in the scan stage before anything wide. The oracle
+    * replays every stage in closed form. */
+  val qLlmPipeline: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val kept = scored.filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+    val deduped = graft.operators.Dedup.exact(kept, "text", "doc_id")
+    deduped.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      dround(avg("quality"), 4).as("avg_quality"),
+      min("doc_id").as("first_doc"))
+  }
+  val qLlmPipelineSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
+    val nToks = s"len($toks)"
+    val stopEn = "['the','of','and','to','in','is','a','that','it','for','was','on','with']"
+    val meanTok = s"length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest($nToks, 1)"
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / greatest(length(text), 1)"
+    val stopRatio = s"len(list_filter($toks, t -> list_contains($stopEn, lower(t)))) * 1.0 / greatest($nToks, 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks,
+       |         (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+       |           + (CASE WHEN $meanTok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       |           + (CASE WHEN $stopRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+       |           + $alpha * 0.3 AS quality,
+       |         CAST($nToks AS BIGINT) AS n_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT *,
+       |    CAST(len(list_filter(toks, x -> list_contains($stopEn, lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_en,
+       |    CAST(len(list_filter(toks, x -> list_contains(['de','la','que','el','en','y','los','del','se','las','por','un','para'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_es,
+       |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_de,
+       |    CAST(len(list_filter(toks, x -> list_contains(['de','la','le','et','les','des','en','un','du','une','que','est','pour'], lower(x)))) AS DOUBLE) / greatest(len(toks),1) AS s_fr
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    CAST(length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(regexp_replace(text, '\\s+', '', 'g')), 1) AS cjk
+       |  FROM s),
+       |lang AS (
+       |  SELECT *,
+       |    CASE WHEN cjk > 0.3 THEN 'zh'
+       |         WHEN greatest(s_en,s_es,s_de,s_fr) >= 0.05 THEN
+       |           CASE WHEN s_fr > greatest(s_en,s_es,s_de) THEN 'fr'
+       |                WHEN s_de > greatest(s_en,s_es) THEN 'de'
+       |                WHEN s_es > s_en THEN 'es'
+       |                ELSE 'en' END
+       |         ELSE 'und' END AS lang_pred
+       |  FROM r),
+       |kept AS (SELECT * FROM lang WHERE quality >= 0.5 AND lang_pred = 'en'),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept)
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       round(avg(quality), 4) AS avg_quality, min(doc_id) AS first_doc
+       |FROM dd WHERE rn = 1 GROUP BY source""".stripMargin
+  }
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_expression_language" -> qExpressionLanguage,
@@ -835,6 +902,7 @@ object QueriesLlm {
     "q_token_pack"          -> qTokenPack,
     "q_sample_stratified"   -> qSampleStratified,
     "q_global_shuffle"      -> qGlobalShuffle,
+    "q_llm_pipeline"        -> qLlmPipeline,
     "q_frame_decode"        -> qFrameDecode,
     "q_dup_spans"           -> qDupSpans,
     "q_cut_spans"           -> qCutSpans)
@@ -867,6 +935,7 @@ object QueriesLlm {
     "q_token_pack"          -> qTokenPackSql,
     "q_sample_stratified"   -> qSampleStratifiedSql,
     "q_global_shuffle"      -> qGlobalShuffleSql,
+    "q_llm_pipeline"        -> qLlmPipelineSql,
     "q_frame_decode"        -> qFrameDecodeSql,
     "q_dup_spans"           -> qDupSpansSql,
     "q_cut_spans"           -> qCutSpansSql)
