@@ -323,6 +323,52 @@ object FlowCompiler {
           prop(p, "Table Name", "t"),
           dynamicProps(p).map { case (k, v) => k -> v.trim.toLowerCase.startsWith("s") },
           prop(p, "Output Column", "sql"))
+      case "AttributesToCSV" =>
+        val cols = prop(p, "Attribute List", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, s"AttributesToCSV ${p.name} needs an Attribute List")
+        Records.attributesToCsv(in, cols, prop(p, "Output Column", "attrs_csv"))
+      case "CalculateRecordStats" =>
+        Records.recordStats(in, prop(p, "Category Columns", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case "SplitJson" =>
+        Records.splitJson(in, prop(p, "Content Column", "content"))
+      case "PackageFlowFile" =>
+        Records.pack(in,
+          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          prop(p, "Order Column", "id"),
+          prop(p, "Payload Columns", "content").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          prop(p, "Output Column", "packed"))
+      case "UnpackContent" =>
+        Records.unpack(in, prop(p, "Packed Column", "packed"))
+      case "ModifyBytes" =>
+        // NiFi's property names: bytes trimmed off each end
+        Records.modifyBytes(in, prop(p, "Content Column", "content"),
+          prop(p, "Start Offset", "0").trim.toInt,
+          prop(p, "End Offset", "0").trim.toInt,
+          prop(p, "Output Column", "trimmed"))
+      case "SplitContent" =>
+        Records.splitContent(in, prop(p, "Content Column", "content"),
+          prop(p, "Byte Sequence", ",").getBytes("UTF-8"),
+          prop(p, "Output Column", "segment"))
+      case "ConvertCharacterSet" =>
+        Records.convertCharset(in, prop(p, "Content Column", "content"),
+          prop(p, "Input Character Set", "UTF-8"),
+          prop(p, "Output Character Set", "UTF-8"))
+      case "FuzzyHashContent" =>
+        Records.fuzzyHashContent(in, prop(p, "Content Column", "content"),
+          prop(p, "Output Column", "fuzzy_hash"))
+      case "EnforceOrder" =>
+        Records.enforceOrder(in,
+          prop(p, "Group Identifier", "").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          prop(p, "Order Attribute", "id").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          prop(p, "Output Column", "seq"))
+      case "IdentifyMimeType" =>
+        Records.identifyMime(in, prop(p, "Content Column", "content"),
+          prop(p, "Output Column", "mime_type"))
       case "InvokeHTTP" =>
         // dynamic properties become request headers (NiFi's semantics)
         graft.operators.Http.invokeHttp(in,

@@ -338,6 +338,33 @@ object QueriesText {
       |       min(eid) AS min_event, CAST(max(pid) AS INT) AS max_pid
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Seventh committed flow (r6), over the content family: EnforceOrder
+    * per-source sequence → AttributesToCSV RFC-4180 line (text cells
+    * carry commas/quotes/newlines — quoting + doubling exercised on
+    * real data) → HashContent per line → QueryRecord order-independent
+    * corpus digest per source. */
+  val qFlowCsv: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/csv_export.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("documents" -> Tables.documents(s, d)))("by_source")
+  }
+  val qFlowCsvSql: String =
+    """WITH o AS (
+      |  SELECT doc_id, source, text,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, seq,
+      |    CAST(seq AS VARCHAR) || ',' || CAST(doc_id AS VARCHAR) || ',' || source || ',' ||
+      |    CASE WHEN regexp_matches(text, '[",\n\r]')
+      |         THEN '"' || replace(text, '"', '""') || '"' ELSE text END AS line
+      |  FROM o)
+      |SELECT source, count(*) AS n_lines,
+      |       CAST(min(seq) AS INT) AS first_seq, CAST(max(seq) AS INT) AS last_seq,
+      |       md5(string_agg(md5(line), '|' ORDER BY md5(line))) AS corpus_md5
+      |FROM c GROUP BY source""".stripMargin
+
   /** CalculateRecordStats (§2.2): total + per-category-value counts. */
   val qRecordStats: Q = (s, d) =>
     Records.recordStats(Tables.documents(s, d), Seq("source", "lang"))
@@ -706,6 +733,7 @@ object QueriesText {
     "q_validate_xml"    -> qValidateXml,
     "q_flow_lines"      -> qFlowLines,
     "q_flow_parse"      -> qFlowParse,
+    "q_flow_csv"        -> qFlowCsv,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
@@ -744,6 +772,7 @@ object QueriesText {
     "q_validate_xml"    -> qValidateXmlSql,
     "q_flow_lines"      -> qFlowLinesSql,
     "q_flow_parse"      -> qFlowParseSql,
+    "q_flow_csv"        -> qFlowCsvSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,

@@ -410,12 +410,14 @@ object Records {
 
   /** SplitContent (NiFi): one output row per segment of a binary
     * payload split at a delimiter byte sequence (native expression;
-    * empty segments kept). Adds (seg_idx from 1, segment). */
+    * empty segments kept). Adds (seg_idx from 1, segment). The payload
+    * is cast to binary (no-op when already binary) — SplitBinary's
+    * nullSafeEval reads Array[Byte], a raw string column would CCE. */
   def splitContent(df: DataFrame, payloadCol: String, delim: Array[Byte],
                    outCol: String = "segment"): DataFrame =
     df.select(col("*"),
         posexplode(graft.plans.BinaryExpressions.splitBinary(
-          col(payloadCol), lit(delim))).as(Seq("__i", outCol)))
+          col(payloadCol).cast("binary"), lit(delim))).as(Seq("__i", outCol)))
       .withColumn("seg_idx", col("__i") + 1).drop("__i")
 
   /** ValidateXml (NiFi XML reader validation): parse against a schema

@@ -452,6 +452,84 @@ class FlowCompilerSpec extends SparkSpec {
     assert(escOut === "ref #{n} here")
   }
 
+  test("r6 content-family vocabulary: pack/unpack, bytes, charset, fuzzy, mime, stats") {
+    // pack -> unpack round-trip through authored JSON
+    val packFlow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "p", "type": "PackageFlowFile",
+        |     "properties": {"Group Columns": "grp", "Order Column": "idx",
+        |                    "Payload Columns": "payload"}},
+        |    {"identifier": "u", "type": "UnpackContent",
+        |     "properties": {"Packed Column": "packed"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "p"}},
+        |    {"source": {"id": "p"}, "destination": {"id": "u"}},
+        |    {"source": {"id": "u"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val rows = Seq(("a", 2, "y"), ("a", 1, "x"), ("b", 1, "z"))
+      .toDF("grp", "idx", "payload")
+    val rt = FlowCompiler.compile(spark, packFlow, Map("in" -> rows))("out")
+      .select("grp", "idx", "payload").as[(String, Int, String)].collect().sorted
+    assert(rt === Array(("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")))
+
+    // ModifyBytes -> SplitContent -> ConvertCharacterSet -> FuzzyHash ->
+    // IdentifyMimeType chained on one stream
+    val byteFlow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "m", "type": "ModifyBytes",
+        |     "properties": {"Content Column": "content", "Start Offset": "4",
+        |                    "Output Column": "body"}},
+        |    {"identifier": "s", "type": "SplitContent",
+        |     "properties": {"Content Column": "body", "Byte Sequence": ";"}},
+        |    {"identifier": "c", "type": "ConvertCharacterSet",
+        |     "properties": {"Content Column": "segment",
+        |                    "Input Character Set": "UTF-8",
+        |                    "Output Character Set": "UTF-16BE"}},
+        |    {"identifier": "f", "type": "FuzzyHashContent",
+        |     "properties": {"Content Column": "segment"}},
+        |    {"identifier": "t", "type": "IdentifyMimeType",
+        |     "properties": {"Content Column": "segment"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "m"}},
+        |    {"source": {"id": "m"}, "destination": {"id": "s"}},
+        |    {"source": {"id": "s"}, "destination": {"id": "c"}},
+        |    {"source": {"id": "c"}, "destination": {"id": "f"}},
+        |    {"source": {"id": "f"}, "destination": {"id": "t"}},
+        |    {"source": {"id": "t"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in2 = Seq("HDR:ab;cd").toDF("content")
+    val out2 = FlowCompiler.compile(spark, byteFlow, Map("in" -> in2))("out")
+    // segment was re-encoded UTF-16BE in place — decode to read it back
+    val got = out2.selectExpr("seg_idx", "decode(segment, 'UTF-16BE')",
+        "fuzzy_hash", "mime_type")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    // header stripped, then split at ';' -> two segments
+    assert(got.map(_._2).toSeq === Seq("ab", "cd"))
+    assert(got.forall(_._3.contains(":")))         // CTPH digest shape
+    assert(got.forall(_._4 === "application/octet-stream"))
+    // UTF-16BE re-encode doubled the byte length
+    assert(out2.selectExpr("octet_length(segment)").as[Int].collect().forall(_ === 4))
+
+    // CalculateRecordStats from JSON
+    val statsFlow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "st", "type": "CalculateRecordStats",
+        |     "properties": {"Category Columns": "grp"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "st"}},
+        |    {"source": {"id": "st"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val stats = FlowCompiler.compile(spark, statsFlow, Map("in" -> rows))("out")
+      .select("stat", "value", "n").as[(String, Option[String], Long)].collect().toSet
+    assert(stats === Set(("total", None, 3L), ("grp", Some("a"), 2L), ("grp", Some("b"), 1L)))
+  }
+
   test("RouteOnContent Match Requirement and DuplicateFlowFile compile") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
