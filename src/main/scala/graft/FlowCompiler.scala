@@ -230,7 +230,10 @@ object FlowCompiler {
     "Split Path", "Segment Size", "Compression Format", "Table Name",
     "Size Column", "Maximum Group Size", "URL Column", "HTTP Method",
     "Body Column", "Schema Name", "Match Requirement", "Number of Copies",
-    "Lookup File")
+    "Lookup File", "Attribute List", "Category Columns", "Payload Columns",
+    "Packed Column", "Start Offset", "End Offset", "Byte Sequence",
+    "Input Character Set", "Output Character Set", "Group Identifier",
+    "Order Attribute")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -241,6 +244,11 @@ object FlowCompiler {
 
   private def prop(p: Processor, name: String, dflt: String): String =
     p.props.collectFirst { case (`name`, v) => v }.getOrElse(dflt)
+
+  /** A comma-separated list-valued property, trimmed and empties
+    * dropped (the shape every multi-column NiFi property takes). */
+  private def listProp(p: Processor, name: String, dflt: String = ""): Seq[String] =
+    prop(p, name, dflt).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** A property that is exactly one `${...}` expression keeps its EL
     * native type; anything else is a string template. The input's
@@ -293,7 +301,7 @@ object FlowCompiler {
         graft.operators.Parse.parseSyslog(in, prop(p, "Content Column", "content"))
       case "ParseCEF" =>
         graft.operators.Parse.parseCef(in, prop(p, "Content Column", "content"),
-          prop(p, "Extension Keys", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          listProp(p, "Extension Keys"))
       case "ExtractGrok" =>
         graft.operators.Parse.extractGrok(in, prop(p, "Content Column", "content"),
           prop(p, "Grok Expression", "%{GREEDYDATA:grok_match}"))
@@ -329,16 +337,14 @@ object FlowCompiler {
         require(cols.nonEmpty, s"AttributesToCSV ${p.name} needs an Attribute List")
         Records.attributesToCsv(in, cols, prop(p, "Output Column", "attrs_csv"))
       case "CalculateRecordStats" =>
-        Records.recordStats(in, prop(p, "Category Columns", "")
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        Records.recordStats(in, listProp(p, "Category Columns"))
       case "SplitJson" =>
         Records.splitJson(in, prop(p, "Content Column", "content"))
       case "PackageFlowFile" =>
         Records.pack(in,
-          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Group Columns"),
           prop(p, "Order Column", "id"),
-          prop(p, "Payload Columns", "content").split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq,
+          listProp(p, "Payload Columns", "content"),
           prop(p, "Output Column", "packed"))
       case "UnpackContent" =>
         Records.unpack(in, prop(p, "Packed Column", "packed"))
@@ -360,11 +366,14 @@ object FlowCompiler {
         Records.fuzzyHashContent(in, prop(p, "Content Column", "content"),
           prop(p, "Output Column", "fuzzy_hash"))
       case "EnforceOrder" =>
-        Records.enforceOrder(in,
-          prop(p, "Group Identifier", "").split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq,
-          prop(p, "Order Attribute", "id").split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq,
+        // an empty Group Identifier would compile to an UNPARTITIONED
+        // row_number window — every row through one task; fail loudly
+        val groups = listProp(p, "Group Identifier")
+        require(groups.nonEmpty,
+          s"EnforceOrder ${p.name} needs a Group Identifier (a global " +
+          "order needs Scale.globalShuffle, not a one-partition window)")
+        Records.enforceOrder(in, groups,
+          listProp(p, "Order Attribute", "id"),
           prop(p, "Output Column", "seq"))
       case "IdentifyMimeType" =>
         Records.identifyMime(in, prop(p, "Content Column", "content"),
@@ -379,17 +388,17 @@ object FlowCompiler {
       case "MergeContent" =>
         // Bin-Packing Algorithm strategy: cumulative-size bin assignment
         Records.binPack(in,
-          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Group Columns"),
           prop(p, "Order Column", "id"), prop(p, "Size Column", "size"),
           prop(p, "Maximum Group Size", "1000").trim.toLong,
           prop(p, "Output Column", "bin"))
       case "AttributesToJSON" =>
         Records.attributesToJson(in,
-          prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Attributes List"),
           prop(p, "Output Column", "attrs_json"))
       case "ScanContent" =>
         Records.scanContent(in, prop(p, "Content Column", "content"),
-          prop(p, "Dictionary", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Dictionary"),
           prop(p, "Output Column", "matched_terms"))
       case "DeduplicateRecord" =>
         // keep one canonical row per hashed content, smallest tie-breaker
@@ -399,7 +408,7 @@ object FlowCompiler {
       case "DistributeLoad" =>
         Records.distributeLoad(in,
           prop(p, "Number of Relationships", "8").trim.toInt,
-          prop(p, "Partition Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          listProp(p, "Partition Columns"))
       case "EvaluateJsonPath" =>
         Records.jsonPath(in, prop(p, "Content Column", "content"), dynamicProps(p): _*)
       case "UpdateAttribute" =>
@@ -455,8 +464,7 @@ object FlowCompiler {
         // keys as STRINGS — inference would coerce "01" and "1" to the
         // same int key and silently retype the looked-up columns
         val lookupDf = spark.read.option("header", "true").csv(path)
-        val keys = prop(p, "Join Key", "key").split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq
+        val keys = listProp(p, "Join Key", "key")
         in.join(org.apache.spark.sql.functions.broadcast(lookupDf),
           keys, prop(p, "Join Type", "left"))
       case "LookupAttribute" =>
@@ -467,7 +475,7 @@ object FlowCompiler {
           p.props.collectFirst { case ("Default Value", v) => v })
       case "CryptographicHashAttribute" =>
         Records.hashAttributes(in,
-          prop(p, "Attributes List", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Attributes List"),
           prop(p, "Hash Algorithm", "sha256"))
       case "ValidateJson" =>
         // schema-name access strategy (registry) wins over inline DDL
@@ -477,17 +485,17 @@ object FlowCompiler {
             org.apache.spark.sql.types.StructType.fromDDL(prop(p, "Schema", ""))
         }
         Records.validateJson(in, prop(p, "Content Column", "content"), schema,
-          prop(p, "Required Fields", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Required Fields"),
           prop(p, "Route Column", "route"))
       case "ForkRecord" =>
         Records.forkRecord(in, prop(p, "Array Column", "recs"),
-          prop(p, "Parent Fields", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          listProp(p, "Parent Fields"))
       case "SampleRecord" =>
         Records.sampleByMod(in, prop(p, "Key Column", "id"),
           prop(p, "Modulus", "10").trim.toInt, prop(p, "Bucket", "0").trim.toInt)
       case "MergeRecord" =>
         Records.merge(in,
-          prop(p, "Group Columns", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          listProp(p, "Group Columns"),
           prop(p, "Order Column", "id"), prop(p, "Content Column", "content"),
           prop(p, "Separator", "\n"), prop(p, "Output Column", "merged"))
       case "PartitionRecord" =>

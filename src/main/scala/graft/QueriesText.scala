@@ -356,7 +356,9 @@ object QueriesText {
       |  FROM documents),
       |c AS (
       |  SELECT source, seq,
-      |    CAST(seq AS VARCHAR) || ',' || CAST(doc_id AS VARCHAR) || ',' || source || ',' ||
+      |    CAST(seq AS VARCHAR) || ',' || CAST(doc_id AS VARCHAR) || ',' ||
+      |    CASE WHEN regexp_matches(source, '[",\n\r]')
+      |         THEN '"' || replace(source, '"', '""') || '"' ELSE source END || ',' ||
       |    CASE WHEN regexp_matches(text, '[",\n\r]')
       |         THEN '"' || replace(text, '"', '""') || '"' ELSE text END AS line
       |  FROM o)

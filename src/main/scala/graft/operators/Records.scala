@@ -404,8 +404,12 @@ object Records {
     * Shorter payloads yield empty, never error. Narrow, codegen'd. */
   def modifyBytes(df: DataFrame, payloadCol: String, dropHead: Int, dropTail: Int,
                   outCol: String = "trimmed"): DataFrame = {
-    val len = greatest(octet_length(col(payloadCol)) - dropHead - dropTail, lit(0))
-    df.withColumn(outCol, col(payloadCol).substr(lit(dropHead + 1), len))
+    // cast to binary (no-op when already binary): offsets are BYTES —
+    // substr on a string column counts CHARACTERS, so multibyte text
+    // would trim at the wrong boundary vs the octet_length arithmetic
+    val payload = col(payloadCol).cast("binary")
+    val len = greatest(octet_length(payload) - dropHead - dropTail, lit(0))
+    df.withColumn(outCol, payload.substr(lit(dropHead + 1), len))
   }
 
   /** SplitContent (NiFi): one output row per segment of a binary

@@ -106,6 +106,10 @@ object Scale {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val key = "__shuffle_key"
+    require(!df.columns.contains(posCol),
+      s"globalShuffle: input already has a '$posCol' column — pass posCol")
+    require(!df.columns.contains(key),
+      s"globalShuffle: input already has a '$key' column")
     val keyed = df.withColumn(key,
       md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
     val parts = if (numPartitions > 0) numPartitions
