@@ -465,8 +465,19 @@ object FlowCompiler {
         // same int key and silently retype the looked-up columns
         val lookupDf = spark.read.option("header", "true").csv(path)
         val keys = listProp(p, "Join Key", "key")
-        in.join(org.apache.spark.sql.functions.broadcast(lookupDf),
-          keys, prop(p, "Join Type", "left"))
+        // the stream-side key is cast to string IN THE JOIN CONDITION
+        // (not in the output): a numeric stream key would otherwise make
+        // Spark implicit-cast the all-string lookup side, so "01" would
+        // match 1 — undoing the string-keyed matching above. Output
+        // keeps the stream column's original type; lookup-side key
+        // copies are dropped and columns ordered as a using-join would.
+        val cond = keys.map(k => in(k).cast("string") === lookupDf(k)).reduce(_ && _)
+        val joined = in.join(org.apache.spark.sql.functions.broadcast(lookupDf),
+          cond, prop(p, "Join Type", "left"))
+        val dropped = keys.foldLeft(joined)((d, k) => d.drop(lookupDf(k)))
+        val rest = in.columns.filterNot(keys.contains) ++
+          lookupDf.columns.filterNot(keys.contains)
+        dropped.select((keys ++ rest).map(org.apache.spark.sql.functions.col): _*)
       case "LookupAttribute" =>
         // dynamic properties ARE the key->value mapping (NiFi's
         // SimpleKeyValueLookupService inlined into the processor config)

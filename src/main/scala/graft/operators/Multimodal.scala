@@ -501,29 +501,40 @@ object Multimodal {
         try {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          (0 until n by stride).map { i =>
+          // collecting loop with a local bail-out flag — NOT a non-local
+          // return from inside a closure, which would ride on deprecated
+          // NonLocalReturnControl and be swallowed by any intermediate
+          // Throwable handler
+          val out = Seq.newBuilder[(Int, Int, Int, Int, Double, Double, Double)]
+          var oversized = false
+          var i = 0
+          while (i < n && !oversized) {
             // header dims before pixel allocation (see MaxDecodePixels);
             // one oversized frame marks the whole payload undecodable
             if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxDecodePixels)
-              return Nil
-            val img = reader.read(i)
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0.0; var sg = 0.0; var sb = 0.0
-            val rowBuf = new Array[Int](w)
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, rowBuf, 0, w)
-              var x = 0
-              while (x < w) {
-                val px = rowBuf(x)
-                sr += (px >>> 16) & 0xFF; sg += (px >>> 8) & 0xFF; sb += px & 0xFF
-                x += 1
+              oversized = true
+            else {
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0.0; var sg = 0.0; var sb = 0.0
+              val rowBuf = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                var x = 0
+                while (x < w) {
+                  val px = rowBuf(x)
+                  sr += (px >>> 16) & 0xFF; sg += (px >>> 8) & 0xFF; sb += px & 0xFF
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              val cnt = w.toDouble * h
+              out += ((i, n, w, h, sr / cnt, sg / cnt, sb / cnt))
             }
-            val cnt = w.toDouble * h
-            (i, n, w, h, sr / cnt, sg / cnt, sb / cnt)
+            i += stride
           }
+          if (oversized) Nil else out.result()
         } finally reader.dispose()
       } finally iis.close()
     } catch { case _: Exception => Nil }

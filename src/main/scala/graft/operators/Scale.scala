@@ -113,13 +113,22 @@ object Scale {
     val keyed = df.withColumn(key,
       md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
     val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else parsePartitions(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"),
+        math.max(df.rdd.getNumPartitions, 1))
     val sorted = keyed.repartitionByRange(parts, col(key), col(idCol))
       .sortWithinPartitions(key, idCol)
     val schema = sorted.schema.add(posCol, LongType, nullable = false)
     val withPos = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(withPos, schema).drop(key)
   }
+
+  /** Parse a partition-count config value, falling back (by-name, so the
+    * fallback plan conversion only runs when needed) when the platform
+    * sets a non-numeric value — e.g. "auto" under vendor auto-optimized
+    * shuffle — or a non-positive one. */
+  private[graft] def parsePartitions(raw: String, fallback: => Int): Int =
+    scala.util.Try(raw.trim.toInt).toOption.filter(_ > 0).getOrElse(fallback)
 
   /** Stratified mixture sampling (LLM pipeline): keep a deterministic
     * per-stratum fraction of rows — the "mix sources at fixed ratios"

@@ -196,7 +196,23 @@ object Io {
     * materialized to a parquet spool at `statePath + ".spool"` before
     * the state advances (exactly-once under a live writer); the
     * returned frame stays valid until the NEXT call with the same
-    * statePath overwrites the spool. */
+    * statePath overwrites the spool.
+    *
+    * Crash-direction contract: state advances as soon as the slice is
+    * spooled, BEFORE the caller consumes the returned frame. A crash
+    * between the state write and downstream consumption therefore does
+    * NOT re-fetch that slice on the next call (at-most-once across a
+    * driver crash) — but the slice is not lost: it is still on disk at
+    * `statePath + ".spool"` until the next call overwrites it, so a
+    * recovering caller reads `spark.read.parquet(statePath + ".spool")`
+    * to replay the pending slice before triggering the next increment.
+    * This is the same direction NiFi's QueryDatabaseTable takes (state
+    * in the local/cluster state map advances at session commit, before
+    * downstream processors run). The atomic tmp+rename in
+    * [[writeStateAtomic]] guards a different failure: a crash DURING
+    * the state write itself can never leave a torn value — the state is
+    * either the old max (slice re-fetched, at-least-once) or the new
+    * max (spool replay, as above), never garbage. */
   def readJdbcIncremental(spark: SparkSession, url: String, table: String,
                           maxValueColumn: String, statePath: String,
                           options: Map[String, String] = Map.empty): DataFrame = {

@@ -398,6 +398,33 @@ class FlowCompilerSpec extends SparkSpec {
       "lookup side must broadcast")
   }
 
+  test("LookupRecord matches numeric stream keys as strings, keeping the stream type") {
+    // a numeric stream-side key must NOT implicit-cast the all-string
+    // lookup side: "01" may not match 1 (string-keyed matching contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup_num")
+    java.nio.file.Files.writeString(dir.resolve("codes.csv"),
+      "code,label\n01,padded\n2,two\n")
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "lk", "type": "LookupRecord",
+         |     "properties": {"Lookup File": "${dir.resolve("codes.csv")}",
+         |                    "Join Key": "code"}}],
+         |  "inputPorts": [{"identifier": "i", "name": "in"}],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i"}, "destination": {"id": "lk"}},
+         |    {"source": {"id": "lk"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((1, "a"), (2, "b")).toDF("code", "v")
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+    // stream key keeps its original integer type in the output
+    assert(out.schema("code").dataType === org.apache.spark.sql.types.IntegerType)
+    val rows = out.select("code", "label").as[(Int, Option[String])]
+      .collect().sortBy(_._1)
+    // 1 does NOT match "01"; 2 matches "2" string-to-string
+    assert(rows === Array((1, None), (2, Some("two"))))
+  }
+
   test("parameter contexts substitute #{name} in property values; funnels fan in") {
     val json =
       """{"flowContents": {

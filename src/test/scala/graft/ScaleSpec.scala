@@ -129,6 +129,21 @@ class ScaleSpec extends SparkSpec {
     rows.foreach { case (id, p) => assert(p === expected(id)) }
   }
 
+  test("partition-count config parsing tolerates non-numeric platform values") {
+    // platforms with auto-optimized shuffle set shuffle.partitions to
+    // e.g. "auto" (OSS Spark's int-conf validation rejects it at set
+    // time, so the conf itself can't be faked here) — the parse must
+    // fall back, not NumberFormatException
+    var fallbackUsed = 0
+    def fb: Int = { fallbackUsed += 1; 7 }
+    assert(Scale.parsePartitions("32", fb) === 32)
+    assert(fallbackUsed === 0) // by-name fallback untouched on the numeric path
+    assert(Scale.parsePartitions("auto", fb) === 7)
+    assert(Scale.parsePartitions("", fb) === 7)
+    assert(Scale.parsePartitions("-4", fb) === 7)
+    assert(Scale.parsePartitions(" 16 ", fb) === 16)
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
