@@ -59,6 +59,17 @@ import graft.operators.{Records, Route}
   *    `Encoding`), `ConvertJSONToSQL` (`Table Name`; dynamic properties
   *    `column -> string|number` in INSERT order), `MergeContent`
   *    bin-packing (`Size Column`, `Maximum Group Size`).
+  *  - Coordination/security family (r7): `TransformXml` (`XSLT File
+  *    Name` read once through Hadoop FS, or inline `Stylesheet`),
+  *    `EncryptContent` (`Mode` encrypt|decrypt, AES `Key` — supply it
+  *    via a `#{...}` parameter context), `VerifyContentMAC` (`Mode`
+  *    sign|verify, `Secret Key`, `MAC Column`), `Wait`/`Notify` (a
+  *    second Wait connection is the signal stream, or both sides share
+  *    a `Distributed Cache Service` MapCache path), `RetryFlowFile`
+  *    (`Retry Attribute`, `Maximum Retries`), `DetectDuplicate`
+  *    (cross-run, `Distributed Cache Service` + `Cache Entry
+  *    Identifier`), `UpdateCounter` (`Counter Name`, or dynamic
+  *    `counter -> EL predicate` properties, as observed metrics).
   *
   * Connections wire `source.id -> destination.id`; a connection from a
   * router with `selectedRelationships` that name a PROPER subset of its
@@ -81,10 +92,28 @@ object FlowCompiler {
                         funnels: Seq[String] = Nil)         // pass-through ids
 
   /** Parse the flow-definition JSON subset. Property order is preserved
-    * (it is route priority for RouteOnAttribute). */
+    * (it is route priority for RouteOnAttribute).
+    *
+    * Nested `processGroups` (how every structured NiFi flow exports)
+    * flatten into one graph: a child group's input/output ports become
+    * pass-through funnels, so a parent connection that targets the
+    * child port id and the child's internal connection that sources
+    * from that same id meet at one union node. Only the ROOT group's
+    * ports stay real binding ports. NiFi ids are UUIDs — uniqueness
+    * across groups is asserted, not assumed. */
   def parse(json: String): Flow = {
     val root = new ObjectMapper().readTree(json)
     val fc = if (root.has("flowContents")) root.get("flowContents") else root
+    val flat = parseGroup(fc, isRoot = true)
+    val ids = flat.processors.map(_.id) ++ flat.inputPorts.map(_._1) ++
+      flat.outputPorts.map(_._1) ++ flat.funnels
+    val dupes = ids.groupBy(identity).collect { case (k, vs) if vs.sizeIs > 1 => k }
+    require(dupes.isEmpty,
+      s"flow has duplicate node ids across process groups: ${dupes.mkString(", ")}")
+    flat
+  }
+
+  private def parseGroup(fc: JsonNode, isRoot: Boolean): Flow = {
     def str(n: JsonNode, f: String, dflt: String = ""): String =
       if (n != null && n.has(f)) n.get(f).asText() else dflt
     def arr(f: String): Seq[JsonNode] =
@@ -104,8 +133,20 @@ object FlowCompiler {
       Connection(str(c.get("source"), "id"), str(c.get("destination"), "id"), rels)
     }
     val funnels = arr("funnels").map(f => str(f, "identifier"))
-    Flow(str(fc, "name", "flow"), procs, ports("inputPorts"), ports("outputPorts"),
-      conns, funnels)
+    val children = arr("processGroups").map(g => parseGroup(g, isRoot = false))
+    val inP = ports("inputPorts")
+    val outP = ports("outputPorts")
+    // non-root groups contribute their ports as internal pass-through
+    // edges; children arrive pre-flattened (recursion already converted
+    // THEIR ports), so depth is unbounded
+    val ownFunnels =
+      if (isRoot) funnels else funnels ++ inP.map(_._1) ++ outP.map(_._1)
+    Flow(str(fc, "name", "flow"),
+      procs ++ children.flatMap(_.processors),
+      if (isRoot) inP else Nil,
+      if (isRoot) outP else Nil,
+      conns ++ children.flatMap(_.connections),
+      ownFunnels ++ children.flatMap(_.funnels))
   }
 
   /** NiFi Parameter Contexts: property values reference environment
@@ -202,6 +243,41 @@ object FlowCompiler {
     flow.outputPorts.map { case (id, name) => name -> compileNode(id) }.toMap
   }
 
+  /** Compile with flow-level provenance: each output port's DataFrame
+    * observes itself under `graft_flow:<flow>:<port>` (Dataset.observe —
+    * a CollectMetrics node that rides the existing job, no fork, no
+    * extra action), and the returned lineage manifest lists every
+    * processor on the upstream DAG of each output. Persist the manifest
+    * with [[Provenance.writeFlowLineage]]; any action on the returned
+    * frames then lands in [[Provenance]]'s log tagged with the flow
+    * output it materialized, and [[Provenance.queryByProcessor]]
+    * answers "which runs produced output through processor X, and how
+    * many rows". */
+  def compileWithLineage(spark: SparkSession, flow: Flow, inputs: Map[String, DataFrame],
+                         parameters: Map[String, String] = Map.empty)
+      : (Map[String, DataFrame], Seq[Provenance.ProcessorLineage]) = {
+    val outs = compile(spark, flow, inputs, parameters)
+    val procById = flow.processors.map(p => p.id -> p).toMap
+    val upstream = flow.connections.groupBy(_.dst)
+    def contributors(id: String, seen: Set[String]): Set[String] =
+      if (seen.contains(id)) seen
+      else upstream.getOrElse(id, Nil).map(_.src)
+        .foldLeft(seen + id)((s, src) => contributors(src, s))
+    val outPortByName = flow.outputPorts.map { case (pid, name) => name -> pid }.toMap
+    val lineage = outs.keys.toSeq.sorted.flatMap { port =>
+      val obs = s"graft_flow:${flow.name}:$port"
+      contributors(outPortByName(port), Set.empty).toSeq.sorted
+        .flatMap(procById.get)
+        .map(p => Provenance.ProcessorLineage(flow.name, port, obs, p.id, p.name, p.tpe))
+    }
+    val observed = outs.map { case (port, df) =>
+      port -> df.observe(s"graft_flow:${flow.name}:$port",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+    }
+    (observed, lineage)
+  }
+
   /** One-call convenience: parse + compile. */
   def compile(spark: SparkSession, json: String,
               inputs: Map[String, DataFrame]): Map[String, DataFrame] =
@@ -233,7 +309,10 @@ object FlowCompiler {
     "Lookup File", "Attribute List", "Category Columns", "Payload Columns",
     "Packed Column", "Start Offset", "End Offset", "Byte Sequence",
     "Input Character Set", "Output Character Set", "Group Identifier",
-    "Order Attribute")
+    "Order Attribute", "XSLT File Name", "Stylesheet", "Key", "Secret Key",
+    "Algorithm", "MAC Column", "Release Signal Identifier",
+    "Distributed Cache Service", "Cache Entry Identifier",
+    "Retry Attribute", "Maximum Retries", "Counter Name")
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
@@ -529,6 +608,109 @@ object FlowCompiler {
         try spark.sql(sql.replaceAll("\\bFLOWFILE\\b", view))
         finally spark.catalog.dropTempView(view) // resolved eagerly; a
         // leaked view per compile would pin the upstream plan forever
+      case "TransformXml" =>
+        // stylesheet is controller-service-sized config: read once at
+        // compile through Hadoop FS (any scheme), or inline `Stylesheet`
+        val xslt = p.props.collectFirst { case ("XSLT File Name", v) => v } match {
+          case Some(path) =>
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val is = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(hp)
+            try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+          case None =>
+            val inline = prop(p, "Stylesheet", "")
+            require(inline.nonEmpty,
+              s"TransformXml ${p.name} needs an XSLT File Name or an inline Stylesheet")
+            inline
+        }
+        Records.transformXml(in, prop(p, "Content Column", "content"), xslt,
+          prop(p, "Output Column", "transformed"))
+      case "EncryptContent" =>
+        // the key arrives via a Parameter Context reference in practice
+        // (#{...} substituted before compilation) — it rides in the
+        // plan as config, never in a column
+        val key = prop(p, "Key", "")
+        require(Set(16, 24, 32).contains(key.getBytes("UTF-8").length),
+          s"EncryptContent ${p.name}: Key must be 16/24/32 bytes (AES), got ${key.getBytes("UTF-8").length}")
+        val contentCol = prop(p, "Content Column", "content")
+        if (prop(p, "Mode", "encrypt").equalsIgnoreCase("decrypt"))
+          Records.decryptContent(in, contentCol, key, prop(p, "Output Column", "decrypted"))
+        else Records.encryptContent(in, contentCol, key, prop(p, "Output Column", "encrypted"))
+      case "VerifyContentMAC" =>
+        val key = prop(p, "Secret Key", "")
+        require(key.nonEmpty, s"VerifyContentMAC ${p.name} needs a Secret Key")
+        val algo = prop(p, "Algorithm", "HmacSHA256")
+        val contentCol = prop(p, "Content Column", "content")
+        if (prop(p, "Mode", "verify").equalsIgnoreCase("sign"))
+          Records.macContent(in, contentCol, key.getBytes("UTF-8"), algo,
+            prop(p, "Output Column", "content_mac"))
+        else Records.verifyMac(in, contentCol, prop(p, "MAC Column", "content_mac"),
+          key.getBytes("UTF-8"), algo, prop(p, "Route Column", "route"))
+      case "Wait" =>
+        // two authoring forms: a SECOND incoming connection is the
+        // signal stream (declarative gate, Records.waitRelease), or a
+        // Distributed Cache Service path holds signals a Notify wrote
+        // on an earlier trigger (NiFi's cache-backed form)
+        val keys = listProp(p, "Release Signal Identifier", "key")
+        if (inputs.size == 2)
+          Records.waitRelease(inputs(0), inputs(1), keys.map(k => k -> k),
+            prop(p, "Route Column", "route"))
+        else {
+          val cachePath = prop(p, "Distributed Cache Service", "")
+          require(cachePath.nonEmpty,
+            s"Wait ${p.name} needs a second (signal) connection or a Distributed Cache Service path")
+          require(keys.size == 1,
+            s"Wait ${p.name}: the cache-backed form gates on ONE Release Signal Identifier")
+          val fetched = graft.operators.MapCache.fetch(in, cachePath, keys.head, "__signal")
+          fetched.withColumn(prop(p, "Route Column", "route"),
+              when(col("__signal").isNotNull, lit("success")).otherwise(lit("wait")))
+            .drop("__signal")
+        }
+      case "Notify" =>
+        // passes its stream through (success relationship). With a cache
+        // path the distinct signal keys are recorded NOW, at compile —
+        // the scheduled-batch analog of NiFi's on-trigger cache write
+        // (a later compile's Wait sees them); without one, the OUTPUT
+        // is the signal stream a two-input Wait consumes directly.
+        val cachePath = prop(p, "Distributed Cache Service", "")
+        if (cachePath.nonEmpty) {
+          val keys = listProp(p, "Release Signal Identifier", "key")
+          require(keys.size == 1,
+            s"Notify ${p.name}: the cache-backed form records ONE Release Signal Identifier")
+          graft.operators.MapCache.put(
+            in.select(col(keys.head)).distinct().withColumn("__v", lit("notified")),
+            cachePath, keys.head, "__v")
+        }
+        in
+      case "RetryFlowFile" =>
+        Records.retryFlowFile(in,
+          prop(p, "Retry Attribute", "flowfile_retries"),
+          prop(p, "Maximum Retries", "3").trim.toInt,
+          prop(p, "Route Column", "route"))
+      case "DetectDuplicate" =>
+        // cache-backed cross-run duplicate detection (MapCache path via
+        // Distributed Cache Service, NiFi's controller-service slot)
+        val cachePath = prop(p, "Distributed Cache Service", "")
+        require(cachePath.nonEmpty,
+          s"DetectDuplicate ${p.name} needs a Distributed Cache Service path " +
+          "(in-batch dedup is DeduplicateRecord)")
+        graft.operators.Dedup.detectDuplicate(in, cachePath,
+          prop(p, "Cache Entry Identifier", "key"),
+          routeCol = prop(p, "Route Column", "route"))
+      case "UpdateCounter" =>
+        // simple form: Counter Name counts every record; dynamic
+        // properties are counter name -> EL predicate. Counters ride
+        // the plan as observed metrics (Dataset.observe) — no fork, no
+        // codegen break; Provenance's listener surfaces them per action.
+        val cols = in.columns.toSeq
+        val dyn = dynamicProps(p).map { case (name, pred) =>
+          name -> compileProperty(pred, cols).cast("boolean")
+        }
+        val everyRecord = p.props.collectFirst { case ("Counter Name", v) => v }
+          .map(n => n -> lit(true)).toSeq
+        val counters = (everyRecord ++ dyn).toMap
+        require(counters.nonEmpty,
+          s"UpdateCounter ${p.name} needs a Counter Name or dynamic counter properties")
+        Records.updateCounter(in, s"counter_${p.id}", counters)
       case other => throw new IllegalArgumentException(
         s"unsupported processor type in flow definition: $other (${p.tpe})")
     }

@@ -18,8 +18,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Provenance {
 
+  /** `tags` carries the run's observed-metric names → row counts: flow
+    * outputs compiled by [[FlowCompiler.compileWithLineage]] observe
+    * themselves as `graft_flow:<flow>:<port>`, so an action's event
+    * names WHICH flow output it materialized (join to the lineage
+    * manifest for the processors behind it). */
   case class Event(tsMillis: Long, action: String, durationNs: Long,
-                   succeeded: Boolean, planDigest: String, planSummary: String)
+                   succeeded: Boolean, planDigest: String, planSummary: String,
+                   tags: Map[String, Long] = Map.empty)
 
   final class Listener extends QueryExecutionListener {
     private[Provenance] val events = new ConcurrentLinkedQueue[Event]()
@@ -31,14 +37,24 @@ object Provenance {
       (hex, plan.linesIterator.take(12).mkString("\n"))
     }
 
+    private def tagsOf(qe: QueryExecution): Map[String, Long] =
+      try qe.observedMetrics.map { case (name, row) =>
+        val rows = if (row.schema.fieldNames.contains("rows"))
+          row.getAs[Long]("rows") else -1L
+        name -> rows
+      }.toMap
+      catch { case _: Exception => Map.empty }
+
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       val (hex, summary) = digest(qe)
-      events.add(Event(System.currentTimeMillis(), funcName, durationNs, succeeded = true, hex, summary))
+      events.add(Event(System.currentTimeMillis(), funcName, durationNs, succeeded = true,
+        hex, summary, tagsOf(qe)))
     }
 
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
       val (hex, summary) = digest(qe)
-      events.add(Event(System.currentTimeMillis(), funcName, durationNs = -1L, succeeded = false, hex, summary))
+      events.add(Event(System.currentTimeMillis(), funcName, durationNs = -1L, succeeded = false,
+        hex, summary, tagsOf(qe)))
     }
   }
 
@@ -86,6 +102,46 @@ object Provenance {
     action.foreach(a => df = df.filter(col("action") === a))
     planDigest.foreach(h => df = df.filter(col("planDigest") === h))
     df
+  }
+
+  // ----------------------------------------------- flow-level lineage
+
+  /** One processor's membership in the upstream DAG of one flow output:
+    * the answer row for "which processor produced this output?". The
+    * `observation` is the metric name the compiled output observes
+    * itself under — the join key into [[Event]].tags. */
+  case class ProcessorLineage(flow: String, outputPort: String, observation: String,
+                              processorId: String, processorName: String,
+                              processorType: String)
+
+  /** Persist a flow's lineage manifest beside its provenance log
+    * (append — manifests accumulate per compiled flow version). */
+  def writeFlowLineage(spark: SparkSession, dir: String,
+                       lineage: Seq[ProcessorLineage]): Unit = {
+    import spark.implicits._
+    if (lineage.nonEmpty)
+      lineage.toDF().coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** "Which actions produced output THROUGH processor X?" — the NiFi
+    * lineage-by-component search. Joins the provenance log's observed
+    * flow tags to the lineage manifest on the observation name; returns
+    * one row per (action event, matching flow output) with the rows
+    * that output produced in that action. Both sides are parquet scans
+    * with pushed filters; the manifest is dimension-sized (processors
+    * x outputs), so the join broadcasts. */
+  def queryByProcessor(spark: SparkSession, provenanceDir: String, lineageDir: String,
+                       processorId: String, sinceMillis: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode_outer}
+    val lin = spark.read.parquet(lineageDir)
+      .filter(col("processorId") === processorId)
+    val ev = spark.read.parquet(provenanceDir)
+      .filter(col("tsMillis") >= sinceMillis)
+      .select(col("tsMillis"), col("action"), col("durationNs"), col("succeeded"),
+        explode_outer(col("tags")).as(Seq("observation", "outputRows")))
+    ev.join(lin, Seq("observation"))
+      .select("tsMillis", "action", "succeeded", "flow", "outputPort",
+        "processorId", "processorName", "processorType", "outputRows")
   }
 
   // ------------------------------------------------------- streaming

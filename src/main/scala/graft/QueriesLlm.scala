@@ -50,7 +50,17 @@ object QueriesLlm {
       El.compileExpr("${source:prepend('q a/'):urlEncode():urlDecode()}").as("url_dec"),
       El.compileExpr("${lang:padLeft(6)}").as("lang_pad"),
       El.compileExpr(
-        "${doc_id:prepend('{\"k\":\"v'):append('\"}'):jsonPath('$.k')}").as("json_k"))
+        "${doc_id:prepend('{\"k\":\"v'):append('\"}'):jsonPath('$.k')}").as("json_k"),
+      // r7: seeded deterministic variants of the nondeterministic family
+      // (UUID5 is sha1-based — no sha1 in the oracle engine, so it is
+      // spec-gated in ElSpec instead) and getDelimitedField quote modes
+      El.compileExpr("${doc_id:UUID3('graft:')}").as("uuid3"),
+      El.compileExpr(
+        "${source:prepend('\"x,y\",'):getDelimitedField(1, ',', '\"')}").as("csv_q"),
+      El.compileExpr(
+        "${source:prepend('\"x,y\",'):getDelimitedField(1, ',', '\"', true)}").as("csv_qs"),
+      El.compileExpr(
+        "${source:prepend('\"x,y\",'):getDelimitedField(2, ',', '\"')}").as("csv_q2"))
   }
   val qExpressionLanguageSql: String =
     """SELECT doc_id, upper(lang) || '-' || source AS tag,
@@ -69,7 +79,17 @@ object QueriesLlm {
       | 'q+a%2F' || source AS url_enc,
       | 'q a/' || source AS url_dec,
       | lpad(lang, 6, '_') AS lang_pad,
-      | 'v' || CAST(doc_id AS VARCHAR) AS json_k
+      | 'v' || CAST(doc_id AS VARCHAR) AS json_k,
+      | substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+      |   substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 9, 4) || '-3' ||
+      |   substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 14, 3) || '-' ||
+      |   translate(substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 17, 1),
+      |             '0123456789abcdef', '89ab89ab89ab89ab') ||
+      |   substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 18, 3) || '-' ||
+      |   substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 21, 12) AS uuid3,
+      | '"x,y"' AS csv_q,
+      | 'x,y' AS csv_qs,
+      | source AS csv_q2
       |FROM documents""".stripMargin
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer (§2.4 #38). */
@@ -385,12 +405,15 @@ object QueriesLlm {
       |    '\b\d{12,19}\b', '<NUMBER>', 'g')) AS redacted_md5
       |FROM documents""".stripMargin
 
-  /** Train/eval contamination: corpus docs sharing ≥ minShared 12-gram
-    * shingles with a (deterministic) benchmark subset. */
+  /** Train/eval contamination: corpus docs sharing ≥ minShared
+    * CORPUS-RARE 12-gram shingles (document frequency ≤ 100 — the
+    * boilerplate cap that keeps the inverted-index join linear in the
+    * corpus; the uncapped exact form measured 50x for 10x data in the
+    * r7 sf1 scale-proof) with a deterministic benchmark subset. */
   val qContamination: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", shingleN = 12, minShared = 5)
+        "doc_id", "text", shingleN = 12, minShared = 5, maxShingleDf = Some(100))
       .select(col("corpus_id"), col("bench_id"), col("shared"))
   }
   val qContaminationSql: String =
@@ -398,11 +421,14 @@ object QueriesLlm {
       |  SELECT doc_id, list_distinct([substring(text, i, 12)
       |                                FOR i IN range(1, greatest(length(text) - 10, 2))]) AS grams
       |  FROM documents),
-      |b AS (SELECT * FROM g WHERE doc_id % 50 = 0)
-      |SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id,
-      |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared
-      |FROM g a JOIN b ON a.doc_id != b.doc_id
-      |WHERE len(list_intersect(a.grams, b.grams)) >= 5""".stripMargin
+      |e AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+      |rare AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100),
+      |eb AS (SELECT e.doc_id, e.sh FROM e JOIN rare USING (sh)
+      |       WHERE e.doc_id % 50 = 0)
+      |SELECT a.doc_id AS corpus_id, eb.doc_id AS bench_id,
+      |       CAST(count(*) AS BIGINT) AS shared
+      |FROM e a JOIN eb ON a.sh = eb.sh AND a.doc_id != eb.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   /** Multimodal payload plumbing (§2.4 #40): binary + typed metadata. */
   val qMultimodalMeta: Q = (s, d) => {

@@ -338,6 +338,31 @@ object QueriesText {
       |       min(eid) AS min_event, CAST(max(pid) AS INT) AS max_pid
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Eighth committed flow (r7): NESTED process groups — the curation
+    * stage lives in a child group whose ports flatten to internal
+    * edges, the dedup stage in a grandchild group (depth 2), exactly
+    * how NiFi exports a structured flow. Dedup keeps the smallest
+    * doc_id per identical text, a routed proper-subset connection
+    * keeps docs >= 150 chars, and a root-level QueryRecord rolls up
+    * per language. Same oracle shape as a flat authoring — the group
+    * boundaries must be semantically invisible. */
+  val qFlowNested: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/nested_curation.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("documents" -> Tables.documents(s, d)))("by_lang")
+  }
+  val qFlowNestedSql: String =
+    """WITH k AS (
+      |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |kept AS (SELECT * FROM k WHERE rn = 1 AND n_chars >= 150)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+      |                      ORDER BY CAST(doc_id AS VARCHAR))) AS docs_md5
+      |FROM kept GROUP BY lang""".stripMargin
+
   /** Seventh committed flow (r6), over the content family: EnforceOrder
     * per-source sequence → AttributesToCSV RFC-4180 line (text cells
     * carry commas/quotes/newlines — quoting + doubling exercised on
@@ -736,6 +761,7 @@ object QueriesText {
     "q_flow_lines"      -> qFlowLines,
     "q_flow_parse"      -> qFlowParse,
     "q_flow_csv"        -> qFlowCsv,
+    "q_flow_nested"     -> qFlowNested,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
@@ -775,6 +801,7 @@ object QueriesText {
     "q_flow_lines"      -> qFlowLinesSql,
     "q_flow_parse"      -> qFlowParseSql,
     "q_flow_csv"        -> qFlowCsvSql,
+    "q_flow_nested"     -> qFlowNestedSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,

@@ -130,8 +130,16 @@ object El {
           // (excluded from every oracle query for exactly that reason)
           case "now" => subjects = Seq(current_timestamp())
           case "UUID" | "uuid" => subjects = Seq(expr("uuid()"))
-          case "random" => // NiFi: uniform long in [0, Long.MaxValue)
-            subjects = Seq((rand() * Long.MaxValue).cast("long"))
+          case "random" => // NiFi: uniform long in [0, Long.MaxValue).
+            // Seeded deviation: random(seed) is reproducible under task
+            // retry GIVEN a stable partitioning (Spark's rand(seed)
+            // contract — seed + partition + row offset), the property a
+            // retried NiFi flow cannot offer at all. Per-ROW determinism
+            // independent of partitioning needs a subject: see the
+            // chained randomSeeded('salt').
+            subjects =
+              if (args.isEmpty) Seq((rand() * Long.MaxValue).cast("long"))
+              else Seq((rand(argStr(args.head).toLong) * Long.MaxValue).cast("long"))
           case "getStateValue" => // NiFi state functions: batch-time lookup
             val key = argStr(args.head)
             subjects = Seq(lit(stateValues.value.get(key).orNull))
@@ -345,8 +353,37 @@ object El {
         (length(c) - (instr(reverse(c), reverse(a0)) + length(a0)) + 1).cast("long"))
         .otherwise(lit(-1L))
     case "getDelimitedField" =>
+      // NiFi: getDelimitedField(index[, delim[, quoteChar[, stripChars]]])
+      // — 1-based index; with a quote char, delimiters INSIDE balanced
+      // quotes don't split (lookahead for an even number of quotes
+      // ahead); stripChars=true removes the surrounding quotes from the
+      // extracted field. (NiFi's escapeChar argument is unsupported.)
       val delim = if (args.size > 1) argStr(args(1)) else ","
-      element_at(split(c, java.util.regex.Pattern.quote(delim)), litInt(args.head))
+      val d = java.util.regex.Pattern.quote(delim)
+      if (args.size <= 2) element_at(split(c, d), litInt(args.head))
+      else {
+        val q = java.util.regex.Pattern.quote(argStr(args(2)))
+        val field = element_at(
+          split(c, s"$d(?=(?:[^$q]*$q[^$q]*$q)*[^$q]*$$)"), litInt(args.head))
+        val strip = args.size > 3 && argStr(args(3)).toBoolean
+        if (!strip) field
+        else {
+          val qc = argStr(args(2))
+          when(field.startsWith(qc) && field.endsWith(qc) && length(field) >= 2,
+            field.substr(lit(2), length(field) - 2)).otherwise(field)
+        }
+      }
+    // ---- seeded deterministic variants of the nondeterministic family
+    // (graft extensions: NiFi's random()/UUID() are per-evaluation and
+    // unreproducible under retry — at 100 TB a retried task MUST
+    // regenerate identical values, so these derive from the subject)
+    case "randomSeeded" =>
+      // uniform long in [0, Long.MaxValue), a pure function of
+      // (salt, subject): stable across retries, partitionings, engines
+      (xxhash64(concat(a0.cast("string"), lit(":"), c.cast("string")))
+        .bitwiseAND(lit(Long.MaxValue))).cast("long")
+    case "UUID3" => nameUuid(c, args, md5(_), "3")
+    case "UUID5" => nameUuid(c, args, x => sha1(x), "5")
     case "in"               => args.map(a => c === a.col).reduce(_ || _)
     case "abs"              => abs(c)
     case "isNull"           => c.isNull
@@ -427,6 +464,23 @@ object El {
 
   private def badArity(fn: String) =
     throw new IllegalArgumentException(s"wrong number of arguments for EL function $fn")
+
+  /** RFC-4122 name-based UUID (v3 = md5, v5 = sha1) of namespace+subject:
+    * hash hex gets the version nibble forced at position 13 and the
+    * variant nibble at 17 folded into [89ab] (the translate trick: each
+    * hex digit maps to (digit & 3) | 8), then 8-4-4-4-12 dashes. Fully
+    * deterministic and expressible in any SQL oracle. Deviation from
+    * RFC 4122: the namespace argument contributes its UTF-8 BYTES (any
+    * string allowed), not a parsed 128-bit namespace UUID. */
+  private def nameUuid(c: Column, args: List[Arg],
+                       hash: Column => Column, version: String): Column = {
+    val hx = hash(concat(args.head.col.cast("string"), c.cast("string")).cast("binary"))
+    concat(
+      substring(hx, 1, 8), lit("-"), substring(hx, 9, 4), lit("-" + version),
+      substring(hx, 14, 3), lit("-"),
+      translate(substring(hx, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"),
+      substring(hx, 18, 3), lit("-"), substring(hx, 21, 12))
+  }
 
   /** Extract a literal string arg (for APIs that need Scala values). */
   private def argStr(a: Arg): String = a match {

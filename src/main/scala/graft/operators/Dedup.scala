@@ -263,15 +263,39 @@ object Dedup {
     * the corpus explodes to |corpus|×|shingles| rows but never
     * self-joins. hashedShingles arrays are distinct, so the match count
     * IS the exact intersection size. Output: (corpus_id, bench_id,
-    * shared). */
+    * shared).
+    *
+    * `maxShingleDf` caps each shingle's CORPUS document frequency:
+    * shingles appearing in more corpus docs are boilerplate, carry no
+    * contamination signal, and are exactly what makes the exact join
+    * quadratic when the benchmark grows with the corpus (the r7 sf1
+    * scale-proof measured the uncapped form at 50x for 10x data —
+    * Σ_sh df_corpus·df_bench; see plans/PLANS.md). The cap restricts
+    * the BENCHMARK side to corpus-rare shingles, so each broadcast
+    * shingle matches ≤ cap corpus docs and the join output is ≤
+    * |bench shingles|·cap — linear in the corpus. The intersection only
+    * counts shingles present on both sides, so filtering one side is
+    * exact w.r.t. the capped semantics. None = exact/uncapped. */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
-                    shingleN: Int = 12, minShared: Int = 5): DataFrame = {
+                    shingleN: Int = 12, minShared: Int = 5,
+                    maxShingleDf: Option[Int] = None): DataFrame = {
     def shingled(df: DataFrame, idAlias: String): DataFrame =
       df.select(col(idCol).as(idAlias),
         explode(graft.plans.TextHashExpressions.hashedShingles(col(textCol), shingleN)).as("sh"))
+    val bench = maxShingleDf match {
+      case None => shingled(benchmark, "bench_id")
+      case Some(cap) =>
+        // one linear map-side-combined aggregation over the exploded
+        // corpus; the surviving-shingle set co-partitions with the
+        // bench explode on sh (no broadcast of the big rare set)
+        val rare = shingled(corpus, "__df_id").groupBy("sh")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select("sh")
+        shingled(benchmark, "bench_id").join(rare, "sh")
+    }
     shingled(corpus, "corpus_id")
-      .join(broadcast(shingled(benchmark, "bench_id")), "sh")
+      .join(broadcast(bench), "sh")
       .filter(col("corpus_id") =!= col("bench_id"))
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("shared"))

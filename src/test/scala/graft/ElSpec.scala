@@ -203,6 +203,49 @@ class ElSpec extends SparkSpec {
     assert(rows.forall(_.getString(3).nonEmpty))
   }
 
+  test("seeded deterministic variants: randomSeeded, UUID3/UUID5, random(seed)") {
+    // UUID3 must agree with the JDK's own md5 name-based UUID (RFC 4122
+    // version 3) for the concatenated namespace+name bytes
+    val expected3 = java.util.UUID.nameUUIDFromBytes("graft:en".getBytes("UTF-8")).toString
+    assert(evalExpr("${lang:UUID3('graft:')}") === expected3)
+    // UUID5: sha1-based, same bit surgery — verify shape + version/variant
+    val u5 = evalExpr("${lang:UUID5('graft:')}").asInstanceOf[String]
+    assert(u5.matches("[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+    // and the full sha1 derivation, recomputed driver-side
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("graft:en".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v17 = "89ab89ab89ab89ab".charAt(Integer.parseInt(sha.substring(16, 17), 16))
+    assert(u5 === s"${sha.substring(0, 8)}-${sha.substring(8, 12)}-5${sha.substring(13, 16)}-" +
+      s"$v17${sha.substring(17, 20)}-${sha.substring(20, 32)}")
+    // deterministic: same inputs, same outputs; different salt differs
+    assert(evalExpr("${lang:randomSeeded('s1')}") === evalExpr("${lang:randomSeeded('s1')}"))
+    assert(evalExpr("${lang:randomSeeded('s1')}") !== evalExpr("${lang:randomSeeded('s2')}"))
+    assert(evalExpr("${lang:randomSeeded('s1')}").asInstanceOf[Long] >= 0L)
+    // random(seed): reproducible across identical evaluations (Spark's
+    // rand(seed) contract — stable given the same partitioning)
+    val df = spark.range(0, 100, 1, 4).toDF("x")
+    val a = df.select(El.compileExpr("${random(42)}").as("r")).as[Long].collect()
+    val b = df.select(El.compileExpr("${random(42)}").as("r")).as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_ >= 0L) && a.distinct.length > 90)
+  }
+
+  test("getDelimitedField quote-aware modes") {
+    // delimiters inside balanced quotes don't split
+    assert(eval("""${text:replace('hello world', '"a,b",c,"d"'):getDelimitedField(1, ',', '"')}""")
+      === "\"a,b\"")
+    assert(eval("""${text:replace('hello world', '"a,b",c,"d"'):getDelimitedField(2, ',', '"')}""")
+      === "c")
+    // stripChars removes the surrounding quotes only
+    assert(eval("""${text:replace('hello world', '"a,b",c,"d"'):getDelimitedField(1, ',', '"', true)}""")
+      === "a,b")
+    assert(eval("""${text:replace('hello world', '"a,b",c,"d"'):getDelimitedField(3, ',', '"', true)}""")
+      === "d")
+    // unquoted fields pass through stripChars untouched
+    assert(eval("""${text:replace('hello world', '"a,b",c,"d"'):getDelimitedField(2, ',', '"', true)}""")
+      === "c")
+  }
+
   test("html escapes, two-operand math, ip standalone") {
     assert(eval("${text:replace('world', '<b>&\"x\"</b>'):escapeHtml4()}")
       == "hello &lt;b&gt;&amp;&quot;x&quot;&lt;/b&gt;")

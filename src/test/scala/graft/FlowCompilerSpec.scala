@@ -634,4 +634,231 @@ class FlowCompilerSpec extends SparkSpec {
     assert(out.select("txt").as[String].collect().sorted ===
       Array("another color", "the color red"))
   }
+
+  // ------------------------------------------------- nested groups (r7)
+
+  test("nested process groups flatten: group ports become internal edges, depth 2 works") {
+    // the committed nested flow equals a FLAT authoring of the same
+    // pipeline — group boundaries must be semantically invisible
+    val nested = QueriesText.qFlowNested(spark, sf)
+    val flat = FlowCompiler.compile(spark,
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "p-dedup", "type": "DeduplicateRecord",
+        |     "properties": {"Record Hashing Columns": "text", "Tie Breaker": "doc_id"}},
+        |    {"identifier": "p-quality", "type": "RouteOnAttribute",
+        |     "properties": {"kept": "${n_chars:ge(150)}"}},
+        |    {"identifier": "p-rollup", "type": "QueryRecord",
+        |     "properties": {"Query": "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, md5(concat_ws('|', sort_array(collect_list(cast(doc_id AS string))))) AS docs_md5 FROM FLOWFILE GROUP BY lang"}}],
+        |  "inputPorts": [{"identifier": "root-in", "name": "documents"}],
+        |  "outputPorts": [{"identifier": "root-out", "name": "by_lang"}],
+        |  "connections": [
+        |    {"source": {"id": "root-in"}, "destination": {"id": "p-dedup"}},
+        |    {"source": {"id": "p-dedup"}, "destination": {"id": "p-quality"}},
+        |    {"source": {"id": "p-quality"}, "destination": {"id": "p-rollup"},
+        |     "selectedRelationships": ["kept"]},
+        |    {"source": {"id": "p-rollup"}, "destination": {"id": "root-out"}}]}}""".stripMargin,
+      Map("documents" -> Tables.documents(spark, sf)))("by_lang")
+    val a = nested.orderBy("lang").collect().toSeq
+    assert(a === flat.orderBy("lang").collect().toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("cycles crossing a group boundary are detected; duplicate ids across groups rejected") {
+    // parent processor feeds the child group, child output feeds it back
+    val cyclic =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "p1", "type": "ReplaceText",
+        |     "properties": {"Content Column": "txt", "Search Value": "a", "Replacement Value": "b"}}],
+        |  "processGroups": [{
+        |    "identifier": "g1",
+        |    "inputPorts": [{"identifier": "g-in", "name": "in"}],
+        |    "outputPorts": [{"identifier": "g-out", "name": "out"}],
+        |    "processors": [
+        |      {"identifier": "p2", "type": "CountText",
+        |       "properties": {"Content Column": "txt"}}],
+        |    "connections": [
+        |      {"source": {"id": "g-in"}, "destination": {"id": "p2"}},
+        |      {"source": {"id": "p2"}, "destination": {"id": "g-out"}}]}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "p1"}, "destination": {"id": "g-in"}},
+        |    {"source": {"id": "g-out"}, "destination": {"id": "p1"}},
+        |    {"source": {"id": "g-out"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, cyclic, Map.empty[String, org.apache.spark.sql.DataFrame])
+    }
+    assert(e.getMessage.contains("cycle"))
+    val dupIds =
+      """{"flowContents": {
+        |  "processors": [{"identifier": "x", "type": "CountText", "properties": {}}],
+        |  "processGroups": [{
+        |    "identifier": "g1",
+        |    "processors": [{"identifier": "x", "type": "CountText", "properties": {}}]}]}}""".stripMargin
+    val e2 = intercept[IllegalArgumentException] { FlowCompiler.parse(dupIds) }
+    assert(e2.getMessage.contains("duplicate node ids"))
+  }
+
+  // ------------------------------------- r7 coordination/security family
+
+  private def onePipe(procJson: String, in: org.apache.spark.sql.DataFrame,
+                      extraIn: Option[(String, org.apache.spark.sql.DataFrame)] = None): org.apache.spark.sql.DataFrame = {
+    val secondPort = extraIn.map { case (n, _) =>
+      s""", {"identifier": "i2", "name": "$n"}""" }.getOrElse("")
+    val secondConn = extraIn.map { _ =>
+      s""", {"source": {"id": "i2"}, "destination": {"id": "p"}}""" }.getOrElse("")
+    val flow =
+      s"""{"flowContents": {
+         |  "processors": [$procJson],
+         |  "inputPorts": [{"identifier": "i", "name": "in"}$secondPort],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i"}, "destination": {"id": "p"}}$secondConn,
+         |    {"source": {"id": "p"}, "destination": {"id": "o"}}]}}""".stripMargin
+    FlowCompiler.compile(spark, flow,
+      Map("in" -> in) ++ extraIn.map { case (n, d) => n -> d })("out")
+  }
+
+  test("TransformXml compiles from an XSLT file and an inline stylesheet") {
+    val xslt =
+      """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+        |<xsl:output method="text"/>
+        |<xsl:template match="/doc"><xsl:value-of select="@id"/>:<xsl:value-of select="."/></xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_xsl", ".xslt")
+    java.nio.file.Files.writeString(f, xslt)
+    val in = Seq("""<doc id="7">hello</doc>""").toDF("content")
+    val fromFile = onePipe(
+      s"""{"identifier": "p", "type": "TransformXml",
+         |  "properties": {"XSLT File Name": "$f"}}""".stripMargin, in)
+    assert(fromFile.select("transformed").as[String].head() === "7:hello")
+    val inline = onePipe(
+      s"""{"identifier": "p", "type": "TransformXml",
+         |  "properties": {"Stylesheet": ${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(xslt)}}}""".stripMargin, in)
+    assert(inline.select("transformed").as[String].head() === "7:hello")
+  }
+
+  test("EncryptContent round-trips through a flow pair; bad key length fails loudly") {
+    val key = "0123456789abcdef" // 16 bytes via a parameter context in practice
+    val in = Seq(("a", "secret payload"), ("b", "more")).toDF("id", "content")
+    val enc = onePipe(
+      s"""{"identifier": "p", "type": "EncryptContent",
+         |  "properties": {"Key": "$key"}}""".stripMargin, in)
+    val dec = onePipe(
+      s"""{"identifier": "p", "type": "EncryptContent",
+         |  "properties": {"Mode": "decrypt", "Key": "$key", "Content Column": "encrypted"}}""".stripMargin, enc)
+    assert(dec.select(col("decrypted").cast("string")).as[String].collect().sorted ===
+      Array("more", "secret payload"))
+    val e = intercept[IllegalArgumentException] {
+      onePipe("""{"identifier": "p", "type": "EncryptContent",
+                |  "properties": {"Key": "short"}}""".stripMargin, in)
+    }
+    assert(e.getMessage.contains("16/24/32"))
+  }
+
+  test("VerifyContentMAC sign + verify legs route tampered content to failure") {
+    val in = Seq(("a", "payload one"), ("b", "payload two")).toDF("id", "content")
+    val signed = onePipe(
+      """{"identifier": "p", "type": "VerifyContentMAC",
+        |  "properties": {"Mode": "sign", "Secret Key": "shhh"}}""".stripMargin, in)
+    val tampered = signed.withColumn("content",
+      when(col("id") === "b", lit("payload TWO")).otherwise(col("content")))
+    val verified = onePipe(
+      """{"identifier": "p", "type": "VerifyContentMAC",
+        |  "properties": {"Mode": "verify", "Secret Key": "shhh"}}""".stripMargin, tampered)
+    assert(verified.select("id", "route").as[(String, String)].collect().sorted ===
+      Array(("a", "success"), ("b", "failure")))
+  }
+
+  test("Wait gates on a second signal connection; Notify passes through") {
+    val stream = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("job_id", "v")
+    val signals = Seq(1L, 3L).toDF("job_id")
+    val flow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "n", "type": "Notify", "properties": {}},
+        |    {"identifier": "w", "type": "Wait",
+        |     "properties": {"Release Signal Identifier": "job_id"}}],
+        |  "inputPorts": [
+        |    {"identifier": "i1", "name": "stream"}, {"identifier": "i2", "name": "signals"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i2"}, "destination": {"id": "n"}},
+        |    {"source": {"id": "i1"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "n"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "w"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val out = FlowCompiler.compile(spark, flow,
+      Map("stream" -> stream, "signals" -> signals))("out")
+    assert(out.select("job_id", "route").as[(Long, String)].collect().sorted ===
+      Array((1L, "success"), (2L, "wait"), (3L, "success")))
+  }
+
+  test("Wait/Notify coordinate across compiles through a MapCache path") {
+    val cache = java.nio.file.Files.createTempDirectory("graft_wait_cache").toString + "/c"
+    val signals = Seq(10L, 30L).toDF("job_id")
+    // trigger 1: Notify records its signals into the cache
+    onePipe(
+      s"""{"identifier": "p", "type": "Notify",
+         |  "properties": {"Release Signal Identifier": "job_id",
+         |                 "Distributed Cache Service": "$cache"}}""".stripMargin,
+      signals).count()
+    // trigger 2 (separate compile): Wait releases what was notified
+    val stream = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("job_id", "v")
+    val out = onePipe(
+      s"""{"identifier": "p", "type": "Wait",
+         |  "properties": {"Release Signal Identifier": "job_id",
+         |                 "Distributed Cache Service": "$cache"}}""".stripMargin, stream)
+    assert(out.select("job_id", "route").as[(Long, String)].collect().sorted ===
+      Array((10L, "success"), (20L, "wait"), (30L, "success")))
+  }
+
+  test("RetryFlowFile, DetectDuplicate and UpdateCounter compile") {
+    val in = Seq((1L, 2), (2L, 3)).toDF("id", "flowfile_retries")
+    val retried = onePipe(
+      """{"identifier": "p", "type": "RetryFlowFile",
+        |  "properties": {"Maximum Retries": "3"}}""".stripMargin, in)
+    assert(retried.select("id", "flowfile_retries", "route").as[(Long, Int, String)]
+      .collect().sorted === Array((1L, 3, "retry"), (2L, 4, "retries_exceeded")))
+
+    val cache = java.nio.file.Files.createTempDirectory("graft_dd_cache").toString + "/c"
+    val b1 = onePipe(
+      s"""{"identifier": "p", "type": "DetectDuplicate",
+         |  "properties": {"Cache Entry Identifier": "k",
+         |                 "Distributed Cache Service": "$cache"}}""".stripMargin,
+      Seq("k1", "k2").toDF("k"))
+    assert(b1.select("route").as[String].collect().toSet === Set("non-duplicate"))
+    val b2 = onePipe(
+      s"""{"identifier": "p", "type": "DetectDuplicate",
+         |  "properties": {"Cache Entry Identifier": "k",
+         |                 "Distributed Cache Service": "$cache"}}""".stripMargin,
+      Seq("k2", "k3").toDF("k"))
+    assert(b2.select("k", "route").as[(String, String)].collect().sorted ===
+      Array(("k2", "duplicate"), ("k3", "non-duplicate")))
+
+    // UpdateCounter: metrics observed without forking the plan
+    var seen: Map[String, Any] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = {
+        qe.observedMetrics.collectFirst { case (name, row) if name.startsWith("counter_") =>
+          seen = row.schema.fieldNames.map(n => n -> row.getAs[Any](n)).toMap
+        }
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val counted = onePipe(
+        """{"identifier": "p", "type": "UpdateCounter",
+          |  "properties": {"Counter Name": "all_rows", "big": "${id:gt(1)}"}}""".stripMargin,
+        Seq(1L, 2L, 3L).toDF("id"))
+      assert(counted.count() === 3L)
+      eventually { // listener callbacks are async
+        assert(seen.get("all_rows") === Some(3L))
+        assert(seen.get("big") === Some(2L))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -57,6 +57,48 @@ class ProvenanceSpec extends SparkSpec {
       action = Some("collect")).count() >= 1)
   }
 
+  test("flow-level lineage: queryByProcessor answers which runs went through a processor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flowprov")
+    val provDir = dir.resolve("prov").toString
+    val linDir = dir.resolve("lineage").toString
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "name": "traced",
+        |  "processors": [
+        |    {"identifier": "p-up", "name": "Upper", "type": "ReplaceText",
+        |     "properties": {"Content Column": "txt", "Search Value": "a", "Replacement Value": "A"}},
+        |    {"identifier": "p-count", "name": "Counter", "type": "CountText",
+        |     "properties": {"Content Column": "txt"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "p-up"}},
+        |    {"source": {"id": "p-up"}, "destination": {"id": "p-count"}},
+        |    {"source": {"id": "p-count"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val (outs, lineage) = FlowCompiler.compileWithLineage(spark, flow,
+      Map("in" -> Seq("alpha beta", "gamma").toDF("txt")))
+    // the manifest names every processor on the output's upstream DAG
+    assert(lineage.map(_.processorId).toSet === Set("p-up", "p-count"))
+    assert(lineage.forall(_.observation === "graft_flow:traced:out"))
+    Provenance.writeFlowLineage(spark, linDir, lineage)
+    val l = Provenance.enable(spark)
+    try {
+      assert(outs("out").count() === 2L)
+      eventually {
+        assert(Provenance.flush(spark, l, provDir) > 0)
+        val hits = Provenance.queryByProcessor(spark, provDir, linDir, "p-up")
+          .select("flow", "outputPort", "processorName", "outputRows")
+          .as[(String, String, String, Long)].collect()
+        assert(hits.nonEmpty)
+        assert(hits.forall(h => h._1 == "traced" && h._2 == "out" && h._3 == "Upper"))
+        // the observed metric carried the REAL row count of the output
+        assert(hits.exists(_._4 == 2L))
+        // a processor not in this flow matches nothing
+        assert(Provenance.queryByProcessor(spark, provDir, linDir, "p-absent").count() === 0L)
+      }
+    } finally Provenance.disable(spark, l)
+  }
+
   test("streaming provenance: one event per micro-batch, persisted and queryable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prov_stream").toString + "/log"
     implicit val sqlCtx = spark.sqlContext
@@ -80,12 +122,4 @@ class ProvenanceSpec extends SparkSpec {
     } finally Provenance.disableStreaming(spark, l)
   }
 
-  private def eventually[T](body: => T): T = {
-    var last: Throwable = null
-    for (_ <- 1 to 50) {
-      try return body
-      catch { case t: org.scalatest.exceptions.TestFailedException => last = t; Thread.sleep(100) }
-    }
-    throw last
-  }
 }

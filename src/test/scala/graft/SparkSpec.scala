@@ -21,4 +21,15 @@ object SparkSpec {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Retry an assertion block until it passes (async listener callbacks
+    * land on their own schedule) — up to ~5 s. */
+  def eventually[T](body: => T): T = {
+    var last: Throwable = null
+    for (_ <- 1 to 50) {
+      try return body
+      catch { case t: org.scalatest.exceptions.TestFailedException => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
 }
