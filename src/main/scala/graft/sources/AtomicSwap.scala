@@ -19,6 +19,22 @@ private[graft] object AtomicSwap {
 
   def asideOf(live: Path): Path = new Path(live.toString + ".old")
 
+  /** hadoop's `FTPFileSystem.rename` feeds the parent's full URI string
+    * to the FTP `CWD` command and ignores its failure (long-standing
+    * upstream bug — verified against hadoop-client-api 3.4.2 bytecode:
+    * `changeWorkingDirectory(absoluteSrc.getParent().toUri()
+    * .toString())`, result popped), so with fully-qualified paths every
+    * RFC-959 server rejects the CWD and the rename silently returns
+    * false. Passing PATH-ONLY arguments makes its `makeAbsolute`
+    * resolve against the connection's working directory instead, which
+    * is correct on the single-authority FS instance the caller already
+    * holds. Other schemes pass through untouched. */
+  private def renameArg(p: Path): Path =
+    if ("ftp".equalsIgnoreCase(p.toUri.getScheme)) new Path(p.toUri.getPath) else p
+
+  private def rename(fs: FileSystem, from: Path, to: Path): Boolean =
+    fs.rename(renameArg(from), renameArg(to))
+
   /** Writer-side heal: restore the aside when a crash left no valid
     * live artifact (crash between rename-aside and rename-in). */
   def recover(fs: FileSystem, live: Path, valid: Path => Boolean,
@@ -26,7 +42,7 @@ private[graft] object AtomicSwap {
     val aside = asideOf(live)
     if (!valid(live) && valid(aside)) {
       fs.delete(live, recursive) // at most an invalid shell
-      require(fs.rename(aside, live), s"swap recovery: cannot restore $aside")
+      require(rename(fs, aside, live), s"swap recovery: cannot restore $aside")
     }
   }
 
@@ -48,8 +64,8 @@ private[graft] object AtomicSwap {
     val aside = asideOf(live)
     if (fs.exists(aside)) fs.delete(aside, recursive)
     if (fs.exists(live))
-      require(fs.rename(live, aside), s"swap: cannot move $live aside")
-    require(fs.rename(tmp, live), s"swap: cannot rename $tmp to $live")
+      require(rename(fs, live, aside), s"swap: cannot move $live aside")
+    require(rename(fs, tmp, live), s"swap: cannot rename $tmp to $live")
     fs.delete(aside, recursive)
   }
 }
