@@ -103,6 +103,11 @@ object El {
     var subjects: Seq[Column] = Nil
     var combineAny = false // true → reduce with OR, false → AND
     var multi = false
+    // delineated forms carry ONE array column (per-row variable length,
+    // unlike `multi`'s static column list): chained functions apply
+    // element-wise via transform(), the close reduces with
+    // exists()/forall() — NiFi's any/allDelineatedValue semantics
+    var delineated = false
     if (at(s, i) == '\'') {
       val (name, n) = parseQuoted(s, i); subjects = Seq(col(name)); i = n
     } else {
@@ -117,6 +122,18 @@ object El {
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = true
           case "allAttributes" =>
             subjects = args.map(a => col(argStr(a))); multi = true; combineAny = false
+          case "anyDelineatedValue" | "allDelineatedValues" =>
+            require(args.size == 2, s"$word(value, delimiter) takes two arguments")
+            // NiFi evaluates EL embedded in the QUOTED first argument
+            // ('${csvattr}' is the documented calling convention)
+            val src = args.head match {
+              case LitArg(v: String, _) if v.contains("${") => compile(v)
+              case a => a.col
+            }
+            subjects = Seq(split(src.cast("string"),
+              java.util.regex.Pattern.quote(argStr(args(1)))))
+            delineated = true
+            combineAny = word == "anyDelineatedValue"
           case "anyMatchingAttribute" | "allMatchingAttributes" =>
             val regex = argStr(args.head)
             require(availableCols.value.nonEmpty,
@@ -140,6 +157,12 @@ object El {
             subjects =
               if (args.isEmpty) Seq((rand() * Long.MaxValue).cast("long"))
               else Seq((rand(argStr(args.head).toLong) * Long.MaxValue).cast("long"))
+          case "nextInt" => // NiFi: one int per evaluation; like random(),
+            // the seeded form nextInt(seed) is the retry-reproducible
+            // deviation (uniform non-negative int)
+            subjects =
+              if (args.isEmpty) Seq((rand() * Int.MaxValue).cast("int"))
+              else Seq((rand(argStr(args.head).toLong) * Int.MaxValue).cast("int"))
           case "getStateValue" => // NiFi state functions: batch-time lookup
             val key = argStr(args.head)
             subjects = Seq(lit(stateValues.value.get(key).orNull))
@@ -166,12 +189,25 @@ object El {
           subjects = Seq(subjects.map(_.cast("boolean").cast("int"))
             .reduce(_ + _).cast("long"))
           multi = false
+        case "join" if delineated =>
+          subjects = Seq(array_join(subjects.head, argStr(args.head)))
+          delineated = false
+        case "count" if delineated => // NiFi: count of TRUE evaluations
+          subjects = Seq(size(filter(subjects.head,
+            x => x.cast("boolean"))).cast("long"))
+          delineated = false
+        case _ if delineated =>
+          subjects = Seq(transform(subjects.head, x => apply(fname, x, args)))
         case _ => subjects = subjects.map(c => apply(fname, c, args))
       }
     }
     require(i < s.length && s.charAt(i) == '}', s"expected '}' at $i in: $s")
     val c =
-      if (!multi) subjects.head
+      if (delineated) {
+        if (combineAny) exists(subjects.head, x => x.cast("boolean"))
+        else forall(subjects.head, x => x.cast("boolean"))
+      }
+      else if (!multi) subjects.head
       else if (combineAny) subjects.map(_.cast("boolean")).reduce(_ || _)
       else subjects.map(_.cast("boolean")).reduce(_ && _)
     (c, i + 1)

@@ -203,6 +203,26 @@ class ElSpec extends SparkSpec {
     assert(rows.forall(_.getString(3).nonEmpty))
   }
 
+  test("delineated-value forms: any/all over a split string, element-wise chaining") {
+    val df = Seq(("a,bb,ccc", 1L)).toDF("tags", "n")
+    def ev(e: String): Any = df.select(El.compileExpr(e).as("v")).collect()(0).get(0)
+    // any: true when SOME value matches after element-wise chaining
+    assert(ev("${anyDelineatedValue('${tags}', ','):equals('bb')}") === true)
+    assert(ev("${anyDelineatedValue('${tags}', ','):equals('zz')}") === false)
+    // all: every value must pass
+    assert(ev("${allDelineatedValues('${tags}', ','):length():ge(1)}") === true)
+    assert(ev("${allDelineatedValues('${tags}', ','):length():ge(2)}") === false)
+    // element-wise transform then reducing join / count
+    assert(ev("${anyDelineatedValue('${tags}', ','):toUpper():join('|')}") === "A|BB|CCC")
+    assert(ev("${anyDelineatedValue('${tags}', ','):length():ge(2):count()}") === 2L)
+    // a literal first argument works too
+    assert(ev("${allDelineatedValues('x;y;z', ';'):matches('[a-z]')}") === true)
+    // nextInt: non-negative, seeded form reproducible per partitioning
+    val r = ev("${nextInt()}")
+    assert(r.asInstanceOf[Int] >= 0)
+    assert(ev("${nextInt(7)}") === ev("${nextInt(7)}"))
+  }
+
   test("seeded deterministic variants: randomSeeded, UUID3/UUID5, random(seed)") {
     // UUID3 must agree with the JDK's own md5 name-based UUID (RFC 4122
     // version 3) for the concatenated namespace+name bytes
