@@ -64,7 +64,9 @@ import graft.operators.{Records, Route}
   *    `EncryptContent` (`Mode` encrypt|decrypt, AES `Key` — supply it
   *    via a `#{...}` parameter context), `VerifyContentMAC` (`Mode`
   *    sign|verify, `Secret Key`, `MAC Column`), `Wait`/`Notify` (a
-  *    second Wait connection is the signal stream, or both sides share
+  *    second Wait connection is the signal stream — pin which one with
+  *    a `Signal Source` property naming the upstream processor, since
+  *    connection JSON order is not meaningful; or both sides share
   *    a `Distributed Cache Service` MapCache path), `RetryFlowFile`
   *    (`Retry Attribute`, `Maximum Retries`), `DetectDuplicate`
   *    (cross-run, `Distributed Cache Service` + `Cache Entry
@@ -197,17 +199,33 @@ object FlowCompiler {
     def routeColOf(p: Processor): String =
       p.props.collectFirst { case ("Route Column", v) => v }.getOrElse("route")
 
+    /** Route column + full relationship universe of every processor
+      * that tags routes — NiFi connections always name relationships,
+      * so a connection out of ANY of these must honor its selection,
+      * not just the three explicit routers. */
+    def routeInfo(p: Processor): Option[(String, Seq[String])] =
+      p.tpe.split('.').last match {
+        case "RouteOnAttribute" | "RouteOnContent" | "RouteText" =>
+          Some(routeColOf(p) -> (dynamicProps(p).map(_._1) :+ "unmatched"))
+        case "ValidateJson"     => Some(routeColOf(p) -> Seq("valid", "invalid"))
+        case "Wait"             => Some(routeColOf(p) -> Seq("success", "wait"))
+        case "RetryFlowFile"    => Some(routeColOf(p) -> Seq("retry", "retries_exceeded"))
+        case "DetectDuplicate"  => Some(routeColOf(p) -> Seq("duplicate", "non-duplicate"))
+        case "VerifyContentMAC"
+          if !prop(p, "Mode", "verify").equalsIgnoreCase("sign") =>
+          Some(routeColOf(p) -> Seq("success", "failure"))
+        case _ => None
+      }
+
     /** The stream a connection delivers: the source's output, filtered
-      * to the selected routes when the source is a router and the
-      * selection is a proper subset. */
+      * to the selected routes when the source tags a route column and
+      * the selection is a proper subset of its relationships. */
     def connInput(c: Connection): DataFrame = {
       val up = compileNode(c.src)
-      procById.get(c.src) match {
-        case Some(p) if p.tpe.endsWith("RouteOnAttribute") || p.tpe.endsWith("RouteOnContent") ||
-                        p.tpe.endsWith("RouteText") =>
-          val allRoutes = dynamicProps(p).map(_._1) :+ "unmatched"
-          if (c.rels.isEmpty || allRoutes.forall(c.rels.contains)) up
-          else up.filter(col(routeColOf(p)).isin(c.rels: _*))
+      procById.get(c.src).flatMap(routeInfo) match {
+        case Some((routeCol, allRoutes))
+          if c.rels.nonEmpty && !allRoutes.forall(c.rels.contains) =>
+          up.filter(col(routeCol).isin(c.rels: _*))
         case _ => up
       }
     }
@@ -233,7 +251,11 @@ object FlowCompiler {
               s"connection references unknown node $id"))
             require(ins.nonEmpty || isSource(p),
               s"processor ${p.name} has no incoming connection")
-            applyProcessor(spark, p, ins)
+            // source identities ride along so multi-input processors
+            // (Wait) can pin roles by name instead of JSON order
+            val srcIds = incoming.getOrElse(id, Nil).map(_.src)
+            val srcNames = srcIds.map(s => procById.get(s).map(_.name).getOrElse(s))
+            applyProcessor(spark, p, ins, srcIds.zip(srcNames))
           }
       }
       visiting -= id
@@ -290,8 +312,13 @@ object FlowCompiler {
 
   // ---------------------------------------------------------- processors
 
-  /** Fixed (framework) property names per processor — everything else
-    * is a dynamic property, NiFi-style. */
+  /** Fixed (framework) property names shared across processors —
+    * everything else is a dynamic property, NiFi-style. Only names
+    * that no flow would plausibly use as a dynamic property (route
+    * name, extracted column) belong here; processor-SPECIFIC fixed
+    * names that are generic words ("Key", "Algorithm", "Stylesheet",
+    * "Counter Name") are scoped in [[typeFixedProps]] instead, so an
+    * UpdateAttribute dynamic property named `Key` still works. */
   private val fixedProps = Set("Content Column", "Route Column", "Routing Strategy",
     "Destination", "Return Type", "Search Value", "Replacement Value",
     "Replacement Strategy", "Query", "Record Reader", "Record Writer",
@@ -309,17 +336,32 @@ object FlowCompiler {
     "Lookup File", "Attribute List", "Category Columns", "Payload Columns",
     "Packed Column", "Start Offset", "End Offset", "Byte Sequence",
     "Input Character Set", "Output Character Set", "Group Identifier",
-    "Order Attribute", "XSLT File Name", "Stylesheet", "Key", "Secret Key",
-    "Algorithm", "MAC Column", "Release Signal Identifier",
-    "Distributed Cache Service", "Cache Entry Identifier",
-    "Retry Attribute", "Maximum Retries", "Counter Name")
+    "Order Attribute")
+
+  /** Processor-scoped fixed property names (r7 coordination/security
+    * family): only the owning type treats these as framework config;
+    * every other processor sees them as ordinary dynamic properties.
+    * Of these types only UpdateCounter consumes dynamic properties,
+    * but scoping ALL of them keeps the contract uniform. */
+  private val typeFixedProps: Map[String, Set[String]] = Map(
+    "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
+    "EncryptContent"   -> Set("Key"),
+    "VerifyContentMAC" -> Set("Secret Key", "Algorithm", "MAC Column"),
+    "Wait"             -> Set("Release Signal Identifier", "Distributed Cache Service",
+                              "Signal Source"),
+    "Notify"           -> Set("Release Signal Identifier", "Distributed Cache Service"),
+    "RetryFlowFile"    -> Set("Retry Attribute", "Maximum Retries"),
+    "DetectDuplicate"  -> Set("Distributed Cache Service", "Cache Entry Identifier"),
+    "UpdateCounter"    -> Set("Counter Name"))
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
     p.tpe.split('.').last == "GenerateFlowFile"
 
-  private def dynamicProps(p: Processor): Seq[(String, String)] =
-    p.props.filterNot { case (k, _) => fixedProps.contains(k) }
+  private def dynamicProps(p: Processor): Seq[(String, String)] = {
+    val scoped = typeFixedProps.getOrElse(p.tpe.split('.').last, Set.empty)
+    p.props.filterNot { case (k, _) => fixedProps.contains(k) || scoped.contains(k) }
+  }
 
   private def prop(p: Processor, name: String, dflt: String): String =
     p.props.collectFirst { case (`name`, v) => v }.getOrElse(dflt)
@@ -342,7 +384,8 @@ object FlowCompiler {
   }
 
   private def applyProcessor(spark: SparkSession, p: Processor,
-                             inputs: Seq[DataFrame]): DataFrame = {
+                             inputs: Seq[DataFrame],
+                             srcs: Seq[(String, String)] = Nil): DataFrame = {
     val simple = p.tpe.split('.').last
     // all processors are single-stream (fan-in unions by name) except
     // JoinEnrichment, which joins its two incoming connections
@@ -544,19 +587,33 @@ object FlowCompiler {
         // same int key and silently retype the looked-up columns
         val lookupDf = spark.read.option("header", "true").csv(path)
         val keys = listProp(p, "Join Key", "key")
+        val joinType = prop(p, "Join Type", "left")
         // the stream-side key is cast to string IN THE JOIN CONDITION
         // (not in the output): a numeric stream key would otherwise make
         // Spark implicit-cast the all-string lookup side, so "01" would
         // match 1 — undoing the string-keyed matching above. Output
-        // keeps the stream column's original type; lookup-side key
-        // copies are dropped and columns ordered as a using-join would.
+        // keeps the stream column's original type.
         val cond = keys.map(k => in(k).cast("string") === lookupDf(k)).reduce(_ && _)
         val joined = in.join(org.apache.spark.sql.functions.broadcast(lookupDf),
-          cond, prop(p, "Join Type", "left"))
-        val dropped = keys.foldLeft(joined)((d, k) => d.drop(lookupDf(k)))
-        val rest = in.columns.filterNot(keys.contains) ++
-          lookupDf.columns.filterNot(keys.contains)
-        dropped.select((keys ++ rest).map(org.apache.spark.sql.functions.col): _*)
+          cond, joinType)
+        if (Set("left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+              .contains(joinType.toLowerCase.replace(" ", "_")))
+          joined // semi/anti joins carry no lookup-side columns
+        else {
+          // frame-qualified select so a lookup CSV sharing a NON-key
+          // column name with the stream still compiles: the collision
+          // resolves to the looked-up value when the key matched and
+          // the stream's own value otherwise (NiFi's result-in-place
+          // enrichment), at the column's stream position.
+          val streamRest = in.columns.filterNot(keys.contains)
+          val lookRest = lookupDf.columns.filterNot(keys.contains)
+          val out = keys.map(k => in(k)) ++
+            streamRest.map { c =>
+              if (lookRest.contains(c)) coalesce(lookupDf(c), in(c)).as(c) else in(c)
+            } ++
+            lookRest.filterNot(streamRest.contains).map(c => lookupDf(c))
+          joined.select(out: _*)
+        }
       case "LookupAttribute" =>
         // dynamic properties ARE the key->value mapping (NiFi's
         // SimpleKeyValueLookupService inlined into the processor config)
@@ -651,9 +708,24 @@ object FlowCompiler {
         // Distributed Cache Service path holds signals a Notify wrote
         // on an earlier trigger (NiFi's cache-backed form)
         val keys = listProp(p, "Release Signal Identifier", "key")
-        if (inputs.size == 2)
-          Records.waitRelease(inputs(0), inputs(1), keys.map(k => k -> k),
+        if (inputs.size == 2) {
+          // flow-definition connections are an unordered collection, so
+          // the signal role must not hinge on JSON order: a `Signal
+          // Source` property naming the upstream processor (by name or
+          // id) pins it; without one, the documented default is signal-
+          // second in authored order.
+          val sigRef = prop(p, "Signal Source", "")
+          val sigIdx =
+            if (sigRef.isEmpty) 1
+            else {
+              val i = srcs.indexWhere { case (id, name) => id == sigRef || name == sigRef }
+              require(i >= 0, s"Wait ${p.name}: Signal Source '$sigRef' is not an " +
+                s"incoming connection (have: ${srcs.map(_._2).mkString(", ")})")
+              i
+            }
+          Records.waitRelease(inputs(1 - sigIdx), inputs(sigIdx), keys.map(k => k -> k),
             prop(p, "Route Column", "route"))
+        }
         else {
           val cachePath = prop(p, "Distributed Cache Service", "")
           require(cachePath.nonEmpty,

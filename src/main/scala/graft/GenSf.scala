@@ -89,7 +89,11 @@ object GenSf {
     val r = rng("docdup", id)
     val roll = r.nextDouble()
     if (id >= 50 && roll < 0.0016) {
-      docBaseWords(r.nextLong(id)).mkString(" ")
+      // the target's FINAL text, not its base words: a target that
+      // itself took a mutation branch must still yield a true exact
+      // duplicate. Recursion terminates — nextLong(id) < id, and dup
+      // chains are geometric(0.06) so depth stays tiny.
+      docText(r.nextLong(id))
     } else if (id >= 50 && roll < 0.06) {
       val target = docBaseWords(r.nextLong(id)).toArray
       val nMut = math.max(1, math.rint(target.length * 0.04).toInt)

@@ -29,6 +29,11 @@ object Provenance {
 
   final class Listener extends QueryExecutionListener {
     private[Provenance] val events = new ConcurrentLinkedQueue[Event]()
+    // dirs this listener's own flushes write to: their save actions are
+    // NOT provenance (the repository logging its own writes would both
+    // race flush's drained-queue contract and grow the log per flush)
+    private[Provenance] val selfDirs =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     private def digest(qe: QueryExecution): (String, String) = {
       val plan = qe.executedPlan.toString
@@ -45,13 +50,21 @@ object Provenance {
       }.toMap
       catch { case _: Exception => Map.empty }
 
+    private def isSelfWrite(qe: QueryExecution): Boolean =
+      try {
+        val plan = qe.executedPlan.toString
+        selfDirs.asScala.exists(plan.contains)
+      } catch { case _: Exception => false }
+
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      if (isSelfWrite(qe)) return
       val (hex, summary) = digest(qe)
       events.add(Event(System.currentTimeMillis(), funcName, durationNs, succeeded = true,
         hex, summary, tagsOf(qe)))
     }
 
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+      if (isSelfWrite(qe)) return
       val (hex, summary) = digest(qe)
       events.add(Event(System.currentTimeMillis(), funcName, durationNs = -1L, succeeded = false,
         hex, summary, tagsOf(qe)))
@@ -83,6 +96,7 @@ object Provenance {
     * accumulates across sessions and restarts. */
   def flush(spark: SparkSession, l: Listener, dir: String): Int = {
     import spark.implicits._
+    l.selfDirs.add(dir) // the flush write itself is not provenance
     val drained = Iterator.continually(l.events.poll()).takeWhile(_ != null).toSeq
     if (drained.nonEmpty)
       drained.toDF().coalesce(1).write.mode("append").parquet(dir)
@@ -98,7 +112,10 @@ object Provenance {
             action: Option[String] = None,
             planDigest: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    var df = spark.read.parquet(dir).filter(col("tsMillis") >= sinceMillis)
+    // mergeSchema: logs accumulate across versions, so files may lack
+    // later-added columns (e.g. pre-r7 events without `tags`)
+    var df = spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("tsMillis") >= sinceMillis)
     action.foreach(a => df = df.filter(col("action") === a))
     planDigest.foreach(h => df = df.filter(col("planDigest") === h))
     df
@@ -132,10 +149,23 @@ object Provenance {
     * x outputs), so the join broadcasts. */
   def queryByProcessor(spark: SparkSession, provenanceDir: String, lineageDir: String,
                        processorId: String, sinceMillis: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode_outer}
+    import org.apache.spark.sql.functions.{col, explode_outer, lit}
+    // distinct: writeFlowLineage appends one manifest per compile, so a
+    // flow compiled N times holds N identical rows — without the dedup
+    // the join would multiply every event row N-fold
     val lin = spark.read.parquet(lineageDir)
       .filter(col("processorId") === processorId)
-    val ev = spark.read.parquet(provenanceDir)
+      .select("observation", "flow", "outputPort", "processorId",
+        "processorName", "processorType")
+      .distinct()
+    // mergeSchema: a provenance dir can mix files written before the
+    // tags column existed with tagged ones; a missing column after the
+    // merged read (all-old dir) still resolves via the null fallback
+    val raw = spark.read.option("mergeSchema", "true").parquet(provenanceDir)
+    val tagged =
+      if (raw.columns.contains("tags")) raw
+      else raw.withColumn("tags", lit(null).cast("map<string,bigint>"))
+    val ev = tagged
       .filter(col("tsMillis") >= sinceMillis)
       .select(col("tsMillis"), col("action"), col("durationNs"), col("succeeded"),
         explode_outer(col("tags")).as(Seq("observation", "outputRows")))
@@ -196,7 +226,10 @@ object Provenance {
                   sinceMillis: Long = 0L,
                   queryName: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    var df = spark.read.parquet(dir).filter(col("tsMillis") >= sinceMillis)
+    // mergeSchema: logs accumulate across versions, so files may lack
+    // later-added columns (e.g. pre-r7 events without `tags`)
+    var df = spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("tsMillis") >= sinceMillis)
     queryName.foreach(n => df = df.filter(col("queryName") === n))
     df
   }

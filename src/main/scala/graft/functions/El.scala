@@ -97,6 +97,12 @@ object El {
     * until a reducing function (`join`, `count`) collapses them, or the
     * closing `}` reduces a boolean chain with OR (any) / AND (all) —
     * NiFi's semantics for multi-attribute expressions. */
+  /** Chain functions whose result is boolean — drives count()'s
+    * NiFi-faithful true-counting vs non-null-counting split. */
+  private val booleanFns = Set("isEmpty", "contains", "startsWith", "endsWith",
+    "equals", "equalsIgnoreCase", "matches", "find", "gt", "ge", "lt", "le",
+    "and", "or", "not", "isNull", "notNull", "in")
+
   private def parseExpression(s: String, start: Int): (Column, Int) = {
     var i = start + 2 // skip "${"
     i = skipWs(s, i)
@@ -108,6 +114,11 @@ object El {
     // element-wise via transform(), the close reduces with
     // exists()/forall() — NiFi's any/allDelineatedValue semantics
     var delineated = false
+    // whether the LAST chained function returns boolean: count() over
+    // multi/delineated values follows NiFi's CountEvaluator — a boolean
+    // chain counts trues, any other chain (or no chain) counts non-null
+    // evaluations, so ${allDelineatedValues('1,2,3',','):count()} is 3
+    var chainBool = false
     if (at(s, i) == '\'') {
       val (name, n) = parseQuoted(s, i); subjects = Seq(col(name)); i = n
     } else {
@@ -186,19 +197,25 @@ object El {
           subjects = Seq(concat_ws(argStr(args.head), subjects.map(_.cast("string")): _*))
           multi = false
         case "count" if multi =>
-          subjects = Seq(subjects.map(_.cast("boolean").cast("int"))
+          subjects = Seq(subjects.map(c =>
+              (if (chainBool) when(c, 1).otherwise(0)
+               else when(c.isNotNull, 1).otherwise(0)))
             .reduce(_ + _).cast("long"))
           multi = false
         case "join" if delineated =>
           subjects = Seq(array_join(subjects.head, argStr(args.head)))
           delineated = false
-        case "count" if delineated => // NiFi: count of TRUE evaluations
+        case "count" if delineated => // boolean chain: count of TRUE
+          // evaluations; otherwise: count of non-null values
           subjects = Seq(size(filter(subjects.head,
-            x => x.cast("boolean"))).cast("long"))
+            x => if (chainBool) x.cast("boolean") else x.isNotNull)).cast("long"))
           delineated = false
         case _ if delineated =>
           subjects = Seq(transform(subjects.head, x => apply(fname, x, args)))
-        case _ => subjects = subjects.map(c => apply(fname, c, args))
+          chainBool = booleanFns.contains(fname)
+        case _ =>
+          subjects = subjects.map(c => apply(fname, c, args))
+          chainBool = booleanFns.contains(fname)
       }
     }
     require(i < s.length && s.charAt(i) == '}', s"expected '}' at $i in: $s")

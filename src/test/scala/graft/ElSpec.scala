@@ -184,6 +184,10 @@ class ElSpec extends SparkSpec {
     assert(e("${allAttributes('a','b'):join('-')}") == "alpha-beta")
     assert(e("${allAttributes('a','b'):contains('a'):count()}") == 2L)
     assert(e("${anyAttribute('a','b'):contains('et'):count()}") == 1L)
+    // NiFi CountEvaluator: a NON-boolean chain (or no chain) counts
+    // non-null evaluations, not boolean-castable ones
+    assert(e("${allAttributes('a','b'):count()}") == 2L)
+    assert(e("${allAttributes('a','b'):toUpper():count()}") == 2L)
   }
 
   test("nondeterministic standalones: now/UUID/random/hostname") {
@@ -215,6 +219,10 @@ class ElSpec extends SparkSpec {
     // element-wise transform then reducing join / count
     assert(ev("${anyDelineatedValue('${tags}', ','):toUpper():join('|')}") === "A|BB|CCC")
     assert(ev("${anyDelineatedValue('${tags}', ','):length():ge(2):count()}") === 2L)
+    // count over a non-boolean chain counts the VALUES (NiFi: the
+    // number of delineated values), not boolean-castable elements
+    assert(ev("${allDelineatedValues('1,2,3', ','):count()}") === 3L)
+    assert(ev("${allDelineatedValues('${tags}', ','):toUpper():count()}") === 3L)
     // a literal first argument works too
     assert(ev("${allDelineatedValues('x;y;z', ';'):matches('[a-z]')}") === true)
     // nextInt: non-negative, seeded form reproducible per partitioning

@@ -861,4 +861,115 @@ class FlowCompilerSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("selectedRelationships filter the r7 route producers, not just the routers") {
+    // a Wait output connection naming only "success" must drop the
+    // waiting rows — NiFi connections always select relationships
+    val flow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "w", "type": "Wait",
+        |     "properties": {"Release Signal Identifier": "job_id"}}],
+        |  "inputPorts": [
+        |    {"identifier": "i1", "name": "stream"}, {"identifier": "i2", "name": "signals"}],
+        |  "outputPorts": [{"identifier": "o", "name": "released"}],
+        |  "connections": [
+        |    {"source": {"id": "i1"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "i2"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "w"}, "destination": {"id": "o"},
+        |     "selectedRelationships": ["success"]}]}}""".stripMargin
+    val out = FlowCompiler.compile(spark, flow,
+      Map("stream" -> Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("job_id", "v"),
+          "signals" -> Seq(1L, 3L).toDF("job_id")))("released")
+    assert(out.select("job_id").as[Long].collect().sorted === Array(1L, 3L))
+
+    // VerifyContentMAC verify-mode: only the failure leg selected
+    val signed = onePipe(
+      """{"identifier": "p", "type": "VerifyContentMAC",
+        |  "properties": {"Mode": "sign", "Secret Key": "shhh"}}""".stripMargin,
+      Seq(("a", "ok"), ("b", "bad")).toDF("id", "content"))
+    val tampered = signed.withColumn("content",
+      when(col("id") === "b", lit("BAD")).otherwise(col("content")))
+    val failFlow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "p", "type": "VerifyContentMAC",
+        |     "properties": {"Mode": "verify", "Secret Key": "shhh"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "failures"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "p"}},
+        |    {"source": {"id": "p"}, "destination": {"id": "o"},
+        |     "selectedRelationships": ["failure"]}]}}""".stripMargin
+    val failures = FlowCompiler.compile(spark, failFlow, Map("in" -> tampered))("failures")
+    assert(failures.select("id").as[String].collect() === Array("b"))
+  }
+
+  test("processor-specific fixed names stay DYNAMIC for other processors") {
+    // "Key" is EncryptContent's fixed property; an UpdateAttribute
+    // dynamic property of the same name must still produce a column
+    val out = onePipe(
+      """{"identifier": "p", "type": "UpdateAttribute",
+        |  "properties": {"Key": "${id:toUpper()}", "Counter Name": "${id:toLower()}"}}""".stripMargin,
+      Seq("aB", "cD").toDF("id"))
+    assert(out.columns.toSeq === Seq("id", "Key", "Counter Name"))
+    assert(out.select("Key").as[String].collect().sorted === Array("AB", "CD"))
+  }
+
+  test("Wait pins the signal connection by Signal Source, independent of JSON order") {
+    // the signal connection listed FIRST: without the property this
+    // would swap the roles; Signal Source names the upstream node
+    def flowJson(sigSrc: String) =
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "n", "name": "notifier", "type": "Notify", "properties": {}},
+         |    {"identifier": "w", "type": "Wait",
+         |     "properties": {"Release Signal Identifier": "job_id",
+         |                    "Signal Source": "$sigSrc"}}],
+         |  "inputPorts": [
+         |    {"identifier": "i1", "name": "stream"}, {"identifier": "i2", "name": "signals"}],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i2"}, "destination": {"id": "n"}},
+         |    {"source": {"id": "n"}, "destination": {"id": "w"}},
+         |    {"source": {"id": "i1"}, "destination": {"id": "w"}},
+         |    {"source": {"id": "w"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val inputs = Map(
+      "stream" -> Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("job_id", "v"),
+      "signals" -> Seq(1L, 3L).toDF("job_id"))
+    // by processor name AND by id — both resolve
+    for (ref <- Seq("notifier", "n")) {
+      val out = FlowCompiler.compile(spark, flowJson(ref), inputs)("out")
+      assert(out.select("job_id", "route").as[(Long, String)].collect().sorted ===
+        Array((1L, "success"), (2L, "wait"), (3L, "success")), s"ref=$ref")
+    }
+    val err = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flowJson("nope"), inputs)
+    }
+    assert(err.getMessage.contains("Signal Source"))
+  }
+
+  test("LookupRecord resolves a lookup column colliding with a stream column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup_collide")
+    java.nio.file.Files.writeString(dir.resolve("labels.csv"),
+      "code,label\n1,one\n2,two\n")
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "lk", "type": "LookupRecord",
+         |     "properties": {"Lookup File": "${dir.resolve("labels.csv")}",
+         |                    "Join Key": "code"}}],
+         |  "inputPorts": [{"identifier": "i", "name": "in"}],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i"}, "destination": {"id": "lk"}},
+         |    {"source": {"id": "lk"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    // the stream carries its own `label`: matched keys take the looked-up
+    // value, misses keep the stream's own (result-in-place enrichment)
+    val in = Seq(("1", "old_one"), ("3", "old_three")).toDF("code", "label")
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+    assert(out.columns.toSeq === Seq("code", "label"))
+    assert(out.as[(String, String)].collect().sortBy(_._1) ===
+      Array(("1", "one"), ("3", "old_three")))
+  }
 }

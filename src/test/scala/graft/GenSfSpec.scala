@@ -55,4 +55,29 @@ class GenSfSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(vocab === GenSf.DocVocab.toSet)
   }
+
+  test("exact-dup docs duplicate the target's FINAL text, even a mutated target") {
+    // scan driver-side (pure function, no Spark): every doc whose text
+    // matches an EARLIER doc exactly is a planted exact dup; at least
+    // one such pair must duplicate a target that itself took a mutation
+    // branch (text != its own base words) — the case the base-words
+    // copy bug silently broke
+    val firstByText = scala.collection.mutable.HashMap.empty[String, Long]
+    var dupPairs = 0
+    var dupOfMutated = 0
+    var id = 0L
+    while (id < 120000L) {
+      val t = GenSf.docText(id)
+      firstByText.get(t) match {
+        case Some(first) =>
+          dupPairs += 1
+          if (t != GenSf.docBaseWords(first).mkString(" ")) dupOfMutated += 1
+        case None => firstByText(t) = id
+      }
+      id += 1
+    }
+    assert(dupPairs > 100, s"expected planted exact dups, found $dupPairs")
+    assert(dupOfMutated > 0,
+      "no exact dup targets a mutated doc — dup branch is copying base words")
+  }
 }

@@ -95,13 +95,15 @@ final class MiniFtpServer(root: Path, val user: String = "u", val pass: String =
               reply("150 listing")
               val data = openData()
               try {
-                val entries =
-                  if (Files.isDirectory(target))
-                    Files.list(target).iterator()
-                  else java.util.List.of(target).iterator()
+                val entries: Seq[Path] =
+                  if (Files.isDirectory(target)) {
+                    val st = Files.list(target)
+                    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
+                    finally st.close()
+                  } else Seq(target)
                 val fmt = new SimpleDateFormat("MMM dd HH:mm", Locale.US)
                 val sb = new StringBuilder
-                entries.forEachRemaining { p =>
+                entries.foreach { p =>
                   val d = Files.isDirectory(p)
                   val size = if (d) 0L else Files.size(p)
                   val ts = fmt.format(new java.util.Date(Files.getLastModifiedTime(p).toMillis))

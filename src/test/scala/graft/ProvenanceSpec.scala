@@ -95,8 +95,41 @@ class ProvenanceSpec extends SparkSpec {
         assert(hits.exists(_._4 == 2L))
         // a processor not in this flow matches nothing
         assert(Provenance.queryByProcessor(spark, provDir, linDir, "p-absent").count() === 0L)
+
+        // re-compiling the flow appends an IDENTICAL manifest; the
+        // query must not multiply event rows by manifest count
+        val before = Provenance.queryByProcessor(spark, provDir, linDir, "p-up").count()
+        Provenance.writeFlowLineage(spark, linDir, lineage)
+        Provenance.writeFlowLineage(spark, linDir, lineage)
+        assert(Provenance.queryByProcessor(spark, provDir, linDir, "p-up").count() === before,
+          "appended duplicate manifests must not inflate lineage results")
       }
     } finally Provenance.disable(spark, l)
+  }
+
+  test("lineage queries tolerate provenance files written before the tags column") {
+    // a pre-r7 log (no `tags`) mixed with a tagged one: query reads
+    // both, queryByProcessor neither fails nor drops the tagged events
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft_prov_mixed")
+    val provDir = dir.resolve("prov").toString
+    val linDir = dir.resolve("lineage").toString
+    // old-schema file: Event minus tags
+    Seq((1000L, "count", 5L, true, "d1", "plan"))
+      .toDF("tsMillis", "action", "durationNs", "succeeded", "planDigest", "planSummary")
+      .write.mode("append").parquet(provDir)
+    // new-schema file with an observed tag
+    Seq((2000L, "count", 6L, true, "d2", "plan"))
+      .toDF("tsMillis", "action", "durationNs", "succeeded", "planDigest", "planSummary")
+      .withColumn("tags",
+        org.apache.spark.sql.functions.map(lit("graft_flow:f:out"), lit(2L)))
+      .write.mode("append").parquet(provDir)
+    Provenance.writeFlowLineage(spark, linDir, Seq(Provenance.ProcessorLineage(
+      "f", "out", "graft_flow:f:out", "p1", "P One", "ReplaceText")))
+    assert(Provenance.query(spark, provDir).count() === 2L)
+    val hits = Provenance.queryByProcessor(spark, provDir, linDir, "p1")
+      .select("tsMillis", "outputRows").as[(Long, Long)].collect()
+    assert(hits === Array((2000L, 2L)))
   }
 
   test("streaming provenance: one event per micro-batch, persisted and queryable") {
