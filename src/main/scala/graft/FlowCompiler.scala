@@ -344,6 +344,8 @@ object FlowCompiler {
     * Of these types only UpdateCounter consumes dynamic properties,
     * but scoping ALL of them keeps the contract uniform. */
   private val typeFixedProps: Map[String, Set[String]] = Map(
+    "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
+    "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
     "EncryptContent"   -> Set("Key"),
     "VerifyContentMAC" -> Set("Secret Key", "Algorithm", "MAC Column"),
@@ -356,7 +358,8 @@ object FlowCompiler {
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
-    p.tpe.split('.').last == "GenerateFlowFile"
+    Set("GenerateFlowFile", "GetFile", "ListFile")
+      .contains(p.tpe.split('.').last)
 
   private def dynamicProps(p: Processor): Seq[(String, String)] = {
     val scoped = typeFixedProps.getOrElse(p.tpe.split('.').last, Set.empty)
@@ -567,6 +570,36 @@ object FlowCompiler {
         require(inputs.isEmpty, s"GenerateFlowFile ${p.name} is a source — no incoming connections")
         graft.sources.Io.generate(spark, prop(p, "File Count", "100").trim.toLong,
           prop(p, "Buckets", "10").trim.toInt)
+      case "GetFile" =>
+        // the classic NiFi entry point: one row per file with its
+        // content. `Character Set` decodes payloads for the text
+        // processors downstream; empty keeps raw bytes (media path).
+        require(inputs.isEmpty, s"GetFile ${p.name} is a source — no incoming connections")
+        val dir = prop(p, "Input Directory", "")
+        require(dir.nonEmpty, s"GetFile ${p.name} needs an Input Directory")
+        val raw = graft.sources.Io.fetchFiles(spark, dir, prop(p, "File Filter", "*"))
+        val cs = prop(p, "Character Set", "UTF-8")
+        val content = if (cs.isEmpty) col("content") else decode(col("content"), cs)
+        raw.select(col("path"),
+          element_at(split(col("path"), "/"), -1).as("filename"),
+          content.as("content"))
+      case "ListFile" =>
+        require(inputs.isEmpty, s"ListFile ${p.name} is a source — no incoming connections")
+        val dir = prop(p, "Input Directory", "")
+        require(dir.nonEmpty, s"ListFile ${p.name} needs an Input Directory")
+        graft.sources.Io.listFiles(spark, dir, prop(p, "File Filter", "*"))
+      case "ConvertRecord" =>
+        // content-grain Record Reader -> Record Writer conversion;
+        // reader/writer name their format directly (json|csv), the
+        // record schema is the Schema property (DDL)
+        Records.convertRecordFormat(in, prop(p, "Content Column", "content"),
+          prop(p, "Record Reader", "json"), prop(p, "Record Writer", "json"),
+          prop(p, "Schema", ""), prop(p, "Output Column", "converted"))
+      case "LogAttribute" | "LogMessage" =>
+        // observability no-ops in a compiled plan: real NiFi exports
+        // are littered with these — failing on them would reject
+        // nearly every real-world flow. Pass-through, success route.
+        in
       case "SplitText" =>
         Records.split(in, prop(p, "Content Column", "content"),
           prop(p, "Delimiter", "\n"))

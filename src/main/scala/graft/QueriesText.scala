@@ -374,6 +374,38 @@ object QueriesText {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     FlowCompiler.compile(s, json, Map("documents" -> Tables.documents(s, d)))("by_source")
   }
+  /** Ninth committed flow (r7), file-sourced: GetFile ingests one JSON
+    * file per document from a parameterized directory (`#{indir}`),
+    * ConvertRecord re-serializes each record json → csv, LogAttribute
+    * passes through (real NiFi exports are littered with it),
+    * EvaluateJsonPath + QueryRecord type the extracted fields. The
+    * SOURCE lives inside the flow — no caller-bound input port. */
+  val qFlowFiles: Q = (s, d) => {
+    // stage one file per document (bounded: 200 docs — driver-side
+    // writes ARE the GetFile ingestion contract; files are the source)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), length(col("text")).cast("int").as("text_len"))
+      .collect()
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_flow_files_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      java.nio.file.Files.writeString(dir.resolve(f"doc_$id%05d.json"),
+        s"""{"doc_id":$id,"text_len":${r.getInt(1)}}""")
+    }
+    val in = getClass.getResourceAsStream("/flows/file_convert.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map.empty[String, org.apache.spark.sql.DataFrame],
+        Map("indir" -> dir.toString))("converted")
+      .select("doc_id", "text_len", "converted")
+  }
+  val qFlowFilesSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS text_len,
+      |       CAST(doc_id AS VARCHAR) || ',' || CAST(length(text) AS VARCHAR) AS converted
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   val qFlowCsvSql: String =
     """WITH o AS (
       |  SELECT doc_id, source, text,
@@ -761,6 +793,7 @@ object QueriesText {
     "q_flow_lines"      -> qFlowLines,
     "q_flow_parse"      -> qFlowParse,
     "q_flow_csv"        -> qFlowCsv,
+    "q_flow_files"      -> qFlowFiles,
     "q_flow_nested"     -> qFlowNested,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
@@ -801,6 +834,7 @@ object QueriesText {
     "q_flow_lines"      -> qFlowLinesSql,
     "q_flow_parse"      -> qFlowParseSql,
     "q_flow_csv"        -> qFlowCsvSql,
+    "q_flow_files"      -> qFlowFilesSql,
     "q_flow_nested"     -> qFlowNestedSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,

@@ -490,6 +490,33 @@ object Records {
     df.withColumn(outCol, concat_ws(",", cells: _*))
   }
 
+  /** ConvertRecord at the CONTENT grain (NiFi's most-used processor:
+    * Record Reader → Record Writer format conversion): each row's
+    * content column holds one serialized record (a JSON object or a
+    * CSV line); it is parsed with the supplied schema and re-emitted
+    * in the target format. Narrow and codegen'd (from_json/from_csv →
+    * to_json/to_csv) — the TABLE-grain form (whole files between
+    * formats) is [[graft.sources.Io.convert]]. CSV output follows
+    * Spark's to_csv quoting (RFC-4180 compatible). */
+  def convertRecordFormat(df: DataFrame, contentCol: String,
+                          readerFormat: String, writerFormat: String,
+                          schemaDdl: String, outCol: String = "converted"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val parsed = readerFormat.trim.toLowerCase match {
+      case "json" => from_json(col(contentCol).cast("string"), schema)
+      case "csv"  => from_csv(col(contentCol).cast("string"), schema, Map.empty[String, String])
+      case f => throw new IllegalArgumentException(
+        s"ConvertRecord: unknown Record Reader format '$f' (json|csv)")
+    }
+    val out = writerFormat.trim.toLowerCase match {
+      case "json" => (c: Column) => to_json(c)
+      case "csv"  => (c: Column) => to_csv(c)
+      case f => throw new IllegalArgumentException(
+        s"ConvertRecord: unknown Record Writer format '$f' (json|csv)")
+    }
+    df.withColumn(outCol, out(parsed))
+  }
+
   /** FuzzyHashContent (NiFi): context-triggered piecewise hash of the
     * content (ssdeep-style CTPH — see [[graft.plans.FuzzyHash]]):
     * localized edits change only the digest characters of the chunks

@@ -949,6 +949,47 @@ class FlowCompilerSpec extends SparkSpec {
     assert(err.getMessage.contains("Signal Source"))
   }
 
+  test("GetFile/ListFile sources, ConvertRecord and LogAttribute compile in a flow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_getfile")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), """{"id":1,"v":"x"}""")
+    java.nio.file.Files.writeString(dir.resolve("b.json"), """{"id":2,"v":"y,z"}""")
+    java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not me")
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "g", "type": "GetFile",
+         |     "properties": {"Input Directory": "$dir", "File Filter": "*.json"}},
+         |    {"identifier": "c", "type": "ConvertRecord",
+         |     "properties": {"Record Reader": "json", "Record Writer": "csv",
+         |                    "Schema": "id BIGINT, v STRING"}},
+         |    {"identifier": "l", "type": "LogAttribute", "properties": {}}],
+         |  "inputPorts": [],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "g"}, "destination": {"id": "c"}},
+         |    {"source": {"id": "c"}, "destination": {"id": "l"}},
+         |    {"source": {"id": "l"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out = FlowCompiler.compile(spark, flow, Map.empty)("out")
+    // File Filter honored, filename extracted, csv quoting on the comma
+    val rows = out.select("filename", "converted").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(rows === Array(("a.json", "1,x"), ("b.json", "2,\"y,z\"")))
+
+    // ListFile source: one row per file with size + mtime
+    val lsFlow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "ls", "type": "ListFile",
+         |     "properties": {"Input Directory": "$dir", "File Filter": "*.json"}}],
+         |  "inputPorts": [],
+         |  "outputPorts": [{"identifier": "o", "name": "listing"}],
+         |  "connections": [
+         |    {"source": {"id": "ls"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val listing = FlowCompiler.compile(spark, lsFlow, Map.empty)("listing")
+    assert(listing.columns.toSeq === Seq("path", "size", "mtime"))
+    assert(listing.count() === 2L)
+  }
+
   test("LookupRecord resolves a lookup column colliding with a stream column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lookup_collide")
     java.nio.file.Files.writeString(dir.resolve("labels.csv"),
