@@ -48,9 +48,14 @@ object Bench {
     // reader can see whether two rounds' ranges even overlap.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var errs = 0
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // errors are counted, not hidden: a dead context makes every
+        // later query "finish" in milliseconds, which a total-seconds
+        // reader would misread as fast success (observed when an OOM
+        // killed the session mid-bench at mult=30)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => errs += 1 }
         val dt = (System.nanoTime() - t0) / 1e9
         // isolate reps/queries: drop SQL cache AND leftover localCheckpoint
         // RDD blocks (clearCache alone leaves those in the block manager,
@@ -64,13 +69,16 @@ object Bench {
       val med =
         if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
-      (name, med, times.head, times.last)
+      (name, med, times.head, times.last, errs)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val qRange = results.map { case (k, _, mn, mx) =>
+    val qRange = results.map { case (k, _, mn, mx, _) =>
       "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }.mkString("{", ",", "}")
+    val qErrs = results.collect { case (k, _, _, _, e) if e > 0 =>
+      "\"" + k + "\":" + e }.mkString("{", ",", "}")
+    val totalErrs = results.map(_._5).sum
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // /proc/loadavg at finish: lets bench_compare.py flag runs made under
     // external load (shared-box noise produced phantom 5-20x regressions).
@@ -81,14 +89,14 @@ object Bench {
     // stdout tail capture, so it goes to a file; stdout gets ONE short
     // (<200 B) total-only line the driver can always parse whole.
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange}"""
     val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)
       java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     spark.stop()

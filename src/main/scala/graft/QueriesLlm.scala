@@ -243,6 +243,67 @@ object QueriesLlm {
       |  UNION SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s)
       |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** Boilerplate-capped near-dup clustering (§2.4 #32a, r7): the same
+    * capped pair source fed through connected components — the form
+    * that stays linear when gram diversity saturates. Oracle = the
+    * recursive-CTE transitive closure over the capped pairs. */
+  val qDedupClusterCapped: Q = (s, d) =>
+    Dedup.clusters(
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
+          n = 3, threshold = 0.55, maxGramDf = Some(512))
+        .select(col("id_a"), col("id_b")),
+      maxIter = 50)
+  val qDedupClusterCappedSql: String =
+    """WITH RECURSIVE ex AS (
+      |  SELECT source AS block, doc_id AS id,
+      |         unnest(list_distinct([substring(text, i, 3)
+      |                               FOR i IN range(1, greatest(length(text) - 1, 2))])) AS gram
+      |  FROM documents),
+      |keep AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 512),
+      |g AS (
+      |  SELECT block, id, list(gram) AS grams
+      |  FROM ex JOIN keep USING (gram) GROUP BY block, id),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS t FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION SELECT s, t FROM edges
+      |  UNION SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  /** Boilerplate-capped n-gram Jaccard (§2.4 #32, r7): grams in more
+    * than 512 docs are dropped from the gram space (Dedup.ngramJaccard
+    * maxGramDf) — the valve for corpora whose gram diversity stops
+    * growing (boilerplate/template text; the mult=30 scale-proof hit
+    * this shape on the bounded synthetic vocabulary). The oracle
+    * replicates the capped semantics exactly in SQL. */
+  val qDedupJaccardCapped: Q = (s, d) =>
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source",
+        n = 3, threshold = 0.7, maxGramDf = Some(512))
+      .select(col("block"), col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
+  val qDedupJaccardCappedSql: String =
+    """WITH ex AS (
+      |  SELECT source AS block, doc_id AS id,
+      |         unnest(list_distinct([substring(text, i, 3)
+      |                               FOR i IN range(1, greatest(length(text) - 1, 2))])) AS gram
+      |  FROM documents),
+      |keep AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 512),
+      |g AS (
+      |  SELECT block, id, list(gram) AS grams
+      |  FROM ex JOIN keep USING (gram) GROUP BY block, id)
+      |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+      |       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7""".stripMargin
+
   /** MinHash+LSH near-dup pairs (§2.4 #30) — signature-level, no SQL
     * oracle (MinHash seeds aren't portable); spec asserts it finds the
     * q_dedup_jaccard pairs (recall) on planted dups. */
@@ -905,6 +966,8 @@ object QueriesLlm {
     "q_fingerprint_rolling" -> qFingerprintRolling,
     "q_dedup_jaccard"       -> qDedupJaccard,
     "q_dedup_cluster"       -> qDedupCluster,
+    "q_dedup_jaccard_capped" -> qDedupJaccardCapped,
+    "q_dedup_cluster_capped" -> qDedupClusterCapped,
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
@@ -942,6 +1005,8 @@ object QueriesLlm {
     "q_fingerprint_rolling" -> qFingerprintRollingSql,
     "q_dedup_jaccard"       -> qDedupJaccardSql,
     "q_dedup_cluster"       -> qDedupClusterSql,
+    "q_dedup_jaccard_capped" -> qDedupJaccardCappedSql,
+    "q_dedup_cluster_capped" -> qDedupClusterCappedSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
     "q_semantic_dedup"      -> qSemanticDedupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,

@@ -173,9 +173,23 @@ object Dedup {
     * prefix join loses no qualifying pair, while the quadratic term is
     * bounded by rare-gram bucket sizes, not block sizes — the property
     * that survives blocks of millions of docs at 100 TB.
-    */
+    *
+    * `maxGramDf` is the boilerplate valve: grams appearing in more than
+    * `cap` documents are removed from the GRAM SPACE itself (prefix,
+    * verify, and both Jaccard denominators), making the result exact
+    * Jaccard over the remaining DISCRIMINATIVE grams. Rare-prefix
+    * filtering is complete but its candidate volume is Σ_gram df² over
+    * prefix grams — when gram diversity stops growing with the corpus
+    * (boilerplate-heavy or template text; the r7 mult=30 scale-proof hit
+    * this on the bounded synthetic vocabulary: every gram's df grows
+    * linearly with the corpus and the exact form goes quadratic), even
+    * the rarest grams saturate. Ultra-common grams carry no dup signal
+    * — two documents sharing ONLY boilerplate are not near-duplicates —
+    * so capping bounds every inverted-index bucket at `cap` and restores
+    * linear candidate growth. None (default) = exact/uncapped. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxGramDf: Option[Int] = None): DataFrame = {
     // debug-only stage probe: materializes intermediates to attribute
     // wall time (changes pipelining; NEVER on outside GRAFT_CC_DEBUG)
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
@@ -189,10 +203,26 @@ object Dedup {
     // grams = sorted distinct 64-bit shingle hashes (native expression);
     // Jaccard over hashed grams equals string-gram Jaccard up to a
     // ~|S|²/2⁶⁴ collision probability
-    val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+    val gAll = df.select(col(blockCol).as("block"), col(idCol).as("id"),
                       graft.plans.TextHashExpressions.hashedShingles(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-      .localCheckpoint(true) // reused by prefix indexing + both verify sides
+    val g = (maxGramDf match {
+      case None => gAll
+      case Some(cap) =>
+        // rebuild each doc's gram array on the capped space: one linear
+        // df aggregation + one co-partitioned rebuild (both shuffles on
+        // gram/doc keys). sort_array restores the sorted-distinct
+        // contract sortedIntersectAtLeast requires; docs with no
+        // surviving gram drop out (they cannot pair).
+        val keep = gAll.select(explode(col("grams")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("gram")
+        gAll.select(col("block"), col("id"), explode(col("grams")).as("gram"))
+          .join(keep, "gram")
+          .groupBy("block", "id")
+          .agg(sort_array(collect_list(col("gram"))).as("grams"))
+          .withColumn("n_grams", size(col("grams")))
+    }).localCheckpoint(true) // reused by prefix indexing + both verify sides
     if (dbg) println(s"[nj] g rows=${g.count()}")
     // global doc-frequency per gram — rarity ranking only; jaccard math
     // below stays on the exact hashed-gram sets. (An explicit broadcast

@@ -64,6 +64,39 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)), "cross-block pair must not appear")
   }
 
+  test("ngramJaccard maxGramDf drops boilerplate grams from the gram space") {
+    // every doc shares one boilerplate sentence; only 0/1 share real
+    // content. Uncapped, the boilerplate alone pushes unrelated pairs
+    // over the threshold; capped, similarity is measured on the
+    // discriminative grams and only the true near-dup survives.
+    val boiler = "subscribe to our newsletter today for the latest updates " +
+      "offers and exclusive member only discounts delivered straight to your " +
+      "inbox every single week without fail terms and conditions may apply"
+    val docs = Seq(
+      (0L, s"$boiler quantum qubits explained", "s0"),
+      (1L, s"$boiler quantum qubits explored", "s0"),
+      (2L, s"$boiler drought garden plants", "s0"),
+      (3L, s"$boiler skating finals results", "s0")
+    ).toDF("doc_id", "text", "source")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((2L, 3L)),
+      "boilerplate should push unrelated docs over 0.45 uncapped (test setup)")
+    // cap = 3: the shared-by-all-4 boilerplate grams drop, doc-specific
+    // grams (df <= 2) stay
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.45, maxGramDf = Some(3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)), "true near-dup must survive the cap")
+    assert(!capped.contains((2L, 3L)), "boilerplate-only pair must drop under the cap")
+    // a cap above every gram's df reproduces the exact result
+    val loose = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.45, maxGramDf = Some(1000))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose === uncapped, "a non-binding cap must equal the exact form")
+  }
+
   test("embeddingCosine finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.5f), 1),
