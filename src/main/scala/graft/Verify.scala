@@ -19,13 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,21 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Selfcheck manifest: every queries key must have produced a dump.
+    // Round 8 showed why this must be LOUD — 27 queries silently vanished
+    // from the correctness file and the remaining 93 still read "green".
+    val attempted = SparkEntry.queries.keySet
+      .filter(k => only.isEmpty || only(k)).toSeq.sorted
+    val status = s"""{"attempted": ${attempted.size}, """ +
+      s""""succeeded": ${attempted.size - failed.size}, """ +
+      s""""failed": [${failed.sorted.map(q).mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outDir/_verify_status.json"), status)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${attempted.size} queries FAILED: " +
+          failed.sorted.mkString(", "))
+      sys.exit(3)
+    }
   }
 }

@@ -147,7 +147,7 @@ object Ann {
 
   /** Nearest-centroid assignment by cosine, `probes` cells per vector.
     * One narrow pass over the data against broadcast centroids. */
-  private def assignCells(spark: SparkSession, df: DataFrame,
+  private[operators] def assignCells(spark: SparkSession, df: DataFrame,
                           bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Float])]],
                           probes: Int): Dataset[(Long, Array[Float], Int)] = {
     import spark.implicits._
