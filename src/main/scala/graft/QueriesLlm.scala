@@ -330,6 +330,32 @@ object QueriesLlm {
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin
 
+  /** Embedding-cosine near-dup pairs with IVF-cell blocking (§2.4 #33
+    * scale path): no user blocking key — cells come from the corpus
+    * itself (hash-picked centroids, multi-probe assignment), so the
+    * within-block quadratic of the fixed-label form is gone once
+    * `nCells` is sized ∝ corpus. At the tested SFs the pinned
+    * (nCells=16, nProbe=6) config reaches recall 1.0 vs the exact
+    * all-pairs form, so the oracle below is the EXACT global pair set —
+    * the blocking must lose nothing to pass. */
+  /** Cells sized ∝ corpus (floored at the oracle-verified 16): at the
+    * driver SFs (≤5k vectors) this is exactly the recall-1.0 config the
+    * oracle depends on; at scale-sweep multiples cells grow linearly so
+    * candidate pairs stay ~250·nProbe²·n/2 — linear, not quadratic. */
+  private def ivfCells(n: Long): Int = math.max(16L, n / 250L).toInt
+  val qEmbedNeardupIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Dedup.embeddingCosineIvf(s, emb, "vec_id", "embedding", 0.35,
+        nCells = ivfCells(emb.count()), nProbe = 6)
+      .select(col("id_a"), col("id_b"), dround(col("cos_sim"), 6).as("cos_sim"))
+  }
+  val qEmbedNeardupIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin
+
   /** SemDeDup-style semantic dedup end-to-end (§2.4): embedding-cosine
     * pairs within blocks → connected components → keep each cluster's
     * min-id representative + all singletons. The full keep/drop
@@ -346,6 +372,36 @@ object QueriesLlm {
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+      |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION SELECT s, t FROM edges
+      |  UNION SELECT reach.id, e2.t FROM reach JOIN edges e2 ON reach.r = e2.s),
+      |losers AS (SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |           WHERE id <> cluster)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
+
+  /** Semantic dedup on IVF-cell blocking (§2.4, the 100 TB form):
+    * [[qEmbedNeardupIvf]]'s global pairs → connected components → keep
+    * min-id representative. Same recursive-closure oracle shape as
+    * [[qSemanticDedup]] but with NO label term — the keep/drop decision
+    * is corpus-global, which only passes because the IVF blocking
+    * loses no pair at the tested recall-1.0 config. */
+  val qSemanticDedupIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingCosineIvf(s, emb, "vec_id", "embedding", 0.35,
+        nCells = ivfCells(emb.count()), nProbe = 6)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dropNearDuplicates(emb, "vec_id", pairs).select("vec_id", "label")
+  }
+  val qSemanticDedupIvfSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
       |          UNION SELECT id_b, id_a FROM pairs),
@@ -971,7 +1027,9 @@ object QueriesLlm {
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
+    "q_embed_neardup_ivf"   -> qEmbedNeardupIvf,
     "q_semantic_dedup"      -> qSemanticDedup,
+    "q_semantic_dedup_ivf"  -> qSemanticDedupIvf,
     "q_embed_cosine_topk"   -> qEmbedCosineTopk,
     "q_ann_lsh"             -> qAnnLsh,
     "q_ann_ivf"             -> qAnnIvf,
@@ -1008,6 +1066,8 @@ object QueriesLlm {
     "q_dedup_jaccard_capped" -> qDedupJaccardCappedSql,
     "q_dedup_cluster_capped" -> qDedupClusterCappedSql,
     "q_embed_neardup"       -> qEmbedNeardupSql,
+    "q_embed_neardup_ivf"   -> qEmbedNeardupIvfSql,
+    "q_semantic_dedup_ivf"  -> qSemanticDedupIvfSql,
     "q_semantic_dedup"      -> qSemanticDedupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
     "q_embed_quantized"     -> qEmbedQuantizedSql,

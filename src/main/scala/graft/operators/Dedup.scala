@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -602,6 +602,51 @@ object Dedup {
           array_sort(collect_list(struct(col("__idx"), col("__tok")))),
           x => x.getField("__tok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
+  }
+
+  /** Embedding-cosine near-dup with IVF-cell blocking — the scale path
+    * for semantic dedup when no bounded user blocking key exists.
+    *
+    * [[embeddingCosine]] with a FIXED-cardinality block column is
+    * quadratic within blocks as the corpus grows (measured 85× cost at
+    * 30× data in the r7 scale sweep). Here blocks are IVF cells from
+    * the shared [[Ann]] centroid machinery: `nCells` hash-picked
+    * corpus vectors (optionally Lloyd-refined), every vector assigned
+    * to its `nProbe` nearest centroids (multi-probe, so boundary pairs
+    * straddling a cell edge still meet in a shared cell), exact cosine
+    * only within co-assigned cells. Sizing `nCells ∝ n` with fixed
+    * `nProbe` keeps expected candidate pairs ≈ n²·nProbe²/(2·nCells)
+    * — LINEAR in n, and the cell id is a uniform shuffle key.
+    *
+    * Output: distinct (id_a < id_b, cos_sim) pairs — a pair found in
+    * several shared cells appears once. Approximate by design: a pair
+    * whose members share no probed cell is not compared (recall is
+    * spec-gated against the exact form; raise `nProbe` to trade cost
+    * for recall).
+    */
+  def embeddingCosineIvf(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nCells: Int = 16, nProbe: Int = 2,
+                         lloydIters: Int = 0): DataFrame = {
+    import spark.implicits._
+    val corpus = df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    val init: Array[(Int, Array[Float])] = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val cents =
+      if (lloydIters > 0) Ann.refineCentroids(spark, corpus, init, lloydIters) else init
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = Ann.assignCells(spark, corpus, bc, nProbe)
+      .toDF("id", "v", "cell")
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup within blocks (label / IVF cell). */

@@ -109,6 +109,54 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("embeddingCosineIvf: planted near-dups recalled at least as well as the label-blocked form") {
+    // 40 spread-out random vectors + 3 planted near-identical pairs.
+    // The label-blocked form with a SHARED label sees every pair; the
+    // IVF form must not lose a planted near-dup to cell boundaries
+    // (multi-probe assignment carries boundary vectors into both cells).
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), 1)
+    }
+    val planted = Seq(100L -> 0L, 101L -> 7L, 102L -> 23L).map { case (nid, src) =>
+      val v = base(src.toInt)._2.clone()
+      v(0) = v(0) + 0.01f
+      (nid, v, 1)
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val labelPairs = Dedup.embeddingCosine(vecs, "vec_id", "embedding", "label", 0.995)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivfPairs = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.995,
+        nCells = 8, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plantedPairs = Set((0L, 100L), (7L, 101L), (23L, 102L))
+    assert(plantedPairs.subsetOf(labelPairs), "setup: label form must see planted dups")
+    assert(plantedPairs.subsetOf(ivfPairs),
+      s"IVF blocking lost planted near-dups: ${plantedPairs -- ivfPairs}")
+    assert((labelPairs -- ivfPairs).isEmpty || ivfPairs.size >= plantedPairs.size,
+      "IVF recall must cover the planted set")
+  }
+
+  test("embeddingCosineIvf at the pinned query config equals the exact global pair set (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$d/embeddings.parquet").exists) {
+      val emb = Tables.embeddings(spark, d)
+      val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val ivf = Dedup.embeddingCosineIvf(spark, emb, "vec_id", "embedding", 0.35,
+          nCells = 16, nProbe = 6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // q_embed_neardup_ivf / q_semantic_dedup_ivf share the EXACT
+      // global oracle; that only holds while this equality holds.
+      assert(ivf === exact,
+        s"missed=${(exact -- ivf).size} spurious=${(ivf -- exact).size}")
+    }
+  }
+
   test("clusters: connected components over pairs, min-id representative") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(pairs)
