@@ -49,27 +49,34 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var errs = 0
-      val times = (1 to reps).map { _ =>
+      val raw = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // errors are counted, not hidden: a dead context makes every
         // later query "finish" in milliseconds, which a total-seconds
         // reader would misread as fast success (observed when an OOM
         // killed the session mid-bench at mult=30)
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => errs += 1 }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => errs += 1; false }
         val dt = (System.nanoTime() - t0) / 1e9
         // isolate reps/queries: drop SQL cache AND leftover localCheckpoint
         // RDD blocks (clearCache alone leaves those in the block manager,
         // where 100 queries' worth of them taxes later heavy queries)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }.sorted
-      // true median: average the two middles for even rep counts (the
-      // upper-middle alone would bias every number toward the slow rep)
+        (dt, ok)
+      }
+      // a failed rep often "finishes" in milliseconds; folding it into
+      // the median would publish a misleadingly fast number, so the
+      // median is over SUCCESSFUL reps only. All-reps-failed publishes
+      // -1 — impossible as a wall time, unmistakable to a reader (the
+      // errors count in the JSON says why).
+      val times = raw.collect { case (dt, true) => dt }.sorted
       val med =
-        if (times.size % 2 == 1) times(times.size / 2)
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
-      (name, med, times.head, times.last, errs)
+      val (mn, mx) = if (times.isEmpty) (-1.0, -1.0) else (times.head, times.last)
+      (name, med, mn, mx, errs)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f(med) }
@@ -79,7 +86,9 @@ object Bench {
     val qErrs = results.collect { case (k, _, _, _, e) if e > 0 =>
       "\"" + k + "\":" + e }.mkString("{", ",", "}")
     val totalErrs = results.map(_._5).sum
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // all-failed queries (med = -1 sentinel) stay out of the total; they
+    // are visible via errors/query_errors, not as phantom wall time
+    val total = results.map(_._2).filter(_ >= 0).sum
     // /proc/loadavg at finish: lets bench_compare.py flag runs made under
     // external load (shared-box noise produced phantom 5-20x regressions).
     val loadavg =

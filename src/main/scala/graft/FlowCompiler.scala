@@ -223,9 +223,17 @@ object FlowCompiler {
     def connInput(c: Connection): DataFrame = {
       val up = compileNode(c.src)
       procById.get(c.src).flatMap(routeInfo) match {
-        case Some((routeCol, allRoutes))
-          if c.rels.nonEmpty && !allRoutes.forall(c.rels.contains) =>
-          up.filter(col(routeCol).isin(c.rels: _*))
+        case Some((routeCol, allRoutes)) if c.rels.nonEmpty =>
+          // a selected relationship the source can never emit (a typo'd
+          // flow export) must fail HERE — filtered through isin it would
+          // compile to a silently always-empty stream
+          val unknown = c.rels.filterNot(allRoutes.contains)
+          require(unknown.isEmpty,
+            s"connection from ${procById.get(c.src).map(_.name).getOrElse(c.src)} selects " +
+            s"relationship(s) ${unknown.mkString("'", "', '", "'")} it never emits; " +
+            s"valid: ${allRoutes.mkString(", ")}")
+          if (!allRoutes.forall(c.rels.contains)) up.filter(col(routeCol).isin(c.rels: _*))
+          else up
         case _ => up
       }
     }
@@ -776,12 +784,16 @@ object FlowCompiler {
         // the scheduled-batch analog of NiFi's on-trigger cache write
         // (a later compile's Wait sees them); without one, the OUTPUT
         // is the signal stream a two-input Wait consumes directly.
+        // putIfAbsent keeps the recording IDEMPOTENT: re-compiling the
+        // same flow over the same data appends no new generation, so
+        // repeated compiles neither grow the log nor change what a
+        // later Wait observes.
         val cachePath = prop(p, "Distributed Cache Service", "")
         if (cachePath.nonEmpty) {
           val keys = listProp(p, "Release Signal Identifier", "key")
           require(keys.size == 1,
             s"Notify ${p.name}: the cache-backed form records ONE Release Signal Identifier")
-          graft.operators.MapCache.put(
+          graft.operators.MapCache.putIfAbsent(
             in.select(col(keys.head)).distinct().withColumn("__v", lit("notified")),
             cachePath, keys.head, "__v")
         }

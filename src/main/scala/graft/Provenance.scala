@@ -50,10 +50,27 @@ object Provenance {
       }.toMap
       catch { case _: Exception => Map.empty }
 
+    /** True only for an actual WRITE whose destination resolves inside a
+      * registered self dir. A plan-string substring test here would also
+      * drop provenance for queries that merely READ the log, and for
+      * writes to sibling paths sharing the dir as a prefix ("/tmp/prov"
+      * vs "/tmp/prov2") — both are legitimate provenance. */
     private def isSelfWrite(qe: QueryExecution): Boolean =
       try {
-        val plan = qe.executedPlan.toString
-        selfDirs.asScala.exists(plan.contains)
+        val written: Option[String] = qe.analyzed.collectFirst {
+          case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+            c.outputPath.toString
+        }
+        written.exists { out =>
+          val outN = out.stripSuffix("/")
+          selfDirs.asScala.exists { d =>
+            // registered dirs may be bare paths; outputPath is a Hadoop
+            // URI (file:/…) — compare on the path component
+            val dN = new org.apache.hadoop.fs.Path(d).toUri.getPath.stripSuffix("/")
+            val oN = new org.apache.hadoop.fs.Path(outN).toUri.getPath.stripSuffix("/")
+            oN == dN || oN.startsWith(dN + "/")
+          }
+        }
       } catch { case _: Exception => false }
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {

@@ -386,9 +386,14 @@ object QueriesText {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"), length(col("text")).cast("int").as("text_len"))
       .collect()
+    // Stage dir keyed by the FULL sf path (sanitized), not a 32-bit
+    // hashCode — two dirs can share a hashCode, and a prior run's files
+    // would ghost into this run through GetFile's glob. Same reason the
+    // dir is wiped before staging: the file listing IS the source.
     val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_flow_files_" + Integer.toHexString(d.hashCode))
+      "graft_flow_files_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.list(dir).forEach(p => java.nio.file.Files.deleteIfExists(p))
     docs.foreach { r =>
       val id = r.getLong(0)
       java.nio.file.Files.writeString(dir.resolve(f"doc_$id%05d.json"),

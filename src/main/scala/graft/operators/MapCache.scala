@@ -58,6 +58,20 @@ object MapCache {
       .write.mode("append").parquet(s"$path/gen=$gen")
   }
 
+  /** Put only the (key, value) rows whose live entry differs or is
+    * absent — storage-idempotent: re-running the same put over the same
+    * data appends NOTHING, so generations don't accumulate per run.
+    * Costs one read of the (small-by-contract) log plus the append. */
+  def putIfAbsent(df: DataFrame, path: String, keyCol: String, valueCol: String): Unit = {
+    val spark = df.sparkSession
+    val incoming = df.select(col(keyCol).cast("string").as("key"),
+                             col(valueCol).cast("string").as("value"))
+    val fresh = incoming.join(broadcast(entries(spark, path)),
+      Seq("key", "value"), "left_anti").cache()
+    try { if (fresh.limit(1).count() > 0) put(fresh, path, "key", "value") }
+    finally fresh.unpersist(blocking = false)
+  }
+
   /** Remove: tombstone the given keys (one-column DataFrame). */
   def remove(keys: DataFrame, path: String, keyCol: String): Unit =
     put(keys.select(col(keyCol), lit(null).cast("string").as("__v")),

@@ -905,6 +905,62 @@ class FlowCompilerSpec extends SparkSpec {
     assert(failures.select("id").as[String].collect() === Array("b"))
   }
 
+  test("a selected relationship the source never emits fails compile loudly") {
+    // typo'd relationship in an exported flow: isin-filtering it would
+    // compile to a silently always-empty stream — must throw instead
+    val flow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "w", "type": "Wait", "name": "gate",
+        |     "properties": {"Release Signal Identifier": "job_id"}}],
+        |  "inputPorts": [
+        |    {"identifier": "i1", "name": "stream"}, {"identifier": "i2", "name": "signals"}],
+        |  "outputPorts": [{"identifier": "o", "name": "released"}],
+        |  "connections": [
+        |    {"source": {"id": "i1"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "i2"}, "destination": {"id": "w"}},
+        |    {"source": {"id": "w"}, "destination": {"id": "o"},
+        |     "selectedRelationships": ["sucess"]}]}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flow,
+        Map("stream" -> Seq((1L, "x")).toDF("job_id", "v"),
+            "signals" -> Seq(1L).toDF("job_id")))("released")
+    }
+    assert(e.getMessage.contains("sucess") && e.getMessage.contains("valid:"))
+  }
+
+  test("Notify signal recording is idempotent across compiles") {
+    val cache = java.nio.file.Files.createTempDirectory("notify-idem").toString + "/cache"
+    val flow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "n", "type": "Notify",
+        |     "properties": {"Release Signal Identifier": "job_id",
+        |                    "Distributed Cache Service": "CACHE"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "n"}},
+        |    {"source": {"id": "n"}, "destination": {"id": "o"}}]}}""".stripMargin
+        .replace("CACHE", cache)
+    val in = Seq(1L, 2L).toDF("job_id")
+    def gens = {
+      val d = new java.io.File(cache)
+      if (d.exists) d.listFiles.count(_.getName.startsWith("gen=")) else 0
+    }
+    FlowCompiler.compile(spark, flow, Map("in" -> in))("out").count()
+    val after1 = gens
+    assert(after1 == 1, s"first compile must record one generation, got $after1")
+    FlowCompiler.compile(spark, flow, Map("in" -> in))("out").count()
+    assert(gens == after1, "recompile over the same data must append nothing")
+    // genuinely new signals still get recorded
+    FlowCompiler.compile(spark, flow, Map("in" -> Seq(3L).toDF("job_id")))("out").count()
+    assert(gens == after1 + 1, "new signal keys must still append")
+    val live = graft.operators.MapCache.entries(spark, cache)
+      .select("key").as[String].collect().sorted
+    assert(live === Array("1", "2", "3"))
+  }
+
   test("processor-specific fixed names stay DYNAMIC for other processors") {
     // "Key" is EncryptContent's fixed property; an UpdateAttribute
     // dynamic property of the same name must still produce a column

@@ -57,6 +57,41 @@ class ProvenanceSpec extends SparkSpec {
       action = Some("collect")).count() >= 1)
   }
 
+  test("self-write suppression drops only writes INTO the log dir, not reads or sibling writes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_prov_self").toString
+    val dir = base + "/prov"          // the provenance log
+    val sibling = base + "/prov2"     // shares the dir string as a PREFIX
+    val l = Provenance.enable(spark)
+    try {
+      Seq((1L, "a")).toDF("id", "v").count()
+      eventually { assert(Provenance.log(spark, l).count() >= 1) }
+      assert(Provenance.flush(spark, l, dir) >= 1)
+
+      // a READ of the log must be provenance (the old plan-string
+      // substring test dropped it: the scan path contains the dir)
+      Provenance.query(spark, dir).count()
+      // a write to a SIBLING path sharing the prefix must be provenance
+      Seq((9L, "x")).toDF("id", "v").write.mode("overwrite").parquet(sibling)
+      // a write INTO the log dir itself must stay suppressed
+      val before = Provenance.log(spark, l).count()
+      Seq(("k", "v")).toDF("key", "value").write.mode("append").parquet(dir + "/gen=99")
+      eventually {
+        val log = Provenance.log(spark, l)
+        val summaries = log.select("planSummary")
+          .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+        assert(summaries.exists(_.contains("prov2")),
+          s"sibling-path write lost: ${summaries.mkString("\n---\n")}")
+        assert(summaries.exists(s => s.contains("Relation") && s.contains("/prov/")) ||
+               summaries.exists(_.contains("prov")),
+          "read of the log itself must be recorded")
+        assert(!summaries.exists(s =>
+            s.contains("InsertIntoHadoopFsRelationCommand") && s.contains("/prov/gen=99")),
+          "write into the log dir must stay suppressed")
+      }
+      assert(before >= 2)
+    } finally Provenance.disable(spark, l)
+  }
+
   test("flow-level lineage: queryByProcessor answers which runs went through a processor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_flowprov")
     val provDir = dir.resolve("prov").toString
