@@ -151,6 +151,60 @@ object FlowCompiler {
       ownFunnels ++ children.flatMap(_.funnels))
   }
 
+  /** Export a flow back to NiFi versioned-flow JSON — the registry
+    * round-trip (NiFi deployments version flows through a registry
+    * service; import without export is half of parity). The emitted
+    * document is the same subset [[parse]] reads, so
+    * `parse(export(f)) == f` exactly: processors keep property ORDER
+    * (route priority for RouteOnAttribute), connections keep their
+    * `selectedRelationships`, funnels and both port kinds round-trip.
+    * A flow parsed from nested `processGroups` exports in its
+    * FLATTENED form (child ports already became funnels) — the
+    * compiled plans are identical by construction.
+    *
+    * Capability reference: the NiFi Registry service in the reference
+    * deployment (/root/reference/nifi-registry/deployement.yaml:1). */
+  def export(flow: Flow): String = {
+    flow.processors.foreach { p =>
+      val dup = p.props.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+      require(dup.isEmpty,
+        s"processor ${p.name} has duplicate property keys ${dup.mkString(", ")} — " +
+        "not representable in a JSON properties object")
+    }
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    val fc = root.putObject("flowContents")
+    fc.put("name", flow.name)
+    val procs = fc.putArray("processors")
+    flow.processors.foreach { p =>
+      val n = procs.addObject()
+      n.put("identifier", p.id); n.put("name", p.name); n.put("type", p.tpe)
+      val props = n.putObject("properties")
+      p.props.foreach { case (k, v) => props.put(k, v) }
+    }
+    def ports(field: String, ps: Seq[(String, String)]): Unit = {
+      val a = fc.putArray(field)
+      ps.foreach { case (id, nm) =>
+        val n = a.addObject(); n.put("identifier", id); n.put("name", nm)
+      }
+    }
+    ports("inputPorts", flow.inputPorts)
+    ports("outputPorts", flow.outputPorts)
+    val fun = fc.putArray("funnels")
+    flow.funnels.foreach(f => fun.addObject().put("identifier", f))
+    val conns = fc.putArray("connections")
+    flow.connections.foreach { c =>
+      val n = conns.addObject()
+      n.putObject("source").put("id", c.src)
+      n.putObject("destination").put("id", c.dst)
+      if (c.rels.nonEmpty) {
+        val r = n.putArray("selectedRelationships")
+        c.rels.foreach(r.add)
+      }
+    }
+    om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   /** NiFi Parameter Contexts: property values reference environment
     * parameters as `#{name}`; substitution happens before compilation
     * (NiFi resolves parameters when it materializes the versioned flow
@@ -263,7 +317,7 @@ object FlowCompiler {
             // (Wait) can pin roles by name instead of JSON order
             val srcIds = incoming.getOrElse(id, Nil).map(_.src)
             val srcNames = srcIds.map(s => procById.get(s).map(_.name).getOrElse(s))
-            applyProcessor(spark, p, ins, srcIds.zip(srcNames))
+            applyProcessor(spark, p, ins, srcIds.zip(srcNames), inputs)
           }
       }
       visiting -= id
@@ -362,11 +416,15 @@ object FlowCompiler {
     "Notify"           -> Set("Release Signal Identifier", "Distributed Cache Service"),
     "RetryFlowFile"    -> Set("Retry Attribute", "Maximum Retries"),
     "DetectDuplicate"  -> Set("Distributed Cache Service", "Cache Entry Identifier"),
-    "UpdateCounter"    -> Set("Counter Name"))
+    "UpdateCounter"    -> Set("Counter Name"),
+    "ConsumeKafka"     -> Set("Topic Name(s)", "Group ID", "Kafka Brokers",
+                              "Message Demarcator", "Offset Reset", "Max Poll Records"),
+    "PublishKafka"     -> Set("Topic Name", "Kafka Brokers", "Message Key Field",
+                              "Message Value Field", "Delivery Guarantee"))
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
-    Set("GenerateFlowFile", "GetFile", "ListFile")
+    Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka")
       .contains(p.tpe.split('.').last)
 
   private def dynamicProps(p: Processor): Seq[(String, String)] = {
@@ -396,7 +454,8 @@ object FlowCompiler {
 
   private def applyProcessor(spark: SparkSession, p: Processor,
                              inputs: Seq[DataFrame],
-                             srcs: Seq[(String, String)] = Nil): DataFrame = {
+                             srcs: Seq[(String, String)] = Nil,
+                             bound: Map[String, DataFrame] = Map.empty): DataFrame = {
     val simple = p.tpe.split('.').last
     // all processors are single-stream (fan-in unions by name) except
     // JoinEnrichment, which joins its two incoming connections
@@ -555,6 +614,21 @@ object FlowCompiler {
           require(path.startsWith("/"), s"UpdateRecord ${p.name}: property '$path' must be a record path")
           Records.updateField(d, path.drop(1).replace('/', '.'), compileProperty(tmpl, cols))
         }
+      case "RemoveRecordField" =>
+        // NiFi RemoveRecordField: dynamic property VALUES are the
+        // record paths to drop (the property name is a user label)
+        dynamicProps(p).foldLeft(in) { case (d, (label, path)) =>
+          require(path.startsWith("/"),
+            s"RemoveRecordField ${p.name}: property '$label' must hold a record path, got '$path'")
+          Records.removeField(d, path.drop(1).replace('/', '.'))
+        }
+      case "RenameRecordField" =>
+        // dynamic properties are RecordPath -> new field name
+        dynamicProps(p).foldLeft(in) { case (d, (path, to)) =>
+          require(path.startsWith("/"),
+            s"RenameRecordField ${p.name}: property '$path' must be a record path")
+          Records.renameField(d, path.drop(1).replace('/', '.'), to)
+        }
       case "EvaluateRecordPath" =>
         // dynamic properties are out-column -> RecordPath to extract
         dynamicProps(p).foldLeft(in) { case (d, (name, path)) =>
@@ -596,6 +670,47 @@ object FlowCompiler {
         val dir = prop(p, "Input Directory", "")
         require(dir.nonEmpty, s"ListFile ${p.name} needs an Input Directory")
         graft.sources.Io.listFiles(spark, dir, prop(p, "File Filter", "*"))
+      case "ConsumeKafka" =>
+        // Kafka SOURCE onto the streaming.Kafka wire seam. With a real
+        // broker the flow JSON carries `Kafka Brokers` and the node
+        // compiles to Spark's kafka source (needs spark-sql-kafka on
+        // the classpath — config-only swap). For dev/test the caller
+        // binds a stand-in stream under "kafka:<Topic Name(s)>" with
+        // (key, value, ts) columns; EVERYTHING downstream of the wire
+        // schema is identical under either source. A `Message
+        // Demarcator` splits each payload into one row per record —
+        // NiFi's demarcated-batch semantic.
+        require(inputs.isEmpty, s"ConsumeKafka ${p.name} is a source — no incoming connections")
+        val topics = prop(p, "Topic Name(s)", "")
+        require(topics.nonEmpty, s"ConsumeKafka ${p.name} needs Topic Name(s)")
+        val wire = bound.get(s"kafka:$topics") match {
+          case Some(standIn) =>
+            graft.streaming.Kafka.toWire(standIn, topics, "key", "value", "ts")
+          case None =>
+            val brokers = prop(p, "Kafka Brokers", "")
+            require(brokers.nonEmpty, s"ConsumeKafka ${p.name} needs Kafka Brokers " +
+              s"(or bind a dev stand-in stream as 'kafka:$topics')")
+            graft.streaming.Kafka.consume(spark, brokers, topics,
+              startingOffsets = prop(p, "Offset Reset", "latest"),
+              maxOffsetsPerTrigger = prop(p, "Max Poll Records", "100000").trim.toLong,
+              groupId = prop(p, "Group ID", ""))
+        }
+        val decoded = graft.streaming.Kafka.decodeString(wire)
+        val demarcator = prop(p, "Message Demarcator", "")
+        if (demarcator.isEmpty) decoded
+        else decoded.withColumn("value",
+          explode(split(col("value"), java.util.regex.Pattern.quote(demarcator))))
+      case "PublishKafka" =>
+        // shapes the stream to the publish wire contract (key, value,
+        // topic): the returned frame is exactly what Kafka.publish
+        // sends — the real-broker swap is one line at the SINK
+        // (`Kafka.publish(out, brokers, topic, checkpoint)`), the flow
+        // JSON stays identical.
+        val topic = prop(p, "Topic Name", "")
+        require(topic.nonEmpty, s"PublishKafka ${p.name} needs a Topic Name")
+        graft.streaming.Kafka.publishWire(in, topic,
+          prop(p, "Message Key Field", "key"),
+          prop(p, "Message Value Field", "value"))
       case "ConvertRecord" =>
         // content-grain Record Reader -> Record Writer conversion;
         // reader/writer name their format directly (json|csv), the

@@ -338,15 +338,21 @@ object QueriesLlm {
     * (nCells=16, nProbe=6) config reaches recall 1.0 vs the exact
     * all-pairs form, so the oracle below is the EXACT global pair set —
     * the blocking must lose nothing to pass. */
-  /** Cells sized ∝ corpus (floored at the oracle-verified 16): at the
-    * driver SFs (≤5k vectors) this is exactly the recall-1.0 config the
-    * oracle depends on; at scale-sweep multiples cells grow linearly so
-    * candidate pairs stay ~250·nProbe²·n/2 — linear, not quadratic. */
-  private def ivfCells(n: Long): Int = math.max(16L, n / 250L).toInt
+  /** IVF blocking config by corpus size. At the driver SFs (≤5k
+    * vectors) this is exactly the recall-1.0 config the exact oracle
+    * depends on (cells=16, probe=6 — verified at sf0.001/sf0.01, gated
+    * by DedupAnnSpec). Past that the knobs flip to the SCALE posture:
+    * cells ∝ n with probe=2, so expected candidate pairs are
+    * ~125·probe²·n/2 = 250·n — linear with a small constant, where a
+    * fixed-cardinality blocking is quadratic. */
+  private def ivfConfig(n: Long): (Int, Int) =
+    if (n <= 5000) (math.max(16L, n / 125L).toInt, 6)
+    else (math.max(16L, n / 125L).toInt, 2)
   val qEmbedNeardupIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val (cells, probe) = ivfConfig(emb.count())
     Dedup.embeddingCosineIvf(s, emb, "vec_id", "embedding", 0.35,
-        nCells = ivfCells(emb.count()), nProbe = 6)
+        nCells = cells, nProbe = probe)
       .select(col("id_a"), col("id_b"), dround(col("cos_sim"), 6).as("cos_sim"))
   }
   val qEmbedNeardupIvfSql: String =
@@ -392,8 +398,9 @@ object QueriesLlm {
     * loses no pair at the tested recall-1.0 config. */
   val qSemanticDedupIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val (cells, probe) = ivfConfig(emb.count())
     val pairs = Dedup.embeddingCosineIvf(s, emb, "vec_id", "embedding", 0.35,
-        nCells = ivfCells(emb.count()), nProbe = 6)
+        nCells = cells, nProbe = probe)
       .select(col("id_a"), col("id_b"))
     Dedup.dropNearDuplicates(emb, "vec_id", pairs).select("vec_id", "label")
   }

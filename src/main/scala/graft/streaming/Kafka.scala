@@ -33,13 +33,17 @@ object Kafka {
     * "earliest"; maxOffsetsPerTrigger is the ControlRate knob. */
   def consume(spark: SparkSession, bootstrapServers: String, topics: String,
               startingOffsets: String = "latest",
-              maxOffsetsPerTrigger: Long = 100000L): DataFrame =
-    spark.readStream.format("kafka")
+              maxOffsetsPerTrigger: Long = 100000L,
+              groupId: String = ""): DataFrame = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topics)
       .option("startingOffsets", startingOffsets)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
+    // Spark tracks offsets in its own checkpoint; the group id is for
+    // broker-side quota/monitoring attribution (NiFi's Group ID slot)
+    (if (groupId.nonEmpty) r.option("kafka.group.id", groupId) else r).load()
+  }
 
   /** Conform any (key, value, ts) stream — MemoryStream in tests, file
     * or socket sources in dev — to the kafka wire schema (exactly,
@@ -69,6 +73,19 @@ object Kafka {
       col("key").cast("string").as("key"),
       col("value").cast("string").as("value"),
       col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** The projection [[publish]] sends: (key, value, topic). A compiled
+    * PublishKafka node returns exactly this frame, so the real-broker
+    * swap is only the sink call — the flow plan is already
+    * publish-shaped. Missing key column publishes null keys (round-
+    * robin partitioning), mirroring kafka's producer default. */
+  def publishWire(df: DataFrame, topic: String, keyCol: String, valueCol: String): DataFrame = {
+    val key =
+      if (df.columns.contains(keyCol)) col(keyCol).cast("string")
+      else lit(null).cast("string")
+    df.select(key.as("key"), col(valueCol).cast("string").as("value"),
+      lit(topic).as("topic"))
+  }
 
   /** PublishKafka seam (needs spark-sql-kafka at runtime): key/value
     * string columns → kafka sink. The stand-in for tests is any other

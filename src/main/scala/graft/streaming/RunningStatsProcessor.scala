@@ -5,16 +5,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 
 /** Per-key running (count, max) with a typed ValueState handle — the
   * transformWithState form of [[Streams.runningStats]]. State layout is
-  * explicit and TTL-able; a production variant would set a TTLConfig to
-  * bound state exactly like NiFi's cache-expiry. */
-class RunningStatsProcessor
+  * explicit; `ttlMs > 0` sets a TTLConfig so idle keys expire from the
+  * store exactly like NiFi's cache-expiry — the knob that bounds state
+  * on unbounded key domains (requires TimeMode.ProcessingTime). */
+class RunningStatsProcessor(ttlMs: Long = -1L)
     extends StatefulProcessor[String, (String, Double), (String, Long, Double)] {
 
   @transient private var state: ValueState[(Long, Double)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs))
+              else TTLConfig.NONE
     state = getHandle.getValueState[(Long, Double)](
-      "stats", Encoders.product[(Long, Double)], TTLConfig.NONE)
+      "stats", Encoders.product[(Long, Double)], ttl)
   }
 
   override def handleInputRows(key: String, rows: Iterator[(String, Double)],

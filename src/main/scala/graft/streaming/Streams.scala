@@ -115,11 +115,14 @@ object Streams {
     * `transformWithState` (the successor API to mapGroupsWithState —
     * typed per-key state handles, TTL support, no no-data-batch
     * surprises). Requires the RocksDB state store provider. */
-  def runningStatsTws(ds: Dataset[(String, Double)]): Dataset[(String, Long, Double)] = {
+  def runningStatsTws(ds: Dataset[(String, Double)],
+                      ttlMs: Long = -1L): Dataset[(String, Long, Double)] = {
     import ds.sparkSession.implicits._
+    val timeMode =
+      if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     ds.groupByKey(_._1)
-      .transformWithState(new RunningStatsProcessor(),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new RunningStatsProcessor(ttlMs), timeMode,
         OutputMode.Update())
   }
 

@@ -279,6 +279,37 @@ class FlowCompilerSpec extends SparkSpec {
     assert(out === Array((1L, 101L, "a"), (2L, 102L, "b")))
   }
 
+  test("RemoveRecordField and RenameRecordField compile over struct paths") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "rm", "type": "RemoveRecordField",
+        |     "properties": {"drop internal": "/meta/internal"}},
+        |    {"identifier": "rn", "type": "RenameRecordField",
+        |     "properties": {"/meta/tag": "label", "/id": "doc_id"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "rm"}},
+        |    {"source": {"id": "rm"}, "destination": {"id": "rn"}},
+        |    {"source": {"id": "rn"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "tag", "internal")
+      .select(col("id"),
+        struct(col("tag").as("tag"), col("internal").as("internal")).as("meta"))
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+    assert(out.columns.toSeq === Seq("doc_id", "meta"))
+    assert(out.select("meta.*").columns.toSeq === Seq("label"))
+    assert(out.select(col("doc_id"), col("meta.label"))
+      .as[(Long, String)].collect().sortBy(_._1) === Array((1L, "a"), (2L, "b")))
+    // a non-record-path property fails loudly
+    val bad = flow.copy(processors = flow.processors.map(p =>
+      if (p.id == "rm") p.copy(props = Seq("oops" -> "meta.internal")) else p))
+    val e = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, bad, Map("in" -> in))("out")
+    }
+    assert(e.getMessage.contains("record path"))
+  }
+
   test("parse family compiles: ParseCEF, EvaluateXPath, SplitXml") {
     val flow = FlowCompiler.parse(
       """{"flowContents": {
@@ -959,6 +990,48 @@ class FlowCompilerSpec extends SparkSpec {
     val live = graft.operators.MapCache.entries(spark, cache)
       .select("key").as[String].collect().sorted
     assert(live === Array("1", "2", "3"))
+  }
+
+  test("committed kafka flow: ConsumeKafka stand-in -> demarcator -> route -> PublishKafka wire") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = getClass.getResourceAsStream("/flows/kafka_pipeline.json")
+    require(in != null, "kafka flow resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, String, java.sql.Timestamp)]
+    // one payload batch carrying two demarcated records, one overload
+    ms.addData(
+      ("h1", "metric=cpu level=9\nmetric=mem level=2", new java.sql.Timestamp(10000L)),
+      ("h2", "metric=io level=8", new java.sql.Timestamp(11000L)))
+    val out = FlowCompiler.compile(spark, json,
+      Map("kafka:events.in" -> ms.toDF.toDF("key", "value", "ts")))("published")
+    assert(out.isStreaming, "ConsumeKafka must compile to a streaming plan")
+    assert(out.columns.toSeq === Seq("key", "value", "topic"),
+      "PublishKafka must emit the publish wire projection")
+    val q = graft.streaming.Streams.toMemorySink(out, "kafka_flow_out")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kafka_flow_out")
+      .as[(String, String, String)].collect().sortBy(_._2)
+    // demarcator split the first payload; only level>=8 records survive
+    // the route; the publish key is the extracted metric name
+    assert(rows.map(_._2) === Array("metric=cpu level=9", "metric=io level=8"))
+    assert(rows.map(_._1) === Array("cpu", "io"))
+    assert(rows.forall(_._3 == "events.out"))
+  }
+
+  test("ConsumeKafka without brokers or a stand-in binding fails loudly") {
+    val flow =
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "ck", "type": "ConsumeKafka",
+        |     "properties": {"Topic Name(s)": "t1"}}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "ck"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flow, Map.empty[String, org.apache.spark.sql.DataFrame])("out")
+    }
+    assert(e.getMessage.contains("Kafka Brokers") && e.getMessage.contains("kafka:t1"))
   }
 
   test("processor-specific fixed names stay DYNAMIC for other processors") {

@@ -49,6 +49,37 @@ class RecallGateSpec extends SparkSpec {
       "nProbe=1 unexpectedly exact; corpus no longer exercises the probe path")
   }
 
+  test("IVF on GenSf embeddings: recall@10 clears the calibrated floor at nProbe=4") {
+    // the exact GenSf embedding population (pure function of row id —
+    // same vectors the scale sweeps run on), regenerated in-test so the
+    // gate doesn't depend on generated tmpdata being present
+    val corpus = (0L until 2000L).map { i =>
+      val r = GenSf.rng("emb", i)
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / norm))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 16)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(probe: Int): Double = recallOf(exact,
+      Ann.ivfTopK(spark, corpus, queries, 10,
+          nCells = 16, nProbe = probe, lloydIters = 2)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+    // Calibrated floors from tools.RecallCurve (2026-08, this exact
+    // deterministic population): probe=4 → 0.550, probe=12 → 0.994.
+    // GenSf embeddings are unclustered unit gaussians — the ADVERSARIAL
+    // case for IVF, where recall ≈ probed-cell fraction (real embedding
+    // corpora cluster, which is the structure IVF exploits). The floors
+    // sit a margin below measured; a drop means the centroid machinery
+    // or the probe routing regressed, not data noise (no RNG anywhere).
+    val r4 = recallAt(4)
+    val r12 = recallAt(12)
+    info(f"GenSf recall@10: probe=4 $r4%.3f (floor 0.50), probe=12 $r12%.3f (floor 0.95)")
+    assert(r4 >= 0.50, f"recall@10 at probe=4 fell to $r4%.3f (calibrated 0.550)")
+    assert(r12 >= 0.95, f"recall@10 at probe=12 fell to $r12%.3f (calibrated 0.994)")
+  }
+
   test("LSH: recall is monotone in tables and clears 0.6 at 16 tables") {
     val corpus = randVecs(300, 16, 202)
     val queries = corpus.filter(col("vec_id") < 8)
