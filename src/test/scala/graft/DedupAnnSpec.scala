@@ -137,6 +137,34 @@ class DedupAnnSpec extends SparkSpec {
       "IVF recall must cover the planted set")
   }
 
+  test("hierarchical assignment (nCells > 64) still recalls planted near-dups") {
+    // 600 spread vectors + planted near-identical pairs, 128 cells →
+    // the two-level anchor scan; identical vectors share every cell
+    // choice under any deterministic assignment, so the planted pairs
+    // must survive the hierarchy
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), 1)
+    }
+    val planted = Seq(900L -> 3L, 901L -> 77L, 902L -> 311L, 903L -> 555L).map {
+      case (nid, src) =>
+        val v = base(src.toInt)._2.clone(); v(1) = v(1) + 0.01f
+        (nid, v, 1)
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.995,
+        nCells = 128, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plantedPairs = Set((3L, 900L), (77L, 901L), (311L, 902L), (555L, 903L))
+    assert(plantedPairs.subsetOf(pairs),
+      s"hierarchical assignment lost planted pairs: ${plantedPairs -- pairs}")
+    // deterministic: a second run returns the same set
+    val again = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.995,
+        nCells = 128, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again === pairs)
+  }
+
   test("embeddingCosineIvf at the pinned query config equals the exact global pair set (sf0.001)") {
     val d = "/root/testdata/sf0.001"
     if (new java.io.File(s"$d/embeddings.parquet").exists) {
