@@ -193,6 +193,99 @@ object QueriesCore {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 shape: the pure scan-agg — every predicate and both read
+    * columns push to the parquet scan (PushedFilters shows all five;
+    * ReadSchema is 3 columns), zero shuffles (partial agg + single
+    * global reduce). The canonical "is pushdown working" probe. */
+  val q6ForecastRevenue: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") <  to_timestamp(lit("1997-01-01")) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(dround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share. The part dim broadcasts (fact
+    * side never shuffles); numerator/denominator accumulate as exact
+    * integer cents so the ratio is accumulation-order-independent. */
+  val q14PromoRevenue: Q = (s, d) => {
+    val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+              col("l_shipdate") <  to_timestamp(lit("1996-10-01")))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(dround(lit(100.0) * sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+                   / sum(cents), 4).as("promo_pct"))
+  }
+  val q14Sql: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |          THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) ELSE 0 END)
+      |        / sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume customers — an agg-HAVING feeding a
+    * join back against the fact chain. The qualifying-orderkey set is
+    * tiny after HAVING, so AQE converts the second join to broadcast at
+    * runtime; quantity sums are exact (integral doubles ≤ ~500). */
+  val q18LargeOrders: Q = (s, d) => {
+    val qualifying = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 180)
+      .select(col("l_orderkey").as("qual_orderkey"), col("sum_qty"))
+    Tables.orders(s, d)
+      .join(qualifying, col("o_orderkey") === col("qual_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+              col("o_totalprice"), col("sum_qty").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o_totalprice, sum_qty AS total_qty
+      |FROM orders
+      | JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) q
+      |   ON o_orderkey = q.l_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicate. The
+    * brand/size/quantity disjunction spans both join sides, so it can't
+    * fully push to either scan — the join-key equality plus the common
+    * quantity/size bounds do push; part broadcasts. */
+  val q19DisjunctiveRevenue: Q = (s, d) => {
+    val j = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+    j.filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+         col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+         col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 50) &&
+         col("l_quantity") >= 20 && col("l_quantity") <= 40))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+  val q19Sql: String =
+    """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 21)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
   val qSessionize: Q = (s, d) => {
@@ -730,6 +823,10 @@ object QueriesCore {
     "q5_local_supplier"     -> q5LocalSupplier,
     "q7_volume_shipping"    -> q7VolumeShipping,
     "q10_returned_items"    -> q10ReturnedItems,
+    "q6_forecast_revenue"   -> q6ForecastRevenue,
+    "q14_promo_revenue"     -> q14PromoRevenue,
+    "q18_large_orders"      -> q18LargeOrders,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -776,6 +873,10 @@ object QueriesCore {
     "q5_local_supplier"     -> q5Sql,
     "q7_volume_shipping"    -> q7Sql,
     "q10_returned_items"    -> q10Sql,
+    "q6_forecast_revenue"   -> q6Sql,
+    "q14_promo_revenue"     -> q14Sql,
+    "q18_large_orders"      -> q18Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,

@@ -24,6 +24,26 @@ class PlanSpec extends SparkSpec {
       "q5 must not degenerate to a nested-loop join")
   }
 
+  test("q6: all predicates pushed to the scan, zero hash-partition shuffles") {
+    val p = planOf("q6_forecast_revenue")
+    // FileScan metadata truncates at 100 chars, so assert the pushed-filter
+    // prefix (all three columns present) + 4-column pruning, not each bound
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"filters not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"scan not pruned to the 4 used columns:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scan-agg must reduce without a hash shuffle:\n$p")
+  }
+
+  test("q14/q19: part dim broadcasts, fact side never sort-merges") {
+    for (q <- Seq("q14_promo_revenue", "q19_disjunctive_revenue")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: part not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact side must not sort-merge")
+    }
+  }
+
   test("q_lookup_record: both lookups broadcast, fact side never shuffles") {
     val p = planOf("q_lookup_record")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"lookups not broadcast:\n$p")
