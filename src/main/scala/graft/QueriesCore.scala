@@ -286,6 +286,49 @@ object QueriesCore {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
       |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  /** TPC-H Q8 shape: national market share — the widest join in the
+    * catalog (lineitem⋈orders⋈customer⋈part⋈supplier⋈nation×2⋈region).
+    * Every dim broadcasts; only lineitem⋈orders and ⋈customer shuffle.
+    * The share ratio accumulates exact integer cents (order-free). */
+  val q8MarketShare: Q = (s, d) => {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("cust_nk"), col("n_regionkey").as("cust_rk"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+    val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") <  to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, d)).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cust_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("supp_nk"))
+      .join(broadcast(r), col("cust_rk") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dround(lit(100.0) * sum(when(col("supp_nation") === "NATION_3", cents).otherwise(0L))
+                   / sum(cents), 4).as("mkt_share_pct"))
+  }
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       round(100.0 * sum(CASE WHEN n2.n_name = 'NATION_3'
+      |                 THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) ELSE 0 END)
+      |               / sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)), 4) AS mkt_share_pct
+      |FROM lineitem
+      | JOIN orders   ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN part     ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      | JOIN region   ON n1.n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
   val qSessionize: Q = (s, d) => {
@@ -827,6 +870,7 @@ object QueriesCore {
     "q14_promo_revenue"     -> q14PromoRevenue,
     "q18_large_orders"      -> q18LargeOrders,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
+    "q8_market_share"       -> q8MarketShare,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -877,6 +921,7 @@ object QueriesCore {
     "q14_promo_revenue"     -> q14Sql,
     "q18_large_orders"      -> q18Sql,
     "q19_disjunctive_revenue" -> q19Sql,
+    "q8_market_share"       -> q8Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,
