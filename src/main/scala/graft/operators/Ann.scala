@@ -211,6 +211,126 @@ object Ann {
       }
   }
 
+  /** The shared per-pair cosine: floats widened to double, one fused
+    * dot/norm/norm accumulation in index order — the SAME arithmetic
+    * (same operation order, so bit-identical results) as
+    * [[graft.plans.CosineSimilarity]]'s codegen loop. Keeping the two
+    * in lockstep is what lets the distributed assignment path below
+    * mix in-JVM anchor scans with expression-computed candidate scores
+    * and still match [[assignCells]] row-for-row. */
+  private[operators] def cosJvm(vec: Array[Float], cv: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(vec.length, cv.length)
+    while (i < n) {
+      val x = vec(i).toDouble; val y = cv(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** DataFrame-resident centroid assignment — the no-driver-bound
+    * analog of [[assignCells]]'s hierarchical branch, for cell counts
+    * sized ∝ corpus (IVF dedup blocking, where `nCells = n/125` grows
+    * without bound). The full centroid set NEVER materializes in one
+    * JVM: only the ⌈√C⌉ coarse anchors are collected and broadcast
+    * (√C grows as √n — ~3k anchors at 10⁹ vectors, a few MB). Stages:
+    *
+    *   1. centroids = the `nCells` hash-picked corpus rows, kept as a
+    *      DataFrame keyed by their own vec_id (cell identity);
+    *   2. anchors = the ⌈√C⌉ smallest-keyed centroids (the pick is by
+    *      hash, so the keys are a uniform sample) — the ONLY collect;
+    *   3. each centroid joins its nearest anchor's group — one narrow
+    *      pass against the broadcast anchors;
+    *   4. each row fans out to its best `coarseProbe` anchors (narrow
+    *      pass), shuffle-joins the anchor-grouped centroid table on
+    *      the anchor id (√C distinct keys; AQE splits skewed anchors),
+    *      and keeps its `probes` best cells by (cos DESC, cell key).
+    *      The ranking window sees only (id, cell, score) triples —
+    *      ~24 B/row — and the winners re-join the corpus by id, so
+    *      vectors cross exactly two shuffles (fan-out + re-join), never
+    *      the candidate stream.
+    *
+    * Anchor choice, `coarseProbe`, tie-breaks, and the double-precision
+    * cosine ([[cosJvm]] ≡ [[graft.plans.CosineSimilarity]]) all mirror
+    * [[assignCells]]'s hierarchical branch, so the assignment is
+    * IDENTICAL row-for-row (DedupAnnSpec pins the equality) — this path
+    * changes WHERE the centroids live, not what is computed.
+    * `lloydIters` refines the DataFrame-resident centroids with the
+    * same deterministic sorted-accumulation means as
+    * [[refineCentroids]]; empty cells keep their previous vector.
+    *
+    * Output columns: (vec_id, embedding, cell) with `cell` = the
+    * centroid's key (Long). */
+  private[operators] def assignCellsDistributed(spark: SparkSession, df: DataFrame,
+      nCells: Int, probes: Int, lloydIters: Int = 0): DataFrame = {
+    import spark.implicits._
+    val base = df.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val coarseN = math.ceil(math.sqrt(nCells.toDouble)).toInt
+
+    def assignOnce(cents: DataFrame, p: Int): DataFrame = {
+      val anchors: Array[(Long, Array[Float])] = cents
+        .orderBy(col("cell")).limit(coarseN)
+        .as[(Long, Array[Float])].collect()
+      val bcA = spark.sparkContext.broadcast(anchors)
+      val centGrouped = cents.as[(Long, Array[Float])].mapPartitions { it =>
+        val as = bcA.value
+        it.map { case (ck, cv) =>
+          var best = 0; var bestS = Double.NegativeInfinity; var a = 0
+          while (a < as.length) {
+            val s = cosJvm(cv, as(a)._2)
+            if (s > bestS) { bestS = s; best = a }
+            a += 1
+          }
+          (best, ck, cv)
+        }
+      }.toDF("anchor", "cell", "cvec")
+      val coarseProbe = math.min(coarseN, math.max(4, p * 2))
+      val rowAnchors = base.as[(Long, Array[Float])].mapPartitions { it =>
+        val as = bcA.value
+        it.flatMap { case (id, vec) =>
+          as.indices.map(a => (a, cosJvm(vec, as(a)._2)))
+            .sortBy { case (a, s) => (-s, a) }.take(coarseProbe)
+            .map { case (a, _) => (a, id, vec) }
+        }
+      }.toDF("anchor", "id", "v")
+      val cand = rowAnchors.join(centGrouped, Seq("anchor"))
+        .select(col("id"), col("cell"),
+          graft.plans.CosineSimilarity(col("v"), col("cvec")).as("s"))
+      val w = Window.partitionBy("id").orderBy(col("s").desc, col("cell"))
+      val chosen = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= p)
+        .select(col("id").as("vec_id"), col("cell"))
+      base.join(chosen, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+
+    var centDf = base
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    for (_ <- 0 until lloydIters) {
+      val means = assignOnce(centDf, 1)
+        .as[(Long, Array[Float], Long)]
+        .groupByKey(_._3)
+        .flatMapSortedGroups(col("vec_id")) { (cell: Long, rows: Iterator[(Long, Array[Float], Long)]) =>
+          var sums: Array[Double] = null
+          var n = 0L
+          rows.foreach { case (_, vec, _) =>
+            if (sums == null) sums = new Array[Double](vec.length)
+            var i = 0
+            while (i < math.min(vec.length, sums.length)) { sums(i) += vec(i); i += 1 }
+            n += 1
+          }
+          Iterator.single((cell, sums.map(s => (s / n).toFloat)))
+        }.toDF("cell", "mvec")
+      // empty cells keep their previous centroid; localCheckpoint
+      // truncates the per-iteration lineage (distributed, no driver)
+      centDf = centDf.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    assignOnce(centDf, probes)
+  }
+
   /** Deterministic Lloyd refinement of the IVF centroids: each
     * iteration reassigns every corpus vector to its nearest centroid
     * and replaces the centroid with the cell mean. Per-cell sums stream

@@ -626,19 +626,31 @@ object Dedup {
     */
   def embeddingCosineIvf(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nCells: Int = 16, nProbe: Int = 2,
-                         lloydIters: Int = 0): DataFrame = {
+                         lloydIters: Int = 0, maxBroadcastCells: Int = 64): DataFrame = {
     import spark.implicits._
     val corpus = df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
-    val init: Array[(Int, Array[Float])] = corpus
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
-    val cents =
-      if (lloydIters > 0) Ann.refineCentroids(spark, corpus, init, lloydIters) else init
-    val bc = spark.sparkContext.broadcast(cents)
-    val assigned = Ann.assignCells(spark, corpus, bc, nProbe)
-      .toDF("id", "v", "cell")
+    // Cell counts up to `maxBroadcastCells` keep the exact flat scan
+    // against a driver-collected centroid array — bounded, and the path
+    // every oracle-SF config and recall gate runs. Larger counts (cells
+    // sized ∝ corpus — the 100 TB posture) switch to the DataFrame-
+    // resident assignment: centroids never materialize in one JVM, only
+    // the √C coarse anchors broadcast, and the assignment is pinned
+    // row-identical to [[Ann.assignCells]]'s hierarchical branch.
+    val assigned =
+      if (nCells <= maxBroadcastCells) {
+        val init: Array[(Int, Array[Float])] = corpus
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(nCells)
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+          .zipWithIndex.map { case ((_, v), i) => (i, v) }
+        val cents =
+          if (lloydIters > 0) Ann.refineCentroids(spark, corpus, init, lloydIters) else init
+        val bc = spark.sparkContext.broadcast(cents)
+        Ann.assignCells(spark, corpus, bc, nProbe).toDF("id", "v", "cell")
+      } else {
+        Ann.assignCellsDistributed(spark, corpus, nCells, nProbe, lloydIters)
+          .toDF("id", "v", "cell")
+      }
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cell"))

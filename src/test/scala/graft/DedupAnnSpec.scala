@@ -165,6 +165,61 @@ class DedupAnnSpec extends SparkSpec {
     assert(again === pairs)
   }
 
+  test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
+    // 600 spread vectors + planted dups at nCells=128: forcing
+    // maxBroadcastCells past nCells keeps the old driver-collected
+    // hierarchical scan; the default routes to the DataFrame-resident
+    // assignment. Same anchors, same probe counts, same tie-breaks,
+    // same double math — the PAIR SETS must be identical, with and
+    // without Lloyd refinement.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), 1)
+    }
+    val planted = Seq(900L -> 3L, 901L -> 77L, 902L -> 311L, 903L -> 555L).map {
+      case (nid, src) =>
+        val v = base(src.toInt)._2.clone(); v(1) = v(1) + 0.01f
+        (nid, v, 1)
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding", "label")
+    for (lloyd <- Seq(0, 1)) {
+      val inJvm = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.995,
+          nCells = 128, nProbe = 2, lloydIters = lloyd, maxBroadcastCells = 1024)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val dist = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.995,
+          nCells = 128, nProbe = 2, lloydIters = lloyd)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(dist === inJvm,
+        s"lloyd=$lloyd: driver-only=${(inJvm -- dist).size} distributed-only=${(dist -- inJvm).size}")
+    }
+  }
+
+  test("distributed assignment needs no broadcast join: identical pairs with autoBroadcast off") {
+    // With autoBroadcastJoinThreshold = -1 the planner cannot choose a
+    // broadcast join anywhere, so this proves the distributed path has
+    // no structural broadcast dependency (the only remaining
+    // BroadcastExchange would be an explicit hint — assert none) and
+    // returns the same pairs fully shuffle-joined.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), 1)
+    }.toDF("vec_id", "embedding", "label")
+    val withBc = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.9,
+        nCells = 100, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.embeddingCosineIvf(spark, vecs, "vec_id", "embedding", 0.9,
+          nCells = 100, nProbe = 2)
+      val noBc = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(noBc === withBc)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"distributed IVF path must not hint a full-table broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("embeddingCosineIvf at the pinned query config equals the exact global pair set (sf0.001)") {
     val d = "/root/testdata/sf0.001"
     if (new java.io.File(s"$d/embeddings.parquet").exists) {
