@@ -72,6 +72,15 @@ import graft.operators.{Records, Route}
   *    (cross-run, `Distributed Cache Service` + `Cache Entry
   *    Identifier`), `UpdateCounter` (`Counter Name`, or dynamic
   *    `counter -> EL predicate` properties, as observed metrics).
+  *  - Sink/JDBC/tail family (r10) — flows can start at a database or a
+  *    tailed file and END in a real sink: `ExecuteSQL` (JDBC source,
+  *    optionally range-partitioned across executors), `QueryDatabaseTable`
+  *    (stateful incremental JDBC source), `TailFile` (byte-offset file
+  *    tail), `PutFile`/`PutParquet` (parquet/csv/json sink —
+  *    compiling EXECUTES the write and the node's output is the sink
+  *    READ-BACK, so downstream observes the persisted bytes),
+  *    `PutDatabaseRecord` (JDBC sink, per-partition connections),
+  *    `ControlRate` (per-run row cap).
   *
   * Connections wire `source.id -> destination.id`; a connection from a
   * router with `selectedRelationships` that name a PROPER subset of its
@@ -420,11 +429,24 @@ object FlowCompiler {
     "ConsumeKafka"     -> Set("Topic Name(s)", "Group ID", "Kafka Brokers",
                               "Message Demarcator", "Offset Reset", "Max Poll Records"),
     "PublishKafka"     -> Set("Topic Name", "Kafka Brokers", "Message Key Field",
-                              "Message Value Field", "Delivery Guarantee"))
+                              "Message Value Field", "Delivery Guarantee"),
+    // r10 sink/JDBC/tail family — flows can now START at a database or
+    // a tailed file and END in a real sink
+    "ExecuteSQL"        -> Set("JDBC Connection URL", "SQL select query",
+                               "Partition Column", "Lower Bound", "Upper Bound",
+                               "Number of Partitions"),
+    "QueryDatabaseTable" -> Set("JDBC Connection URL", "Maximum-value Columns",
+                                "State Path"),
+    "TailFile"          -> Set("File to Tail", "State Path"),
+    "PutFile"           -> Set("Directory", "Output Format", "Conflict Resolution Strategy"),
+    "PutParquet"        -> Set("Directory", "Output Format", "Conflict Resolution Strategy"),
+    "PutDatabaseRecord" -> Set("JDBC Connection URL", "Statement Type"),
+    "ControlRate"       -> Set("Maximum Rate", "Rate Exceeded Strategy"))
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
-    Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka")
+    Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
+        "ExecuteSQL", "QueryDatabaseTable", "TailFile")
       .contains(p.tpe.split('.').last)
 
   private def dynamicProps(p: Processor): Seq[(String, String)] = {
@@ -670,6 +692,96 @@ object FlowCompiler {
         val dir = prop(p, "Input Directory", "")
         require(dir.nonEmpty, s"ListFile ${p.name} needs an Input Directory")
         graft.sources.Io.listFiles(spark, dir, prop(p, "File Filter", "*"))
+      case "ExecuteSQL" =>
+        // JDBC SOURCE (r10): `SQL select query` wraps as a pushdown
+        // subquery; with the four partitioning properties the read fans
+        // out range-sliced across executors (the only JDBC ingest shape
+        // that survives a 10⁹-row table) instead of funneling through
+        // one connection. Lazy, like every Spark JDBC relation.
+        require(inputs.isEmpty, s"ExecuteSQL ${p.name} is a source — no incoming connections")
+        val url = prop(p, "JDBC Connection URL", "")
+        require(url.nonEmpty, s"ExecuteSQL ${p.name} needs a JDBC Connection URL")
+        val query = prop(p, "SQL select query", "")
+        val table =
+          if (query.nonEmpty) s"($query) graft_sql" else prop(p, "Table Name", "")
+        require(table.nonEmpty,
+          s"ExecuteSQL ${p.name} needs `SQL select query` or `Table Name`")
+        val partCol = prop(p, "Partition Column", "")
+        if (partCol.isEmpty) graft.sources.Io.readJdbc(spark, url, table)
+        else graft.sources.Io.readJdbcPartitioned(spark, url, table, partCol,
+          prop(p, "Lower Bound", "0").trim.toLong,
+          prop(p, "Upper Bound", "0").trim.toLong,
+          prop(p, "Number of Partitions", "8").trim.toInt)
+      case "QueryDatabaseTable" =>
+        // stateful incremental JDBC SOURCE: only rows past the recorded
+        // `Maximum-value Columns` watermark are fetched (executor-side
+        // pushdown WHERE); state advances atomically at `State Path`
+        require(inputs.isEmpty,
+          s"QueryDatabaseTable ${p.name} is a source — no incoming connections")
+        val url = prop(p, "JDBC Connection URL", "")
+        val table = prop(p, "Table Name", "")
+        val maxCol = prop(p, "Maximum-value Columns", "")
+        val state = prop(p, "State Path", "")
+        require(url.nonEmpty && table.nonEmpty && maxCol.nonEmpty && state.nonEmpty,
+          s"QueryDatabaseTable ${p.name} needs JDBC Connection URL, Table Name, " +
+          "Maximum-value Columns and State Path")
+        graft.sources.Io.readJdbcIncremental(spark, url, table, maxCol, state)
+      case "TailFile" =>
+        require(inputs.isEmpty, s"TailFile ${p.name} is a source — no incoming connections")
+        val file = prop(p, "File to Tail", "")
+        val state = prop(p, "State Path", "")
+        require(file.nonEmpty && state.nonEmpty,
+          s"TailFile ${p.name} needs `File to Tail` and `State Path`")
+        graft.sources.Io.tailFile(spark, file, state)
+      case "PutFile" | "PutParquet" =>
+        // SINK (r10): compiling a flow that contains a sink EXECUTES the
+        // write (one Spark action — NiFi starting the flow), then the
+        // node's output is the READ-BACK of the sink directory, so
+        // downstream processors and output ports observe exactly the
+        // persisted bytes (and a q_flow_sink-style oracle reads what a
+        // separate consumer would). `Partition Columns` lays out
+        // hive-partitioned directories — downstream reads prune from
+        // the path alone.
+        val dir = prop(p, "Directory", "")
+        require(dir.nonEmpty, s"${p.name} needs a Directory")
+        val fmt = prop(p, "Output Format", "parquet").toLowerCase
+        val parts = listProp(p, "Partition Columns")
+        fmt match {
+          case "parquet" =>
+            if (parts.isEmpty) graft.sources.Io.writeParquet(in, dir)
+            else graft.sources.Io.writeParquetPartitioned(in, dir, parts)
+            spark.read.parquet(dir)
+          case "csv" =>
+            graft.sources.Io.writeCsv(in, dir)
+            spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+          case "json" =>
+            graft.sources.Io.writeJsonl(in, dir)
+            spark.read.json(dir)
+          case f => throw new IllegalArgumentException(
+            s"${p.name}: unsupported Output Format '$f' (parquet|csv|json)")
+        }
+      case "PutDatabaseRecord" =>
+        // JDBC SINK: each partition writes through its own connection
+        // (no driver funnel); `Statement Type` INSERT appends, anything
+        // else overwrites. Output = read-back of the table.
+        val url = prop(p, "JDBC Connection URL", "")
+        val table = prop(p, "Table Name", "")
+        require(url.nonEmpty && table.nonEmpty,
+          s"PutDatabaseRecord ${p.name} needs JDBC Connection URL and Table Name")
+        val mode =
+          if (prop(p, "Statement Type", "INSERT").equalsIgnoreCase("insert")) "append"
+          else "overwrite"
+        graft.sources.Io.writeJdbc(in, url, table, mode)
+        graft.sources.Io.readJdbc(spark, url, table)
+      case "ControlRate" =>
+        // batch-run analog of NiFi's rate throttle: at most `Maximum
+        // Rate` rows pass downstream per compiled run (the streaming
+        // analogs are maxFilesPerTrigger / rowsPerSecond on the
+        // Streams sources). Which rows is upstream-order-defined —
+        // sort upstream for a deterministic cap.
+        val rate = prop(p, "Maximum Rate", "")
+        require(rate.nonEmpty, s"ControlRate ${p.name} needs a Maximum Rate")
+        in.limit(rate.trim.toInt)
       case "ConsumeKafka" =>
         // Kafka SOURCE onto the streaming.Kafka wire seam. With a real
         // broker the flow JSON carries `Kafka Brokers` and the node

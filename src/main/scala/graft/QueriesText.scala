@@ -411,6 +411,34 @@ object QueriesText {
       |       CAST(doc_id AS VARCHAR) || ',' || CAST(length(text) AS VARCHAR) AS converted
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** Eleventh committed flow (r10), the database-to-sink shape a real
+    * NiFi deployment runs constantly and the compiler could not author
+    * until this round: ExecuteSQL reads a JDBC source (embedded Derby
+    * here — staged from the nation table; the production swap is the
+    * `#{db.url}` parameter), QueryRecord filters/projects, and PutFile
+    * persists parquet at `#{sink.dir}`. Compiling EXECUTES the sink
+    * write; the flow's output port returns the sink READ-BACK, so what
+    * this query hash-checks against DuckDB is exactly what a separate
+    * consumer of the sink directory would read. */
+  val qFlowSink: Q = (s, d) => {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dbDir = base.resolve(s"graft_flow_db_$key")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    graft.sources.Io.writeJdbc(
+      Tables.load(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+      url, "graft_nation", "overwrite")
+    val sinkDir = base.resolve(s"graft_flow_sink_$key").toString
+    val in = getClass.getResourceAsStream("/flows/jdbc_sink.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map.empty[String, org.apache.spark.sql.DataFrame],
+      Map("db.url" -> url, "sink.dir" -> sinkDir))("exported")
+  }
+  val qFlowSinkSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_regionkey < 4""".stripMargin
+
   val qFlowCsvSql: String =
     """WITH o AS (
       |  SELECT doc_id, source, text,
@@ -799,6 +827,7 @@ object QueriesText {
     "q_flow_parse"      -> qFlowParse,
     "q_flow_csv"        -> qFlowCsv,
     "q_flow_files"      -> qFlowFiles,
+    "q_flow_sink"       -> qFlowSink,
     "q_flow_nested"     -> qFlowNested,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
@@ -840,6 +869,7 @@ object QueriesText {
     "q_flow_parse"      -> qFlowParseSql,
     "q_flow_csv"        -> qFlowCsvSql,
     "q_flow_files"      -> qFlowFilesSql,
+    "q_flow_sink"       -> qFlowSinkSql,
     "q_flow_nested"     -> qFlowNestedSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
