@@ -193,10 +193,11 @@ object QueriesCore {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
-  /** TPC-H Q6 shape: the pure scan-agg — every predicate and both read
-    * columns push to the parquet scan (PushedFilters shows all five;
-    * ReadSchema is 3 columns), zero shuffles (partial agg + single
-    * global reduce). The canonical "is pushdown working" probe. */
+  /** TPC-H Q6 shape: the pure scan-agg — every predicate pushes to the
+    * parquet scan (PushedFilters shows all five) and the read prunes to
+    * the 4 used columns (quantity, extendedprice, discount, shipdate),
+    * zero shuffles (partial agg + single global reduce). The canonical
+    * "is pushdown working" probe. */
   val q6ForecastRevenue: Q = (s, d) => {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -328,6 +329,147 @@ object QueriesCore {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
       |GROUP BY 1""".stripMargin
+
+  /** Temp views for the decorrelation shapes (27h–27k): correlated
+    * EXISTS / NOT EXISTS / scalar subqueries are SQL-level constructs, so
+    * these four go through `spark.sql` and exercise Catalyst's
+    * decorrelation rules (RewritePredicateSubquery, scalar-subquery
+    * planning) — the plan class a warehouse QueryRecord user hits
+    * constantly — instead of hand-pre-joined DataFrames. PlanSpec
+    * asserts each decorrelates to a join (semi/anti/outer), never
+    * per-row subquery execution. */
+  private def tpchViews(s: SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+  }
+
+  /** TPC-H Q4 shape: correlated EXISTS — orders in a window having at
+    * least one line shipped after the order date. Decorrelates to ONE
+    * left-semi join on (l_orderkey = o_orderkey) with the non-equi
+    * shipdate term as join condition; the date filter pushes to the
+    * orders scan. (The synthetic tables carry no commit/receipt dates,
+    * so `l_shipdate > o_orderdate` stands in for Q4's late-commit
+    * predicate — same correlation structure: equi + non-equi terms.) */
+  val q4OrderPriority: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""SELECT o_orderpriority, count(*) AS order_count
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-05-01'
+            |  AND o_orderdate <  TIMESTAMP '1996-08-01'
+            |  AND EXISTS (SELECT * FROM lineitem
+            |              WHERE l_orderkey = o_orderkey
+            |                AND l_shipdate > o_orderdate)
+            |GROUP BY o_orderpriority""".stripMargin)
+  }
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-05-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-08-01'
+      |  AND EXISTS (SELECT * FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution through a LEFT
+    * OUTER join with an ON-clause filter (customers with zero qualifying
+    * orders must survive with c_count = 0 — an inner join silently drops
+    * them, the classic Q13 bug). Two aggregations, two shuffles. */
+  val q13CustomerDist: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""SELECT c_count, count(*) AS custdist
+            |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            |      FROM customer LEFT OUTER JOIN orders
+            |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            |      GROUP BY c_custkey) c_orders
+            |GROUP BY c_count""".stripMargin)
+  }
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier by a scalar subquery over a shared
+    * view — the subquery (max over the revenue CTE) executes ONCE as its
+    * own plan, never per row. Revenue accumulates exact integer cents so
+    * the max-equality compare is accumulation-order-independent (a
+    * floating sum would make `= (SELECT max(...))` engine-dependent). */
+  val q15TopSupplier: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""WITH revenue AS (
+            |  SELECT l_suppkey AS supplier_no,
+            |         sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS total_cents
+            |  FROM lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+            |  GROUP BY l_suppkey)
+            |SELECT s_suppkey, s_name, round(CAST(total_cents AS DOUBLE) / 100, 2) AS total_revenue
+            |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+            |ORDER BY s_suppkey""".stripMargin)
+  }
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(CAST(total_cents AS DOUBLE) / 100, 2) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape: the hardest decorrelation in the suite — one
+    * correlated EXISTS and one correlated NOT EXISTS against the SAME
+    * fact table, both correlated on the outer lineitem's order key with
+    * a non-equi supplier term. Decorrelates to a left-semi plus a
+    * left-anti join; no per-row execution. (`l_returnflag = 'R'` stands
+    * in for Q21's late-receipt predicate — the synthetic tables carry no
+    * receipt dates; correlation structure is identical.) */
+  val q21WaitingSupplier: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""SELECT s_name, count(*) AS numwait
+            |FROM supplier, lineitem l1, orders, nation
+            |WHERE s_suppkey = l1.l_suppkey
+            |  AND o_orderkey = l1.l_orderkey
+            |  AND o_orderstatus = 'F'
+            |  AND l1.l_returnflag = 'R'
+            |  AND s_nationkey = n_nationkey
+            |  AND n_name IN ('NATION_1', 'NATION_2')
+            |  AND EXISTS (SELECT * FROM lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT * FROM lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND l3.l_returnflag = 'R')
+            |GROUP BY s_name""".stripMargin)
+  }
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_2')
+      |  AND EXISTS (SELECT * FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT * FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name""".stripMargin
 
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
@@ -871,6 +1013,10 @@ object QueriesCore {
     "q18_large_orders"      -> q18LargeOrders,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q8_market_share"       -> q8MarketShare,
+    "q4_order_priority"     -> q4OrderPriority,
+    "q13_customer_dist"     -> q13CustomerDist,
+    "q15_top_supplier"      -> q15TopSupplier,
+    "q21_waiting_supplier"  -> q21WaitingSupplier,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -922,6 +1068,10 @@ object QueriesCore {
     "q18_large_orders"      -> q18Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q8_market_share"       -> q8Sql,
+    "q4_order_priority"     -> q4Sql,
+    "q13_customer_dist"     -> q13Sql,
+    "q15_top_supplier"      -> q15Sql,
+    "q21_waiting_supplier"  -> q21Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,
