@@ -12,9 +12,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // At driver SFs, partitions = threads is right (no spill, minimal
+    // stage overhead). At GenSf scale multiples the per-partition shuffle
+    // payload grows past executor-memory comfort and heavy queries start
+    // spilling — scale partitions WITH the data (the knob a cluster job
+    // sets per input size; see tools/NOTES_r10_spans.md for the measured
+    // m100 effect).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // single-node bench: plenty of heap per core, so prefer broadcast

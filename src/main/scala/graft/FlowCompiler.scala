@@ -92,15 +92,26 @@ import graft.operators.{Records, Route}
   */
 object FlowCompiler {
 
+  /** `extra` on every model node: the serialized JSON object of the
+    * fields [[parse]] does not interpret (position, bundle coordinates,
+    * scheduling config, back-pressure thresholds, …) — a REAL NiFi 2.7
+    * canvas export is mostly such fields. They are preserved verbatim
+    * so `parse(export(parse(x)))` is stable on realistic exports and an
+    * export diffs cleanly against the NiFi original; compilation
+    * ignores them entirely. Empty string = no unknown fields. */
   final case class Processor(id: String, name: String, tpe: String,
-                             props: Seq[(String, String)])
-  final case class Connection(src: String, dst: String, rels: Seq[String])
+                             props: Seq[(String, String)], extra: String = "")
+  final case class Connection(src: String, dst: String, rels: Seq[String],
+                              extra: String = "",
+                              srcExtra: String = "", dstExtra: String = "")
   final case class Flow(name: String,
                         processors: Seq[Processor],
                         inputPorts: Seq[(String, String)],  // id -> name
                         outputPorts: Seq[(String, String)], // id -> name
                         connections: Seq[Connection],
-                        funnels: Seq[String] = Nil)         // pass-through ids
+                        funnels: Seq[String] = Nil,         // pass-through ids
+                        extra: String = "",                 // flowContents-level unknowns
+                        nodeExtras: Map[String, String] = Map.empty) // port/funnel id -> unknowns
 
   /** Parse the flow-definition JSON subset. Property order is preserved
     * (it is route priority for RouteOnAttribute).
@@ -124,6 +135,27 @@ object FlowCompiler {
     flat
   }
 
+  /** The serialized unknown-field object of `n` (fields not in `known`),
+    * "" when none — input field order preserved, so a re-parse of the
+    * re-export collects the identical string. */
+  private def extrasOf(n: JsonNode, known: Set[String]): String = {
+    if (n == null) return ""
+    val om = new ObjectMapper()
+    val o = om.createObjectNode()
+    n.fields().asScala.foreach { e =>
+      if (!known(e.getKey)) o.set[JsonNode](e.getKey, e.getValue)
+    }
+    if (o.isEmpty) "" else om.writeValueAsString(o)
+  }
+
+  private val KnownGroup = Set("name", "processors", "inputPorts", "outputPorts",
+    "connections", "funnels", "processGroups")
+  private val KnownProc = Set("identifier", "name", "type", "properties")
+  private val KnownPort = Set("identifier", "name")
+  private val KnownConn = Set("source", "destination", "selectedRelationships")
+  private val KnownEndpoint = Set("id")
+  private val KnownFunnel = Set("identifier")
+
   private def parseGroup(fc: JsonNode, isRoot: Boolean): Flow = {
     def str(n: JsonNode, f: String, dflt: String = ""): String =
       if (n != null && n.has(f)) n.get(f).asText() else dflt
@@ -134,16 +166,26 @@ object FlowCompiler {
         p.get("properties").fields().asScala.toSeq
           .map(e => e.getKey -> e.getValue.asText())
       else Nil
-      Processor(str(p, "identifier"), str(p, "name"), str(p, "type"), props)
+      Processor(str(p, "identifier"), str(p, "name"), str(p, "type"), props,
+        extrasOf(p, KnownProc))
     }
     def ports(f: String) = arr(f).map(p => str(p, "identifier") -> str(p, "name"))
+    def portExtras(f: String) = arr(f)
+      .map(p => str(p, "identifier") -> extrasOf(p, KnownPort))
+      .filter(_._2.nonEmpty)
     val conns = arr("connections").map { c =>
       val rels = if (c.has("selectedRelationships"))
         c.get("selectedRelationships").elements().asScala.toSeq.map(_.asText())
       else Nil
-      Connection(str(c.get("source"), "id"), str(c.get("destination"), "id"), rels)
+      Connection(str(c.get("source"), "id"), str(c.get("destination"), "id"), rels,
+        extrasOf(c, KnownConn),
+        extrasOf(c.get("source"), KnownEndpoint),
+        extrasOf(c.get("destination"), KnownEndpoint))
     }
     val funnels = arr("funnels").map(f => str(f, "identifier"))
+    val funnelExtras = arr("funnels")
+      .map(f => str(f, "identifier") -> extrasOf(f, KnownFunnel))
+      .filter(_._2.nonEmpty)
     val children = arr("processGroups").map(g => parseGroup(g, isRoot = false))
     val inP = ports("inputPorts")
     val outP = ports("outputPorts")
@@ -157,19 +199,33 @@ object FlowCompiler {
       if (isRoot) inP else Nil,
       if (isRoot) outP else Nil,
       conns ++ children.flatMap(_.connections),
-      ownFunnels ++ children.flatMap(_.funnels))
+      ownFunnels ++ children.flatMap(_.funnels),
+      if (isRoot) extrasOf(fc, KnownGroup) else "",
+      (portExtras("inputPorts") ++ portExtras("outputPorts") ++ funnelExtras).toMap
+        ++ children.flatMap(_.nodeExtras))
   }
 
   /** Export a flow back to NiFi versioned-flow JSON — the registry
     * round-trip (NiFi deployments version flows through a registry
     * service; import without export is half of parity). The emitted
-    * document is the same subset [[parse]] reads, so
-    * `parse(export(f)) == f` exactly: processors keep property ORDER
-    * (route priority for RouteOnAttribute), connections keep their
-    * `selectedRelationships`, funnels and both port kinds round-trip.
-    * A flow parsed from nested `processGroups` exports in its
-    * FLATTENED form (child ports already became funnels) — the
-    * compiled plans are identical by construction.
+    * document carries the subset [[parse]] interprets PLUS every
+    * preserved unknown field (`extra` on each node — position, bundle
+    * coordinates, scheduling/back-pressure config of a real NiFi 2.7
+    * canvas export), so `parse(export(f)) == f` exactly and
+    * `parse(export(parse(x)))` is STABLE on realistic exports:
+    * processors keep property ORDER (route priority for
+    * RouteOnAttribute), connections keep `selectedRelationships` and
+    * their endpoint metadata, funnels and both port kinds round-trip
+    * with their canvas fields.
+    *
+    * Documented ignore-list (dropped, not preserved):
+    *  - fields OUTSIDE `flowContents` (registry `snapshotMetadata`,
+    *    `bucket`, `externalControllerServices`, `parameterContexts`,
+    *    `flowEncodingVersion`) — snapshot metadata, not flow content;
+    *  - non-root `processGroups`' own fields and child port NAMES: a
+    *    flow parsed from nested groups exports in its FLATTENED form
+    *    (child ports already became funnels) — the compiled plans are
+    *    identical by construction.
     *
     * Capability reference: the NiFi Registry service in the reference
     * deployment (/root/reference/nifi-registry/deployement.yaml:1). */
@@ -181,6 +237,11 @@ object FlowCompiler {
         "not representable in a JSON properties object")
     }
     val om = new ObjectMapper()
+    // preserved unknown fields re-emit verbatim AFTER the interpreted
+    // ones (position, bundle, scheduling config, … — see `extra` doc)
+    def merge(node: com.fasterxml.jackson.databind.node.ObjectNode, extra: String): Unit =
+      if (extra.nonEmpty)
+        om.readTree(extra).fields().asScala.foreach(e => node.set[JsonNode](e.getKey, e.getValue))
     val root = om.createObjectNode()
     val fc = root.putObject("flowContents")
     fc.put("name", flow.name)
@@ -190,27 +251,34 @@ object FlowCompiler {
       n.put("identifier", p.id); n.put("name", p.name); n.put("type", p.tpe)
       val props = n.putObject("properties")
       p.props.foreach { case (k, v) => props.put(k, v) }
+      merge(n, p.extra)
     }
     def ports(field: String, ps: Seq[(String, String)]): Unit = {
       val a = fc.putArray(field)
       ps.foreach { case (id, nm) =>
         val n = a.addObject(); n.put("identifier", id); n.put("name", nm)
+        merge(n, flow.nodeExtras.getOrElse(id, ""))
       }
     }
     ports("inputPorts", flow.inputPorts)
     ports("outputPorts", flow.outputPorts)
     val fun = fc.putArray("funnels")
-    flow.funnels.foreach(f => fun.addObject().put("identifier", f))
+    flow.funnels.foreach { f =>
+      val n = fun.addObject(); n.put("identifier", f)
+      merge(n, flow.nodeExtras.getOrElse(f, ""))
+    }
     val conns = fc.putArray("connections")
     flow.connections.foreach { c =>
       val n = conns.addObject()
-      n.putObject("source").put("id", c.src)
-      n.putObject("destination").put("id", c.dst)
+      val s = n.putObject("source"); s.put("id", c.src); merge(s, c.srcExtra)
+      val t = n.putObject("destination"); t.put("id", c.dst); merge(t, c.dstExtra)
       if (c.rels.nonEmpty) {
         val r = n.putArray("selectedRelationships")
         c.rels.foreach(r.add)
       }
+      merge(n, c.extra)
     }
+    merge(fc, flow.extra)
     om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

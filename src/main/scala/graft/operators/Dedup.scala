@@ -552,11 +552,29 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      spanTokens: Int, minDocs: Int = 2): DataFrame = {
     require(spanTokens > 0 && minDocs >= 2, "spanTokens > 0, minDocs >= 2")
+    // r10 shuffle-byte fix, EXACT output unchanged: grouping the raw
+    // windows BY SPAN TEXT shipped ~k·wordlen bytes per window through
+    // two shuffles, and the r10 m100 sweep measured that flat against
+    // partition count (121.8 s at 32 partitions, 121.0 s at 256 —
+    // tools/NOTES_r10_spans.md) — byte-bound, not spill-bound. Now the
+    // corpus-wide pass keys on xxhash64(span) (8 B through the shuffle)
+    // and only the CANDIDATE windows — those whose hash recurs across
+    // docs, i.e. ~the dup fraction — carry text into the exact confirm.
+    // A hash collision can only ADD a candidate, never flag one: the
+    // per-span exact countDistinct below is computed on real text, so
+    // the flagged set is identical to the all-text form (Round3Spec
+    // pins equality; the DuckDB oracle is text-exact).
     val wins = spanWindows(df, idCol, textCol, spanTokens)
-    val repeated = wins.groupBy("span")
+      .withColumn("__sh", xxhash64(col("span")))
+    val candHashes = wins.groupBy("__sh")
+      .agg(countDistinct(col(idCol)).as("__nh"))
+      .filter(col("__nh") >= minDocs)
+      .select("__sh")
+    val cand = wins.join(candHashes, "__sh")
+    val exact = cand.groupBy("span")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    wins.join(repeated, "span").select(col(idCol), col("pos"), col("span"), col("n_docs"))
+    cand.join(exact, "span").select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
   /** Cut the spans [[duplicateSpans]] flags: rebuild each document's

@@ -44,6 +44,41 @@ class FlowExportSpec extends SparkSpec {
     assert(ka === kb, "exported flow produced different rows")
   }
 
+  test("a realistic NiFi 2.7 canvas export round-trips with unknown fields preserved") {
+    // hand-authored to NiFi's full versioned-flow shape: bundle
+    // coordinates, positions, scheduling/back-pressure config,
+    // endpoint metadata, labels — everything parse does not interpret
+    // must survive parse → export → parse verbatim
+    val json = resource("nifi27_canvas")
+    val flow = FlowCompiler.parse(json)
+    val round = FlowCompiler.parse(FlowCompiler.export(flow))
+    assert(round === flow, "round-trip changed a realistic canvas export")
+    assert(FlowCompiler.export(round) === FlowCompiler.export(flow),
+      "export of the realistic canvas is not a fixed point")
+    // the preserved fields really are there — spot-check each node kind
+    val emit = flow.processors.find(_.name == "Emit").get
+    assert(emit.extra.contains("\"bundle\"") && emit.extra.contains("2.7.0"))
+    assert(emit.extra.contains("schedulingPeriod"))
+    val conn = flow.connections.head
+    assert(conn.extra.contains("backPressureObjectThreshold"))
+    assert(conn.srcExtra.contains("\"type\"") && conn.dstExtra.contains("groupId"))
+    val port = flow.outputPorts.head._1
+    assert(flow.nodeExtras(port).contains("allowRemoteAccess"))
+    assert(flow.extra.contains("\"labels\"") && flow.extra.contains("flowFileConcurrency"))
+    // and the exported document still carries them textually
+    val exported = FlowCompiler.export(flow)
+    for (field <- Seq("bundle", "position", "backPressureDataSizeThreshold",
+                      "autoTerminatedRelationships", "labels", "parameterContextName"))
+      assert(exported.contains(field), s"exported canvas lost '$field'")
+  }
+
+  test("the realistic canvas export compiles and honors its route selection") {
+    val outs = FlowCompiler.compile(spark, resource("nifi27_canvas"),
+      Map.empty[String, org.apache.spark.sql.DataFrame])
+    val ids = outs("big_ids").select("id").as[Long].collect().toSeq.sorted
+    assert(ids === (25L to 49L).toSeq, "selectedRelationships=[big] must filter id>24 of 50")
+  }
+
   test("export fails loudly on duplicate property keys") {
     val f = FlowCompiler.Flow("x",
       Seq(FlowCompiler.Processor("p1", "dupey", "UpdateAttribute",

@@ -100,6 +100,36 @@ class Round3Spec extends SparkSpec {
     assert(Dedup.duplicateSpans(docs, "id", "txt", 4, minDocs = 3).count() === 0)
   }
 
+  test("hash-candidate duplicateSpans equals the all-text reference on real documents") {
+    // the r10 shuffle-byte form (8-byte hash keys corpus-wide, exact
+    // text confirm over candidates only) must flag the IDENTICAL set as
+    // a straight group-by-span-text reference — same windows, same
+    // positions, same n_docs
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val k = 4
+    val wins = docs
+      .select(col("doc_id"), graft.functions.TextAnalysis.wsTokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ts")) - k),
+          i => array_join(slice(col("__ts"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "span")))
+    val reference = wins.join(
+        wins.groupBy("span").agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2), "span")
+      .select("doc_id", "pos", "span", "n_docs")
+      .as[(Long, Int, String, Long)].collect().toSet
+    val fast = Dedup.duplicateSpans(docs, "doc_id", "text", spanTokens = k, minDocs = 2)
+      .select("doc_id", "pos", "span", "n_docs")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(fast === reference,
+      s"ref-only=${(reference -- fast).size} fast-only=${(fast -- reference).size}")
+    assert(fast.nonEmpty, "sf0.001 documents must contain repeated 4-token spans")
+  }
+
   test("updateCounter: named counters ride the job as observed metrics") {
     val captured = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
