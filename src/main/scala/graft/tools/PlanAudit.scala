@@ -112,7 +112,16 @@ object PlanAudit {
     }
     val total = rows.map(_._6).sum
     md.append(s"\nTotal shuffle write across all ${rows.size} queries: ${human(total)}.\n")
-    Files.write(outDir.resolve("PLANS.md"), md.toString.getBytes("UTF-8"),
+    // the audit owns only the table; the hand-written scale adjudication
+    // ("## Scaling" onward — r7/r9/r10 measurement history) survives
+    // regeneration verbatim
+    val plansPath = outDir.resolve("PLANS.md")
+    if (Files.exists(plansPath)) {
+      val existing = new String(Files.readAllBytes(plansPath), "UTF-8")
+      val at = existing.indexOf("\n## Scaling")
+      if (at >= 0) md.append(existing.substring(at))
+    }
+    Files.write(plansPath, md.toString.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     println(s"[planaudit] wrote ${rows.size} plans + PLANS.md to $outDir")
     spark.stop()
