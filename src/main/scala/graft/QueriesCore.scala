@@ -344,6 +344,7 @@ object QueriesCore {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.part(s, d).createOrReplaceTempView("part")
   }
 
   /** TPC-H Q4 shape: correlated EXISTS — orders in a window having at
@@ -470,6 +471,72 @@ object QueriesCore {
       |                    AND l3.l_suppkey <> l1.l_suppkey
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q17 shape: correlated scalar subquery PER GROUP — each
+    * lineitem compares against 20% of its part's average quantity.
+    * Catalyst decorrelates the per-part average into one aggregate
+    * joined back on p_partkey (never a per-row execution). Quantities
+    * are integral doubles so the per-part avg (exact sum / count) and
+    * the 0.2× threshold are bit-identical across engines; revenue
+    * accumulates exact integer cents. (p_size stands in for Q17's
+    * p_container — not in the synthetic schema; same plan class.) */
+  val q17SmallQuantity: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""SELECT round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+            |             / 700.0, 2) AS avg_yearly
+            |FROM lineitem JOIN part ON p_partkey = l_partkey
+            |WHERE p_brand = 'Brand#23' AND p_size <= 15
+            |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+            |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+  val q17Sql: String =
+    """SELECT round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |             / 700.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_size <= 15
+      |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q22 shape: uncorrelated scalar subquery (global
+    * above-average balance threshold) + correlated NOT EXISTS
+    * (customers with no urgent orders — the synthetic FK draws leave
+    * almost no customer with zero orders, so the filtered form keeps
+    * the anti-join side non-trivial) + grouped rollup. The threshold avg is
+    * computed over exact integer cents (sum exact ⇒ one division ⇒
+    * bit-identical across engines — a floating avg would make the
+    * boundary compare engine-dependent); NOT EXISTS decorrelates to a
+    * left-anti join. (c_mktsegment stands in for Q22's phone country
+    * code — not in the synthetic schema; same plan class.) */
+  val q22GlobalSales: Q = (s, d) => {
+    tpchViews(s, d)
+    s.sql("""WITH c AS (
+            |  SELECT c_custkey, c_mktsegment,
+            |         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+            |  FROM customer
+            |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+            |SELECT c_mktsegment, count(*) AS numcust,
+            |       round(CAST(sum(bal_cents) AS DOUBLE) / 100, 2) AS totacctbal
+            |FROM c
+            |WHERE bal_cents > (SELECT avg(bal_cents) FROM c WHERE bal_cents > 0)
+            |  AND NOT EXISTS (SELECT * FROM orders
+            |                  WHERE o_custkey = c_custkey
+            |                    AND o_orderpriority = '1-URGENT')
+            |GROUP BY c_mktsegment""".stripMargin)
+  }
+  val q22Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |       round(CAST(sum(bal_cents) AS DOUBLE) / 100, 2) AS totacctbal
+      |FROM c
+      |WHERE bal_cents > (SELECT avg(bal_cents) FROM c WHERE bal_cents > 0)
+      |  AND NOT EXISTS (SELECT * FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
 
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
@@ -1017,6 +1084,8 @@ object QueriesCore {
     "q13_customer_dist"     -> q13CustomerDist,
     "q15_top_supplier"      -> q15TopSupplier,
     "q21_waiting_supplier"  -> q21WaitingSupplier,
+    "q17_small_quantity"    -> q17SmallQuantity,
+    "q22_global_sales"      -> q22GlobalSales,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -1072,6 +1141,8 @@ object QueriesCore {
     "q13_customer_dist"     -> q13Sql,
     "q15_top_supplier"      -> q15Sql,
     "q21_waiting_supplier"  -> q21Sql,
+    "q17_small_quantity"    -> q17Sql,
+    "q22_global_sales"      -> q22Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,

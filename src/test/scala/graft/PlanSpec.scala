@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
       s"q21 must stay hash-joined:\n$p")
   }
 
+  test("q17: the per-part average decorrelates to an aggregate joined back, never per row") {
+    val p = planOf("q17_small_quantity")
+    // the correlated scalar subquery must appear as a joined aggregate
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"per-part avg must plan as an aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q17 must stay hash-joined:\n$p")
+  }
+
+  test("q22: NOT EXISTS anti-joins; the balance threshold is one scalar subquery") {
+    val df = SparkEntry.queries("q22_global_sales")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join:\n$p")
+    assert(p.contains("Subquery"), s"threshold should plan as a scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q22 must stay hash-joined:\n$p")
+  }
+
   test("q13: ON-clause filter keeps the join LEFT OUTER (zero-order customers survive)") {
     val p = planOf("q13_customer_dist")
     assert(p.contains("LeftOuter"), s"q13 must outer-join:\n$p")
