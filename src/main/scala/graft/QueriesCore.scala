@@ -345,6 +345,7 @@ object QueriesCore {
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.region(s, d).createOrReplaceTempView("region")
   }
 
   /** TPC-H Q4 shape: correlated EXISTS — orders in a window having at
@@ -537,6 +538,155 @@ object QueriesCore {
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q2 shape: minimum-cost supplier — a correlated scalar
+    * subquery (per-part regional minimum cost) against a derived
+    * supplier-offer relation, five-table snowflake around it. Catalyst
+    * decorrelates the min into one aggregate joined back on p_partkey;
+    * the region filter applies inside BOTH the outer block and the
+    * subquery (the classic Q2 trap: taking the global min instead of
+    * the regional min changes results). The synthetic schema has no
+    * partsupp, so the offer relation derives from lineitem — per
+    * (part, supplier) minimum unit price in exact integer cents
+    * (`floor(x*100+0.5)` per row, min over BIGINT ⇒ the `=` compare is
+    * engine-independent). Same correlation structure, same plan class.
+    * ORDER is total (s_name unique, p_partkey breaks same-supplier
+    * ties) so LIMIT selects a deterministic row set. */
+  val q2MinCostSupplier: Q = (s, d) => { tpchViews(s, d); s.sql(q2Sql) }
+  val q2Sql: String =
+    """WITH offer AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS cost_cents
+      |  FROM lineitem
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |       round(CAST(cost_cents AS DOUBLE) / 100, 2) AS ps_supplycost
+      |FROM part
+      | JOIN offer    ON p_partkey = ps_partkey
+      | JOIN supplier ON s_suppkey = ps_suppkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND r_name = 'EUROPE'
+      |  AND cost_cents = (
+      |    SELECT min(o2.cost_cents)
+      |    FROM offer o2
+      |     JOIN supplier s2 ON s2.s_suppkey = o2.ps_suppkey
+      |     JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      |     JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE o2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape: product-line profit by nation and year — the
+    * 5-table join with TWO fact-sized inputs (lineitem ⋈ orders) and
+    * three broadcastable dims (part filtered by a LIKE that cannot push
+    * as a parquet predicate but prunes before the join, supplier,
+    * nation). Profit accumulates as exact integer cents (floor-at-cents
+    * per row, BIGINT sum) so the grouped sums are
+    * accumulation-order-independent; `0.1*p_retailprice*l_quantity`
+    * stands in for Q9's ps_supplycost (no partsupp in the synthetic
+    * schema) — same join graph, same plan class. */
+  val q9ProductProfit: Q = (s, d) => { tpchViews(s, d); s.sql(q9Sql) }
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       round(CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)
+      |                                  - 0.1*p_retailprice*l_quantity)*100 + 0.5) AS BIGINT))
+      |                  AS DOUBLE) / 100, 2) AS sum_profit
+      |FROM lineitem
+      | JOIN supplier ON s_suppkey = l_suppkey
+      | JOIN part     ON p_partkey = l_partkey
+      | JOIN orders   ON o_orderkey = l_orderkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
+  /** TPC-H Q11 shape: important-stock screen — grouped value per part
+    * for one nation's suppliers, HAVING each group exceed a FRACTION of
+    * the total over the same derived relation: an uncorrelated scalar
+    * subquery that must plan ONCE (one extra pass over the shared CTE),
+    * never per group. Value is exact integer cents; the threshold
+    * compare multiplies the BIGINT total by the fraction in DOUBLE —
+    * one deterministic multiply, identical in both engines. lineitem
+    * revenue stands in for partsupp value (same shape). */
+  val q11ImportantStock: Q = (s, d) => { tpchViews(s, d); s.sql(q11Sql) }
+  val q11Sql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |         CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem
+      |   JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_1')
+      |SELECT ps_partkey, round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS part_value
+      |FROM v
+      |GROUP BY ps_partkey
+      |HAVING sum(cents) > (SELECT sum(cents) * 0.002 FROM v)""".stripMargin
+
+  /** TPC-H Q12 shape: fact-fact join (orders ⋈ lineitem, neither side
+    * broadcastable at scale — both shuffle on orderkey) feeding
+    * conditional aggregates: per-group priority counts via CASE inside
+    * count (count of CASE-non-null is BIGINT in both engines; a
+    * sum-of-int would widen to HUGEINT in DuckDB and break schema
+    * parity). l_linestatus stands in for l_shipmode and the shipdate
+    * window for Q12's commit/receipt ordering (absent from the
+    * synthetic schema); same join + conditional-agg plan class. */
+  val q12ShipPriority: Q = (s, d) => { tpchViews(s, d); s.sql(q12Sql) }
+  val q12Sql: String =
+    """SELECT l_linestatus AS shipmode,
+      |       count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+      |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** TPC-H Q16 shape: supplier diversity per part attribute — COUNT
+    * DISTINCT over a join, minus suppliers excluded by a NOT IN
+    * subquery. s_suppkey is non-nullable, so Catalyst simplifies the
+    * null-aware NOT IN to a plain left-anti join (PlanSpec asserts no
+    * nested-loop fallback — the null-aware worst case). The part-
+    * supplier pairs derive from lineitem (no partsupp); negative
+    * account balance stands in for Q16's complaint filter. */
+  val q16PartSuppliers: Q = (s, d) => { tpchViews(s, d); s.sql(q16Sql) }
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_size IN (5, 10, 15, 20, 25)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape: the nested-subquery tower — an IN subquery whose
+    * HAVING clause contains a further CORRELATED scalar subquery
+    * (supplier's shipped quantity for a part vs a fraction of the
+    * part's corpus-wide total). Catalyst must decorrelate both levels:
+    * the inner scalar becomes an aggregate joined on partkey, the outer
+    * IN a left-semi join — zero per-row execution (PlanSpec asserts).
+    * Quantities are integral doubles ⇒ sums exact ⇒ the threshold
+    * compare is engine-independent. p_name LIKE stands in for Q20's
+    * forest-part filter; shipped-vs-half-the-part's-window-total for
+    * availqty-vs-half-shipped (no partsupp). The inner correlation
+    * binds to the grouping column p_partkey — correlating on
+    * l_partkey would capture l2's own column (a tautology that
+    * silently empties the result). */
+  val q20PromisingSupplier: Q = (s, d) => { tpchViews(s, d); s.sql(q20Sql) }
+  val q20Sql: String =
+    """SELECT s_name,
+      |       round(CAST(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT) AS DOUBLE) / 100, 2) AS s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey
+      |    FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE p_name LIKE '%bolt%'
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |    GROUP BY l_suppkey, p_partkey
+      |    HAVING sum(l_quantity) > (SELECT 0.5 * sum(l2.l_quantity)
+      |                              FROM lineitem l2
+      |                              WHERE l2.l_partkey = p_partkey
+      |                                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      |                                AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))""".stripMargin
 
   /** Sessionization: 30-min-gap sessions per user. Two stacked windows on
     * the same (user_id, ts) partitioning — a single shuffle. */
@@ -1086,6 +1236,12 @@ object QueriesCore {
     "q21_waiting_supplier"  -> q21WaitingSupplier,
     "q17_small_quantity"    -> q17SmallQuantity,
     "q22_global_sales"      -> q22GlobalSales,
+    "q2_min_cost_supplier"  -> q2MinCostSupplier,
+    "q9_product_profit"     -> q9ProductProfit,
+    "q11_important_stock"   -> q11ImportantStock,
+    "q12_ship_priority"     -> q12ShipPriority,
+    "q16_part_suppliers"    -> q16PartSuppliers,
+    "q20_promising_supplier" -> q20PromisingSupplier,
     "q_sessionize"          -> qSessionize,
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
@@ -1143,6 +1299,12 @@ object QueriesCore {
     "q21_waiting_supplier"  -> q21Sql,
     "q17_small_quantity"    -> q17Sql,
     "q22_global_sales"      -> q22Sql,
+    "q2_min_cost_supplier"  -> q2Sql,
+    "q9_product_profit"     -> q9Sql,
+    "q11_important_stock"   -> q11Sql,
+    "q12_ship_priority"     -> q12Sql,
+    "q16_part_suppliers"    -> q16Sql,
+    "q20_promising_supplier" -> q20Sql,
     "q_sessionize"          -> qSessionizeSql,
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,

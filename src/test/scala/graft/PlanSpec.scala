@@ -104,6 +104,56 @@ class PlanSpec extends SparkSpec {
       s"q15 must stay hash-joined:\n$p")
   }
 
+  test("q2: regional-min scalar subquery decorrelates to an aggregate joined back") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"per-part regional min must plan as an aggregate:\n$p")
+    assert(!p.toLowerCase.contains("insubquery"),
+      s"no per-row subquery execution allowed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q2 must stay hash-joined:\n$p")
+  }
+
+  test("q9: all three dims broadcast; LIKE-filtered part prunes before the join") {
+    val p = planOf("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"q9 dims (part/supplier/nation) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q9 must not degenerate to a nested-loop join:\n$p")
+  }
+
+  test("q11: the total-value threshold plans as one scalar subquery, not per group") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Subquery"), s"threshold should plan as a scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q11 must stay hash-joined:\n$p")
+  }
+
+  test("q12: shipdate window pushes to the lineitem scan under the fact-fact join") {
+    val p = planOf("q12_ship_priority")
+    assert(p.contains("IsNotNull(l_shipdate)"), s"date filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q12 must stay hash-joined:\n$p")
+  }
+
+  test("q16: NOT IN on a non-nullable key plans as a plain anti join, not null-aware nested-loop") {
+    val p = planOf("q16_part_suppliers")
+    assert(p.contains("LeftAnti"), s"NOT IN must decorrelate to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q16 must not fall back to the null-aware nested-loop form:\n$p")
+  }
+
+  test("q20: both subquery levels decorrelate — semi join outside, aggregate join inside") {
+    val p = planOf("q20_promising_supplier")
+    assert(p.contains("LeftSemi"), s"IN must decorrelate to a semi join:\n$p")
+    assert(!p.toLowerCase.contains("insubquery"),
+      s"no per-row subquery execution allowed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 must stay hash-joined:\n$p")
+  }
+
   test("q_lookup_record: both lookups broadcast, fact side never shuffles") {
     val p = planOf("q_lookup_record")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"lookups not broadcast:\n$p")
