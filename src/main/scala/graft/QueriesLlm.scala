@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{El, TextAnalysis}
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Cluster, Dedup, Multimodal, Retrieval}
 
 /** SURVEY.md §2.4 (+§2.1 #8): LLM-training-data pipeline queries —
   * dedup family, similarity search, text analysis, multimodal plumbing,
@@ -897,6 +897,149 @@ object QueriesLlm {
       |       md5(string_agg(tok, ' ' ORDER BY idx)) AS clean_md5
       |FROM kept GROUP BY doc_id""".stripMargin
 
+  /** The fixed keyword query set for the retrieval family — terms from
+    * the synthetic corpus vocabulary so every query has matches. */
+  private def retrievalQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "hash join table"), (1L, "window agg stream"),
+        (2L, "fast scan filter"), (3L, "vector merge sort column"))
+      .toDF("query_id", "qtext")
+  }
+
+  /** BM25 ranked retrieval (§2.4, r10): Okapi BM25 top-10 per keyword
+    * query, query terms broadcast so only matching postings aggregate. */
+  val qBm25Search: Q = (s, d) =>
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      retrievalQueries(s), "query_id", "qtext", k = 10)
+  val qBm25SearchSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |              FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |queries(query_id, qtext) AS (VALUES (0, 'hash join table'), (1, 'window agg stream'),
+      |                                    (2, 'fast scan filter'), (3, 'vector merge sort column')),
+      |qt AS (SELECT DISTINCT query_id, term FROM (
+      |         SELECT CAST(query_id AS BIGINT) AS query_id,
+      |                unnest(string_split(qtext, ' ')) AS term FROM queries)),
+      |terms AS (SELECT DISTINCT term FROM qt),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) w
+      |       JOIN terms USING (term) GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |wsc AS (SELECT tf.doc_id, tf.term,
+      |               ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |               (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS wt
+      |        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+      |sc AS (SELECT qt.query_id, wsc.doc_id, round(sum(wt), 6) AS score, count(*) AS n_terms
+      |       FROM wsc JOIN qt USING (term) GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score, n_terms, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      |  FROM sc)
+      |WHERE rk <= 10""".stripMargin
+
+  /** Token-window chunking (§2.4, r10): 40-token windows, stride 30 —
+    * the RAG/pretraining chunk grain; narrow, shuffle-free. */
+  val qChunkDocs: Q = (s, d) =>
+    Retrieval.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+      chunkLen = 40, stride = 30)
+  val qChunkDocsSql: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |             unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS s
+      |      FROM t)
+      |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_id,
+      |       array_to_string(toks[s + 1 : s + 40], ' ') AS chunk_text,
+      |       CAST(least(40, len(toks) - s) AS BIGINT) AS n_chunk_tokens
+      |FROM c""".stripMargin
+
+  /** Hybrid retrieval (§2.4, r10): reciprocal-rank fusion of the BM25
+    * ranking with the exact-cosine dense ranking (query_id n = embedding
+    * vec_id n for n < 4) — rank-based, so fusion math is exact. */
+  val qHybridRrf: Q = (s, d) => {
+    val lexical = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        retrievalQueries(s), "query_id", "qtext", k = 10)
+      .select("query_id", "doc_id", "rk")
+    val emb = Tables.embeddings(s, d)
+    val dense = Ann.bruteForceTopKPartitioned(s, emb, emb.filter(col("vec_id") < 4), k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+    Retrieval.rrfFuse(lexical, dense, k = 10)
+  }
+  val qHybridRrfSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |              FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |queries(query_id, qtext) AS (VALUES (0, 'hash join table'), (1, 'window agg stream'),
+      |                                    (2, 'fast scan filter'), (3, 'vector merge sort column')),
+      |qt AS (SELECT DISTINCT query_id, term FROM (
+      |         SELECT CAST(query_id AS BIGINT) AS query_id,
+      |                unnest(string_split(qtext, ' ')) AS term FROM queries)),
+      |terms AS (SELECT DISTINCT term FROM qt),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) w
+      |       JOIN terms USING (term) GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |wsc AS (SELECT tf.doc_id, tf.term,
+      |               ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |               (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS wt
+      |        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+      |sc AS (SELECT qt.query_id, wsc.doc_id, round(sum(wt), 6) AS score
+      |       FROM wsc JOIN qt USING (term) GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, rk FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      |          FROM sc) WHERE rk <= 10),
+      |dense AS (SELECT query_id, vec_id AS doc_id, rk FROM (
+      |            SELECT q.vec_id AS query_id, c.vec_id,
+      |                   row_number() OVER (
+      |                     PARTITION BY q.vec_id
+      |                     ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                                           CAST(q.embedding AS DOUBLE[])), 6) DESC,
+      |                              c.vec_id) AS rk
+      |            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 4) q
+      |            WHERE c.vec_id != q.vec_id)
+      |          WHERE rk <= 10),
+      |f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |             coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |             round(coalesce(1.0 / (60 + a.rk), 0.0) + coalesce(1.0 / (60 + b.rk), 0.0), 9) AS rrf_score
+      |      FROM lex a FULL OUTER JOIN dense b
+      |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+      |SELECT query_id, doc_id, rrf_score, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+      |  FROM f)
+      |WHERE rk <= 10""".stripMargin
+
+  /** Deterministic k-means over int8-quantized embeddings (§2.4, r10):
+    * k=8, two assignment passes; integer-sum centroids make every
+    * cosine exact, so the oracle replays the full Lloyd iteration. */
+  val qEmbedKmeans: Q = (s, d) =>
+    Cluster.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, iters = 2)
+  val qEmbedKmeansSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS c
+      |      FROM (SELECT vec_id, v,
+      |              CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN 1.0
+      |                   ELSE list_max(list_transform(v, y -> abs(y))) / 127.0 END AS s
+      |            FROM e)),
+      |c0 AS (SELECT vec_id AS cid, c AS cv FROM q WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT q.vec_id, c0.cid,
+      |                row_number() OVER (PARTITION BY q.vec_id
+      |                  ORDER BY list_cosine_similarity(q.c, c0.cv) DESC, c0.cid) AS rk
+      |         FROM q, c0) WHERE rk = 1),
+      |s1 AS (SELECT cid, list(s ORDER BY i) AS cv FROM (
+      |         SELECT cid, i, sum(ci) AS s FROM (
+      |           SELECT a1.cid, unnest(generate_series(1, len(q.c))) AS i, unnest(q.c) AS ci
+      |           FROM a1 JOIN q USING (vec_id))
+      |         GROUP BY cid, i)
+      |       GROUP BY cid)
+      |SELECT vec_id, cid AS cluster, round(sim, 6) AS sim FROM (
+      |  SELECT q.vec_id, s1.cid, list_cosine_similarity(q.c, s1.cv) AS sim,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.c, s1.cv) DESC, s1.cid) AS rk
+      |  FROM q, s1) WHERE rk = 1""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1059,7 +1202,11 @@ object QueriesLlm {
     "q_llm_pipeline"        -> qLlmPipeline,
     "q_frame_decode"        -> qFrameDecode,
     "q_dup_spans"           -> qDupSpans,
-    "q_cut_spans"           -> qCutSpans)
+    "q_cut_spans"           -> qCutSpans,
+    "q_bm25_search"         -> qBm25Search,
+    "q_chunk_docs"          -> qChunkDocs,
+    "q_hybrid_rrf"          -> qHybridRrf,
+    "q_embed_kmeans"        -> qEmbedKmeans)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1096,5 +1243,9 @@ object QueriesLlm {
     "q_llm_pipeline"        -> qLlmPipelineSql,
     "q_frame_decode"        -> qFrameDecodeSql,
     "q_dup_spans"           -> qDupSpansSql,
-    "q_cut_spans"           -> qCutSpansSql)
+    "q_cut_spans"           -> qCutSpansSql,
+    "q_bm25_search"         -> qBm25SearchSql,
+    "q_chunk_docs"          -> qChunkDocsSql,
+    "q_hybrid_rrf"          -> qHybridRrfSql,
+    "q_embed_kmeans"        -> qEmbedKmeansSql)
 }

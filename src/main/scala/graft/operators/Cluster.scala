@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Embedding-corpus clustering (SURVEY.md §2.4): deterministic k-means
+  * over int8-quantized vectors. Clustering is the curation primitive
+  * behind cluster-balanced sampling and SemDeDup-style per-cluster
+  * dedup (Abbas et al. 2023); this re-expresses classic Lloyd
+  * iteration (Lloyd 1982) as a fully distributed Spark plan — no
+  * driver-side centroid materialization at any k.
+  *
+  * Determinism/portability design: vectors are first quantized to int8
+  * codes ([[VectorFunctions.quantize8]] — floor-based half-up, engine
+  * identical), and centroids are kept as UNNORMALIZED integer sum
+  * vectors — cosine is scale-invariant, so argmax against the sum
+  * equals argmax against the mean while every dot/norm stays an EXACT
+  * integer (dim 64 × int8 codes × cluster sums ≪ 2⁵³ up to ~10⁷ rows
+  * per cluster). The nearest-centroid compare is therefore
+  * bit-identical across engines and partitionings, which is what lets
+  * a SQL oracle replay the full iteration exactly.
+  */
+object Cluster {
+
+  /** K-means cluster assignment after `iters` assignment passes
+    * (centroids update between passes; `iters = 2` ⇒ assign → update →
+    * assign). Seeds = the `k` smallest-id vectors' code vectors;
+    * cluster label = the seed's id. Empty clusters simply vanish (both
+    * engines drop them identically).
+    *
+    * Plan shape: centroids live in a k-row DataFrame that BROADCASTS
+    * into the corpus (no collect); assignment is a broadcast join +
+    * `max_by` aggregate (map-side combinable — the shuffle carries one
+    * row per vector, not one per (vector, centroid)); the centroid
+    * update is a posexplode → sum by (cluster, dim) → rebuild (k·dim
+    * rows after partial aggregation). For k past broadcast range, swap
+    * the assignment join for [[Ann.assignCellsDistributed]]'s
+    * anchor-grouped two-level shape — the math here is already
+    * centroid-location-agnostic.
+    *
+    * Output: (`idCol`, cluster, sim) — `sim` = cosine against the final
+    * centroid, rounded to 6 decimals for display; ranking happens on
+    * the raw exact-integer cosine with ties broken by cluster id.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeansAssign: need k>0, iters>0; got k=$k iters=$iters")
+    val codes = df.select(col(idCol).cast("long").as("id"),
+      VectorFunctions.quantize8(col(vecCol)).getField("codes").as("c"))
+    var cents = codes.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("c").cast("array<long>").as("cv"))
+
+    def assign(cs: DataFrame): DataFrame =
+      codes.crossJoin(broadcast(cs))
+        .select(col("id"), col("c"), col("cid"),
+          graft.plans.CosineSimilarity(col("c").cast("array<double>"),
+            col("cv").cast("array<double>")).as("sim"))
+        .groupBy("id", "c")
+        .agg(max_by(struct(col("cid"), col("sim")),
+          struct(col("sim"), (-col("cid")).as("tie"))).as("best"))
+        .select(col("id"), col("c"),
+          col("best.cid").as("cid"), col("best.sim").as("sim"))
+
+    var assigned = assign(cents)
+    for (_ <- 1 until iters) {
+      cents = assigned
+        .select(col("cid"), posexplode(col("c")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum(col("v")).as("s"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("s").as("v")))),
+          x => x.getField("v")).as("cv"))
+      assigned = assign(cents)
+    }
+    // DuckDB-faithful rounding (round(x·10⁶)/10⁶) for the display col.
+    assigned.select(col("id").as(idCol), col("cid").as("cluster"),
+      (round(col("sim") * 1e6) / 1e6).as("sim"))
+  }
+}

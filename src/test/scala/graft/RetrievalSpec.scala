@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cluster, Retrieval}
+
+/** Retrieval/clustering family (r10): BM25 against a hand-computed
+  * reference, chunking reconstruction properties, RRF fusion edge
+  * cases, and k-means pinned to an in-JVM reference on real
+  * embeddings — edges the DuckDB oracles don't isolate. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25TopK: matches a hand-computed score on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian durian")).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+      .orderBy("rk").select("doc_id", "score", "n_terms", "rk")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    // N=3, df(apple)=2, idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    // avgdl = (3+2+4)/3 = 3.0
+    val idf = math.log(1.6)
+    def w(tf: Long, dl: Long): Double = {
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+      math.round(raw * 1e6) / 1e6
+    }
+    // doc1: tf=2, dl=3 → higher than doc2: tf=1, dl=2; doc3 absent
+    assert(out === Seq((1L, w(2, 3), 1L, 1L), (2L, w(1, 2), 1L, 2L)))
+  }
+
+  test("bm25TopK: multi-term query sums per-term weights; k bounds output") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val qs = Seq((7L, "x y")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 2)
+    val rows = out.select("doc_id", "n_terms", "rk").as[(Long, Long, Long)].collect().toSeq
+    // doc1 matches both terms → rank 1; only k=2 rows emitted
+    assert(rows.size === 2 && rows.head === ((1L, 2L, 1L)))
+  }
+
+  test("chunkTokens: windows cover the token stream exactly; short tail kept") {
+    val docs = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Retrieval.chunkTokens(docs, "doc_id", "text", chunkLen = 40, stride = 30)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(chunks.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._3) === Seq(40L, 40L, 35L, 5L))
+    // stride-prefix reconstruction: first `stride` tokens of each chunk,
+    // plus the final chunk's tail, rebuild the original token stream
+    val rebuilt = chunks.init.map(_._2.split(" ").take(30).mkString(" ")) :+
+      chunks.last._2
+    assert(rebuilt.mkString(" ") === (1 to 95).map(i => s"t$i").mkString(" "))
+    // overlap: chunk n's tokens 31..40 == chunk n+1's tokens 1..10
+    val c0 = chunks(0)._2.split(" "); val c1 = chunks(1)._2.split(" ")
+    assert(c0.drop(30).toSeq === c1.take(10).toSeq)
+  }
+
+  test("chunkTokens: empty doc yields one empty chunk; doc shorter than a window") {
+    val docs = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = Retrieval.chunkTokens(docs, "doc_id", "text", chunkLen = 40, stride = 30)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(chunks === Seq((1L, 0L, "", 0L), (2L, 0L, "a b c", 3L)))
+  }
+
+  test("rrfFuse: both-sides, one-side docs and ranking order") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(a, b, k = 10).orderBy("rk")
+      .select("doc_id", "rrf_score", "rk").as[(Long, Double, Long)].collect().toSeq
+    def r(x: Double) = math.round(x * 1e9) / 1e9
+    // doc11 in both lists wins; 10 vs 12 tie on score broken by doc_id
+    assert(out === Seq(
+      (11L, r(1.0 / 62 + 1.0 / 61), 1L),
+      (10L, r(1.0 / 61), 2L),
+      (12L, r(1.0 / 62), 3L)))
+  }
+
+  test("kmeansAssign: equals an in-JVM Lloyd reference on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+
+    // Reference: same quantization, seeds, and tie-breaks, scalar JVM code.
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def codes(v: Array[Float]): Array[Long] = {
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+      v.map(x => math.floor(x / scale + 0.5).toLong)
+    }
+    val q = vecs.map { case (id, v) => id -> codes(v) }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents: Seq[(Long, Array[Long])] = q.take(8).toSeq
+    def assign(): Map[Long, Long] = q.map { case (id, c) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(c, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    }.toMap
+    var ref = assign()
+    cents = ref.groupBy(_._2).map { case (cid, members) =>
+      val sums = new Array[Long](64)
+      members.keys.foreach { id =>
+        val c = q.find(_._1 == id).get._2
+        var i = 0; while (i < 64) { sums(i) += c(i); i += 1 }
+      }
+      cid -> sums
+    }.toSeq
+    ref = assign()
+    assert(got === ref)
+    // sanity: more than one cluster survives on real data
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("kmeansAssign: k larger than corpus degrades to per-point clusters") {
+    val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val out = Cluster.kmeansAssign(tiny, "vec_id", "embedding", k = 8, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // every point is its own seed → assigned to itself (cos=1 is max;
+    // ties to an identical other vector would break to the smaller cid)
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+}
