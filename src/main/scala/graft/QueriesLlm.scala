@@ -1040,6 +1040,45 @@ object QueriesLlm {
       |           ORDER BY list_cosine_similarity(q.c, s1.cv) DESC, s1.cid) AS rk
       |  FROM q, s1) WHERE rk = 1""".stripMargin
 
+  /** Cluster-balanced sampling (§2.4, r10): k-means clusters capped at
+    * 25 rows each by a seeded md5 permutation — over-dense clusters
+    * downsample, rare clusters survive whole. */
+  val qClusterSample: Q = (s, d) =>
+    Cluster.balancedSample(
+      Cluster.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster")),
+      "vec_id", "cluster", perCluster = 25, seed = "cs7")
+  val qClusterSampleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS c
+      |      FROM (SELECT vec_id, v,
+      |              CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN 1.0
+      |                   ELSE list_max(list_transform(v, y -> abs(y))) / 127.0 END AS s
+      |            FROM e)),
+      |c0 AS (SELECT vec_id AS cid, c AS cv FROM q WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT q.vec_id, c0.cid,
+      |                row_number() OVER (PARTITION BY q.vec_id
+      |                  ORDER BY list_cosine_similarity(q.c, c0.cv) DESC, c0.cid) AS rk
+      |         FROM q, c0) WHERE rk = 1),
+      |s1 AS (SELECT cid, list(s ORDER BY i) AS cv FROM (
+      |         SELECT cid, i, sum(ci) AS s FROM (
+      |           SELECT a1.cid, unnest(generate_series(1, len(q.c))) AS i, unnest(q.c) AS ci
+      |           FROM a1 JOIN q USING (vec_id))
+      |         GROUP BY cid, i)
+      |       GROUP BY cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT q.vec_id, s1.cid,
+      |                row_number() OVER (PARTITION BY q.vec_id
+      |                  ORDER BY list_cosine_similarity(q.c, s1.cv) DESC, s1.cid) AS rk
+      |         FROM q, s1) WHERE rk = 1)
+      |SELECT vec_id, cluster FROM (
+      |  SELECT vec_id, cid AS cluster,
+      |         row_number() OVER (PARTITION BY cid
+      |           ORDER BY md5('cs7:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM a2) WHERE rk <= 25""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1206,7 +1245,8 @@ object QueriesLlm {
     "q_bm25_search"         -> qBm25Search,
     "q_chunk_docs"          -> qChunkDocs,
     "q_hybrid_rrf"          -> qHybridRrf,
-    "q_embed_kmeans"        -> qEmbedKmeans)
+    "q_embed_kmeans"        -> qEmbedKmeans,
+    "q_cluster_sample"      -> qClusterSample)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1247,5 +1287,6 @@ object QueriesLlm {
     "q_bm25_search"         -> qBm25SearchSql,
     "q_chunk_docs"          -> qChunkDocsSql,
     "q_hybrid_rrf"          -> qHybridRrfSql,
-    "q_embed_kmeans"        -> qEmbedKmeansSql)
+    "q_embed_kmeans"        -> qEmbedKmeansSql,
+    "q_cluster_sample"      -> qClusterSampleSql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -76,5 +77,22 @@ object Cluster {
     // DuckDB-faithful rounding (round(x·10⁶)/10⁶) for the display col.
     assigned.select(col("id").as(idCol), col("cid").as("cluster"),
       (round(col("sim") * 1e6) / 1e6).as("sim"))
+  }
+
+  /** Cluster-balanced sampling: keep at most `perCluster` rows per
+    * cluster, chosen by a seeded md5 permutation of the id (the same
+    * engine-portable pseudo-random order [[Scale.globalShuffle]] uses)
+    * — the downsampling step of cluster-balanced curation (over-dense
+    * clusters are capped, rare clusters survive whole). One shuffle on
+    * the cluster key; for a pathologically dominant cluster, pre-salt
+    * the window or use [[Scale.saltedJoin]]'s posture — the sample is
+    * order-defined, so any partitioning of the SAME cluster ordering
+    * yields the same keep set. */
+  def balancedSample(assigned: DataFrame, idCol: String, clusterCol: String,
+                     perCluster: Int, seed: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol))
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCluster).drop("rk")
   }
 }

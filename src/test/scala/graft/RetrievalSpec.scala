@@ -120,6 +120,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("balancedSample: caps dense clusters, keeps rare ones whole, partition-invariant") {
+    val assigned = ((1L to 100L).map(i => (i, 0L)) ++ Seq((200L, 1L), (201L, 1L)))
+      .toDF("vec_id", "cluster")
+    val kept = Cluster.balancedSample(assigned, "vec_id", "cluster", perCluster = 10, seed = "t")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSeq.sorted
+    assert(kept.count(_._2 == 0L) === 10)       // dense cluster capped
+    assert(kept.filter(_._2 == 1L).map(_._1) === Seq(200L, 201L)) // rare survives whole
+    // seeded order ⇒ identical keep set under a different partitioning
+    val again = Cluster.balancedSample(assigned.repartition(7), "vec_id", "cluster", 10, "t")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSeq.sorted
+    assert(again === kept)
+    // a different seed picks a different dense-cluster subset
+    val other = Cluster.balancedSample(assigned, "vec_id", "cluster", 10, "u")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSeq.sorted
+    assert(other !== kept)
+  }
+
   test("kmeansAssign: k larger than corpus degrades to per-point clusters") {
     val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
     val out = Cluster.kmeansAssign(tiny, "vec_id", "embedding", k = 8, iters = 2)
