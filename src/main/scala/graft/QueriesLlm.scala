@@ -1079,6 +1079,34 @@ object QueriesLlm {
       |           ORDER BY md5('cs7:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
       |  FROM a2) WHERE rk <= 25""".stripMargin
 
+  /** Domain-level filtering (§2.4, r10): C4/RefinedWeb-style curation
+    * at the SOURCE grain — keep documents whose source's mean token
+    * count clears the corpus mean (a domain-quality gate, not a
+    * per-doc one). Shape: per-source aggregate + one global scalar
+    * (exact sum/count divisions), gate broadcasts back as a semi-join
+    * so the doc stream is never shuffled. */
+  val qDomainFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val bySrc = scored.groupBy("source")
+      .agg((sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"))
+    val global = scored
+      .agg((sum(col("n_tok")).cast("double") / count(lit(1))).as("g_avg"))
+    val good = bySrc.crossJoin(broadcast(global))
+      .filter(col("avg_tok") >= col("g_avg")).select("source")
+    docs.join(broadcast(good), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+  val qDomainFilterSql: String =
+    """WITH n AS (SELECT doc_id, source,
+      |             CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |bysrc AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tok FROM n GROUP BY 1),
+      |g AS (SELECT CAST(sum(n_tok) AS DOUBLE) / count(*) AS g_avg FROM n),
+      |good AS (SELECT source FROM bysrc, g WHERE avg_tok >= g_avg)
+      |SELECT doc_id, source FROM documents WHERE source IN (SELECT source FROM good)""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1246,7 +1274,8 @@ object QueriesLlm {
     "q_chunk_docs"          -> qChunkDocs,
     "q_hybrid_rrf"          -> qHybridRrf,
     "q_embed_kmeans"        -> qEmbedKmeans,
-    "q_cluster_sample"      -> qClusterSample)
+    "q_cluster_sample"      -> qClusterSample,
+    "q_domain_filter"       -> qDomainFilter)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1288,5 +1317,6 @@ object QueriesLlm {
     "q_chunk_docs"          -> qChunkDocsSql,
     "q_hybrid_rrf"          -> qHybridRrfSql,
     "q_embed_kmeans"        -> qEmbedKmeansSql,
-    "q_cluster_sample"      -> qClusterSampleSql)
+    "q_cluster_sample"      -> qClusterSampleSql,
+    "q_domain_filter"       -> qDomainFilterSql)
 }

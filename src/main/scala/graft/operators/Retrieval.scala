@@ -61,19 +61,21 @@ object Retrieval {
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.wsTokens(col(textCol)).as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
     // Exact-integer global stats: avgdl as sum/count (one double
     // division) — NOT avg(), whose running-mean accumulation order is
     // engine-dependent.
-    val stats = dl.agg(count(lit(1)).as("n"),
+    val stats = toks.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.wsTokens(col(queryTextCol))).as("term"))
       .distinct()
     val terms = qt.select("term").distinct()
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    // dl rides the (filtered) postings stream — one int per matching
+    // token — so no second corpus aggregation or per-doc join-back.
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(terms), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // Robertson idf (the Lucene-default +1 smoothing, never negative).
     // Operand shapes mirror the oracle SQL verbatim so the doubles are
@@ -84,7 +86,6 @@ object Retrieval {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     val scored = tf
       .join(broadcast(dft), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("wt", wt)
       .join(broadcast(qt), Seq("term"))
