@@ -53,25 +53,38 @@ object Cluster {
     var cents = codes.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("c").cast("array<long>").as("cv"))
 
-    def assign(cs: DataFrame): DataFrame =
-      codes.crossJoin(broadcast(cs))
-        .select(col("id"), col("c"), col("cid"),
-          graft.plans.CosineSimilarity(col("c").cast("array<double>"),
-            col("cv").cast("array<double>")).as("sim"))
-        .groupBy("id", "c")
-        .agg(max_by(struct(col("cid"), col("sim")),
-          struct(col("sim"), (-col("cid")).as("tie"))).as("best"))
+    // Assignment is NARROW: the k centroids pack into a single-row
+    // array that broadcasts, and the argmax runs inside the row via
+    // higher-order functions — corpus rows never shuffle to be
+    // assigned. array_max over (sim, -cid, cid) structs = max cosine,
+    // ties to the smallest cluster id (collect_list order can't matter
+    // — max is order-invariant).
+    def assign(cs: DataFrame): DataFrame = {
+      val packed = cs.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      codes.crossJoin(broadcast(packed))
         .select(col("id"), col("c"),
-          col("best.cid").as("cid"), col("best.sim").as("sim"))
+          array_max(transform(col("cents"), cc =>
+            struct(
+              graft.plans.CosineSimilarity(col("c").cast("array<double>"),
+                cc.getField("cv").cast("array<double>")).as("sim"),
+              (-cc.getField("cid")).as("neg"),
+              cc.getField("cid").as("cid")))).as("best"))
+        .select(col("id"), col("c"), col("best.cid").as("cid"), col("best.sim").as("sim"))
+    }
 
     var assigned = assign(cents)
     for (_ <- 1 until iters) {
+      // localCheckpoint the k-row centroid table (eager): severs the
+      // previous assignment pass from the next one's lineage, so pass
+      // i's subtree executes once instead of replaying inside pass
+      // i+1's plan — k·dim values materialize, never the corpus.
       cents = assigned
         .select(col("cid"), posexplode(col("c")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(sum(col("v")).as("s"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos").as("p"), col("s").as("v")))),
           x => x.getField("v")).as("cv"))
+        .localCheckpoint()
       assigned = assign(cents)
     }
     // DuckDB-faithful rounding (round(x·10⁶)/10⁶) for the display col.
