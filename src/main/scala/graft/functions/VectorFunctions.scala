@@ -45,7 +45,14 @@ object VectorFunctions {
     * similarity search: 4× smaller vectors with ~0.4%-of-scale error
     * per component (production packs codes into binary; arrays keep
     * this demonstration engine-portable). Zero vectors quantize to
-    * zero codes with scale 1. */
+    * zero codes with scale 1.
+    *
+    * Hot-path caveat: as a single Column the scale sub-expression
+    * inlines into the per-element lambda, and interpreted HOFs re-fold
+    * the max-abs aggregate per element (2·dim² element-ops per row).
+    * In loops over large corpora, stage the scale into its own
+    * projection instead — see `Cluster.kmeansAssign` and
+    * tools/NOTES_r10_kmeans.md for the measured 20× difference. */
   def quantize8(v: Column): Column = {
     val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
