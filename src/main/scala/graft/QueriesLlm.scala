@@ -1107,6 +1107,37 @@ object QueriesLlm {
       |good AS (SELECT source FROM bysrc, g WHERE avg_tok >= g_avg)
       |SELECT doc_id, source FROM documents WHERE source IN (SELECT source FROM good)""".stripMargin
 
+  /** Heavy hitters (§2.6, r10): corpus token frequencies through the
+    * mergeable Misra-Gries frequent-items sketch. On the bounded
+    * 31-token vocabulary nothing evicts at any SF, so every estimate is
+    * exact and the oracle is plain GROUP BY counts; the eviction regime
+    * (guarantee bounds) is spec-gated in SketchesSpec. */
+  val qHeavyHitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+    graft.operators.Sketches.frequentItems(toks, "token", maxMapSize = 64)
+      .select(col("item").as("token"), col("estimate").as("freq"))
+  }
+  val qHeavyHittersSql: String =
+    """WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |           FROM documents)
+      |SELECT token, count(*) AS freq FROM w GROUP BY token""".stripMargin
+
+  /** Bloom-prefiltered incremental dedup (§2.4, r10): which incoming
+    * docs are genuinely new vs a history corpus — EXACT result (the
+    * bloom only shrinks the anti-join's input; collisions can only add
+    * candidates that the exact join then resolves). */
+  val qBloomDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+    graft.operators.Sketches.bloomAntiJoin(
+        docs.select(col("doc_id"), col("text")), history, "text", fpp = 0.01)
+      .select(col("doc_id"))
+  }
+  val qBloomDedupSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1275,7 +1306,9 @@ object QueriesLlm {
     "q_hybrid_rrf"          -> qHybridRrf,
     "q_embed_kmeans"        -> qEmbedKmeans,
     "q_cluster_sample"      -> qClusterSample,
-    "q_domain_filter"       -> qDomainFilter)
+    "q_domain_filter"       -> qDomainFilter,
+    "q_heavy_hitters"       -> qHeavyHitters,
+    "q_bloom_dedup"         -> qBloomDedup)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1318,5 +1351,7 @@ object QueriesLlm {
     "q_hybrid_rrf"          -> qHybridRrfSql,
     "q_embed_kmeans"        -> qEmbedKmeansSql,
     "q_cluster_sample"      -> qClusterSampleSql,
-    "q_domain_filter"       -> qDomainFilterSql)
+    "q_domain_filter"       -> qDomainFilterSql,
+    "q_heavy_hitters"       -> qHeavyHittersSql,
+    "q_bloom_dedup"         -> qBloomDedupSql)
 }

@@ -182,4 +182,116 @@ object Sketches {
          math.round(diff.getEstimate)))
       .toDF("distinct_a", "distinct_b", "a_not_b")
   }
+
+  // ---------------------------------------------- frequent items (MG)
+
+  /** Heavy hitters over `valueCol` via the DataSketches frequent-items
+    * sketch (Misra-Gries family): per-partition sketches of `maxMapSize`
+    * counters merge executor-side to ≤√P groups ([[groupMerged]]), the
+    * driver merges only the group blobs — a top-token / hot-key answer
+    * at 100 TB without the full (token → exact count) shuffle.
+    *
+    * Guarantees (NO_FALSE_NEGATIVES): every item with true frequency
+    * > the sketch's reported `max_error` is present, and
+    * lower ≤ exact ≤ upper with upper − lower ≤ max_error (max_error ≈
+    * 3.5·n/maxMapSize worst-case under purging/merging, 0 when nothing
+    * ever evicted). In the no-eviction regime every estimate is EXACT
+    * and partition-order-independent — which is what lets a SQL oracle
+    * check the query form on the bounded-vocabulary corpus while the
+    * spec exercises the eviction regime.
+    *
+    * Returns (item, estimate, lower_bound, upper_bound, max_error),
+    * one row per reported item. */
+  def frequentItems(df: DataFrame, valueCol: String, maxMapSize: Int): DataFrame = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    val spark = df.sparkSession
+    val serde = new ArrayOfStringsSerDe()
+    val parts = df.select(col(valueCol)).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+      val sk = new ItemsSketch[String](maxMapSize)
+      rows.foreach(r => if (!r.isNullAt(0)) sk.update(r.getString(0)))
+      Iterator.single(sk.toByteArray(new ArrayOfStringsSerDe()))
+    }(org.apache.spark.sql.Encoders.BINARY)
+    val merged = new ItemsSketch[String](maxMapSize)
+    groupMerged(parts, { it =>
+      val g = new ItemsSketch[String](maxMapSize)
+      it.foreach(b => g.merge(ItemsSketch.getInstance(
+        org.apache.datasketches.memory.Memory.wrap(b), new ArrayOfStringsSerDe())))
+      g.toByteArray(new ArrayOfStringsSerDe())
+    }).foreach(b => merged.merge(ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(b), serde)))
+    import spark.implicits._
+    val maxErr = merged.getMaximumError
+    merged.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound, maxErr))
+      .toSeq.toDF("item", "estimate", "lower_bound", "upper_bound", "max_error")
+  }
+
+  // ------------------------------------------- bloom-prefiltered anti
+
+  /** Serialized Bloom filter over xxhash64(`keyCol`) of `df`: built
+    * per-partition (spark-sketch `BloomFilter`, the same implementation
+    * Spark's runtime row-level filtering uses), merged executor-side to
+    * ≤√P groups, final OR on the driver. Size the filter for the build
+    * side: ~1.2 GB at 10⁹ keys / 1% fpp — past broadcast comfort,
+    * shard the build side and run this per shard. */
+  private[graft] def bloomBytes(df: DataFrame, keyCol: String,
+                                expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val parts = df.select(xxhash64(col(keyCol))).mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+      val bf = BloomFilter.create(expectedItems, fpp)
+      rows.foreach(r => if (!r.isNullAt(0)) bf.putLong(r.getLong(0)))
+      Iterator.single(ser(bf))
+    }(org.apache.spark.sql.Encoders.BINARY)
+    val merged = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    groupMerged(parts, { it =>
+      val g = BloomFilter.create(expectedItems, fpp)
+      it.foreach(b => g.mergeInPlace(BloomFilter.readFrom(b)))
+      ser(g)
+    }).foreach(b => merged.mergeInPlace(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(b)))
+    ser(merged)
+  }
+
+  /** Predicate Column: does the serialized bloom possibly contain
+    * xxhash64(`key`)? Uses Catalyst's native `BloomFilterMightContain`
+    * (codegen'd, deserializes the filter once per task) — the exact
+    * expression Spark's own runtime filters inject. */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(ColumnBridge.expression(key)), 42L)))
+  }
+
+  /** EXACT incremental anti-join with a Bloom pre-filter — the 100 TB
+    * "which of today's records are genuinely new?" primitive. Rows
+    * whose key hash misses the history bloom are definitely new (a
+    * bloom has no false negatives) and never enter the join; only the
+    * `fpp` false-positive sliver plus true duplicates anti-join the
+    * history table. The result is row-identical to
+    * `incoming.join(history, keys, "left_anti")` (hash collisions can
+    * only ADD a candidate, and the exact anti-join then removes real
+    * matches), but the join input shrinks from |incoming| to
+    * ~|dups| + fpp·|incoming|. Null keys: treated like any value
+    * (xxhash64 of null hashes the seed; the anti-join's null-safe
+    * semantics are the plain Spark ones — anti keeps null-keyed rows).
+    *
+    * `expectedItems < 0` sizes the filter from a history count. */
+  def bloomAntiJoin(incoming: DataFrame, history: DataFrame, keyCol: String,
+                    expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val expect = if (expectedItems > 0) expectedItems
+                 else math.max(1000L, history.count())
+    val bloom = bloomBytes(history, keyCol, expect, fpp)
+    val might = bloomMightContain(bloom, col(keyCol))
+    val definiteNew = incoming.filter(!might)
+    val candidates = incoming.filter(might)
+      .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(candidates)
+  }
 }

@@ -15,6 +15,8 @@ class SketchesSpec extends SparkSpec {
     (i % 10, s"s${i % 4}", s"user${i % 1327}")
   }.toDF("day", "source", "user")
 
+  private val sf = "/root/testdata/sf0.001"
+
   test("approxDistinct within 2% of exact per group") {
     val approx = Sketches.approxDistinct(events, Seq("source"), "user")
       .as[(String, Long)].collect().toMap
@@ -144,5 +146,62 @@ class SketchesSpec extends SparkSpec {
     val exact = events.select(countDistinct("user")).as[Long].head
     assert(math.abs(total - exact).toDouble / exact <= 0.02,
       s"rolled $total vs exact $exact")
+  }
+
+  test("frequentItems under eviction: guarantees hold on a skewed stream") {
+    // zipf-ish: item i appears ~N/i times; distinct (1000) >> maxMapSize (32)
+    val rows = (1 to 1000).flatMap(i => Seq.fill(2000 / i)(s"item$i"))
+    val df = rows.toDF("v").repartition(13)
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val out = Sketches.frequentItems(df, "v", maxMapSize = 32)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val maxErr = out.head._5
+    // eviction really happened, and the error stays within the
+    // documented ~3.5n/maxMapSize Misra-Gries purge bound
+    assert(maxErr > 0 && maxErr <= 3.5 * n / 32, s"max_error $maxErr")
+    // NO_FALSE_NEGATIVES: every item above the sketch's own error bound reported
+    val reported = out.map(_._1).toSet
+    exact.filter(_._2 > maxErr).keys.foreach(k =>
+      assert(reported.contains(k), s"missing heavy hitter $k (maxErr $maxErr)"))
+    // bounds bracket the exact count, interval <= max_error
+    out.foreach { case (item, est, lb, ub, _) =>
+      val ex = exact(item)
+      assert(lb <= ex && ex <= ub, s"$item: exact $ex outside [$lb,$ub]")
+      assert(est >= lb && est <= ub && (ub - lb) <= maxErr)
+    }
+  }
+
+  test("frequentItems with no eviction is exact") {
+    val rows = (1 to 20).flatMap(i => Seq.fill(i * 3)(s"w$i"))
+    val out = Sketches.frequentItems(rows.toDF("v").repartition(7), "v", 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length === 20)
+    out.foreach { case (item, est, lb, ub, me) =>
+      assert(est === item.drop(1).toInt * 3 && lb === est && ub === est && me === 0L)
+    }
+  }
+
+  test("bloomAntiJoin is row-identical to a plain left_anti join") {
+    val docs = Tables.documents(spark, sf)
+    val history = docs.filter($"doc_id" % 3 === 0).select($"text")
+    val incoming = docs.select($"doc_id", $"text")
+    // tight fpp AND a sloppy one: both must be exact, only the join
+    // input size differs
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Sketches.bloomAntiJoin(incoming, history, "text", fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val want = incoming.join(history.distinct(), Seq("text"), "left_anti")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got === want, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomMightContain: no false negatives over the build set") {
+    val keys = (1L to 500L).map(i => s"k$i")
+    val bloom = Sketches.bloomBytes(keys.toDF("k"), "k", 500, 0.03)
+    val hits = keys.toDF("k")
+      .filter(Sketches.bloomMightContain(bloom, $"k")).count()
+    assert(hits === 500L)
   }
 }
