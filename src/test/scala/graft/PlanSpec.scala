@@ -218,6 +218,38 @@ class PlanSpec extends SparkSpec {
       s"prefix-filtered jaccard must not nested-loop:\n$p")
   }
 
+  test("q_chunk_docs: chunking is purely narrow (zero exchanges)") {
+    val p = planOf("q_chunk_docs")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("q_bm25_search: query-term sides broadcast; no sort-merge, no cartesian") {
+    val p = planOf("q_bm25_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"terms/df/qt sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bm25 must stay broadcast-joined:\n$p")
+  }
+
+  test("q_bloom_dedup: the probe is a native bloom expression; candidates anti-join") {
+    val p = planOf("q_bloom_dedup")
+    assert(p.contains("might_contain"), s"bloom probe must be in-plan:\n$p")
+    assert(p.contains("LeftAnti"), s"candidate sliver must anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom dedup must stay hash-joined:\n$p")
+  }
+
+  test("q_embed_kmeans: assignment is narrow — only the centroid update shuffles") {
+    val p = planOf("q_embed_kmeans")
+    // exchanges may appear for the tiny centroid merge (k·dim rows) and
+    // the seed TakeOrdered; the corpus itself must never hash-shuffle:
+    // the assignment is a broadcast cross of a 1-row packed-centroid
+    // table, so no SortMergeJoin anywhere
+    assert(!p.contains("SortMergeJoin"), s"kmeans must not shuffle-join the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"packed centroids must broadcast:\n$p")
+  }
+
   test("clusters label-propagation join flips broadcast -> shuffle with the gate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, min}

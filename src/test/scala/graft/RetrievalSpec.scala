@@ -137,6 +137,22 @@ class RetrievalSpec extends SparkSpec {
     assert(other !== kept)
   }
 
+  test("chunkTokens composes with a streaming source (narrow, stateless)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val chunks = Retrieval.chunkTokens(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", chunkLen = 5, stride = 3)
+    val q = chunks.writeStream.format("memory")
+      .queryName("chunks_stream").outputMode("append").start()
+    try {
+      ms.addData((1L, (1 to 8).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("chunks_stream")
+        .select("chunk_id", "chunk_text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(rows === Seq((0L, "w1 w2 w3 w4 w5"), (1L, "w4 w5 w6 w7 w8"), (2L, "w7 w8")))
+    } finally q.stop()
+  }
+
   test("kmeansAssign: k larger than corpus degrades to per-point clusters") {
     val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
     val out = Cluster.kmeansAssign(tiny, "vec_id", "embedding", k = 8, iters = 2)
