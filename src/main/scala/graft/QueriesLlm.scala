@@ -1138,6 +1138,68 @@ object QueriesLlm {
     """SELECT doc_id FROM documents
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
+  /** Block-pattern PNG payload for the perceptual-hash queries: red
+    * channel of 9×8 blocks = (17i + 29j + 21(id%10) + noise) mod 256,
+    * noise = 5(id%7) at cell (3,2) for id%3=0 — every term replayable
+    * in SQL, so the dHash bits (and therefore the hamming pair set)
+    * have a closed-form oracle over REAL ImageIO-encoded PNGs.
+    *
+    * The payload set caps at doc_id < 20000: with only 10 pattern
+    * groups, group size — and therefore the TRUE near-dup pair count —
+    * grows linearly with the corpus, so the pair set is quadratic BY
+    * CONSTRUCTION past the cap (a property of this synthetic oracle
+    * corpus, not of the banded operator; same posture as the
+    * fixed-label q_embed_neardup form). */
+  private def phashPayloads(s: SparkSession, d: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      Multimodal.synthBlockPng((i, j) =>
+        ((i * 17 + j * 29 + (id % 10) * 21 +
+          (if (id % 3 == 0 && i == 3 && j == 2) (id % 7) * 5 else 0)) % 256).toInt,
+        g = 40, b = 200)
+    }
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") < 20000)
+      .select(col("doc_id"), synth(col("doc_id")).as("payload"))
+  }
+  /** The f(i, j, id) cell formula above, as a SQL fragment. */
+  private def phashCellSql(iExpr: String): String =
+    s"(($iExpr) * 17 + (k // 8) * 29 + (doc_id % 10) * 21 + " +
+    s"CASE WHEN doc_id % 3 = 0 AND ($iExpr) = 3 AND k // 8 = 2 " +
+    s"THEN (doc_id % 7) * 5 ELSE 0 END) % 256"
+
+  /** Image perceptual hash (§2.4 #40, r10): dHash-64 over real decoded
+    * PNGs; the oracle replays the bit construction in closed form. */
+  val qImagePhash: Q = (s, d) =>
+    Multimodal.dHashes(s, phashPayloads(s, d), "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("dhash"))
+  val qImagePhashSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(generate_series(0, 63), k ->
+       |    CASE WHEN ${phashCellSql("k % 8 + 1")} > ${phashCellSql("k % 8")}
+       |    THEN '1' ELSE '0' END), '') AS dhash
+       |FROM documents WHERE doc_id % 4 = 0 AND doc_id < 20000""".stripMargin
+
+  /** Image near-dup pairs (§2.4 #40, r10): banded dHash join — at
+    * maxHamming 3 the 4×16-bit banding is lossless (pigeonhole), so
+    * the oracle is the EXACT global hamming-≤3 pair set. */
+  val qImageNeardup: Q = (s, d) =>
+    Multimodal.imageNearDupPairs(s, phashPayloads(s, d), "doc_id", "payload",
+      maxHamming = 3)
+  val qImageNeardupSql: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(generate_series(0, 63), k ->
+       |      CASE WHEN ${phashCellSql("k % 8 + 1")} > ${phashCellSql("k % 8")}
+       |      THEN '1' ELSE '0' END), '') AS dhash
+       |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < 20000)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_filter(generate_series(1, 64),
+       |           k -> substr(a.dhash, CAST(k AS INT), 1) != substr(b.dhash, CAST(k AS INT), 1)))
+       |           AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1308,7 +1370,9 @@ object QueriesLlm {
     "q_cluster_sample"      -> qClusterSample,
     "q_domain_filter"       -> qDomainFilter,
     "q_heavy_hitters"       -> qHeavyHitters,
-    "q_bloom_dedup"         -> qBloomDedup)
+    "q_bloom_dedup"         -> qBloomDedup,
+    "q_image_phash"         -> qImagePhash,
+    "q_image_neardup"       -> qImageNeardup)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1353,5 +1417,7 @@ object QueriesLlm {
     "q_cluster_sample"      -> qClusterSampleSql,
     "q_domain_filter"       -> qDomainFilterSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
-    "q_bloom_dedup"         -> qBloomDedupSql)
+    "q_bloom_dedup"         -> qBloomDedupSql,
+    "q_image_phash"         -> qImagePhashSql,
+    "q_image_neardup"       -> qImageNeardupSql)
 }

@@ -421,6 +421,132 @@ object Multimodal {
     * x and constant g/b — encoded by the same JDK ImageIO the decoder
     * reads back, so channel means have the closed form
     * (rBase + (w-1)/2, g, b). Test/oracle payload generator. */
+  /** Deterministic REAL PNG with 2×2-constant blocks: 18×16 pixels
+    * whose red channel is `cell(i, j)` for block (i, j) ∈ 9×8 (g/b
+    * constant). Because every [[dHash64]] resample box aligns exactly
+    * with one block, the box means ARE the cell values — which makes
+    * the perceptual hash of these payloads closed-form for a SQL
+    * oracle. Test/oracle payload generator. */
+  def synthBlockPng(cell: (Int, Int) => Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val r = cell(x / 2, y / 2) & 0xFF
+        img.setRGB(x, y, (r << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference hash (dHash, Krawetz's public formulation): decode,
+    * box-resample the luminance plane to a 9×8 grid (plain box means —
+    * exact when boxes align with pixel blocks), and emit one bit per
+    * horizontally adjacent pair: '1' iff lum(i+1, j) > lum(i, j).
+    * Returned as a 64-char '0'/'1' string (bit k ⇒ i = k%8, j = k/8) —
+    * engine-portable, no 64-bit sign pitfalls. None when undecodable
+    * or smaller than the 9×8 grid. */
+  def dHash64(payload: Array[Byte]): Option[String] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = readImageCapped(payload)
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 9 || h < 8) return None
+      val grid = Array.ofDim[Double](8, 9)
+      val rowBuf = new Array[Int](w)
+      // accumulate exact box sums: pixel (x, y) belongs to grid cell
+      // (gx, gy) with ranges [gx·w/9, (gx+1)·w/9) × [gy·h/8, (gy+1)·h/8)
+      val counts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(8, x * 9 / w)
+          val px = rowBuf(x)
+          val lum = 0.299 * ((px >>> 16) & 0xFF) + 0.587 * ((px >>> 8) & 0xFF) +
+            0.114 * (px & 0xFF)
+          grid(gy)(gx) += lum
+          counts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val a = grid(j)(i) / counts(j)(i)
+          val bl = grid(j)(i + 1) / counts(j)(i + 1)
+          sb.append(if (bl > a) '1' else '0')
+          i += 1
+        }
+        j += 1
+      }
+      Some(sb.toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** Image near-dup pairs by perceptual hash: [[dHash64]] per payload
+    * (bounded mapPartitions decode, same posture as [[decodeMedia]]),
+    * then band the 64-bit hash into four 16-bit substrings and join on
+    * (band index, band value) — by pigeonhole, any pair within
+    * `maxHamming` ≤ 3 shares at least one identical band, so banding
+    * loses NOTHING at the default threshold and the output is the
+    * EXACT global hamming-≤t pair set. Candidates verify with a
+    * 64-position compare; pairs dedupe across bands. One shuffle on
+    * the band key; candidate volume is governed by band collisions
+    * (16-bit bands ⇒ 65536 buckets per band index). */
+  /** Per-row [[dHash64]] over a binary payload column (bounded
+    * mapPartitions decode, same posture as [[decodeMedia]]); rows that
+    * fail to decode are dropped. Output: (id, dhash). */
+  def dHashes(spark: SparkSession, df: DataFrame, idCol: String,
+              payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => dHash64(p).map(h => (id, h)) })
+      .toDF("id", "dhash")
+  }
+
+  def imageNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only to hamming 3; got $maxHamming")
+    val hashed = dHashes(spark, df, idCol, payloadCol)
+    // candidates carry the hash as two packed 32-bit words, not the
+    // 64-char string: the verify compare is then codegen'd
+    // bit_count(xor) (~ns/pair) instead of an interpreted
+    // split/zip_with lambda (~30 µs/pair — measured to dominate at a
+    // few million candidates)
+    val packed = hashed.select(col("id"), col("dhash"),
+      conv(substring(col("dhash"), 1, 32), 2, 10).cast("long").as("h1"),
+      conv(substring(col("dhash"), 33, 32), 2, 10).cast("long").as("h2"))
+    val bands = packed.select(col("id"), col("h1"), col("h2"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), substring(col("dhash"), b * 16 + 1, 16).as("bv"))): _*))
+        .as("bk"))
+      .select(col("id"), col("h1"), col("h2"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val ham = (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
+      bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).cast("long")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def synthPng(w: Int, h: Int, rBase: Int, g: Int, b: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0

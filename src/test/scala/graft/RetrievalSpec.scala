@@ -153,6 +153,36 @@ class RetrievalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dHash64: monotone gradient hashes to all ones; identical/noisy/garbage payloads behave") {
+    import graft.operators.Multimodal
+    // strictly increasing red channel → every adjacent compare is '1'
+    val grad = Multimodal.dHash64(Multimodal.synthBlockPng((i, _) => i * 20, 40, 200))
+    assert(grad === Some("1" * 64))
+    // identical payloads → identical hash; one flipped cell → <=2 bits differ
+    val base = Multimodal.synthBlockPng((i, j) => (i * 11 + j * 7) % 256, 10, 20)
+    val noisy = Multimodal.synthBlockPng((i, j) =>
+      ((i * 11 + j * 7) % 256) + (if (i == 4 && j == 3) 90 else 0), 10, 20)
+    val hb = Multimodal.dHash64(base).get
+    val hn = Multimodal.dHash64(noisy).get
+    val ham = hb.zip(hn).count { case (a, b) => a != b }
+    assert(ham >= 1 && ham <= 2, s"noise cell must flip 1-2 bits, got $ham")
+    // garbage and too-small images are dropped, not thrown
+    assert(Multimodal.dHash64("not an image".getBytes) === None)
+    assert(Multimodal.dHash64(Multimodal.synthPng(4, 4, 10, 10, 10)) === None)
+  }
+
+  test("imageNearDupPairs: identical pair found at hamming 0, distinct patterns not paired") {
+    import graft.operators.Multimodal
+    val imgs = Seq(
+      (1L, Multimodal.synthBlockPng((i, j) => (i * 11 + j * 7) % 256, 10, 20)),
+      (2L, Multimodal.synthBlockPng((i, j) => (i * 11 + j * 7) % 256, 10, 20)),
+      (3L, Multimodal.synthBlockPng((i, j) => (255 - i * 23 - j * 5) % 256, 10, 20)),
+      (4L, "garbage".getBytes)).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(spark, imgs, "id", "payload")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
   test("kmeansAssign: k larger than corpus degrades to per-point clusters") {
     val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
     val out = Cluster.kmeansAssign(tiny, "vec_id", "embedding", k = 8, iters = 2)
