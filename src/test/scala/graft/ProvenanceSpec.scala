@@ -37,7 +37,12 @@ class ProvenanceSpec extends SparkSpec {
         assert(Provenance.log(spark, l).count() >= 2)
       }
       assert(Provenance.flush(spark, l, dir) >= 2)
-      // drained: a second flush has nothing to write
+      // drained: nothing NEW to write. The eventually-probe's own
+      // count() actions are themselves recorded and may land
+      // asynchronously after the first flush — settle and drain those
+      // stragglers before asserting emptiness (the rare-flake cause).
+      Thread.sleep(500)
+      Provenance.flush(spark, l, dir)
       assert(Provenance.flush(spark, l, dir) === 0)
     } finally Provenance.disable(spark, l)
 
@@ -184,9 +189,13 @@ class ProvenanceSpec extends SparkSpec {
       val rows = Provenance.queryStream(spark.newSession(), dir,
         queryName = Some("prov_stream_sink"))
       assert(rows.count() >= 1)
-      val first = rows.orderBy("batchId").select("numInputRows", "sink").collect()(0)
-      assert(first.getLong(0) === 3L)
-      assert(first.getString(1).toLowerCase.contains("memory"))
+      // the engine may record an empty batch before/after the data
+      // batch — assert on the batch that carried the rows, not on
+      // batch ordinal 0
+      val batches = rows.select("numInputRows", "sink")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(batches.exists(_._1 === 3L), s"no 3-row batch in ${batches.mkString(",")}")
+      assert(batches.forall(_._2.toLowerCase.contains("memory")))
     } finally Provenance.disableStreaming(spark, l)
   }
 
