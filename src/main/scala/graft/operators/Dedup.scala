@@ -570,11 +570,19 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nh"))
       .filter(col("__nh") >= minDocs)
       .select("__sh")
-    val cand = wins.join(candHashes, "__sh")
+    // Every join side here scales with the corpus (windows, recurring
+    // hashes, confirmed spans), so all three joins pin to shuffle-hash:
+    // the keys are 8 B (or the bounded candidate span text), and a
+    // planner/AQE broadcast of any side is a driver-collect cliff at
+    // scale (observed at m300: AQE re-planning flipped a build side to
+    // the 90M-row window relation and aborted on
+    // spark.driver.maxResultSize).
+    val cand = wins.join(candHashes.hint("shuffle_hash"), "__sh")
     val exact = cand.groupBy("span")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    cand.join(exact, "span").select(col(idCol), col("pos"), col("span"), col("n_docs"))
+    cand.join(exact.hint("shuffle_hash"), "span")
+      .select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
   /** Cut the spans [[duplicateSpans]] flags: rebuild each document's
@@ -606,14 +614,21 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__sh")
-    val covered = winsH.join(repeated, "__sh")
+    // same corpus-scaled-sides posture as [[duplicateSpans]]: pin
+    // shuffle-hash so no planner/AQE pass can broadcast either side
+    val covered = winsH.join(repeated.hint("shuffle_hash"), "__sh")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + spanTokens - 1)).as("__idx"))
       .distinct()
     val allToks = df.select(col(idCol),
       posexplode(graft.functions.TextAnalysis.wsTokens(col(textCol)))
         .as(Seq("__idx", "__tok")))
-    allToks.join(covered, Seq(idCol, "__idx"), "left_anti")
+    // `covered` is O(corpus tokens of dup docs) BY CONSTRUCTION — one
+    // row per covered token index — so it is never broadcastable at
+    // scale; pin the anti-join to shuffle-hash (post-distinct stats
+    // under-estimated it at m300 and an aggressive broadcast threshold
+    // planned an >8 GB broadcast that killed the join).
+    allToks.join(covered.hint("shuffle_hash"), Seq(idCol, "__idx"), "left_anti")
       .groupBy(idCol)
       .agg(
         array_join(transform(
