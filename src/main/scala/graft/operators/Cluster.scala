@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
 
 /** Embedding-corpus clustering (SURVEY.md §2.4): deterministic k-means
   * over int8-quantized vectors. Clustering is the curation primitive
@@ -14,7 +13,8 @@ import graft.functions.VectorFunctions
   * driver-side centroid materialization at any k.
   *
   * Determinism/portability design: vectors are first quantized to int8
-  * codes ([[VectorFunctions.quantize8]] — floor-based half-up, engine
+  * codes ([[graft.functions.VectorFunctions.quantize8]] semantics —
+  * floor-based half-up, engine
   * identical), and centroids are kept as UNNORMALIZED integer sum
   * vectors — cosine is scale-invariant, so argmax against the sum
   * equals argmax against the mean while every dot/norm stays an EXACT
@@ -50,22 +50,13 @@ object Cluster {
     require(k > 0 && iters > 0, s"kmeansAssign: need k>0, iters>0; got k=$k iters=$iters")
     // Codes live as integer-VALUED array<double> end-to-end: every sum
     // and dot stays exact (≪2⁵³), and the assignment lambda below runs
-    // cast-free. The quantization STAGES the per-vector scale into its
-    // own projection: [[VectorFunctions.quantize8]] as one expression
-    // inlines the max-abs aggregate into the per-element lambda, and
-    // interpreted HOFs re-fold it per element (2·dim² element-ops per
-    // row — measured 6.9 s vs 0.3 s over 60k×64). Same math, same
-    // values: m is referenced twice below, which also stops
-    // CollapseProject re-inlining the aggregate.
-    val maxAbs = aggregate(col(vecCol), lit(0.0),
-      (a, x) => greatest(a, abs(x.cast("double"))))
-    val codes = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"), maxAbs.as("m"))
-      .select(col("id"),
-        transform(col("v"), x => floor(x.cast("double") /
-          when(col("m") === 0.0, lit(1.0)).otherwise(col("m") / 127.0)
-          + lit(0.5)))
-          .cast("array<double>").as("c"))   // Spark floor yields LONG
+    // cast-free. Quantization is the native single-pass
+    // [[graft.plans.Quantize8Codes]] — the interpreted HOF form
+    // re-folds the max-abs aggregate per element (measured 6.9 s vs
+    // 0.3 s over 60k×64, then ~6 µs/row·site as the m300 linear term;
+    // tools/NOTES_r10_kmeans.md).
+    val codes = df.select(col(idCol).cast("long").as("id"),
+      graft.plans.Quantize8Codes(col(vecCol)).as("c"))
     var cents = codes.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("c").as("cv"))
 

@@ -183,6 +183,20 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("Quantize8Codes native expr equals the HOF quantize8 codes bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.select(
+      graft.plans.Quantize8Codes(col("embedding")).as("native"),
+      VectorFunctions.quantize8(col("embedding")).getField("codes")
+        .cast("array<double>").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // zero-vector edge: scale 1 → zero codes
+    val z = Seq(Tuple1(Array.fill(4)(0f))).toDF("v")
+      .select(graft.plans.Quantize8Codes(col("v"))).as[Array[Double]].head()
+    assert(z.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("kmeansAssign: k larger than corpus degrades to per-point clusters") {
     val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
     val out = Cluster.kmeansAssign(tiny, "vec_id", "embedding", k = 8, iters = 2)
