@@ -20,17 +20,21 @@ object Bench {
     // m100 effect).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // single-node bench: plenty of heap per core, so prefer broadcast
-      // over shuffling mid-size build sides (sized per cluster in prod)
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): org.apache.spark.sql.SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        // single-node bench: plenty of heap per core, so prefer broadcast
+        // over shuffling mid-size build sides (sized per cluster in prod)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
     // warmup (not timed): JVM + executor pool + codegen paths + OS page
     // cache for every input table. Without this the alphabetically-first
     // queries absorb all cold-read/JIT cost and round-over-round
@@ -93,6 +97,18 @@ object Bench {
         // killed the session mid-bench at mult=30)
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => errs += 1; false }
+        // Dead-context recovery: an executor OOM can stop the local
+        // SparkContext, after which every later rep "fails" in
+        // milliseconds and the whole tail of the run is wasted (the
+        // m300 8g sweep lost 10 queries this way). Rebuild the session
+        // so one poisoned query costs only its own reps; the errors
+        // column still records the death.
+        if (!ok && spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] context died during $name - rebuilding session")
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          spark = build()
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMillis - gc0) / 1e3
         val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
