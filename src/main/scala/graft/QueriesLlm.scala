@@ -1200,6 +1200,60 @@ object QueriesLlm {
        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
        |WHERE hamming <= 3""".stripMargin
 
+  /** Segment-amplitude WAVs for the audio-hash queries: 65 constant
+    * segments of amplitude (173i + 311(id%8) + noise) mod 2048, noise =
+    * 37(id%5) at segment 33 for id%3=0 — every box abs-mean IS the
+    * segment amplitude, so the envelope-hash bits are closed-form.
+    * Same doc_id cap rationale as [[phashPayloads]]. */
+  private def audioPayloads(s: SparkSession, d: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      Multimodal.synthWavSegments((0 until 65).map(i =>
+        ((i * 173 + (id % 8) * 311 +
+          (if (id % 3 == 0 && i == 33) (id % 5) * 37 else 0)) % 2048).toInt),
+        framesPerSeg = 8)
+    }
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 1 && col("doc_id") < 20000)
+      .select(col("doc_id"), synth(col("doc_id")).as("payload"))
+  }
+  /** The amp(i, id) segment formula above, as a SQL fragment. */
+  private def audioCellSql(iExpr: String): String =
+    s"(($iExpr) * 173 + (doc_id % 8) * 311 + " +
+    s"CASE WHEN doc_id % 3 = 0 AND ($iExpr) = 33 " +
+    s"THEN (doc_id % 5) * 37 ELSE 0 END) % 2048"
+
+  /** Audio envelope hash (§2.4 #40, r10): 64-bit envelope dHash over
+    * real javax.sound-decoded PCM16 WAVs; closed-form oracle. */
+  val qAudioPhash: Q = (s, d) =>
+    Multimodal.audioHashes(s, audioPayloads(s, d), "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("dhash"))
+  val qAudioPhashSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(generate_series(0, 63), k ->
+       |    CASE WHEN ${audioCellSql("k + 1")} > ${audioCellSql("k")}
+       |    THEN '1' ELSE '0' END), '') AS dhash
+       |FROM documents WHERE doc_id % 4 = 1 AND doc_id < 20000""".stripMargin
+
+  /** Audio near-dup pairs (§2.4 #40, r10): banded envelope-hash join,
+    * lossless at hamming ≤ 3 — exact global pair oracle. */
+  val qAudioNeardup: Q = (s, d) =>
+    Multimodal.audioNearDupPairs(s, audioPayloads(s, d), "doc_id", "payload",
+      maxHamming = 3)
+  val qAudioNeardupSql: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(generate_series(0, 63), k ->
+       |      CASE WHEN ${audioCellSql("k + 1")} > ${audioCellSql("k")}
+       |      THEN '1' ELSE '0' END), '') AS dhash
+       |  FROM documents WHERE doc_id % 4 = 1 AND doc_id < 20000)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_filter(generate_series(1, 64),
+       |           k -> substr(a.dhash, CAST(k AS INT), 1) != substr(b.dhash, CAST(k AS INT), 1)))
+       |           AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1372,7 +1426,9 @@ object QueriesLlm {
     "q_heavy_hitters"       -> qHeavyHitters,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
-    "q_image_neardup"       -> qImageNeardup)
+    "q_image_neardup"       -> qImageNeardup,
+    "q_audio_phash"         -> qAudioPhash,
+    "q_audio_neardup"       -> qAudioNeardup)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1419,5 +1475,7 @@ object QueriesLlm {
     "q_heavy_hitters"       -> qHeavyHittersSql,
     "q_bloom_dedup"         -> qBloomDedupSql,
     "q_image_phash"         -> qImagePhashSql,
-    "q_image_neardup"       -> qImageNeardupSql)
+    "q_image_neardup"       -> qImageNeardupSql,
+    "q_audio_phash"         -> qAudioPhashSql,
+    "q_audio_neardup"       -> qAudioNeardupSql)
 }

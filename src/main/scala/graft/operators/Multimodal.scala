@@ -518,10 +518,15 @@ object Multimodal {
   }
 
   def imageNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
-                        payloadCol: String, maxHamming: Int = 3): DataFrame = {
+                        payloadCol: String, maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(dHashes(spark, df, idCol, payloadCol), maxHamming)
+
+  /** Banded near-dup pairs over ANY 64-char '0'/'1' hash column
+    * (id, dhash) — shared by the image dHash and audio envelope-hash
+    * paths. */
+  def hammingNearDupPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only to hamming 3; got $maxHamming")
-    val hashed = dHashes(spark, df, idCol, payloadCol)
     // candidates carry the hash as two packed 32-bit words, not the
     // 64-char string: the verify compare is then codegen'd
     // bit_count(xor) (~ns/pair) instead of an interpreted
@@ -545,6 +550,107 @@ object Multimodal {
         ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Envelope difference-hash for PCM16 WAV audio — the audio analog
+    * of [[dHash64]]: decode (javax.sound, same path as [[decodeWav]]),
+    * box-mean the ABSOLUTE sample amplitude into 65 equal frame boxes,
+    * emit one bit per adjacent box pair: '1' iff env(i+1) > env(i).
+    * Robust to gain-independent structure the way dHash is to
+    * brightness: comparisons see only the envelope SHAPE. 64-char
+    * '0'/'1' string; None when undecodable, non-PCM16, or shorter than
+    * 65 frames. Box means are exact integers when boxes align with
+    * constant-amplitude segments (the synth generator below), making
+    * the bits closed-form for a SQL oracle. */
+  def audioEnvelopeHash64(payload: Array[Byte]): Option[String] = {
+    if (payload == null || payload.length < 44) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+        val frames = in.getFrameLength
+        if (frames < 65) return None
+        val sums = new Array[Double](65)
+        val counts = new Array[Long](65)
+        val buf = new Array[Byte](4096)
+        var frameIdx = 0L
+        var read = in.read(buf)
+        val le = !fmt.isBigEndian
+        while (read > 0) {
+          var o = 0
+          while (o + 1 < read) {
+            val lo = buf(o) & 0xFF; val hi = buf(o + 1) & 0xFF
+            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            val box = math.min(64L, frameIdx * 65L / frames).toInt
+            sums(box) += math.abs(s)
+            counts(box) += 1
+            frameIdx += 1
+            o += 2
+          }
+          read = in.read(buf)
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < 64) {
+          val a = sums(i) / counts(i)
+          val b = sums(i + 1) / counts(i + 1)
+          sb.append(if (b > a) '1' else '0')
+          i += 1
+        }
+        Some(sb.toString)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-row [[audioEnvelopeHash64]] over a binary payload column
+    * (bounded mapPartitions decode); undecodable rows drop. */
+  def audioHashes(spark: SparkSession, df: DataFrame, idCol: String,
+                  payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => audioEnvelopeHash64(p).map(h => (id, h)) })
+      .toDF("id", "dhash")
+  }
+
+  /** Audio near-dup pairs by envelope hash: [[audioEnvelopeHash64]] +
+    * the shared lossless-at-hamming-3 banding
+    * ([[hammingNearDupPairs]]). */
+  def audioNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(audioHashes(spark, df, idCol, payloadCol), maxHamming)
+
+  /** Deterministic REAL WAV with 65 constant-amplitude segments:
+    * `framesPerSeg` frames of an alternating ±`amps(s)` square wave
+    * per segment s — every [[audioEnvelopeHash64]] box aligns exactly
+    * with one segment, so the box abs-means ARE the amplitudes and the
+    * envelope hash of these payloads is closed-form for a SQL oracle.
+    * Test/oracle payload generator. */
+  def synthWavSegments(amps: Seq[Int], framesPerSeg: Int, rate: Int = 16000): Array[Byte] = {
+    require(amps.length == 65, s"need 65 segment amplitudes, got ${amps.length}")
+    val nFrames = 65 * framesPerSeg
+    val dataLen = nFrames * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)
+      .putShort(1)
+      .putInt(rate)
+      .putInt(rate * 2)
+      .putShort(2)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      val amp = amps(i / framesPerSeg)
+      out.putShort(if (i % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    out.array()
   }
 
   def synthPng(w: Int, h: Int, rBase: Int, g: Int, b: Int): Array[Byte] = {

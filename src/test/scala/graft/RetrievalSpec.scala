@@ -183,6 +183,32 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("audioEnvelopeHash64: ramp hashes to all ones; noise/garbage/short edges behave") {
+    import graft.operators.Multimodal
+    // strictly increasing amplitudes → all '1'
+    val ramp = Multimodal.audioEnvelopeHash64(
+      Multimodal.synthWavSegments((0 until 65).map(_ * 30), framesPerSeg = 4))
+    assert(ramp === Some("1" * 64))
+    // identical payloads agree; one changed segment flips <=2 bits
+    val base = (0 until 65).map(i => (i * 37) % 1000)
+    val hb = Multimodal.audioEnvelopeHash64(Multimodal.synthWavSegments(base, 4)).get
+    val hn = Multimodal.audioEnvelopeHash64(Multimodal.synthWavSegments(
+      base.updated(20, base(20) + 500), 4)).get
+    val ham = hb.zip(hn).count { case (a, b) => a != b }
+    assert(ham >= 1 && ham <= 2, s"one changed segment must flip 1-2 bits, got $ham")
+    // garbage and too-short audio drop, not throw
+    assert(Multimodal.audioEnvelopeHash64("not audio".getBytes) === None)
+    assert(Multimodal.audioEnvelopeHash64(
+      Multimodal.synthWavSquare(8000, 10, 1000)) === None) // < 65 frames
+    // pair finding: identical pair at hamming 0 through the shared banding
+    val pairs = Multimodal.audioNearDupPairs(spark,
+      Seq((1L, Multimodal.synthWavSegments(base, 4)),
+          (2L, Multimodal.synthWavSegments(base, 4)),
+          (3L, "junk".getBytes)).toDF("id", "payload"), "id", "payload")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
   test("Quantize8Codes native expr equals the HOF quantize8 codes bit-for-bit") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf)
