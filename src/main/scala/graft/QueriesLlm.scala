@@ -1254,6 +1254,60 @@ object QueriesLlm {
        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
        |WHERE hamming <= 3""".stripMargin
 
+  /** 65-frame solid-gray GIFs for the video-hash queries: frame i has
+    * gray (29i + 43(id%6) + noise) mod 256, noise = 17(id%5) at frame
+    * 40 for id%3=0 — with exactly 65 frames each temporal box IS one
+    * frame, and luminance is strictly monotone in the gray level, so
+    * the hash bits reduce to integer compares a SQL oracle replays.
+    * Same doc_id cap rationale as [[phashPayloads]]. */
+  private def videoPayloads(s: SparkSession, d: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      Multimodal.synthGif(4, 4, (0 until 65).map(i =>
+        ((i * 29 + (id % 6) * 43 +
+          (if (id % 3 == 0 && i == 40) (id % 5) * 17 else 0)) % 256).toInt))
+    }
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 2 && col("doc_id") < 2000)
+      .select(col("doc_id"), synth(col("doc_id")).as("payload"))
+  }
+  /** The gray(i, id) frame formula above, as a SQL fragment. */
+  private def videoCellSql(iExpr: String): String =
+    s"(($iExpr) * 29 + (doc_id % 6) * 43 + " +
+    s"CASE WHEN doc_id % 3 = 0 AND ($iExpr) = 40 " +
+    s"THEN (doc_id % 5) * 17 ELSE 0 END) % 256"
+
+  /** Video temporal hash (§2.4 #40a, r10): 64-bit frame-luminance
+    * dHash over real multi-frame GIF decode; closed-form oracle. */
+  val qVideoPhash: Q = (s, d) =>
+    Multimodal.videoHashes(s, videoPayloads(s, d), "doc_id", "payload")
+      .select(col("id").as("doc_id"), col("dhash"))
+  val qVideoPhashSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(generate_series(0, 63), k ->
+       |    CASE WHEN ${videoCellSql("k + 1")} > ${videoCellSql("k")}
+       |    THEN '1' ELSE '0' END), '') AS dhash
+       |FROM documents WHERE doc_id % 4 = 2 AND doc_id < 2000""".stripMargin
+
+  /** Video near-dup pairs (§2.4 #40a, r10): banded temporal-hash join,
+    * lossless at hamming ≤ 3 — exact global pair oracle. */
+  val qVideoNeardup: Q = (s, d) =>
+    Multimodal.videoNearDupPairs(s, videoPayloads(s, d), "doc_id", "payload",
+      maxHamming = 3)
+  val qVideoNeardupSql: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(generate_series(0, 63), k ->
+       |      CASE WHEN ${videoCellSql("k + 1")} > ${videoCellSql("k")}
+       |      THEN '1' ELSE '0' END), '') AS dhash
+       |  FROM documents WHERE doc_id % 4 = 2 AND doc_id < 2000)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_filter(generate_series(1, 64),
+       |           k -> substr(a.dhash, CAST(k AS INT), 1) != substr(b.dhash, CAST(k AS INT), 1)))
+       |           AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+
   /** Training-sequence packing (§2.4, r6): greedy concat-and-chunk pack
     * assignment per shard — the precomputed packing a pretraining data
     * loader consumes. Sharded windows (doc_id % 16) keep it scale-shaped:
@@ -1428,7 +1482,9 @@ object QueriesLlm {
     "q_image_phash"         -> qImagePhash,
     "q_image_neardup"       -> qImageNeardup,
     "q_audio_phash"         -> qAudioPhash,
-    "q_audio_neardup"       -> qAudioNeardup)
+    "q_audio_neardup"       -> qAudioNeardup,
+    "q_video_phash"         -> qVideoPhash,
+    "q_video_neardup"       -> qVideoNeardup)
 
   val oracles: Map[String, String] = Map(
     "q_expression_language" -> qExpressionLanguageSql,
@@ -1477,5 +1533,7 @@ object QueriesLlm {
     "q_image_phash"         -> qImagePhashSql,
     "q_image_neardup"       -> qImageNeardupSql,
     "q_audio_phash"         -> qAudioPhashSql,
-    "q_audio_neardup"       -> qAudioNeardupSql)
+    "q_audio_neardup"       -> qAudioNeardupSql,
+    "q_video_phash"         -> qVideoPhashSql,
+    "q_video_neardup"       -> qVideoNeardupSql)
 }

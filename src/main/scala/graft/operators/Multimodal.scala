@@ -622,6 +622,55 @@ object Multimodal {
                         payloadCol: String, maxHamming: Int = 3): DataFrame =
     hammingNearDupPairs(audioHashes(spark, df, idCol, payloadCol), maxHamming)
 
+  /** Temporal difference-hash for multi-frame video-like payloads
+    * (animated GIF — the container this engine decodes for real): the
+    * per-frame mean-luminance sequence box-means into 65 equal frame
+    * boxes, one bit per adjacent pair ('1' iff lum(i+1) > lum(i)) —
+    * the TEMPORAL analog of [[dHash64]]'s spatial compare, robust to
+    * global brightness the way dHash is. Decodes every frame via
+    * [[sampleGifFrames]] (stride 1); None when undecodable or shorter
+    * than 65 frames. With exactly 65 frames each box IS one frame, so
+    * the bits are closed-form for constant-color synthetic frames
+    * ([[synthGif]]). */
+  def videoFrameHash64(payload: Array[Byte]): Option[String] = {
+    val frames = sampleGifFrames(payload, 1)
+    val n = frames.length
+    if (n < 65) return None
+    val sums = new Array[Double](65)
+    val counts = new Array[Long](65)
+    frames.foreach { case (idx, _, _, _, mr, mg, mb) =>
+      val box = math.min(64L, idx.toLong * 65L / n).toInt
+      sums(box) += 0.299 * mr + 0.587 * mg + 0.114 * mb
+      counts(box) += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      val a = sums(i) / counts(i)
+      val b = sums(i + 1) / counts(i + 1)
+      sb.append(if (b > a) '1' else '0')
+      i += 1
+    }
+    Some(sb.toString)
+  }
+
+  /** Per-row [[videoFrameHash64]] over a binary payload column
+    * (bounded mapPartitions decode); undecodable rows drop. */
+  def videoHashes(spark: SparkSession, df: DataFrame, idCol: String,
+                  payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => videoFrameHash64(p).map(h => (id, h)) })
+      .toDF("id", "dhash")
+  }
+
+  /** Video near-dup pairs by temporal hash — shared lossless banding
+    * ([[hammingNearDupPairs]]). */
+  def videoNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(videoHashes(spark, df, idCol, payloadCol), maxHamming)
+
   /** Deterministic REAL WAV with 65 constant-amplitude segments:
     * `framesPerSeg` frames of an alternating ±`amps(s)` square wave
     * per segment s — every [[audioEnvelopeHash64]] box aligns exactly

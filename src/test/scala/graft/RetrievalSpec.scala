@@ -209,6 +209,30 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("videoFrameHash64: gray ramp hashes to all ones; noise/garbage/short edges behave") {
+    import graft.operators.Multimodal
+    val ramp = Multimodal.videoFrameHash64(
+      Multimodal.synthGif(4, 4, (0 until 65).map(i => i * 3)))
+    assert(ramp === Some("1" * 64))
+    val base = (0 until 65).map(i => (i * 31) % 200)
+    val hb = Multimodal.videoFrameHash64(Multimodal.synthGif(4, 4, base)).get
+    // base(24)=144, base(25)=175, base(26)=6 — dropping frame 25 to 100
+    // flips the (24→25) compare while (25→26) keeps its sign
+    val hn = Multimodal.videoFrameHash64(Multimodal.synthGif(4, 4,
+      base.updated(25, 100))).get
+    val ham = hb.zip(hn).count { case (a, b) => a != b }
+    assert(ham >= 1 && ham <= 2, s"one changed frame must flip 1-2 bits, got $ham")
+    assert(Multimodal.videoFrameHash64("not a gif".getBytes) === None)
+    assert(Multimodal.videoFrameHash64(
+      Multimodal.synthGif(4, 4, Seq(10, 20, 30))) === None) // < 65 frames
+    val pairs = Multimodal.videoNearDupPairs(spark,
+      Seq((1L, Multimodal.synthGif(4, 4, base)),
+          (2L, Multimodal.synthGif(4, 4, base)),
+          (3L, "junk".getBytes)).toDF("id", "payload"), "id", "payload")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
   test("Quantize8Codes native expr equals the HOF quantize8 codes bit-for-bit") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf)
