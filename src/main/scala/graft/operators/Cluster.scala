@@ -72,7 +72,13 @@ object Cluster {
         .select(col("id"), col("c"),
           array_max(transform(col("cents"), cc =>
             struct(
-              graft.plans.CosineSimilarity(col("c"), cc.getField("cv")).as("sim"),
+              // Zero vectors make cosine 0/0 = NaN, and NaN sorts
+              // ABOVE every double in the struct compare — a degenerate
+              // centroid would silently capture all rows. nanvl pins
+              // such pairs to -2 (below the cosine range), mirroring
+              // Ann.bruteForceTopKPartitioned's denom>0 guard.
+              nanvl(graft.plans.CosineSimilarity(col("c"), cc.getField("cv")),
+                lit(-2.0)).as("sim"),
               (-cc.getField("cid")).as("neg"),
               cc.getField("cid").as("cid")))).as("best"))
         .select(col("id"), col("c"), col("best.cid").as("cid"), col("best.sim").as("sim"))

@@ -110,8 +110,13 @@ object Retrieval {
                   chunkLen: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkLen >= stride,
       s"chunkTokens: need 0 < stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    // Null text coalesces to an empty token array — otherwise
+    // wsTokens(null) is a null array and the doc either drops or emits
+    // a null chunk with n_chunk_tokens −1, breaking the every-doc_id-
+    // survives contract documented above.
     val toks = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+      coalesce(TextAnalysis.wsTokens(col(textCol)),
+        typedLit(Array.empty[String])).as("toks"))
     toks
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),

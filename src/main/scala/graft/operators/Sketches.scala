@@ -203,6 +203,11 @@ object Sketches {
     * Returns (item, estimate, lower_bound, upper_bound, max_error),
     * one row per reported item. */
   def frequentItems(df: DataFrame, valueCol: String, maxMapSize: Int): DataFrame = {
+    // DataSketches ItemsSketch requires a power-of-two map size; fail
+    // clearly on the driver instead of an opaque
+    // SketchesArgumentException inside an executor task.
+    require(maxMapSize > 0 && Integer.bitCount(maxMapSize) == 1,
+      s"frequentItems: maxMapSize must be a power of two, got $maxMapSize")
     import org.apache.datasketches.common.ArrayOfStringsSerDe
     import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
     val spark = df.sparkSession
@@ -269,6 +274,73 @@ object Sketches {
       XxHash64(Seq(ColumnBridge.expression(key)), 42L)))
   }
 
+  /** Per-shard Bloom blobs over `shards` xxhash64 hash ranges: shard
+    * s gets ONE filter over the keys with pmod(xxhash64(key), S) = s,
+    * sized for that shard's OWN key count — the build is a plain
+    * groupBy-shard aggregation of 12-byte (shard, hash) rows, so
+    * nothing corpus-proportional ever materializes per input
+    * partition. This removes the unsharded build's 100×-scale
+    * ceiling, where each of P partitions allocated (and shipped) a
+    * filter sized for the GLOBAL key count — ~1.2 GB each at 10⁹
+    * keys / 1% fpp — because Bloom OR-merge requires equal bit arrays.
+    * Here each blob is ×S smaller and a shard's filter is built
+    * exactly once.
+    *
+    * Sizing: with `expectedItems > 0` each shard filter is created
+    * upfront at expectedItems/S and the group streams (no buffering);
+    * otherwise the group buffers its 8-byte hashes and creates an
+    * EXACTLY-sized filter — no pre-count action over the history
+    * side. At 10⁹ keys / S=64 the buffer is 16M longs ≈ 128 MB per
+    * group task, bounded by choosing S for the target scale.
+    *
+    * Returns shard → serialized blob; shards with no keys are absent
+    * (their probes are definitely-new). */
+  private[graft] def shardedBloomBytes(df: DataFrame, keyCol: String,
+                                       shards: Int, fpp: Double,
+                                       expectedItems: Long = -1L): Map[Int, Array[Byte]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(shards > 0, s"shardedBloomBytes: shards must be > 0, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    df.select(xxhash64(col(keyCol)).as("h"))
+      .select(pmod(col("h"), lit(shards.toLong)).cast("int").as("shard"), col("h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val bf =
+          if (expectedItems > 0) {
+            val b = BloomFilter.create(
+              math.max(64L, expectedItems / shards), fpp)
+            it.foreach(t => b.putLong(t._2))
+            b
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            it.foreach(t => buf += t._2)
+            val b = BloomFilter.create(math.max(1L, buf.length.toLong), fpp)
+            buf.foreach(b.putLong)
+            b
+          }
+        (shard, ser(bf))
+      }
+      .collect().toMap
+  }
+
+  /** Probe Column for a sharded bloom: route the key to its shard's
+    * filter (when-chain over the ≤S present shards, each branch a
+    * codegen'd native BloomFilterMightContain with its OWN small blob
+    * literal); keys landing in an absent shard are definite misses. */
+  private[graft] def shardedMightContain(blobs: Map[Int, Array[Byte]],
+                                         shards: Int, key: Column): Column = {
+    val shardOf = pmod(xxhash64(key), lit(shards.toLong)).cast("int")
+    blobs.toSeq.sortBy(_._1).foldRight(lit(false)) { case ((s, b), acc) =>
+      when(shardOf === s, bloomMightContain(b, key)).otherwise(acc)
+    }
+  }
+
   /** EXACT incremental anti-join with a Bloom pre-filter — the 100 TB
     * "which of today's records are genuinely new?" primitive. Rows
     * whose key hash misses the history bloom are definitely new (a
@@ -282,13 +354,17 @@ object Sketches {
     * (xxhash64 of null hashes the seed; the anti-join's null-safe
     * semantics are the plain Spark ones — anti keeps null-keyed rows).
     *
-    * `expectedItems < 0` sizes the filter from a history count. */
+    * The filter is built SHARDED ([[shardedBloomBytes]]): `shards`
+    * hash-range filters, each sized for its own shard's exact key
+    * count — so no global expectedItems is needed (passing one merely
+    * skips the per-group buffering) and no partition ever allocates a
+    * global-sized bit array. Choose `shards` so historyKeys/shards
+    * fits a task comfortably (64 shards ⇒ ~16M keys/shard at 10⁹). */
   def bloomAntiJoin(incoming: DataFrame, history: DataFrame, keyCol: String,
-                    expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val expect = if (expectedItems > 0) expectedItems
-                 else math.max(1000L, history.count())
-    val bloom = bloomBytes(history, keyCol, expect, fpp)
-    val might = bloomMightContain(bloom, col(keyCol))
+                    expectedItems: Long = -1L, fpp: Double = 0.01,
+                    shards: Int = 32): DataFrame = {
+    val blobs = shardedBloomBytes(history, keyCol, shards, fpp, expectedItems)
+    val might = shardedMightContain(blobs, shards, col(keyCol))
     val definiteNew = incoming.filter(!might)
     val candidates = incoming.filter(might)
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -255,4 +255,35 @@ class RetrievalSpec extends SparkSpec {
     // ties to an identical other vector would break to the smaller cid)
     assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  test("chunkTokens: null text behaves like an empty doc (doc_id survives)") {
+    val docs = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+    val chunks = Retrieval.chunkTokens(docs, "doc_id", "text", chunkLen = 4, stride = 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(chunks === Seq((1L, 0L, "", 0L), (2L, 0L, "a b", 2L)))
+  }
+
+  test("kmeansAssign: a zero-vector (degenerate) centroid captures nothing") {
+    // Seed id 0 is the all-zero vector → its centroid has zero norm and
+    // every cosine against it is 0/0 = NaN. Unguarded, NaN sorts above
+    // every real sim in the argmax struct and cluster 0 swallows the
+    // corpus; the nanvl(-2) guard must send every nonzero row to the
+    // live centroid instead.
+    val pts = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.8f, 0.2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Cluster.kmeansAssign(pts, "vec_id", "embedding", k = 2, iters = 2)
+      .select("vec_id", "cluster", "sim").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // nonzero rows all land on centroid 1 with a real (non-NaN) sim
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id)._1 === 1L, s"vec $id captured by the zero centroid")
+      assert(!out(id)._2.isNaN && out(id)._2 > 0.9)
+    }
+    // the zero vector itself gets the guard sim (-2), ties to cluster 0
+    assert(out(0L)._1 === 0L && out(0L)._2 === -2.0)
+  }
 }

@@ -204,4 +204,40 @@ class SketchesSpec extends SparkSpec {
       .filter(Sketches.bloomMightContain(bloom, $"k")).count()
     assert(hits === 500L)
   }
+
+  test("sharded bloom: per-blob size shrinks ~×S; exact sizing needs no count") {
+    val keys = (1L to 4000L).map(i => s"key$i").toDF("k")
+    val single = Sketches.bloomBytes(keys, "k", 4000L, 0.01)
+    for (s <- Seq(4, 16)) {
+      val blobs = Sketches.shardedBloomBytes(keys, "k", shards = s, fpp = 0.01)
+      assert(blobs.size === s) // 4000 hashes populate every shard
+      // exact per-shard sizing: each blob is ~1/S of the single filter
+      // (shard counts vary ±, allow 2×/S as the ceiling)
+      val maxBlob = blobs.values.map(_.length).max
+      assert(maxBlob.toLong * s < single.length.toLong * 2,
+        s"S=$s maxBlob=$maxBlob single=${single.length}")
+      // no false negatives through the sharded probe
+      val misses = keys.filter(
+        !Sketches.shardedMightContain(blobs, s, $"k")).count()
+      assert(misses === 0L)
+    }
+  }
+
+  test("bloomAntiJoin: shards with no history keys are definite-new") {
+    // 2 history keys over 64 shards → ≥62 shards absent; every incoming
+    // row in an absent shard must pass through as new.
+    val history = Seq("h1", "h2").toDF("text")
+    val incoming = ((1 to 200).map(i => s"n$i") ++ Seq("h1", "h2")).toDF("text")
+    val got = Sketches.bloomAntiJoin(incoming, history, "text", shards = 64)
+      .as[String].collect().sorted.toSeq
+    assert(got === (1 to 200).map(i => s"n$i").sorted)
+  }
+
+  test("frequentItems: non-power-of-two maxMapSize fails on the driver") {
+    val df = Seq("a", "b").toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.frequentItems(df, "v", maxMapSize = 48)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
 }
