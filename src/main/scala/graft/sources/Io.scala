@@ -397,6 +397,44 @@ object Io {
     * s3a:// on clusters with connectors). Returns (path, size, mtime).
     * Driver-side listing; the listing (not the data) must fit the
     * driver, same contract as NiFi's ListFile. */
+  /** PutFile-per-row (PutFTP/PutSFTP's upload grain): one file per row
+    * under `dir`, written from EXECUTORS through the Hadoop FileSystem
+    * API — any scheme (file://, ftp://, memfs://, s3a:// with cluster
+    * connectors), no driver funnel, tmp + atomic rename so a reader
+    * never sees a partial upload (FTP servers rename with RNFR/RNTO).
+    * `contentCol` may be string or binary. */
+  def putFiles(df: DataFrame, dir: String, nameCol: String = "filename",
+               contentCol: String = "content"): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(nameCol).cast("string"), col(contentCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(conf.value)
+          fs.mkdirs(base)
+          // hadoop's FTPFileSystem.rename rejects fully-qualified URIs
+          // (upstream CWD bug — see AtomicSwap.renameArg); path-only
+          // arguments resolve correctly on every scheme we target
+          def renameArg(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+            if ("ftp".equalsIgnoreCase(p.toUri.getScheme))
+              new org.apache.hadoop.fs.Path(p.toUri.getPath)
+            else p
+          rows.foreach { r =>
+            val name = r.getString(0)
+            require(name != null && name.nonEmpty && !name.contains('/'),
+              s"bad upload filename '$name'")
+            val tmp = new org.apache.hadoop.fs.Path(base, name + ".tmp")
+            val out = fs.create(tmp, true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+            val dst = new org.apache.hadoop.fs.Path(base, name)
+            if (fs.exists(dst)) fs.delete(dst, false)
+            require(fs.rename(renameArg(tmp), renameArg(dst)), s"rename failed for $dst")
+          }
+        }
+      }
+  }
+
   def listIncremental(spark: SparkSession, dir: String, statePath: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, Socket}
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
@@ -80,6 +80,83 @@ object Net {
     thread.setDaemon(true)
     thread.start()
     new UdpListener(socket, stop, thread)
+  }
+
+  /** Handle for a running TCP listener. */
+  final class TcpListener private[Net] (server: ServerSocket,
+                                        stopFlag: AtomicBoolean,
+                                        thread: Thread) {
+    def port: Int = server.getLocalPort
+    def stop(): Unit = {
+      stopFlag.set(true)
+      server.close() // unblocks accept()
+      thread.join(5000)
+    }
+  }
+
+  /** ListenTCP (NiFi's newline-delimited socket ingress), server side:
+    * accepts connections on `port` and spools each received LINE into
+    * batched files in `spoolDir` (atomic tmp+rename, same contract as
+    * [[listenUdp]]) — the actual flow source is a text file stream over
+    * the spool, so ingestion is exactly-once from the spool onward and
+    * survives restarts, unlike Spark's in-memory socket source. One
+    * reader thread per connection; the shared batch buffer flushes at
+    * `batchSize` lines or `flushMs` idle. Port 0 picks a free port
+    * (`listener.port`). Single-receiver ingress — front with a
+    * distributed log at scale; the downstream flow binds to the
+    * directory, not the socket. */
+  def listenTcp(port: Int, spoolDir: String, batchSize: Int = 100,
+                flushMs: Long = 250L, suffix: String = ".log"): TcpListener = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val server = new ServerSocket(port)
+    val stop = new AtomicBoolean(false)
+    val seq = new AtomicLong(0L)
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Unit = batch.synchronized {
+      if (batch.nonEmpty) {
+        val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, batch.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        batch.clear()
+      }
+    }
+    val accept = new Thread(() => {
+      // periodic idle flush rides the accept loop's SoTimeout so a
+      // trickle of lines isn't held hostage to batchSize
+      server.setSoTimeout(flushMs.toInt.max(1))
+      while (!stop.get()) {
+        try {
+          val sock = server.accept()
+          val reader = new Thread(() => {
+            try {
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+              var line = in.readLine()
+              while (line != null && !stop.get()) {
+                val doFlush = batch.synchronized {
+                  batch += line; batch.size >= batchSize
+                }
+                if (doFlush) flush()
+                line = in.readLine()
+              }
+            } catch { case _: java.io.IOException => () } // peer reset
+            finally { try sock.close() catch { case _: Throwable => () }
+                      flush() } // connection end drains its tail
+          }, "graft-listen-tcp-conn")
+          reader.setDaemon(true)
+          reader.start()
+        } catch {
+          case _: java.net.SocketTimeoutException => flush() // idle drain
+          case _: java.net.SocketException if stop.get() => // closed by stop()
+        }
+      }
+      flush()
+    }, "graft-listen-tcp")
+    accept.setDaemon(true)
+    accept.start()
+    new TcpListener(server, stop, accept)
   }
 
   /** PutTCP: write a string column over TCP, newline-delimited, ONE
