@@ -597,17 +597,23 @@ object FlowCompiler {
     "ListFTP"            -> (FtpProps + "State Path"),
     "GetFTP"             -> (FtpProps + "Character Set"),
     "FetchFTP"           -> (FtpProps + "Character Set"),
-    "PutFTP"             -> (FtpProps ++ Set("Filename Column", "Content Column")))
+    "PutFTP"             -> (FtpProps ++ Set("Filename Column", "Content Column")),
+    "ListSFTP"           -> (FtpProps + "State Path"),
+    "GetSFTP"            -> (FtpProps + "Character Set"),
+    "FetchSFTP"          -> (FtpProps + "Character Set"),
+    "PutSFTP"            -> (FtpProps ++ Set("Filename Column", "Content Column")))
 
   private def ftpUri(p: Processor): String = {
+    val sftp = p.tpe.split('.').last.contains("SFTP")
     val host = prop(p, "Hostname", "")
     require(host.nonEmpty, s"${p.name} needs a Hostname")
-    val port = prop(p, "Port", "21").trim
+    val port = prop(p, "Port", if (sftp) "22" else "21").trim
     val user = prop(p, "Username", "")
     val pass = prop(p, "Password", "")
     val auth = if (user.isEmpty) "" else if (pass.isEmpty) s"$user@" else s"$user:$pass@"
     val path = prop(p, "Remote Path", "/")
-    s"ftp://$auth$host:$port${if (path.startsWith("/")) path else "/" + path}"
+    val scheme = if (sftp) "sftp" else "ftp"
+    s"$scheme://$auth$host:$port${if (path.startsWith("/")) path else "/" + path}"
   }
 
   /** Processors that originate data (no incoming connection needed). */
@@ -615,7 +621,8 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListFTP", "GetFTP", "FetchFTP")
+        "ListenSyslog", "ListFTP", "GetFTP", "FetchFTP",
+        "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
 
   private def dynamicProps(p: Processor): Seq[(String, String)] = {
@@ -1036,7 +1043,7 @@ object FlowCompiler {
           graft.streaming.Net.putTcp(in, host, port.trim.toInt, valueCol)
         else graft.streaming.Net.putUdp(in, host, port.trim.toInt, valueCol)
         in
-      case "ListFTP" | "GetFTP" | "FetchFTP" =>
+      case "ListFTP" | "GetFTP" | "FetchFTP" | "ListSFTP" | "GetSFTP" | "FetchSFTP" =>
         // FTP SOURCES (r11): NiFi's connection properties compose into
         // an ftp:// URI served by Hadoop's FTPFileSystem — the exact
         // stack FtpSpec drives against a live in-process RFC-959
@@ -1050,7 +1057,7 @@ object FlowCompiler {
         def nameFilter(df: DataFrame): DataFrame =
           if (rx.isEmpty) df
           else df.filter(element_at(split(col("path"), "/"), -1).rlike(rx))
-        if (simple == "ListFTP") {
+        if (simple.startsWith("List")) {
           val state = prop(p, "State Path", "")
           if (state.isEmpty) nameFilter(graft.sources.Io.listFiles(spark, uri))
           else nameFilter(graft.sources.Io.listIncremental(spark, uri, state))
@@ -1062,10 +1069,10 @@ object FlowCompiler {
             element_at(split(col("path"), "/"), -1).as("filename"),
             content.as("content"))
         }
-      case "PutFTP" =>
-        // FTP SINK: one remote file per row, written from executors
-        // through the same Hadoop FTPFileSystem (no driver funnel).
-        // Output = read-back listing of the remote directory.
+      case "PutFTP" | "PutSFTP" =>
+        // FTP/SFTP SINK: one remote file per row, written from
+        // executors through the same Hadoop FileSystem (no driver
+        // funnel). Output = read-back listing of the remote directory.
         val uri = ftpUri(p)
         graft.sources.Io.putFiles(in, uri,
           nameCol = prop(p, "Filename Column", "filename"),
