@@ -60,7 +60,28 @@ object QueriesLlm {
       El.compileExpr(
         "${source:prepend('\"x,y\",'):getDelimitedField(1, ',', '\"', true)}").as("csv_qs"),
       El.compileExpr(
-        "${source:prepend('\"x,y\",'):getDelimitedField(2, ',', '\"')}").as("csv_q2"))
+        "${source:prepend('\"x,y\",'):getDelimitedField(2, ',', '\"')}").as("csv_q2"),
+      // r11 EL-tail sweep: getUri, evaluateELString, isJson, and the
+      // jsonPath WRITE family (each over a row-built JSON document so
+      // the oracle pins exact output bytes)
+      El.compileExpr(
+        "${getUri('https', '', ${source}, 8443, '/ingest', ${doc_id:prepend('id=')}, '')}")
+        .as("uri"),
+      El.compileExpr("${literal('${lang:toUpper()}'):evaluateELString()}").as("el_eval"),
+      El.compileExpr("${doc_id:prepend('{\"k\":'):append('}'):isJson()}").as("is_json_t"),
+      El.compileExpr("${text:isJson()}").as("is_json_f"),
+      El.compileExpr(
+        "${doc_id:prepend('{\"a\":'):append(',\"b\":2}'):jsonPathDelete('$.b')}")
+        .as("json_del"),
+      El.compileExpr(
+        "${source:prepend('{\"a\":7,\"s\":\"'):append('\"}'):jsonPathSet('$.a', '9')}")
+        .as("json_set"),
+      El.compileExpr(
+        "${doc_id:prepend('{\"xs\":['):append(']}'):jsonPathAdd('$.xs', '5')}")
+        .as("json_add"),
+      El.compileExpr(
+        "${doc_id:prepend('{\"m\":{\"id\":'):append('}}'):jsonPathPut('$.m', 'k', 'v')}")
+        .as("json_put"))
   }
   val qExpressionLanguageSql: String =
     """SELECT doc_id, upper(lang) || '-' || source AS tag,
@@ -89,7 +110,15 @@ object QueriesLlm {
       |   substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 21, 12) AS uuid3,
       | '"x,y"' AS csv_q,
       | 'x,y' AS csv_qs,
-      | source AS csv_q2
+      | source AS csv_q2,
+      | 'https://' || source || ':8443/ingest?id=' || CAST(doc_id AS VARCHAR) AS uri,
+      | upper(lang) AS el_eval,
+      | CAST(1 AS BOOLEAN) AS is_json_t,
+      | CAST(0 AS BOOLEAN) AS is_json_f,
+      | '{"a":' || CAST(doc_id AS VARCHAR) || '}' AS json_del,
+      | '{"a":9,"s":"' || source || '"}' AS json_set,
+      | '{"xs":[' || CAST(doc_id AS VARCHAR) || ',5]}' AS json_add,
+      | '{"m":{"id":' || CAST(doc_id AS VARCHAR) || ',"k":"v"}}' AS json_put
       |FROM documents""".stripMargin
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer (§2.4 #38). */

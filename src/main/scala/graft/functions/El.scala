@@ -181,6 +181,42 @@ object El {
             subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostName))
           case "ip" =>
             subjects = Seq(lit(java.net.InetAddress.getLocalHost.getHostAddress))
+          case "thread" =>
+            // NiFi: the name of the thread evaluating the expression.
+            // Spark-first deviation (documented like hostname/ip): the
+            // COMPILING thread's name folds in as a literal — a
+            // distributed plan has no stable per-row thread identity,
+            // and NiFi flows use this for provenance tagging, which the
+            // compile-time name serves deterministically.
+            subjects = Seq(lit(Thread.currentThread().getName))
+          case "getUri" =>
+            // NiFi 2.x: getUri(scheme, userInfo, host, port, path,
+            // query, fragment) or getUri(scheme, host, port, path) —
+            // structural join per java.net.URI's multi-arg constructor:
+            // empty/null userInfo/query/fragment drop their delimiter,
+            // port < 0 drops the colon. Deviation: components are not
+            // percent-encoded (chain :urlEncode() on pieces that need
+            // it); the constructor's quoting pass is not reproducible
+            // in a SQL oracle.
+            val cs = args.map(_.col.cast("string"))
+            val nullStr = lit(null).cast("string")
+            val (scheme, userInfo, host, port, pathC, query, frag) = args.size match {
+              case 7 => (cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6))
+              case 4 => (cs(0), nullStr, cs(1), cs(2), cs(3), nullStr, nullStr)
+              case n => throw new IllegalArgumentException(
+                s"getUri takes 4 or 7 arguments, got $n")
+            }
+            def opt(prefix: String, v: Column, suffix: String = "") =
+              when(v.isNull || v === "", lit("")).otherwise(concat(lit(prefix), v, lit(suffix)))
+            subjects = Seq(concat(
+              scheme, lit("://"),
+              opt("", userInfo, "@"),
+              host,
+              when(port.isNull || port.cast("long") < 0, lit(""))
+                .otherwise(concat(lit(":"), port.cast("long").cast("string"))),
+              coalesce(pathC, lit("")),
+              opt("?", query),
+              opt("#", frag)))
           case other => throw new IllegalArgumentException(s"unknown standalone EL function: $other")
         }
         require(subjects.nonEmpty, s"$word needs at least one attribute name or be a 0-arg standalone")
@@ -396,6 +432,32 @@ object El {
     case "plusSeconds"  => c + expr(s"INTERVAL ${litInt(args.head)} SECOND")
     case "minusSeconds" => c - expr(s"INTERVAL ${litInt(args.head)} SECOND")
     case "jsonPath"         => get_json_object(c, argStr(args.head))
+    // the jsonPath WRITE family (r11): Jackson-backed native
+    // expression over the `$`/`.field`/`[index]` path subset — an
+    // unresolvable path leaves the document unchanged, invalid JSON
+    // yields null (graft.plans.JsonExpressions)
+    case "jsonPathDelete" =>
+      graft.plans.JsonPathMutate(c, argStr(args.head), "delete")
+    case "jsonPathSet" =>
+      graft.plans.JsonPathMutate(c, argStr(args.head), "set", Seq(argStr(args(1))))
+    case "jsonPathAdd" =>
+      graft.plans.JsonPathMutate(c, argStr(args.head), "add", Seq(argStr(args(1))))
+    case "jsonPathPut" =>
+      graft.plans.JsonPathMutate(c, argStr(args.head), "put",
+        Seq(argStr(args(1)), argStr(args(2))))
+    case "isJson" =>
+      // valid-JSON probe via Spark's variant parser (any JSON value,
+      // Jackson-grammar — same acceptance as NiFi's reader)
+      try_parse_json(c.cast("string")).isNotNull
+    case "evaluateELString" =>
+      // the subject must be a compile-time constant (literal(...),
+      // getStateValue, a parameter-context value): EL stored in DATA
+      // would need per-row compilation, which no static plan can
+      // express — and config-carried EL is the NiFi use case.
+      val template = literalString(c).getOrElse(throw new IllegalArgumentException(
+        "evaluateELString needs a compile-time-constant subject " +
+        "(literal/state/parameter value), not a per-row column"))
+      compile(template, availableCols.value)
     case "base64Encode"     => base64(c.cast("binary"))
     case "base64Decode"     => unbase64(c).cast("string")
     case "urlEncode"        => url_encode(c)
@@ -534,6 +596,22 @@ object El {
       translate(substring(hx, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"),
       substring(hx, 18, 3), lit("-"), substring(hx, 21, 12))
   }
+
+  /** The compile-time string value of a Column, when it folds to a
+    * Literal (evaluateELString's subject contract). */
+  private def literalString(c: Column): Option[String] =
+    // lit()/typedLit() build an internal Literal node directly;
+    // expression-built constants (ColumnBridge.column) fold in the
+    // orElse branch; unresolved per-row references land in the
+    // catch → None
+    org.apache.spark.sql.graftbridge.ColumnBridge.literalValue(c)
+      .map(_.toString)
+      .orElse {
+        try {
+          val e = org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+          if (e.foldable) Option(e.eval(null)).map(_.toString) else None
+        } catch { case _: Exception => None }
+      }
 
   /** Extract a literal string arg (for APIs that need Scala values). */
   private def argStr(a: Arg): String = a match {

@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The compile-time constant behind a `lit()` Column, if it is one
+    * (the internal Literal node is `private[sql]`). */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => Option(l.value)
+    case _ => None
+  }
 }

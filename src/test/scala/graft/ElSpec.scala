@@ -325,6 +325,64 @@ class ElSpec extends SparkSpec {
     intercept[IllegalArgumentException] { El.compile("${lang:nope()}") }
   }
 
+  test("r11 tail: getUri composes both arities with NiFi's drop rules") {
+    assert(evalExpr("${getUri('https', 'u:p', ${lang}, 8443, '/x', 'a=1', 'top')}")
+      == "https://u:p@en:8443/x?a=1#top")
+    // empty userInfo/query/fragment drop their delimiters; port -1 drops
+    assert(evalExpr("${getUri('https', '', ${lang}, -1, '/x', '', '')}")
+      == "https://en/x")
+    assert(evalExpr("${getUri('ftp', ${lang}, 21, '/d')}") == "ftp://en:21/d")
+    intercept[IllegalArgumentException] { El.compileExpr("${getUri('a', 'b')}") }
+  }
+
+  test("r11 tail: thread is a compile-time literal tag") {
+    assert(evalExpr("${thread()}") == Thread.currentThread().getName)
+  }
+
+  test("r11 tail: evaluateELString compiles constant subjects, rejects columns") {
+    assert(evalExpr("${literal('${lang:toUpper()}'):evaluateELString()}") == "EN")
+    assert(evalExpr("${literal('n=${n:plus(8)}'):evaluateELString()}") == "n=50")
+    // state-carried EL — the actual NiFi use case for this function
+    assert {
+      val df = Seq(("x", 1L)).toDF("lang", "n")
+      df.select(El.compileExprWithState(
+        "${getStateValue('rule'):evaluateELString()}",
+        Map("rule" -> "${n:multiply(3)}")).as("v")).collect()(0).get(0) == "3"
+    } // template compile is string-typed, NiFi's evaluateELString contract
+    val e = intercept[IllegalArgumentException] {
+      evalExpr("${lang:evaluateELString()}")
+    }
+    assert(e.getMessage.contains("compile-time-constant"))
+  }
+
+  test("r11 tail: isJson accepts any JSON value, rejects prose and null") {
+    assert(evalExpr("${literal('{\"a\":[1,2]}'):isJson()}") == true)
+    assert(evalExpr("${literal('[1,2,3]'):isJson()}") == true)
+    assert(evalExpr("${text:isJson()}") == false)
+    assert(evalExpr("${literal('{\"a\":'):isJson()}") == false)
+  }
+
+  test("r11 tail: jsonPath write family — exact bytes, unresolved paths no-op") {
+    def j(e: String): Any = evalExpr(e)
+    assert(j("${literal('{\"a\":1,\"b\":2}'):jsonPathDelete('$.b')}") == """{"a":1}""")
+    assert(j("${literal('{\"xs\":[10,20,30]}'):jsonPathDelete('$.xs[1]')}")
+      == """{"xs":[10,30]}""")
+    assert(j("${literal('{\"a\":1}'):jsonPathSet('$.a', 'true')}") == """{"a":true}""")
+    assert(j("${literal('{\"a\":1}'):jsonPathSet('$.a', 'str')}") == """{"a":"str"}""")
+    assert(j("${literal('{\"xs\":[1]}'):jsonPathAdd('$.xs', '2.5')}") == """{"xs":[1,2.5]}""")
+    assert(j("${literal('{\"m\":{}}'):jsonPathPut('$.m', 'k', 'v')}")
+      == """{"m":{"k":"v"}}""")
+    // nested navigation
+    assert(j("${literal('{\"a\":{\"b\":[{\"c\":1}]}}'):jsonPathSet('$.a.b[0].c', '9')}")
+      == """{"a":{"b":[{"c":9}]}}""")
+    // unresolvable paths leave the document unchanged (typo'd path must
+    // not fabricate structure), invalid JSON yields null
+    assert(j("${literal('{\"a\":1}'):jsonPathDelete('$.zzz')}") == """{"a":1}""")
+    assert(j("${literal('{\"a\":1}'):jsonPathSet('$.zzz', '2')}") == """{"a":1}""")
+    assert(j("${literal('{\"a\":1}'):jsonPathAdd('$.a', '2')}") == """{"a":1}""")
+    assert(j("${literal('not json'):jsonPathDelete('$.a')}") == null)
+  }
+
   test("malformed templates fail with a parse error, not an index crash") {
     for (bad <- Seq("${lang", "${lang:toUpper(", "${lang:equals('x}", "${'unclosed}", "${}"))
       intercept[IllegalArgumentException] { El.compile(bad) }
