@@ -342,6 +342,19 @@ object QueriesLlm {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** MinHash+LSH with the hot-bucket cap (§2.4 #30, r11) — the
+    * 100×-scale form: band buckets larger than 256 docs are skipped
+    * (their pairs are the measured-quadratic term; true near-dups
+    * re-meet in their population-typical buckets). At driver SFs no
+    * bucket reaches the cap, so output is IDENTICAL to q_dedup_minhash
+    * (spec-asserted); at m300 it removes the 8.8×-for-3× candidate
+    * blowup (tools/NOTES_r11_minhash.md). */
+  val qDedupMinhashCapped: Q = (s, d) => {
+    Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.6, maxBucket = 256)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** SimHash signatures (§2.4 #31); pair-finding spec-tested on planted
     * near-dups (hash bit semantics aren't portable to SQL). */
   val qDedupSimhash: Q = (s, d) =>
@@ -1472,6 +1485,7 @@ object QueriesLlm {
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped,
     "q_dedup_cluster_capped" -> qDedupClusterCapped,
     "q_dedup_minhash"       -> qDedupMinhash,
+    "q_dedup_minhash_capped" -> qDedupMinhashCapped,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
     "q_embed_neardup_ivf"   -> qEmbedNeardupIvf,

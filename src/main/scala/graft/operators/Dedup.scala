@@ -80,11 +80,32 @@ object Dedup {
     * at 100 TB the bucket join carries only colliding candidates, and
     * the verify step compares fixed-size signatures (not documents).
     *
+    * `maxBucket` (0 = uncapped) is the 100×-scale knob, adjudicated by
+    * MEASUREMENT in r11 (tools/NOTES_r11_minhash.md): band-bucket
+    * population grows with the corpus wherever many documents share a
+    * band signature (boilerplate in real corpora; the bounded synthetic
+    * vocabulary amplifies it), so candidate pairs from those HOT
+    * buckets grow as n² — the m100→m300 probe measured 8.8× candidate
+    * pairs for 3× docs while true output pairs grew 3.1×, and each
+    * excess candidate drags two ~256 B signatures through the verify
+    * joins. Buckets larger than `maxBucket` are SKIPPED, shedding two
+    * pair classes: (a) cross products of unrelated documents that share
+    * one corpus-common band signature — the overwhelmingly-verify-FALSE
+    * bulk; (b) pairs inside exact-duplicate mega-clusters (identical
+    * docs collide identically in EVERY band, so all their buckets go
+    * hot together) — those belong to the exact-dedup stage
+    * ([[exact]]), which every curation pipeline runs first. A genuine
+    * NEAR-dup pair still meets in the bands where its docs' slightly-
+    * differing signatures land in population-typical buckets.
+    * Exact-equality spec at small scale (no bucket reaches the cap →
+    * identical output) + measured recall at m100 in
+    * tools/NOTES_r11_minhash.md.
+    *
     * Output: id_a < id_b, est_jaccard.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 5, numHashes: Int = 64, bands: Int = 8,
-                 threshold: Double = 0.6): DataFrame = {
+                 threshold: Double = 0.6, maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // signatures are reused three times (banding + both sides of the
@@ -99,10 +120,20 @@ object Dedup {
     // carry ONLY ids through the bucket join and are deduped BEFORE the
     // (64-element) signature comparison — a pair colliding in k bands
     // costs one verify, not k
-    val banded = sig.select(col("id"),
+    val bandedAll = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rows + 1, lit(rows)))))).as(Seq("band_id", "band_hash")))
+    // hot-bucket cap as a WINDOW count: one shuffle on the same
+    // (band_id, band_hash) key the self-join needs anyway — no second
+    // aggregate relation, no join, no broadcast of a bucket table
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else bandedAll
+        .withColumn("graft_bucket_sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
+        .filter(col("graft_bucket_sz") <= maxBucket)
+        .drop("graft_bucket_sz")
     val candidates = banded.as("a").join(banded.as("b"), Seq("band_id", "band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -148,4 +148,38 @@ class RecallGateSpec extends SparkSpec {
         s"bands=$bands produced a false positive above threshold")
     }
   }
+
+  test("r11 hot-bucket cap: identical output below the cap, sheds only the " +
+       "exact-dup mega-cluster above it") {
+    // 1) small scale: no bucket reaches 256, so the capped form must be
+    // ROW-IDENTICAL to the uncapped one (the q_dedup_minhash_capped
+    // contract at driver SFs)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(capped: Boolean) = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.6,
+        maxBucket = if (capped) 256 else 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(capped = true) === pairs(capped = false),
+      "cap must be a no-op when no bucket reaches it")
+
+    // 2) a 600-doc IDENTICAL cluster goes hot in EVERY band — the cap
+    // sheds its n² pairs (exact dedup's job, measured-quadratic at
+    // scale: tools/NOTES_r11_minhash.md) while a genuine near-dup pair
+    // of distinctive docs is still found through its typical buckets
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches nearby"
+    val cluster = (100L until 700L).map(i => (i, "boilerplate notice identical every time"))
+    val synth = (Seq((0L, base), (1L, base.replace("lazy", "idle"))) ++ cluster)
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(synth, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 8, threshold = 0.5, maxBucket = 256)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)), "cap lost the genuine near-dup pair")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "identical mega-cluster pairs must be shed by the cap")
+    val uncapped = Dedup.minHashLsh(synth, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 >= 100L) > 100000,
+      "sanity: uncapped really does produce the n² cluster pairs")
+  }
 }
