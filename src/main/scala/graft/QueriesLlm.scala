@@ -1149,6 +1149,87 @@ object QueriesLlm {
       |good AS (SELECT source FROM bysrc, g WHERE avg_tok >= g_avg)
       |SELECT doc_id, source FROM documents WHERE source IN (SELECT source FROM good)""".stripMargin
 
+  /** Token-budget mixture assembly (§2.4, r11): the step after
+    * [[qDomainFilter]]/[[qSampleStratified]] in corpus mixing — each
+    * source fills a token QUOTA (not a row fraction): keep, per source,
+    * the prefix of a seeded md5 document order whose cumulative token
+    * count stays within that source's budget. Rate-based sampling can't
+    * express "2B tokens of web, 500M of code" — this is that op.
+    * Distribution: [[graft.operators.Scale.tokenBudgetSample]] splits
+    * the md5 key space into deterministic ordered buckets and assembles
+    * exact per-source running sums from bucket-local windows +
+    * per-(source, bucket) offsets, so no source ever funnels through one
+    * reducer (the naive PARTITION BY source window the oracle uses
+    * would). */
+  val qTokenBudgetMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val budgets = ((0 to 9).map(i => s"src$i" -> 600L) ++
+                   (10 to 19).map(i => s"src$i" -> 150L)).toMap
+    graft.operators.Scale
+      .tokenBudgetSample(docs, "doc_id", "source", "n_tok", budgets, seed = "mx1")
+      .select(col("doc_id"), col("source"))
+  }
+  val qTokenBudgetMixSql: String =
+    """WITH n AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tok,
+      |    CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 600 ELSE 150 END AS budget
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, budget,
+      |        sum(n_tok) OVER (PARTITION BY source
+      |          ORDER BY md5('mx1:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+      |      FROM n)
+      |SELECT doc_id, source FROM c WHERE cum <= budget""".stripMargin
+
+  /** Bigram-LM quality proxy (§2.4, r11): the CCNet-style LM filter one
+    * order up from [[qUnigramLogprob]] — mean negative log2 conditional
+    * probability of each document's bigrams under the corpus's own
+    * add-one-smoothed bigram model, P(w2|w1) = (c(w1w2)+1)/(c1(w1)+V).
+    * Garbled text pairs words the corpus never pairs, so it scores high
+    * even when every individual token is common (what the unigram proxy
+    * can't see). Shape: bigrams from two array slices zipped (narrow),
+    * two map-side-combined count aggs keyed by bigram/left-token, V as
+    * a broadcast 1-row cross join — every join keyed on the bigram
+    * stream's own columns, nothing driver-side. Docs with <2 tokens
+    * have no bigrams and drop (oracle agrees by construction). */
+  val qBigramLogprob: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+    val big = toks.select(col("doc_id"), explode(
+      when(size(col("toks")) >= 2, zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+    val c12 = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    big.join(c12, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(dround(avg(-log2((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 4)
+        .as("avg_neg_logp2"))
+  }
+  val qBigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM e)
+      |SELECT bg.doc_id, round(avg(-log2((c12 + 1) / (c1 + v))), 4) AS avg_neg_logp2
+      |FROM bg JOIN c12 USING (bg)
+      |JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      |CROSS JOIN v
+      |GROUP BY bg.doc_id""".stripMargin
+
   /** Heavy hitters (§2.6, r10): corpus token frequencies through the
     * mergeable Misra-Gries frequent-items sketch. On the bounded
     * 31-token vocabulary nothing evicts at any SF, so every estimate is
@@ -1520,6 +1601,8 @@ object QueriesLlm {
     "q_embed_kmeans"        -> qEmbedKmeans,
     "q_cluster_sample"      -> qClusterSample,
     "q_domain_filter"       -> qDomainFilter,
+    "q_token_budget_mix"    -> qTokenBudgetMix,
+    "q_bigram_logprob"      -> qBigramLogprob,
     "q_heavy_hitters"       -> qHeavyHitters,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
@@ -1571,6 +1654,8 @@ object QueriesLlm {
     "q_embed_kmeans"        -> qEmbedKmeansSql,
     "q_cluster_sample"      -> qClusterSampleSql,
     "q_domain_filter"       -> qDomainFilterSql,
+    "q_token_budget_mix"    -> qTokenBudgetMixSql,
+    "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
     "q_bloom_dedup"         -> qBloomDedupSql,
     "q_image_phash"         -> qImagePhashSql,

@@ -160,4 +160,77 @@ object Scale {
     }
     df.filter(pmod(col(idCol), lit(modulus)) < threshold)
   }
+
+  /** Token-budget mixture assembly (LLM pipeline): the "fill each
+    * source's token quota" step of corpus mixing — keep, per source, the
+    * prefix of a seeded deterministic document order whose cumulative
+    * `tokenCol` stays within that source's budget (rows from sources
+    * absent in `budgets` are dropped). Selection = `running_sum(tokens)
+    * OVER (PARTITION BY source ORDER BY md5(seed:id), id) <= budget`, so
+    * any SQL engine reproduces it — but the naive window puts each
+    * source through ONE reducer, which dies when one domain holds
+    * terabytes. Instead, a prefix-sum decomposition over a
+    * DETERMINISTIC key-space split: the md5 key's leading 16 bits place
+    * every row in one of `numBuckets` ordered buckets (uniform, because
+    * md5 is; monotone with the key's string order, because lowercase hex
+    * sorts bytewise) — NOT `repartitionByRange`, whose sampled
+    * boundaries are seeded by the physical RDD id and therefore differ
+    * between the two passes over this plan (measured at sf0.1: rows near
+    * boundaries swapped partitions between the totals job and the window
+    * job, mis-keying every later offset). Pass 1 aggregates
+    * per-(source, bucket) token totals — ≤ sources×buckets rows, tiny
+    * next to the corpus — and converts them to preceding-bucket offsets
+    * with a per-source window over ≤ `numBuckets` rows. Pass 2 computes
+    * each row's LOCAL running sum under a (bucket, source) window — max
+    * window size ≈ source_rows/buckets regardless of source skew — joins
+    * the offsets back on (source, bucket), and filters local+offset
+    * against the budget. Exact global per-source running sums with no
+    * driver collect, no sampling, and no per-source bottleneck. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
+                        tokenCol: String, budgets: Map[String, Long],
+                        seed: String, numBuckets: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample: budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val key = "__mix_key"; val bkt = "__mix_bucket"; val tot = "__mix_tot"
+    val cum = "__mix_cum"; val off = "__mix_off"; val bud = "__mix_budget"
+    Seq(key, bkt, tot, cum, off, bud).foreach(c =>
+      require(!df.columns.contains(c), s"tokenBudgetSample: column '$c' reserved"))
+    val spark = df.sparkSession
+    val b = if (numBuckets > 0) numBuckets
+      else 8 * parsePartitions(spark.conf.get("spark.sql.shuffle.partitions"), 32)
+    require(b >= 1 && b <= 65536,
+      s"tokenBudgetSample: numBuckets $b outside [1, 65536] (16 key bits)")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, bg)) => when(col(sourceCol) === src, lit(bg)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn(bud, budgetCol)
+      .filter(col(bud).isNotNull)
+      .withColumn(key,
+        md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
+      // leading 16 key bits -> bucket in [0, b): key16*b is < 2^32, exact
+      // in the double division, and cast truncates = floor for positives
+      .withColumn(bkt,
+        (conv(substring(col(key), 1, 4), 16, 10).cast("long") * b / 65536)
+          .cast("int"))
+    // pass 1: per-(source, bucket) totals -> preceding-bucket offsets.
+    // The relation is ≤ sources×numBuckets rows and each per-source
+    // window spans ≤ numBuckets rows — distributed, no collect.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(bkt))
+    val offsets = keyed.groupBy(col(sourceCol), col(bkt))
+      .agg(sum(col(tokenCol).cast("long")).as(tot))
+      .withColumn(off, sum(col(tot)).over(wOff) - col(tot))
+      .drop(tot)
+    // pass 2: local running sum (window bounded by one bucket×source
+    // slice) + offset = exact global per-source running sum in (key, id)
+    // order. AQE broadcasts the offsets side at runtime when small.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bkt), col(sourceCol)).orderBy(col(key), col(idCol))
+    keyed
+      .withColumn(cum, sum(col(tokenCol).cast("long")).over(w))
+      .join(offsets, Seq(sourceCol, bkt))
+      .filter(col(cum) + col(off) <= col(bud))
+      .drop(key, bkt, cum, off, bud)
+  }
 }

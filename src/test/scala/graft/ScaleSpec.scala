@@ -167,4 +167,59 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join must not shuffle:\n$p")
     assert(joined.count() == 500)
   }
+
+  /** The naive per-source-window reference tokenBudgetSample must match:
+    * per source, docs in (md5(seed:id), id) order keep while cumulative
+    * tokens stay within budget. */
+  private def budgetReference(rows: Seq[(Long, String, Long)],
+                              budgets: Map[String, Long],
+                              seed: String): Set[Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.filter(r => budgets.contains(r._2)).groupBy(_._2).flatMap {
+      case (src, docs) =>
+        var cum = 0L
+        docs.sortBy(r => (md5hex(s"$seed:${r._1}"), r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budgets(src)) Some(r._1) else None
+        }
+    }.toSet
+  }
+
+  test("tokenBudgetSample: equals the per-source-window reference at any partitioning") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, s"s${rng.nextInt(5)}", 1L + rng.nextInt(50)))
+    val budgets = Map("s0" -> 300L, "s1" -> 0L, "s2" -> 10000L, "s3" -> 777L)
+    val expected = budgetReference(rows, budgets, "t1")
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Scale.tokenBudgetSample(df.repartition(parts % 5 + 1),
+          "doc_id", "source", "n_tok", budgets, "t1", numBuckets = parts)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"mismatch at numPartitions=$parts")
+    }
+    // budget semantics double-check: kept token sums within budget and
+    // maximal (the reference already encodes it, but assert directly)
+    val kept = Scale.tokenBudgetSample(df, "doc_id", "source", "n_tok",
+        budgets, "t1")
+      .groupBy("source").agg(sum("n_tok").as("toks"))
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (src, toks) => assert(toks <= budgets(src)) }
+    assert(!kept.contains("s1") && !kept.contains("s4"),
+      "zero-budget and unbudgeted sources must be dropped")
+  }
+
+  test("tokenBudgetSample rejects reserved columns and empty budgets") {
+    val df = Seq((1L, "a", 2L)).toDF("doc_id", "source", "n_tok")
+    intercept[IllegalArgumentException](
+      Scale.tokenBudgetSample(df, "doc_id", "source", "n_tok", Map.empty, "x"))
+    intercept[IllegalArgumentException](
+      Scale.tokenBudgetSample(df.withColumn("__mix_key", lit(1)),
+        "doc_id", "source", "n_tok", Map("a" -> 1L), "x"))
+    intercept[IllegalArgumentException](
+      Scale.tokenBudgetSample(df, "doc_id", "source", "n_tok",
+        Map("a" -> -1L), "x"))
+  }
 }
