@@ -469,7 +469,16 @@ object FlowCompiler {
                      parameters: Map[String, String] = Map.empty): Seq[Listener] = {
     val resolved = substituteParams(flow, parameters)
     resolved.processors.flatMap { p =>
-      def port = prop(p, "Listening Port", "0").trim.toInt
+      def port = {
+        val raw = prop(p, "Listening Port", "0").trim
+        require(raw.nonEmpty && raw.forall(_.isDigit) && raw.length <= 5,
+          s"${p.name} (${p.tpe.split('.').last}): 'Listening Port' must be a " +
+          s"port number in [0, 65535], got '$raw'")
+        val n = raw.toInt
+        require(n <= 65535,
+          s"${p.name} (${p.tpe.split('.').last}): 'Listening Port' $n > 65535")
+        n
+      }
       def spool = {
         val d = prop(p, "Spool Directory", "")
         require(d.nonEmpty, s"${p.name} needs a Spool Directory"); d

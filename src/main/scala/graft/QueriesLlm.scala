@@ -1164,8 +1164,16 @@ object QueriesLlm {
   val qTokenBudgetMix: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).as("n_tok"))
-    val budgets = ((0 to 9).map(i => s"src$i" -> 600L) ++
-                   (10 to 19).map(i => s"src$i" -> 150L)).toMap
+    // Budgets are CONFIG in the real op ("2B tokens web / 500M code");
+    // here both sides derive from ONE rule over the generator's source
+    // domain (GenSf: source = "src" + i % 20): numeric suffix < 10 →
+    // 600, else 150. The oracle's CASE applies that rule to ANY
+    // source, while the Scala map only covers its own domain — so if
+    // the generator's modulus ever grows, grow `srcDomain` with it or
+    // new sources are silently dropped here yet budgeted there.
+    val srcDomain = 0 until 20
+    val budgets =
+      srcDomain.map(i => s"src$i" -> (if (i < 10) 600L else 150L)).toMap
     graft.operators.Scale
       .tokenBudgetSample(docs, "doc_id", "source", "n_tok", budgets, seed = "mx1")
       .select(col("doc_id"), col("source"))

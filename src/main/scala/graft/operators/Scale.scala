@@ -185,7 +185,16 @@ object Scale {
     * window size ≈ source_rows/buckets regardless of source skew — joins
     * the offsets back on (source, bucket), and filters local+offset
     * against the budget. Exact global per-source running sums with no
-    * driver collect, no sampling, and no per-source bottleneck. */
+    * driver collect, no sampling, and no per-source bottleneck.
+    *
+    * PRECONDITION: `idCol` must be unique per row (a doc_id). The
+    * order key is md5(seed:id), so duplicate ids are window PEERS —
+    * under the default RANGE frame each peer receives their combined
+    * running sum, diverging from the sequential semantics documented
+    * above (and from any tie-broken oracle). Uniqueness is not
+    * validated here: a validation pass would cost a full extra
+    * aggregation over the corpus on every call — dedupe upstream
+    * ([[graft.operators.Dedup]]) or synthesize a unique id first. */
   def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
                         tokenCol: String, budgets: Map[String, Long],
                         seed: String, numBuckets: Int = 0): DataFrame = {
@@ -196,8 +205,12 @@ object Scale {
     Seq(key, bkt, tot, cum, off, bud).foreach(c =>
       require(!df.columns.contains(c), s"tokenBudgetSample: column '$c' reserved"))
     val spark = df.sparkSession
+    // derived default clamps to the 16-bit key space (a cluster with
+    // shuffle.partitions > 8192 degrades to 65536 buckets rather than
+    // failing); the require still rejects explicit out-of-range values
     val b = if (numBuckets > 0) numBuckets
-      else 8 * parsePartitions(spark.conf.get("spark.sql.shuffle.partitions"), 32)
+      else math.min(65536,
+        8 * parsePartitions(spark.conf.get("spark.sql.shuffle.partitions"), 32))
     require(b >= 1 && b <= 65536,
       s"tokenBudgetSample: numBuckets $b outside [1, 65536] (16 key bits)")
     val budgetCol = budgets.foldLeft(lit(null).cast("long")) {

@@ -329,16 +329,18 @@ object Sketches {
       .collect().toMap
   }
 
-  /** Probe Column for a sharded bloom: route the key to its shard's
-    * filter (when-chain over the ≤S present shards, each branch a
-    * codegen'd native BloomFilterMightContain with its OWN small blob
-    * literal); keys landing in an absent shard are definite misses. */
+  /** Probe Column for a sharded bloom: ONE xxhash64 per probed row —
+    * [[graft.plans.ShardedBloomMightContain]] reuses the single hash
+    * for both the shard dispatch (array index, replacing r11's
+    * S-branch when-chain that re-evaluated pmod(xxhash64, S) per
+    * branch) and the membership probe. Keys landing in an absent
+    * shard are definite misses. */
   private[graft] def shardedMightContain(blobs: Map[Int, Array[Byte]],
                                          shards: Int, key: Column): Column = {
-    val shardOf = pmod(xxhash64(key), lit(shards.toLong)).cast("int")
-    blobs.toSeq.sortBy(_._1).foldRight(lit(false)) { case ((s, b), acc) =>
-      when(shardOf === s, bloomMightContain(b, key)).otherwise(acc)
-    }
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShardedBloomMightContain(blobs, shards,
+      XxHash64(Seq(ColumnBridge.expression(key)), 42L)))
   }
 
   /** EXACT incremental anti-join with a Bloom pre-filter — the 100 TB
@@ -359,7 +361,18 @@ object Sketches {
     * count — so no global expectedItems is needed (passing one merely
     * skips the per-group buffering) and no partition ever allocates a
     * global-sized bit array. Choose `shards` so historyKeys/shards
-    * fits a task comfortably (64 shards ⇒ ~16M keys/shard at 10⁹). */
+    * fits a task comfortably (64 shards ⇒ ~16M keys/shard at 10⁹).
+    *
+    * Plan-size ceiling (inherent to ANY plan-resident filter): the
+    * S blobs together are still ~one global filter's bytes, shipped
+    * once per task closure as expression references — ~1.2 GB at 10⁹
+    * keys / 1 % fpp. Below ~10⁸ history keys (~120 MB) that is the
+    * fastest shape; beyond it, skip the bloom and use the
+    * DataFrame-join fallback — pre-bucket BOTH sides on
+    * pmod(xxhash64(key), S) and run the plain co-partitioned
+    * `left_anti` join (identical rows, filters never enter the
+    * plan; the bloom's only job was shrinking that join's probe
+    * side, which at that scale it no longer pays for). */
   def bloomAntiJoin(incoming: DataFrame, history: DataFrame, keyCol: String,
                     expectedItems: Long = -1L, fpp: Double = 0.01,
                     shards: Int = 32): DataFrame = {

@@ -113,13 +113,26 @@ object Net {
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
     val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
-    def flush(): Unit = batch.synchronized {
-      if (batch.nonEmpty) {
-        val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
+    // The lock covers only the buffer swap + name claim (O(batch)
+    // pointer copies); the spool write happens OUTSIDE it, so reader
+    // threads keep appending while a flush is on disk I/O — r11's
+    // version held the lock across Files.write, stalling every
+    // connection for the duration of each spool write. Claiming the
+    // (millis, seq) name inside the lock keeps file order = line
+    // arrival order even when two flushes race to the write.
+    def flush(): Unit = {
+      val drained = batch.synchronized {
+        if (batch.isEmpty) None
+        else {
+          val lines = batch.toArray
+          batch.clear()
+          Some((lines, s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"))
+        }
+      }
+      drained.foreach { case (lines, name) =>
         val tmp = dir.resolve(name + ".tmp")
-        Files.write(tmp, batch.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
         Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        batch.clear()
       }
     }
     val accept = new Thread(() => {

@@ -291,4 +291,31 @@ class FlowListenSpec extends SparkSpec {
     assert(round === flow)
     assert(FlowCompiler.export(round) === FlowCompiler.export(flow))
   }
+
+  test("startListeners: malformed 'Listening Port' fails with the processor's name, " +
+       "not a bare NumberFormatException") {
+    val params = Map("http.spool" ->
+      Files.createTempDirectory("graft_badport_spool").toString)
+    val flow = FlowCompiler.parse(resource("listen_http"))
+    val broken = flow.copy(processors = flow.processors.map { p =>
+      if (p.tpe.endsWith("ListenHTTP"))
+        p.copy(props = p.props.filterNot(_._1 == "Listening Port") :+ ("Listening Port" -> "eighty"))
+      else p
+    })
+    val err = intercept[IllegalArgumentException] {
+      FlowCompiler.startListeners(broken, params)
+    }
+    assert(err.getMessage.contains("Listening Port"))
+    assert(err.getMessage.contains("eighty"))
+    assert(broken.processors.exists(p => err.getMessage.contains(p.name)))
+    val tooBig = flow.copy(processors = flow.processors.map { p =>
+      if (p.tpe.endsWith("ListenHTTP"))
+        p.copy(props = p.props.filterNot(_._1 == "Listening Port") :+ ("Listening Port" -> "70000"))
+      else p
+    })
+    val err2 = intercept[IllegalArgumentException] {
+      FlowCompiler.startListeners(tooBig, params)
+    }
+    assert(err2.getMessage.contains("65535"))
+  }
 }

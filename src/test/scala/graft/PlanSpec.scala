@@ -239,6 +239,58 @@ class PlanSpec extends SparkSpec {
       s"bloom dedup must stay hash-joined:\n$p")
   }
 
+  test("q_bloom_dedup probe: single sharded expression, one hash per row — " +
+       "no per-branch when-chain rehash (r11 verdict fix)") {
+    val p = planOf("q_bloom_dedup")
+    val probes = "graft_sharded_bloom_might_contain".r.findAllMatchIn(p).size
+    assert(probes >= 1, s"sharded probe expression missing:\n$p")
+    // the r11 shape dispatched via CASE WHEN pmod(xxhash64(key), S) per
+    // branch; the native expression reuses its one hash child for both
+    // shard dispatch (array index) and membership probe
+    assert(!p.contains("pmod(xxhash64"),
+      s"shard dispatch must live inside the expression, not a pmod chain:\n$p")
+    val hashes = "xxhash64".r.findAllMatchIn(p).size
+    assert(hashes <= probes,
+      s"one xxhash64 per probe site, found $hashes for $probes probes:\n$p")
+  }
+
+  test("q_token_budget_mix: corpus shuffles ONCE on (bucket, source) — " +
+       "deterministic md5 buckets, broadcast offsets, no range exchange") {
+    val p = planOf("q_token_budget_mix")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"bucket split must be the deterministic md5 key space, never " +
+      s"repartitionByRange's sampled (RDD-id-seeded) boundaries:\n$p")
+    // the big side's window must be keyed by (bucket, source) — a
+    // window partitioned by source alone is the per-source single
+    // reducer this operator exists to avoid (the offsets side's
+    // per-source window runs over <= numBuckets rows, post-agg)
+    assert(p.contains("windowspecdefinition(__mix_bucket"),
+      s"corpus running sum must partition by (__mix_bucket, source):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (source, bucket) offsets join must broadcast the tiny side:\n$p")
+    val corpusShuffles = "Exchange hashpartitioning\\(__mix_bucket".r.findAllMatchIn(p).size
+    assert(corpusShuffles == 1,
+      s"the full corpus must shuffle exactly once (found $corpusShuffles):\n$p")
+  }
+
+  test("q_dedup_minhash_capped: the bucket-size window is keyed on the band-join " +
+       "keys, so its exchange satisfies the join at shuffle scale") {
+    val p = planOf("q_dedup_minhash_capped")
+    val winSpecs = "windowspecdefinition\\(([^,]+), ([^,]+),".r.findAllMatchIn(p).toSeq
+    assert(winSpecs.nonEmpty, s"bucket-count window missing:\n$p")
+    winSpecs.foreach { m =>
+      assert(m.group(1).startsWith("band_id") && m.group(2).startsWith("band_hash"),
+        s"cap window must partition by (band_id, band_hash) = the join keys:\n$p")
+    }
+    // every hash exchange the cap adds is on the band keys themselves —
+    // ENSURE_REQUIREMENTS reuses it for a shuffle-hash band join at
+    // scale (here at sf0.001 the join side broadcasts instead)
+    val hashExchanges = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(hashExchanges.forall(k => k.startsWith("band_id") || k.startsWith("id_a")),
+      s"cap must not introduce exchanges on non-join keys, got $hashExchanges:\n$p")
+  }
+
   test("q_embed_kmeans: assignment is narrow — only the centroid update shuffles") {
     val p = planOf("q_embed_kmeans")
     // exchanges may appear for the tiny centroid merge (k·dim rows) and
