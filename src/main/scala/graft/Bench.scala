@@ -40,11 +40,15 @@ object Bench {
     // queries absorb all cold-read/JIT cost and round-over-round
     // comparisons see phantom regressions on exactly those queries.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // scale-probe datasets (GenSf `only=...`) carry just the tables
+    // their query subset reads — warm what exists, skip the rest
+    def has(t: String): Boolean =
+      new java.io.File(s"$sfDir/$t.parquet").exists()
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
+                  "orders", "lineitem", "documents", "embeddings") if has(t))
       Tables.load(spark, sfDir, t).count()
-    Tables.events(spark, sfDir).count()
-    Tables.lineitem(spark, sfDir)
+    if (has("events")) Tables.events(spark, sfDir).count()
+    if (has("lineitem")) Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_quantity"))
       .collect()
     // optional local-iteration filter: `runMain graft.Bench q_a,q_b`

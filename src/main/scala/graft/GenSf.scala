@@ -131,7 +131,14 @@ object GenSf {
   case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
 
   /** Generate the full schema at `mult` x sf0.1 into `outDir`. */
-  def generate(spark: SparkSession, outDir: String, mult: Double): Unit = {
+  /** `only`: restrict generation to these tables (empty = all). The
+    * document/embedding-family scale probes (m1000 decade runs) need
+    * 5M docs but NOT the 600M-row lineitem that a full mult=1000 set
+    * would drag along (~20 GB parquet + most of the generation time) —
+    * every table is an independent pure function of (name, id), so a
+    * subset is exactly the rows the full run would have written. */
+  def generate(spark: SparkSession, outDir: String, mult: Double,
+               only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     val nCust = (15000 * mult).toLong
     val nSupp = (1000 * mult).toLong
@@ -149,7 +156,8 @@ object GenSf {
     def ids(n: Long): DataFrame = spark.range(0, n, 1, parts(n)).toDF("id")
 
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (only.isEmpty || only(name))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(regions.toDF("r_regionkey", "r_name"), "region")
     write((0 until 25).map(i => (i, s"NATION_$i", i % 5)).toDF("n_nationkey", "n_name", "n_regionkey"),
@@ -224,7 +232,8 @@ object GenSf {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenSf <outDir> <mult>")
+    require(args.length >= 2,
+      "usage: GenSf <outDir> <mult> [table,table,...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -233,7 +242,9 @@ object GenSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, args(0), args(1).toDouble)
+    val only = if (args.length > 2)
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet else Set.empty[String]
+    generate(spark, args(0), args(1).toDouble, only)
     spark.stop()
   }
 }
