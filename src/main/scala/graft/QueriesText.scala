@@ -439,6 +439,35 @@ object QueriesText {
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation WHERE n_regionkey < 4""".stripMargin
 
+  /** Thirteenth committed flow (r12): controller-service depth — the
+    * way a real NiFi canvas factors shared config. ONE
+    * DBCPConnectionPool service carries the connection URL; the
+    * ExecuteSQL source references it (no inline URL), and a
+    * DatabaseRecordLookupService — itself bound to the same pool —
+    * backs the LookupRecord enrichment (region name joined onto each
+    * nation row, broadcast dimension-sized). Oracle: the same join in
+    * DuckDB over the parquet the Derby tables were staged from. */
+  val qFlowJdbcLookup: Q = (s, d) => {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dbDir = base.resolve(s"graft_flow_lkpdb_$key")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    graft.sources.Io.writeJdbc(
+      Tables.load(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+      url, "graft_nation", "overwrite")
+    graft.sources.Io.writeJdbc(
+      Tables.load(s, d, "region").select("r_regionkey", "r_name"),
+      url, "graft_region", "overwrite")
+    val in = getClass.getResourceAsStream("/flows/jdbc_lookup.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map.empty[String, org.apache.spark.sql.DataFrame],
+      Map("db.url" -> url))("enriched")
+  }
+  val qFlowJdbcLookupSql: String =
+    """SELECT n_nationkey, n_name, r_name AS region_name
+      |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
   val qFlowCsvSql: String =
     """WITH o AS (
       |  SELECT doc_id, source, text,
@@ -828,6 +857,7 @@ object QueriesText {
     "q_flow_csv"        -> qFlowCsv,
     "q_flow_files"      -> qFlowFiles,
     "q_flow_sink"       -> qFlowSink,
+    "q_flow_jdbc_lookup" -> qFlowJdbcLookup,
     "q_flow_nested"     -> qFlowNested,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
@@ -870,6 +900,7 @@ object QueriesText {
     "q_flow_csv"        -> qFlowCsvSql,
     "q_flow_files"      -> qFlowFilesSql,
     "q_flow_sink"       -> qFlowSinkSql,
+    "q_flow_jdbc_lookup" -> qFlowJdbcLookupSql,
     "q_flow_nested"     -> qFlowNestedSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
