@@ -261,7 +261,7 @@ object Ann {
     *
     * Output columns: (vec_id, embedding, cell) with `cell` = the
     * centroid's key (Long). */
-  private[operators] def assignCellsDistributed(spark: SparkSession, df: DataFrame,
+  private[graft] def assignCellsDistributed(spark: SparkSession, df: DataFrame,
       nCells: Int, probes: Int, lloydIters: Int = 0): DataFrame = {
     import spark.implicits._
     val base = df.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
