@@ -141,4 +141,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits fresh classes per query plan; a long
+  // single-JVM run over many heavy plans fills the JIT code cache
+  // (JDK default 240m), after which hot loops degrade to interpreted /
+  // flush-churned execution — measured on the r12 m1000 decade bench
+  // as a progressive 86s -> 648s slowdown of the SAME query as the
+  // catalog run advanced (tools/NOTES_r12_m1000.md). 512m keeps a
+  // full-catalog m-scale run inside the compiled regime.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -551,6 +551,9 @@ object FlowCompiler {
         case "ListenUDP" =>
           val l = graft.streaming.Net.listenUdp(port, spool)
           Some(Listener(p.id, p.name, "ListenUDP", l.port, () => l.stop()))
+        case "ListenSMTP" =>
+          val l = graft.streaming.Smtp.listenSmtp(port, spool)
+          Some(Listener(p.id, p.name, "ListenSMTP", l.port, () => l.stop()))
         case _ => None
       }
     }
@@ -652,6 +655,9 @@ object FlowCompiler {
     "ListenSyslog"       -> Set("Listening Port", "Spool Directory", "Protocol"),
     "PutTCP"             -> Set("Hostname", "Port", "Value Column"),
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
+    "ListenSMTP"         -> Set("Listening Port", "Spool Directory"),
+    "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
+                                "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
     "GetFTP"             -> (FtpProps + "Character Set"),
     "FetchFTP"           -> (FtpProps + "Character Set"),
@@ -679,7 +685,7 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListFTP", "GetFTP", "FetchFTP",
+        "ListenSyslog", "ListenSMTP", "ListFTP", "GetFTP", "FetchFTP",
         "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
 
@@ -1129,6 +1135,39 @@ object FlowCompiler {
         if (simple == "ListenSyslog")
           graft.operators.Parse.parseSyslog(lines, "value")
         else lines
+      case "ListenSMTP" =>
+        // SMTP-ingestion SOURCE (r12): graft.streaming.Smtp's RFC-5321
+        // server spools one JSON line per completed message; the node
+        // is a streaming json source over the spool — columns
+        // (mail_from, rcpt_to array, data). The endpoint itself starts
+        // via startListeners, same split as every Listen* here.
+        require(inputs.isEmpty, s"$simple ${p.name} is a source — no incoming connections")
+        val spool = prop(p, "Spool Directory", "")
+        require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("mail_from",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rcpt_to",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("data",
+            org.apache.spark.sql.types.StringType)))
+        spark.readStream.format("json").schema(schema)
+          .option("maxFilesPerTrigger", 64).load(spool)
+      case "PutEmail" =>
+        // email SINK (r12): compiling EXECUTES the send — one SMTP
+        // connection per PARTITION from the executors (NiFi PutEmail's
+        // per-FlowFile message, scaled). Output = the sent rows.
+        val host = prop(p, "SMTP Hostname", "")
+        val port = prop(p, "SMTP Port", "")
+        require(host.nonEmpty && port.nonEmpty,
+          s"PutEmail ${p.name} needs SMTP Hostname and SMTP Port")
+        val from = prop(p, "From", "graft@localhost")
+        graft.streaming.Smtp.putEmail(in, host, port.trim.toInt, from,
+          toCol = prop(p, "To Column", "to"),
+          subjectCol = prop(p, "Subject Column", "subject"),
+          bodyCol = prop(p, "Body Column", "body"))
+        in
       case "PutTCP" | "PutUDP" =>
         // socket SINKS: compiling EXECUTES the send (newline-delimited
         // over TCP, one datagram per row over UDP; one connection per
@@ -1288,9 +1327,40 @@ object FlowCompiler {
               require(path.nonEmpty,
                 s"CSVRecordLookupService ${s.name} needs a CSV File")
               spark.read.option("header", "true").csv(path)
+            case "RestLookupService" =>
+              // HTTP-backed lookup (r12): the lookup side is built by
+              // fetching each DISTINCT stream key once — executor-side
+              // per-partition HTTP clients (Http.invokeHttp), so call
+              // volume scales with key CARDINALITY, never row count,
+              // and the result stays a dimension-sized DataFrame for
+              // the broadcast join below. 'URL' carries a {key}
+              // placeholder; 'Lookup Value Columns' name the JSON
+              // response fields to extract.
+              require(keys.size == 1,
+                s"LookupRecord ${p.name}: RestLookupService is single-key; " +
+                s"got Join Key = ${keys.mkString(", ")}")
+              val urlT = svcProp(s, "URL")
+              require(urlT.contains("{key}"),
+                s"RestLookupService ${s.name}: 'URL' must contain a {key} placeholder, " +
+                s"got '$urlT'")
+              val valueCols = svcProp(s, "Lookup Value Columns")
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              require(valueCols.nonEmpty,
+                s"RestLookupService ${s.name} needs 'Lookup Value Columns' " +
+                "(JSON response fields to extract)")
+              val k = keys.head
+              val keysDf = in.select(col(k).cast("string").as(k)).distinct()
+                .withColumn("__url",
+                  concat(lit(urlT.substring(0, urlT.indexOf("{key}"))), col(k),
+                         lit(urlT.substring(urlT.indexOf("{key}") + 5))))
+              val resp = graft.operators.Http.invokeHttp(keysDf, "__url")
+                .filter(col("http_status") === 200)
+              valueCols.foldLeft(resp) { (d, c) =>
+                d.withColumn(c, get_json_object(col("http_body"), s"$$.$c"))
+              }.select(k, valueCols: _*)
             case other => throw new IllegalArgumentException(
               s"LookupRecord ${p.name}: unsupported Record Lookup Service type $other " +
-              "(DatabaseRecordLookupService | CSVRecordLookupService)")
+              "(DatabaseRecordLookupService | CSVRecordLookupService | RestLookupService)")
           }
           case None =>
             // NiFi's CSVRecordLookupService inlined: 'Lookup File' is a

@@ -953,6 +953,21 @@ object QueriesCore {
       |        unnest(generate_series(0, CAST(ceil(length(text)/100.0) AS BIGINT)-1)) AS chunk_idx
       |      FROM documents)""".stripMargin
 
+  /** MergeContent Defragment mode (r12): segment then reassemble —
+    * the oracle hashes the ORIGINAL text, so the match proves the
+    * fragment round-trip is byte-exact (order restored by in-group
+    * struct sort, one shuffle total past the segmenting explode). */
+  val qDefragment: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val segs = Records.segment(docs, "text", 64)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    Records.defragment(segs, "doc_id", "chunk_idx", "chunk")
+      .select(col("doc_id"), md5(col("content").cast("binary")).as("content_md5"))
+  }
+  val qDefragmentSql: String =
+    """SELECT doc_id, md5(coalesce(text, '')) AS content_md5 FROM documents""".stripMargin
+
   /** HashContent: md5 + sha256 digests. */
   val qHashContent: Q = (s, d) => {
     Records.hashContent(Records.hashContent(
@@ -1034,6 +1049,29 @@ object QueriesCore {
     """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price,
       |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
       |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** ORC roundtrip (ConvertRecord's second columnar leg): lineitem's
+    * hot columns → ORC files → read back → aggregate. The oracle runs
+    * on the ORIGINAL parquet, so the hash match proves the ORC
+    * transport lossless (decimals/dates included); the read-back scan
+    * keeps the same pushdown surface as parquet (PushedFilters shows
+    * the shipdate bound reaching the ORC reader). */
+  val qSourceOrcRoundtrip: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .select("l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice")
+    val tmp = s"/tmp/graft_orc_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.Io.writeOrc(l, tmp)
+    graft.sources.Io.readOrc(s, tmp)
+      .filter(col("l_shipdate") >= lit("1995-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+  val qSourceOrcRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty,
+      |  round(sum(l_extendedprice),2) AS sum_price
+      |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
 
   /** Anti join: rows with no match (NiFi unmatched-enrichment route).
     * Spark plans left_anti — no row widening, null-safe. */
@@ -1261,6 +1299,7 @@ object QueriesCore {
     "q_dedupe_exact"        -> qDedupeExact,
     "q_sample_record"       -> qSampleRecord,
     "q_enforce_order"       -> qEnforceOrder,
+    "q_defragment"          -> qDefragment,
     "q_segment_content"     -> qSegmentContent,
     "q_hash_content"        -> qHashContent,
     "q_convert_record"      -> qConvertRecord,
@@ -1268,6 +1307,7 @@ object QueriesCore {
     "q_window_topn"         -> qWindowTopN,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtrip,
     "q_source_avro_roundtrip" -> qSourceAvroRoundtrip,
+    "q_source_orc_roundtrip" -> qSourceOrcRoundtrip,
     "q_anti_join"           -> qAntiJoin,
     "q_semi_join"           -> qSemiJoin,
     "q_pivot"               -> qPivot,
@@ -1324,6 +1364,7 @@ object QueriesCore {
     "q_dedupe_exact"        -> qDedupeExactSql,
     "q_sample_record"       -> qSampleRecordSql,
     "q_enforce_order"       -> qEnforceOrderSql,
+    "q_defragment"          -> qDefragmentSql,
     "q_segment_content"     -> qSegmentContentSql,
     "q_hash_content"        -> qHashContentSql,
     "q_convert_record"      -> qConvertRecordSql,
@@ -1331,6 +1372,7 @@ object QueriesCore {
     "q_window_topn"         -> qWindowTopNSql,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql,
     "q_source_avro_roundtrip" -> qSourceAvroRoundtripSql,
+    "q_source_orc_roundtrip" -> qSourceOrcRoundtripSql,
     "q_anti_join"           -> qAntiJoinSql,
     "q_semi_join"           -> qSemiJoinSql,
     "q_pivot"               -> qPivotSql,

@@ -1238,6 +1238,87 @@ object QueriesLlm {
       |CROSS JOIN v
       |GROUP BY bg.doc_id""".stripMargin
 
+  /** Trigram-LM quality proxy (§2.4 37h, r12): mean −log2 P(w3|w1,w2)
+    * under the corpus's own add-one-smoothed trigram model,
+    * P(w3|w1w2) = (c(w1w2w3)+1)/(c(w1w2)+V) with the CONTEXT count
+    * derived from the trigram table itself (so both engines count
+    * exactly the bigram occurrences that HAVE a successor — the
+    * document-final bigram is not a trigram context). One decade
+    * sharper than the bigram proxy at spotting templated/boilerplate
+    * text (long exact n-gram reuse scores near zero) while garbled
+    * text saturates the smoothing floor. Shape mirrors the bigram
+    * query: trigrams from three zipped slices (narrow), two
+    * map-side-combined count aggs, V broadcast as a 1-row cross join —
+    * the model table is vocab³-bounded and every join is keyed on the
+    * trigram stream's own columns. Docs with <3 tokens drop (oracle
+    * agrees by construction). */
+  val qTrigramLogprob: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+    val tri = toks.select(col("doc_id"), explode(
+      when(size(col("toks")) >= 3, zip_with(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          slice(col("toks"), lit(2), size(col("toks")) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("toks"), lit(3), size(col("toks")) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(typedLit(Seq.empty[String]))).as("tg"))
+    val c123 = tri.groupBy("tg").agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy(substring_index(col("tg"), " ", 2).as("w12"))
+      .agg(sum("c123").as("c12"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    tri.join(c123, "tg")
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .join(c12, "w12")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(dround(avg(-log2((col("c123") + 1).cast("double") / (col("c12") + col("v")))), 4)
+        .as("avg_neg_logp3"))
+  }
+  val qTrigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |tg AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
+      |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |                JOIN e c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |c123 AS (SELECT tg, count(*) AS c123 FROM tg GROUP BY 1),
+      |c12 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+      |               sum(c123) AS c12 FROM c123 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM e)
+      |SELECT tg.doc_id, round(avg(-log2((c123 + 1) / (c12 + v))), 4) AS avg_neg_logp3
+      |FROM tg JOIN c123 USING (tg)
+      |JOIN c12 ON split_part(tg.tg, ' ', 1) || ' ' || split_part(tg.tg, ' ', 2) = c12.w12
+      |CROSS JOIN v
+      |GROUP BY tg.doc_id""".stripMargin
+
+  /** BPE merge learning (§2.4 38g, r12): the real Sennrich-2016
+    * procedure, distributed — merges learned from the corpus's
+    * word-frequency table (vocabulary-sized after one shuffle; each
+    * iteration is a narrow pair-explode + map-side-combined agg + a
+    * ONE-row argmax collect). Declared no-oracle: the merge sequence
+    * is an iterative argmax DuckDB SQL cannot express; BpeSpec pins a
+    * hand-derived merge sequence, the greedy-apply reconstruction
+    * property, and monotone token-count decrease. */
+  val qBpeMerges: Q = (s, d) =>
+    graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24)
+
+  /** BPE corpus tokenization with the learned merges: per-doc token
+    * count + an order-stable digest of the token stream. The heavy
+    * side is ONE mapPartitions-style pass with the numMerges-row model
+    * broadcast and per-thread word memoization. No-oracle (model is
+    * the iterative learn above); spec-gated. */
+  val qBpeTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 24)
+    graft.operators.Bpe.applyMerges(docs, "text", merges)
+      .select(col("doc_id"), col("bpe_n_tokens"),
+        md5(array_join(col("bpe_tokens"), " ").cast("binary")).as("tokens_md5"))
+  }
+
   /** Heavy hitters (§2.6, r10): corpus token frequencies through the
     * mergeable Misra-Gries frequent-items sketch. On the bounded
     * 31-token vocabulary nothing evicts at any SF, so every estimate is
@@ -1611,6 +1692,9 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilter,
     "q_token_budget_mix"    -> qTokenBudgetMix,
     "q_bigram_logprob"      -> qBigramLogprob,
+    "q_trigram_logprob"     -> qTrigramLogprob,
+    "q_bpe_merges"          -> qBpeMerges,
+    "q_bpe_tokens"          -> qBpeTokens,
     "q_heavy_hitters"       -> qHeavyHitters,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
@@ -1664,6 +1748,7 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilterSql,
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
+    "q_trigram_logprob"     -> qTrigramLogprobSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
     "q_bloom_dedup"         -> qBloomDedupSql,
     "q_image_phash"         -> qImagePhashSql,

@@ -181,4 +181,108 @@ object Parse {
       d.withColumn(out, when(block.rlike(pat), regexp_extract(block, pat, 1)))
     }
   }
+
+  /** ExtractEmailAttachments (NiFi): explode a raw MIME multipart
+    * message into one row per attachment part —
+    * (attach_name, attach_type, attach_bytes) appended to the input
+    * row. RFC 2045/2046 subset, JDK-only: boundary from the top-level
+    * Content-Type, parts split on the dash-boundary lines, per-part
+    * headers unfolded; base64 and quoted-printable transfer encodings
+    * decoded (7bit/8bit pass through as UTF-8 bytes). Parts without a
+    * Content-Disposition filename (inline bodies) are skipped, like
+    * the NiFi processor. Messages that aren't multipart produce no
+    * rows. Narrow per-row work — no shuffle. */
+  def extractEmailAttachments(df: DataFrame, msgCol: String): DataFrame = {
+    val parse = udf { (msg: String) =>
+      if (msg == null) Array.empty[(String, String, Array[Byte])]
+      else MimeParser.attachments(msg).toArray
+    }
+    df.withColumn("__att", explode(parse(col(msgCol))))
+      .withColumn("attach_name", col("__att._1"))
+      .withColumn("attach_type", col("__att._2"))
+      .withColumn("attach_bytes", col("__att._3"))
+      .drop("__att")
+  }
+}
+
+/** Minimal RFC 2045/2046 MIME multipart reader backing
+  * [[Parse.extractEmailAttachments]] — deliberately a subset: one
+  * nesting level (multipart/mixed of leaf parts; nested multiparts are
+  * recursed into), base64 + quoted-printable decoders from the RFC
+  * text, no charset transcoding (bytes are the deliverable). */
+private[operators] object MimeParser {
+  private val HeaderEnd = "\\r?\\n\\r?\\n".r
+
+  private def headerBlock(s: String): (Map[String, String], String) = {
+    val m = HeaderEnd.findFirstMatchIn(s)
+    val (head, body) = m match {
+      case Some(mm) => (s.substring(0, mm.start), s.substring(mm.end))
+      case None => (s, "")
+    }
+    val unfolded = head.replaceAll("\\r?\\n[ \\t]+", " ")
+    val hs = unfolded.split("\\r?\\n").toSeq.flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else Some(line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
+    }.toMap
+    (hs, body)
+  }
+
+  private def param(headerValue: String, name: String): Option[String] = {
+    val p = ("(?i)" + java.util.regex.Pattern.quote(name) + "=\"?([^\";]+)\"?").r
+    p.findFirstMatchIn(headerValue).map(_.group(1))
+  }
+
+  private def decode(body: String, encoding: String): Array[Byte] =
+    encoding.toLowerCase match {
+      case "base64" =>
+        java.util.Base64.getMimeDecoder.decode(body.replaceAll("\\s", ""))
+      case "quoted-printable" =>
+        val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+        // soft line breaks removed first (RFC 2045 §6.7 rule 5)
+        val s = body.replaceAll("=\\r?\\n", "")
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '=' && i + 2 < s.length) {
+            b += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+            i += 3
+          } else { b += c.toByte; i += 1 }
+        }
+        b.toArray
+      case _ => body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** (filename, content-type, bytes) for every attachment part. */
+  def attachments(msg: String): Seq[(String, String, Array[Byte])] = {
+    val (hs, body) = headerBlock(msg)
+    val ct = hs.getOrElse("content-type", "")
+    if (!ct.toLowerCase.startsWith("multipart/")) return Nil
+    param(ct, "boundary") match {
+      case None => Nil
+      case Some(b) =>
+        val delim = "--" + b
+        // parts live between dash-boundary lines; the terminator is
+        // delim + "--" (RFC 2046 §5.1.1)
+        body.split(java.util.regex.Pattern.quote(delim))
+          .drop(1) // preamble
+          .takeWhile(p => !p.startsWith("--"))
+          .toSeq.flatMap { raw =>
+            val part = raw.replaceFirst("^\\r?\\n", "")
+            val (ph, pbody) = headerBlock(part)
+            val pct = ph.getOrElse("content-type", "text/plain")
+            if (pct.toLowerCase.startsWith("multipart/"))
+              attachments(part) // nested multipart
+            else {
+              val disp = ph.getOrElse("content-disposition", "")
+              param(disp, "filename").orElse(param(pct, "name")).map { fn =>
+                val enc = ph.getOrElse("content-transfer-encoding", "7bit")
+                // strip the trailing CRLF that precedes the next boundary
+                val trimmed = pbody.replaceAll("\\r?\\n$", "")
+                (fn, pct.split(";")(0).trim, decode(trimmed, enc))
+              }
+            }
+          }
+    }
+  }
 }

@@ -230,6 +230,22 @@ object Records {
       .withColumn(chunkCol, col(chunkCol).cast("string"))
   }
 
+  /** MergeContent "Defragment" mode: reassemble [[segment]]'s chunks
+    * (or any fragment stream carrying NiFi's fragment.identifier /
+    * fragment.index pair) back into whole content — one shuffle on the
+    * fragment id, order restored by sorting the collected
+    * (index, chunk) structs INSIDE each group (array_sort on the
+    * struct's leading index field; no window, no second shuffle).
+    * Fragment count per id is bounded by the original content size /
+    * segment size, so the per-group array is content-sized — the same
+    * memory contract as the original row. */
+  def defragment(df: DataFrame, idCol: String, idxCol: String, chunkCol: String,
+                 outCol: String = "content"): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idxCol).as("i"), col(chunkCol).as("c")))),
+        x => x.getField("c")), "").as(outCol))
+
   /** HashContent: content digest column. md5 / sha2-256 / xxhash64. */
   def hashContent(df: DataFrame, contentCol: String, algo: String = "md5",
                   outCol: String = "content_hash"): DataFrame = {

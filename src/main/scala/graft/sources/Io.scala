@@ -78,6 +78,14 @@ object Io {
       .option("header", header).option("compression", compression)
       .csv(path)
 
+  /** ORC reader/writer (ConvertRecord's columnar leg besides parquet —
+    * spark's builtin ORC datasource, same pushdown/pruning surface). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JSON-lines reader with explicit schema. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -1,0 +1,210 @@
+package graft.streaming
+
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.DataFrame
+
+/** ListenSMTP / PutEmail (NiFi's email edge processors), Spark-first
+  * and JDK-only — the same posture as the FTP/SFTP pair: a real wire
+  * protocol (RFC 5321 command grammar, multiline DATA with
+  * dot-stuffing per §4.5.2), no mail library.
+  *
+  * Ingress mirrors [[Net.listenTcp]]: the SMTP server thread spools
+  * one JSON line per COMPLETED message (atomic tmp+rename, batched),
+  * and a file stream over the spool directory is the actual source —
+  * the flow binds to the directory, not the socket; exactly-once from
+  * the spool onward. Single-receiver ingress like every Listen*
+  * processor here — front with a distributed log at scale.
+  *
+  * Egress ([[putEmail]]) writes straight from executors, one SMTP
+  * connection per PARTITION (not per row): connection count scales
+  * with parallelism, not data volume.
+  */
+object Smtp {
+
+  /** Handle for a running SMTP listener. */
+  final class SmtpListener private[Smtp] (server: ServerSocket,
+                                          stopFlag: AtomicBoolean,
+                                          thread: Thread) {
+    def port: Int = server.getLocalPort
+    def stop(): Unit = {
+      stopFlag.set(true)
+      try server.close() catch { case _: Throwable => () }
+      thread.join(5000)
+    }
+  }
+
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** ListenSMTP: accept RFC 5321 sessions on `port`, spool each
+    * completed message as one JSON line
+    * `{"mail_from":…,"rcpt_to":[…],"data":…}` (data = the raw message
+    * with dot-unstuffing applied, CRLF normalized to \n). Read the
+    * spool with `spark.read.json` / `readStream.json`. Port 0 picks a
+    * free port. */
+  def listenSmtp(port: Int, spoolDir: String, batchSize: Int = 50,
+                 flushMs: Long = 250L, hostname: String = "graft",
+                 suffix: String = ".jsonl"): SmtpListener = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val server = new ServerSocket(port)
+    val stop = new AtomicBoolean(false)
+    val seq = new AtomicLong(0L)
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    // same lock discipline as Net.listenTcp: the lock covers only the
+    // buffer swap + name claim; file I/O happens outside it
+    def flush(): Unit = {
+      val drained = batch.synchronized {
+        if (batch.isEmpty) None
+        else {
+          val lines = batch.toArray
+          batch.clear()
+          Some((lines, s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"))
+        }
+      }
+      drained.foreach { case (lines, name) =>
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val accept = new Thread(() => {
+      server.setSoTimeout(flushMs.toInt.max(1))
+      while (!stop.get()) {
+        try {
+          val sock = server.accept()
+          val session = new Thread(() => {
+            try {
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+              val out = new java.io.PrintWriter(
+                new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+              def reply(s: String): Unit = { out.print(s + "\r\n"); out.flush() }
+              reply(s"220 $hostname ESMTP graft")
+              var from: String = null
+              var rcpts = List.empty[String]
+              var line = in.readLine()
+              while (line != null && !stop.get()) {
+                val u = line.toUpperCase(java.util.Locale.ROOT)
+                if (u.startsWith("EHLO") || u.startsWith("HELO")) reply(s"250 $hostname")
+                else if (u.startsWith("MAIL FROM:")) {
+                  from = line.substring(10).trim.stripPrefix("<").stripSuffix(">")
+                  rcpts = Nil
+                  reply("250 OK")
+                } else if (u.startsWith("RCPT TO:")) {
+                  if (from == null) reply("503 need MAIL first")
+                  else {
+                    rcpts ::= line.substring(8).trim.stripPrefix("<").stripSuffix(">")
+                    reply("250 OK")
+                  }
+                } else if (u == "DATA") {
+                  if (from == null || rcpts.isEmpty) reply("503 need MAIL and RCPT first")
+                  else {
+                    reply("354 End data with <CRLF>.<CRLF>")
+                    val data = new StringBuilder
+                    var dl = in.readLine()
+                    while (dl != null && dl != ".") {
+                      // dot-unstuffing (RFC 5321 §4.5.2)
+                      val d = if (dl.startsWith("..")) dl.substring(1) else dl
+                      data.append(d).append('\n')
+                      dl = in.readLine()
+                    }
+                    if (dl == null) reply("451 connection lost in DATA")
+                    else {
+                      val rec = s"""{"mail_from":${jsonStr(from)},"rcpt_to":[${
+                        rcpts.reverse.map(jsonStr).mkString(",")}],"data":${
+                        jsonStr(data.toString)}}"""
+                      val doFlush = batch.synchronized {
+                        batch += rec; batch.size >= batchSize
+                      }
+                      if (doFlush) flush()
+                      from = null; rcpts = Nil
+                      reply("250 OK queued")
+                    }
+                  }
+                } else if (u == "RSET") { from = null; rcpts = Nil; reply("250 OK") }
+                else if (u == "NOOP") reply("250 OK")
+                else if (u == "QUIT") { reply("221 bye"); line = null }
+                else reply("500 unrecognized command")
+                if (line != null) line = in.readLine()
+              }
+            } catch { case _: java.io.IOException => () } // peer reset
+            finally { try sock.close() catch { case _: Throwable => () }
+                      flush() }
+          }, "graft-listen-smtp-conn")
+          session.setDaemon(true)
+          session.start()
+        } catch {
+          case _: java.net.SocketTimeoutException => flush() // idle drain
+          case _: java.net.SocketException if stop.get() =>
+        }
+      }
+      flush()
+    }, "graft-listen-smtp")
+    accept.setDaemon(true)
+    accept.start()
+    new SmtpListener(server, stop, accept)
+  }
+
+  /** PutEmail: send one message per row over SMTP, one connection per
+    * partition. Columns: `toCol` (recipient address), `subjectCol`,
+    * `bodyCol` (plain text; dot-stuffed for transport). An SMTP error
+    * reply on any command fails the task (at-least-once on retry, like
+    * every Put* here). */
+  def putEmail(df: DataFrame, host: String, port: Int, from: String,
+               toCol: String = "to", subjectCol: String = "subject",
+               bodyCol: String = "body"): Unit = {
+    val cols = df.select(toCol, subjectCol, bodyCol)
+    cols.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val sock = new java.net.Socket(host, port)
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+          val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+          def cmd(s: String, expect: String): Unit = {
+            if (s != null) { out.print(s + "\r\n"); out.flush() }
+            val r = in.readLine()
+            require(r != null && r.startsWith(expect),
+              s"SMTP: sent '${Option(s).getOrElse("<greeting>")}', got '$r', wanted $expect")
+          }
+          cmd(null, "220")
+          cmd("EHLO graft", "250")
+          rows.foreach { row =>
+            val (to, subject, body) =
+              (row.getString(0), row.getString(1), row.getString(2))
+            cmd(s"MAIL FROM:<$from>", "250")
+            cmd(s"RCPT TO:<$to>", "250")
+            out.print("DATA\r\n"); out.flush()
+            require(in.readLine().startsWith("354"), "SMTP: DATA not accepted")
+            val msg = s"From: <$from>\nTo: <$to>\nSubject: $subject\n\n" +
+              Option(body).getOrElse("")
+            msg.split("\n", -1).foreach { l =>
+              val stuffed = if (l.startsWith(".")) "." + l else l // §4.5.2
+              out.print(stuffed + "\r\n")
+            }
+            out.print(".\r\n"); out.flush()
+            require(in.readLine().startsWith("250"), "SMTP: message rejected")
+          }
+          out.print("QUIT\r\n"); out.flush()
+        } finally { try sock.close() catch { case _: Throwable => () } }
+      }
+    }
+  }
+}

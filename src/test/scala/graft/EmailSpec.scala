@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import graft.operators.Parse
+import graft.streaming.{Smtp, Streams}
+
+/** Live-wire gates for the email edge (ListenSMTP / PutEmail /
+  * ExtractEmailAttachments): a real RFC 5321 session over a real
+  * socket on both sides — the same posture as FtpSpec/SftpSpec. */
+class EmailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_email_$tag").toString
+
+  test("listenSmtp: raw RFC 5321 session spools messages, dot-unstuffed") {
+    val spool = freshDir("listen")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", l.port)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+      def cmd(s: String, code: String): Unit = {
+        if (s != null) { out.print(s + "\r\n"); out.flush() }
+        val r = in.readLine(); assert(r != null && r.startsWith(code), s"'$s' -> '$r'")
+      }
+      cmd(null, "220")
+      cmd("EHLO tester", "250")
+      cmd("MAIL FROM:<a@x>", "250")
+      cmd("RCPT TO:<b@y>", "250")
+      cmd("RCPT TO:<c@z>", "250")
+      out.print("DATA\r\n"); out.flush(); assert(in.readLine().startsWith("354"))
+      out.print("Subject: hi\r\n\r\nline one\r\n..starts with dot\r\n.\r\n"); out.flush()
+      assert(in.readLine().startsWith("250"))
+      // pipelined second message on the same session
+      cmd("MAIL FROM:<a2@x>", "250")
+      cmd("RCPT TO:<b2@y>", "250")
+      out.print("DATA\r\n"); out.flush(); assert(in.readLine().startsWith("354"))
+      out.print("second\r\n.\r\n"); out.flush()
+      assert(in.readLine().startsWith("250"))
+      cmd("QUIT", "221")
+      sock.close()
+
+      // spool is JSON-lines; dot-unstuffing restored the literal dot line
+      val got = spark.read.json(spool)
+        .select(col("mail_from"), col("rcpt_to"), col("data"))
+        .as[(String, Seq[String], String)].collect().sortBy(_._1)
+      assert(got.length == 2)
+      assert(got(0) == (("a2@x", Seq("b2@y"), "second\n")))
+      assert(got(1)._2 == Seq("b@y", "c@z"))
+      assert(got(1)._3 == "Subject: hi\n\nline one\n.starts with dot\n")
+    } finally l.stop()
+  }
+
+  test("putEmail -> listenSmtp round-trip from executors, one conn per partition") {
+    val spool = freshDir("put")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1)
+    try {
+      val rows = Seq(
+        ("u1@dest", "s1", "body one"),
+        ("u2@dest", "s2", ".leading dot survives transport"),
+        ("u3@dest", "s3", "multi\nline\n\nbody")
+      ).toDF("to", "subject", "body").repartition(2)
+      Smtp.putEmail(rows, "127.0.0.1", l.port, from = "graft@local")
+      // listener flush is async on idle timeout — poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      def spooled() = spark.read.json(spool).count()
+      while (spooled() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+      val got = spark.read.json(spool)
+      assert(got.count() == 3)
+      val parsed = Parse.extractEmailHeaders(got, "data", Seq("Subject", "To"))
+        .select(col("email_subject"), col("email_to"), col("data"))
+        .as[(String, String, String)].collect().sortBy(_._1)
+      assert(parsed.map(_._1).toSeq == Seq("s1", "s2", "s3"))
+      assert(parsed(0)._2 == "<u1@dest>")
+      // dot-stuffing round-trip: the leading-dot body line is intact
+      assert(parsed(1)._3.contains("\n.leading dot survives transport"))
+      assert(parsed(2)._3.endsWith("multi\nline\n\nbody\n"))
+      assert(got.select(col("mail_from")).distinct().as[String].collect().toSeq ==
+        Seq("graft@local"))
+    } finally l.stop()
+  }
+
+  test("flow vocabulary: ListenSMTP endpoint starts from flow JSON; PutEmail sink sends") {
+    val spool = freshDir("flow") + "/spool"
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {"name": "mailflow",
+         |  "processors": [
+         |    {"identifier": "ls", "name": "inbox", "type": "ListenSMTP",
+         |     "properties": {"Listening Port": "0", "Spool Directory": "$spool"}},
+         |    {"identifier": "pe", "name": "alert", "type": "PutEmail",
+         |     "properties": {"SMTP Hostname": "127.0.0.1", "SMTP Port": "#{smtp.port}",
+         |                    "From": "alerts@graft"}}],
+         |  "inputPorts": [{"identifier": "i", "name": "alerts"}],
+         |  "outputPorts": [{"identifier": "o", "name": "inbound"},
+         |                  {"identifier": "o2", "name": "sent"}],
+         |  "connections": [
+         |    {"source": {"id": "ls"}, "destination": {"id": "o"}},
+         |    {"source": {"id": "i"}, "destination": {"id": "pe"}},
+         |    {"source": {"id": "pe"}, "destination": {"id": "o2"}}]}}""".stripMargin)
+    val listeners = FlowCompiler.startListeners(flow, Map("smtp.port" -> "1"))
+    assert(listeners.map(_.tpe) == Seq("ListenSMTP"))
+    val port = listeners.head.port
+    try {
+      // the PutEmail leg posts INTO the flow's own ListenSMTP endpoint
+      val outs = FlowCompiler.compile(spark, flow,
+        Map("alerts" -> Seq(("ops@dest", "disk", "node7 at 91%")).toDF("to", "subject", "body")),
+        Map("smtp.port" -> port.toString))
+      assert(outs("sent").count() == 1) // sink executed on materialize
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.json(spool).count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // the inbound leg is a STREAMING source over the spool
+      val inbound = outs("inbound")
+      assert(inbound.isStreaming)
+      val q = Streams.toMemorySink(inbound.select("mail_from", "data"), "smtp_flow_mem")
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("smtp_flow_mem").as[(String, String)].collect()
+      assert(got.length == 1)
+      assert(got(0)._1 == "alerts@graft")
+      assert(got(0)._2.contains("Subject: disk") && got(0)._2.contains("node7 at 91%"))
+    } finally listeners.foreach(_.stop())
+  }
+
+  test("extractEmailAttachments: base64 + quoted-printable parts, inline body skipped") {
+    val payload = Array[Byte](1, 2, 3, -128, 127, 0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    val msg =
+      s"""From: <a@x>
+         |Content-Type: multipart/mixed; boundary="BNDRY"
+         |
+         |preamble ignored
+         |--BNDRY
+         |Content-Type: text/plain
+         |
+         |inline body, no filename -> skipped
+         |--BNDRY
+         |Content-Type: application/octet-stream; name="blob.bin"
+         |Content-Disposition: attachment; filename="blob.bin"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--BNDRY
+         |Content-Type: text/csv
+         |Content-Disposition: attachment; filename="t.csv"
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |a,b=3Dc,caf=C3=A9
+         |--BNDRY--
+         |epilogue""".stripMargin
+    val df = Seq((1L, msg), (2L, "Subject: not multipart\n\nplain")).toDF("id", "msg")
+    val atts = Parse.extractEmailAttachments(df, "msg")
+      .select(col("id"), col("attach_name"), col("attach_type"), col("attach_bytes"))
+      .as[(Long, String, String, Array[Byte])].collect().sortBy(_._2)
+    assert(atts.length == 2)
+    assert(atts.forall(_._1 == 1L))
+    val blob = atts.find(_._2 == "blob.bin").get
+    assert(blob._3 == "application/octet-stream")
+    assert(blob._4.toSeq == payload.toSeq)
+    val csv = atts.find(_._2 == "t.csv").get
+    assert(csv._3 == "text/csv")
+    assert(new String(csv._4, UTF_8) == "a,b=c,café")
+  }
+}

@@ -157,4 +157,43 @@ class HttpSpec extends SparkSpec {
       .filter(col("http_error").isNotNull).count()
     assert(failures === 3)
   }
+
+  test("RestLookupService: LookupRecord enriches via per-distinct-key HTTP fetches") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger(0)
+    server.createContext("/dims", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val k = ex.getRequestURI.getPath.stripPrefix("/dims/")
+      respond(ex, 200, s"""{"label":"name-$k","tier":"t${k.length}"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val flow = FlowCompiler.parse(
+        s"""{"flowContents": {"name": "restlookup",
+           |  "controllerServices": [
+           |    {"identifier": "svc", "name": "dims", "type": "RestLookupService",
+           |     "properties": {"URL": "http://127.0.0.1:$port/dims/{key}",
+           |                    "Lookup Value Columns": "label, tier"}}],
+           |  "processors": [
+           |    {"identifier": "lk", "name": "enrich", "type": "LookupRecord",
+           |     "properties": {"Join Key": "k", "Record Lookup Service": "svc"}}],
+           |  "inputPorts": [{"identifier": "i", "name": "stream"}],
+           |  "outputPorts": [{"identifier": "o", "name": "enriched"}],
+           |  "connections": [
+           |    {"source": {"id": "i"}, "destination": {"id": "lk"}},
+           |    {"source": {"id": "lk"}, "destination": {"id": "o"}}]}}""".stripMargin)
+      // 6 rows, 3 distinct keys -> exactly 3 HTTP calls
+      val in = Seq("a", "bb", "a", "ccc", "bb", "a").zipWithIndex
+        .map { case (k, i) => (i, k) }.toDF("n", "k")
+      val out = FlowCompiler.compile(spark, flow, Map("stream" -> in))("enriched")
+      val got = out.select("n", "k", "label", "tier")
+        .as[(Int, String, String, String)].collect().sortBy(_._1)
+      assert(got.length == 6)
+      assert(got(0) == ((0, "a", "name-a", "t1")))
+      assert(got(3) == ((3, "ccc", "name-ccc", "t3")))
+      assert(hits.get() == 3, s"expected one fetch per distinct key, got ${hits.get()}")
+    } finally server.stop(0)
+  }
 }
