@@ -1295,6 +1295,81 @@ object QueriesLlm {
       |CROSS JOIN v
       |GROUP BY tg.doc_id""".stripMargin
 
+  /** DSIR importance weights (§2.4 37i, r12): Xie et al. 2023's hashed
+    * n-gram importance weight per document — how much more likely the
+    * doc's unigram+bigram buckets are under the TARGET subset's model
+    * than under the raw corpus's. Target here = the curated low-numbered
+    * sources (suffix < 4), the stand-in for "Wikipedia/books" in the
+    * synthetic corpus. See [[graft.operators.Dsir]] for the scale shape
+    * (one linear (doc,bucket) shuffle, one ≤4096-row broadcast model). */
+  val qDsirWeights: Q = (s, d) =>
+    graft.operators.Dsir.importanceWeights(
+      Tables.documents(s, d), "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 4)
+      .select(col("doc_id"), dround(col("dsir_logw"), 4).as("dsir_logw"))
+  val qDsirWeightsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    CAST(substring(source, 4) AS INT) < 4 AS tgt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, tgt, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |g AS (SELECT doc_id, tgt, w AS gram FROM e
+      |      UNION ALL
+      |      SELECT a.doc_id, a.tgt, a.w || ' ' || b.w
+      |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |db AS (SELECT doc_id, tgt, substr(md5(gram), 1, 3) AS b, count(*) AS c
+      |       FROM g GROUP BY 1, 2, 3),
+      |model AS (SELECT b, sum(c) AS cr, sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+      |          FROM db GROUP BY 1),
+      |scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+      |lr AS (SELECT b, ln((ct + 1) / (nt + 4096.0)) - ln((cr + 1) / (nr + 4096.0)) AS lr
+      |       FROM model CROSS JOIN scal)
+      |SELECT db.doc_id, round(sum(c * lr), 4) AS dsir_logw
+      |FROM db JOIN lr USING (b)
+      |GROUP BY db.doc_id""".stripMargin
+
+  /** DSIR Gumbel top-k resample (§2.4 37i, r12): the paper's actual
+    * selection step — k docs drawn without replacement ∝ exp(logw/T)
+    * via the Gumbel-max trick, with DETERMINISTIC md5-derived noise so
+    * the draw is reproducible (and oracle-checkable) run to run. The
+    * global top-k is TakeOrdered at scale, never a full sort. */
+  val qDsirSample: Q = (s, d) => {
+    val w = graft.operators.Dsir.importanceWeights(
+      Tables.documents(s, d), "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 4)
+      .select(col("doc_id"), dround(col("dsir_logw"), 4).as("dsir_logw"))
+    graft.operators.Dsir.gumbelTopK(w, "doc_id", "dsir_logw", k = 100,
+        temperature = 2.0)
+      .select(col("doc_id"), col("dsir_logw"),
+        dround(col("gumbel_key"), 4).as("gumbel_key"))
+  }
+  val qDsirSampleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    CAST(substring(source, 4) AS INT) < 4 AS tgt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, tgt, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |g AS (SELECT doc_id, tgt, w AS gram FROM e
+      |      UNION ALL
+      |      SELECT a.doc_id, a.tgt, a.w || ' ' || b.w
+      |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |db AS (SELECT doc_id, tgt, substr(md5(gram), 1, 3) AS b, count(*) AS c
+      |       FROM g GROUP BY 1, 2, 3),
+      |model AS (SELECT b, sum(c) AS cr, sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+      |          FROM db GROUP BY 1),
+      |scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+      |lr AS (SELECT b, ln((ct + 1) / (nt + 4096.0)) - ln((cr + 1) / (nr + 4096.0)) AS lr
+      |       FROM model CROSS JOIN scal),
+      |w AS (SELECT db.doc_id, round(sum(c * lr), 4) AS dsir_logw
+      |      FROM db JOIN lr USING (b) GROUP BY db.doc_id),
+      |keyed AS (SELECT doc_id, dsir_logw,
+      |    dsir_logw / 2.0 - ln(-ln(
+      |      ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |        / 281474976710656.0)) AS gk
+      |  FROM w)
+      |SELECT doc_id, dsir_logw, round(gk, 4) AS gumbel_key
+      |FROM keyed ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin
+
   /** BPE merge learning (§2.4 38g, r12): the real Sennrich-2016
     * procedure, distributed — merges learned from the corpus's
     * word-frequency table (vocabulary-sized after one shuffle; each
@@ -1693,6 +1768,8 @@ object QueriesLlm {
     "q_token_budget_mix"    -> qTokenBudgetMix,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_trigram_logprob"     -> qTrigramLogprob,
+    "q_dsir_weights"        -> qDsirWeights,
+    "q_dsir_sample"         -> qDsirSample,
     "q_bpe_merges"          -> qBpeMerges,
     "q_bpe_tokens"          -> qBpeTokens,
     "q_heavy_hitters"       -> qHeavyHitters,
@@ -1749,6 +1826,8 @@ object QueriesLlm {
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_trigram_logprob"     -> qTrigramLogprobSql,
+    "q_dsir_weights"        -> qDsirWeightsSql,
+    "q_dsir_sample"         -> qDsirSampleSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
     "q_bloom_dedup"         -> qBloomDedupSql,
     "q_image_phash"         -> qImagePhashSql,
