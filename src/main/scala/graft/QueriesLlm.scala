@@ -163,6 +163,58 @@ object QueriesLlm {
        |FROM documents""".stripMargin
   }
 
+  /** Gopher rule panel (§2.4 37j, r12): the full per-rule MassiveWeb
+    * filter (Rae et al. 2021 App. A1.1.1) with every signal exposed —
+    * the drop-reason audit a 100 TB curation run needs, vs 37's single
+    * composite score. Thresholds/stop list are corpus config (bound to
+    * the generator's 31-word vocabulary here, like 37f's budgets); the
+    * pass flag derives from the ROUNDED signals in BOTH engines so
+    * boundary docs agree. One narrow codegen'd pass, no shuffle. */
+  val qGopherRules: Q = (s, d) => {
+    import graft.functions.Gopher
+    val th = Gopher.Thresholds(minWords = 40,
+      stopWords = Seq("the", "a", "data", "join", "to", "of"))
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_words"),
+      dround(TextAnalysis.meanTokenLen(t), 4).as("mean_word_len"),
+      dround(Gopher.symbolRatio(t), 4).as("symbol_ratio"),
+      dround(Gopher.bulletLineFrac(t), 4).as("bullet_frac"),
+      dround(Gopher.ellipsisLineFrac(t), 4).as("ellipsis_frac"),
+      dround(Gopher.alphaWordFrac(t), 4).as("alpha_word_frac"),
+      Gopher.stopHits(t, th.stopWords).as("stop_hits"))
+      .withColumn("pass", Gopher.passes(col("n_words"),
+        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("alpha_word_frac"), col("stop_hits"), th))
+  }
+  val qGopherRulesSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks,
+      |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) AS mean_word_len,
+      |    round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) AS symbol_ratio,
+      |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      |          / greatest(len(ls), 1), 4) AS bullet_frac,
+      |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+      |          / greatest(len(ls), 1), 4) AS ellipsis_frac,
+      |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) AS alpha_word_frac,
+      |    CAST(len(list_filter(['the','a','data','join','to','of'],
+      |      w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS INT) AS stop_hits
+      |  FROM t)
+      |SELECT s.*, (n_words BETWEEN 40 AND 100000
+      |  AND mean_word_len BETWEEN 3.0 AND 10.0
+      |  AND symbol_ratio < 0.1 AND bullet_frac <= 0.9
+      |  AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |  AND stop_hits >= 2) AS pass
+      |FROM s""".stripMargin
+
   /** Language ID (§2.4 #36) — stopword-profile heuristic; the oracle
     * replays the same profiles, fold-style argmax tie-break, and CJK
     * codepoint-share rule in DuckDB SQL. */
@@ -1722,6 +1774,7 @@ object QueriesLlm {
     "q_expression_language" -> qExpressionLanguage,
     "q_token_count"         -> qTokenCount,
     "q_text_quality"        -> qTextQuality,
+    "q_gopher_rules"        -> qGopherRules,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
     "q_fingerprint_rolling" -> qFingerprintRolling,
@@ -1785,6 +1838,7 @@ object QueriesLlm {
     "q_expression_language" -> qExpressionLanguageSql,
     "q_token_count"         -> qTokenCountSql,
     "q_text_quality"        -> qTextQualitySql,
+    "q_gopher_rules"        -> qGopherRulesSql,
     "q_lang_id"             -> qLangIdSql,
     "q_fingerprint"         -> qFingerprintSql,
     "q_fingerprint_rolling" -> qFingerprintRollingSql,
