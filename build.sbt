@@ -150,3 +150,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full-catalog m-scale run inside the compiled regime.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )
+// Experiment hook: extra JVM flags for forked run/test JVMs (e.g.
+// SPARK_JIT_OPTS="-XX:TypeProfileWidth=8" for the r12 session-decay
+// mitigation probes — tools/NOTES_r12_m1000.md "Same-JVM session decay").
+javaOptions ++= sys.env.get("SPARK_JIT_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

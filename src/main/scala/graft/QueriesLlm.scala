@@ -1252,7 +1252,11 @@ object QueriesLlm {
     * a broadcast 1-row cross join — every join keyed on the bigram
     * stream's own columns, nothing driver-side. Docs with <2 tokens
     * have no bigrams and drop (oracle agrees by construction). */
-  val qBigramLogprob: Q = (s, d) => {
+  val qBigramLogprob: Q = (s, d) => bigramPpl(s, d)
+
+  /** Per-doc mean −log2 P under the corpus bigram model (the 37g
+    * stream), shared by `q_bigram_logprob` and the CCNet bucketing. */
+  private def bigramPpl(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d).select(col("doc_id"),
       TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
     val big = toks.select(col("doc_id"), explode(
@@ -1289,6 +1293,68 @@ object QueriesLlm {
       |JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
       |CROSS JOIN v
       |GROUP BY bg.doc_id""".stripMargin
+
+  /** CCNet perplexity bucketing (§2.4 37k, r12; Wenzek et al. 2019,
+    * arXiv:1911.00359 §3): split the corpus into head/middle/tail
+    * terciles by LM perplexity — CCNet's central curation move (keep
+    * head+middle, drop or down-weight tail). Cut points come from an
+    * EXACT percentile over a deterministic md5 half-sample of docs —
+    * the paper fits its LM thresholds on a sample too, and at 100 TB
+    * an exact percentile over ALL docs would buffer 10¹⁰ values in one
+    * agg; the sample is rate-bounded config. Cuts broadcast as one row;
+    * bucketing is a narrow compare — no global sort, no ntile window. */
+  val qCcnetBuckets: Q = (s, d) => {
+    val ppl = bigramPpl(s, d)
+    val sampled = ppl.filter(substring(md5(concat(lit("ccq:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 1) < lit("8"))
+    val cuts = sampled.agg(
+      percentile(col("avg_neg_logp2"), lit(1.0 / 3)).as("c1"),
+      percentile(col("avg_neg_logp2"), lit(2.0 / 3)).as("c2"))
+    ppl.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_neg_logp2"),
+        when(col("avg_neg_logp2") <= col("c1"), "head")
+          .when(col("avg_neg_logp2") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  val qCcnetBucketsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM e),
+      |w AS (SELECT bg.doc_id, round(avg(-log2((c12 + 1) / (c1 + v))), 4) AS avg_neg_logp2
+      |      FROM bg JOIN c12 USING (bg)
+      |      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      |      CROSS JOIN v GROUP BY bg.doc_id),
+      |cuts AS (SELECT
+      |    quantile_cont(CAST(avg_neg_logp2 AS DOUBLE), 1.0/3) AS c1,
+      |    quantile_cont(CAST(avg_neg_logp2 AS DOUBLE), 2.0/3) AS c2
+      |  FROM w WHERE substr(md5('ccq:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+      |SELECT doc_id, avg_neg_logp2,
+      |  CASE WHEN avg_neg_logp2 <= c1 THEN 'head'
+      |       WHEN avg_neg_logp2 <= c2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM w CROSS JOIN cuts""".stripMargin
+
+  /** Character-entropy signal (§2.4 37l, r12; the Dolma toolkit's
+    * gibberish/encoding-noise detector): Shannon entropy in bits of
+    * each doc's codepoint distribution via the single-pass native
+    * expression [[graft.plans.CharEntropy]] — natural prose ~4.0–4.5,
+    * base64/minified/repeated-char text falls far outside. Narrow,
+    * codegen-adjacent, no shuffle: the 100 TB cost is the scan. */
+  val qCharEntropy: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      dround(TextAnalysis.charEntropy(col("text")), 4).as("char_entropy"))
+  val qCharEntropySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot, sum(n * log2(n)) AS s
+      |      FROM cc GROUP BY 1)
+      |SELECT doc_id, round(log2(tot) - s / tot, 4) AS char_entropy FROM t""".stripMargin
 
   /** Trigram-LM quality proxy (§2.4 37h, r12): mean −log2 P(w3|w1,w2)
     * under the corpus's own add-one-smoothed trigram model,
@@ -1820,6 +1886,8 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilter,
     "q_token_budget_mix"    -> qTokenBudgetMix,
     "q_bigram_logprob"      -> qBigramLogprob,
+    "q_ccnet_buckets"       -> qCcnetBuckets,
+    "q_char_entropy"        -> qCharEntropy,
     "q_trigram_logprob"     -> qTrigramLogprob,
     "q_dsir_weights"        -> qDsirWeights,
     "q_dsir_sample"         -> qDsirSample,
@@ -1879,6 +1947,8 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilterSql,
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
+    "q_ccnet_buckets"       -> qCcnetBucketsSql,
+    "q_char_entropy"        -> qCharEntropySql,
     "q_trigram_logprob"     -> qTrigramLogprobSql,
     "q_dsir_weights"        -> qDsirWeightsSql,
     "q_dsir_sample"         -> qDsirSampleSql,

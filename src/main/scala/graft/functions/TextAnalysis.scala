@@ -112,6 +112,11 @@ object TextAnalysis {
   def topTokenFraction(c: Column): Column =
     graft.plans.TextHashExpressions.topTokenFraction(c)
 
+  /** Shannon entropy (bits) of the codepoint distribution (Dolma-style
+    * gibberish detector; see [[graft.plans.CharEntropy]]). */
+  def charEntropy(c: Column): Column =
+    graft.plans.TextHashExpressions.charEntropy(c)
+
   /** PII redaction: emails, North-American-style phone numbers, IPv4
     * addresses and long digit runs (card/account numbers) replaced with
     * type tokens. Regex-pass-per-record; extend the pattern list per

@@ -214,6 +214,46 @@ case class SortedIntersectAtLeast(left: Expression, right: Expression,
     copy(left = f, right = s, requiredExpr = t)
 }
 
+/** Shannon entropy (log2) of a string's codepoint distribution — the
+  * Dolma-style gibberish/encoding-noise signal: natural prose sits
+  * ~4.0–4.5 bits/char, base64 blobs and repeated-char runs fall far
+  * outside. Computed as log2(N) − (Σ c·log2 c)/N over per-codepoint
+  * counts c — integer-count logs, summed in ASCENDING CODEPOINT order
+  * so the double accumulation is deterministic run-to-run and
+  * engine-reproducible. One pass, one small map per row, no shuffle. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.TreeMap[Int, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) 0.0
+    else {
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        acc += c * (math.log(c) / math.log(2.0))
+      }
+      math.log(n.toDouble) / math.log(2.0) - acc / n
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fraction of whitespace tokens taken by the single most frequent
   * token — the Gopher-style within-document repetition signal. One pass,
   * one small hash map per row (token counts keyed by token hash; the
@@ -252,6 +292,8 @@ case class TopTokenFraction(child: Expression)
 object TextHashExpressions {
   def topTokenFraction(c: Column): Column =
     ColumnBridge.column(TopTokenFraction(ColumnBridge.expression(c)))
+  def charEntropy(c: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c)))
   def simHash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minHashSig(c: Column, shingleN: Int, numHashes: Int): Column =
