@@ -215,6 +215,158 @@ object QueriesLlm {
       |  AND stop_hits >= 2) AS pass
       |FROM s""".stripMargin
 
+  /** Gopher repetition panel (§2.4 37m, r12): Rae et al. 2021 App.
+    * A1.1.2 — "repetition removal", the within-document half of the
+    * MassiveWeb filter (A1.1.1 = 37j's rule panel). All 13 signals
+    * (dup line/paragraph fractions by count and by chars, top 2/3/4-gram
+    * char fractions, span-union dup 5..10-gram char coverage) come from
+    * ONE narrow native pass ([[graft.plans.RepetitionPanel]] documents
+    * the exact semantics); CollapseProject leaves the non-cheap struct
+    * un-inlined, so projecting 13 fields does not re-evaluate it — at
+    * 100 TB the panel is scan-bound, vs an explode+groupBy formulation
+    * that would shuffle every n-gram of the corpus.
+    *
+    * The synthetic corpus is single-line, so the query synthesizes
+    * structure BOTH engines construct identically: 8-token lines, the
+    * doc's first two lines appended again (deterministic repetition so
+    * the dup-line and dup-n-gram paths carry real signal), paragraphs
+    * of 3 lines joined by blank lines. Thresholds are corpus config
+    * (like 37j's stop list); pass derives from ROUNDED signals. */
+  val qGopherRepetition: Q = (s, d) => {
+    import graft.functions.Gopher
+    val th = Gopher.RepetitionThresholds(
+      maxDupLineCharFrac = 0.30, maxDupParaFrac = 0.5,
+      maxDupParaCharFrac = 0.5,
+      maxDupNgramFrac = Seq(0.50, 0.50, 0.50, 0.55, 0.55, 0.60))
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("lines0",
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ceil(size(col("toks")) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))))
+      .withColumn("lines", concat(col("lines0"), slice(col("lines0"), 1, 2)))
+      .withColumn("paras",
+        when(size(col("lines")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ceil(size(col("lines")) / lit(3.0)).cast("int") - 1),
+            j => array_join(slice(col("lines"), j * 3 + 1, lit(3)), "\n"))))
+      .withColumn("wrapped", array_join(col("paras"), "\n\n"))
+      .select(col("doc_id"), Gopher.repetitionPanel(col("wrapped")).as("p"))
+    base.select(
+      col("doc_id") +:
+        graft.plans.RepetitionPanel.fieldNames.map(f =>
+          dround(col("p").getField(f), 6).as(f)): _*)
+      .withColumn("rep_pass", Gopher.repetitionPasses(
+        graft.plans.RepetitionPanel.fieldNames.map(col), th))
+  }
+  val qGopherRepetitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |w1 AS (
+      |  SELECT doc_id, toks,
+      |    [array_to_string(toks[i*8+1 : i*8+8], ' ')
+      |       FOR i IN range(0, CAST(ceil(len(toks) / 8.0) AS INT))] AS lines0
+      |  FROM base),
+      |w2 AS (SELECT doc_id, toks, list_concat(lines0, lines0[1:2]) AS lines FROM w1),
+      |w3 AS (
+      |  SELECT doc_id, lines,
+      |    [array_to_string(lines[j*3+1 : j*3+3], chr(10))
+      |       FOR j IN range(0, CAST(ceil(len(lines) / 3.0) AS INT))] AS paras,
+      |    list_concat(toks, toks[1 : least(16, len(toks))]) AS ta
+      |  FROM w2),
+      |lseg AS (SELECT doc_id, unnest(lines) AS seg FROM w3),
+      |lcnt AS (SELECT doc_id, seg, count(*) AS c, max(len(seg)) AS l FROM lseg GROUP BY 1, 2),
+      |lagg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, CAST(sum(c - 1) AS DOUBLE) AS dup,
+      |                CAST(sum(c * l) AS DOUBLE) AS ch, CAST(sum((c - 1) * l) AS DOUBLE) AS dch
+      |         FROM lcnt GROUP BY 1),
+      |pseg AS (SELECT doc_id, unnest(paras) AS seg FROM w3),
+      |pcnt AS (SELECT doc_id, seg, count(*) AS c, max(len(seg)) AS l FROM pseg GROUP BY 1, 2),
+      |pagg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, CAST(sum(c - 1) AS DOUBLE) AS dup,
+      |                CAST(sum(c * l) AS DOUBLE) AS ch, CAST(sum((c - 1) * l) AS DOUBLE) AS dch
+      |         FROM pcnt GROUP BY 1),
+      |tok AS (SELECT doc_id, s.w AS w, s.i AS pos
+      |        FROM (SELECT doc_id,
+      |                unnest([{'w': ta[i], 'i': i} FOR i IN range(1, len(ta) + 1)]) AS s
+      |              FROM w3)),
+      |off AS (SELECT doc_id, w, pos, len(w) AS lw,
+      |          CAST(coalesce(sum(len(w)) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+      |        FROM tok),
+      |tc AS (SELECT doc_id, CAST(sum(lw) AS DOUBLE) AS chars FROM off GROUP BY 1),
+      |ld AS (SELECT doc_id, pos, w, lw, o,
+      |         lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+      |         lead(w, 3) OVER win AS w3, lead(w, 4) OVER win AS w4,
+      |         lead(w, 5) OVER win AS w5, lead(w, 6) OVER win AS w6,
+      |         lead(w, 7) OVER win AS w7, lead(w, 8) OVER win AS w8,
+      |         lead(w, 9) OVER win AS w9,
+      |         lead(o + lw, 1) OVER win AS e1, lead(o + lw, 2) OVER win AS e2,
+      |         lead(o + lw, 3) OVER win AS e3, lead(o + lw, 4) OVER win AS e4,
+      |         lead(o + lw, 5) OVER win AS e5, lead(o + lw, 6) OVER win AS e6,
+      |         lead(o + lw, 7) OVER win AS e7, lead(o + lw, 8) OVER win AS e8,
+      |         lead(o + lw, 9) OVER win AS e9
+      |       FROM off WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, concat_ws(chr(1), w, w1) AS k, o AS s, e1 AS e FROM ld WHERE w1 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 3, concat_ws(chr(1), w, w1, w2), o, e2 FROM ld WHERE w2 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 4, concat_ws(chr(1), w, w1, w2, w3), o, e3 FROM ld WHERE w3 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 5, concat_ws(chr(1), w, w1, w2, w3, w4), o, e4 FROM ld WHERE w4 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 6, concat_ws(chr(1), w, w1, w2, w3, w4, w5), o, e5 FROM ld WHERE w5 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 7, concat_ws(chr(1), w, w1, w2, w3, w4, w5, w6), o, e6 FROM ld WHERE w6 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 8, concat_ws(chr(1), w, w1, w2, w3, w4, w5, w6, w7), o, e7 FROM ld WHERE w7 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 9, concat_ws(chr(1), w, w1, w2, w3, w4, w5, w6, w7, w8), o, e8 FROM ld WHERE w8 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 10, concat_ws(chr(1), w, w1, w2, w3, w4, w5, w6, w7, w8, w9), o, e9 FROM ld WHERE w9 IS NOT NULL),
+      |cnt AS (SELECT doc_id, n, k, count(*) AS c, max(e - s) AS klen FROM g GROUP BY 1, 2, 3),
+      |tm AS (SELECT doc_id, n, max(c) AS mc FROM cnt WHERE n <= 4 GROUP BY 1, 2),
+      |tv AS (SELECT cnt.doc_id, cnt.n, max(cnt.c * cnt.klen) AS num
+      |       FROM cnt JOIN tm ON cnt.doc_id = tm.doc_id AND cnt.n = tm.n AND cnt.c = tm.mc
+      |       GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(CASE WHEN n = 2 THEN num END) AS t2,
+      |              max(CASE WHEN n = 3 THEN num END) AS t3,
+      |              max(CASE WHEN n = 4 THEN num END) AS t4 FROM tv GROUP BY 1),
+      |docc AS (SELECT g.doc_id, g.n, g.s, g.e
+      |         FROM g JOIN cnt ON g.doc_id = cnt.doc_id AND g.n = cnt.n AND g.k = cnt.k
+      |         WHERE g.n >= 5 AND cnt.c >= 2),
+      |cv AS (SELECT doc_id, n, s, e,
+      |         max(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      |       FROM docc),
+      |cva AS (SELECT doc_id, n, CAST(sum(greatest(e - greatest(s, coalesce(pe, s)), 0)) AS DOUBLE) AS cov
+      |        FROM cv GROUP BY 1, 2),
+      |cvp AS (SELECT doc_id,
+      |          max(CASE WHEN n = 5 THEN cov END) AS d5, max(CASE WHEN n = 6 THEN cov END) AS d6,
+      |          max(CASE WHEN n = 7 THEN cov END) AS d7, max(CASE WHEN n = 8 THEN cov END) AS d8,
+      |          max(CASE WHEN n = 9 THEN cov END) AS d9, max(CASE WHEN n = 10 THEN cov END) AS d10
+      |        FROM cva GROUP BY 1),
+      |r AS (
+      |  SELECT b.doc_id,
+      |    round(coalesce(la.dup / nullif(la.n, 0), 0), 6) AS dup_line_frac,
+      |    round(coalesce(la.dch / nullif(la.ch, 0), 0), 6) AS dup_line_char_frac,
+      |    round(coalesce(pa.dup / nullif(pa.n, 0), 0), 6) AS dup_para_frac,
+      |    round(coalesce(pa.dch / nullif(pa.ch, 0), 0), 6) AS dup_para_char_frac,
+      |    round(coalesce(tp.t2 / nullif(tc.chars, 0), 0), 6) AS top2_frac,
+      |    round(coalesce(tp.t3 / nullif(tc.chars, 0), 0), 6) AS top3_frac,
+      |    round(coalesce(tp.t4 / nullif(tc.chars, 0), 0), 6) AS top4_frac,
+      |    round(coalesce(cvp.d5 / nullif(tc.chars, 0), 0), 6) AS dup5_frac,
+      |    round(coalesce(cvp.d6 / nullif(tc.chars, 0), 0), 6) AS dup6_frac,
+      |    round(coalesce(cvp.d7 / nullif(tc.chars, 0), 0), 6) AS dup7_frac,
+      |    round(coalesce(cvp.d8 / nullif(tc.chars, 0), 0), 6) AS dup8_frac,
+      |    round(coalesce(cvp.d9 / nullif(tc.chars, 0), 0), 6) AS dup9_frac,
+      |    round(coalesce(cvp.d10 / nullif(tc.chars, 0), 0), 6) AS dup10_frac
+      |  FROM base b
+      |  LEFT JOIN lagg la USING (doc_id) LEFT JOIN pagg pa USING (doc_id)
+      |  LEFT JOIN tc USING (doc_id) LEFT JOIN tp USING (doc_id)
+      |  LEFT JOIN cvp USING (doc_id))
+      |SELECT r.*, (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.3
+      |  AND dup_para_frac <= 0.5 AND dup_para_char_frac <= 0.5
+      |  AND top2_frac <= 0.2 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+      |  AND dup5_frac <= 0.5 AND dup6_frac <= 0.5 AND dup7_frac <= 0.5
+      |  AND dup8_frac <= 0.55 AND dup9_frac <= 0.55 AND dup10_frac <= 0.6) AS rep_pass
+      |FROM r""".stripMargin
+
   /** Language ID (§2.4 #36) — stopword-profile heuristic; the oracle
     * replays the same profiles, fold-style argmax tie-break, and CJK
     * codepoint-share rule in DuckDB SQL. */
@@ -1241,6 +1393,48 @@ object QueriesLlm {
       |      FROM n)
       |SELECT doc_id, source FROM c WHERE cum <= budget""".stripMargin
 
+  /** UniMax source quotas (§2.4 37n, r12): water-filling token-budget
+    * split across sources under a per-source epoch cap (Chung et al.
+    * 2023; see [[graft.operators.Scale.unimaxQuota]] for the closed
+    * form and the S-row scale argument). Grouped by `lang` — the
+    * corpus's genuinely skewed axis — with budget/epoch-cap as config:
+    * at sf0.01 (B=20000, C=1.0) the four small languages cap out at one
+    * epoch and `en` absorbs the re-shared remainder, exercising both
+    * sides of the water level. Exact SQL oracle: identical sorted
+    * prefix-sum accumulation order, so the doubles agree bitwise. */
+  val qUnimaxQuota: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    graft.operators.Scale
+      .unimaxQuota(docs, "lang", "n_tok", totalBudget = 20000L, maxEpochs = 1.0)
+      .select(col("source"), col("n_tokens"),
+        dround(col("cap_tokens"), 4).as("cap_tokens"),
+        dround(col("quota_tokens"), 4).as("quota_tokens"),
+        dround(col("epochs_used"), 6).as("epochs_used"),
+        col("capped"))
+  }
+  val qUnimaxQuotaSql: String =
+    """WITH sizes AS (
+      |  SELECT lang AS source,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) * 1.0 AS cap_tokens,
+      |    row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * 1.0, source) AS r,
+      |    coalesce(sum(CAST(n_tokens AS DOUBLE) * 1.0) OVER (
+      |      ORDER BY CAST(n_tokens AS DOUBLE) * 1.0, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+      |    count(*) OVER () AS L
+      |  FROM sizes),
+      |t AS (SELECT *, (20000.0 - prefix) / CAST(L - r + 1 AS DOUBLE) AS u FROM w),
+      |t2 AS (SELECT *, max(u) OVER () AS theta FROM t)
+      |SELECT source, n_tokens,
+      |  round(cap_tokens, 4) AS cap_tokens,
+      |  round(least(cap_tokens, theta), 4) AS quota_tokens,
+      |  round(least(cap_tokens, theta) / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6) AS epochs_used,
+      |  cap_tokens <= theta AS capped
+      |FROM t2""".stripMargin
+
   /** Bigram-LM quality proxy (§2.4, r11): the CCNet-style LM filter one
     * order up from [[qUnigramLogprob]] — mean negative log2 conditional
     * probability of each document's bigrams under the corpus's own
@@ -1841,6 +2035,7 @@ object QueriesLlm {
     "q_token_count"         -> qTokenCount,
     "q_text_quality"        -> qTextQuality,
     "q_gopher_rules"        -> qGopherRules,
+    "q_gopher_repetition"   -> qGopherRepetition,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
     "q_fingerprint_rolling" -> qFingerprintRolling,
@@ -1885,6 +2080,7 @@ object QueriesLlm {
     "q_cluster_sample"      -> qClusterSample,
     "q_domain_filter"       -> qDomainFilter,
     "q_token_budget_mix"    -> qTokenBudgetMix,
+    "q_unimax_quota"        -> qUnimaxQuota,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
     "q_char_entropy"        -> qCharEntropy,
@@ -1907,6 +2103,7 @@ object QueriesLlm {
     "q_token_count"         -> qTokenCountSql,
     "q_text_quality"        -> qTextQualitySql,
     "q_gopher_rules"        -> qGopherRulesSql,
+    "q_gopher_repetition"   -> qGopherRepetitionSql,
     "q_lang_id"             -> qLangIdSql,
     "q_fingerprint"         -> qFingerprintSql,
     "q_fingerprint_rolling" -> qFingerprintRollingSql,
@@ -1946,6 +2143,7 @@ object QueriesLlm {
     "q_cluster_sample"      -> qClusterSampleSql,
     "q_domain_filter"       -> qDomainFilterSql,
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
+    "q_unimax_quota"        -> qUnimaxQuotaSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,
     "q_char_entropy"        -> qCharEntropySql,

@@ -76,6 +76,38 @@ object Gopher {
       s => array_contains(lowered, s))).cast("int")
   }
 
+  /** Repetition-removal thresholds (Rae et al. App. A1.1.2, Table A1):
+    * a document passes when every signal stays AT OR BELOW its limit.
+    * Defaults are the paper's published values; corpora tune them like
+    * [[Thresholds]]. `maxTopNgramFrac` covers n = 2,3,4 in order;
+    * `maxDupNgramFrac` covers n = 5..10. */
+  final case class RepetitionThresholds(
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaFrac: Double = 0.30,
+      maxDupParaCharFrac: Double = 0.20,
+      maxTopNgramFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupNgramFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)) {
+    /** Limits in [[graft.plans.RepetitionPanel.fieldNames]] order. */
+    def limits: Seq[Double] =
+      Seq(maxDupLineFrac, maxDupLineCharFrac, maxDupParaFrac,
+        maxDupParaCharFrac) ++ maxTopNgramFrac ++ maxDupNgramFrac
+  }
+
+  /** The full 13-signal repetition panel as ONE struct column (one
+    * narrow native pass — see [[graft.plans.RepetitionPanel]] for the
+    * exact per-signal semantics). Unrounded; round each field before
+    * deriving pass flags so engine boundaries agree. */
+  def repetitionPanel(c: Column): Column =
+    graft.plans.TextHashExpressions.repetitionPanel(c)
+
+  /** Pass predicate over the 13 ALREADY-ROUNDED panel columns, given in
+    * [[graft.plans.RepetitionPanel.fieldNames]] order. */
+  def repetitionPasses(signals: Seq[Column], th: RepetitionThresholds): Column = {
+    require(signals.size == 13, s"expected 13 panel columns, got ${signals.size}")
+    signals.zip(th.limits).map { case (c, lim) => c <= lim }.reduce(_ && _)
+  }
+
   /** The pass predicate over ALREADY-ROUNDED signal columns — callers
     * round each fraction first (both engines land on the same boolean
     * when a signal sits within rounding distance of a threshold). */

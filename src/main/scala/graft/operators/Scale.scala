@@ -246,4 +246,61 @@ object Scale {
       .filter(col(cum) + col(off) <= col(bud))
       .drop(key, bkt, cum, off, bud)
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, ICLR, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget across sources by
+    * WATER-FILLING under a per-source epoch cap — small sources
+    * contribute at most `maxEpochs` passes over their own corpus, and
+    * the budget they cannot absorb is re-shared uniformly among the
+    * larger ones (the fairness fix over temperature sampling, which
+    * over-samples tiny sources and starves mid-sized ones).
+    *
+    * Closed form instead of the paper's iterative loop: with caps
+    * sorted ascending (prefix = Σ preceding caps, r = 1-based rank of
+    * L sources), u_r = (B − prefix_r)/(L − r + 1) rises while sources
+    * are capped and falls after, so the water level θ = max_r u_r and
+    * quota_s = min(cap_s, θ) — rank-tie order cannot change the output.
+    * When Σcap < B every source is capped and the budget under-fills
+    * (the paper's behavior: you ran out of unique data at that epoch
+    * bound).
+    *
+    * Scale: one map-side-combined aggregation reduces the corpus to S =
+    * #sources rows; the single-partition window that follows is over
+    * those S rows only (thousands at most for any real corpus mix), not
+    * the corpus — this is the same "reduce THEN window" discipline as
+    * [[tokenBudgetSample]]'s offsets side. Returns one row per source:
+    * n_tokens, cap_tokens, quota_tokens, epochs_used, capped. */
+  def unimaxQuota(df: DataFrame, sourceCol: String, tokenCol: String,
+                  totalBudget: Long, maxEpochs: Double): DataFrame = {
+    require(totalBudget >= 0, "unimaxQuota: totalBudget must be >= 0")
+    require(maxEpochs > 0, "unimaxQuota: maxEpochs must be > 0")
+    val sizes = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens").cast("double") * maxEpochs)
+    // S-row relation from here on: global window over sources is cheap
+    val byCap = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens"), col("source"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes
+      .withColumn("__r", row_number().over(byCap))
+      .withColumn("__prefix",
+        coalesce(sum(col("cap_tokens")).over(
+          byCap.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .withColumn("__L", count(lit(1)).over(all))
+      .withColumn("__u",
+        (lit(totalBudget.toDouble) - col("__prefix")) /
+          (col("__L") - col("__r") + 1).cast("double"))
+      .withColumn("__theta", max(col("__u")).over(all))
+      .withColumn("quota_tokens", least(col("cap_tokens"), col("__theta")))
+      .withColumn("epochs_used",
+        col("quota_tokens") / greatest(col("n_tokens").cast("double"), lit(1.0)))
+      .withColumn("capped", col("cap_tokens") <= col("__theta"))
+      .select("source", "n_tokens", "cap_tokens", "quota_tokens",
+        "epochs_used", "capped")
+  }
 }

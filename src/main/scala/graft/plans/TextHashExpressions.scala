@@ -42,6 +42,9 @@ object TextHash {
     while (i < end) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L; i += 1 }
     splitmix(h)
   }
+
+  /** Public splitmix64 finalizer (for rolling n-gram key combination). */
+  def mix64(x: Long): Long = splitmix(x)
 }
 
 /** MinHash signature of the byte n-gram shingle set: array<long> of
@@ -289,7 +292,183 @@ case class TopTokenFraction(child: Expression)
     copy(child = newChild)
 }
 
+/** The Gopher repetition panel (Rae et al. 2021, arXiv:2112.11446
+  * App. A1.1.2 — "repetition removal", the within-document filter
+  * FineWeb/Dolma reuse): 13 signals in ONE pass per document, returned
+  * as a struct of doubles so the whole panel costs a single narrow
+  * projection over the scan — at 100 TB this filter IS the job, and an
+  * explode+groupBy formulation would shuffle every n-gram of the corpus.
+  *
+  * Exact semantics (each engine-reproducible; denominators documented):
+  *  - Segments: lines = text split on '\n', paragraphs = split on the
+  *    literal "\n\n"; each segment is trimmed of {' ','\t','\r','\n'}
+  *    and blank segments are dropped. A segment occurrence beyond the
+  *    first of an identical (post-trim, exact string) segment is a
+  *    duplicate. `dup_*_frac` = duplicates / segments;
+  *    `dup_*_char_frac` = Σ codepoint-length of duplicate occurrences /
+  *    Σ codepoint-length of all segments (paragraph lengths include
+  *    their interior '\n's).
+  *  - Word n-grams: over the whitespace-token stream of the WHOLE text
+  *    (crossing line boundaries, as in the paper). The character length
+  *    of an n-gram is the sum of its tokens' codepoint lengths
+  *    (separators excluded); the denominator for every n-gram signal is
+  *    the total codepoint length of all tokens.
+  *  - `top{2,3,4}_frac`: count(g*)·charlen(g*) / total-token-chars for
+  *    the most frequent n-gram g*; ties on count broken by the larger
+  *    count·charlen (deterministic, engine-neutral). Overlapping
+  *    occurrences mean the value can exceed 1 (the published
+  *    implementations do not cap either; the filter threshold is ≤0.2).
+  *  - `dup{5..10}_frac`: fraction of token characters covered by the
+  *    UNION of the character spans of all occurrences of n-grams that
+  *    occur ≥2 times — span-union, so overlap is not double-counted.
+  *
+  * Tokens are counted by 64-bit hash (FNV-1a + splitmix, rolled across
+  * the window) — within-document collision probability ~|grams|²/2⁶⁴,
+  * negligible, same contract as [[TopTokenFraction]]. */
+case class RepetitionPanel(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = RepetitionPanel.schema
+  override def prettyName: String = "graft_repetition_panel"
+
+  private def segmentDup(segs: Array[String]): (Double, Double) = {
+    val seen = new java.util.HashSet[String]()
+    var total = 0L; var chars = 0L; var dup = 0L; var dupChars = 0L
+    var i = 0
+    while (i < segs.length) {
+      val raw = segs(i)
+      var a = 0; var b = raw.length
+      while (a < b && (raw.charAt(a) == ' ' || raw.charAt(a) == '\t' ||
+        raw.charAt(a) == '\r' || raw.charAt(a) == '\n')) a += 1
+      while (b > a && (raw.charAt(b - 1) == ' ' || raw.charAt(b - 1) == '\t' ||
+        raw.charAt(b - 1) == '\r' || raw.charAt(b - 1) == '\n')) b -= 1
+      if (b > a) {
+        val seg = raw.substring(a, b)
+        val len = seg.codePointCount(0, seg.length).toLong
+        total += 1; chars += len
+        if (!seen.add(seg)) { dup += 1; dupChars += len }
+      }
+      i += 1
+    }
+    (if (total == 0) 0.0 else dup.toDouble / total,
+     if (chars == 0) 0.0 else dupChars.toDouble / chars)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    val out = new Array[Double](13)
+
+    val (dlf, dlcf) = segmentDup(s.split('\n'))
+    val (dpf, dpcf) = segmentDup(s.split("\n\n"))
+    out(0) = dlf; out(1) = dlcf; out(2) = dpf; out(3) = dpcf
+
+    // ---- tokenize once: per-token hash, codepoint length, char offset
+    val bytes = u.getBytes
+    val nB = bytes.length
+    var t = 0
+    var i = 0
+    // first pass: count tokens
+    while (i < nB) {
+      while (i < nB && Character.isWhitespace(bytes(i).toChar)) i += 1
+      val start = i
+      while (i < nB && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      if (i > start) t += 1
+    }
+    val nT = t
+    val hs = new Array[Long](math.max(nT, 1))
+    val lens = new Array[Int](math.max(nT, 1))
+    val offs = new Array[Long](math.max(nT, 1))
+    var totalChars = 0L
+    i = 0; t = 0
+    while (i < nB) {
+      while (i < nB && Character.isWhitespace(bytes(i).toChar)) i += 1
+      val start = i
+      var cps = 0
+      while (i < nB && !Character.isWhitespace(bytes(i).toChar)) {
+        if ((bytes(i) & 0xC0) != 0x80) cps += 1 // count codepoints, not bytes
+        i += 1
+      }
+      if (i > start) {
+        hs(t) = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
+        lens(t) = cps
+        offs(t) = totalChars
+        totalChars += cps
+        t += 1
+      }
+    }
+
+    val keys = new Array[Long](math.max(nT, 1))
+    var n = 2
+    while (n <= 10) {
+      val windows = nT - n + 1 // out slot n+2: top2..4 → 4..6, dup5..10 → 7..12
+      if (windows <= 0) {
+        out(n + 2) = 0.0
+      } else {
+        // value packs (charlen << 32) | count — count < 2³² for any doc
+        val counts = new java.util.HashMap[Long, java.lang.Long]()
+        var w = 0
+        while (w < windows) {
+          var kh = 0xCBF29CE484222325L
+          var j = 0
+          while (j < n) { kh = TextHash.mix64(kh * 0x100000001B3L + hs(w + j)); j += 1 }
+          keys(w) = kh
+          val prev = counts.get(kh)
+          if (prev == null) {
+            val charlen = offs(w + n - 1) + lens(w + n - 1) - offs(w)
+            counts.put(kh, (charlen << 32) | 1L)
+          } else counts.put(kh, prev + 1L)
+          w += 1
+        }
+        if (n <= 4) {
+          var mc = 0L; var best = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val v = it.next().longValue()
+            val c = v & 0xFFFFFFFFL; val cl = v >>> 32
+            if (c > mc) { mc = c; best = c * cl }
+            else if (c == mc && c * cl > best) best = c * cl
+          }
+          out(n + 2) = if (totalChars == 0) 0.0 else best.toDouble / totalChars
+        } else {
+          var covered = 0L; var curEnd = Long.MinValue
+          var w2 = 0
+          while (w2 < windows) {
+            if ((counts.get(keys(w2)).longValue() & 0xFFFFFFFFL) >= 2L) {
+              val st = offs(w2)
+              val en = offs(w2 + n - 1) + lens(w2 + n - 1)
+              val from = math.max(st, curEnd)
+              if (en > from) covered += en - from
+              if (en > curEnd) curEnd = en
+            }
+            w2 += 1
+          }
+          out(n + 2) = if (totalChars == 0) 0.0 else covered.toDouble / totalChars
+        }
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      out.map(d => d: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionPanel {
+  val fieldNames: Seq[String] = Seq(
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+    "dup_para_char_frac", "top2_frac", "top3_frac", "top4_frac",
+    "dup5_frac", "dup6_frac", "dup7_frac", "dup8_frac", "dup9_frac",
+    "dup10_frac")
+  val schema: StructType =
+    StructType(fieldNames.map(StructField(_, DoubleType, nullable = false)))
+}
+
 object TextHashExpressions {
+  def repetitionPanel(c: Column): Column =
+    ColumnBridge.column(RepetitionPanel(ColumnBridge.expression(c)))
   def topTokenFraction(c: Column): Column =
     ColumnBridge.column(TopTokenFraction(ColumnBridge.expression(c)))
   def charEntropy(c: Column): Column =

@@ -83,4 +83,79 @@ class GopherSpec extends SparkSpec {
     val plan = panel().queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // ------------------------------------------------ repetition panel
+  // Hand-computed fixtures for every signal family of the A1.1.2 panel
+  // (plans.RepetitionPanel documents the exact semantics under test).
+
+  private def repPanel(text: String): Map[String, Double] = {
+    val row = Seq(text).toDF("text")
+      .select(Gopher.repetitionPanel(col("text")).as("p"))
+      .select(graft.plans.RepetitionPanel.fieldNames.map(f => col(s"p.$f")): _*)
+      .collect().head
+    graft.plans.RepetitionPanel.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> row.getDouble(i) }.toMap
+  }
+
+  test("repetition: duplicate lines by count and by chars") {
+    val p = repPanel("a b\nc d\na b")
+    // lines [a b, c d, a b] → 1 of 3 duplicate; chars 3+3+3, dup 3
+    assert(p("dup_line_frac") == 1.0 / 3)
+    assert(p("dup_line_char_frac") == 3.0 / 9)
+    assert(p("dup_para_frac") == 0.0) // single paragraph
+    // tokens a b c d a b (6 chars): top 2-gram (a,b) ×2, charlen 2 → 4/6
+    assert(p("top2_frac") == 4.0 / 6)
+    assert(p("top3_frac") == 3.0 / 6)  // all 3-grams ×1, charlen 3
+    assert(p("top4_frac") == 4.0 / 6)
+    assert(p("dup5_frac") == 0.0)      // abcda / bcdab both unique
+  }
+
+  test("repetition: paragraph duplicates include interior newlines") {
+    val p = repPanel("a b\nc d\n\na b\nc d")
+    // paragraphs [a b\nc d] ×2 → 1 of 2 dup; para len 7 each (with \n)
+    assert(p("dup_para_frac") == 1.0 / 2)
+    assert(p("dup_para_char_frac") == 7.0 / 14)
+    // lines [a b, c d, a b, c d] → 2 of 4 dup
+    assert(p("dup_line_frac") == 2.0 / 4)
+    assert(p("dup_line_char_frac") == 6.0 / 12)
+  }
+
+  test("repetition: overlapping dup n-gram spans union, not double-count") {
+    val p = repPanel("x x x x x x")
+    // the 5-gram xxxxx occurs at 0 and 1: spans [0,5)∪[1,6) = 6 of 6
+    assert(p("dup5_frac") == 1.0)
+    assert(p("dup6_frac") == 0.0) // single 6-gram occurrence
+    // top 2-gram (x,x) ×5 · charlen 2 = 10/6 — uncapped, like the
+    // published implementations (threshold compare unaffected)
+    assert(p("top2_frac") == 10.0 / 6)
+  }
+
+  test("repetition: top n-gram count ties break on char coverage") {
+    val p = repPanel("aaa b aaa b cc d cc d")
+    // (aaa,b) ×2 charlen 4 beats (cc,d) ×2 charlen 3 → 8 of 14 chars
+    assert(p("top2_frac") == 8.0 / 14)
+    assert(p("dup5_frac") == 0.0) // all 5-grams distinct
+  }
+
+  test("repetition: disjoint dup spans add up; empty text is all-zero") {
+    val p = repPanel("p q r s t u p q r s t")
+    // pqrst at [0,5) and [6,11) — disjoint union 10 of 11 chars
+    assert(p("dup5_frac") == 10.0 / 11)
+    assert(p("dup6_frac") == 0.0)
+    val z = repPanel("")
+    assert(graft.plans.RepetitionPanel.fieldNames.forall(f => z(f) == 0.0))
+  }
+
+  test("repetition panel evaluates ONCE for all 13 projected fields") {
+    // text must depend on a non-literal column, or constant folding
+    // collapses the whole projection before the plan is inspectable
+    val df = spark.range(1)
+      .select(concat(lit("a b\nc d x"), col("id")).as("text"))
+      .select(col("text"), Gopher.repetitionPanel(col("text")).as("p"))
+      .select(graft.plans.RepetitionPanel.fieldNames.map(f => col(s"p.$f")): _*)
+    val plan = df.queryExecution.executedPlan.toString
+    val hits = "graft_repetition_panel".r.findAllIn(plan).size
+    assert(hits == 1, s"panel inlined $hits times — CollapseProject regressed:\n$plan")
+    assert(!plan.contains("Exchange"))
+  }
 }

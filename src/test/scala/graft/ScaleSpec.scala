@@ -222,4 +222,29 @@ class ScaleSpec extends SparkSpec {
       Scale.tokenBudgetSample(df, "doc_id", "source", "n_tok",
         Map("a" -> -1L), "x"))
   }
+
+  test("unimaxQuota: water level fills capped sources then re-shares") {
+    // per-source token sums: A=10, B=20, C=100; caps ×2 → 20, 40, 200
+    val df = Seq(("A", 4L), ("A", 6L), ("B", 20L), ("C", 60L), ("C", 40L))
+      .toDF("src", "tok")
+    // B=60: u walks 20, 20, 0 → θ=20; A capped AT the level, B/C levelled
+    val q = Scale.unimaxQuota(df, "src", "tok", totalBudget = 60L, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("quota_tokens"), r.getAs[Boolean]("capped"))).toMap
+    assert(q("A") == (20.0, true))
+    assert(q("B") == (20.0, false))
+    assert(q("C") == (20.0, false))
+    assert(q.values.map(_._1).sum == 60.0) // budget exactly consumed
+  }
+
+  test("unimaxQuota: under-filled budget degrades to caps (ran out of data)") {
+    val df = Seq(("A", 10L), ("B", 20L), ("C", 100L)).toDF("src", "tok")
+    val q = Scale.unimaxQuota(df, "src", "tok", totalBudget = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("quota_tokens"), r.getAs[Double]("epochs_used"),
+          r.getAs[Boolean]("capped"))).toMap
+    assert(q("A") == (20.0, 2.0, true))
+    assert(q("B") == (40.0, 2.0, true))
+    assert(q("C") == (200.0, 2.0, true))
+  }
 }
