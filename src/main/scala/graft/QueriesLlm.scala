@@ -367,6 +367,109 @@ object QueriesLlm {
       |  AND dup8_frac <= 0.55 AND dup9_frac <= 0.55 AND dup10_frac <= 0.6) AS rep_pass
       |FROM r""".stripMargin
 
+  /** C4 cleaning panel (§2.4 37o, r12): Raffel et al. 2020 §2.2 — the
+    * line-rewrite + page-filter recipe behind the C4 corpus (see
+    * [[graft.functions.C4]]). Line rules rewrite the doc (terminal
+    * punctuation, ≥3 words, no "javascript" token); page rules then
+    * gate it (≥5 sentences post-rewrite, no "lorem ipsum", no brace, no
+    * configured bad word). One narrow codegen'd pass — no UDFs, no
+    * shuffle.
+    *
+    * The single-line synthetic corpus gets deterministic structure both
+    * engines construct identically: 6-token lines whose terminators
+    * cycle '.', '!', '?', none by (doc_id·7+j) mod 4 (the none-phase
+    * exercises the terminal rule), "javascript " prepended to line 1 of
+    * every 7th doc, and marker lines ("lorem ipsum", a brace line, a
+    * terminal-punctuated bad-word line that SURVIVES the line filter
+    * but kills the page) appended on doc_id strides 11/13/17. */
+  val qC4Rules: Q = (s, d) => {
+    import graft.functions.C4
+    val cfg = C4.Config(badWords = Seq("badword1"))
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val terms = array(lit("."), lit("!"), lit("?"), lit(""))
+    val base = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("lines0",
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ceil(size(col("toks")) / lit(6.0)).cast("int") - 1),
+            j => concat(
+              when(col("doc_id") % 7 === 0 && j === 1, lit("javascript "))
+                .otherwise(lit("")),
+              array_join(slice(col("toks"), j * 6 + 1, lit(6)), " "),
+              element_at(terms, (pmod(col("doc_id") * 7 + j, lit(4)) + 1).cast("int"))))))
+      .withColumn("wrapped", concat(
+        array_join(col("lines0"), "\n"),
+        when(col("doc_id") % 11 === 0, lit("\nlorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\n{ config }")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\nthe badword1 here.")).otherwise(lit(""))))
+    base.select(
+      col("doc_id"),
+      size(C4.docLines(col("wrapped"))).as("n_lines"),
+      size(C4.keptLines(col("wrapped"), cfg)).as("n_kept"),
+      C4.sentenceCount(C4.cleanedText(col("wrapped"), cfg)).as("n_sentences"),
+      C4.hasLoremIpsum(col("wrapped")).as("has_lorem"),
+      C4.hasBrace(col("wrapped")).as("has_brace"),
+      C4.hasBadWord(col("wrapped"), cfg).as("has_badword"),
+      md5(C4.cleanedText(col("wrapped"), cfg).cast("binary")).as("cleaned_md5"))
+      .withColumn("kept_frac",
+        dround(col("n_kept").cast("double") /
+          greatest(col("n_lines"), lit(1)).cast("double"), 6))
+      .withColumn("c4_keep", C4.pageKeep(col("n_sentences"),
+        col("has_lorem"), col("has_brace"), col("has_badword"), cfg))
+  }
+  val qC4RulesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |w1 AS (
+      |  SELECT doc_id,
+      |    [(CASE WHEN doc_id % 7 = 0 AND j = 1 THEN 'javascript ' ELSE '' END)
+      |       || array_to_string(toks[j*6+1 : j*6+6], ' ')
+      |       || (['.', '!', '?', ''])[CAST((doc_id*7 + j) % 4 AS INT) + 1]
+      |     FOR j IN range(0, CAST(ceil(len(toks) / 6.0) AS INT))] AS lines0
+      |  FROM base),
+      |w2 AS (
+      |  SELECT doc_id,
+      |    array_to_string(lines0, chr(10))
+      |      || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END)
+      |      || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ config }' ELSE '' END)
+      |      || (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'the badword1 here.' ELSE '' END)
+      |      AS wrapped
+      |  FROM w1),
+      |sig AS (
+      |  SELECT doc_id, wrapped,
+      |    list_filter(string_split(wrapped, chr(10)), l -> len(trim(l)) > 0) AS ls
+      |  FROM w2),
+      |sig2 AS (
+      |  SELECT doc_id, wrapped, ls,
+      |    list_filter(ls, l -> regexp_matches(l, '[.!?"]\s*$')
+      |      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 3
+      |      AND NOT list_contains(
+      |        list_transform(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0),
+      |                       t -> lower(t)), 'javascript')) AS kept
+      |  FROM sig),
+      |sig3 AS (
+      |  SELECT doc_id,
+      |    CAST(len(ls) AS INT) AS n_lines,
+      |    CAST(len(kept) AS INT) AS n_kept,
+      |    -- array_to_string([]) is NULL in DuckDB, not '' — coalesce or
+      |    -- the empty-cleaned docs go NULL through md5/sentence count
+      |    CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS INT) AS n_sentences,
+      |    contains(lower(wrapped), 'lorem ipsum') AS has_lorem,
+      |    contains(wrapped, '{') AS has_brace,
+      |    list_contains(
+      |      list_transform(list_filter(regexp_split_to_array(wrapped, '\s+'), x -> len(x) > 0),
+      |                     t -> lower(t)), 'badword1') AS has_badword,
+      |    md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+      |  FROM sig2)
+      |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+      |  has_badword, cleaned_md5,
+      |  round(CAST(n_kept AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE), 6) AS kept_frac,
+      |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace AND NOT has_badword) AS c4_keep
+      |FROM sig3""".stripMargin
+
   /** Language ID (§2.4 #36) — stopword-profile heuristic; the oracle
     * replays the same profiles, fold-style argmax tie-break, and CJK
     * codepoint-share rule in DuckDB SQL. */
@@ -2036,6 +2139,7 @@ object QueriesLlm {
     "q_text_quality"        -> qTextQuality,
     "q_gopher_rules"        -> qGopherRules,
     "q_gopher_repetition"   -> qGopherRepetition,
+    "q_c4_rules"            -> qC4Rules,
     "q_lang_id"             -> qLangId,
     "q_fingerprint"         -> qFingerprint,
     "q_fingerprint_rolling" -> qFingerprintRolling,
@@ -2104,6 +2208,7 @@ object QueriesLlm {
     "q_text_quality"        -> qTextQualitySql,
     "q_gopher_rules"        -> qGopherRulesSql,
     "q_gopher_repetition"   -> qGopherRepetitionSql,
+    "q_c4_rules"            -> qC4RulesSql,
     "q_lang_id"             -> qLangIdSql,
     "q_fingerprint"         -> qFingerprintSql,
     "q_fingerprint_rolling" -> qFingerprintRollingSql,
