@@ -1496,6 +1496,39 @@ object QueriesLlm {
       |      FROM n)
       |SELECT doc_id, source FROM c WHERE cum <= budget""".stripMargin
 
+  /** Temperature-scaled source mixture (§2.4 37p, r12): p_s ∝ √n_s,
+    * the pre-UniMax multilingual sampling standard — run next to
+    * [[qUnimaxQuota]] to see the published critique in the data: at
+    * B=30000 the four small languages oversample past 1 epoch
+    * (epochs_used > 1) while `en` under-fills, exactly what UniMax's
+    * cap prevents. α=0.5 via `sqrt` (IEEE-correctly-rounded in both
+    * engines); weight total accumulated in ascending-source order so
+    * the double sum matches bitwise. */
+  val qTemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    graft.operators.Scale
+      .temperatureQuota(docs, "lang", "n_tok", totalBudget = 30000L)
+      .select(col("source"), col("n_tokens"),
+        dround(col("share"), 6).as("share"),
+        dround(col("quota_tokens"), 4).as("quota_tokens"),
+        dround(col("epochs_used"), 6).as("epochs_used"))
+  }
+  val qTemperatureMixSql: String =
+    """WITH sizes AS (
+      |  SELECT lang AS source,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wgt FROM sizes),
+      |c AS (SELECT *, sum(wgt) OVER (ORDER BY source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+      |t AS (SELECT *, max(cum) OVER () AS total FROM c)
+      |SELECT source, n_tokens,
+      |  round(wgt / total, 6) AS share,
+      |  round(30000.0 * (wgt / total), 4) AS quota_tokens,
+      |  round((30000.0 * (wgt / total)) / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6) AS epochs_used
+      |FROM t""".stripMargin
+
   /** UniMax source quotas (§2.4 37n, r12): water-filling token-budget
     * split across sources under a per-source epoch cap (Chung et al.
     * 2023; see [[graft.operators.Scale.unimaxQuota]] for the closed
@@ -2185,6 +2218,7 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilter,
     "q_token_budget_mix"    -> qTokenBudgetMix,
     "q_unimax_quota"        -> qUnimaxQuota,
+    "q_temperature_mix"     -> qTemperatureMix,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
     "q_char_entropy"        -> qCharEntropy,
@@ -2249,6 +2283,7 @@ object QueriesLlm {
     "q_domain_filter"       -> qDomainFilterSql,
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
     "q_unimax_quota"        -> qUnimaxQuotaSql,
+    "q_temperature_mix"     -> qTemperatureMixSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,
     "q_char_entropy"        -> qCharEntropySql,

@@ -271,6 +271,46 @@ object Scale {
     * the corpus — this is the same "reduce THEN window" discipline as
     * [[tokenBudgetSample]]'s offsets side. Returns one row per source:
     * n_tokens, cap_tokens, quota_tokens, epochs_used, capped. */
+  /** Temperature-scaled source mixture (the multilingual-pretraining
+    * standard UniMax was built to fix — mBERT/XLM-R style): sampling
+    * share p_s ∝ n_s^α with α ∈ (0, 1], quota_s = B·p_s. Small sources
+    * get oversampled past 1 epoch (epochs_used > 1 is exactly the
+    * failure [[unimaxQuota]]'s cap prevents — run both and diff).
+    *
+    * α = 0.5 (the default) uses `sqrt`, which IEEE-754 requires to be
+    * CORRECTLY rounded — so an independent engine reproduces the
+    * weights bitwise. Any other α goes through `pow`, which is only
+    * faithfully rounded and may differ between libms in the last ulp;
+    * callers choosing other α accept rounding-boundary risk in exact
+    * cross-engine compares. The weight total is accumulated in
+    * ascending-source order (running-sum window, then max) so the
+    * double sum is order-deterministic, same discipline as
+    * [[graft.plans.CharEntropy]].
+    *
+    * Scale: the corpus reduces to S = #sources rows in one map-side-
+    * combined agg before any window — see [[unimaxQuota]]. */
+  def temperatureQuota(df: DataFrame, sourceCol: String, tokenCol: String,
+                       totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0, "temperatureQuota: totalBudget must be >= 0")
+    require(alpha > 0 && alpha <= 1, "temperatureQuota: alpha must be in (0, 1]")
+    val W = org.apache.spark.sql.expressions.Window
+    val bySrc = W.orderBy(col("source"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val nD = col("n_tokens").cast("double")
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .withColumn("__w", if (alpha == 0.5) sqrt(nD) else pow(nD, alpha))
+      .withColumn("__cum", sum(col("__w")).over(bySrc))
+      .withColumn("__total", max(col("__cum")).over(all))
+      .withColumn("share", col("__w") / col("__total"))
+      .withColumn("quota_tokens", lit(totalBudget.toDouble) * col("share"))
+      .withColumn("epochs_used",
+        col("quota_tokens") / greatest(nD, lit(1.0)))
+      .select("source", "n_tokens", "share", "quota_tokens", "epochs_used")
+  }
+
   def unimaxQuota(df: DataFrame, sourceCol: String, tokenCol: String,
                   totalBudget: Long, maxEpochs: Double): DataFrame = {
     require(totalBudget >= 0, "unimaxQuota: totalBudget must be >= 0")
