@@ -1571,6 +1571,115 @@ object QueriesLlm {
       |  cap_tokens <= theta AS capped
       |FROM t2""".stripMargin
 
+  /** Stupid Backoff scoring (§2.4 37q, r12): Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — THE published
+    * LM-scoring scheme designed for MapReduce-scale corpora (no
+    * normalized probabilities, no held-out smoothing fits — relative
+    * frequencies with a fixed 0.4 backoff penalty, which is exactly
+    * what stays cheap when the model is a distributed count table).
+    * S(w3|w1w2) = c123/c12 if the trigram was seen, else
+    * 0.4·c23/c2, else 0.4²·c3/N (OOV floor: count 1).
+    *
+    * The model trains on the EVEN half of the corpus (deterministic
+    * doc_id % 2 split) and scores EVERY doc — scoring the corpus with
+    * its own counts would never back off (every trigram has c ≥ 1);
+    * the held-out half genuinely exercises all three levels, and the
+    * per-level hit fractions are exposed as signals. Scale shape: the
+    * model is three count tables built by map-side-combined aggs; the
+    * scoring stream joins them KEYED on its own gram columns
+    * (sort-merge at 100 TB — the distributed analog of Brants' sharded
+    * LM servers); N is a broadcast 1-row cross join. A trigram's
+    * prefix bigram is always in the bigram table when the trigram is
+    * (prefix positions are a superset), so the top CASE arm never
+    * divides by null. Docs with <3 tokens have no trigram positions
+    * and drop (oracle agrees by construction). */
+  val qStupidBackoff: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+    def triPos(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2"),
+          element_at(col("toks"), i + 2).as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+    def biPos(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("t"))
+      .select(col("t.w1"), col("t.w2"))
+    val even = toks.filter(col("doc_id") % 2 === 0)
+    val ct = triPos(even).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val cb = biPos(even).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cu = even.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nN = even.select(explode(col("toks")).as("w")).agg(count(lit(1)).as("n"))
+    val scored = triPos(toks)
+      .join(ct, Seq("w1", "w2", "w3"), "left")
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cb.toDF("b1", "b2", "c23"),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .join(cu.toDF("u2", "cu2"), col("w2") === col("u2"), "left")
+      .join(cu.toDF("u3", "cu3"), col("w3") === col("u3"), "left")
+      .crossJoin(broadcast(nN))
+      .withColumn("s",
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("c12"))
+        .when(col("c23").isNotNull,
+          lit(0.4) * (col("c23").cast("double") / col("cu2")))
+        .otherwise(lit(0.4) * lit(0.4) *
+          (coalesce(col("cu3"), lit(1L)).cast("double") / col("n"))))
+      .withColumn("lev",
+        when(col("c123").isNotNull, 3)
+          .when(col("c23").isNotNull, 2).otherwise(1))
+    scored.groupBy("doc_id").agg(
+      dround(avg(-log2(col("s"))), 4).as("neg_logp2"),
+      dround(avg(when(col("lev") === 3, 1.0).otherwise(0.0)), 6).as("tri_frac"),
+      dround(avg(when(col("lev") === 2, 1.0).otherwise(0.0)), 6).as("bi_frac"),
+      dround(avg(when(col("lev") === 1, 1.0).otherwise(0.0)), 6).as("uni_frac"))
+  }
+  val qStupidBackoffSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 3)),
+      |ct AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |ebi AS (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w2
+      |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+      |        FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+      |cb AS (SELECT w1, w2, count(*) AS c12 FROM ebi GROUP BY 1, 2),
+      |euni AS (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0),
+      |cu AS (SELECT w, count(*) AS cw FROM euni GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM euni),
+      |sc AS (
+      |  SELECT tri.doc_id,
+      |    CASE WHEN ct.c123 IS NOT NULL THEN CAST(ct.c123 AS DOUBLE) / cb12.c12
+      |         WHEN cb23.c12 IS NOT NULL THEN 0.4 * (CAST(cb23.c12 AS DOUBLE) / cu2.cw)
+      |         ELSE 0.4 * 0.4 * (CAST(coalesce(cu3.cw, 1) AS DOUBLE) / nn.n) END AS s,
+      |    CASE WHEN ct.c123 IS NOT NULL THEN 3
+      |         WHEN cb23.c12 IS NOT NULL THEN 2 ELSE 1 END AS lev
+      |  FROM tri
+      |  LEFT JOIN ct ON tri.w1 = ct.w1 AND tri.w2 = ct.w2 AND tri.w3 = ct.w3
+      |  LEFT JOIN cb cb12 ON tri.w1 = cb12.w1 AND tri.w2 = cb12.w2
+      |  LEFT JOIN cb cb23 ON tri.w2 = cb23.w1 AND tri.w3 = cb23.w2
+      |  LEFT JOIN cu cu2 ON tri.w2 = cu2.w
+      |  LEFT JOIN cu cu3 ON tri.w3 = cu3.w
+      |  CROSS JOIN nn)
+      |SELECT doc_id,
+      |  round(avg(-log2(s)), 4) AS neg_logp2,
+      |  round(avg(CASE WHEN lev = 3 THEN 1.0 ELSE 0.0 END), 6) AS tri_frac,
+      |  round(avg(CASE WHEN lev = 2 THEN 1.0 ELSE 0.0 END), 6) AS bi_frac,
+      |  round(avg(CASE WHEN lev = 1 THEN 1.0 ELSE 0.0 END), 6) AS uni_frac
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   /** Bigram-LM quality proxy (§2.4, r11): the CCNet-style LM filter one
     * order up from [[qUnigramLogprob]] — mean negative log2 conditional
     * probability of each document's bigrams under the corpus's own
@@ -2219,6 +2328,7 @@ object QueriesLlm {
     "q_token_budget_mix"    -> qTokenBudgetMix,
     "q_unimax_quota"        -> qUnimaxQuota,
     "q_temperature_mix"     -> qTemperatureMix,
+    "q_stupid_backoff"      -> qStupidBackoff,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
     "q_char_entropy"        -> qCharEntropy,
@@ -2284,6 +2394,7 @@ object QueriesLlm {
     "q_token_budget_mix"    -> qTokenBudgetMixSql,
     "q_unimax_quota"        -> qUnimaxQuotaSql,
     "q_temperature_mix"     -> qTemperatureMixSql,
+    "q_stupid_backoff"      -> qStupidBackoffSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,
     "q_char_entropy"        -> qCharEntropySql,
