@@ -1779,6 +1779,139 @@ object QueriesLlm {
       |       ELSE 'tail' END AS bucket
       |FROM w CROSS JOIN cuts""".stripMargin
 
+  /** Curation pipeline v2 (§2.4 37r, r12): the round's NEW panel
+    * family composed into the end-to-end flow a 100 TB curation run
+    * actually executes — Gopher rule gate (37j, reused verbatim) →
+    * within-doc repetition gate (37m's top-n-gram signals on the raw
+    * text) → char-entropy band (37l) → CCNet perplexity-tail drop
+    * (37k, reused verbatim) → exact near-dup canonicalization
+    * (normalized fingerprint, min-doc_id winner among gate-passing
+    * docs). Output is the AUDIT TABLE (one row per input doc, each
+    * gate's verdict exposed) rather than just survivors — the
+    * drop-reason histogram is the first thing a curation run reads.
+    *
+    * Scale: the gates are the already-audited shapes (two zero-shuffle
+    * panels, the bigram-stream aggs, one broadcast cut-point row); the
+    * only NEW exchange is the fingerprint window — the dedup shuffle
+    * any exact-dedup pass pays. Thresholds are corpus config. */
+  val qCurationV2: Q = (s, d) => {
+    import graft.functions.Gopher
+    val g = qGopherRules(s, d).select(col("doc_id"), col("pass").as("gopher_pass"))
+    val cc = qCcnetBuckets(s, d).select(col("doc_id"), col("bucket"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Gopher.repetitionPanel(col("text")).as("p"),
+        dround(TextAnalysis.charEntropy(col("text")), 4).as("entropy"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("entropy"), col("fp"),
+        dround(col("p").getField("top2_frac"), 6).as("top2_frac"),
+        dround(col("p").getField("top3_frac"), 6).as("top3_frac"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    base.join(g, "doc_id").join(cc, "doc_id")
+      .withColumn("rep_ok", col("top2_frac") <= 0.12 && col("top3_frac") <= 0.15)
+      .withColumn("entropy_ok", col("entropy").between(4.0, 5.5))
+      .withColumn("gates", col("gopher_pass") && col("rep_ok") &&
+        col("entropy_ok") && col("bucket") =!= "tail")
+      .withColumn("canon",
+        min(when(col("gates"), col("doc_id"))).over(w))
+      .withColumn("kept", col("gates") && col("doc_id") === col("canon"))
+      .select("doc_id", "gopher_pass", "rep_ok", "entropy_ok", "bucket", "kept")
+  }
+  val qCurationV2Sql: String = {
+    // the gopher/ccnet blocks are the 37j/37k oracles verbatim; the
+    // repetition gate needs only n=2,3 of 37m's machinery on raw toks
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks,
+      |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+      |  FROM documents),
+      |gop AS (SELECT doc_id,
+      |    (CAST(len(toks) AS BIGINT) BETWEEN 40 AND 100000
+      |     AND round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+      |     AND round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) < 0.1
+      |     AND round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      |          / greatest(len(ls), 1), 4) <= 0.9
+      |     AND round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+      |          / greatest(len(ls), 1), 4) <= 0.3
+      |     AND round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |          / greatest(len(toks), 1), 4) >= 0.8
+      |     AND CAST(len(list_filter(['the','a','data','join','to','of'],
+      |       w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS INT) >= 2
+      |    ) AS gopher_pass
+      |  FROM t),
+      |tok AS (SELECT doc_id, s.w AS w, s.i AS pos
+      |        FROM (SELECT doc_id,
+      |                unnest([{'w': toks[i], 'i': i} FOR i IN range(1, len(toks) + 1)]) AS s
+      |              FROM t)),
+      |off AS (SELECT doc_id, w, pos, len(w) AS lw,
+      |          CAST(coalesce(sum(len(w)) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+      |        FROM tok),
+      |tc AS (SELECT doc_id, CAST(sum(lw) AS DOUBLE) AS chars FROM off GROUP BY 1),
+      |ld AS (SELECT doc_id, pos, w, lw, o,
+      |         lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+      |         lead(o + lw, 1) OVER win AS e1, lead(o + lw, 2) OVER win AS e2
+      |       FROM off WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, concat_ws(chr(1), w, w1) AS k, o AS s, e1 AS e FROM ld WHERE w1 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 3, concat_ws(chr(1), w, w1, w2), o, e2 FROM ld WHERE w2 IS NOT NULL),
+      |cnt AS (SELECT doc_id, n, k, count(*) AS c, max(e - s) AS klen FROM g GROUP BY 1, 2, 3),
+      |tm AS (SELECT doc_id, n, max(c) AS mc FROM cnt GROUP BY 1, 2),
+      |tv AS (SELECT cnt.doc_id, cnt.n, max(cnt.c * cnt.klen) AS num
+      |       FROM cnt JOIN tm ON cnt.doc_id = tm.doc_id AND cnt.n = tm.n AND cnt.c = tm.mc
+      |       GROUP BY 1, 2),
+      |rep AS (SELECT t.doc_id,
+      |    (round(coalesce(t2.num / nullif(tc.chars, 0), 0), 6) <= 0.12
+      |     AND round(coalesce(t3.num / nullif(tc.chars, 0), 0), 6) <= 0.15) AS rep_ok
+      |  FROM t
+      |  LEFT JOIN tc ON t.doc_id = tc.doc_id
+      |  LEFT JOIN (SELECT doc_id, num FROM tv WHERE n = 2) t2 ON t.doc_id = t2.doc_id
+      |  LEFT JOIN (SELECT doc_id, num FROM tv WHERE n = 3) t3 ON t.doc_id = t3.doc_id),
+      |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |ccq AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |ent0 AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot, sum(n * log2(n)) AS s2
+      |      FROM ccq GROUP BY 1),
+      |ent AS (SELECT doc_id,
+      |    round(log2(tot) - s2 / tot, 4) BETWEEN 4.0 AND 5.5 AS entropy_ok FROM ent0),
+      |lt AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t2
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(t2) AS w, generate_subscripts(t2, 1) AS i FROM lt),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM e),
+      |ppl AS (SELECT bg.doc_id, round(avg(-log2((c12 + 1) / (c1 + v))), 4) AS avg_neg_logp2
+      |      FROM bg JOIN c12 USING (bg)
+      |      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      |      CROSS JOIN v GROUP BY bg.doc_id),
+      |cuts AS (SELECT
+      |    quantile_cont(CAST(avg_neg_logp2 AS DOUBLE), 1.0/3) AS cc1,
+      |    quantile_cont(CAST(avg_neg_logp2 AS DOUBLE), 2.0/3) AS cc2
+      |  FROM ppl WHERE substr(md5('ccq:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      |bkt AS (SELECT doc_id,
+      |    CASE WHEN avg_neg_logp2 <= cc1 THEN 'head'
+      |         WHEN avg_neg_logp2 <= cc2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM ppl CROSS JOIN cuts),
+      |fp AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents),
+      |gated AS (
+      |  SELECT d.doc_id, gop.gopher_pass, rep.rep_ok, ent.entropy_ok, bkt.bucket, fp.fp,
+      |    (gop.gopher_pass AND rep.rep_ok AND ent.entropy_ok AND bkt.bucket != 'tail') AS gates
+      |  FROM documents d
+      |  JOIN gop ON d.doc_id = gop.doc_id
+      |  JOIN rep ON d.doc_id = rep.doc_id
+      |  JOIN ent ON d.doc_id = ent.doc_id
+      |  JOIN bkt ON d.doc_id = bkt.doc_id
+      |  JOIN fp ON d.doc_id = fp.doc_id)
+      |SELECT doc_id, gopher_pass, rep_ok, entropy_ok, bucket,
+      |  (gates AND doc_id = min(CASE WHEN gates THEN doc_id END)
+      |     OVER (PARTITION BY fp)) AS kept
+      |FROM gated""".stripMargin
+  }
+
   /** Character-entropy signal (§2.4 37l, r12; the Dolma toolkit's
     * gibberish/encoding-noise detector): Shannon entropy in bits of
     * each doc's codepoint distribution via the single-pass native
@@ -2329,6 +2462,7 @@ object QueriesLlm {
     "q_unimax_quota"        -> qUnimaxQuota,
     "q_temperature_mix"     -> qTemperatureMix,
     "q_stupid_backoff"      -> qStupidBackoff,
+    "q_curation_v2"         -> qCurationV2,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
     "q_char_entropy"        -> qCharEntropy,
@@ -2395,6 +2529,7 @@ object QueriesLlm {
     "q_unimax_quota"        -> qUnimaxQuotaSql,
     "q_temperature_mix"     -> qTemperatureMixSql,
     "q_stupid_backoff"      -> qStupidBackoffSql,
+    "q_curation_v2"         -> qCurationV2Sql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,
     "q_char_entropy"        -> qCharEntropySql,
