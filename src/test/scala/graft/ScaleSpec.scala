@@ -237,6 +237,21 @@ class ScaleSpec extends SparkSpec {
     assert(q.values.map(_._1).sum == 60.0) // budget exactly consumed
   }
 
+  test("temperatureQuota: sqrt shares oversample small sources — the UniMax contrast") {
+    val df = Seq(("A", 100L), ("B", 400L)).toDF("src", "tok")
+    // weights √100=10, √400=20 → shares 1/3, 2/3 of B=330
+    val q = Scale.temperatureQuota(df, "src", "tok", totalBudget = 330L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("quota_tokens"),
+          r.getAs[Double]("epochs_used"))).toMap
+    assert(q("A") == (10.0 / 30, 330.0 * (10.0 / 30), 330.0 * (10.0 / 30) / 100))
+    assert(q("B") == (20.0 / 30, 330.0 * (20.0 / 30), 330.0 * (20.0 / 30) / 400))
+    assert(q("A")._3 > 1.0) // the small source oversamples past 1 epoch
+    assert(q("B")._3 < 1.0) // while the large one under-fills
+    intercept[IllegalArgumentException](
+      Scale.temperatureQuota(df, "src", "tok", 330L, alpha = 1.5))
+  }
+
   test("unimaxQuota: under-filled budget degrades to caps (ran out of data)") {
     val df = Seq(("A", 10L), ("B", 20L), ("C", 100L)).toDF("src", "tok")
     val q = Scale.unimaxQuota(df, "src", "tok", totalBudget = 1000L, maxEpochs = 2.0)
