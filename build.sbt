@@ -14,6 +14,13 @@ libraryDependencies ++= Seq(
   // with their hadoop distribution — the library itself gains no
   // dependency; this only lets SftpSpec exercise the live path.
   "com.github.mwiede" % "jsch" % "0.2.17" % Test,
+  // TEST-ONLY in-JVM oracle (r12): the DuckDB JDBC driver sits in the
+  // same pre-warmed offline cache the jsch find came from. It lets
+  // OracleSelfSpec replay SparkEntry.oracleSql against the same parquet
+  // inside `sbt test` — the driver's correctness gate reproduced with
+  // zero Python — and doubles as a second live JDBC engine (columnar,
+  // vs Derby's row store) behind the ExecuteSQL-family specs.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 // hadoop-client-api's SFTPFileSystem is compiled against the SHADED
 // jsch coordinates (org.apache.hadoop.shaded.com.jcraft.jsch) but the
