@@ -74,4 +74,36 @@ class OracleSelfSpec extends SparkSpec {
       }
     } finally conn.close()
   }
+
+  test("ExecuteSQL/PutDatabaseRecord run live against DuckDB (columnar engine)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val db = java.nio.file.Files.createTempDirectory("graft_duck")
+      .resolve("t.duckdb").toString
+    val url = s"jdbc:duckdb:$db"
+    val df = (1L to 100L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "v")
+    // UpdateDatabaseTable creates the DDL (Spark's own tableExists probe
+    // trips on DuckDB's catalog error), then the executor-side
+    // multi-connection append writes into one file-backed database
+    // (DuckDB shares the instance across connections within a process)
+    assert(graft.sources.Io.updateDatabaseTable(url, "items", df.schema)
+      == Seq("id", "name", "v"))
+    graft.sources.Io.writeJdbc(df.repartition(4), url, "items", mode = "append")
+    val back = graft.sources.Io.readJdbc(spark, url, "items")
+    assert(back.count() == 100)
+    // GenerateTableFetch shape: the read fans out across range slices
+    val part = graft.sources.Io.readJdbcPartitioned(
+      spark, url, "items", "id", 1, 100, 4)
+    assert(part.rdd.getNumPartitions == 4)
+    // DuckDB's JDBC metadata surfaces the summed BIGINT as DECIMAL
+    assert(part.agg(sum("id")).head.getAs[Number](0).longValue() == 5050L)
+    // and plain JDBC sees what Spark wrote
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT count(*), round(avg(v), 2) FROM items")
+      rs.next()
+      assert(rs.getLong(1) == 100L && rs.getDouble(2) == 75.75)
+    } finally c.close()
+  }
 }
