@@ -1912,6 +1912,41 @@ object QueriesLlm {
       |FROM gated""".stripMargin
   }
 
+  /** Unicode NFC normalization (§2.4 37s, r12): the dedup pre-pass real
+    * pipelines run first (SlimPajama's cleaning step) — canonically
+    * equivalent strings with different codepoint sequences hash apart
+    * and defeat exact AND near dedup. The ASCII synthetic corpus is
+    * NFC-invariant, so every third doc gets a deterministic decomposed
+    * sequence injected ("e" → "e"+COMBINING ACUTE) that NFC must
+    * compose back to "é"; both engines build the mutation identically
+    * and the oracle normalizes with DuckDB's own `nfc_normalize`.
+    * Narrow native expression, no shuffle — scan-bound at 100 TB. */
+  val qNfcNormalize: Q = (s, d) => {
+    val mutated = when(col("doc_id") % 3 === 0,
+      regexp_replace(col("text"), "e", "e\u0301")).otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), mutated.as("m"))
+      .select(col("doc_id"),
+        TextAnalysis.nfcNormalize(col("m")).as("n"), col("m"))
+      .select(col("doc_id"),
+        (col("n") =!= col("m")).as("nfc_changed"),
+        length(col("m")).as("len_before"),
+        length(col("n")).as("len_after"),
+        md5(col("n").cast("binary")).as("nfc_md5"))
+  }
+  val qNfcNormalizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+      |         ELSE text END AS m
+      |  FROM documents),
+      |n AS (SELECT doc_id, m, nfc_normalize(m) AS n FROM m)
+      |SELECT doc_id, n != m AS nfc_changed,
+      |  CAST(length(m) AS INT) AS len_before,
+      |  CAST(length(n) AS INT) AS len_after,
+      |  md5(n) AS nfc_md5
+      |FROM n""".stripMargin
+
   /** Character-entropy signal (§2.4 37l, r12; the Dolma toolkit's
     * gibberish/encoding-noise detector): Shannon entropy in bits of
     * each doc's codepoint distribution via the single-pass native
@@ -2462,6 +2497,7 @@ object QueriesLlm {
     "q_unimax_quota"        -> qUnimaxQuota,
     "q_temperature_mix"     -> qTemperatureMix,
     "q_stupid_backoff"      -> qStupidBackoff,
+    "q_nfc_normalize"       -> qNfcNormalize,
     "q_curation_v2"         -> qCurationV2,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
@@ -2529,6 +2565,7 @@ object QueriesLlm {
     "q_unimax_quota"        -> qUnimaxQuotaSql,
     "q_temperature_mix"     -> qTemperatureMixSql,
     "q_stupid_backoff"      -> qStupidBackoffSql,
+    "q_nfc_normalize"       -> qNfcNormalizeSql,
     "q_curation_v2"         -> qCurationV2Sql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,

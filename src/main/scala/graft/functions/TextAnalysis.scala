@@ -117,6 +117,12 @@ object TextAnalysis {
   def charEntropy(c: Column): Column =
     graft.plans.TextHashExpressions.charEntropy(c)
 
+  /** Unicode NFC normalization (see [[graft.plans.NfcNormalize]]) —
+    * run BEFORE fingerprinting/dedup so canonically-equivalent text
+    * hashes together. */
+  def nfcNormalize(c: Column): Column =
+    graft.plans.TextHashExpressions.nfcNormalize(c)
+
   /** PII redaction: emails, North-American-style phone numbers, IPv4
     * addresses and long digit runs (card/account numbers) replaced with
     * type tokens. Regex-pass-per-record; extend the pattern list per

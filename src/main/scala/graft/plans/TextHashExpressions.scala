@@ -292,6 +292,28 @@ case class TopTokenFraction(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) — the dedup
+  * pre-pass real pipelines run first (SlimPajama's cleaning step):
+  * visually-identical strings with different codepoint sequences
+  * ("e"+COMBINING ACUTE vs "é") otherwise hash apart and defeat exact
+  * and near dedup alike. JDK `java.text.Normalizer` (deterministic,
+  * Unicode-standard), narrow, no shuffle. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The Gopher repetition panel (Rae et al. 2021, arXiv:2112.11446
   * App. A1.1.2 — "repetition removal", the within-document filter
   * FineWeb/Dolma reuse): 13 signals in ONE pass per document, returned
@@ -467,6 +489,8 @@ object RepetitionPanel {
 }
 
 object TextHashExpressions {
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   def repetitionPanel(c: Column): Column =
     ColumnBridge.column(RepetitionPanel(ColumnBridge.expression(c)))
   def topTokenFraction(c: Column): Column =
