@@ -241,11 +241,22 @@ private[operators] object MimeParser {
         val b = new scala.collection.mutable.ArrayBuffer[Byte]()
         // soft line breaks removed first (RFC 2045 §6.7 rule 5)
         val s = body.replaceAll("=\\r?\\n", "")
+        def hexDigit(c: Char): Int =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else -1
         var i = 0
         while (i < s.length) {
           val c = s.charAt(i)
-          if (c == '=' && i + 2 < s.length) {
-            b += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+          // a malformed escape ('=ZZ', '=' at end) is emitted literally
+          // (RFC 2045 §6.7: "a reasonable approach ... include the '='
+          // character and the following character") instead of throwing
+          // and failing the whole Spark task
+          val hi = if (c == '=' && i + 2 < s.length) hexDigit(s.charAt(i + 1)) else -1
+          val lo = if (hi >= 0) hexDigit(s.charAt(i + 2)) else -1
+          if (hi >= 0 && lo >= 0) {
+            b += ((hi << 4) | lo).toByte
             i += 3
           } else { b += c.toByte; i += 1 }
         }
@@ -262,9 +273,11 @@ private[operators] object MimeParser {
       case None => Nil
       case Some(b) =>
         val delim = "--" + b
-        // parts live between dash-boundary lines; the terminator is
-        // delim + "--" (RFC 2046 §5.1.1)
-        body.split(java.util.regex.Pattern.quote(delim))
+        // parts live between dash-boundary LINES — RFC 2046 §5.1.1 says
+        // the delimiter is the boundary preceded by CRLF (or at the very
+        // start), so body text merely CONTAINING '--boundary' mid-line
+        // must not split a part
+        body.split("(^|\\r?\\n)" + java.util.regex.Pattern.quote(delim))
           .drop(1) // preamble
           .takeWhile(p => !p.startsWith("--"))
           .toSeq.flatMap { raw =>
@@ -277,9 +290,10 @@ private[operators] object MimeParser {
               val disp = ph.getOrElse("content-disposition", "")
               param(disp, "filename").orElse(param(pct, "name")).map { fn =>
                 val enc = ph.getOrElse("content-transfer-encoding", "7bit")
-                // strip the trailing CRLF that precedes the next boundary
-                val trimmed = pbody.replaceAll("\\r?\\n$", "")
-                (fn, pct.split(";")(0).trim, decode(trimmed, enc))
+                // the CRLF preceding the next boundary belongs to the
+                // delimiter and was consumed by the line-start split —
+                // pbody is exactly the part's content
+                (fn, pct.split(";")(0).trim, decode(pbody, enc))
               }
             }
           }

@@ -238,12 +238,18 @@ object Records {
     * struct's leading index field; no window, no second shuffle).
     * Fragment count per id is bounded by the original content size /
     * segment size, so the per-group array is content-sized — the same
-    * memory contract as the original row. */
+    * memory contract as the original row.
+    *
+    * The index is coerced to long INSIDE the struct: NiFi's
+    * fragment.index attribute arrives as a STRING, and a lexical sort
+    * would order '10' before '2' and silently reassemble corrupted
+    * content past 9 fragments. */
   def defragment(df: DataFrame, idCol: String, idxCol: String, chunkCol: String,
                  outCol: String = "content"): DataFrame =
     df.groupBy(col(idCol))
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col(idxCol).as("i"), col(chunkCol).as("c")))),
+        array_sort(collect_list(struct(
+          col(idxCol).cast("long").as("i"), col(chunkCol).as("c")))),
         x => x.getField("c")), "").as(outCol))
 
   /** HashContent: content digest column. md5 / sha2-256 / xxhash64. */

@@ -45,6 +45,17 @@ object TextHash {
 
   /** Public splitmix64 finalizer (for rolling n-gram key combination). */
   def mix64(x: Long): Long = splitmix(x)
+
+  /** THE whitespace contract for every byte-level tokenizer here:
+    * exactly Java-regex `\s` = [ \t\n\x0B\f\r] — the same set
+    * `TextAnalysis.wsTokens` splits on and every DuckDB oracle
+    * replays. `Character.isWhitespace` is deliberately NOT used: it
+    * also classifies 0x1C–0x1F (the ASCII file/group/record/unit
+    * separators, present in real web crawls) as separators, which
+    * would silently give the repetition/Gopher panels different token
+    * counts than tokenCount and every groupBy-token query. */
+  @inline def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 }
 
 /** MinHash signature of the byte n-gram shingle set: array<long> of
@@ -159,9 +170,9 @@ case class SimHash64(child: Expression)
     val n = bytes.length
     while (i < n) {
       // skip whitespace
-      while (i < n && Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < n && TextHash.isWs(bytes(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < n && !TextHash.isWs(bytes(i))) i += 1
       if (i > start) {
         val h = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
         var j = 0
@@ -275,9 +286,9 @@ case class TopTokenFraction(child: Expression)
     var i = 0
     val n = bytes.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < n && TextHash.isWs(bytes(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < n && !TextHash.isWs(bytes(i))) i += 1
       if (i > start) {
         total += 1
         val h = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
@@ -392,9 +403,9 @@ case class RepetitionPanel(child: Expression)
     var i = 0
     // first pass: count tokens
     while (i < nB) {
-      while (i < nB && Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < nB && TextHash.isWs(bytes(i))) i += 1
       val start = i
-      while (i < nB && !Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < nB && !TextHash.isWs(bytes(i))) i += 1
       if (i > start) t += 1
     }
     val nT = t
@@ -404,10 +415,10 @@ case class RepetitionPanel(child: Expression)
     var totalChars = 0L
     i = 0; t = 0
     while (i < nB) {
-      while (i < nB && Character.isWhitespace(bytes(i).toChar)) i += 1
+      while (i < nB && TextHash.isWs(bytes(i))) i += 1
       val start = i
       var cps = 0
-      while (i < nB && !Character.isWhitespace(bytes(i).toChar)) {
+      while (i < nB && !TextHash.isWs(bytes(i))) {
         if ((bytes(i) & 0xC0) != 0x80) cps += 1 // count codepoints, not bytes
         i += 1
       }

@@ -25,14 +25,46 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   */
 object ListenHttp {
 
+  /** Spool the request body to `tmp` in 64 KiB chunks; returns true on
+    * overflow (> maxBodyBytes). On overflow the REST OF THE BODY IS
+    * DRAINED (discarded, bounded at maxBodyBytes + 64 MiB extra) before
+    * returning: com.sun's HttpServer closes an exchange with unread
+    * input by resetting the TCP connection, so without the drain a
+    * still-streaming client sees an IOException instead of the 413 we
+    * are about to send. The bound keeps a malicious infinite stream
+    * from pinning the handler thread forever — past it we give up and
+    * accept the reset. */
+  private def spoolBody(in: java.io.InputStream, tmp: Path, maxBodyBytes: Long): Boolean = {
+    val out = Files.newOutputStream(tmp)
+    var written = 0L
+    var overflow = false
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0 && !overflow) {
+        written += n
+        if (written > maxBodyBytes) overflow = true
+        else { out.write(buf, 0, n); n = in.read(buf) }
+      }
+      if (overflow) {
+        val drainCap = maxBodyBytes + (64L << 20)
+        var drained = written
+        var m = in.read(buf)
+        while (m >= 0 && drained < drainCap) { drained += m; m = in.read(buf) }
+      }
+    } finally out.close()
+    overflow
+  }
+
   /** Start the endpoint. POST /<path> with a body → one spool file
     * `<epochMs>-<seq><suffix>`; responds 200 with the filename.
     * Non-POST methods get 405; bodies over `maxBodyBytes` get 413 (the
-    * partial spool is discarded). Request bodies STREAM straight to the
-    * `.tmp` spool file in 64 KiB chunks — constant memory per handler
-    * thread, so an oversized or malicious POST can't OOM the ingest
-    * JVM. Returns the running server — callers own its lifecycle
-    * (`stop(0)`). Port 0 picks a free port
+    * partial spool is discarded and the remaining body drained so the
+    * status actually reaches the client — see [[spoolBody]]). Request
+    * bodies STREAM straight to the `.tmp` spool file in 64 KiB chunks —
+    * constant memory per handler thread, so an oversized or malicious
+    * POST can't OOM the ingest JVM. Returns the running server —
+    * callers own its lifecycle (`stop(0)`). Port 0 picks a free port
     * (`server.getAddress.getPort`). */
   def start(port: Int, spoolDir: String, path: String = "/ingest",
             suffix: String = ".dat", handlerThreads: Int = 8,
@@ -48,19 +80,7 @@ object ListenHttp {
         } else {
           val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"
           val tmp: Path = dir.resolve(name + ".tmp")
-          val in = ex.getRequestBody
-          val out = Files.newOutputStream(tmp)
-          var written = 0L
-          var overflow = false
-          try {
-            val buf = new Array[Byte](64 * 1024)
-            var n = in.read(buf)
-            while (n >= 0 && !overflow) {
-              written += n
-              if (written > maxBodyBytes) overflow = true
-              else { out.write(buf, 0, n); n = in.read(buf) }
-            }
-          } finally out.close()
+          val overflow = spoolBody(ex.getRequestBody, tmp, maxBodyBytes)
           if (overflow) {
             Files.deleteIfExists(tmp)
             ex.sendResponseHeaders(413, -1L)
@@ -119,19 +139,7 @@ object ListenHttp {
         } else {
           val id = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}"
           val tmp: Path = dir.resolve(id + suffix + ".tmp")
-          val in = ex.getRequestBody
-          val out = Files.newOutputStream(tmp)
-          var written = 0L
-          var overflow = false
-          try {
-            val buf = new Array[Byte](64 * 1024)
-            var n = in.read(buf)
-            while (n >= 0 && !overflow) {
-              written += n
-              if (written > maxBodyBytes) overflow = true
-              else { out.write(buf, 0, n); n = in.read(buf) }
-            }
-          } finally out.close()
+          val overflow = spoolBody(ex.getRequestBody, tmp, maxBodyBytes)
           if (overflow) {
             Files.deleteIfExists(tmp)
             ex.sendResponseHeaders(413, -1L)

@@ -56,15 +56,27 @@ object Smtp {
     * `{"mail_from":…,"rcpt_to":[…],"data":…}` (data = the raw message
     * with dot-unstuffing applied, CRLF normalized to \n). Read the
     * spool with `spark.read.json` / `readStream.json`. Port 0 picks a
-    * free port. */
+    * free port.
+    *
+    * Resource bounds (NiFi's 'Max size of Socket Buffer' / 'Maximum
+    * number of SMTP connection' analogs): a DATA payload past
+    * `maxMessageBytes` is refused with 552 — the loop keeps consuming
+    * (discarding) lines to the terminating dot so the session stays in
+    * sync, but nothing past the cap is buffered, so one peer streaming
+    * a huge message can't OOM the listener. Sessions past
+    * `maxConnections` are greeted with 421 and closed, capping the
+    * per-connection threads. */
   def listenSmtp(port: Int, spoolDir: String, batchSize: Int = 50,
                  flushMs: Long = 250L, hostname: String = "graft",
-                 suffix: String = ".jsonl"): SmtpListener = {
+                 suffix: String = ".jsonl",
+                 maxMessageBytes: Long = 10L << 20,
+                 maxConnections: Int = 32): SmtpListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     val server = new ServerSocket(port)
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
     // same lock discipline as Net.listenTcp: the lock covers only the
     // buffer swap + name claim; file I/O happens outside it
@@ -88,6 +100,16 @@ object Smtp {
       while (!stop.get()) {
         try {
           val sock = server.accept()
+          if (active.get() >= maxConnections) {
+            // over the session cap: greet with 421 and close (RFC 5321
+            // §3.8 / §4.3.2) — no thread is spawned for the peer
+            try {
+              val w = new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8)
+              w.write(s"421 $hostname too many connections, try later\r\n"); w.flush()
+            } catch { case _: java.io.IOException => () }
+            finally { try sock.close() catch { case _: Throwable => () } }
+          } else {
+          active.incrementAndGet()
           val session = new Thread(() => {
             try {
               val in = new java.io.BufferedReader(
@@ -117,15 +139,23 @@ object Smtp {
                   else {
                     reply("354 End data with <CRLF>.<CRLF>")
                     val data = new StringBuilder
+                    var oversize = false
                     var dl = in.readLine()
                     while (dl != null && dl != ".") {
                       // dot-unstuffing (RFC 5321 §4.5.2)
                       val d = if (dl.startsWith("..")) dl.substring(1) else dl
-                      data.append(d).append('\n')
+                      if (!oversize && data.length + d.length + 1 > maxMessageBytes) {
+                        oversize = true      // stop buffering; keep consuming
+                        data.setLength(0)    // release what we held
+                      }
+                      if (!oversize) data.append(d).append('\n')
                       dl = in.readLine()
                     }
                     if (dl == null) reply("451 connection lost in DATA")
-                    else {
+                    else if (oversize) {
+                      from = null; rcpts = Nil
+                      reply("552 message exceeds fixed maximum message size")
+                    } else {
                       val rec = s"""{"mail_from":${jsonStr(from)},"rcpt_to":[${
                         rcpts.reverse.map(jsonStr).mkString(",")}],"data":${
                         jsonStr(data.toString)}}"""
@@ -145,10 +175,12 @@ object Smtp {
               }
             } catch { case _: java.io.IOException => () } // peer reset
             finally { try sock.close() catch { case _: Throwable => () }
+                      active.decrementAndGet()
                       flush() }
           }, "graft-listen-smtp-conn")
           session.setDaemon(true)
           session.start()
+          }
         } catch {
           case _: java.net.SocketTimeoutException => flush() // idle drain
           case _: java.net.SocketException if stop.get() =>
@@ -165,11 +197,27 @@ object Smtp {
     * partition. Columns: `toCol` (recipient address), `subjectCol`,
     * `bodyCol` (plain text; dot-stuffed for transport). An SMTP error
     * reply on any command fails the task (at-least-once on retry, like
-    * every Put* here). */
+    * every Put* here).
+    *
+    * Injection hardening: `from`, the recipient and the subject are
+    * interpolated into SMTP commands / message headers, so CR/LF in
+    * them would smuggle extra commands or headers — a recipient is
+    * REJECTED if it contains CR/LF/`<`/`>` (bad addresses should fail
+    * loudly, not be silently rewritten), and the subject has CR/LF
+    * collapsed to spaces (a lossy-but-safe header fold). Only the body
+    * is free-form (dot-stuffed). The three columns are cast to string
+    * up front so non-string inputs can't ClassCastException
+    * mid-partition. */
   def putEmail(df: DataFrame, host: String, port: Int, from: String,
                toCol: String = "to", subjectCol: String = "subject",
                bodyCol: String = "body"): Unit = {
-    val cols = df.select(toCol, subjectCol, bodyCol)
+    require(!from.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
+      s"from address must not contain CR/LF/angle brackets: '$from'")
+    val cols = {
+      import org.apache.spark.sql.functions.col
+      df.select(col(toCol).cast("string"), col(subjectCol).cast("string"),
+                col(bodyCol).cast("string"))
+    }
     cols.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val sock = new java.net.Socket(host, port)
@@ -187,8 +235,13 @@ object Smtp {
           cmd(null, "220")
           cmd("EHLO graft", "250")
           rows.foreach { row =>
-            val (to, subject, body) =
-              (row.getString(0), row.getString(1), row.getString(2))
+            val to = row.getString(0)
+            require(to != null &&
+              !to.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
+              s"recipient must not be null or contain CR/LF/angle brackets: '$to'")
+            val subject = Option(row.getString(1)).getOrElse("")
+              .replaceAll("[\r\n]+", " ")
+            val body = row.getString(2)
             cmd(s"MAIL FROM:<$from>", "250")
             cmd(s"RCPT TO:<$to>", "250")
             out.print("DATA\r\n"); out.flush()

@@ -125,6 +125,114 @@ class EmailSpec extends SparkSpec {
     } finally listeners.foreach(_.stop())
   }
 
+  test("listenSmtp: DATA past maxMessageBytes gets 552 and the session stays usable") {
+    val spool = freshDir("cap")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1, maxMessageBytes = 64)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", l.port)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+      def cmd(s: String, code: String): Unit = {
+        if (s != null) { out.print(s + "\r\n"); out.flush() }
+        val r = in.readLine(); assert(r != null && r.startsWith(code), s"'$s' -> '$r'")
+      }
+      cmd(null, "220")
+      cmd("EHLO tester", "250")
+      cmd("MAIL FROM:<big@x>", "250")
+      cmd("RCPT TO:<b@y>", "250")
+      out.print("DATA\r\n"); out.flush(); assert(in.readLine().startsWith("354"))
+      // 40 lines x 10 chars >> the 64-byte cap: refused, NOT buffered
+      (1 to 40).foreach(_ => out.print("0123456789\r\n"))
+      out.print(".\r\n"); out.flush()
+      assert(in.readLine().startsWith("552"))
+      // the session is still in sync: a small message goes through
+      cmd("MAIL FROM:<small@x>", "250")
+      cmd("RCPT TO:<b@y>", "250")
+      out.print("DATA\r\n"); out.flush(); assert(in.readLine().startsWith("354"))
+      out.print("ok\r\n.\r\n"); out.flush()
+      assert(in.readLine().startsWith("250"))
+      cmd("QUIT", "221")
+      sock.close()
+      val got = spark.read.json(spool).select(col("mail_from")).as[String].collect()
+      assert(got.toSeq == Seq("small@x"), "only the in-cap message may spool")
+    } finally l.stop()
+  }
+
+  test("listenSmtp: connections past maxConnections are greeted with 421") {
+    val spool = freshDir("conncap")
+    val l = Smtp.listenSmtp(0, spool, maxConnections = 1)
+    try {
+      val first = new java.net.Socket("127.0.0.1", l.port)
+      val in1 = new java.io.BufferedReader(new java.io.InputStreamReader(first.getInputStream, UTF_8))
+      assert(in1.readLine().startsWith("220")) // session 1 holds its slot
+      val second = new java.net.Socket("127.0.0.1", l.port)
+      val in2 = new java.io.BufferedReader(new java.io.InputStreamReader(second.getInputStream, UTF_8))
+      val greet2 = in2.readLine()
+      assert(greet2 != null && greet2.startsWith("421"), s"expected 421, got '$greet2'")
+      second.close()
+      first.close()
+      // slot frees once session 1 ends — next peer gets a normal greeting
+      val deadline = System.currentTimeMillis() + 5000
+      var greet3: String = null
+      while ((greet3 == null || !greet3.startsWith("220")) &&
+             System.currentTimeMillis() < deadline) {
+        val s3 = new java.net.Socket("127.0.0.1", l.port)
+        val in3 = new java.io.BufferedReader(new java.io.InputStreamReader(s3.getInputStream, UTF_8))
+        greet3 = in3.readLine()
+        s3.close()
+        if (greet3 == null || !greet3.startsWith("220")) Thread.sleep(50)
+      }
+      assert(greet3 != null && greet3.startsWith("220"))
+    } finally l.stop()
+  }
+
+  test("putEmail: CRLF in a recipient is rejected; CRLF in a subject is folded") {
+    val spool = freshDir("inject")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1)
+    try {
+      // header-injection subject arrives folded to one line
+      Smtp.putEmail(
+        Seq(("ok@dest", "hi\r\nBcc: evil@x", "body")).toDF("to", "subject", "body"),
+        "127.0.0.1", l.port, from = "graft@local")
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.json(spool).count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val data = spark.read.json(spool).select(col("data")).as[String].collect().head
+      assert(data.contains("Subject: hi Bcc: evil@x"), "subject must fold, not inject")
+      assert(!data.contains("\nBcc:"), "no injected header line")
+      // a recipient smuggling SMTP commands fails the task loudly
+      val bad = Seq(("a@x>\r\nMAIL FROM:<evil", "s", "b")).toDF("to", "subject", "body")
+      val e = intercept[org.apache.spark.SparkException] {
+        Smtp.putEmail(bad, "127.0.0.1", l.port, from = "graft@local")
+      }
+      assert(e.getMessage.contains("recipient") ||
+        Option(e.getCause).exists(_.getMessage.contains("recipient")))
+    } finally l.stop()
+  }
+
+  test("extractEmailAttachments: malformed QP is literal; mid-line boundary text survives") {
+    val msg =
+      s"""Content-Type: multipart/mixed; boundary="BN"
+         |
+         |--BN
+         |Content-Disposition: attachment; filename="a.txt"
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |bad escape =ZZ stays, trailing =
+         |--BN
+         |Content-Disposition: attachment; filename="b.txt"
+         |
+         |this line mentions --BN mid-line and must not split
+         |--BN--""".stripMargin
+    val atts = Parse.extractEmailAttachments(Seq((1L, msg)).toDF("id", "msg"), "msg")
+      .select(col("attach_name"), col("attach_bytes")).collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), UTF_8)).toMap
+    assert(atts("a.txt") == "bad escape =ZZ stays, trailing =",
+      "invalid QP escapes must pass through literally, not throw")
+    assert(atts("b.txt") == "this line mentions --BN mid-line and must not split",
+      "RFC 2046: only a line-leading dash-boundary delimits parts")
+  }
+
   test("extractEmailAttachments: base64 + quoted-printable parts, inline body skipped") {
     val payload = Array[Byte](1, 2, 3, -128, 127, 0)
     val b64 = java.util.Base64.getEncoder.encodeToString(payload)

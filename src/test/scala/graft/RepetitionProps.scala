@@ -14,9 +14,16 @@ import graft.plans.RepetitionPanel
   * expression's 64-bit hash keying on top of the arithmetic. */
 object RepetitionProps extends Properties("RepetitionPanel") {
 
-  // tiny vocab + mixed separators → real dup lines, paras and n-grams
-  private val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "ffff")
-  private val sep = Gen.frequency(6 -> " ", 2 -> "\n", 1 -> "\n\n")
+  // tiny vocab + mixed separators → real dup lines, paras and n-grams.
+  // The control-char words (0x1C–0x1F file/group/record/unit separators,
+  // present in real web crawls) pin the unified whitespace contract:
+  // Java-regex \s does NOT split on them, and after r13 neither do the
+  // native byte-tokenizers (Character.isWhitespace used to). A word
+  // ENDING in 0x1C also exercises the segment trim set — the documented
+  // {' ','\t','\r','\n'} only, NOT String.trim's ≤0x20 sweep.
+  private val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "ffff",
+    "agg", "b", "cc", "dd")
+  private val sep = Gen.frequency(5 -> " ", 1 -> "\t", 2 -> "\n", 1 -> "\n\n")
   private val doc: Gen[String] = for {
     n <- Gen.choose(0, 60)
     ws <- Gen.listOfN(n, word)
@@ -24,8 +31,18 @@ object RepetitionProps extends Properties("RepetitionPanel") {
   } yield if (ws.isEmpty) "" else
     ws.head + ss.zip(ws.tail).map { case (s, w) => s + w }.mkString
 
+  // the panel's documented trim set is exactly {' ','\t','\r','\n'} —
+  // String.trim would also sweep 0x1C–0x1F and hide a contract break
+  private def trimSeg(s: String): String = {
+    var a = 0; var b = s.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == '\n'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   private def segDup(parts: Seq[String]): (Double, Double) = {
-    val segs = parts.map(_.trim).filter(_.nonEmpty)
+    val segs = parts.map(trimSeg).filter(_.nonEmpty)
     var seen = Set.empty[String]
     var total = 0L; var chars = 0L; var dup = 0L; var dupChars = 0L
     segs.foreach { g =>

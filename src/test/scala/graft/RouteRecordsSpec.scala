@@ -63,6 +63,18 @@ class RouteRecordsSpec extends SparkSpec {
     assert(chunks === Array("abcd", "efgh", "ij"))
   }
 
+  test("Records.defragment reassembles STRING-indexed fragments numerically") {
+    // NiFi's fragment.index attribute is a string — 12 fragments would
+    // sort '10','11' before '2' lexically and silently corrupt content;
+    // the index must be coerced to long inside the sort struct
+    val text = "abcdefghijklmnopqrstuvwx" // 12 fragments of 2
+    val frags = (0 until 12).map(i => ("d1", i.toString, text.substring(i * 2, i * 2 + 2)))
+      .toDF("fragment_id", "fragment_index", "chunk")
+    val out = Records.defragment(frags, "fragment_id", "fragment_index", "chunk")
+      .select("content").as[String].head()
+    assert(out === text)
+  }
+
   test("Records.enforceOrder assigns dense per-key sequence") {
     val df = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("k", "t")
     val seqd = Records.enforceOrder(df, Seq("k"), Seq("t"))
