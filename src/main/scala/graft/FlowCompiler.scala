@@ -910,11 +910,12 @@ object FlowCompiler {
         Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t, cols) }: _*)
       case "UpdateRecord" =>
         // NiFi UpdateRecord: dynamic properties are RecordPath -> value
-        // (EL template); slashes become the dot paths updateField sets
+        // (EL template). RecordPath.update handles struct legs AND the
+        // array/map forms (/arr[*]/x, /arr[2]/x, /map['k']) — r13
         val cols = in.columns.toSeq
         dynamicProps(p).foldLeft(in) { case (d, (path, tmpl)) =>
           require(path.startsWith("/"), s"UpdateRecord ${p.name}: property '$path' must be a record path")
-          Records.updateField(d, path.drop(1).replace('/', '.'), compileProperty(tmpl, cols))
+          graft.functions.RecordPath.update(d, path, compileProperty(tmpl, cols))
         }
       case "RemoveRecordField" =>
         // NiFi RemoveRecordField: dynamic property VALUES are the

@@ -1947,6 +1947,60 @@ object QueriesLlm {
       |  md5(n) AS nfc_md5
       |FROM n""".stripMargin
 
+  /** Whitespace-contract fixture (r13): the synthetic corpus is
+    * plain-ASCII-spaced, so nothing ever exercised the divergence the
+    * r12 verdict flagged — native byte-tokenizers used
+    * Character.isWhitespace (which sweeps 0x1C–0x1F, the ASCII
+    * file/group/record/unit separators found in real web crawls) while
+    * `wsTokens` and every SQL oracle split on Java-regex \s. Same
+    * injection pattern as [[qNfcNormalize]]: every third doc gets 0x1C
+    * embedded after each 'a' and 0x1F before each 'r' (both engines
+    * mutate identically), then the REGEX token count, the NATIVE
+    * top-token fraction and the NATIVE panel's dup_line_frac are
+    * emitted side by side. The oracle recomputes all three from string
+    * tokens — a pass means the unified contract (TextHash.isWs == \s)
+    * holds on text that actually contains the once-divergent bytes. */
+  val qWsContract: Q = (s, d) => {
+    val mutated = when(col("doc_id") % 3 === 0,
+      regexp_replace(regexp_replace(col("text"), "a", "a\u001C"), "r", "\u001Fr"))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), mutated.as("m"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("m")).as("n_tokens"),
+        dround(graft.plans.TextHashExpressions.topTokenFraction(col("m")), 6)
+          .as("top_tok_frac"),
+        dround(graft.plans.TextHashExpressions.repetitionPanel(col("m"))
+          .getField("dup_line_frac"), 6).as("dup_line_frac"))
+  }
+  val qWsContractSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN replace(replace(text, 'a', 'a' || chr(28)), 'r', chr(31) || 'r')
+      |      ELSE text END AS m
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, t
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(m, '\s+')) AS t FROM m)
+      |  WHERE t != ''),
+      |c AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_tok_frac
+      |  FROM c GROUP BY 1),
+      |seg AS (
+      |  SELECT doc_id, trim(x, chr(32) || chr(9) || chr(13) || chr(10)) AS g
+      |  FROM (SELECT doc_id, unnest(string_split(m, chr(10))) AS x FROM m)
+      |  WHERE trim(x, chr(32) || chr(9) || chr(13) || chr(10)) != ''),
+      |sc AS (SELECT doc_id, g, count(*) AS n FROM seg GROUP BY 1, 2),
+      |ln AS (
+      |  SELECT doc_id,
+      |    round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 6) AS dup_line_frac
+      |  FROM sc GROUP BY 1)
+      |SELECT agg.doc_id, agg.n_tokens, agg.top_tok_frac, ln.dup_line_frac
+      |FROM agg JOIN ln ON agg.doc_id = ln.doc_id""".stripMargin
+
   /** Character-entropy signal (§2.4 37l, r12; the Dolma toolkit's
     * gibberish/encoding-noise detector): Shannon entropy in bits of
     * each doc's codepoint distribution via the single-pass native
@@ -2498,6 +2552,7 @@ object QueriesLlm {
     "q_temperature_mix"     -> qTemperatureMix,
     "q_stupid_backoff"      -> qStupidBackoff,
     "q_nfc_normalize"       -> qNfcNormalize,
+    "q_ws_contract"         -> qWsContract,
     "q_curation_v2"         -> qCurationV2,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
@@ -2566,6 +2621,7 @@ object QueriesLlm {
     "q_temperature_mix"     -> qTemperatureMixSql,
     "q_stupid_backoff"      -> qStupidBackoffSql,
     "q_nfc_normalize"       -> qNfcNormalizeSql,
+    "q_ws_contract"         -> qWsContractSql,
     "q_curation_v2"         -> qCurationV2Sql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,

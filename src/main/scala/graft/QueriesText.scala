@@ -112,6 +112,52 @@ object QueriesText {
       | to_json(struct_pack(cust := o_custkey, state := o_orderstatus)) AS rec_json
       |FROM orders""".stripMargin
 
+  /** UpdateRecord's WRITE half over every record-path form (r13,
+    * SURVEY 24aj): build nested structs + an array-of-structs + a map
+    * from orders columns, then
+    *   /m/state_lc        struct leaf CREATE (withField)
+    *   /tags[*]/flag      array wildcard write (every element)
+    *   /tags[-1]/rank     one indexed element (negative = from the end)
+    *   /props['k2']       map upsert (new key)
+    *   /props['k']        map upsert (overwrite)
+    * and flatten the result to scalars the DuckDB oracle recomputes
+    * directly. All codegen'd transform/withField/map primitives —
+    * narrow, zero exchanges, scan-bound at 100 TB. */
+  val qRecordUpdate: Q = (s, d) => {
+    import graft.functions.RecordPath
+    val recs = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"),
+      struct(col("o_orderstatus").as("status")).as("m"),
+      array(
+        struct(col("o_orderpriority").as("name"), lit(1).as("rank")),
+        struct(col("o_orderstatus").as("name"), lit(2).as("rank"))).as("tags"),
+      map(lit("k"), col("o_custkey")).as("props"))
+    val updated =
+      RecordPath.update(
+        RecordPath.update(
+          RecordPath.update(
+            RecordPath.update(
+              RecordPath.update(recs, "/m/state_lc", lower(col("m.status"))),
+              "/tags[*]/flag", col("o_totalprice") > 250000.0),
+            "/tags[-1]/rank", lit(99)),
+          "/props['k2']", col("o_custkey") * 2),
+        "/props['k']", lit(0L))
+    updated.select(col("o_orderkey"),
+      col("m.state_lc").as("state_lc"),
+      col("tags")(0).getField("flag").as("flag0"),
+      col("tags")(1).getField("flag").as("flag1"),
+      col("tags")(0).getField("rank").as("rank0"),
+      col("tags")(1).getField("rank").as("rank1"),
+      element_at(col("props"), "k").as("k_over"),
+      element_at(col("props"), "k2").as("k2_new"))
+  }
+  val qRecordUpdateSql: String =
+    """SELECT o_orderkey, lower(o_orderstatus) AS state_lc,
+      |  o_totalprice > 250000.0 AS flag0, o_totalprice > 250000.0 AS flag1,
+      |  1 AS rank0, 99 AS rank1,
+      |  CAST(0 AS BIGINT) AS k_over, o_custkey * 2 AS k2_new
+      |FROM orders""".stripMargin
+
   /** ExtractGrok over deterministically synthesized log lines. */
   val qExtractGrok: Q = (s, d) => {
     val lines = Tables.events(s, d).select(col("event_id"),
@@ -271,6 +317,23 @@ object QueriesText {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     FlowCompiler.compile(s, json, Map("events" -> Tables.events(s, d)))("summary")
   }
+
+  /** Committed UpdateRecord flow (r13): nested records built by
+    * QueryRecord, stamped by UpdateRecord across every record-path
+    * write form, flattened back — same semantics as [[qRecordUpdate]]
+    * but authored as flow JSON with EL value templates. */
+  val qFlowRecordUpdate: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/record_update.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    FlowCompiler.compile(s, json, Map("orders" -> Tables.orders(s, d)))("stamped")
+  }
+  val qFlowRecordUpdateSql: String =
+    """SELECT o_orderkey, lower(o_orderstatus) AS state_lc,
+      |  o_totalprice > 250000.0 AS flag0, o_totalprice > 250000.0 AS flag1,
+      |  CAST(1 AS BIGINT) AS rank0, CAST(99 AS BIGINT) AS rank1,
+      |  o_custkey AS k_over, o_custkey * 2 AS k2_new
+      |FROM orders""".stripMargin
 
   /** Two-input flow definition (JoinEnrichment): orders enriched with
     * customer via a derived join key, aggregated per market segment by
@@ -833,6 +896,7 @@ object QueriesText {
     "q_route_text"      -> qRouteText,
     "q_split_json"      -> qSplitJson,
     "q_record_fields"   -> qRecordFields,
+    "q_record_update"   -> qRecordUpdate,
     "q_extract_grok"    -> qExtractGrok,
     "q_parse_syslog"    -> qParseSyslog,
     "q_validate_csv"    -> qValidateCsv,
@@ -858,6 +922,7 @@ object QueriesText {
     "q_flow_files"      -> qFlowFiles,
     "q_flow_sink"       -> qFlowSink,
     "q_flow_jdbc_lookup" -> qFlowJdbcLookup,
+    "q_flow_record_update" -> qFlowRecordUpdate,
     "q_flow_nested"     -> qFlowNested,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
@@ -876,6 +941,7 @@ object QueriesText {
     "q_route_text"      -> qRouteTextSql,
     "q_split_json"      -> qSplitJsonSql,
     "q_record_fields"   -> qRecordFieldsSql,
+    "q_record_update"   -> qRecordUpdateSql,
     "q_extract_grok"    -> qExtractGrokSql,
     "q_parse_syslog"    -> qParseSyslogSql,
     "q_validate_csv"    -> qValidateCsvSql,
@@ -901,6 +967,7 @@ object QueriesText {
     "q_flow_files"      -> qFlowFilesSql,
     "q_flow_sink"       -> qFlowSinkSql,
     "q_flow_jdbc_lookup" -> qFlowJdbcLookupSql,
+    "q_flow_record_update" -> qFlowRecordUpdateSql,
     "q_flow_nested"     -> qFlowNestedSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,

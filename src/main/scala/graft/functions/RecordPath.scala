@@ -78,4 +78,63 @@ object RecordPath {
   /** Compile relative to an explicit root column (e.g. inside a
     * `transform` lambda or against a parsed payload struct). */
   def compile(path: String, root: Column): Column = descend(root, parse(path))
+
+  // ------------------------------------------------------------ WRITE
+
+  /** Rewrite `parent` so the path `segs` under it holds `value`;
+    * everything else is structurally unchanged. Struct legs use
+    * `withField` (which also CREATES an absent leaf — NiFi UpdateRecord
+    * semantics); `[*]` maps the write over every element; `[i]`
+    * rewrites one element (the others pass through `otherwise`, so an
+    * indexed write can only SET an existing field — creating one would
+    * give the branches different struct types); `['key']` upserts a map
+    * entry (filter-then-concat, safe under Spark's default
+    * EXCEPTION dedup policy). All codegen'd primitives, no UDFs. */
+  private def setSegs(parent: Column, segs: List[Seg], value: Column): Column =
+    segs match {
+      case Nil => value
+      case Seg(name, None) :: Nil =>
+        parent.withField(name, value)
+      case Seg(name, None) :: tail =>
+        parent.withField(name, setSegs(parent.getField(name), tail, value))
+      case Seg(name, Some(sfx)) :: tail =>
+        val target = if (name.isEmpty) parent else parent.getField(name)
+        val rewritten = rewriteSuffix(target, sfx, tail, value)
+        if (name.isEmpty) rewritten else parent.withField(name, rewritten)
+    }
+
+  private def rewriteSuffix(target: Column, sfx: String, tail: List[Seg],
+                            value: Column): Column = sfx match {
+    case "*" =>
+      transform(target, e =>
+        if (tail.isEmpty) value else setSegs(e, tail, value))
+    case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
+      require(tail.isEmpty,
+        s"RecordPath write through a map key must end at the key (got trailing path after [$q])")
+      val key = q.substring(1, q.length - 1)
+      map_concat(map_filter(target, (k, _) => k =!= lit(key)),
+        map(lit(key), value))
+    case idx =>
+      val i = idx.toInt
+      val pos = if (i >= 0) lit(i) else size(target) + i
+      transform(target, (e, j) =>
+        when(j === pos, if (tail.isEmpty) value else setSegs(e, tail, value))
+          .otherwise(e))
+  }
+
+  /** UpdateRecord's write half: SET `path` to `value` across the frame
+    * — `/a/b/c` nested struct (creates the leaf if absent), `/arr[*]/x`
+    * every element, `/arr[2]/x` one element (negative counts from the
+    * end), `/map['k']` map upsert. The value column is evaluated
+    * against the TOP-LEVEL row (outer references are fine inside the
+    * array lambdas). */
+  def update(df: org.apache.spark.sql.DataFrame, path: String,
+             value: Column): org.apache.spark.sql.DataFrame = parse(path) match {
+    case Nil => throw new IllegalArgumentException(s"empty RecordPath: $path")
+    case Seg(name, None) :: Nil => df.withColumn(name, value)
+    case Seg(name, None) :: tail =>
+      df.withColumn(name, setSegs(col(name), tail, value))
+    case Seg(name, Some(sfx)) :: tail =>
+      df.withColumn(name, rewriteSuffix(col(name), sfx, tail, value))
+  }
 }

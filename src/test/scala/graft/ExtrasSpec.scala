@@ -160,6 +160,28 @@ class ExtrasSpec extends SparkSpec {
     assert(replaced.select("id").as[Long].head === 7L)
   }
 
+  test("RecordPath.update writes through arrays and maps (UpdateRecord full paths)") {
+    import graft.functions.RecordPath
+    val df = Seq((1L, Seq(("a", 1L), ("b", 2L), ("c", 3L)), Map("k" -> 10L)))
+      .toDF("id", "tags0", "props")
+      .select(col("id"),
+        transform(col("tags0"), e =>
+          struct(e.getField("_1").as("name"), e.getField("_2").as("rank"))).as("tags"),
+        col("props"))
+    // wildcard: every element gets the new field
+    val flagged = RecordPath.update(df, "/tags[*]/flag", col("id") > 0)
+    assert(flagged.select(expr("forall(tags, t -> t.flag)")).as[Boolean].head())
+    // indexed set (negative = from the end) only touches that element
+    val ranked = RecordPath.update(df, "/tags[-1]/rank", lit(99L))
+    assert(ranked.select(expr("transform(tags, t -> t.rank)"))
+      .as[Seq[Long]].head() === Seq(1L, 2L, 99L))
+    // map upsert: new key added, existing key overwritten
+    val upserted = RecordPath.update(
+      RecordPath.update(df, "/props['k2']", lit(20L)), "/props['k']", lit(0L))
+    assert(upserted.select(element_at(col("props"), "k"),
+      element_at(col("props"), "k2")).as[(Long, Long)].head() === ((0L, 20L)))
+  }
+
   test("parseXml extracts schema fields from an XML column") {
     val df = Seq(
       (1L, "<rec><name>alpha</name><qty>3</qty></rec>"),

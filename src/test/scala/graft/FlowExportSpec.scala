@@ -12,7 +12,8 @@ class FlowExportSpec extends SparkSpec {
   private val committed = Seq(
     "composite_events", "csv_export", "enrich_orders", "file_convert",
     "lines_pipeline", "lookup_enrich", "nested_curation", "parse_syslog",
-    "syslog_stream", "kafka_pipeline", "listen_http", "jdbc_lookup")
+    "syslog_stream", "kafka_pipeline", "listen_http", "jdbc_lookup",
+    "record_update")
 
   private def resource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/flows/$name.json")
