@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * land in tools/bench_detail.json. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // `--list`: print the catalog names and exit (the fresh-JVM-per-query
+    // reference runner enumerates the catalog without hardcoding it)
+    if (args.headOption.contains("--list")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // At driver SFs, partitions = threads is right (no spill, minimal

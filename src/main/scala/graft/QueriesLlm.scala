@@ -1912,6 +1912,34 @@ object QueriesLlm {
       |FROM gated""".stripMargin
   }
 
+  /** Drop-reason rollup (r13, verdict stretch #8) — the FIRST table a
+    * curation run reads: the per-doc audit verdicts of [[qCurationV2]]
+    * collapsed to one row per drop reason under a fixed gate precedence
+    * (gopher → repetition → entropy → ccnet tail → duplicate → kept).
+    * Exactly one new exchange over the audited plan: a map-side-combined
+    * groupBy on ≤6 keys — free at any scale. */
+  val qCurationReport: Q = (s, d) => {
+    val reason = when(!col("gopher_pass"), "gopher")
+      .when(!col("rep_ok"), "repetition")
+      .when(!col("entropy_ok"), "entropy")
+      .when(col("bucket") === "tail", "ccnet_tail")
+      .when(!col("kept"), "duplicate")
+      .otherwise("kept")
+    qCurationV2(s, d)
+      .withColumn("reason", reason)
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+  }
+  val qCurationReportSql: String =
+    s"""WITH v2 AS (${qCurationV2Sql})
+       |SELECT CASE WHEN NOT gopher_pass THEN 'gopher'
+       |            WHEN NOT rep_ok THEN 'repetition'
+       |            WHEN NOT entropy_ok THEN 'entropy'
+       |            WHEN bucket = 'tail' THEN 'ccnet_tail'
+       |            WHEN NOT kept THEN 'duplicate'
+       |            ELSE 'kept' END AS reason,
+       |  count(*) AS n_docs
+       |FROM v2 GROUP BY 1""".stripMargin
+
   /** Unicode NFC normalization (§2.4 37s, r12): the dedup pre-pass real
     * pipelines run first (SlimPajama's cleaning step) — canonically
     * equivalent strings with different codepoint sequences hash apart
@@ -2156,9 +2184,16 @@ object QueriesLlm {
     * ONE-row argmax collect). Declared no-oracle: the merge sequence
     * is an iterative argmax DuckDB SQL cannot express; BpeSpec pins a
     * hand-derived merge sequence, the greedy-apply reconstruction
-    * property, and monotone token-count decrease. */
+    * property, and monotone token-count decrease.
+    *
+    * r13: the catalog runs [[graft.operators.Bpe.learnMergesFast]] —
+    * incremental Sennrich statistics on the collected word-frequency
+    * table, spec-pinned sequence-identical to the per-iteration
+    * distributed recount and flat per-merge cost at 1k merges
+    * (tools/bpe_probe_r13.json); the distributed form remains for
+    * vocabularies past one node's memory. */
   val qBpeMerges: Q = (s, d) =>
-    graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24)
+    graft.operators.Bpe.learnMergesFast(Tables.documents(s, d), "text", numMerges = 24)
 
   /** BPE corpus tokenization with the learned merges: per-doc token
     * count + an order-stable digest of the token stream. The heavy
@@ -2167,7 +2202,7 @@ object QueriesLlm {
     * the iterative learn above); spec-gated. */
   val qBpeTokens: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val merges = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 24)
+    val merges = graft.operators.Bpe.learnMergesFast(docs, "text", numMerges = 24)
     graft.operators.Bpe.applyMerges(docs, "text", merges)
       .select(col("doc_id"), col("bpe_n_tokens"),
         md5(array_join(col("bpe_tokens"), " ").cast("binary")).as("tokens_md5"))
@@ -2554,6 +2589,7 @@ object QueriesLlm {
     "q_nfc_normalize"       -> qNfcNormalize,
     "q_ws_contract"         -> qWsContract,
     "q_curation_v2"         -> qCurationV2,
+    "q_curation_report"     -> qCurationReport,
     "q_bigram_logprob"      -> qBigramLogprob,
     "q_ccnet_buckets"       -> qCcnetBuckets,
     "q_char_entropy"        -> qCharEntropy,
@@ -2623,6 +2659,7 @@ object QueriesLlm {
     "q_nfc_normalize"       -> qNfcNormalizeSql,
     "q_ws_contract"         -> qWsContractSql,
     "q_curation_v2"         -> qCurationV2Sql,
+    "q_curation_report"     -> qCurationReportSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,
     "q_ccnet_buckets"       -> qCcnetBucketsSql,
     "q_char_entropy"        -> qCharEntropySql,

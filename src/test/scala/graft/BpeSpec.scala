@@ -67,6 +67,31 @@ class BpeSpec extends SparkSpec {
     assert((got(1)._2, got(1)._3, got(1)._4) == ("es", "t", 9L))
   }
 
+  test("learnMergesFast: incremental statistics reproduce the per-iteration recount exactly") {
+    // the worked corpus first (same pin as the distributed form) —
+    // INCLUDING early exhaustion past the last possible merge
+    val k = 40
+    val slow = Bpe.learnMerges(sennrichDocs, "text", k)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val fast = Bpe.learnMergesFast(sennrichDocs, "text", k)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(fast === slow, "fast/slow merge sequences diverged on the worked corpus")
+    assert(slow.length < k, "corpus should exhaust before 40 merges (early-stop path covered)")
+    // tie-heavy random corpora: tiny alphabet forces repeated counts so
+    // the (freq desc, pair asc) tie-break actually decides merges
+    val rng = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val words = (1 to 30).map(_ =>
+        (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val s = Bpe.learnMerges(docs, "text", 12)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      val f = Bpe.learnMergesFast(docs, "text", 12)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      assert(f === s, s"trial $trial: fast/slow diverged on corpus ${words.mkString(" ")}")
+    }
+  }
+
   test("greedy apply reconstructs words and matches training-state tokenization") {
     val k = 8
     val merges = Bpe.learnMerges(sennrichDocs, "text", k)

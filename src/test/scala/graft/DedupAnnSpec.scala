@@ -165,6 +165,46 @@ class DedupAnnSpec extends SparkSpec {
     assert(again === pairs)
   }
 
+  test("3-level assignment: flat-assignment recall matches the 2-level form (r13 ≥1e9 escape)") {
+    // The two hierarchies prune DIFFERENTLY, so row-identity between
+    // them is not a theorem (each is an approximation of the flat
+    // scan); the honest pin is each form's recall of the FLAT exact
+    // cell choices, plus determinism. The 3-level form must not lose
+    // ground to the 2-level form beyond a small measured epsilon.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 700).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    for (nCells <- Seq(128, 256); probes <- Seq(1, 2)) {
+      val init = vecs
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .zipWithIndex.map { case ((_, v), i) => (i, v) }
+      val bc = spark.sparkContext.broadcast(init)
+      // flat exact: per row, the true top-`probes` cells by (cos desc, ci)
+      val flat: Set[(Long, Int)] = base.flatMap { case (id, vec) =>
+        init.map { case (ci, cv) => (ci, graft.operators.Ann.cosJvm(vec, cv)) }
+          .sortBy { case (ci, s) => (-s, ci) }.take(probes)
+          .map { case (ci, _) => (id, ci) }
+      }.toSet
+      val two = graft.operators.Ann.assignCells(spark, vecs, bc, probes)
+        .collect().map { case (id, _, c) => (id, c) }.toSet
+      val three = graft.operators.Ann.assignCells3(spark, vecs, bc, probes)
+        .collect().map { case (id, _, c) => (id, c) }.toSet
+      val r2 = (two & flat).size.toDouble / flat.size
+      val r3 = (three & flat).size.toDouble / flat.size
+      info(f"nCells=$nCells probes=$probes: flat-recall 2-level $r2%.3f, 3-level $r3%.3f")
+      assert(r3 >= r2 - 0.05,
+        f"nCells=$nCells probes=$probes: 3-level recall $r3%.3f fell >5pp below 2-level $r2%.3f")
+      assert(r3 >= 0.60, f"3-level flat-recall $r3%.3f degenerate")
+      // determinism: a second run is identical
+      val again = graft.operators.Ann.assignCells3(spark, vecs, bc, probes)
+        .collect().map { case (id, _, c) => (id, c) }.toSet
+      assert(again === three)
+    }
+  }
+
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
     // 600 spread vectors + planted dups at nCells=128: forcing
     // maxBroadcastCells past nCells keeps the old driver-collected
