@@ -554,6 +554,9 @@ object FlowCompiler {
         case "ListenSMTP" =>
           val l = graft.streaming.Smtp.listenSmtp(port, spool)
           Some(Listener(p.id, p.name, "ListenSMTP", l.port, () => l.stop()))
+        case "ListenWebSocket" =>
+          val l = graft.streaming.Ws.listenWebSocket(port, spool)
+          Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
         case _ => None
       }
     }
@@ -685,7 +688,8 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListenSMTP", "ListFTP", "GetFTP", "FetchFTP",
+        "ListenSyslog", "ListenSMTP", "ListenWebSocket",
+        "ListFTP", "GetFTP", "FetchFTP",
         "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
 
@@ -1168,6 +1172,31 @@ object FlowCompiler {
           toCol = prop(p, "To Column", "to"),
           subjectCol = prop(p, "Subject Column", "subject"),
           bodyCol = prop(p, "Body Column", "body"))
+        in
+      case "ListenWebSocket" =>
+        // websocket-ingestion SOURCE (r13): graft.streaming.Ws's RFC
+        // 6455 server spools one JSON line per complete TEXT message;
+        // the node is a streaming json source over the spool — columns
+        // (session, msg). The endpoint starts via startListeners.
+        require(inputs.isEmpty, s"$simple ${p.name} is a source — no incoming connections")
+        val spool = prop(p, "Spool Directory", "")
+        require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("session",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("msg",
+            org.apache.spark.sql.types.StringType)))
+        spark.readStream.format("json").schema(schema)
+          .option("maxFilesPerTrigger", 64).load(spool)
+      case "PutWebSocket" =>
+        // websocket SINK (r13): compiling EXECUTES the send — one JDK
+        // websocket client connection per PARTITION from the
+        // executors. Output = the sent rows.
+        val uri = prop(p, "WebSocket URI", "")
+        require(uri.nonEmpty, s"PutWebSocket ${p.name} needs a WebSocket URI")
+        graft.streaming.Ws.putWebSocket(in, uri,
+          msgCol = prop(p, "Message Column", "msg"))
         in
       case "PutTCP" | "PutUDP" =>
         // socket SINKS: compiling EXECUTES the send (newline-delimited
