@@ -68,11 +68,54 @@ object ListenHttp {
     * (`server.getAddress.getPort`). */
   def start(port: Int, spoolDir: String, path: String = "/ingest",
             suffix: String = ".dat", handlerThreads: Int = 8,
-            maxBodyBytes: Long = 256L << 20): HttpServer = {
+            maxBodyBytes: Long = 256L << 20): HttpServer =
+    startOn(HttpServer.create(new InetSocketAddress(port), 0),
+      spoolDir, path, suffix, handlerThreads, maxBodyBytes)
+
+  /** TLS form of [[start]] (NiFi runs its listeners HTTPS-always): same
+    * ingest contract over `com.sun.net.httpserver.HttpsServer`, keyed
+    * by a caller-supplied PKCS12/JKS keystore (NiFi's 'SSL Context
+    * Service'). Plain-HTTP clients are refused at the TLS layer before
+    * any handler runs. The spec generates a self-signed keystore with
+    * the JDK's own keytool and drives a client that trusts it. */
+  def startTls(port: Int, spoolDir: String, keystorePath: String,
+               keystorePass: String, path: String = "/ingest",
+               suffix: String = ".dat", handlerThreads: Int = 8,
+               maxBodyBytes: Long = 256L << 20): com.sun.net.httpserver.HttpsServer = {
+    val server = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(port), 0)
+    server.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(sslContext(keystorePath, keystorePass)))
+    startOn(server, spoolDir, path, suffix, handlerThreads, maxBodyBytes)
+      .asInstanceOf[com.sun.net.httpserver.HttpsServer]
+  }
+
+  /** SSLContext from a keystore file — shared by [[startTls]] and any
+    * client that wants to trust the same self-signed cert (the spec's
+    * truststore is the keystore). Store type inferred by extension
+    * (.p12/.pfx → PKCS12, else JKS). */
+  def sslContext(keystorePath: String, keystorePass: String): javax.net.ssl.SSLContext = {
+    val storeType =
+      if (keystorePath.endsWith(".p12") || keystorePath.endsWith(".pfx")) "PKCS12" else "JKS"
+    val ks = java.security.KeyStore.getInstance(storeType)
+    val in = Files.newInputStream(Paths.get(keystorePath))
+    try ks.load(in, keystorePass.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, keystorePass.toCharArray)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  private def startOn(server: HttpServer, spoolDir: String, path: String,
+                      suffix: String, handlerThreads: Int,
+                      maxBodyBytes: Long): HttpServer = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     val seq = new AtomicLong(0L)
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext(path, (ex: HttpExchange) => {
       try {
         if (ex.getRequestMethod != "POST") {

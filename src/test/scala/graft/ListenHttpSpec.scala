@@ -73,6 +73,44 @@ class ListenHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("TLS endpoint: HTTPS POSTs spool; plain HTTP is refused at the TLS layer") {
+    val spool = Files.createTempDirectory("graft_listen_https").toString
+    val ksDir = Files.createTempDirectory("graft_ks")
+    val ksPath = ksDir.resolve("listen.p12").toString
+    // the JDK's own keytool generates the self-signed keystore — the
+    // same operational step a NiFi SSL Context Service needs
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool", "-genkeypair",
+      "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=localhost", "-validity", "1",
+      "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "graftpass")
+      .redirectErrorStream(true).start()
+    assert(keytool.waitFor() === 0, "keytool must generate the keystore")
+    val server = ListenHttp.startTls(0, spool, ksPath, "graftpass", suffix = ".json")
+    try {
+      val port = server.getAddress.getPort
+      // client trusts the same self-signed cert (keystore as truststore)
+      val client = HttpClient.newBuilder()
+        .sslContext(ListenHttp.sslContext(ksPath, "graftpass")).build()
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:$port/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"user":"tls","n":9}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(new java.io.File(spool, r.body()).exists())
+      // plain HTTP against the TLS port dies in the handshake — no
+      // handler runs, nothing spools
+      intercept[java.io.IOException] {
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+            .POST(HttpRequest.BodyPublishers.ofString("plaintext")).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      assert(new java.io.File(spool).listFiles().count(_.getName.endsWith(".json")) === 1)
+    } finally server.stop(0)
+  }
+
   test("request-reply: live POSTs block until the streaming flow answers them") {
     val spool = Files.createTempDirectory("graft_hhr_spool").toString
     val replies = Files.createTempDirectory("graft_hhr_reply").toString
