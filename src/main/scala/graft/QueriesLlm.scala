@@ -840,6 +840,78 @@ object QueriesLlm {
       |  WHERE c.vec_id != q.vec_id)
       |WHERE rk <= 5""".stripMargin
 
+  /** Product quantization encode (§2.4 35e, r13 — Jégou et al. 2011,
+    * the FAISS IVF-PQ compression layer): 64-dim int8 codes → 8
+    * codebook indexes (8 bytes/vector). Deterministic hash-pick
+    * codebook + exact integer L2 argmin, so the oracle replays the
+    * encoding bit-exactly. Narrow pass against the broadcast 16-entry
+    * codebook — scan-bound at 100 TB, and the output IS the resident
+    * search index (32× smaller than the raw floats). */
+  val qEmbedPq: Q = (s, d) =>
+    graft.operators.Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 8, kCodes = 16)
+      .select(col("vec_id"),
+        array_join(col("pq").cast("array<string>"), ",").as("pq"))
+  val qEmbedPqSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale FROM e),
+      |c AS (SELECT vec_id, list_transform(v, x -> floor(x / scale + 0.5)) AS c FROM s),
+      |book AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, c AS bc
+      |         FROM c ORDER BY vec_id LIMIT 16),
+      |pairs AS (
+      |  SELECT c.vec_id, sub.s, book.j,
+      |    list_sum([ (c.c[sub.s*8+i] - book.bc[sub.s*8+i]) * (c.c[sub.s*8+i] - book.bc[sub.s*8+i])
+      |               FOR i IN range(1, 9) ]) AS dist
+      |  FROM c, (SELECT unnest(range(0, 8)) AS s) sub, book),
+      |best AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+      |    FROM pairs) WHERE rn = 1)
+      |SELECT vec_id, string_agg(j, ',' ORDER BY s) AS pq FROM best GROUP BY 1""".stripMargin
+
+  /** PQ ADC top-k (§2.4 35e, r13): search over the compressed codes —
+    * per query, one m·kCodes integer LUT, score = m table lookups per
+    * corpus vector (never touching the original floats), rank by
+    * (adc DESC, vec_id). The shuffle carries (query, vec, score)
+    * triples only. Exact-integer arithmetic end-to-end → full SQL
+    * oracle. The rerank path (exact cosine over the ADC shortlist) is
+    * spec-gated in DedupAnnSpec. */
+  val qPqTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Pq.adcTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 8, kCodes = 16, rerankFactor = 0)
+  }
+  val qPqTopkSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+      |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale FROM e),
+      |c AS (SELECT vec_id, list_transform(v, x -> floor(x / scale + 0.5)) AS c FROM s),
+      |book AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, c AS bc
+      |         FROM c ORDER BY vec_id LIMIT 16),
+      |pairs AS (
+      |  SELECT c.vec_id, sub.s, book.j,
+      |    list_sum([ (c.c[sub.s*8+i] - book.bc[sub.s*8+i]) * (c.c[sub.s*8+i] - book.bc[sub.s*8+i])
+      |               FOR i IN range(1, 9) ]) AS dist
+      |  FROM c, (SELECT unnest(range(0, 8)) AS s) sub, book),
+      |best AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+      |    FROM pairs) WHERE rn = 1),
+      |qc AS (SELECT vec_id AS query_id, c AS qcodes FROM c WHERE vec_id < 8),
+      |lut AS (SELECT q.query_id, sub.s, book.j,
+      |    CAST(list_sum([ q.qcodes[sub.s*8+i] * book.bc[sub.s*8+i] FOR i IN range(1, 9) ]) AS BIGINT) AS dot
+      |  FROM qc q, (SELECT unnest(range(0, 8)) AS s) sub, book),
+      |score AS (SELECT l.query_id, b.vec_id, CAST(sum(l.dot) AS BIGINT) AS adc
+      |  FROM best b JOIN lut l ON b.s = l.s AND b.j = l.j
+      |  WHERE b.vec_id != l.query_id GROUP BY 1, 2)
+      |SELECT query_id, vec_id, adc, rk FROM (
+      |  SELECT query_id, vec_id, adc,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk
+      |  FROM score) WHERE rk <= 5""".stripMargin
+
   /** Within-document repetition signal (Gopher-style top-token share). */
   val qRepetition: Q = (s, d) => {
     Tables.documents(s, d).select(col("doc_id"),
@@ -2557,6 +2629,8 @@ object QueriesLlm {
     "q_ann_lsh"             -> qAnnLsh,
     "q_ann_ivf"             -> qAnnIvf,
     "q_embed_quantized"     -> qEmbedQuantized,
+    "q_embed_pq"            -> qEmbedPq,
+    "q_pq_topk"             -> qPqTopk,
     "q_repetition"          -> qRepetition,
     "q_redact_pii"          -> qRedactPii,
     "q_contamination"       -> qContamination,
@@ -2627,6 +2701,8 @@ object QueriesLlm {
     "q_semantic_dedup"      -> qSemanticDedupSql,
     "q_embed_cosine_topk"   -> qEmbedCosineTopkSql,
     "q_embed_quantized"     -> qEmbedQuantizedSql,
+    "q_embed_pq"            -> qEmbedPqSql,
+    "q_pq_topk"             -> qPqTopkSql,
     "q_repetition"          -> qRepetitionSql,
     "q_redact_pii"          -> qRedactPiiSql,
     "q_contamination"       -> qContaminationSql,

@@ -205,6 +205,39 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ: identical vectors share codes; ADC top-k + rerank recall exact neighbors") {
+    import graft.operators.{Ann, Pq}
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    // planted EXACT duplicate: identical vector → identical int8 codes
+    // → identical PQ codes → maximal ADC score for its twin's query
+    val corpus = (base :+ ((900L, base(123)._2.clone()))).toDF("vec_id", "embedding")
+    val codes = Pq.encode(corpus, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(900L) === codes(123L), "identical vectors must share PQ codes")
+    assert(codes.values.map(_.size).toSet === Set(8), "m=8 codes per vector")
+    // ADC alone must put the planted twin at rank 1 for query 123
+    val queries = corpus.filter(col("vec_id").isin(123L, 7L, 42L))
+    val adc = Pq.adcTopK(spark, corpus, queries, k = 10)
+      .filter(col("query_id") === 123L).orderBy("rk")
+      .select("vec_id").as[Long].collect()
+    assert(adc.head === 900L, s"twin not at ADC rank 1: ${adc.take(3).toSeq}")
+    // shortlist+refine: recall@10 vs exact brute force, a calibrated floor
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Pq.adcTopK(spark, corpus, queries, k = 10, rerankFactor = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (rr & exact).size.toDouble / exact.size
+    info(f"PQ rerank recall@10 = $recall%.3f")
+    assert(recall >= 0.5, f"PQ rerank recall@10 $recall%.3f below floor")
+    // determinism
+    val again = Pq.adcTopK(spark, corpus, queries, k = 10, rerankFactor = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === rr)
+  }
+
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
     // 600 spread vectors + planted dups at nCells=128: forcing
     // maxBroadcastCells past nCells keeps the old driver-collected
