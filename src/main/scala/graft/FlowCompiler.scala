@@ -1198,6 +1198,25 @@ object FlowCompiler {
         graft.streaming.Ws.putWebSocket(in, uri,
           msgCol = prop(p, "Message Column", "msg"))
         in
+      case "PutSyslog" =>
+        // syslog SINK (r13): format each row as an RFC 3164 line (the
+        // exact inverse of ParseSyslog) and send over TCP or UDP — one
+        // executor-side connection per partition. Output = sent rows.
+        val host = prop(p, "Hostname", "")
+        val port = prop(p, "Port", "")
+        require(host.nonEmpty && port.nonEmpty, s"PutSyslog ${p.name} needs Hostname and Port")
+        val line = graft.operators.Parse.syslogLine(
+          col(prop(p, "Facility Column", "facility")).cast("int"),
+          col(prop(p, "Severity Column", "severity")).cast("int"),
+          col(prop(p, "Timestamp Column", "sl_ts")),
+          col(prop(p, "Host Column", "sl_host")),
+          col(prop(p, "Tag Column", "sl_tag")),
+          col(prop(p, "Message Column", "sl_msg")))
+        val framed = in.withColumn("__syslog", line)
+        if (prop(p, "Protocol", "TCP").equalsIgnoreCase("UDP"))
+          graft.streaming.Net.putUdp(framed, host, port.trim.toInt, "__syslog")
+        else graft.streaming.Net.putTcp(framed, host, port.trim.toInt, "__syslog")
+        in
       case "PutTCP" | "PutUDP" =>
         // socket SINKS: compiling EXECUTES the send (newline-delimited
         // over TCP, one datagram per row over UDP; one connection per

@@ -102,6 +102,17 @@ object Parse {
       .withColumn("sl_msg", grp(6))
   }
 
+  /** PutSyslog's formatting half (r13): compose an RFC 3164 line from
+    * columns — the exact inverse of [[parseSyslog]], so a
+    * putSyslog → ListenSyslog → parseSyslog round-trip recovers every
+    * field (the spec pins it). pri = facility·8 + severity (§4.1.1).
+    * Pure codegen'd concat — format then hand to `Net.putTcp`/`putUdp`
+    * (or any sink). */
+  def syslogLine(facility: Column, severity: Column, ts: Column, host: Column,
+                 tag: Column, msg: Column): Column =
+    concat(lit("<"), (facility * 8 + severity).cast("int").cast("string"), lit(">"),
+      ts, lit(" "), host, lit(" "), tag, lit(": "), msg)
+
   /** Dotted-quad IPv4 → unsigned 32-bit value as a long (for range/CIDR
     * joins). Null for malformed addresses (ANSI-safe). */
   def ipv4ToLong(c: Column): Column = {

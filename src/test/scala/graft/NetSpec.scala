@@ -97,6 +97,42 @@ class NetSpec extends SparkSpec {
     } finally listener.stop()
   }
 
+  test("PutSyslog flow: formatted RFC 3164 lines survive a listen -> parse round-trip") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-putsyslog").toString
+    val listener = Net.listenTcp(0, spool, batchSize = 1, flushMs = 100)
+    try {
+      val rows = Seq(
+        (4, 2, "Oct 11 22:14:15", "edge1", "sshd", "session opened"),
+        (1, 5, "Oct 12 08:00:01", "edge2", "cron", "job started"))
+        .toDF("facility", "severity", "sl_ts", "sl_host", "sl_tag", "sl_msg")
+      val flow = FlowCompiler.parse(
+        s"""{"flowContents": {"name": "sysout",
+           |  "processors": [
+           |    {"identifier": "ps", "name": "emit", "type": "PutSyslog",
+           |     "properties": {"Hostname": "127.0.0.1", "Port": "${listener.port}",
+           |                    "Protocol": "TCP"}}],
+           |  "inputPorts": [{"identifier": "i", "name": "events"}],
+           |  "outputPorts": [{"identifier": "o", "name": "sent"}],
+           |  "connections": [
+           |    {"source": {"id": "i"}, "destination": {"id": "ps"}},
+           |    {"source": {"id": "ps"}, "destination": {"id": "o"}}]}}""".stripMargin)
+      val outs = FlowCompiler.compile(spark, flow, Map("events" -> rows))
+      assert(outs("sent").count() === 2)
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.read.textFile(spool).count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // the lines must parse back to EXACTLY the fields that were sent
+      val parsed = graft.operators.Parse.parseSyslog(
+          spark.read.textFile(spool).toDF("value"), "value")
+        .select("facility", "severity", "sl_ts", "sl_host", "sl_tag", "sl_msg")
+        .orderBy("sl_host")
+        .as[(Int, Int, String, String, String, String)].collect()
+      assert(parsed === Array(
+        (4, 2, "Oct 11 22:14:15", "edge1", "sshd", "session opened"),
+        (1, 5, "Oct 12 08:00:01", "edge2", "cron", "job started")))
+    } finally listener.stop()
+  }
+
   test("graft_hmac is callable from SQL with literal key, rejects column keys") {
     spark.sql("SELECT hex(graft_hmac('what do ya want for nothing?', 'Jefe')) AS m")
       .as[String].collect() match {
