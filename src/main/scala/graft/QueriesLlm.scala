@@ -2280,6 +2280,23 @@ object QueriesLlm {
         md5(array_join(col("bpe_tokens"), " ").cast("binary")).as("tokens_md5"))
   }
 
+  /** Unigram-LM tokenization (§2.4 38i, r13 — Kudo 2018, the
+    * SentencePiece unigram model; with BPE this covers both production
+    * subword families): train on the corpus's word-frequency table
+    * (one shuffle, then vocabulary-local EM + pruning), Viterbi-best
+    * segmentation per word with the piece table broadcast. No-oracle
+    * (EM + Viterbi are iterative argmax SQL can't express);
+    * UnigramLmSpec pins Viterbi optimality against brute-force
+    * segmentation enumeration, reconstruction, determinism and the
+    * memo contract. */
+  val qUlmTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = graft.operators.UnigramLm.train(docs, "text", vocabSize = 64)
+    graft.operators.UnigramLm.tokenize(docs, "text", model)
+      .select(col("doc_id"), col("ulm_n_tokens"),
+        md5(array_join(col("ulm_tokens"), " ").cast("binary")).as("tokens_md5"))
+  }
+
   /** Heavy hitters (§2.6, r10): corpus token frequencies through the
     * mergeable Misra-Gries frequent-items sketch. On the bounded
     * 31-token vocabulary nothing evicts at any SF, so every estimate is
@@ -2672,6 +2689,7 @@ object QueriesLlm {
     "q_dsir_sample"         -> qDsirSample,
     "q_bpe_merges"          -> qBpeMerges,
     "q_bpe_tokens"          -> qBpeTokens,
+    "q_ulm_tokens"          -> qUlmTokens,
     "q_heavy_hitters"       -> qHeavyHitters,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
