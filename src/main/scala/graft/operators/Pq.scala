@@ -89,6 +89,94 @@ object Pq {
     }.toDF("vec_id", "pq")
   }
 
+  /** IVF-PQ (r13): the full FAISS composite — IVF cells prune WHICH
+    * vectors are scored, PQ codes decide HOW each survivor is scored
+    * (m LUT lookups, originals untouched), and an exact-cosine rerank
+    * refines the shortlist. At 100 TB this is the architecture that
+    * makes embedding search tractable: the resident index is
+    * (cell id + m bytes) per vector, the scan per query touches
+    * ~nProbe/nCells of the corpus, and full-precision vectors are
+    * fetched only for the final rerank candidates.
+    *
+    * Reuses [[Ann.ivfTopK]]'s centroid machinery verbatim (hash-picked
+    * cells, deterministic assignment incl. the >64-cell hierarchical
+    * path) and this object's codebook/LUT arithmetic — so every stage
+    * is deterministic and the spec can pin planted-twin recall and
+    * run-to-run equality. */
+  def ivfAdcTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
+                 rerankFactor: Int = 4): DataFrame = {
+    import spark.implicits._
+    // IVF side: centroids + cell per corpus vector, nProbe cells per query
+    val init: Array[(Int, Array[Float])] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val bcCells = spark.sparkContext.broadcast(init)
+    val cCell = Ann.assignCells(spark, corpus, bcCells, 1).toDF("vec_id", "c_vec", "cell")
+      .select("vec_id", "cell")
+    val qCell = Ann.assignCells(spark, queries, bcCells, nProbe).toDF("query_id", "q_vec", "cell")
+      .select("query_id", "cell")
+    // PQ side: codes per corpus vector + per-query LUTs
+    val book = codebook(corpus, "vec_id", "embedding", kCodes)
+    val d = book(0).length
+    val sub = d / m
+    val coded = encode(corpus, "vec_id", "embedding", m, kCodes).join(cCell, "vec_id")
+    val qCodes = int8Codes(queries, "vec_id", "embedding")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val luts: Array[(Long, Array[Array[Long]])] = qCodes.map { case (qid, qc) =>
+      val lut = Array.ofDim[Long](m, book.length)
+      var s = 0
+      while (s < m) {
+        val off = s * sub
+        var j = 0
+        while (j < book.length) {
+          var dot = 0L
+          var i = 0
+          while (i < sub) { dot += qc(off + i).toLong * book(j)(off + i).toLong; i += 1 }
+          lut(s)(j) = dot
+          j += 1
+        }
+        s += 1
+      }
+      (qid, lut)
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts.toMap)
+    // candidates = corpus rows in a probed cell; score by LUT
+    val cand = coded.join(broadcast(qCell), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("vec_id"), col("pq"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val ls = bcLuts.value
+        it.map { case (qid, id, pq) =>
+          val lut = ls(qid)
+          var adc = 0L
+          var s = 0
+          while (s < m) { adc += lut(s)(pq(s)); s += 1 }
+          (qid, id, adc)
+        }
+      }.toDF("query_id", "vec_id", "adc")
+      .groupBy("query_id", "vec_id").agg(max("adc").as("adc")) // multi-probe dedup
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * math.max(rerankFactor, 1))
+      .select("query_id", "vec_id")
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val exact = shortlist.join(c, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** ADC top-k: approximate per-query top-k over the PQ codes, with
     * optional exact re-rank. Queries = rows of `queries` (small set,
     * broadcast). Score(v) = Σ_s intDot(query_subcodes_s,

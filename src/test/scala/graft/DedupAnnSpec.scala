@@ -238,6 +238,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(again === rr)
   }
 
+  test("IVF-PQ composite: planted twin recalled at rank 1; recall floor vs exact; deterministic") {
+    import graft.operators.{Ann, Pq}
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base :+ ((900L, base(217)._2.clone()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(217L, 5L, 77L))
+    val got = Pq.ivfAdcTopK(spark, corpus, queries, k = 10,
+      nCells = 16, nProbe = 6, rerankFactor = 6)
+    // identical twin: same cell assignment, identical PQ codes, exact
+    // rerank cos = 1.0 → rank 1 for query 217
+    val twin = got.filter(col("query_id") === 217L).orderBy("rk")
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    assert(twin.head === ((900L, 1.0)), s"twin not at rank 1: ${twin.take(3).toSeq}")
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val mine = got.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (mine & exact).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 = $recall%.3f (nProbe 6/16, rerank 6x)")
+    assert(recall >= 0.3, f"IVF-PQ recall $recall%.3f degenerate")
+    val again = Pq.ivfAdcTopK(spark, corpus, queries, k = 10,
+      nCells = 16, nProbe = 6, rerankFactor = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === mine)
+  }
+
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
     // 600 spread vectors + planted dups at nCells=128: forcing
     // maxBroadcastCells past nCells keeps the old driver-collected
