@@ -13,7 +13,7 @@ class FlowExportSpec extends SparkSpec {
     "composite_events", "csv_export", "enrich_orders", "file_convert",
     "lines_pipeline", "lookup_enrich", "nested_curation", "parse_syslog",
     "syslog_stream", "kafka_pipeline", "listen_http", "jdbc_lookup",
-    "record_update")
+    "record_update", "ws_syslog_edge")
 
   private def resource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/flows/$name.json")

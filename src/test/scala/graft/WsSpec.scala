@@ -113,6 +113,44 @@ class WsSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("committed ws_syslog_edge flow: listeners start, both legs deliver live") {
+    val spool = freshDir("committed") + "/spool"
+    val sysSpool = freshDir("sysspool")
+    val sysListener = graft.streaming.Net.listenTcp(0, sysSpool, batchSize = 1)
+    val json = {
+      val in = getClass.getResourceAsStream("/flows/ws_syslog_edge.json")
+      require(in != null, "committed flow missing")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val flow = FlowCompiler.parse(json)
+    val listeners = FlowCompiler.startListeners(flow,
+      Map("spool.dir" -> spool, "syslog.port" -> "1", "ws.port" -> "1"))
+    assert(listeners.map(_.tpe) === Seq("ListenWebSocket"))
+    val wsPort = listeners.head.port
+    try {
+      val rows = Seq((4, 6, "Oct 13 09:30:00", "edge9", "graft", "ws edge live"))
+        .toDF("facility", "severity", "sl_ts", "sl_host", "sl_tag", "sl_msg")
+      val outs = FlowCompiler.compile(spark, flow, Map("events" -> rows),
+        Map("spool.dir" -> spool, "syslog.port" -> sysListener.port.toString,
+            "ws.port" -> wsPort.toString))
+      assert(outs("audited").count() === 1)
+      // leg 1: the RFC 3164 line reached the TCP syslog receiver
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.textFile(sysSpool).count() < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val line = spark.read.textFile(sysSpool).as[String].head()
+      assert(line === "<38>Oct 13 09:30:00 edge9 graft: ws edge live")
+      // leg 2: PutWebSocket posted into the flow's own ListenWebSocket
+      while (spark.read.json(spool).count() < 1 &&
+             System.currentTimeMillis() < deadline + 5000) Thread.sleep(100)
+      val inbound = outs("inbound")
+      assert(inbound.isStreaming)
+      val q = Streams.toMemorySink(inbound.select("msg"), "ws_edge_mem")
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table("ws_edge_mem").as[String].collect().toSeq === Seq("ws edge live"))
+    } finally { listeners.foreach(_.stop()); sysListener.stop() }
+  }
+
   test("flow vocabulary: ListenWebSocket starts from flow JSON; PutWebSocket sink sends") {
     val spool = freshDir("flow") + "/spool"
     val flow = FlowCompiler.parse(
