@@ -7,6 +7,34 @@ import graft.sources.Io
 import graft.streaming.Streams
 
 class IoStreamsSpec extends SparkSpec {
+
+  test("writeParquetBloom: footer carries bloom offsets for exactly the requested columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
+    val df = (0L until 5000L).map(i => (i, s"u$i", i % 7)).toDF("id", "name", "bucket")
+    Io.writeParquetBloom(df, dir, Seq("id", "name"), ndv = 5000)
+    // data round-trips
+    assert(spark.read.parquet(dir).count() === 5000)
+    assert(spark.read.parquet(dir).filter(col("id") === 4321L)
+      .select("name").as[String].head() === "u4321")
+    // footer: bloom offsets present for id+name, absent for bucket
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns
+      val offsets = (0 until cols.size).map { i =>
+        val c = cols.get(i)
+        c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)
+      }.toMap
+      assert(offsets("id") && offsets("name"),
+        s"requested columns must carry bloom filters: $offsets")
+      assert(!offsets("bucket"), s"unrequested column must not: $offsets")
+    } finally reader.close()
+  }
   import spark.implicits._
 
   private def tmpDir(tag: String): String =
