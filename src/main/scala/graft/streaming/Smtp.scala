@@ -37,6 +37,28 @@ object Smtp {
     }
   }
 
+  /** Bounded line read (the other half of the listener's memory
+    * contract — `maxMessageBytes` bounds TOTAL buffering but
+    * BufferedReader.readLine would still materialize one arbitrarily
+    * long LINE before any check runs): reads up to `max` chars of one
+    * CRLF/LF-terminated line; a longer line is TRUNCATED (the rest of
+    * it is consumed and discarded) and flagged. Returns (line, truncated),
+    * line == null at EOF. */
+  private[streaming] def readLineBounded(in: java.io.Reader, max: Int): (String, Boolean) = {
+    val b = new StringBuilder
+    var truncated = false
+    var c = in.read()
+    if (c < 0) return (null, false)
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') {
+        if (b.length < max) b.append(c.toChar)
+        else truncated = true // keep consuming to EOL, buffer no more
+      }
+      c = in.read()
+    }
+    (b.toString, truncated)
+  }
+
   private def jsonStr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
@@ -118,12 +140,15 @@ object Smtp {
                 new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
               def reply(s: String): Unit = { out.print(s + "\r\n"); out.flush() }
               reply(s"220 $hostname ESMTP graft")
+              val dataLineMax = math.min(maxMessageBytes, 1L << 20).toInt
               var from: String = null
               var rcpts = List.empty[String]
-              var line = in.readLine()
+              var lt = readLineBounded(in, 4096)
+              var line = lt._1
               while (line != null && !stop.get()) {
                 val u = line.toUpperCase(java.util.Locale.ROOT)
-                if (u.startsWith("EHLO") || u.startsWith("HELO")) reply(s"250 $hostname")
+                if (lt._2) reply("500 line too long")
+                else if (u.startsWith("EHLO") || u.startsWith("HELO")) reply(s"250 $hostname")
                 else if (u.startsWith("MAIL FROM:")) {
                   from = line.substring(10).trim.stripPrefix("<").stripSuffix(">")
                   rcpts = Nil
@@ -140,16 +165,19 @@ object Smtp {
                     reply("354 End data with <CRLF>.<CRLF>")
                     val data = new StringBuilder
                     var oversize = false
-                    var dl = in.readLine()
+                    var dlt = readLineBounded(in, dataLineMax)
+                    var dl = dlt._1
                     while (dl != null && dl != ".") {
                       // dot-unstuffing (RFC 5321 §4.5.2)
                       val d = if (dl.startsWith("..")) dl.substring(1) else dl
-                      if (!oversize && data.length + d.length + 1 > maxMessageBytes) {
+                      if (!oversize &&
+                          (dlt._2 || data.length + d.length + 1 > maxMessageBytes)) {
                         oversize = true      // stop buffering; keep consuming
                         data.setLength(0)    // release what we held
                       }
                       if (!oversize) data.append(d).append('\n')
-                      dl = in.readLine()
+                      dlt = readLineBounded(in, dataLineMax)
+                      dl = dlt._1
                     }
                     if (dl == null) reply("451 connection lost in DATA")
                     else if (oversize) {
@@ -171,7 +199,7 @@ object Smtp {
                 else if (u == "NOOP") reply("250 OK")
                 else if (u == "QUIT") { reply("221 bye"); line = null }
                 else reply("500 unrecognized command")
-                if (line != null) line = in.readLine()
+                if (line != null) { lt = readLineBounded(in, 4096); line = lt._1 }
               }
             } catch { case _: java.io.IOException => () } // peer reset
             finally { try sock.close() catch { case _: Throwable => () }

@@ -158,6 +158,35 @@ class EmailSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("listenSmtp: one giant LINE can't buffer past the cap; long commands get 500") {
+    val spool = freshDir("linecap")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1, maxMessageBytes = 1024)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", l.port)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8))
+      def cmd(s: String, code: String): Unit = {
+        if (s != null) { out.print(s + "\r\n"); out.flush() }
+        val r = in.readLine(); assert(r != null && r.startsWith(code), s"'${Option(s).map(_.take(40))}' -> '$r'")
+      }
+      cmd(null, "220")
+      // a 64 KiB command line: 500, session stays in sync
+      cmd("X" * 65536, "500")
+      cmd("EHLO tester", "250")
+      cmd("MAIL FROM:<big@x>", "250")
+      cmd("RCPT TO:<b@y>", "250")
+      out.print("DATA\r\n"); out.flush(); assert(in.readLine().startsWith("354"))
+      // ONE newline-less 8 MiB payload line against a 1 KiB cap: must be
+      // refused (bounded reader truncates; nothing past the cap buffers)
+      out.print("Y" * (8 << 20)); out.print("\r\n.\r\n"); out.flush()
+      assert(in.readLine().startsWith("552"))
+      cmd("QUIT", "221")
+      sock.close()
+      assert(new java.io.File(spool).listFiles() == null ||
+        new java.io.File(spool).listFiles().isEmpty, "nothing may spool")
+    } finally l.stop()
+  }
+
   test("listenSmtp: connections past maxConnections are greeted with 421") {
     val spool = freshDir("conncap")
     val l = Smtp.listenSmtp(0, spool, maxConnections = 1)
