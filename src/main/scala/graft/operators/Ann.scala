@@ -116,8 +116,10 @@ object Ann {
     * bound on either side. Results are identical. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 0,
-              broadcastQueries: Boolean = true): DataFrame = {
+              broadcastQueries: Boolean = true, assignLevels: Int = 2): DataFrame = {
     import spark.implicits._
+    require(assignLevels == 2 || assignLevels == 3,
+      s"assignLevels must be 2 or 3, got $assignLevels")
     val init: Array[(Int, Array[Float])] = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -128,8 +130,12 @@ object Ann {
       if (lloydIters > 0) refineCentroids(spark, corpus, init, lloydIters) else init
     val bc = spark.sparkContext.broadcast(centroids)
 
+    // assignLevels = 3 routes through the cube-root hierarchy
+    // ([[assignCells3]]) — the ≥10⁹-vector escape; crossover documented
+    // there. Default stays the 2-level scan.
     def cells(df: DataFrame, idAlias: String, vecAlias: String, probes: Int): DataFrame =
-      assignCells(spark, df, bc, probes).toDF(idAlias, vecAlias, "cell")
+      (if (assignLevels == 3) assignCells3(spark, df, bc, probes)
+       else assignCells(spark, df, bc, probes)).toDF(idAlias, vecAlias, "cell")
 
     val c = cells(corpus, "vec_id", "c_vec", 1)
     val q = cells(queries, "query_id", "q_vec", nProbe)

@@ -205,6 +205,25 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK at assignLevels=3: planted twin still at rank 1, deterministic") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(37)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base :+ ((901L, base(311)._2.clone()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(311L, 9L))
+    val got = Ann.ivfTopK(spark, corpus, queries, k = 5,
+      nCells = 128, nProbe = 4, assignLevels = 3)
+    val twin = got.filter(col("query_id") === 311L).orderBy("rk")
+      .select("vec_id").as[Long].collect()
+    assert(twin.head === 901L, s"twin not at rank 1 under 3-level routing: ${twin.toSeq}")
+    val again = Ann.ivfTopK(spark, corpus, queries, k = 5,
+      nCells = 128, nProbe = 4, assignLevels = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === got.select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("PQ: identical vectors share codes; ADC top-k + rerank recall exact neighbors") {
     import graft.operators.{Ann, Pq}
     val rnd = new scala.util.Random(23)
