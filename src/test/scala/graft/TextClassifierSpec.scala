@@ -41,6 +41,34 @@ class TextClassifierSpec extends SparkSpec {
     assert(acc >= 0.95, f"accuracy $acc%.3f below floor")
   }
 
+  test("batch-trained weights score a STREAM row-identically to batch (ingest-time gate)") {
+    // the FineWeb-style deployment: train once offline, gate the
+    // firehose at ingest — scoring is one narrow pass, so the same
+    // weights run unchanged on a Structured Streaming source
+    val train = corpus(400, seed = 5).toDF("doc_id", "text", "label")
+    val w = TextClassifier.train(train, "doc_id", "text", "label")
+    val fresh = corpus(60, seed = 123)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_stream").toString
+    fresh.zipWithIndex.foreach { case ((id, text, _), i) =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, s"d$i.json"),
+        s"""{"doc_id":$id,"text":"$text"}""" + "\n")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val streamed = TextClassifier.score(
+      graft.streaming.Streams.fileStream(spark, dir, schema), "doc_id", "text", w)
+      .select("doc_id", "quality_score")
+    assert(streamed.isStreaming)
+    val q = graft.streaming.Streams.toMemorySink(streamed, "clf_stream")
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clf_stream").as[(Long, Double)].collect().toSet
+    val want = TextClassifier.score(
+      fresh.toDF("doc_id", "text", "label"), "doc_id", "text", w)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toSet
+    assert(got === want, "streaming scores must be row-identical to batch")
+  }
+
   test("scores are a usable gate: positives rank above negatives with a wide margin") {
     val train = corpus(400, seed = 5).toDF("doc_id", "text", "label")
     val w = TextClassifier.train(train, "doc_id", "text", "label")
