@@ -20,11 +20,16 @@ class OracleSelfSpec extends SparkSpec {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
   // one per family: TPC-H agg, the three r12 panels, both mixture
   // allocators, LM scoring, the composed pipeline, plain text analysis
+  // — plus the r13 additions: the whitespace-contract fixture, the
+  // record-path WRITE, the curation drop-reason rollup, and the PQ
+  // pair (integer encode + ADC ranking replayed bit-exactly)
   private val picks = Seq(
     "q1_pricing_summary", "q_gopher_rules", "q_gopher_repetition",
     "q_c4_rules", "q_unimax_quota", "q_temperature_mix",
     "q_stupid_backoff", "q_curation_v2", "q_char_entropy",
-    "q_token_count")
+    "q_token_count",
+    "q_ws_contract", "q_record_update", "q_curation_report",
+    "q_embed_pq", "q_pq_topk")
 
   private def canonCell(v: Any): String = v match {
     case null => "\u2400"
