@@ -145,58 +145,19 @@ object UnigramLm {
   }
 
   /** Tokenize `textCol` with a trained piece table: adds `ulm_tokens`
-    * and `ulm_n_tokens`. The model (vocabSize rows) broadcasts;
-    * per-thread word memo bounded by `memoCap` — the [[Bpe.applyMerges]]
-    * contract. */
+    * and `ulm_n_tokens`. r13: applies through the NATIVE
+    * [[graft.plans.UlmEncode]] expression — the vocabSize-row model
+    * rides in the expression instance (task-local `memoCap`-bounded
+    * word memo, no ThreadLocal), same contract as
+    * [[Bpe.applyMerges]]'s `graft_bpe_encode`. */
   def tokenize(docs: DataFrame, textCol: String, model: DataFrame,
                maxPieceLen: Int = 6, memoCap: Int = 1 << 17): DataFrame = {
-    val spark = docs.sparkSession
-    val table: Array[(String, Double)] = model.select("piece", "logp")
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
-    val bc = spark.sparkContext.broadcast(table)
-    val bcId = bc.id
-    val tok = udf { (text: String) =>
-      if (text == null) Array.empty[String]
-      else {
-        val lp = Memo.mapForModel(bcId, bc.value)
-        val memo = Memo.forModel(bcId)
-        val out = Array.newBuilder[String]
-        text.toLowerCase.split("\\s+").foreach { w =>
-          if (w.nonEmpty) {
-            var t = memo.get(w)
-            if (t == null) {
-              t = viterbi(w, lp, maxPieceLen)
-              if (memo.size < memoCap) memo.put(w, t)
-            }
-            out ++= t
-          }
-        }
-        out.result()
-      }
-    }
-    docs.withColumn("ulm_tokens", tok(col(textCol)))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val table: Seq[(String, Double)] = model.select("piece", "logp")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val enc = ColumnBridge.column(graft.plans.UlmEncode(
+      ColumnBridge.expression(col(textCol)), table, maxPieceLen, memoCap))
+    docs.withColumn("ulm_tokens", enc)
       .withColumn("ulm_n_tokens", size(col("ulm_tokens")))
-  }
-
-  /** Per-thread (model-keyed) memo + materialized logp map — same
-    * broadcast-id-keyed discipline as [[Bpe.Memo]] so models never
-    * bleed across queries. */
-  private object Memo {
-    private val tl = new ThreadLocal[(Long, java.util.HashMap[String, Array[String]],
-                                      java.util.HashMap[String, java.lang.Double])]()
-    def forModel(bcId: Long): java.util.HashMap[String, Array[String]] = {
-      val cur = tl.get()
-      if (cur == null || cur._1 != bcId) reset(bcId, null)._2 else cur._2
-    }
-    def mapForModel(bcId: Long, table: Array[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
-      val cur = tl.get()
-      if (cur == null || cur._1 != bcId || cur._3.isEmpty) reset(bcId, table)._3 else cur._3
-    }
-    private def reset(bcId: Long, table: Array[(String, Double)]) = {
-      val lp = new java.util.HashMap[String, java.lang.Double]()
-      if (table != null) table.foreach { case (p, v) => lp.put(p, v) }
-      val t = (bcId, new java.util.HashMap[String, Array[String]](), lp)
-      tl.set(t); t
-    }
   }
 }
