@@ -912,6 +912,27 @@ object QueriesLlm {
       |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk
       |  FROM score) WHERE rk <= 5""".stripMargin
 
+  /** Persistent IVF-PQ index (§2.4 35g, r14): build the index ONCE —
+    * centroids + codebook + cell-PARTITIONED codes as open parquet
+    * tables (partition dirs = the inverted lists, bloom filters on
+    * vec_id) — then serve the query batch FROM the index: no
+    * re-encoding, no corpus pass at search time, which is the
+    * build-once/search-many contract a real 100 TB ANN deployment
+    * runs. Probing every cell (nProbe = nCells) makes the served
+    * ranking provably equal to the flat ADC scan, so the exact-integer
+    * SQL oracle replays the whole build → persist → load → search
+    * round-trip; partial-probe serving is pinned row-identical to
+    * [[graft.operators.Pq.ivfAdcTopK]] in DedupAnnSpec. */
+  val qPqIndex: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_pq_index_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    graft.operators.Pq.buildIndex(s, emb, path, nCells = 16, m = 8, kCodes = 16)
+    graft.operators.Pq.searchIndex(s, path, emb.filter(col("vec_id") < 8), k = 5,
+      nProbe = 16, rerankFactor = 0)
+  }
+  val qPqIndexSql: String = qPqTopkSql
+
   /** Within-document repetition signal (Gopher-style top-token share). */
   val qRepetition: Q = (s, d) => {
     Tables.documents(s, d).select(col("doc_id"),
@@ -2685,6 +2706,7 @@ object QueriesLlm {
     "q_embed_quantized"     -> qEmbedQuantized,
     "q_embed_pq"            -> qEmbedPq,
     "q_pq_topk"             -> qPqTopk,
+    "q_pq_index"            -> qPqIndex,
     "q_repetition"          -> qRepetition,
     "q_redact_pii"          -> qRedactPii,
     "q_contamination"       -> qContamination,
@@ -2759,6 +2781,7 @@ object QueriesLlm {
     "q_embed_quantized"     -> qEmbedQuantizedSql,
     "q_embed_pq"            -> qEmbedPqSql,
     "q_pq_topk"             -> qPqTopkSql,
+    "q_pq_index"            -> qPqIndexSql,
     "q_repetition"          -> qRepetitionSql,
     "q_redact_pii"          -> qRedactPiiSql,
     "q_contamination"       -> qContaminationSql,

@@ -29,7 +29,17 @@ import org.apache.spark.sql.functions._
   * the same model-not-data contract as the BPE merge table. ADC search
   * shuffles only (query, vec, score) triples; at 100 TB the PQ codes
   * are the resident index (d/m·8× smaller than raw embeddings) and
-  * re-ranking fetches originals for the top candidates only. */
+  * re-ranking fetches originals for the top candidates only.
+  *
+  * r14: the index is PERSISTENT — [[buildIndex]] writes centroids +
+  * codebook + cell-partitioned codes once, [[searchIndex]] serves any
+  * number of query batches against that layout without re-encoding
+  * (the build-once/search-many contract every real IVF-PQ deployment
+  * has); and shortlist ranking switched from a per-query `row_number`
+  * window over the RAW candidate stream (one shuffle partition per
+  * query — a skew funnel at 10⁹ vectors) to the per-partition bounded
+  * heap + narrow merge that [[Ann.bruteForceTopKPartitioned]] already
+  * uses for exactly this shape. */
 object Pq {
 
   /** (id, codes) with codes = integer-valued array<double>. */
@@ -47,15 +57,15 @@ object Pq {
       .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
   }
 
-  /** Encode every vector as `m` codebook indexes: per subspace, the
-    * argmin exact-integer L2 distance to the codebook entries (ties →
-    * smaller index). Output: (vec_id, pq array<int>). */
-  def encode(df: DataFrame, idCol: String, vecCol: String,
-             m: Int = 8, kCodes: Int = 16): DataFrame = {
+  /** Encode against an ALREADY-COMPUTED codebook — the single quantize
+    * pass all callers share ([[ivfAdcTopK]]/[[adcTopK]] previously
+    * recomputed the codebook collect inside [[encode]] on top of their
+    * own; now each computes it exactly once and passes it down). */
+  private[graft] def encodeWithBook(df: DataFrame, idCol: String, vecCol: String,
+                                    book: Array[Array[Double]], m: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val book = codebook(df, idCol, vecCol, kCodes)
-    require(book.nonEmpty, "PQ: empty corpus")
+    require(book.nonEmpty, "PQ: empty codebook")
     val d = book(0).length
     require(d % m == 0, s"PQ: dim $d not divisible by m=$m")
     val sub = d / m
@@ -89,6 +99,102 @@ object Pq {
     }.toDF("vec_id", "pq")
   }
 
+  /** Encode every vector as `m` codebook indexes: per subspace, the
+    * argmin exact-integer L2 distance to the codebook entries (ties →
+    * smaller index). Output: (vec_id, pq array<int>). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             m: Int = 8, kCodes: Int = 16): DataFrame =
+    encodeWithBook(df, idCol, vecCol, codebook(df, idCol, vecCol, kCodes), m)
+
+  /** Per-query LUTs from collected query int8 codes: lut(s)(j) =
+    * intDot(query_subcodes_s, book(j)_s). Query sets are
+    * dimension-table-sized by contract (the [[Ann]] broadcast posture),
+    * so the collect is bounded. */
+  private def queryLuts(queries: DataFrame, book: Array[Array[Double]],
+                        m: Int): Array[(Long, Array[Array[Long]])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val d = book(0).length
+    val sub = d / m
+    int8Codes(queries, "vec_id", "embedding")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (qid, qc) =>
+        val lut = Array.ofDim[Long](m, book.length)
+        var s = 0
+        while (s < m) {
+          val off = s * sub
+          var j = 0
+          while (j < book.length) {
+            var dot = 0L
+            var i = 0
+            while (i < sub) { dot += qc(off + i).toLong * book(j)(off + i).toLong; i += 1 }
+            lut(s)(j) = dot
+            j += 1
+          }
+          s += 1
+        }
+        (qid, lut)
+      }
+  }
+
+  /** Per-query top-k over scored (query_id, vec_id, adc) triples via
+    * per-partition bounded heaps + a narrow merge — the
+    * [[Ann.bruteForceTopKPartitioned]] shape. The raw candidate stream
+    * (~nProbe/nCells of the corpus per query) never crosses a
+    * per-query window: each partition emits at most queries × k rows,
+    * so the merge window sees ≤ partitions × queries × k rows —
+    * bounded, never corpus-sized. Ranking key (adc DESC, vec_id ASC)
+    * is identical to the old window form, so output is row-identical. */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val partial = scored
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("adc").cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // per query: bounded min-heap keyed (adc asc, id desc) so the
+        // worst kept candidate is on top
+        val ord = Ordering.by[(Long, Long), (Long, Long)] { case (adc, id) => (-adc, id) }
+        val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]()
+        it.foreach { case (qid, id, adc) =>
+          var h = heaps.get(qid)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+            heaps.put(qid, h)
+          }
+          if (h.size < k) h.enqueue((adc, id))
+          else {
+            val (wAdc, wId) = h.head
+            if (adc > wAdc || (adc == wAdc && id < wId)) { h.dequeue(); h.enqueue((adc, id)) }
+          }
+        }
+        val out = Vector.newBuilder[(Long, Long, Long)]
+        heaps.forEach { (qid, h) => h.foreach { case (adc, id) => out += ((qid, id, adc)) } }
+        out.result().iterator
+      }.toDF("query_id", "vec_id", "adc")
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    partial.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Exact-cosine rerank of an ADC shortlist: fetch originals for the
+    * shortlist only, rank by (cos_sim DESC, vec_id). The window input
+    * is shortlist-sized (queries × rerankFactor·k), not corpus-sized. */
+  private def rerankExact(shortlist: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val exact = shortlist.join(c, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** IVF-PQ (r13): the full FAISS composite — IVF cells prune WHICH
     * vectors are scored, PQ codes decide HOW each survivor is scored
     * (m LUT lookups, originals untouched), and an exact-cosine rerank
@@ -102,79 +208,27 @@ object Pq {
     * cells, deterministic assignment incl. the >64-cell hierarchical
     * path) and this object's codebook/LUT arithmetic — so every stage
     * is deterministic and the spec can pin planted-twin recall and
-    * run-to-run equality. */
+    * run-to-run equality. For build-once/search-many use
+    * [[buildIndex]]/[[searchIndex]], which produce row-identical
+    * results from the persisted layout. */
   def ivfAdcTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
                  nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
                  rerankFactor: Int = 4): DataFrame = {
     import spark.implicits._
     // IVF side: centroids + cell per corpus vector, nProbe cells per query
-    val init: Array[(Int, Array[Float])] = corpus
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val init = pickCentroids(spark, corpus, nCells)
     val bcCells = spark.sparkContext.broadcast(init)
     val cCell = Ann.assignCells(spark, corpus, bcCells, 1).toDF("vec_id", "c_vec", "cell")
       .select("vec_id", "cell")
     val qCell = Ann.assignCells(spark, queries, bcCells, nProbe).toDF("query_id", "q_vec", "cell")
       .select("query_id", "cell")
-    // PQ side: codes per corpus vector + per-query LUTs
+    // PQ side: ONE codebook collect feeds corpus encode + query LUTs
     val book = codebook(corpus, "vec_id", "embedding", kCodes)
-    val d = book(0).length
-    val sub = d / m
-    val coded = encode(corpus, "vec_id", "embedding", m, kCodes).join(cCell, "vec_id")
-    val qCodes = int8Codes(queries, "vec_id", "embedding")
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val luts: Array[(Long, Array[Array[Long]])] = qCodes.map { case (qid, qc) =>
-      val lut = Array.ofDim[Long](m, book.length)
-      var s = 0
-      while (s < m) {
-        val off = s * sub
-        var j = 0
-        while (j < book.length) {
-          var dot = 0L
-          var i = 0
-          while (i < sub) { dot += qc(off + i).toLong * book(j)(off + i).toLong; i += 1 }
-          lut(s)(j) = dot
-          j += 1
-        }
-        s += 1
-      }
-      (qid, lut)
-    }
-    val bcLuts = spark.sparkContext.broadcast(luts.toMap)
-    // candidates = corpus rows in a probed cell; score by LUT
-    val cand = coded.join(broadcast(qCell), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id").cast("long"), col("vec_id"), col("pq"))
-      .as[(Long, Long, Array[Int])]
-      .mapPartitions { it =>
-        val ls = bcLuts.value
-        it.map { case (qid, id, pq) =>
-          val lut = ls(qid)
-          var adc = 0L
-          var s = 0
-          while (s < m) { adc += lut(s)(pq(s)); s += 1 }
-          (qid, id, adc)
-        }
-      }.toDF("query_id", "vec_id", "adc")
-      .groupBy("query_id", "vec_id").agg(max("adc").as("adc")) // multi-probe dedup
-    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k * math.max(rerankFactor, 1))
+    val coded = encodeWithBook(corpus, "vec_id", "embedding", book, m).join(cCell, "vec_id")
+    val cand = scoreCandidates(spark, coded, qCell, queries, book, m)
+    val shortlist = heapTopK(cand, k * math.max(rerankFactor, 1))
       .select("query_id", "vec_id")
-    val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val exact = shortlist.join(c, "vec_id").join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(graft.functions.VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6)
-          .as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
-    val w2 = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"),
-        col("rk").cast("long").as("rk"))
+    rerankExact(shortlist, corpus, queries, k)
   }
 
   /** ADC top-k: approximate per-query top-k over the PQ codes, with
@@ -189,30 +243,8 @@ object Pq {
               m: Int = 8, kCodes: Int = 16, rerankFactor: Int = 0): DataFrame = {
     import spark.implicits._
     val book = codebook(corpus, "vec_id", "embedding", kCodes)
-    val d = book(0).length
-    val sub = d / m
-    val coded = encode(corpus, "vec_id", "embedding", m, kCodes)
-    val bcBook = spark.sparkContext.broadcast(book)
-    // per-query LUT: lut(s)(j) = intDot(query_codes[s], book(j)[s])
-    val qCodes = int8Codes(queries, "vec_id", "embedding")
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val luts: Array[(Long, Array[Array[Long]])] = qCodes.map { case (qid, qc) =>
-      val lut = Array.ofDim[Long](m, book.length)
-      var s = 0
-      while (s < m) {
-        val off = s * sub
-        var j = 0
-        while (j < book.length) {
-          var dot = 0L
-          var i = 0
-          while (i < sub) { dot += qc(off + i).toLong * bcBook.value(j)(off + i).toLong; i += 1 }
-          lut(s)(j) = dot
-          j += 1
-        }
-        s += 1
-      }
-      (qid, lut)
-    }
+    val coded = encodeWithBook(corpus, "vec_id", "embedding", book, m)
+    val luts = queryLuts(queries, book, m)
     val bcLuts = spark.sparkContext.broadcast(luts)
     val scored = coded.as[(Long, Array[Int])].mapPartitions { it =>
       val ls = bcLuts.value
@@ -225,26 +257,146 @@ object Pq {
         }
       }
     }.toDF("query_id", "vec_id", "adc")
-    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
     if (rerankFactor <= 0) {
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      heapTopK(scored, k)
         .select(col("query_id"), col("vec_id"), col("adc"),
           col("rk").cast("long").as("rk"))
     } else {
-      val shortlist = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k * rerankFactor)
-        .select("query_id", "vec_id")
-      val c = corpus.select(col("vec_id"), col("embedding").as("c_vec"))
-      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      val exact = shortlist.join(c, "vec_id").join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          round(graft.functions.VectorFunctions.cosine(col("c_vec"), col("q_vec")), 6)
-            .as("cos_sim"))
-        .filter(!isnan(col("cos_sim")))
-      val w2 = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+      val shortlist = heapTopK(scored, k * rerankFactor).select("query_id", "vec_id")
+      rerankExact(shortlist, corpus, queries, k)
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Persistent index (r14): build once, serve many query batches.
+  // ---------------------------------------------------------------------------
+
+  /** Hash-picked IVF centroids — byte-identical to [[Ann.ivfTopK]]'s
+    * init (no RNG, no training job): the `nCells` corpus vectors with
+    * the smallest xxhash64(vec_id), indexed 0..nCells-1 in vec_id
+    * order. */
+  private def pickCentroids(spark: SparkSession, corpus: DataFrame,
+                            nCells: Int): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+  }
+
+  /** Candidate scoring shared by the inline and index-serving paths:
+    * corpus codes join the (broadcast) probed query cells, each
+    * surviving (query, vec) pair is scored with m LUT lookups, and
+    * multi-probe duplicates collapse via max(adc) (the score is
+    * cell-independent, so max = the one value). */
+  private def scoreCandidates(spark: SparkSession, coded: DataFrame, qCell: DataFrame,
+                              queries: DataFrame, book: Array[Array[Double]],
+                              m: Int): DataFrame = {
+    import spark.implicits._
+    val luts = queryLuts(queries, book, m)
+    val bcLuts = spark.sparkContext.broadcast(luts.toMap)
+    coded.join(broadcast(qCell), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("vec_id"), col("pq"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val ls = bcLuts.value
+        it.map { case (qid, id, pq) =>
+          val lut = ls(qid)
+          var adc = 0L
+          var s = 0
+          while (s < m) { adc += lut(s)(pq(s)); s += 1 }
+          (qid, id, adc)
+        }
+      }.toDF("query_id", "vec_id", "adc")
+      .groupBy("query_id", "vec_id").agg(max("adc").as("adc"))
+  }
+
+  /** Build a persistent IVF-PQ index under `path` — the
+    * build-once/search-many layout a 100 TB deployment actually runs
+    * (FAISS's index file, re-expressed as open parquet tables any
+    * engine can read):
+    *
+    *   - `path/centroids`: (cell, cvec) — the hash-picked IVF
+    *     centroids, model-sized;
+    *   - `path/codebook`:  (j, bc) — the PQ codebook, model-sized;
+    *   - `path/codes`:     (vec_id, pq, cell) PARTITIONED BY cell —
+    *     the partition directories ARE the inverted lists, so a query
+    *     probing nProbe of nCells cells reads only those directories
+    *     (partition pruning does the IVF scan cut at the storage
+    *     layer); column bloom filters on vec_id make point lookups
+    *     (rerank fetch, deletion checks) skip row groups;
+    *   - `path/meta`:      one row of (m, k_codes, n_cells).
+    *
+    * The resident index is (cell + m bytes)/vector — 8 B/vector at
+    * m=8 — vs the raw float corpus; originals stay in the corpus
+    * table and are only fetched by the rerank join. Building costs
+    * one centroid pick, one codebook collect, and one encode pass;
+    * [[searchIndex]] then serves arbitrarily many query batches with
+    * NO corpus pass at all. */
+  def buildIndex(spark: SparkSession, corpus: DataFrame, path: String,
+                 nCells: Int = 16, m: Int = 8, kCodes: Int = 16): Unit = {
+    import spark.implicits._
+    val cents = pickCentroids(spark, corpus, nCells)
+    val bcCells = spark.sparkContext.broadcast(cents)
+    val book = codebook(corpus, "vec_id", "embedding", kCodes)
+    val cCell = Ann.assignCells(spark, corpus, bcCells, 1).toDF("vec_id", "c_vec", "cell")
+      .select("vec_id", "cell")
+    val coded = encodeWithBook(corpus, "vec_id", "embedding", book, m)
+      .join(cCell, "vec_id")
+    graft.sources.Io.writeParquetBloom(coded, s"$path/codes",
+      bloomCols = Seq("vec_id"), partitionCols = Seq("cell"))
+    cents.toSeq.toDF("cell", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    book.zipWithIndex.map { case (bc, j) => (j, bc) }.toSeq.toDF("j", "bc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, kCodes, nCells)).toDF("m", "k_codes", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve a query batch from a persisted index — NO re-encoding, no
+    * corpus pass: centroids + codebook load as the model (collect,
+    * bounded by nCells/kCodes), the probed cells prune the codes read
+    * to nProbe/nCells of the partition directories, and scoring +
+    * shortlist ranking run exactly the arithmetic of [[ivfAdcTopK]]
+    * (DedupAnnSpec pins row-identity between the two). With
+    * `rerankFactor > 0` pass the full-precision corpus as
+    * `rerankCorpus` for the exact-cosine refine; with 0 the output is
+    * the pure-ADC ranking (query_id, vec_id, adc, rk) — exact integer
+    * arithmetic end-to-end, SQL-oracle replayable. */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+                  nProbe: Int = 4, rerankFactor: Int = 0,
+                  rerankCorpus: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("m", "k_codes", "n_cells").as[(Int, Int, Int)].head()
+    val m = meta._1
+    val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("cvec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val book: Array[Array[Double]] = spark.read.parquet(s"$path/codebook")
+      .select(col("j").cast("int"), col("bc"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bcCells = spark.sparkContext.broadcast(cents)
+    val qCellDs = Ann.assignCells(spark, queries, bcCells, nProbe)
+    val qAssign: Array[(Long, Int)] = qCellDs.collect().map { case (id, _, c) => (id, c) }
+    val probed = qAssign.map(_._2).distinct.sorted
+    val qCell = qAssign.toSeq.toDF("query_id", "cell")
+    // partition pruning: only the probed cell directories are read
+    val coded = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("pq"), col("cell"))
+    val cand = scoreCandidates(spark, coded, qCell, queries, book, m)
+    if (rerankFactor <= 0) {
+      heapTopK(cand, k)
+        .select(col("query_id"), col("vec_id"), col("adc"),
           col("rk").cast("long").as("rk"))
+    } else {
+      val corpus = rerankCorpus.getOrElse(throw new IllegalArgumentException(
+        "searchIndex: rerankFactor > 0 needs rerankCorpus (the index stores codes, not originals)"))
+      val shortlist = heapTopK(cand, k * rerankFactor).select("query_id", "vec_id")
+      rerankExact(shortlist, corpus, queries, k)
     }
   }
 }

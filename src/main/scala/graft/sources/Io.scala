@@ -125,13 +125,16 @@ object Io {
     * asserts the footer really carries bloom offsets for exactly the
     * requested columns and that the data round-trips. */
   def writeParquetBloom(df: DataFrame, path: String, bloomCols: Seq[String],
-                        ndv: Long = 1000000L, compression: String = "zstd"): Unit = {
+                        ndv: Long = 1000000L, compression: String = "zstd",
+                        partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite").option("compression", compression)
     val configured = bloomCols.foldLeft(w) { (acc, c) =>
       acc.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
-    configured.parquet(path)
+    val laid = if (partitionCols.isEmpty) configured
+               else configured.partitionBy(partitionCols: _*)
+    laid.parquet(path)
   }
 
   /** PartitionRecord + PutFile: hive-partitioned parquet layout. The

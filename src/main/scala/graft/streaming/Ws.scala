@@ -212,9 +212,19 @@ object Ws {
         val e = new Array[Byte](8)
         if (!readFully(e)) return
         len = e.foldLeft(0L)((a, x) => (a << 8) | (x & 0xFF))
+        // §5.2: the 64-bit length MUST have MSB=0; a negative value
+        // would bypass the size bound and blow up the array alloc
+        if (len < 0) { closeWith(1002); return }
       }
       if (!masked) { closeWith(1002); return }       // client MUST mask (§5.1)
-      if (len > maxMessageBytes || msg.size() + len > maxMessageBytes) {
+      val isControl = (opcode & 0x8) != 0
+      if (isControl) {
+        // §5.5: control frames are bounded at 125 bytes and must not
+        // count against the fragmented-message accumulation (a ping
+        // arriving mid-message near the cap is not an oversize message)
+        if (len > 125) { closeWith(1002); return }
+      } else if (len > Int.MaxValue || len > maxMessageBytes ||
+                 msg.size() + len > maxMessageBytes) {
         closeWith(1009); return                       // message too big
       }
       val mask = new Array[Byte](4)

@@ -284,6 +284,40 @@ class DedupAnnSpec extends SparkSpec {
     assert(again === mine)
   }
 
+  test("persistent PQ index: searchIndex ≡ inline IVF-PQ row-identically; full probe ≡ flat ADC") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base :+ ((900L, base(217)._2.clone()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(217L, 5L, 77L))
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 16, m = 8, kCodes = 16)
+    // the layout is really cell-partitioned (inverted lists = partition dirs)
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes must be partitioned by cell")
+    // partial probe + rerank: ROW-identical to the inline composite
+    val served = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 6,
+        rerankFactor = 6, rerankCorpus = Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val inline = Pq.ivfAdcTopK(spark, corpus, queries, k = 10,
+        nCells = 16, nProbe = 6, rerankFactor = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served === inline, "index-served results must equal inline IVF-PQ")
+    // full probe, no rerank: equals the flat ADC scan (the q_pq_index
+    // oracle config — the SQL oracle replays the whole persisted path)
+    val full = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val flat = Pq.adcTopK(spark, corpus, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full === flat, "full-probe index search must equal flat ADC")
+    // a second, different batch serves from the SAME files — no rebuild
+    val q2 = corpus.filter(col("vec_id").isin(11L, 300L))
+    assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 6).count() === 10)
+  }
+
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
     // 600 spread vectors + planted dups at nCells=128: forcing
     // maxBroadcastCells past nCells keeps the old driver-collected
