@@ -557,6 +557,9 @@ object FlowCompiler {
         case "ListenWebSocket" =>
           val l = graft.streaming.Ws.listenWebSocket(port, spool)
           Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
+        case "ConsumeMQTT" =>
+          val l = graft.streaming.Mqtt.listenMqtt(port, spool)
+          Some(Listener(p.id, p.name, "ConsumeMQTT", l.port, () => l.stop()))
         case _ => None
       }
     }
@@ -659,6 +662,10 @@ object FlowCompiler {
     "PutTCP"             -> Set("Hostname", "Port", "Value Column"),
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
     "ListenSMTP"         -> Set("Listening Port", "Spool Directory"),
+    // r14 MQTT edge (broker-side ingress + per-partition egress)
+    "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory"),
+    "PublishMQTT"        -> Set("Hostname", "Port", "Topic", "Topic Column",
+                                "Payload Column", "Quality of Service"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
                                 "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
@@ -688,7 +695,7 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListenSMTP", "ListenWebSocket",
+        "ListenSyslog", "ListenSMTP", "ListenWebSocket", "ConsumeMQTT",
         "ListFTP", "GetFTP", "FetchFTP",
         "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
@@ -1189,6 +1196,38 @@ object FlowCompiler {
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
           .option("maxFilesPerTrigger", 64).load(spool)
+      case "ConsumeMQTT" =>
+        // MQTT-ingestion SOURCE (r14): graft.streaming.Mqtt's 3.1.1
+        // broker endpoint spools one JSON line per accepted PUBLISH;
+        // the node is a streaming json source over the spool — columns
+        // (client, topic, payload). The endpoint starts via
+        // startListeners.
+        require(inputs.isEmpty, s"$simple ${p.name} is a source — no incoming connections")
+        val spool = prop(p, "Spool Directory", "")
+        require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("client",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("topic",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.StringType)))
+        spark.readStream.format("json").schema(schema)
+          .option("maxFilesPerTrigger", 64).load(spool)
+      case "PublishMQTT" =>
+        // MQTT SINK (r14): compiling EXECUTES the publish — one MQTT
+        // client connection per PARTITION from the executors, QoS 1
+        // PUBACK-awaited by default. Output = the published rows.
+        val host = prop(p, "Hostname", "")
+        val port = prop(p, "Port", "")
+        require(host.nonEmpty && port.nonEmpty, s"PublishMQTT ${p.name} needs Hostname and Port")
+        graft.streaming.Mqtt.putMqtt(in, host, port.trim.toInt,
+          payloadCol = prop(p, "Payload Column", "payload"),
+          topicCol = prop(p, "Topic Column", "topic"),
+          topic = prop(p, "Topic", ""),
+          qos = prop(p, "Quality of Service", "1").trim.toInt)
+        in
       case "PutWebSocket" =>
         // websocket SINK (r13): compiling EXECUTES the send — one JDK
         // websocket client connection per PARTITION from the
