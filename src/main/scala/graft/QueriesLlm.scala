@@ -504,6 +504,37 @@ object QueriesLlm {
       |       ELSE 'und' END AS lang_pred
       |FROM r""".stripMargin
 
+  /** Learned language ID (§2.4 #36a, r14): the fastText langid
+    * architecture (Joulin et al. 2016) — K one-vs-rest logistic heads
+    * over hashed char n-gram features — trained DISTRIBUTED on a
+    * deterministic hash slice of the corpus's labeled docs (the
+    * sorted-group bit-deterministic gradients of the quality
+    * classifier), then predicted over ALL docs with the native
+    * `graft_langid` expression (no per-row UDF). Real curation
+    * pipelines gate on langid scores before everything else; the
+    * 31-word stopword heuristic (`q_lang_id`) stays as the zero-model
+    * fallback. Rows-only (float GD is not SQL-replayable);
+    * TextClassifierSpec pins held-out confusion accuracy (1.00 on a
+    * 5-language corpus with real per-language character profiles) and
+    * bit-determinism. Honest caveat on THIS corpus: the driver
+    * testdata's `lang` label is statistically independent of `text`
+    * (every lang shares one English-ish vocabulary at near-identical
+    * frequencies — verified by per-lang top-word counts), so the
+    * trained model correctly converges to the majority class here;
+    * the separable-corpus spec is the quality gate, this query is the
+    * distributed-mechanism gate. */
+  val qLangIdLearned: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // train on the hash-1 fifth — langid saturates on a small labeled
+    // slice; the other 4/5 of the corpus is genuinely held out
+    val train = docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 1)
+    val (labels, w) = graft.operators.TextClassifier.trainMultinomial(
+      train, "doc_id", "text", "lang", dim = 1 << 13, iters = 8)
+    graft.operators.TextClassifier.predictLang(docs, "text", labels, w)
+      .select(col("doc_id"), col("lang_pred"),
+        (col("lang_pred") === col("lang")).as("agree"))
+  }
+
   /** Document fingerprint (§2.4 #39): normalize → md5. */
   val qFingerprint: Q = (s, d) => {
     Tables.documents(s, d).select(
@@ -2750,6 +2781,7 @@ object QueriesLlm {
     "q_bpe_tokens"          -> qBpeTokens,
     "q_ulm_tokens"          -> qUlmTokens,
     "q_quality_classifier"  -> qQualityClassifier,
+    "q_lang_id_learned"     -> qLangIdLearned,
     "q_heavy_hitters"       -> qHeavyHitters,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
