@@ -355,6 +355,37 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append new vectors to a persisted index WITHOUT retraining — the
+    * FAISS `add()` contract: the index OWNS its model (centroids +
+    * codebook are what the initial build trained; appends quantize
+    * into that model, they never shift it), so an append costs one
+    * encode pass over the NEW vectors only and writes only the cell
+    * partitions those vectors land in (dynamic partition overwrite is
+    * deliberately NOT used — appends add files inside `cell=` dirs,
+    * existing files untouched). Vec ids must be globally unique across
+    * builds+appends — the caller's contract, same as FAISS. */
+  def appendToIndex(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("m", "k_codes", "n_cells").as[(Int, Int, Int)].head()
+    val m = meta._1
+    val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("cvec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val book: Array[Array[Double]] = spark.read.parquet(s"$path/codebook")
+      .select(col("j").cast("int"), col("bc"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bcCells = spark.sparkContext.broadcast(cents)
+    val cCell = Ann.assignCells(spark, vectors, bcCells, 1).toDF("vec_id", "c_vec", "cell")
+      .select("vec_id", "cell")
+    val coded = encodeWithBook(vectors, "vec_id", "embedding", book, m)
+      .join(cCell, "vec_id")
+    coded.write.mode("append")
+      .option("parquet.bloom.filter.enabled#vec_id", "true") // match the build's layout
+      .option("parquet.bloom.filter.expected.ndv#vec_id", "1000000")
+      .partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Serve a query batch from a persisted index — NO re-encoding, no
     * corpus pass: centroids + codebook load as the model (collect,
     * bounded by nCells/kCodes), the probed cells prune the codes read
@@ -398,5 +429,67 @@ object Pq {
       val shortlist = heapTopK(cand, k * rerankFactor).select("query_id", "vec_id")
       rerankExact(shortlist, corpus, queries, k)
     }
+  }
+
+  // ---------------------------------------------------------------------------
+  // OPQ-lite (r14): deterministic variance-balanced dim permutation.
+  // ---------------------------------------------------------------------------
+
+  /** OPQ-lite dim permutation — the honest first rung of the FAISS OPQ
+    * ladder (Ge, He, Ke & Sun 2013 learn a full rotation; a PERMUTATION
+    * is the rotation subgroup that keeps every coordinate value, and
+    * therefore the bit-exact integer ADC oracle story, intact): per-dim
+    * variance of the int8 codes is computed with EXACT integer sums
+    * (Σc, Σc², n — the variance ORDER needs n·Σc² − (Σc)², never a
+    * float division), dims are ranked by that order (ties → smaller
+    * dim), and ranked dims are dealt round-robin across the m subspaces
+    * so no subspace hoards the high-variance coordinates. PQ spends
+    * kCodes codebook entries per subspace; when the signal concentrates
+    * in dims that land together, that one subspace's quantization error
+    * dominates ADC and recall collapses — dealing the strong dims apart
+    * is the classic fix. Returns `perm` where output position i reads
+    * input dim perm(i); subspace s owns positions [s·sub, (s+1)·sub). */
+  def variancePerm(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int): Array[Int] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = int8Codes(df, idCol, vecCol)
+      .select(posexplode(col("c")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("long")).as("s"),
+        sum((col("v") * col("v")).cast("long")).as("s2"))
+      .select(col("dim").cast("int"),
+        (col("n") * col("s2") - col("s") * col("s")).as("varNum"))
+      .as[(Int, Long)].collect()
+    val d = stats.length
+    require(d % m == 0, s"variancePerm: dim $d not divisible by m=$m")
+    val sub = d / m
+    val ranked = stats.sortBy { case (dim, varNum) => (-varNum, dim) }.map(_._1)
+    // deal: rank r → subspace r % m, position within subspace r / m
+    val perm = new Array[Int](d)
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      perm((r % m) * sub + r / m) = dim
+    }
+    perm
+  }
+
+  /** Apply a dim permutation to a float-array embedding column (output
+    * position i = input dim perm(i)) — a fixed projection of array
+    * elements, codegen-friendly, no UDF. Per-vector int8 quantization
+    * scale (max |x|) is permutation-invariant, so permuted codes are
+    * exactly the permuted original codes. */
+  def permute(df: DataFrame, vecCol: String, perm: Array[Int]): DataFrame =
+    df.withColumn(vecCol, array(perm.toSeq.map(i => col(vecCol).getItem(i)): _*))
+
+  /** ADC top-k over variance-balanced permuted dims — [[adcTopK]] with
+    * the OPQ-lite pre-rotation. The exact-cosine rerank (if any) is
+    * unaffected: a permutation preserves dot products and norms, so
+    * cosine over permuted vectors equals cosine over originals. */
+  def adcTopKOpq(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+                 m: Int = 8, kCodes: Int = 16, rerankFactor: Int = 0): DataFrame = {
+    val perm = variancePerm(corpus, "vec_id", "embedding", m)
+    adcTopK(spark, permute(corpus, "embedding", perm),
+      permute(queries, "embedding", perm), k, m, kCodes, rerankFactor)
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{col, lit}
   * Role reversal, same as ListenSMTP: NiFi's ConsumeMQTT is a CLIENT of
   * an external broker; offline there is no broker jar, so the ingress
   * here is BROKER-SIDE — [[listenMqtt]] accepts CONNECT / SUBSCRIBE /
-  * PUBLISH (QoS 0–1) from any MQTT 3.1.1 client and spools each
+  * PUBLISH (QoS 0–2) from any MQTT 3.1.1 client and spools each
   * received PUBLISH as one JSON line `{"client":…,"topic":…,
   * "payload":…}` (atomic tmp+rename, batched — the [[Net.listenTcp]]
   * contract), and the flow binds to the spool DIRECTORY, not the
@@ -39,13 +39,14 @@ import org.apache.spark.sql.functions.{col, lit}
   *   - remaining-length varint is capped at 4 bytes by the spec and at
   *     `maxPacketBytes` here; oversize drops the connection before any
   *     payload allocation;
-  *   - QoS 2 is refused (connection dropped) — NiFi bounds its own
-  *     delivery at the broker's grant too;
   *   - connections past `maxConnections` get CONNACK return code 0x03
   *     ("server unavailable") and are closed before any session state;
   *   - QoS-1 re-delivery (DUP=1 with a recently-PUBACKed packet id —
   *     the client lost our PUBACK) re-acks WITHOUT spooling a
-  *     duplicate, via a bounded per-session id window.
+  *     duplicate, via a bounded per-session id window;
+  *   - QoS 2 runs §4.3.3 method A exactly-once: a pid is "pending"
+  *     from first PUBLISH to its PUBREL, retransmits in that window
+  *     re-PUBREC without re-spooling, PUBREL → PUBCOMP releases it.
   */
 object Mqtt {
 
@@ -297,6 +298,9 @@ object Mqtt {
     // and PUBACKed; DUP retransmits of these re-ack without re-spooling
     val ackedIds = new java.util.LinkedHashSet[Int]()
     val AckWindow = 1024
+    // QoS-2 exactly-once state: pids spooled but not yet PUBRELed
+    // (bounded by the 16-bit pid space by construction)
+    val pendingQos2 = new java.util.HashSet[Int]()
 
     var open = true
     while (open) {
@@ -308,13 +312,19 @@ object Mqtt {
             case 3 => // PUBLISH
               val qos = (b0 >>> 1) & 0x3
               val dup = (b0 & 0x08) != 0
-              if (qos > 1) return // QoS 2 unsupported: drop (documented bound)
+              if (qos > 2) return // malformed QoS bits
               val (topic, to) = readStr(pkt, 0)
               var po = to
               var pid = 0
-              if (qos == 1) { pid = ((pkt(po) & 0xFF) << 8) | (pkt(po + 1) & 0xFF); po += 2 }
+              if (qos > 0) { pid = ((pkt(po) & 0xFF) << 8) | (pkt(po + 1) & 0xFF); po += 2 }
               val payload = java.util.Arrays.copyOfRange(pkt, po, pkt.length)
-              val redelivery = qos == 1 && dup && ackedIds.contains(pid)
+              // exactly-once gate: a QoS-2 pid stays "pending" from first
+              // receipt until its PUBREL — retransmits in that window must
+              // not re-spool (§4.3.3 method A); QoS-1 retransmits dedup on
+              // the bounded acked-id window (DUP flag + recently acked)
+              val redelivery =
+                (qos == 1 && dup && ackedIds.contains(pid)) ||
+                (qos == 2 && pendingQos2.contains(pid))
               if (!redelivery) {
                 emit(s"""{"client":${Ws.jsonStr(clientId)},"topic":${Ws.jsonStr(topic)},""" +
                   s""""payload":${Ws.jsonStr(new String(payload, UTF_8))}}""")
@@ -330,9 +340,17 @@ object Mqtt {
                     val it = ackedIds.iterator(); it.next(); it.remove()
                   }
                 }
+                if (qos == 2) pendingQos2.add(pid)
               }
               if (qos == 1)
                 writePacket(out, 0x40, Array(((pid >>> 8) & 0xFF).toByte, (pid & 0xFF).toByte))
+              if (qos == 2)
+                writePacket(out, 0x50, Array(((pid >>> 8) & 0xFF).toByte, (pid & 0xFF).toByte))
+            case 6 => // PUBREL (§3.6: flags must be 0b0010) → PUBCOMP
+              if ((b0 & 0x0F) != 0x02) return
+              val pid = ((pkt(0) & 0xFF) << 8) | (pkt(1) & 0xFF)
+              pendingQos2.remove(pid)
+              writePacket(out, 0x70, Array(((pid >>> 8) & 0xFF).toByte, (pid & 0xFF).toByte))
             case 8 => // SUBSCRIBE (§3.8: flags must be 0b0010)
               if ((b0 & 0x0F) != 0x02) return
               val pid = ((pkt(0) & 0xFF) << 8) | (pkt(1) & 0xFF)
@@ -374,13 +392,14 @@ object Mqtt {
   /** PublishMQTT: publish one message per row, ONE client connection
     * per PARTITION opened on the executor. `topicCol` may be a column
     * name or, when absent from the frame, every row publishes to the
-    * literal `topic`. QoS 1 awaits each PUBACK (at-least-once); QoS 0
-    * is fire-and-forget. */
+    * literal `topic`. QoS 1 awaits each PUBACK (at-least-once); QoS 2
+    * runs the full PUBREC/PUBREL/PUBCOMP handshake (exactly-once to
+    * the broker); QoS 0 is fire-and-forget. */
   def putMqtt(df: DataFrame, host: String, port: Int,
               payloadCol: String = "payload", topicCol: String = "topic",
               topic: String = "", qos: Int = 1,
               connectTimeoutMs: Int = 5000): Unit = {
-    require(qos == 0 || qos == 1, s"putMqtt supports QoS 0/1, got $qos")
+    require(qos >= 0 && qos <= 2, s"putMqtt supports QoS 0/1/2, got $qos")
     val withTopic =
       if (df.columns.contains(topicCol)) df.select(col(topicCol).cast("string"), col(payloadCol).cast("string"))
       else {
@@ -410,14 +429,23 @@ object Mqtt {
             if (qos == 0) writePacket(out, 0x30, publishBody(t, m.getBytes(UTF_8), 0))
             else {
               pid = (pid % 65535) + 1
-              writePacket(out, 0x30 | 0x02, publishBody(t, m.getBytes(UTF_8), pid))
-              // await our PUBACK (server sends nothing else: no SUBSCRIBE here)
-              val a0 = in.read(); val al = readRemainingLength(in)
-              require(a0 == 0x40 && al == 2, s"putMqtt: bad PUBACK header $a0/$al")
-              val ab = new Array[Byte](2)
-              require(readFully(in, ab), "putMqtt: EOF in PUBACK")
-              val gotPid = ((ab(0) & 0xFF) << 8) | (ab(1) & 0xFF)
-              require(gotPid == pid, s"putMqtt: PUBACK id $gotPid != $pid")
+              // server sends nothing unsolicited here (no SUBSCRIBE), so
+              // each ack is the next packet on the wire
+              def awaitAck(wantType: Int, what: String): Unit = {
+                val a0 = in.read(); val al = readRemainingLength(in)
+                require(a0 == wantType && al == 2, s"putMqtt: bad $what header $a0/$al")
+                val ab = new Array[Byte](2)
+                require(readFully(in, ab), s"putMqtt: EOF in $what")
+                val gotPid = ((ab(0) & 0xFF) << 8) | (ab(1) & 0xFF)
+                require(gotPid == pid, s"putMqtt: $what id $gotPid != $pid")
+              }
+              writePacket(out, 0x30 | (qos << 1), publishBody(t, m.getBytes(UTF_8), pid))
+              if (qos == 1) awaitAck(0x40, "PUBACK")
+              else { // QoS 2: PUBREC → PUBREL → PUBCOMP
+                awaitAck(0x50, "PUBREC")
+                writePacket(out, 0x62, Array(((pid >>> 8) & 0xFF).toByte, (pid & 0xFF).toByte))
+                awaitAck(0x70, "PUBCOMP")
+              }
             }
           }
           writePacket(out, 0xE0, Array.emptyByteArray) // DISCONNECT

@@ -318,6 +318,78 @@ class DedupAnnSpec extends SparkSpec {
     assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 6).count() === 10)
   }
 
+  test("appendToIndex: new vectors quantize into the stored model; planted twin found, old rows intact") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(53)
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 16, m = 8, kCodes = 16)
+    val before = spark.read.parquet(s"$path/codes").count()
+    assert(before === 300)
+    // append a fresh batch containing an exact twin of vector 42
+    val extra = ((1000 until 1020).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    } :+ ((2000L, base(42)._2.clone()))).toDF("vec_id", "embedding")
+    Pq.appendToIndex(spark, path, extra)
+    assert(spark.read.parquet(s"$path/codes").count() === 321, "old rows must survive the append")
+    // the twin shares vector 42's codes AND cell (same model), so a
+    // full-probe ADC search from 42 must rank it at the top
+    val served = Pq.searchIndex(spark, path,
+        corpus.filter(col("vec_id") === 42), k = 3, nProbe = 16)
+      .select("vec_id", "rk").as[(Long, Long)].collect().toMap
+    assert(served(2000L) === 1, s"appended twin must rank first, got $served")
+    // appended NON-twin vectors are servable as queries too
+    val q2 = extra.filter(col("vec_id") === 1000)
+    assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 16).count() === 5)
+  }
+
+  test("OPQ-lite permutation: deterministic, dot-preserving, recall >= plain PQ on anisotropic data") {
+    import graft.operators.Pq
+    // anisotropic corpus: the signal lives in 8 dims that plain PQ's
+    // contiguous split packs into ONE subspace (quantization error
+    // concentrates there); the rest is low-amplitude noise — the
+    // configuration OPQ's variance balancing exists for
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 400).map { i =>
+      val v = new Array[Float](64)
+      (0 until 8).foreach(j => v(j) = (rnd.nextGaussian() * 10).toFloat)
+      (8 until 64).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val perm1 = Pq.variancePerm(corpus, "vec_id", "embedding", m = 8)
+    val perm2 = Pq.variancePerm(corpus.repartition(7), "vec_id", "embedding", m = 8)
+    assert(perm1.toSeq === perm2.toSeq, "permutation must be layout-deterministic")
+    assert(perm1.sorted.toSeq === (0 until 64), "must be a permutation")
+    // each subspace gets exactly one of the 8 high-variance dims
+    val highPerSub = perm1.grouped(8).map(_.count(_ < 8)).toSeq
+    assert(highPerSub === Seq.fill(8)(1), s"variance not balanced: $highPerSub")
+    // permutation preserves exact cosine (dot products + norms)
+    val exactPlain = graft.operators.Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exactPerm = graft.operators.Ann.bruteForceTopK(
+        Pq.permute(corpus, "embedding", perm1),
+        Pq.permute(queries, "embedding", perm1), 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exactPerm === exactPlain, "permutation must preserve cosine ranking")
+    // ADC recall@10 against exact ground truth: balanced >= plain
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(exactPlain).size.toDouble / exactPlain.size
+    }
+    val rPlain = recall(Pq.adcTopK(spark, corpus, queries, k = 10))
+    val rOpq = recall(Pq.adcTopKOpq(spark, corpus, queries, k = 10))
+    info(f"ADC recall@10: plain=$rPlain%.3f opq-lite=$rOpq%.3f")
+    // everything here is deterministic (fixed seed, hash-picked
+    // codebook), so a real margin can be pinned: measured 0.275 plain
+    // vs 0.600 balanced at this config
+    assert(rOpq >= rPlain + 0.2,
+      f"OPQ-lite recall $rOpq%.3f must beat plain $rPlain%.3f by the pinned margin")
+  }
+
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
     // 600 spread vectors + planted dups at nCells=128: forcing
     // maxBroadcastCells past nCells keeps the old driver-collected

@@ -87,6 +87,21 @@ class MqttSpec extends SparkSpec {
     spark.read.json(spool).select("client", "topic", "payload")
       .as[(String, String, String)].collect().toSeq.sorted
 
+  /** Spool asserts get a wider window than the shared `eventually`,
+    * and retry on ANY non-fatal error: before the first spool file
+    * lands (the listener's flush is asynchronous), spark.read.json on
+    * the empty directory throws UNABLE_TO_INFER_SCHEMA rather than
+    * failing an assertion — under full-suite load that window is
+    * routinely hit. */
+  private def eventuallySpooled[T](body: => T): T = {
+    var last: Throwable = null
+    for (_ <- 1 to 60) {
+      try return body
+      catch { case scala.util.control.NonFatal(t) => last = t; Thread.sleep(250) }
+    }
+    throw last
+  }
+
   test("topic filters: §4.7 wildcard semantics") {
     assert(Mqtt.topicMatches("a/b/c", "a/b/c"))
     assert(!Mqtt.topicMatches("a/b/c", "a/b"))
@@ -108,7 +123,7 @@ class MqttSpec extends SparkSpec {
       val rows = Seq(("sensors/a/temp", "21.5"), ("sensors/b/temp", "19.0"),
                      ("logs/app", "started")).toDF("topic", "payload")
       Mqtt.putMqtt(rows.repartition(2), "127.0.0.1", l.port, qos = 1)
-      eventually {
+      eventuallySpooled {
         assert(spooled(spool).map(r => (r._2, r._3)).sorted ===
           Seq(("logs/app", "started"), ("sensors/a/temp", "21.5"),
               ("sensors/b/temp", "19.0")))
@@ -126,7 +141,7 @@ class MqttSpec extends SparkSpec {
       // not be assumed to align with packet boundaries
       val pkt = c.packet(0x30, c.str("t/frag") ++ "chunked!".getBytes("UTF-8"))
       pkt.foreach { b => c.raw(Array(b)); Thread.sleep(1) }
-      eventually {
+      eventuallySpooled {
         assert(spooled(spool) === Seq(("fraggy", "t/frag", "chunked!")))
       }
       c.disconnect()
@@ -148,7 +163,7 @@ class MqttSpec extends SparkSpec {
       c.publish("q1/t", "second", qos = 1, pid = 8)
       c.awaitPuback(8)
       c.disconnect()
-      eventually {
+      eventuallySpooled {
         assert(spooled(spool).map(_._3).sorted === Seq("only-once", "second"))
       }
     } finally l.stop()
@@ -168,22 +183,51 @@ class MqttSpec extends SparkSpec {
       assert(c2.connect("after") === 0)
       c2.publish("ok/t", "fits")
       c2.disconnect()
-      eventually { assert(spooled(spool).map(_._3) === Seq("fits")) }
+      eventuallySpooled { assert(spooled(spool).map(_._3) === Seq("fits")) }
     } finally l.stop()
   }
 
-  test("QoS 2 publish is refused (connection dropped), spool unaffected") {
+  test("QoS 2 is exactly-once: retransmits while pending re-PUBREC without re-spooling") {
     val spool = freshDir("qos2")
     val l = Mqtt.listenMqtt(0, spool, batchSize = 1)
     try {
       val c = new Cli(l.port)
       assert(c.connect("q2") === 0)
-      c.publish("t", "exactly-once-not-here", qos = 2, pid = 3)
-      assert(c.readPacket() === None)
-      c.close()
-      Thread.sleep(300)
-      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(spool))
-        .iterator().hasNext)
+      def awaitAck(wantType: Int, pid: Int): Unit = {
+        val (t, b) = c.readPacket().getOrElse(sys.error("no ack"))
+        assert(t === wantType && (((b(0) & 0xFF) << 8) | (b(1) & 0xFF)) === pid)
+      }
+      c.publish("q2/t", "exactly-once", qos = 2, pid = 3)
+      awaitAck(0x50, 3) // PUBREC
+      // our PUBREC "got lost": retransmit while pending → PUBREC again,
+      // no second spool record
+      c.publish("q2/t", "exactly-once", qos = 2, pid = 3, dup = true)
+      awaitAck(0x50, 3)
+      // release: PUBREL → PUBCOMP
+      c.raw(c.packet(0x62, Array[Byte](0, 3)))
+      awaitAck(0x70, 3) // PUBCOMP
+      // after release the pid is free again: a NEW message may reuse it
+      c.publish("q2/t", "second", qos = 2, pid = 3)
+      awaitAck(0x50, 3)
+      c.raw(c.packet(0x62, Array[Byte](0, 3)))
+      awaitAck(0x70, 3)
+      c.disconnect()
+      eventuallySpooled {
+        assert(spooled(spool).map(_._3).sorted === Seq("exactly-once", "second"))
+      }
+    } finally l.stop()
+  }
+
+  test("putMqtt QoS 2 runs the full PUBREC/PUBREL/PUBCOMP handshake per row") {
+    val spool = freshDir("putq2")
+    val l = Mqtt.listenMqtt(0, spool, batchSize = 1)
+    try {
+      val rows = Seq(("exact/a", "m1"), ("exact/b", "m2")).toDF("topic", "payload")
+      Mqtt.putMqtt(rows, "127.0.0.1", l.port, qos = 2)
+      eventuallySpooled {
+        assert(spooled(spool).map(r => (r._2, r._3)).sorted ===
+          Seq(("exact/a", "m1"), ("exact/b", "m2")))
+      }
     } finally l.stop()
   }
 
@@ -209,7 +253,7 @@ class MqttSpec extends SparkSpec {
       }
       assert(got === Seq(("sensors/a/temp", "21.5"), ("logs/x/y", "deep log")))
       pub.disconnect(); sub.disconnect()
-      eventually { assert(spooled(spool).size === 4) } // ingress spools all
+      eventuallySpooled { assert(spooled(spool).size === 4) } // ingress spools all
     } finally l.stop()
   }
 
@@ -249,7 +293,7 @@ class MqttSpec extends SparkSpec {
       val outs = FlowCompiler.compile(spark, flow, Map("events" -> rows),
         Map("spool.dir" -> spool, "mqtt.port" -> listeners.head.port.toString))
       assert(outs("published").count() === 2)
-      eventually { assert(spark.read.json(spool).count() === 2) }
+      eventuallySpooled { assert(spark.read.json(spool).count() === 2) }
       val inbound = outs("inbound")
       assert(inbound.isStreaming)
       val q = Streams.toMemorySink(inbound.select("topic", "payload"), "mqtt_edge_mem")
