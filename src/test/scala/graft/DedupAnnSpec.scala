@@ -344,6 +344,18 @@ class DedupAnnSpec extends SparkSpec {
     // appended NON-twin vectors are servable as queries too
     val q2 = extra.filter(col("vec_id") === 1000)
     assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 16).count() === 5)
+    // ---- deleteFromIndex: remove the twin + two base vectors; only the
+    // touched cell partitions rewrite, searches stop returning them
+    val removed = Pq.deleteFromIndex(spark, path, Seq(2000L, 7L, 150L))
+    assert(removed === 3)
+    assert(spark.read.parquet(s"$path/codes").count() === 318)
+    val after = Pq.searchIndex(spark, path,
+        corpus.filter(col("vec_id") === 42), k = 3, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!after.contains(2000L), "deleted twin must not be served")
+    // deleting ids that are not in the index is a no-op
+    assert(Pq.deleteFromIndex(spark, path, Seq(999999L)) === 0)
+    assert(spark.read.parquet(s"$path/codes").count() === 318)
   }
 
   test("OPQ-lite permutation: deterministic, dot-preserving, recall >= plain PQ on anisotropic data") {
