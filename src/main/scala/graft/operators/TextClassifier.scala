@@ -133,25 +133,43 @@ object TextClassifier {
 
   /** One gradient accumulation over a [[bucketedLayout]]: `emit` adds
     * this doc's (key → grad) contributions into the bucket-local
-    * accumulator (called in fixed doc order); bucket partials cross
-    * the (tiny) shuffle as (key, bucket, partial) and combine sorted
-    * by bucket. Returns model-sized (key, totalGrad) rows. */
+    * accumulator (called in fixed doc order); bucket partials come
+    * back as (key, bucket, partial) — AT MOST gradParts × model rows,
+    * corpus-size-independent, so they collect directly (one stage per
+    * iteration, no reduce shuffle: at small corpora the extra stage
+    * was the whole cost, bench-measured) and combine on the driver
+    * sorted by bucket. Returns model-sized (key, totalGrad) rows. */
   private def accumulateGrads[T](parted: org.apache.spark.rdd.RDD[(Long, T, Array[(Int, Double)])],
                                  emit: ((Long, T, Array[(Int, Double)]),
                                         java.util.HashMap[Long, Double]) => Unit)
-      : Array[(Long, Double)] =
-    parted.mapPartitionsWithIndex { (pid, it) =>
-      val acc = new java.util.HashMap[Long, Double]()
-      it.foreach(row => emit(row, acc))
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, (Int, Double))]
-      acc.forEach { (k, v) => out += ((k.longValue(), (pid, v.doubleValue()))) }
-      out.iterator
-    }.groupByKey()
-      .map { case (key, partials) =>
-        var acc = 0.0
-        partials.toArray.sortBy(_._1).foreach { case (_, g) => acc += g }
-        (key, acc)
+      : Array[(Long, Double)] = {
+    val partials: Array[(Long, Int, Double)] =
+      parted.mapPartitionsWithIndex { (pid, it) =>
+        val acc = new java.util.HashMap[Long, Double]()
+        it.foreach(row => emit(row, acc))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+        acc.forEach { (k, v) => out += ((k.longValue(), pid, v.doubleValue())) }
+        out.iterator
       }.collect()
+    // combine per key in bucket order — deterministic float addition
+    val byKey = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Int, Double)]]()
+    partials.foreach { case (k, pid, g) =>
+      var b = byKey.get(k)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byKey.put(k, b) }
+      b += ((pid, g))
+    }
+    val out = new Array[(Long, Double)](byKey.size)
+    var i = 0
+    val it = byKey.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var acc = 0.0
+      e.getValue.sortBy(_._1).foreach { case (_, g) => acc += g }
+      out(i) = (e.getKey.longValue(), acc)
+      i += 1
+    }
+    out
+  }
 
   /** Train: returns the weight vector (index 0..dim-1) plus bias at
     * index dim. `labelCol` must be 0/1. */
