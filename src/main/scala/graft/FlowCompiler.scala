@@ -560,6 +560,9 @@ object FlowCompiler {
         case "ConsumeMQTT" =>
           val l = graft.streaming.Mqtt.listenMqtt(port, spool)
           Some(Listener(p.id, p.name, "ConsumeMQTT", l.port, () => l.stop()))
+        case "ConsumeAMQP" =>
+          val l = graft.streaming.Amqp.listenAmqp(port, spool)
+          Some(Listener(p.id, p.name, "ConsumeAMQP", l.port, () => l.stop()))
         case _ => None
       }
     }
@@ -666,6 +669,9 @@ object FlowCompiler {
     "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory"),
     "PublishMQTT"        -> Set("Hostname", "Port", "Topic", "Topic Column",
                                 "Payload Column", "Quality of Service"),
+    "ConsumeAMQP"        -> Set("Listening Port", "Spool Directory"),
+    "PublishAMQP"        -> Set("Hostname", "Port", "Exchange Name", "Routing Key",
+                                "Routing Key Column", "Payload Column"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
                                 "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
@@ -695,7 +701,7 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListenSMTP", "ListenWebSocket", "ConsumeMQTT",
+        "ListenSyslog", "ListenSMTP", "ListenWebSocket", "ConsumeMQTT", "ConsumeAMQP",
         "ListFTP", "GetFTP", "FetchFTP",
         "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
@@ -1215,6 +1221,39 @@ object FlowCompiler {
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
           .option("maxFilesPerTrigger", 64).load(spool)
+      case "ConsumeAMQP" =>
+        // AMQP-ingestion SOURCE (r14): graft.streaming.Amqp's 0-9-1
+        // broker endpoint spools one JSON line per accepted
+        // Basic.Publish; the node is a streaming json source over the
+        // spool — columns (exchange, rkey, payload). The endpoint
+        // starts via startListeners.
+        require(inputs.isEmpty, s"$simple ${p.name} is a source — no incoming connections")
+        val spool = prop(p, "Spool Directory", "")
+        require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("exchange",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rkey",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.StringType)))
+        spark.readStream.format("json").schema(schema)
+          .option("maxFilesPerTrigger", 64).load(spool)
+      case "PublishAMQP" =>
+        // AMQP SINK (r14): compiling EXECUTES the publish — one 0-9-1
+        // client connection per PARTITION from the executors,
+        // publisher confirms awaited per message. Output = the
+        // published rows.
+        val host = prop(p, "Hostname", "")
+        val port = prop(p, "Port", "")
+        require(host.nonEmpty && port.nonEmpty, s"PublishAMQP ${p.name} needs Hostname and Port")
+        graft.streaming.Amqp.putAmqp(in, host, port.trim.toInt,
+          payloadCol = prop(p, "Payload Column", "payload"),
+          rkeyCol = prop(p, "Routing Key Column", "rkey"),
+          routingKey = prop(p, "Routing Key", ""),
+          exchange = prop(p, "Exchange Name", ""))
+        in
       case "PublishMQTT" =>
         // MQTT SINK (r14): compiling EXECUTES the publish — one MQTT
         // client connection per PARTITION from the executors, QoS 1

@@ -345,8 +345,15 @@ object Pq {
       .select("vec_id", "cell")
     val coded = encodeWithBook(corpus, "vec_id", "embedding", book, m)
       .join(cCell, "vec_id")
-    graft.sources.Io.writeParquetBloom(coded, s"$path/codes",
-      bloomCols = Seq("vec_id"), partitionCols = Seq("cell"))
+    // one file per cell (repartition on the partition column) and a
+    // bloom NDV sized to the rows a cell actually holds — a fixed-1M
+    // NDV allocates a ~1.2 MB bitmap PER FILE, which at thousands of
+    // cells × many files per cell is gigabytes of bloom for megabytes
+    // of codes (measured: it filled the disk at the 2M-vector probe)
+    val n = coded.count()
+    val perCell = math.max(1024L, 2L * n / math.max(nCells, 1))
+    graft.sources.Io.writeParquetBloom(coded.repartition(col("cell")), s"$path/codes",
+      bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
     cents.toSeq.toDF("cell", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     book.zipWithIndex.map { case (bc, j) => (j, bc) }.toSeq.toDF("j", "bc")
@@ -380,9 +387,11 @@ object Pq {
       .select("vec_id", "cell")
     val coded = encodeWithBook(vectors, "vec_id", "embedding", book, m)
       .join(cCell, "vec_id")
-    coded.write.mode("append")
+    val n = coded.count()
+    val perCell = math.max(1024L, 2L * n / math.max(cents.length, 1))
+    coded.repartition(col("cell")).write.mode("append")
       .option("parquet.bloom.filter.enabled#vec_id", "true") // match the build's layout
-      .option("parquet.bloom.filter.expected.ndv#vec_id", "1000000")
+      .option("parquet.bloom.filter.expected.ndv#vec_id", perCell.toString)
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -412,9 +421,9 @@ object Pq {
       val before = cellDf.count()
       val kept = cellDf.filter(!col("vec_id").isin(idCol: _*))
       val tmp = new org.apache.hadoop.fs.Path(s"$path/codes/.tmp_cell_$c")
-      kept.write.mode("overwrite")
+      kept.coalesce(1).write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#vec_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#vec_id", "1000000")
+        .option("parquet.bloom.filter.expected.ndv#vec_id", math.max(1024L, 2 * before).toString)
         .parquet(tmp.toString)
       removed += before - spark.read.parquet(tmp.toString).count()
       fs.delete(cellDir, true)

@@ -1,0 +1,480 @@
+package graft.streaming
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/** ConsumeAMQP / PublishAMQP (NiFi's RabbitMQ edge; nifi-amqp-nar
+  * ships in the NiFi 2.7 standard bundle the reference deploys),
+  * Spark-first and JDK-only — the MQTT/SMTP posture: the AMQP 0-9-1
+  * wire protocol (public OASIS/RabbitMQ spec) implemented from the
+  * spec text on raw sockets, no client library on either side.
+  *
+  * Role reversal, same as ConsumeMQTT: NiFi's ConsumeAMQP is a CLIENT
+  * of an external broker; offline there is none, so the ingress here
+  * is BROKER-SIDE — [[listenAmqp]] speaks the 0-9-1 connection
+  * negotiation (protocol header → Start/Start-Ok → Tune/Tune-Ok →
+  * Open/Open-Ok), channel open, exchange/queue declare + bind,
+  * Basic.Publish with content header + (possibly fragmented) body
+  * frames, Basic.Consume with live Basic.Deliver fan-out, and
+  * publisher confirms (Confirm.Select → per-publish Basic.Ack — the
+  * delivery guarantee NiFi's PublishAMQP rides). Every accepted
+  * publish spools one JSON line `{"exchange":…,"rkey":…,"payload":…}`
+  * (atomic tmp+rename, batched — the [[Net.listenTcp]] contract); the
+  * flow binds to the spool DIRECTORY.
+  *
+  * Routing model (documented subset): the default exchange `""`
+  * routes by queue name (0-9-1 mandatory behavior); declared
+  * exchanges route direct (binding key = routing key) or topic
+  * (`.`-separated levels, `*` = one level, `#` = zero or more — the
+  * RabbitMQ grammar, implemented in [[topicRouteMatches]]). Fanout
+  * exchanges bind with `#`. Headers exchanges are not implemented.
+  *
+  * Protocol bounds (the ListenSMTP discipline): frames above
+  * `frameMax` drop the connection before any payload allocation; a
+  * wrong protocol header answers with the server's supported version
+  * (the spec's §4.2.2 rule) and closes; connections past
+  * `maxConnections` complete Start/Start-Ok and then get
+  * Connection.Close reply-code 320 ("connection-forced") before any
+  * session state.
+  *
+  * Egress ([[putAmqp]]) publishes one message per row from executors,
+  * ONE connection per PARTITION, with publisher confirms awaited per
+  * message — at-least-once, NiFi PublishAMQP's posture. */
+object Amqp {
+
+  /** Handle for a running AMQP endpoint. */
+  final class AmqpListener private[Amqp] (server: ServerSocket,
+                                          stopFlag: AtomicBoolean,
+                                          thread: Thread) {
+    def port: Int = server.getLocalPort
+    def stop(): Unit = {
+      stopFlag.set(true)
+      try server.close() catch { case _: Throwable => () }
+      thread.join(5000)
+    }
+  }
+
+  /** RabbitMQ topic-exchange match: `.`-separated levels, `*` matches
+    * exactly one level, `#` matches zero or more (anywhere in the
+    * binding, per the AMQP grammar — unlike MQTT's last-level-only
+    * `#`). */
+  private[graft] def topicRouteMatches(binding: String, rkey: String): Boolean = {
+    val b = binding.split("\\.", -1)
+    val r = rkey.split("\\.", -1)
+    // dp over (binding idx, rkey idx); small arrays — iterative
+    val memo = Array.fill(b.length + 1, r.length + 1)(false)
+    memo(b.length)(r.length) = true
+    var i = b.length - 1
+    while (i >= 0) {
+      var j = r.length
+      while (j >= 0) {
+        memo(i)(j) = b(i) match {
+          case "#" => memo(i + 1)(j) || (j < r.length && memo(i)(j + 1))
+          case "*" => j < r.length && memo(i + 1)(j + 1)
+          case lev => j < r.length && r(j) == lev && memo(i + 1)(j + 1)
+        }
+        j -= 1
+      }
+      i -= 1
+    }
+    memo(0)(0)
+  }
+
+  // ------------------------------------------------------------ wire
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return false
+      off += n
+    }
+    true
+  }
+
+  /** One frame: (type, channel, payload); None on EOF/oversize/bad end. */
+  private def readFrame(in: java.io.InputStream, frameMax: Int): Option[(Int, Int, Array[Byte])] = {
+    val head = new Array[Byte](7)
+    if (!readFully(in, head)) return None
+    val tpe = head(0) & 0xFF
+    val ch = ((head(1) & 0xFF) << 8) | (head(2) & 0xFF)
+    val size = ((head(3) & 0xFF).toLong << 24) | ((head(4) & 0xFF) << 16) |
+      ((head(5) & 0xFF) << 8) | (head(6) & 0xFF)
+    if (size < 0 || size > frameMax) return None // bound BEFORE allocation
+    val payload = new Array[Byte](size.toInt)
+    if (!readFully(in, payload)) return None
+    val end = in.read()
+    if (end != 0xCE) return None // frame-end octet (§4.2.3)
+    Some((tpe, ch, payload))
+  }
+
+  private def writeFrame(out: java.io.OutputStream, tpe: Int, ch: Int,
+                         payload: Array[Byte]): Unit = out.synchronized {
+    out.write(tpe)
+    out.write(ch >>> 8); out.write(ch & 0xFF)
+    val n = payload.length
+    out.write(n >>> 24); out.write((n >>> 16) & 0xFF); out.write((n >>> 8) & 0xFF); out.write(n & 0xFF)
+    out.write(payload)
+    out.write(0xCE)
+    out.flush()
+  }
+
+  /** Little composable binary writers (big-endian, per spec). */
+  private final class W {
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): W = { b.write(v & 0xFF); this }
+    def u16(v: Int): W = { b.write((v >>> 8) & 0xFF); b.write(v & 0xFF); this }
+    def u32(v: Long): W = { u16(((v >>> 16) & 0xFFFF).toInt); u16((v & 0xFFFF).toInt); this }
+    def u64(v: Long): W = { u32(v >>> 32); u32(v & 0xFFFFFFFFL); this }
+    def shortStr(s: String): W = {
+      val u = s.getBytes(UTF_8); require(u.length < 256, "short string too long")
+      u8(u.length); b.write(u); this
+    }
+    def longStr(s: String): W = { val u = s.getBytes(UTF_8); u32(u.length); b.write(u); this }
+    def bytes(x: Array[Byte]): W = { b.write(x); this }
+    def arr: Array[Byte] = b.toByteArray
+  }
+  private def method(classId: Int, methodId: Int)(body: W => W): Array[Byte] =
+    body(new W().u16(classId).u16(methodId)).arr
+
+  /** Cursor-based reader over a method payload. */
+  private final class R(val a: Array[Byte]) {
+    var p = 0
+    def u8(): Int = { val v = a(p) & 0xFF; p += 1; v }
+    def u16(): Int = { val v = ((a(p) & 0xFF) << 8) | (a(p + 1) & 0xFF); p += 2; v }
+    def u32(): Long = { (u16().toLong << 16) | u16() }
+    def u64(): Long = { (u32() << 32) | u32() }
+    def shortStr(): String = { val n = u8(); val s = new String(a, p, n, UTF_8); p += n; s }
+    def longStrSkip(): Unit = { val n = u32(); p += n.toInt } // field tables etc.
+  }
+
+  // ------------------------------------------------------------ server
+
+  private final class Consumer(val out: java.io.OutputStream, val channel: Int,
+                               val tag: String)
+  private final class QueueState {
+    @volatile var bindings: Set[(String, String)] = Set.empty // (exchange, bindingKey)
+    val consumers = new java.util.concurrent.CopyOnWriteArrayList[Consumer]()
+  }
+
+  /** Start an AMQP 0-9-1 endpoint on `port`; every accepted
+    * Basic.Publish spools as one JSON line `{"exchange":…,"rkey":…,
+    * "payload":…}` read with `spark.read.json` / `readStream.json`.
+    * Port 0 picks a free port (`listener.port`). */
+  def listenAmqp(port: Int, spoolDir: String, batchSize: Int = 100,
+                 flushMs: Long = 250L, suffix: String = ".jsonl",
+                 frameMax: Int = 1 << 20,
+                 maxConnections: Int = 64): AmqpListener = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val server = new ServerSocket(port)
+    val stop = new AtomicBoolean(false)
+    val seq = new AtomicLong(0L)
+    val active = new AtomicInteger(0)
+    val queues = new ConcurrentHashMap[String, QueueState]()
+    val exchanges = new ConcurrentHashMap[String, String]() // name → type
+    val deliveryTag = new AtomicLong(0L)
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Unit = {
+      val drained = batch.synchronized {
+        if (batch.isEmpty) None
+        else {
+          val lines = batch.toArray
+          batch.clear()
+          Some((lines, s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"))
+        }
+      }
+      drained.foreach { case (lines, name) =>
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+    val accept = new Thread(() => {
+      server.setSoTimeout(flushMs.toInt.max(1))
+      while (!stop.get()) {
+        try {
+          val sock = server.accept()
+          val refuse = active.get() >= maxConnections
+          if (!refuse) active.incrementAndGet()
+          val t = new Thread(() => {
+            try runSession(sock, queues, exchanges, deliveryTag, refuse, frameMax,
+              rec => {
+                val doFlush = batch.synchronized { batch += rec; batch.size >= batchSize }
+                if (doFlush) flush()
+              })
+            catch {
+              case _: java.io.IOException => ()
+              case _: RuntimeException => () // malformed frame body → drop
+            }
+            finally {
+              try sock.close() catch { case _: Throwable => () }
+              if (!refuse) active.decrementAndGet()
+              flush()
+            }
+          }, "graft-listen-amqp-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: java.net.SocketTimeoutException => flush() // idle drain
+          case _: java.net.SocketException if stop.get() =>
+        }
+      }
+      flush()
+    }, "graft-listen-amqp")
+    accept.setDaemon(true)
+    accept.start()
+    new AmqpListener(server, stop, accept)
+  }
+
+  /** Deliver a message to a consumer: Basic.Deliver + content header +
+    * one body frame, on the consumer's channel. */
+  private def deliver(c: Consumer, tag: Long, exchange: String, rkey: String,
+                      body: Array[Byte]): Unit = {
+    writeFrame(c.out, 1, c.channel, method(60, 60) { w =>
+      w.shortStr(c.tag).u64(tag).u8(0).shortStr(exchange).shortStr(rkey)
+    })
+    writeFrame(c.out, 2, c.channel,
+      new W().u16(60).u16(0).u64(body.length).u16(0).arr)
+    writeFrame(c.out, 3, c.channel, body)
+  }
+
+  private def runSession(sock: Socket,
+                         queues: ConcurrentHashMap[String, QueueState],
+                         exchanges: ConcurrentHashMap[String, String],
+                         deliveryTag: AtomicLong,
+                         refuse: Boolean, frameMax: Int,
+                         emit: String => Unit): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+
+    // ---- §4.2.2 protocol header: AMQP\x00\x00\x09\x01
+    val hdr = new Array[Byte](8)
+    if (!readFully(in, hdr)) return
+    val want = Array[Byte]('A', 'M', 'Q', 'P', 0, 0, 9, 1)
+    if (!java.util.Arrays.equals(hdr, want)) {
+      out.write(want); out.flush() // answer with the supported version, close
+      return
+    }
+    // Connection.Start (we offer PLAIN/en_US; client-properties table empty)
+    writeFrame(out, 1, 0, method(10, 10) { w =>
+      w.u8(0).u8(9).u32(0).longStr("PLAIN").longStr("en_US")
+    })
+    // Start-Ok: skip client-properties table, mechanism, response, locale
+    val startOk = readFrame(in, frameMax).getOrElse(return)
+    if (startOk._1 != 1) return
+    if (refuse) {
+      // capacity: Connection.Close 320 connection-forced (§1.4.2.8)
+      writeFrame(out, 1, 0, method(10, 50) { w =>
+        w.u16(320).shortStr("CONNECTION_FORCED - server unavailable").u16(0).u16(0)
+      })
+      return
+    }
+    // Tune / Tune-Ok / Open / Open-Ok
+    writeFrame(out, 1, 0, method(10, 30)(w => w.u16(2047).u32(frameMax).u16(0)))
+    val tuneOk = readFrame(in, frameMax).getOrElse(return)
+    if (tuneOk._1 != 1) return
+    val open = readFrame(in, frameMax).getOrElse(return)
+    if (open._1 != 1) return
+    writeFrame(out, 1, 0, method(10, 41)(w => w.shortStr("")))
+
+    var confirmMode = false
+    var confirmSeq = 0L
+    val myConsumers = scala.collection.mutable.ArrayBuffer.empty[(String, Consumer)]
+    // pending publish: (exchange, rkey) awaiting header+body
+    var pending: (Int, String, String) = null // (channel, exchange, rkey)
+    var pendingSize = 0L
+    val pendingBody = new java.io.ByteArrayOutputStream()
+
+    def route(exchange: String, rkey: String, body: Array[Byte]): Unit = {
+      emit(s"""{"exchange":${Ws.jsonStr(exchange)},"rkey":${Ws.jsonStr(rkey)},""" +
+        s""""payload":${Ws.jsonStr(new String(body, UTF_8))}}""")
+      val tag = deliveryTag.incrementAndGet()
+      queues.forEach { (qname, q) =>
+        val matches =
+          if (exchange.isEmpty) rkey == qname // default exchange (§2.1.2.4)
+          else q.bindings.exists { case (ex, bkey) =>
+            ex == exchange && (exchanges.getOrDefault(ex, "direct") match {
+              case "topic"  => topicRouteMatches(bkey, rkey)
+              case "fanout" => true
+              case _        => bkey == rkey // direct
+            })
+          }
+        if (matches) {
+          val it = q.consumers.iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            try deliver(c, tag, exchange, rkey, body)
+            catch { case _: java.io.IOException => () } // dead consumer
+          }
+        }
+      }
+    }
+
+    var openConn = true
+    while (openConn) {
+      readFrame(in, frameMax) match {
+        case None => return
+        case Some((8, _, _)) => () // heartbeat
+        case Some((2, ch, payload)) => // content header for a pending publish
+          if (pending == null || pending._1 != ch) return
+          val r = new R(payload)
+          r.u16(); r.u16() // class, weight
+          pendingSize = r.u64()
+          if (pendingSize > frameMax.toLong * 16) return // pathological
+          if (pendingSize == 0) {
+            route(pending._2, pending._3, Array.emptyByteArray)
+            if (confirmMode) {
+              confirmSeq += 1
+              writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
+            }
+            pending = null
+          }
+        case Some((3, ch, payload)) => // content body (possibly fragmented)
+          if (pending == null || pending._1 != ch) return
+          pendingBody.write(payload)
+          if (pendingBody.size() >= pendingSize) {
+            route(pending._2, pending._3, pendingBody.toByteArray)
+            if (confirmMode) {
+              confirmSeq += 1
+              writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
+            }
+            pending = null
+            pendingBody.reset()
+          }
+        case Some((1, ch, payload)) =>
+          val r = new R(payload)
+          val classId = r.u16()
+          val methodId = r.u16()
+          (classId, methodId) match {
+            case (20, 10) => // Channel.Open → Open-Ok
+              writeFrame(out, 1, ch, method(20, 11)(w => w.longStr("")))
+            case (20, 40) => // Channel.Close → Close-Ok
+              writeFrame(out, 1, ch, method(20, 41)(w => w))
+            case (40, 10) => // Exchange.Declare → Declare-Ok
+              r.u16() // reserved
+              val name = r.shortStr()
+              val tpe = r.shortStr()
+              exchanges.put(name, tpe)
+              writeFrame(out, 1, ch, method(40, 11)(w => w))
+            case (50, 10) => // Queue.Declare → Declare-Ok
+              r.u16()
+              val qname0 = r.shortStr()
+              val qname = if (qname0.nonEmpty) qname0 else s"amq.gen-${deliveryTag.incrementAndGet()}"
+              queues.computeIfAbsent(qname, _ => new QueueState())
+              writeFrame(out, 1, ch, method(50, 11)(w => w.shortStr(qname).u32(0).u32(0)))
+            case (50, 20) => // Queue.Bind → Bind-Ok
+              r.u16()
+              val qname = r.shortStr()
+              val exchange = r.shortStr()
+              val bkey = r.shortStr()
+              val q = queues.computeIfAbsent(qname, _ => new QueueState())
+              q.bindings = q.bindings + ((exchange, bkey))
+              writeFrame(out, 1, ch, method(50, 21)(w => w))
+            case (60, 20) => // Basic.Consume → Consume-Ok
+              r.u16()
+              val qname = r.shortStr()
+              val tag0 = r.shortStr()
+              val tag = if (tag0.nonEmpty) tag0 else s"ctag-${deliveryTag.incrementAndGet()}"
+              val q = queues.computeIfAbsent(qname, _ => new QueueState())
+              val c = new Consumer(out, ch, tag)
+              q.consumers.add(c)
+              myConsumers += ((qname, c))
+              writeFrame(out, 1, ch, method(60, 21)(w => w.shortStr(tag)))
+            case (60, 40) => // Basic.Publish: header+body follow
+              r.u16()
+              val exchange = r.shortStr()
+              val rkey = r.shortStr()
+              pending = (ch, exchange, rkey)
+              pendingBody.reset()
+            case (60, 80) => () // Basic.Ack from a consumer — no-op (auto-ack model)
+            case (85, 10) => // Confirm.Select → Select-Ok (publisher confirms)
+              confirmMode = true
+              writeFrame(out, 1, ch, method(85, 11)(w => w))
+            case (10, 50) => // Connection.Close → Close-Ok, done
+              writeFrame(out, 1, 0, method(10, 51)(w => w))
+              openConn = false
+            case _ => return // unsupported method → drop
+          }
+      }
+    }
+    // session end: detach my consumers
+    myConsumers.foreach { case (qname, c) =>
+      val q = queues.get(qname)
+      if (q != null) q.consumers.remove(c)
+    }
+  }
+
+  // ------------------------------------------------------------ client
+
+  /** PublishAMQP: publish one message per row, ONE connection per
+    * PARTITION opened on the executor, publisher confirms awaited per
+    * message (Confirm.Select + Basic.Ack — at-least-once, NiFi's
+    * PublishAMQP guarantee). `rkeyCol` may be a column name or, when
+    * absent, every row publishes to the literal `routingKey`. */
+  def putAmqp(df: DataFrame, host: String, port: Int,
+              payloadCol: String = "payload", rkeyCol: String = "rkey",
+              routingKey: String = "", exchange: String = "",
+              connectTimeoutMs: Int = 5000): Unit = {
+    val withKey =
+      if (df.columns.contains(rkeyCol)) df.select(col(rkeyCol).cast("string"), col(payloadCol).cast("string"))
+      else {
+        require(routingKey.nonEmpty, s"putAmqp: no '$rkeyCol' column and no literal routingKey")
+        df.select(lit(routingKey), col(payloadCol).cast("string"))
+      }
+    withKey.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val sock = new Socket()
+        try {
+          sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+          sock.setSoTimeout(30000)
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 0, 9, 1)); out.flush()
+          def expect(classId: Int, methodId: Int): R = {
+            var f = readFrame(in, 1 << 20).getOrElse(sys.error("putAmqp: EOF"))
+            while (f._1 == 8) f = readFrame(in, 1 << 20).getOrElse(sys.error("putAmqp: EOF"))
+            require(f._1 == 1, s"putAmqp: expected method frame, got type ${f._1}")
+            val r = new R(f._3)
+            val (c, m) = (r.u16(), r.u16())
+            require(c == classId && m == methodId, s"putAmqp: expected $classId.$methodId, got $c.$m")
+            r
+          }
+          expect(10, 10) // Start
+          writeFrame(out, 1, 0, method(10, 11) { w =>
+            w.u32(0).shortStr("PLAIN").longStr("\u0000graft\u0000graft").shortStr("en_US")
+          })
+          expect(10, 30) // Tune
+          writeFrame(out, 1, 0, method(10, 31)(w => w.u16(2047).u32(1 << 20).u16(0)))
+          writeFrame(out, 1, 0, method(10, 40)(w => w.shortStr("/").u8(0).u8(0)))
+          expect(10, 41) // Open-Ok
+          writeFrame(out, 1, 1, method(20, 10)(w => w.shortStr("")))
+          expect(20, 11) // Channel.Open-Ok
+          writeFrame(out, 1, 1, method(85, 10)(w => w.u8(0)))
+          expect(85, 11) // Confirm.Select-Ok
+          rows.foreach { r =>
+            val rk = r.getString(0); val m = r.getString(1)
+            require(rk != null && m != null, "putAmqp: null routing key/payload")
+            val body = m.getBytes(UTF_8)
+            writeFrame(out, 1, 1, method(60, 40) { w =>
+              w.u16(0).shortStr(exchange).shortStr(rk).u8(0)
+            })
+            writeFrame(out, 2, 1, new W().u16(60).u16(0).u64(body.length).u16(0).arr)
+            writeFrame(out, 3, 1, body)
+            expect(60, 80) // publisher confirm
+          }
+          writeFrame(out, 1, 0, method(10, 50)(w => w.u16(200).shortStr("bye").u16(0).u16(0)))
+          expect(10, 51) // Close-Ok
+          ()
+        } finally sock.close()
+      }
+    }
+  }
+}

@@ -15,6 +15,8 @@ import graft.operators.Pq
 object PqIndexProbe {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("tools/pq_index_probe_r14.json")
+    val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+                else Seq(10, 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +28,7 @@ object PqIndexProbe {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val results = Seq(10, 100).map { mult =>
+    val results = mults.map { mult =>
       val dir = s"/tmp/graft_pqprobe_m$mult" // shared with PqProbe
       if (!new java.io.File(s"$dir/embeddings.parquet").exists())
         graft.GenSf.generate(spark, dir, mult, only = Set("embeddings"))
