@@ -414,6 +414,156 @@ object Amqp {
 
   // ------------------------------------------------------------ client
 
+  /** Handle for a running AMQP consumer client. */
+  final class AmqpConsumer private[Amqp] (sock: Socket, thread: Thread) {
+    def stop(): Unit = {
+      try sock.close() catch { case _: Throwable => () } // unblocks the reader
+      thread.join(5000)
+    }
+  }
+
+  /** ConsumeAMQP in its NATIVE direction — a CLIENT of an external
+    * broker (what NiFi's processor actually is): negotiate, declare
+    * `queue`, bind it to `exchange` with `bindingKey` (skip the bind
+    * for the default exchange), Basic.Consume, then spool every
+    * Basic.Deliver as the same `{"exchange":…,"rkey":…,"payload":…}`
+    * JSON lines [[listenAmqp]] spools — the downstream flow is
+    * identical whichever side of the socket the broker is on. The
+    * spec drives it against this file's own broker; against RabbitMQ
+    * only host/port change. */
+  def consumeAmqp(host: String, port: Int, queue: String, spoolDir: String,
+                  exchange: String = "", bindingKey: String = "",
+                  batchSize: Int = 100, flushMs: Long = 250L,
+                  suffix: String = ".jsonl", frameMax: Int = 1 << 20,
+                  connectTimeoutMs: Int = 5000): AmqpConsumer = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    sock.setSoTimeout(30000)
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    def expect(classId: Int, methodId: Int): R = {
+      var f = readFrame(in, frameMax).getOrElse(sys.error("consumeAmqp: EOF"))
+      while (f._1 == 8) f = readFrame(in, frameMax).getOrElse(sys.error("consumeAmqp: EOF"))
+      require(f._1 == 1, s"consumeAmqp: expected method frame, got type ${f._1}")
+      val r = new R(f._3)
+      val (c, m) = (r.u16(), r.u16())
+      require(c == classId && m == methodId, s"consumeAmqp: expected $classId.$methodId, got $c.$m")
+      r
+    }
+    out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 0, 9, 1)); out.flush()
+    expect(10, 10)
+    writeFrame(out, 1, 0, method(10, 11) { w =>
+      w.u32(0).shortStr("PLAIN").longStr(" graft graft").shortStr("en_US")
+    })
+    expect(10, 30)
+    writeFrame(out, 1, 0, method(10, 31)(w => w.u16(2047).u32(frameMax).u16(0)))
+    writeFrame(out, 1, 0, method(10, 40)(w => w.shortStr("/").u8(0).u8(0)))
+    expect(10, 41)
+    writeFrame(out, 1, 1, method(20, 10)(w => w.shortStr("")))
+    expect(20, 11)
+    writeFrame(out, 1, 1, method(50, 10)(w => w.u16(0).shortStr(queue).u8(0).u32(0)))
+    expect(50, 11)
+    if (exchange.nonEmpty) {
+      writeFrame(out, 1, 1, method(50, 20) { w =>
+        w.u16(0).shortStr(queue).shortStr(exchange).shortStr(bindingKey).u8(0).u32(0)
+      })
+      expect(50, 21)
+    }
+    writeFrame(out, 1, 1, method(60, 20)(w => w.u16(0).shortStr(queue).shortStr("").u8(0).u32(0)))
+    expect(60, 21) // Consume-Ok — subscription live before we return
+
+    val seq = new AtomicLong(0L)
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Unit = {
+      val drained = batch.synchronized {
+        if (batch.isEmpty) None
+        else {
+          val lines = batch.toArray
+          batch.clear()
+          Some((lines, s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"))
+        }
+      }
+      drained.foreach { case (lines, name) =>
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+    val reader = new Thread(() => {
+      try {
+        sock.setSoTimeout(flushMs.toInt.max(1))
+        var pendingEx: String = null
+        var pendingRk: String = null
+        var pendingSize = 0L
+        val body = new java.io.ByteArrayOutputStream()
+        var open = true
+        while (open) {
+          // first byte under the idle-flush timeout; once a frame is in
+          // flight, switch to a generous timeout so a mid-frame tick
+          // can't desync or kill the consumer
+          val b0 =
+            try in.read()
+            catch { case _: java.net.SocketTimeoutException => flush(); -2 }
+          val f: Option[(Int, Int, Array[Byte])] =
+            if (b0 == -1) { open = false; None }
+            else if (b0 == -2) None
+            else {
+              sock.setSoTimeout(30000)
+              val rest = new Array[Byte](6)
+              if (!readFully(in, rest)) { open = false; None }
+              else {
+                val ch = ((rest(0) & 0xFF) << 8) | (rest(1) & 0xFF)
+                val size = ((rest(2) & 0xFF).toLong << 24) | ((rest(3) & 0xFF) << 16) |
+                  ((rest(4) & 0xFF) << 8) | (rest(5) & 0xFF)
+                if (size < 0 || size > frameMax) { open = false; None }
+                else {
+                  val payload = new Array[Byte](size.toInt)
+                  if (!readFully(in, payload) || in.read() != 0xCE) { open = false; None }
+                  else {
+                    sock.setSoTimeout(flushMs.toInt.max(1))
+                    Some((b0, ch, payload))
+                  }
+                }
+              }
+            }
+          f.foreach {
+            case (1, _, payload) =>
+              val r = new R(payload)
+              if ((r.u16(), r.u16()) == ((60, 60))) { // Basic.Deliver
+                r.shortStr(); r.u64(); r.u8() // consumer-tag, delivery-tag, redelivered
+                pendingEx = r.shortStr()
+                pendingRk = r.shortStr()
+                body.reset()
+              }
+            case (2, _, payload) =>
+              val r = new R(payload)
+              r.u16(); r.u16()
+              pendingSize = r.u64()
+            case (3, _, payload) if pendingRk != null =>
+              body.write(payload)
+              if (body.size() >= pendingSize) {
+                val doFlush = batch.synchronized {
+                  batch += s"""{"exchange":${Ws.jsonStr(pendingEx)},"rkey":${Ws.jsonStr(pendingRk)},""" +
+                    s""""payload":${Ws.jsonStr(new String(body.toByteArray, UTF_8))}}"""
+                  batch.size >= batchSize
+                }
+                if (doFlush) flush()
+                pendingRk = null
+              }
+            case _ => () // heartbeats etc.
+          }
+        }
+      } catch { case _: java.io.IOException => () } // closed by stop()
+      finally flush()
+    }, "graft-consume-amqp")
+    reader.setDaemon(true)
+    reader.start()
+    new AmqpConsumer(sock, reader)
+  }
+
   /** PublishAMQP: publish one message per row, ONE connection per
     * PARTITION opened on the executor, publisher confirms awaited per
     * message (Confirm.Select + Basic.Ack — at-least-once, NiFi's

@@ -389,6 +389,122 @@ object Mqtt {
 
   // ------------------------------------------------------------ client
 
+  /** Handle for a running MQTT consumer client. */
+  final class MqttConsumer private[Mqtt] (sock: Socket, thread: Thread) {
+    def stop(): Unit = {
+      try sock.close() catch { case _: Throwable => () } // unblocks the reader
+      thread.join(5000)
+    }
+  }
+
+  /** ConsumeMQTT in its NATIVE direction — a CLIENT of an external
+    * broker (what NiFi's processor actually is): CONNECT, SUBSCRIBE to
+    * `topicFilters` at QoS ≤ 1, then spool every delivered PUBLISH as
+    * the same `{"client":…,"topic":…,"payload":…}` JSON lines
+    * [[listenMqtt]] spools (client = this consumer's id), so the
+    * downstream flow is IDENTICAL whichever side of the socket the
+    * broker is on. QoS-1 deliveries are PUBACKed after the spool
+    * append — at-least-once, NiFi's guarantee. The spec drives it
+    * against this file's own broker (a live wire peer); against an
+    * external broker only host/port change. */
+  def consumeMqtt(host: String, port: Int, topicFilters: Seq[String],
+                  spoolDir: String, clientId: String = "graft-consume",
+                  batchSize: Int = 100, flushMs: Long = 250L,
+                  suffix: String = ".jsonl",
+                  maxPacketBytes: Int = 1 << 20,
+                  connectTimeoutMs: Int = 5000): MqttConsumer = {
+    require(topicFilters.nonEmpty, "consumeMqtt: no topic filters")
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    sock.setSoTimeout(flushMs.toInt.max(1))
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val seq = new AtomicLong(0L)
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Unit = {
+      val drained = batch.synchronized {
+        if (batch.isEmpty) None
+        else {
+          val lines = batch.toArray
+          batch.clear()
+          Some((lines, s"${System.currentTimeMillis()}-${seq.getAndIncrement()}$suffix"))
+        }
+      }
+      drained.foreach { case (lines, name) =>
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // CONNECT → CONNACK (rc 0), SUBSCRIBE → SUBACK, synchronously —
+    // callers get a live subscription or an exception, never a silent
+    // half-connected consumer
+    writePacket(out, 0x10, strBytes("MQTT") ++ Array[Byte](4, 0x02, 0, 60) ++ strBytes(clientId))
+    val h0 = in.read(); val rl = readRemainingLength(in)
+    require(h0 == 0x20 && rl == 2, s"consumeMqtt: bad CONNACK header $h0/$rl")
+    val ack = new Array[Byte](2)
+    require(readFully(in, ack) && ack(1) == 0, s"consumeMqtt: CONNECT refused rc=${ack(1)}")
+    val subBody = Array[Byte](0, 1) ++
+      topicFilters.flatMap(f => strBytes(f) ++ Array[Byte](1)).toArray
+    writePacket(out, 0x82, subBody)
+    val s0 = in.read(); val sl = readRemainingLength(in)
+    require(s0 == 0x90 && sl >= 2, s"consumeMqtt: bad SUBACK header $s0/$sl")
+    val sb = new Array[Byte](sl.toInt)
+    require(readFully(in, sb) && sb.drop(2).forall(g => (g & 0xFF) <= 2),
+      "consumeMqtt: subscription rejected")
+
+    val reader = new Thread(() => {
+      try {
+        var open = true
+        while (open) {
+          val b0 =
+            try in.read()
+            catch { case _: java.net.SocketTimeoutException => flush(); -2 }
+          if (b0 == -1) open = false
+          else if (b0 >= 0) {
+            // the rest of the packet is in flight: switch from the
+            // idle-flush timeout to a generous read timeout so a
+            // mid-packet tick can't kill the consumer
+            sock.setSoTimeout(30000)
+            val len = readRemainingLength(in)
+            if (len < 0 || len > maxPacketBytes) open = false
+            else {
+              val body = new Array[Byte](len.toInt)
+              if (!readFully(in, body)) open = false
+              else (b0 >>> 4) match {
+                case 3 => // delivered PUBLISH
+                  val qos = (b0 >>> 1) & 0x3
+                  val (topic, to) = readStr(body, 0)
+                  var po = to
+                  var pid = 0
+                  if (qos > 0) { pid = ((body(po) & 0xFF) << 8) | (body(po + 1) & 0xFF); po += 2 }
+                  val payload = new String(body, po, body.length - po, UTF_8)
+                  val doFlush = batch.synchronized {
+                    batch += s"""{"client":${Ws.jsonStr(clientId)},"topic":${Ws.jsonStr(topic)},""" +
+                      s""""payload":${Ws.jsonStr(payload)}}"""
+                    batch.size >= batchSize
+                  }
+                  if (doFlush) flush()
+                  // ack AFTER the record is at least buffered (at-least-once)
+                  if (qos == 1)
+                    writePacket(out, 0x40, Array(((pid >>> 8) & 0xFF).toByte, (pid & 0xFF).toByte))
+                case 13 => () // PINGRESP
+                case _ => ()  // ignore other server packets
+              }
+              sock.setSoTimeout(flushMs.toInt.max(1))
+            }
+          }
+        }
+      } catch { case _: java.io.IOException => () } // closed by stop()
+      finally flush()
+    }, "graft-consume-mqtt")
+    reader.setDaemon(true)
+    reader.start()
+    new MqttConsumer(sock, reader)
+  }
+
   /** PublishMQTT: publish one message per row, ONE client connection
     * per PARTITION opened on the executor. `topicCol` may be a column
     * name or, when absent from the frame, every row publishes to the

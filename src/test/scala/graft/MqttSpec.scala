@@ -257,6 +257,29 @@ class MqttSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("consumeMqtt client: subscribes to a broker and spools matching deliveries") {
+    val brokerSpool = freshDir("broker")
+    val consumerSpool = freshDir("consumer")
+    val l = Mqtt.listenMqtt(0, brokerSpool, batchSize = 1)
+    val consumer = Mqtt.consumeMqtt("127.0.0.1", l.port,
+      Seq("sensors/+/temp"), consumerSpool, clientId = "edge-reader", batchSize = 1)
+    try {
+      val rows = Seq(("sensors/a/temp", "21.5"), ("other/topic", "skip"),
+                     ("sensors/b/temp", "19.0")).toDF("topic", "payload")
+      Mqtt.putMqtt(rows, "127.0.0.1", l.port, qos = 1)
+      // the client's spool carries ONLY the filter matches, same JSON shape
+      eventuallySpooled {
+        val got = spark.read.json(consumerSpool)
+          .select("client", "topic", "payload")
+          .as[(String, String, String)].collect().toSeq.sorted
+        assert(got === Seq(("edge-reader", "sensors/a/temp", "21.5"),
+                           ("edge-reader", "sensors/b/temp", "19.0")))
+      }
+      // the broker side still spooled everything
+      eventuallySpooled { assert(spooled(brokerSpool).size === 3) }
+    } finally { consumer.stop(); l.stop() }
+  }
+
   test("connections past maxConnections get CONNACK rc 3 before any state") {
     val spool = freshDir("conncap")
     val l = Mqtt.listenMqtt(0, spool, batchSize = 1, maxConnections = 1)
