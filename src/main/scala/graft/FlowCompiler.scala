@@ -558,11 +558,40 @@ object FlowCompiler {
           val l = graft.streaming.Ws.listenWebSocket(port, spool)
           Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
         case "ConsumeMQTT" =>
-          val l = graft.streaming.Mqtt.listenMqtt(port, spool)
-          Some(Listener(p.id, p.name, "ConsumeMQTT", l.port, () => l.stop()))
+          // two modes, NiFi's actual canvas vocabulary: a "Broker URI"
+          // property (tcp://host:port) selects the NATIVE client
+          // direction — subscribe to an EXTERNAL broker and spool its
+          // deliveries; otherwise this node IS the broker endpoint
+          val uri = prop(p, "Broker URI", "")
+          if (uri.nonEmpty) {
+            val m = "^(?:tcp://)?([^:/]+):(\\d+)$".r.findFirstMatchIn(uri.trim)
+              .getOrElse(throw new IllegalArgumentException(
+                s"ConsumeMQTT ${p.name}: 'Broker URI' must be tcp://host:port, got '$uri'"))
+            val filters = prop(p, "Topic Filter", "#").split(",").map(_.trim).toSeq
+            val c = graft.streaming.Mqtt.consumeMqtt(m.group(1), m.group(2).toInt,
+              filters, spool)
+            Some(Listener(p.id, p.name, "ConsumeMQTT", 0, () => c.stop()))
+          } else {
+            val l = graft.streaming.Mqtt.listenMqtt(port, spool)
+            Some(Listener(p.id, p.name, "ConsumeMQTT", l.port, () => l.stop()))
+          }
         case "ConsumeAMQP" =>
-          val l = graft.streaming.Amqp.listenAmqp(port, spool)
-          Some(Listener(p.id, p.name, "ConsumeAMQP", l.port, () => l.stop()))
+          // same two modes: Host Name + Queue select the native client
+          // direction against an external broker
+          val host = prop(p, "Host Name", "")
+          if (host.nonEmpty) {
+            val bp = prop(p, "Broker Port", "")
+            require(bp.trim.nonEmpty, s"ConsumeAMQP ${p.name} client mode needs 'Broker Port'")
+            val queue = prop(p, "Queue", "")
+            require(queue.nonEmpty, s"ConsumeAMQP ${p.name} client mode needs 'Queue'")
+            val c = graft.streaming.Amqp.consumeAmqp(host, bp.trim.toInt, queue, spool,
+              exchange = prop(p, "Exchange Name", ""),
+              bindingKey = prop(p, "Routing Key", ""))
+            Some(Listener(p.id, p.name, "ConsumeAMQP", 0, () => c.stop()))
+          } else {
+            val l = graft.streaming.Amqp.listenAmqp(port, spool)
+            Some(Listener(p.id, p.name, "ConsumeAMQP", l.port, () => l.stop()))
+          }
         case _ => None
       }
     }
@@ -666,10 +695,13 @@ object FlowCompiler {
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
     "ListenSMTP"         -> Set("Listening Port", "Spool Directory"),
     // r14 MQTT edge (broker-side ingress + per-partition egress)
-    "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory"),
+    "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory",
+                                "Broker URI", "Topic Filter"),
     "PublishMQTT"        -> Set("Hostname", "Port", "Topic", "Topic Column",
                                 "Payload Column", "Quality of Service"),
-    "ConsumeAMQP"        -> Set("Listening Port", "Spool Directory"),
+    "ConsumeAMQP"        -> Set("Listening Port", "Spool Directory",
+                                "Host Name", "Broker Port", "Queue",
+                                "Exchange Name", "Routing Key"),
     "PublishAMQP"        -> Set("Hostname", "Port", "Exchange Name", "Routing Key",
                                 "Routing Key Column", "Payload Column"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",

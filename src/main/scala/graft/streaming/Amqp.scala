@@ -455,7 +455,7 @@ object Amqp {
     out.write(Array[Byte]('A', 'M', 'Q', 'P', 0, 0, 9, 1)); out.flush()
     expect(10, 10)
     writeFrame(out, 1, 0, method(10, 11) { w =>
-      w.u32(0).shortStr("PLAIN").longStr(" graft graft").shortStr("en_US")
+      w.u32(0).shortStr("PLAIN").longStr("\u0000graft\u0000graft").shortStr("en_US")
     })
     expect(10, 30)
     writeFrame(out, 1, 0, method(10, 31)(w => w.u16(2047).u32(frameMax).u16(0)))

@@ -280,6 +280,33 @@ class MqttSpec extends SparkSpec {
     } finally { consumer.stop(); l.stop() }
   }
 
+  test("flow client mode: ConsumeMQTT with a Broker URI subscribes to an external broker") {
+    val brokerSpool = freshDir("extbroker")
+    val flowSpool = freshDir("flowclient") + "/spool"
+    val broker = Mqtt.listenMqtt(0, brokerSpool, batchSize = 1)
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {"name": "mqttclient",
+         |  "processors": [
+         |    {"identifier": "cm", "name": "reader", "type": "ConsumeMQTT",
+         |     "properties": {"Broker URI": "tcp://127.0.0.1:#{broker.port}",
+         |                    "Topic Filter": "metrics/#",
+         |                    "Spool Directory": "$flowSpool"}}],
+         |  "outputPorts": [{"identifier": "o", "name": "inbound"}],
+         |  "connections": [{"source": {"id": "cm"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val listeners = FlowCompiler.startListeners(flow,
+      Map("broker.port" -> broker.port.toString))
+    assert(listeners.map(_.tpe) === Seq("ConsumeMQTT"))
+    try {
+      Mqtt.putMqtt(Seq(("metrics/cpu", "0.93"), ("logs/app", "skip"))
+        .toDF("topic", "payload"), "127.0.0.1", broker.port, qos = 1)
+      eventuallySpooled {
+        val got = spark.read.json(flowSpool).select("topic", "payload")
+          .as[(String, String)].collect().toSeq
+        assert(got === Seq(("metrics/cpu", "0.93")))
+      }
+    } finally { listeners.foreach(_.stop()); broker.stop() }
+  }
+
   test("connections past maxConnections get CONNACK rc 3 before any state") {
     val spool = freshDir("conncap")
     val l = Mqtt.listenMqtt(0, spool, batchSize = 1, maxConnections = 1)
