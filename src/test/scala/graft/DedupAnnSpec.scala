@@ -318,6 +318,58 @@ class DedupAnnSpec extends SparkSpec {
     assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 6).count() === 10)
   }
 
+  test("persisted index serves a STREAM of query batches (foreachBatch ingest gate)") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(61)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_stream_idx").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 8, m = 8, kCodes = 16)
+    // query batches arrive as a file stream; each micro-batch serves
+    // from the SAME persisted index via foreachBatch — the Spark-first
+    // idiom for an ingest-time ANN gate (no rebuild, no corpus pass)
+    val qDir = java.nio.file.Files.createTempDirectory("graft_pq_stream_q").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pq_stream_out").toString + "/res"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val stream = graft.streaming.Streams.fileStream(spark, qDir, schema)
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          Pq.searchIndex(spark, path, batch, k = 5, nProbe = 8)
+            .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_pq_stream_ck").toString)
+      .start()
+    try {
+      def dropBatch(name: String, ids: Seq[Int]): Unit = {
+        val lines = ids.map { i =>
+          val v = corpus.filter(col("vec_id") === i).select("embedding")
+            .as[Array[Float]].head()
+          s"""{"vec_id":$i,"embedding":[${v.mkString(",")}]}"""
+        }
+        java.nio.file.Files.writeString(java.nio.file.Path.of(qDir, name),
+          lines.mkString("", "\n", "\n"))
+      }
+      dropBatch("b1.json", Seq(3, 17))
+      query.processAllAvailable()
+      dropBatch("b2.json", Seq(42))
+      query.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "vec_id", "adc", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = Pq.searchIndex(spark, path,
+          corpus.filter(col("vec_id").isin(3L, 17L, 42L)), k = 5, nProbe = 8)
+        .select("query_id", "vec_id", "adc", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === want, "stream-served results must equal batch-served")
+    } finally query.stop()
+  }
+
   test("appendToIndex: new vectors quantize into the stored model; planted twin found, old rows intact") {
     import graft.operators.Pq
     val rnd = new scala.util.Random(53)
