@@ -129,7 +129,11 @@ object TextClassifier {
       .partitionBy(new org.apache.spark.HashPartitioner(gradParts))
       .mapPartitions(it => it.map(_._2).toArray.sortBy(_._1).iterator,
         preservesPartitioning = true)
-      .cache()
+      // serialized + disk-spillable: the layout is read iters times and
+      // must survive corpora larger than executor memory (recompute
+      // would re-featurize per iteration); determinism is unaffected —
+      // the content is fixed by doc ids either way
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** One gradient accumulation over a [[bucketedLayout]]: `emit` adds
     * this doc's (key → grad) contributions into the bucket-local
