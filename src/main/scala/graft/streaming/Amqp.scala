@@ -224,7 +224,10 @@ object Amqp {
           t.start()
         } catch {
           case _: java.net.SocketTimeoutException => flush() // idle drain
-          case _: java.net.SocketException if stop.get() =>
+          // transient accept failure must NOT kill the accept thread (a
+          // listener that looks alive but never accepts again); the
+          // stop-flag check at the loop head decides actual exit
+          case _: java.io.IOException => if (!stop.get()) Thread.sleep(10)
         }
       }
       flush()
@@ -288,10 +291,16 @@ object Amqp {
     var confirmMode = false
     var confirmSeq = 0L
     val myConsumers = scala.collection.mutable.ArrayBuffer.empty[(String, Consumer)]
-    // pending publish: (exchange, rkey) awaiting header+body
-    var pending: (Int, String, String) = null // (channel, exchange, rkey)
-    var pendingSize = 0L
-    val pendingBody = new java.io.ByteArrayOutputStream()
+    // pending publish state PER CHANNEL (§2.2.7: a connection multiplexes
+    // independent channels, and a conforming client — e.g. the standard
+    // RabbitMQ libraries — may interleave content frames of different
+    // channels' publishes; a single shared slot would reject them):
+    // channel → (exchange, rkey, body-size, body buffer)
+    final class PendingPub(val exchange: String, val rkey: String) {
+      var size: Long = -1L // -1 = header not seen yet
+      val body = new java.io.ByteArrayOutputStream()
+    }
+    val pending = scala.collection.mutable.Map.empty[Int, PendingPub]
 
     def route(exchange: String, rkey: String, body: Array[Byte]): Unit = {
       emit(s"""{"exchange":${Ws.jsonStr(exchange)},"rkey":${Ws.jsonStr(rkey)},""" +
@@ -319,35 +328,40 @@ object Amqp {
     }
 
     var openConn = true
+    // the detach below runs in a finally: the common abrupt-disconnect
+    // exits (EOF, malformed frame, unsupported method) are early returns
+    // from this loop, and leaving dead Consumer objects registered would
+    // cost every later matching publish an IOException per dead consumer
+    try {
     while (openConn) {
       readFrame(in, frameMax) match {
         case None => return
         case Some((8, _, _)) => () // heartbeat
         case Some((2, ch, payload)) => // content header for a pending publish
-          if (pending == null || pending._1 != ch) return
+          val p = pending.getOrElse(ch, return)
           val r = new R(payload)
           r.u16(); r.u16() // class, weight
-          pendingSize = r.u64()
-          if (pendingSize > frameMax.toLong * 16) return // pathological
-          if (pendingSize == 0) {
-            route(pending._2, pending._3, Array.emptyByteArray)
+          p.size = r.u64()
+          if (p.size > frameMax.toLong * 16) return // pathological
+          if (p.size == 0) {
+            route(p.exchange, p.rkey, Array.emptyByteArray)
             if (confirmMode) {
               confirmSeq += 1
               writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
             }
-            pending = null
+            pending.remove(ch)
           }
         case Some((3, ch, payload)) => // content body (possibly fragmented)
-          if (pending == null || pending._1 != ch) return
-          pendingBody.write(payload)
-          if (pendingBody.size() >= pendingSize) {
-            route(pending._2, pending._3, pendingBody.toByteArray)
+          val p = pending.getOrElse(ch, return)
+          if (p.size < 0) return // body before header — protocol error
+          p.body.write(payload)
+          if (p.body.size() >= p.size) {
+            route(p.exchange, p.rkey, p.body.toByteArray)
             if (confirmMode) {
               confirmSeq += 1
               writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
             }
-            pending = null
-            pendingBody.reset()
+            pending.remove(ch)
           }
         case Some((1, ch, payload)) =>
           val r = new R(payload)
@@ -392,8 +406,7 @@ object Amqp {
               r.u16()
               val exchange = r.shortStr()
               val rkey = r.shortStr()
-              pending = (ch, exchange, rkey)
-              pendingBody.reset()
+              pending(ch) = new PendingPub(exchange, rkey)
             case (60, 80) => () // Basic.Ack from a consumer — no-op (auto-ack model)
             case (85, 10) => // Confirm.Select → Select-Ok (publisher confirms)
               confirmMode = true
@@ -405,10 +418,12 @@ object Amqp {
           }
       }
     }
-    // session end: detach my consumers
-    myConsumers.foreach { case (qname, c) =>
-      val q = queues.get(qname)
-      if (q != null) q.consumers.remove(c)
+    } finally {
+      // session end (clean OR abrupt): detach my consumers
+      myConsumers.foreach { case (qname, c) =>
+        val q = queues.get(qname)
+        if (q != null) q.consumers.remove(c)
+      }
     }
   }
 
@@ -542,6 +557,18 @@ object Amqp {
               val r = new R(payload)
               r.u16(); r.u16()
               pendingSize = r.u64()
+              // a zero-size header has NO body frame (§4.2.6) — spool
+              // the empty message now, or it would never be emitted and
+              // the stale pendingEx/pendingRk would linger
+              if (pendingSize == 0 && pendingRk != null) {
+                val doFlush = batch.synchronized {
+                  batch += s"""{"exchange":${Ws.jsonStr(pendingEx)},"rkey":${Ws.jsonStr(pendingRk)},""" +
+                    s""""payload":${Ws.jsonStr("")}}"""
+                  batch.size >= batchSize
+                }
+                if (doFlush) flush()
+                pendingRk = null
+              }
             case (3, _, payload) if pendingRk != null =>
               body.write(payload)
               if (body.size() >= pendingSize) {

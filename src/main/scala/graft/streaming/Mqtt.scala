@@ -230,7 +230,10 @@ object Mqtt {
           t.start()
         } catch {
           case _: java.net.SocketTimeoutException => flush() // idle drain
-          case _: java.net.SocketException if stop.get() =>
+          // transient accept failure must NOT kill the accept thread (a
+          // listener that looks alive but never accepts again); the
+          // stop-flag check at the loop head decides actual exit
+          case _: java.io.IOException => if (!stop.get()) Thread.sleep(10)
         }
       }
       flush()

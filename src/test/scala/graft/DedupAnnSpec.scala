@@ -318,6 +318,38 @@ class DedupAnnSpec extends SparkSpec {
     assert(Pq.searchIndex(spark, path, q2, k = 5, nProbe = 6).count() === 10)
   }
 
+  test("searchIndex broadcastQueries=false: row-identical to the broadcast path (ADC and rerank)") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(67)
+    val base = (0 until 400).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base :+ ((900L, base(114)._2.clone()))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_dist").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 16, m = 8, kCodes = 16)
+    // a LARGE query batch (every 3rd corpus vector — the bulk offline
+    // re-ranking shape the distributed path exists for)
+    val queries = corpus.filter(col("vec_id") % 3 === 0)
+    // pure-ADC form: integer scores, so equality is bit-exact
+    val bcast = Pq.searchIndex(spark, path, queries, k = 8, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dist = Pq.searchIndex(spark, path, queries, k = 8, nProbe = 6,
+        broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist === bcast, "distributed ADC search must be row-identical to broadcast")
+    // rerank form: the shuffled query join must also match
+    val bcastR = Pq.searchIndex(spark, path, queries, k = 5, nProbe = 6,
+        rerankFactor = 4, rerankCorpus = Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val distR = Pq.searchIndex(spark, path, queries, k = 5, nProbe = 6,
+        rerankFactor = 4, rerankCorpus = Some(corpus), broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(distR === bcastR, "distributed rerank search must be row-identical to broadcast")
+    // the planted twin survives the plumbing end-to-end
+    val twin = distR.filter { case (q, v, _, rk) => q == 114L && rk == 1L }
+    assert(twin.map(_._2) === Set(900L), s"twin not at rank 1 on distributed path: $twin")
+  }
+
   test("persisted index serves a STREAM of query batches (foreachBatch ingest gate)") {
     import graft.operators.Pq
     val rnd = new scala.util.Random(61)
@@ -408,6 +440,156 @@ class DedupAnnSpec extends SparkSpec {
     // deleting ids that are not in the index is a no-op
     assert(Pq.deleteFromIndex(spark, path, Seq(999999L)) === 0)
     assert(spark.read.parquet(s"$path/codes").count() === 318)
+  }
+
+  test("residual IVF-PQ (layout v2): higher code-space fidelity than raw on clustered data; append/search/delete all dispatch on the flag") {
+    import graft.operators.{Ann, Pq}
+    // the configuration residual encoding exists for: clustered data —
+    // raw codes are dominated by the cluster center, so the codebook
+    // spends its entries on cluster identity; residuals spend them on
+    // the within-cluster offsets. The invariant PQ quantization can
+    // honestly own on per-vector-scaled int8 codes is FIDELITY TO THE
+    // EXACT CODE-SPACE RANKING (dot(qc, c(x)) with no quantization) —
+    // float-cosine recall is additionally capped by the per-vector
+    // scale normalization itself, which the exact rerank (the
+    // production config, gated below) exists to recover.
+    val rnd = new scala.util.Random(83)
+    val centers = (0 until 16).map(_ => Array.fill(64)((rnd.nextGaussian() * 10).toFloat))
+    val corpus = (0 until 480).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.zipWithIndex.map { case (x, _) => x + (rnd.nextGaussian() * 4.0).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 32)
+    val exact = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // the exact code-space top-10 per query (the ranking ADC approximates),
+    // computed driver-side with the same quantization arithmetic
+    def codesOf(v: Array[Float]): Array[Double] = {
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+      v.map(x => math.floor(x / scale + 0.5))
+    }
+    val allRows = corpus.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map { case (id, v) => (id, codesOf(v)) }
+    def intDot(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { d += a(i).toLong * b(i).toLong; i += 1 }
+      d
+    }
+    val ceiling = (0 until 32).flatMap { q =>
+      val qc = allRows(q)._2
+      allRows.filter(_._1 != q).map { case (id, c) => (q.toLong, id, intDot(qc, c)) }
+        .sortBy { case (_, id, s) => (-s, id) }.take(10)
+        .map { case (qq, id, _) => (qq, id) }
+    }.toSet
+    def fidelityOf(residual: Boolean): (Double, Double, Set[(Long, Long, Long, Long)]) = {
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_pq_res_$residual").toString
+      Pq.buildIndex(spark, corpus, path, nCells = 16, m = 16, kCodes = 64,
+        residual = residual, trainIters = 5, lloydIters = 5)
+      if (residual)
+        assert(new java.io.File(s"$path/centcodes").exists(),
+          "residual layout must persist centroid codes")
+      // FULL probe isolates the quantization error from IVF pruning
+      val got = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 16)
+      val rows = got.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val mine = rows.map { case (q, v, _, _) => (q, v) }
+      // end-to-end production config: ADC shortlist + exact rerank
+      val rr = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 16,
+          rerankFactor = 4, rerankCorpus = Some(corpus))
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      ((mine & ceiling).size.toDouble / ceiling.size,
+        (rr & exact).size.toDouble / exact.size, rows)
+    }
+    val (rawFid, rawEnd, _) = fidelityOf(residual = false)
+    val (resFid, resEnd, resRows) = fidelityOf(residual = true)
+    info(f"code-space fidelity@10: raw $rawFid%.3f vs residual $resFid%.3f; " +
+      f"rerank-x4 recall: raw $rawEnd%.3f vs residual $resEnd%.3f")
+    assert(resFid >= rawFid + 0.05,
+      f"residual must approximate the exact code ranking better: $resFid%.3f vs $rawFid%.3f")
+    assert(resFid >= 0.85, f"residual fidelity floor: $resFid%.3f")
+    assert(resEnd >= 0.95 && rawEnd >= 0.95,
+      f"rerank-x4 must saturate recall on this fixture: raw $rawEnd%.3f res $resEnd%.3f")
+    // the distributed query path speaks the residual layout too —
+    // row-identical to the broadcast path
+    val path2 = java.nio.file.Files.createTempDirectory("graft_pq_res2").toString
+    Pq.buildIndex(spark, corpus, path2, nCells = 16, m = 8, kCodes = 16, residual = true)
+    val bcast = Pq.searchIndex(spark, path2, queries, k = 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dist = Pq.searchIndex(spark, path2, queries, k = 10, nProbe = 6,
+        broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist === bcast, "distributed residual search must equal broadcast")
+    // append quantizes into the stored residual model: a planted twin
+    // of vector 3 ranks first for query 3 at full probe
+    Pq.appendToIndex(spark, path2,
+      corpus.filter(col("vec_id") === 3).select(lit(9000L).as("vec_id"), col("embedding")))
+    val served = Pq.searchIndex(spark, path2,
+        corpus.filter(col("vec_id") === 3), k = 3, nProbe = 16)
+      .select("vec_id", "rk").as[(Long, Long)].collect().toMap
+    assert(served(9000L) === 1, s"appended twin must rank first on residual index, got $served")
+    // bulk delete works unchanged on the v2 layout (codes schema is shared)
+    assert(Pq.deleteFromIndexDf(spark, path2,
+      Seq(9000L).toDF("vec_id")) === 1L)
+    // determinism: a rebuild at the SAME config (incl. trained codebook
+    // and Lloyd-refined cells) serves identical rows
+    val path3 = java.nio.file.Files.createTempDirectory("graft_pq_res3").toString
+    Pq.buildIndex(spark, corpus, path3, nCells = 16, m = 16, kCodes = 64,
+      residual = true, trainIters = 5, lloydIters = 5)
+    val again = Pq.searchIndex(spark, path3, queries, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again === resRows, "residual build must be deterministic")
+  }
+
+  test("deleteFromIndexDf + compactIndex: bulk anti-join delete, fragmented cells compact, search row-identical") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(71)
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_bulk").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 8, m = 8, kCodes = 16)
+    // fragment the layout: 5 appends → up to 6 files per touched cell
+    (0 until 5).foreach { b =>
+      val extra = (0 until 20).map { j =>
+        ((1000 + b * 100 + j).toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      Pq.appendToIndex(spark, path, extra)
+    }
+    assert(spark.read.parquet(s"$path/codes").count() === 500)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val preCompact = Pq.searchIndex(spark, path, queries, k = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // compact: every cell back to one file; search results unchanged
+    val compacted = Pq.compactIndex(spark, path, maxFilesPerCell = 1)
+    assert(compacted > 0, "appends must have fragmented at least one cell")
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    cellDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 1, s"${d.getName} still has $files files after compaction")
+    }
+    assert(spark.read.parquet(s"$path/codes").count() === 500, "compaction must not drop rows")
+    val postCompact = Pq.searchIndex(spark, path, queries, k = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(postCompact === preCompact, "search must be row-identical across compaction")
+    // bulk delete: a DataFrame of 120 victim ids (every appended batch's
+    // even ids + some base ids), one anti-join job
+    val victims = spark.range(0, 1500).select(col("id").as("vec_id"))
+      .filter(col("vec_id") % 2 === 0 && (col("vec_id") >= 1000 || col("vec_id") < 40))
+    val expectedVictims = ((0 until 40 by 2) ++
+      (0 until 5).flatMap(b => (0 until 20).map(j => 1000 + b * 100 + j)).filter(_ % 2 == 0)).size
+    val removed = Pq.deleteFromIndexDf(spark, path, victims)
+    assert(removed === expectedVictims, s"removed $removed, expected $expectedVictims")
+    assert(spark.read.parquet(s"$path/codes").count() === 500 - expectedVictims)
+    val after = Pq.searchIndex(spark, path, queries, k = 8, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.forall(v => !(v % 2 == 0 && (v >= 1000 || v < 40))),
+      "deleted ids must not be served")
+    // deleting ids absent from the index is a no-op
+    assert(Pq.deleteFromIndexDf(spark, path,
+      spark.range(900000, 900010).select(col("id").as("vec_id"))) === 0L)
   }
 
   test("OPQ-lite permutation: deterministic, dot-preserving, recall >= plain PQ on anisotropic data") {
