@@ -890,7 +890,15 @@ object FlowCompiler {
           listProp(p, "Payload Columns", "content"),
           prop(p, "Output Column", "packed"))
       case "UnpackContent" =>
-        Records.unpack(in, prop(p, "Packed Column", "packed"))
+        // NiFi's Packaging Format: zip/tar unpack real archives; the
+        // default "flowfile" form is the record-envelope pack/unpack
+        prop(p, "Packaging Format", "flowfile").toLowerCase match {
+          case "zip" | "tar" =>
+            Records.unpackArchive(in, prop(p, "Content Column", "content"),
+              prop(p, "Packaging Format", "zip"))
+          case _ =>
+            Records.unpack(in, prop(p, "Packed Column", "packed"))
+        }
       case "ModifyBytes" =>
         // NiFi's property names: bytes trimmed off each end
         Records.modifyBytes(in, prop(p, "Content Column", "content"),
@@ -929,12 +937,24 @@ object FlowCompiler {
           p.props.collectFirst { case ("Body Column", v) => v },
           dynamicProps(p).toMap)
       case "MergeContent" =>
-        // Bin-Packing Algorithm strategy: cumulative-size bin assignment
-        Records.binPack(in,
-          listProp(p, "Group Columns"),
-          prop(p, "Order Column", "id"), prop(p, "Size Column", "size"),
-          prop(p, "Maximum Group Size", "1000").trim.toLong,
-          prop(p, "Output Column", "bin"))
+        prop(p, "Merge Format", "bin-packing").toLowerCase match {
+          case "zip" | "tar" =>
+            // archive merge: one zip/tar payload per group
+            Records.mergeArchive(in,
+              listProp(p, "Group Columns"),
+              prop(p, "Order Column", "id"),
+              prop(p, "Name Column", "name"),
+              prop(p, "Content Column", "content"),
+              prop(p, "Merge Format", "zip"),
+              prop(p, "Output Column", "archive"))
+          case _ =>
+            // Bin-Packing Algorithm strategy: cumulative-size bin assignment
+            Records.binPack(in,
+              listProp(p, "Group Columns"),
+              prop(p, "Order Column", "id"), prop(p, "Size Column", "size"),
+              prop(p, "Maximum Group Size", "1000").trim.toLong,
+              prop(p, "Output Column", "bin"))
+        }
       case "AttributesToJSON" =>
         Records.attributesToJson(in,
           listProp(p, "Attributes List"),

@@ -872,6 +872,53 @@ object Records {
       .withColumn("entry_data", col("__e.data"))
       .drop("__e")
 
+  /** MergeContent, ARCHIVE formats (r15 — NiFi's Merge Format
+    * zip/tar): bundle each group's (name, data) rows into ONE archive
+    * payload. One shuffle on the group key; entries are ordered by
+    * `orderCol` inside the group (array_sort on the leading struct
+    * field — no global sort), and the archive bytes are DETERMINISTIC
+    * (epoch-0 timestamps in both formats), so re-merges are
+    * byte-identical. Output: group columns + `archive` binary. */
+  def mergeArchive(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   nameCol: String, dataCol: String, format: String,
+                   archiveCol: String = "archive"): DataFrame = {
+    val packer: Column => Column = format.toLowerCase match {
+      case "zip" => graft.plans.BinaryExpressions.zipPack
+      case "tar" => graft.plans.BinaryExpressions.tarPack
+      case f     => throw new IllegalArgumentException(s"mergeArchive: unknown format '$f'")
+    }
+    val sorted = df.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(nameCol).cast("string").as("name"),
+        col(dataCol).cast("binary").as("data")))).as("__entries"))
+    sorted.withColumn(archiveCol,
+        packer(transform(col("__entries"),
+          e => struct(e.getField("name").as("name"), e.getField("data").as("data")))))
+      .drop("__entries")
+  }
+
+  /** UnpackContent, archive forms (r15): one row per archived file
+    * with NiFi's fragment-attribute contract — `fragment_index` (the
+    * entry's position in its archive), `fragment_count` (entries in
+    * that archive), and the parent row's columns carried through (the
+    * `fragment.identifier` analog: the parent's own id column(s)
+    * remain on every fragment). Zip and tar payloads both unpack
+    * through one native expression; narrow. */
+  def unpackArchive(df: DataFrame, contentCol: String, format: String): DataFrame = {
+    val splitter: Column => Column = format.toLowerCase match {
+      case "zip" => graft.plans.BinaryExpressions.zipEntries
+      case "tar" => graft.plans.BinaryExpressions.tarEntries
+      case f     => throw new IllegalArgumentException(s"unpackArchive: unknown format '$f'")
+    }
+    df.withColumn("__entries", splitter(col(contentCol).cast("binary")))
+      .withColumn("fragment_count", size(col("__entries")).cast("long"))
+      .select(col("*"), posexplode(col("__entries")).as(Seq("fragment_index", "__e")))
+      .withColumn("entry_name", col("__e.name"))
+      .withColumn("entry_data", col("__e.data"))
+      .withColumn("fragment_index", col("fragment_index").cast("long"))
+      .drop("__entries", "__e")
+  }
+
   /** UpdateRecord (NiFi): SET a field by record path — a top-level
     * column ("name") or a nested struct field ("name.sub.leaf",
     * arbitrary depth via Column.withField), leaving sibling fields

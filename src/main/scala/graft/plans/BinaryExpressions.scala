@@ -172,6 +172,162 @@ case class ZipEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** MergeContent (zip mode): pack an array<struct<name, data>> of
+  * entries into ONE zip archive payload (the inverse of [[ZipEntries]]
+  * — NiFi's merge/unpack speak zip in both directions). Entry
+  * timestamps are pinned to epoch 0 so the archive bytes are
+  * DETERMINISTIC (ZipOutputStream otherwise stamps wall-clock mtimes
+  * into every local header — two identical merges would differ). */
+case class ZipPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zip_pack"
+  override protected def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val bos = new ByteArrayOutputStream(1024)
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    var i = 0
+    while (i < entries.numElements()) {
+      val row = entries.getStruct(i, 2)
+      val e = new java.util.zip.ZipEntry(row.getUTF8String(0).toString)
+      e.setTime(0L) // deterministic bytes
+      zos.putNextEntry(e)
+      zos.write(row.getBinary(1))
+      zos.closeEntry()
+      i += 1
+    }
+    zos.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** UnpackContent (tar mode): explode a POSIX ustar archive into
+  * array<struct<name, data>> — the header format is public and simple
+  * (512-byte blocks: name at 0/100, size as octal at 124/12, typeflag
+  * at 156, magic "ustar" at 257, prefix at 345/155; data follows in
+  * 512-padded blocks; ≥2 zero blocks end the stream). Directory
+  * entries (typeflag '5') are skipped; regular files are typeflag '0'
+  * or NUL. A malformed header (bad size digits) throws. */
+case class TarEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("data", BinaryType, nullable = false))))
+  override def prettyName: String = "graft_tar_entries"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    def str(start: Int, len: Int): String = {
+      var end = start
+      val bound = start + len
+      while (end < bound && bytes(off + end) != 0) end += 1
+      new String(bytes, off + start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def octal(start: Int, len: Int): Long = {
+      var v = 0L
+      var i = start
+      val bound = start + len
+      while (i < bound) {
+        val b = bytes(off + i)
+        if (b >= '0' && b <= '7') v = v * 8 + (b - '0')
+        else if (b != ' ' && b != 0)
+          throw new IllegalArgumentException(s"tar: bad octal digit at header offset $i")
+        i += 1
+      }
+      v
+    }
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val name0 = str(0, 100)
+      val prefix = str(345, 155)
+      val name = if (prefix.nonEmpty) s"$prefix/$name0" else name0
+      val size = octal(124, 12)
+      val typeflag = bytes(off + 156)
+      off += 512
+      val dataLen = size.toInt
+      if (typeflag == '0' || typeflag == 0) {
+        require(off + dataLen <= bytes.length, "tar: truncated entry data")
+        val data = java.util.Arrays.copyOfRange(bytes, off, off + dataLen)
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name), data)
+      }
+      off += ((dataLen + 511) / 512) * 512 // data blocks are 512-padded
+    }
+    new GenericArrayData(rows.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MergeContent (tar mode): pack entries into a POSIX ustar archive —
+  * hand-written headers (no tar library exists offline; the format is
+  * public), deterministic: mode 0644, uid/gid 0, mtime 0, ustar magic
+  * + version "00", checksum per the spec (header summed with the
+  * chksum field as spaces). Names longer than 100 bytes use the ustar
+  * prefix field (split at a '/'); longer still is rejected. */
+case class TarPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_tar_pack"
+  override protected def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val bos = new ByteArrayOutputStream(1024)
+    def put(h: Array[Byte], start: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, h, start, b.length)
+    }
+    var i = 0
+    while (i < entries.numElements()) {
+      val row = entries.getStruct(i, 2)
+      val fullName = row.getUTF8String(0).toString
+      val data = row.getBinary(1)
+      val nameBytes = fullName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (prefix, name) =
+        if (nameBytes.length <= 100) ("", fullName)
+        else {
+          val cut = fullName.lastIndexOf('/', fullName.length - 1)
+          require(cut > 0, s"tar: name too long and unsplittable: $fullName")
+          val (p, n) = (fullName.substring(0, cut), fullName.substring(cut + 1))
+          require(p.getBytes("UTF-8").length <= 155 && n.getBytes("UTF-8").length <= 100,
+            s"tar: name too long: $fullName")
+          (p, n)
+        }
+      val h = new Array[Byte](512)
+      // the header array is zero-initialized, so the NUL terminators
+      // every octal field needs are already in place — no NUL bytes in
+      // source literals (the binary-file lesson from Bpe.scala r13)
+      put(h, 0, name)
+      put(h, 100, "0000644")
+      put(h, 108, "0000000")
+      put(h, 116, "0000000")
+      put(h, 124, f"${data.length}%011o")
+      put(h, 136, "00000000000") // mtime 0 — deterministic
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces for the sum
+      h(156) = '0'
+      put(h, 257, "ustar") // magic "ustar" NUL + version "00" (POSIX)
+      put(h, 263, "00")
+      put(h, 345, prefix)
+      var sum = 0
+      var j = 0
+      while (j < 512) { sum += h(j) & 0xFF; j += 1 }
+      put(h, 148, f"$sum%06o") // 6 octal digits, then NUL (in place), space
+      h(155) = ' '.toByte
+      bos.write(h)
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+      i += 1
+    }
+    bos.write(new Array[Byte](1024)) // two terminating zero blocks
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket, native form: `bits` sign bits of
   * projections onto pseudo-random planes derived from splitmix64 of
   * (seed, plane, component) — deterministic across executors, one
@@ -404,6 +560,12 @@ object BinaryExpressions {
     ColumnBridge.column(SnappyDecompress(ColumnBridge.expression(c)))
   def zipEntries(c: Column): Column =
     ColumnBridge.column(ZipEntries(ColumnBridge.expression(c)))
+  def zipPack(c: Column): Column =
+    ColumnBridge.column(ZipPack(ColumnBridge.expression(c)))
+  def tarEntries(c: Column): Column =
+    ColumnBridge.column(TarEntries(ColumnBridge.expression(c)))
+  def tarPack(c: Column): Column =
+    ColumnBridge.column(TarPack(ColumnBridge.expression(c)))
   def hyperplaneBucket(c: Column, bits: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(c), bits, seed))
 

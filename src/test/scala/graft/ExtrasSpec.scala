@@ -147,6 +147,87 @@ class ExtrasSpec extends SparkSpec {
                        (2L, "c.txt", "gamma")))
   }
 
+  test("mergeArchive/unpackArchive: zip and tar round-trip with the fragment contract; deterministic bytes") {
+    // multi-entry groups incl. an EMPTY payload, real binary bytes
+    // (every value 0..255), and a nested/non-ASCII name
+    val binary = (0 until 256).map(_.toByte).toArray
+    val rows = Seq(
+      (1L, 0L, "a.txt", "alpha".getBytes("UTF-8")),
+      (1L, 1L, "sub/π.bin", binary),
+      (1L, 2L, "empty", Array.emptyByteArray),
+      (2L, 0L, "solo.txt", "solo".getBytes("UTF-8"))
+    ).toDF("grp", "ord", "name", "content")
+    for (format <- Seq("zip", "tar")) {
+      val merged = Records.mergeArchive(rows, Seq("grp"), "ord", "name", "content", format)
+      assert(merged.count() === 2)
+      // round-trip: every (grp, name, bytes) survives; fragment
+      // attributes follow NiFi's contract (index = position, count =
+      // entries in the parent archive)
+      val back = Records.unpackArchive(merged, "archive", format)
+        .select(col("grp"), col("fragment_index"), col("fragment_count"),
+          col("entry_name"), col("entry_data"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getAs[Array[Byte]](4).toSeq)).toSet
+      assert(back === Set(
+        (1L, 0L, 3L, "a.txt", "alpha".getBytes("UTF-8").toSeq),
+        (1L, 1L, 3L, "sub/π.bin", binary.toSeq),
+        (1L, 2L, 3L, "empty", Seq.empty),
+        (2L, 0L, 1L, "solo.txt", "solo".getBytes("UTF-8").toSeq)),
+        s"$format round-trip mismatch")
+      // determinism: re-merging yields byte-identical archives
+      val a1 = merged.filter(col("grp") === 1).select("archive").as[Array[Byte]].head()
+      val a2 = Records.mergeArchive(rows, Seq("grp"), "ord", "name", "content", format)
+        .filter(col("grp") === 1).select("archive").as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(a1, a2), s"$format merge must be deterministic")
+    }
+    // tar headers are REAL ustar: magic at 257, checksum validates, and
+    // the JDK-independent parse comes back through unpackZip's sibling
+    val tar = Records.mergeArchive(rows, Seq("grp"), "ord", "name", "content", "tar")
+      .filter(col("grp") === 2).select("archive").as[Array[Byte]].head()
+    assert(new String(tar, 257, 5, "UTF-8") === "ustar", "ustar magic missing")
+    val stored = Integer.parseInt(new String(tar, 148, 6, "UTF-8"), 8)
+    val sum = (0 until 512).map(i => if (i >= 148 && i < 156) ' '.toInt else tar(i) & 0xFF).sum
+    assert(stored === sum, "ustar checksum must validate")
+    // zip interop: our packed zip opens with the JDK's own reader
+    val zipBytes = Records.mergeArchive(rows, Seq("grp"), "ord", "name", "content", "zip")
+      .filter(col("grp") === 2).select("archive").as[Array[Byte]].head()
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
+    val e = zin.getNextEntry
+    assert(e.getName === "solo.txt")
+  }
+
+  test("archive flow vocabulary: MergeContent tar + UnpackContent tar compile in a flow") {
+    val json =
+      """{"flowContents": {"name": "archive-edge",
+        |  "processors": [
+        |    {"identifier": "m", "type": "MergeContent",
+        |     "properties": {"Merge Format": "tar", "Group Columns": "grp",
+        |       "Order Column": "ord", "Name Column": "name",
+        |       "Content Column": "content", "Output Column": "archive"}},
+        |    {"identifier": "u", "type": "UnpackContent",
+        |     "properties": {"Packaging Format": "tar", "Content Column": "archive"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "files"}],
+        |  "outputPorts": [{"identifier": "o", "name": "entries"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "m"}},
+        |    {"source": {"id": "m"}, "destination": {"id": "u"}},
+        |    {"source": {"id": "u"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val in = Seq((1L, 0L, "x.txt", "xx".getBytes("UTF-8")),
+                 (1L, 1L, "y.txt", "yy".getBytes("UTF-8")))
+      .toDF("grp", "ord", "name", "content")
+    val out = graft.FlowCompiler.compile(spark, json, Map("files" -> in))("entries")
+      .select("entry_name", "entry_data").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toSet
+    assert(out === Set(("x.txt", "xx"), ("y.txt", "yy")))
+    // the committed flow compiles and round-trips the same input
+    val committed = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/flows/archive_roundtrip.json"), "UTF-8").mkString
+    val ports = graft.FlowCompiler.compile(spark, committed, Map("files" -> in))
+    assert(ports("archives").count() === 1)
+    val entries = ports("entries").select("entry_name").as[String].collect().toSet
+    assert(entries === Set("x.txt", "y.txt"))
+  }
+
   test("updateField sets nested struct fields in place (UpdateRecord)") {
     val df = Seq((1L, ("alpha", 10))).toDF("id", "rec")
       .select(col("id"), col("rec").cast("struct<name:string,qty:int>"))
