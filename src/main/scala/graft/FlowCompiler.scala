@@ -557,6 +557,15 @@ object FlowCompiler {
         case "ListenWebSocket" =>
           val l = graft.streaming.Ws.listenWebSocket(port, spool)
           Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
+        case "ListenSiteToSite" =>
+          // the graft endpoint a NiFi Remote Process Group transfers
+          // to: one RUNNING input port (+ an output port when an
+          // Egress Directory is configured)
+          val l = graft.streaming.SiteToSite.listen(port, spool,
+            portName = prop(p, "Port Name", "graft"),
+            portId = prop(p, "Port Id", "graft-in-0"),
+            egressDir = Option(prop(p, "Egress Directory", "")).filter(_.nonEmpty))
+          Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
         case "ConsumeMQTT" =>
           // two modes, NiFi's actual canvas vocabulary: a "Broker URI"
           // property (tcp://host:port) selects the NATIVE client
