@@ -2417,6 +2417,27 @@ object QueriesLlm {
     """SELECT doc_id FROM documents
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
+  /** Corpus difference (§2.6, r15 — the survey row the r14 verdict
+    * flagged as untracked): "how much NEW data does this source add"
+    * through the Theta A-NOT-B sketch. Distinct text counts at every
+    * oracle SF sit far below the 2^14 nominal entries, so the sketches
+    * never sample and every estimate is EXACT (the same no-eviction
+    * contract as q_heavy_hitters); the eviction regime's error bounds
+    * are spec-gated in SketchesSpec. */
+  val qCorpusDifference: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Sketches.corpusDifference(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text")
+  }
+  val qCorpusDifferenceSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT text) FROM documents WHERE doc_id % 2 = 0) AS distinct_a,
+      |  (SELECT count(DISTINCT text) FROM documents WHERE doc_id % 2 = 1) AS distinct_b,
+      |  (SELECT count(DISTINCT text) FROM documents
+      |   WHERE doc_id % 2 = 0
+      |     AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 1)) AS a_not_b""".stripMargin
+
   /** Block-pattern PNG payload for the perceptual-hash queries: red
     * channel of 9×8 blocks = (17i + 29j + 21(id%10) + noise) mod 256,
     * noise = 5(id%7) at cell (3,2) for id%3=0 — every term replayable
@@ -2783,6 +2804,7 @@ object QueriesLlm {
     "q_quality_classifier"  -> qQualityClassifier,
     "q_lang_id_learned"     -> qLangIdLearned,
     "q_heavy_hitters"       -> qHeavyHitters,
+    "q_corpus_difference"   -> qCorpusDifference,
     "q_bloom_dedup"         -> qBloomDedup,
     "q_image_phash"         -> qImagePhash,
     "q_image_neardup"       -> qImageNeardup,
@@ -2854,6 +2876,7 @@ object QueriesLlm {
     "q_dsir_weights"        -> qDsirWeightsSql,
     "q_dsir_sample"         -> qDsirSampleSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
+    "q_corpus_difference"   -> qCorpusDifferenceSql,
     "q_bloom_dedup"         -> qBloomDedupSql,
     "q_image_phash"         -> qImagePhashSql,
     "q_image_neardup"       -> qImageNeardupSql,

@@ -71,6 +71,17 @@ object Dedup {
   private[graft] def minHashSig(text: Column, shingleN: Int, numHashes: Int): Column =
     graft.plans.TextHashExpressions.minHashSig(text, shingleN, numHashes)
 
+  /** LSH banding of a (id, sig) frame: one row per (id, band_id,
+    * band_hash) where band_hash = xxhash64 of the signature's band
+    * slice. Shared, byte-identical arithmetic between the inline
+    * [[minHashLsh]] and the persistent [[LshIndex]] — the parity pin
+    * between the two rests on this being ONE expression. */
+  private[operators] def bandHashes(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows)))))).as(Seq("band_id", "band_hash")))
+
   /** MinHash + LSH near-duplicate PAIRS.
     *
     * shingle(n) → signature(numHashes) → split into `bands` bands →
@@ -120,10 +131,7 @@ object Dedup {
     // carry ONLY ids through the bucket join and are deduped BEFORE the
     // (64-element) signature comparison — a pair colliding in k bands
     // costs one verify, not k
-    val bandedAll = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rows + 1, lit(rows)))))).as(Seq("band_id", "band_hash")))
+    val bandedAll = bandHashes(sig, bands, rows)
     // hot-bucket cap as a WINDOW count: one shuffle on the same
     // (band_id, band_hash) key the self-join needs anyway — no second
     // aggregate relation, no join, no broadcast of a bucket table

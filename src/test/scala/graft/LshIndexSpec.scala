@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LshIndex}
+
+/** Gates for the persistent MinHash-LSH index (SURVEY 32c): exact
+  * pair-set parity with the inline [[Dedup.minHashLsh]] (same
+  * signature + banding expressions), incremental append, the
+  * DetectDuplicate-at-scale serve path, and hot-bucket cap parity. */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base.replace("warm", "cold")),                 // near-dup of 0
+    (2L, base),                                         // exact dup of 0
+    (3L, "completely different content about distributed query engines and shuffle plans"),
+    (4L, "yet another unrelated string with its own vocabulary entirely"),
+    (5L, base.replace("quick", "swift").replace("lazy", "idle")) // farther variant
+  ).toDF("doc_id", "text")
+
+  test("index-served pairs are EXACTLY the inline minHashLsh pairs (values included)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    // layout really is band-partitioned with a sigs side
+    assert(new java.io.File(s"$path/bands").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("band_id=")))
+    assert(new java.io.File(s"$path/sigs").exists())
+    val inline = Dedup.minHashLsh(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val served = LshIndex.searchIndex(spark, path, corpus, threshold = 0.6)
+      .filter(col("query_id") < col("id"))
+      .select(col("query_id"), col("id"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === inline, "index-served pairs must equal the inline LSH pairs")
+    assert(inline.nonEmpty, "fixture must produce pairs")
+    // the cap semantics match too (when queries = corpus the window
+    // population is identical): a cap of 1 sheds every bucket the
+    // exact-dup pair saturates
+    val inlineCapped = Dedup.minHashLsh(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.6, maxBucket = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val servedCapped = LshIndex.searchIndex(spark, path, corpus,
+        threshold = 0.6, maxBucket = 1)
+      .filter(col("query_id") < col("id"))
+      .select(col("query_id"), col("id")).as[(Long, Long)].collect().toSet
+    assert(servedCapped === inlineCapped, "hot-bucket cap must match inline semantics")
+  }
+
+  test("append + DetectDuplicate-at-scale: new batch probes the layout without re-reading the corpus") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_dd").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    // an incoming batch: one near-dup of an indexed doc, one novel doc
+    val incoming = Seq(
+      (100L, base.replace("nearby", "close")),
+      (101L, "entirely novel prose that matches nothing in the index at all")
+    ).toDF("doc_id", "text")
+    val flags = LshIndex.detectDuplicates(spark, path, incoming, threshold = 0.5)
+      .select(col("doc_id"), col("is_duplicate"), col("dup_of"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(flags(100L)._1 === true, "near-dup of an indexed doc must flag")
+    assert(Set(0L, 2L).contains(flags(100L)._2), s"best match should be doc 0/2, got ${flags(100L)._2}")
+    assert(flags(101L) === ((false, -1L)), "novel doc must pass")
+    // determinism (pre-append): a rebuilt index serves identical rows
+    val path2 = java.nio.file.Files.createTempDirectory("graft_lsh_dd2").toString
+    LshIndex.buildIndex(spark, corpus, path2, shingleN = 3, numHashes = 64, bands = 16)
+    val a = LshIndex.searchIndex(spark, path, corpus, threshold = 0.6)
+    val b = LshIndex.searchIndex(spark, path2, corpus, threshold = 0.6)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    // append the incoming batch; a later twin of 101 now flags against it
+    LshIndex.appendToIndex(spark, path, incoming)
+    assert(spark.read.parquet(s"$path/sigs").count() === 8)
+    val later = Seq((200L, "entirely novel prose that matches nothing in the index at ALL"))
+      .toDF("doc_id", "text")
+    val hit = LshIndex.searchIndex(spark, path, later, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(hit.contains(101L), "appended doc must be servable as an index side")
+  }
+}
