@@ -680,6 +680,22 @@ object QueriesLlm {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Persistent MinHash-LSH index (§2.4 32c, r15): build the banded
+    * signature layout once, then serve the corpus back through it —
+    * pair-for-pair (and value-for-value) EQUAL to q_dedup_minhash by
+    * the LshIndexSpec parity pin, but every serve reads signatures
+    * from parquet instead of re-shingling text. Rows-only at the gate
+    * (minhash arithmetic isn't DuckDB-expressible); the spec carries
+    * the exactness claim. */
+  val qLshIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_lsh_index_${d.hashCode & 0x7FFFFFFF}"
+    graft.operators.LshIndex.buildIndex(s, docs, path)
+    graft.operators.LshIndex.searchIndex(s, path, docs, threshold = 0.6)
+      .filter(col("query_id") < col("id"))
+      .select(col("query_id").as("id_a"), col("id").as("id_b"), col("est_jaccard"))
+  }
+
   /** MinHash+LSH with the hot-bucket cap (§2.4 #30, r11) — the
     * 100×-scale form: band buckets larger than 256 docs are skipped
     * (their pairs are the measured-quadratic term; true near-dups
@@ -2746,6 +2762,7 @@ object QueriesLlm {
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped,
     "q_dedup_cluster_capped" -> qDedupClusterCapped,
     "q_dedup_minhash"       -> qDedupMinhash,
+    "q_lsh_index"           -> qLshIndex,
     "q_dedup_minhash_capped" -> qDedupMinhashCapped,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,
