@@ -630,9 +630,19 @@ object Pq {
   def buildIndex(spark: SparkSession, corpus: DataFrame, path: String,
                  nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
                  residual: Boolean = false, trainIters: Int = 0,
-                 lloydIters: Int = 0): Unit = {
+                 lloydIters: Int = 0, opq: Boolean = false): Unit = {
     import spark.implicits._
-    val init = pickCentroids(spark, corpus, nCells)
+    // OPQ-lite inside the index (r15): the variance-balanced dim
+    // permutation (35h — previously inline-only via [[adcTopKOpq]])
+    // persists in the layout and applies to every vector at build,
+    // append, and query time. A permutation preserves dots, norms,
+    // per-vector quantization scale, and cosine, so the IVF
+    // assignment, the exact-integer oracle story, and the rerank are
+    // all unchanged — only the SUBSPACE GROUPING improves.
+    val perm: Option[Array[Int]] =
+      if (opq) Some(variancePerm(corpus, "vec_id", "embedding", m)) else None
+    val corpusP = perm.map(p => permute(corpus, "embedding", p)).getOrElse(corpus)
+    val init = pickCentroids(spark, corpusP, nCells)
     // coarse-quantizer training (FAISS trains this too): deterministic
     // Lloyd iterations so cells track the corpus's cluster structure.
     // It matters doubly on a RESIDUAL index — a vector assigned to a
@@ -640,9 +650,9 @@ object Pq {
     // codebook's capacity (measured: untrained cells made residual
     // encoding LOSE to raw on a 16-cluster fixture).
     val cents =
-      if (lloydIters > 0) Ann.refineCentroids(spark, corpus, init, lloydIters) else init
+      if (lloydIters > 0) Ann.refineCentroids(spark, corpusP, init, lloydIters) else init
     val bcCells = spark.sparkContext.broadcast(cents)
-    val cCell = Ann.assignCells(spark, corpus, bcCells, 1).toDF("vec_id", "c_vec", "cell")
+    val cCell = Ann.assignCells(spark, corpusP, bcCells, 1).toDF("vec_id", "c_vec", "cell")
       .select("vec_id", "cell")
     def writeBook(book: Array[Array[Double]]): Unit =
       book.zipWithIndex.map { case (bc, j) => (j, bc) }.toSeq.toDF("j", "bc")
@@ -651,7 +661,7 @@ object Pq {
     val coded =
       if (residual) {
         val cc = centroidCodes(spark, cents)
-        val rc0 = residualCodesDf(corpus, cCell, cc)
+        val rc0 = residualCodesDf(corpusP, cCell, cc)
         val rc = if (trainIters > 0) {
           val p = rc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           cached = Some(p); p
@@ -670,8 +680,8 @@ object Pq {
         writeBook(book)
         encodeCodesDf(rc, book, m).join(cCell, "vec_id")
       } else {
-        val init = codebook(corpus, "vec_id", "embedding", kCodes)
-        val codes0 = int8Codes(corpus, "vec_id", "embedding")
+        val init = codebook(corpusP, "vec_id", "embedding", kCodes)
+        val codes0 = int8Codes(corpusP, "vec_id", "embedding")
         val codes = if (trainIters > 0) {
           val p = codes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           cached = Some(p); p
@@ -691,21 +701,35 @@ object Pq {
       bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
     cents.toSeq.toDF("cell", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((m, kCodes, nCells, if (residual) 1 else 0))
-      .toDF("m", "k_codes", "n_cells", "residual")
+    perm.foreach { pm =>
+      pm.zipWithIndex.map { case (dim, pos) => (pos, dim) }.toSeq.toDF("pos", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/perm")
+    }
+    Seq((m, kCodes, nCells, if (residual) 1 else 0, if (opq) 1 else 0))
+      .toDF("m", "k_codes", "n_cells", "residual", "opq")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     cached.foreach(_.unpersist(blocking = false))
   }
 
-  /** Layout metadata: (m, kCodes, nCells, residual) — tolerant of v1
-    * meta files written before the residual column existed. */
-  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Boolean) = {
+  /** Layout metadata: (m, kCodes, nCells, residual, opq) — tolerant
+    * of meta files written before the residual/opq columns existed. */
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Boolean, Boolean) = {
     import spark.implicits._
     val df = spark.read.parquet(s"$path/meta")
-    val residual = df.columns.contains("residual") &&
-      df.select(col("residual").cast("int")).as[Int].head() == 1
+    def flag(c: String): Boolean = df.columns.contains(c) &&
+      df.select(col(c).cast("int")).as[Int].head() == 1
     val base = df.select("m", "k_codes", "n_cells").as[(Int, Int, Int)].head()
-    (base._1, base._2, base._3, residual)
+    (base._1, base._2, base._3, flag("residual"), flag("opq"))
+  }
+
+  /** The persisted OPQ permutation (pos → input dim), or None on a
+    * non-OPQ layout. */
+  private def readPerm(spark: SparkSession, path: String, opq: Boolean): Option[Array[Int]] = {
+    import spark.implicits._
+    if (!opq) None
+    else Some(spark.read.parquet(s"$path/perm")
+      .select(col("pos").cast("int"), col("dim").cast("int"))
+      .as[(Int, Int)].collect().sortBy(_._1).map(_._2))
   }
 
   /** Append new vectors to a persisted index WITHOUT retraining — the
@@ -717,9 +741,11 @@ object Pq {
     * deliberately NOT used — appends add files inside `cell=` dirs,
     * existing files untouched). Vec ids must be globally unique across
     * builds+appends — the caller's contract, same as FAISS. */
-  def appendToIndex(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, path: String, vectors0: DataFrame): Unit = {
     import spark.implicits._
-    val (m, _, _, residual) = readMeta(spark, path)
+    val (m, _, _, residual, opq) = readMeta(spark, path)
+    val vectors = readPerm(spark, path, opq)
+      .map(pm => permute(vectors0, "embedding", pm)).getOrElse(vectors0)
     val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$path/centroids")
       .select(col("cell").cast("int"), col("cvec"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
@@ -898,7 +924,11 @@ object Pq {
                   rerankCorpus: Option[DataFrame] = None,
                   broadcastQueries: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (m, _, _, residual) = readMeta(spark, path)
+    val (m, _, _, residual, opq) = readMeta(spark, path)
+    // OPQ layouts permute the QUERY side identically; the rerank below
+    // keeps the ORIGINAL queries/corpus (cosine is permutation-invariant)
+    val queriesP = readPerm(spark, path, opq)
+      .map(pm => permute(queries, "embedding", pm)).getOrElse(queries)
     val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$path/centroids")
       .select(col("cell").cast("int"), col("cvec"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
@@ -912,7 +942,7 @@ object Pq {
           .as[(Int, Array[Double])].collect().sortBy(_._1))
       else None
     val bcCells = spark.sparkContext.broadcast(cents)
-    val qCellDs = Ann.assignCells(spark, queries, bcCells, nProbe)
+    val qCellDs = Ann.assignCells(spark, queriesP, bcCells, nProbe)
     val (qCell, probed) =
       if (broadcastQueries) {
         val qAssign: Array[(Long, Int)] = qCellDs.collect().map { case (id, _, c) => (id, c) }
@@ -930,7 +960,7 @@ object Pq {
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("pq"), col("cell"))
     val cand =
-      if (broadcastQueries) scoreCandidates(spark, coded, qCell, queries, book, m, centCodes)
+      if (broadcastQueries) scoreCandidates(spark, coded, qCell, queriesP, book, m, centCodes)
       else scoreCandidatesDistributed(spark, coded, qCell, book, m, centCodes,
         shortK = k * math.max(rerankFactor, 1))
     if (rerankFactor <= 0) {

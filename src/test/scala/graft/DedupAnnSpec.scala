@@ -634,6 +634,39 @@ class DedupAnnSpec extends SparkSpec {
     // vs 0.600 balanced at this config
     assert(rOpq >= rPlain + 0.2,
       f"OPQ-lite recall $rOpq%.3f must beat plain $rPlain%.3f by the pinned margin")
+    // r15: the permutation persists INSIDE the index layout — the same
+    // anisotropic margin holds for index-served full-probe ADC, append
+    // quantizes through the stored perm, and the distributed query
+    // path permutes identically
+    import graft.operators.Pq
+    def servedRecall(opq: Boolean): Double = {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_pq_opq_$opq").toString
+      Pq.buildIndex(spark, corpus, path, nCells = 16, m = 8, kCodes = 16, opq = opq)
+      if (opq) assert(new java.io.File(s"$path/perm").exists(), "opq layout must persist the perm")
+      recall(Pq.searchIndex(spark, path, queries, k = 10, nProbe = 16))
+    }
+    val sPlain = servedRecall(opq = false)
+    val sOpq = servedRecall(opq = true)
+    info(f"index-served ADC recall@10: plain=$sPlain%.3f opq=$sOpq%.3f")
+    assert(sOpq >= sPlain + 0.2,
+      f"persisted OPQ recall $sOpq%.3f must beat plain $sPlain%.3f by the pinned margin")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_opq_full").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 16, m = 8, kCodes = 16, opq = true)
+    val bcast = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dist = Pq.searchIndex(spark, path, queries, k = 10, nProbe = 6,
+        broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist === bcast, "distributed search must be row-identical on an OPQ layout")
+    // append through the stored perm: a planted twin of vector 5 ranks
+    // first for query 5 at full probe (identical vectors permute
+    // identically, so codes and cell match)
+    Pq.appendToIndex(spark, path,
+      corpus.filter(col("vec_id") === 5).select(lit(7000L).as("vec_id"), col("embedding")))
+    val served = Pq.searchIndex(spark, path,
+        corpus.filter(col("vec_id") === 5), k = 3, nProbe = 16)
+      .select("vec_id", "rk").as[(Long, Long)].collect().toMap
+    assert(served(7000L) === 1, s"appended twin must rank first on OPQ layout, got $served")
   }
 
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {

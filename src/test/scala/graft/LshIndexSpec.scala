@@ -82,4 +82,62 @@ class LshIndexSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(hit.contains(101L), "appended doc must be servable as an index side")
   }
+
+  test("streaming ingest-dedup gate: each micro-batch probes the persisted index via foreachBatch") {
+    // the 35g stream-serving idiom for text: doc batches arrive as a
+    // file stream, every micro-batch runs detectDuplicates against the
+    // SAME persisted layout (no rebuild, no corpus re-shingle), dups
+    // route out, novel docs append so LATER batches dedupe against them
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_stream_idx").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_lsh_stream_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lsh_stream_out").toString + "/res"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = graft.streaming.Streams.fileStream(spark, inDir, schema)
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val flagged = LshIndex.detectDuplicates(spark, path, batch,
+            threshold = 0.5).localCheckpoint(true)
+          flagged.select("doc_id", "is_duplicate", "dup_of")
+            .write.mode("append").parquet(outDir)
+          val novel = flagged.filter(!col("is_duplicate")).select("doc_id", "text")
+          if (!novel.isEmpty) LshIndex.appendToIndex(spark, path, novel)
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_lsh_stream_ck").toString)
+      .start()
+    try {
+      def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+        val lines = rows.map { case (id, t) =>
+          // fixture texts are plain ASCII words — simple quoting suffices
+          s"""{"doc_id":$id,"text":"$t"}"""
+        }
+        java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, name),
+          lines.mkString("", "\n", "\n"))
+      }
+      // batch 1: a near-dup of indexed doc 0 + a novel doc
+      drop("b1.json", Seq(
+        (300L, base.replace("nearby", "close")),
+        (301L, "genuinely novel streaming prose with a vocabulary all of its own")))
+      query.processAllAvailable()
+      // batch 2: a twin of batch 1's NOVEL doc — must now flag as a dup
+      // of 301 (which appended), proving cross-batch state lives in the
+      // persisted layout, not in stream memory
+      drop("b2.json", Seq(
+        (400L, "genuinely novel streaming prose with a vocabulary all of its OWN")))
+      query.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(got(300L)._1 === true, "near-dup of an indexed doc must flag in-stream")
+      assert(Set(0L, 2L).contains(got(300L)._2))
+      assert(got(301L) === ((false, -1L)), "novel doc passes its own batch")
+      assert(got(400L)._1 === true, "twin of an earlier batch's novel doc must flag")
+      assert(got(400L)._2 === 301L, s"dup_of must be the appended doc, got ${got(400L)._2}")
+    } finally query.stop()
+  }
 }
