@@ -104,8 +104,16 @@ object LshIndex {
       .localCheckpoint(true)
     val qband = Dedup.bandHashes(qsig, bands, rows)
       .withColumnRenamed("id", "query_id")
+    // prune the index side to PROBED buckets before anything else: a
+    // left-semi join on the bucket key keeps every index row of a
+    // probed bucket (so the cap's population counts are exact) while
+    // rows in never-probed buckets — the overwhelming bulk when the
+    // query batch is small against a large index — never reach the
+    // cap window or the candidate join
     val ibandAll = spark.read.parquet(s"$path/bands")
       .select(col("band_id"), col("band_hash"), col("id"))
+      .join(qband.select("band_id", "band_hash").distinct(),
+        Seq("band_id", "band_hash"), "left_semi")
     val iband =
       if (maxBucket <= 0) ibandAll
       else ibandAll
@@ -128,6 +136,59 @@ object LshIndex {
                    lit(0), (acc, v) => acc + v)
           / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Compact fragmented layouts (the [[Pq.compactIndex]] treatment):
+    * every [[appendToIndex]] adds one file per band partition (and one
+    * to `sigs`), so a steady-append deployment accumulates files and
+    * every probe pays per-file bloom checks. Band partitions holding
+    * more than `maxFilesPerBand` parquet files rewrite to ONE file
+    * each in one Spark job; a fragmented `sigs` side compacts the same
+    * way. Row content untouched (spec pins search row-identity).
+    * Returns the number of band partitions compacted. */
+  def compactIndex(spark: SparkSession, path: String,
+                   maxFilesPerBand: Int = 8): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val frag: Array[Int] = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band_id="))
+      .filter(s => parquetFiles(s.getPath) > maxFilesPerBand)
+      .map(_.getPath.getName.stripPrefix("band_id=").toInt).toArray.sorted
+    if (frag.nonEmpty) {
+      val touched = spark.read.parquet(s"$path/bands")
+        .filter(col("band_id").isin(frag.map(Integer.valueOf).toSeq: _*))
+      val n = touched.count()
+      val ndv = math.max(1024L, 2L * n / frag.length)
+      val tmp = s"$path/bands_tmp_compact"
+      graft.sources.Io.writeParquetBloom(touched.repartition(col("band_id")), tmp,
+        bloomCols = Seq("band_hash"), ndv = ndv, partitionCols = Seq("band_id"))
+      frag.foreach { b =>
+        val oldDir = new org.apache.hadoop.fs.Path(s"$path/bands/band_id=$b")
+        val newDir = new org.apache.hadoop.fs.Path(s"$tmp/band_id=$b")
+        fs.delete(oldDir, true)
+        if (fs.exists(newDir))
+          require(fs.rename(newDir, oldDir), s"compactIndex: rename failed for band_id=$b")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // sigs side: one flat directory — rewrite whole if fragmented
+    val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    if (fs.exists(sigsDir) && parquetFiles(sigsDir) > maxFilesPerBand) {
+      val sigs = spark.read.parquet(s"$path/sigs")
+      val n = sigs.count()
+      val tmp = s"$path/sigs_tmp_compact"
+      graft.sources.Io.writeParquetBloom(sigs.coalesce(
+          math.max(1, (n / 1000000L).toInt)), tmp,
+        bloomCols = Seq("id"), ndv = math.max(1024L, 2L * n))
+      fs.delete(sigsDir, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), sigsDir),
+        "compactIndex: sigs rename failed")
+    }
+    frag.length
   }
 
   /** DetectDuplicate served from the layout: each query row flagged

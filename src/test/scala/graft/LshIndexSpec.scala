@@ -83,6 +83,31 @@ class LshIndexSpec extends SparkSpec {
     assert(hit.contains(101L), "appended doc must be servable as an index side")
   }
 
+  test("compactIndex: appends fragment bands and sigs; compaction rewrites to one file, search row-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_compact").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    (0 until 4).foreach { b =>
+      val extra = Seq(((500 + b).toLong, s"filler document number $b with some distinct words"))
+        .toDF("doc_id", "text")
+      LshIndex.appendToIndex(spark, path, extra)
+    }
+    val before = LshIndex.searchIndex(spark, path, corpus, threshold = 0.6)
+      .collect().map(_.toSeq).toSet
+    val compacted = LshIndex.compactIndex(spark, path, maxFilesPerBand = 1)
+    assert(compacted === 16, s"all 16 band partitions were fragmented, compacted $compacted")
+    new java.io.File(s"$path/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band_id=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) <= 1,
+          s"${d.getName} still fragmented")
+      }
+    assert(new java.io.File(s"$path/sigs").listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 1, "sigs still fragmented")
+    assert(spark.read.parquet(s"$path/sigs").count() === 10, "compaction must not drop rows")
+    val after = LshIndex.searchIndex(spark, path, corpus, threshold = 0.6)
+      .collect().map(_.toSeq).toSet
+    assert(after === before, "search must be row-identical across compaction")
+  }
+
   test("streaming ingest-dedup gate: each micro-batch probes the persisted index via foreachBatch") {
     // the 35g stream-serving idiom for text: doc batches arrive as a
     // file stream, every micro-batch runs detectDuplicates against the
