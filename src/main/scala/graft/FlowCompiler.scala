@@ -713,6 +713,11 @@ object FlowCompiler {
                                 "Exchange Name", "Routing Key"),
     "PublishAMQP"        -> Set("Hostname", "Port", "Exchange Name", "Routing Key",
                                 "Routing Key Column", "Payload Column"),
+    // r15 site-to-site edge (HTTP transport, both directions)
+    "ListenSiteToSite"   -> Set("Listening Port", "Spool Directory",
+                                "Port Name", "Port Id", "Egress Directory"),
+    "PutSiteToSite"      -> Set("Remote URL", "Port Name",
+                                "Content Column", "Attribute Columns"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
                                 "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
@@ -1369,6 +1374,20 @@ object FlowCompiler {
         if (simple == "PutTCP")
           graft.streaming.Net.putTcp(in, host, port.trim.toInt, valueCol)
         else graft.streaming.Net.putUdp(in, host, port.trim.toInt, valueCol)
+        in
+      case "PutSiteToSite" =>
+        // the Remote Process Group egress direction as a sink: hand
+        // this node's rows to a REMOTE NiFi (or graft) input port over
+        // HTTP site-to-site — one transaction per partition, opened on
+        // the executor; compiling EXECUTES the transfer, output = the
+        // sent rows (the PutTCP sink contract)
+        val url = prop(p, "Remote URL", "")
+        val portName = prop(p, "Port Name", "")
+        require(url.nonEmpty && portName.nonEmpty,
+          s"PutSiteToSite ${p.name} needs Remote URL and Port Name")
+        graft.streaming.SiteToSite.putSiteToSite(in, url, portName,
+          contentCol = prop(p, "Content Column", "content"),
+          attrCols = listProp(p, "Attribute Columns"))
         in
       case "ListFTP" | "GetFTP" | "FetchFTP" | "ListSFTP" | "GetSFTP" | "FetchSFTP" =>
         // FTP SOURCES (r11): NiFi's connection properties compose into

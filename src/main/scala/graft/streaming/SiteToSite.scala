@@ -464,6 +464,34 @@ object SiteToSite {
     unpackFlowFiles(packed)
   }
 
+  /** Push a DataFrame into a REMOTE site-to-site endpoint from the
+    * executors — the Remote-Process-Group egress direction as a sink:
+    * one transaction per PARTITION (opened on the executor, the
+    * [[graft.streaming.Net]] per-partition-connection posture), each
+    * row one FlowFile with `attrCols` string-cast as attributes and
+    * `contentCol` as the payload. A partition's FlowFiles pack into
+    * one v3 stream in memory before the POST — size partitions
+    * accordingly (the same bound a NiFi RPG batch has). Checksum
+    * confirmation per transaction: a partition either commits whole or
+    * fails loudly. */
+  def putSiteToSite(df: org.apache.spark.sql.DataFrame, baseUrl: String, portName: String,
+                    contentCol: String = "content", attrCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = attrCols.map(c => col(c).cast("string")) :+ col(contentCol).cast("binary")
+    val names = attrCols
+    df.select(cols: _*).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val files = rows.map { r =>
+        val attrs = names.zipWithIndex.map { case (c, i) =>
+          c -> Option(r.getString(i)).getOrElse("")
+        }.toMap
+        val content = Option(r.getAs[Array[Byte]](names.length))
+          .getOrElse(Array.emptyByteArray)
+        (attrs, content)
+      }.toVector
+      if (files.nonEmpty) { send(baseUrl, portName, files); () }
+    }
+  }
+
   /** Queue FlowFiles for the egress port: one `.ffv3` packed file,
     * atomically renamed into `egressDir` (a pulling peer claims whole
     * files, oldest first). */

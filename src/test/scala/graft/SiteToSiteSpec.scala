@@ -136,6 +136,43 @@ class SiteToSiteSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("PutSiteToSite sink: a compiled flow hands its rows to a remote endpoint, one transaction per partition") {
+    val spool = tmpDir("graft_s2s_put")
+    val l = SiteToSite.listen(0, spool, portName = "remote-in")
+    try {
+      val json =
+        s"""{"flowContents": {"name": "rpg-egress",
+          |  "processors": [
+          |    {"identifier": "p", "type": "PutSiteToSite",
+          |     "properties": {"Remote URL": "http://localhost:${l.port}",
+          |       "Port Name": "remote-in", "Content Column": "content",
+          |       "Attribute Columns": "filename,lang"}}],
+          |  "inputPorts": [{"identifier": "i", "name": "docs"}],
+          |  "outputPorts": [{"identifier": "o", "name": "sent"}],
+          |  "connections": [
+          |    {"source": {"id": "i"}, "destination": {"id": "p"}},
+          |    {"source": {"id": "p"}, "destination": {"id": "o"}}]}}""".stripMargin
+      val in = Seq(
+        ("a.txt", "en", "alpha".getBytes("UTF-8")),
+        ("b.txt", "de", "beta".getBytes("UTF-8")),
+        ("c.txt", "fr", Array[Byte](1, 2, -3))
+      ).toDF("filename", "lang", "content")
+      // compiling EXECUTES the transfer; output = the sent rows
+      val sent = graft.FlowCompiler.compile(spark, json, Map("docs" -> in))("sent")
+      assert(sent.count() === 3)
+      val rows = spark.read.json(spool)
+        .select(col("attrs.filename"), col("attrs.lang"),
+          unbase64(col("content_b64")).as("content"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Array[Byte]](2).toSeq)).toSet
+      assert(rows === Set(
+        ("a.txt", "en", "alpha".getBytes("UTF-8").toSeq),
+        ("b.txt", "de", "beta".getBytes("UTF-8").toSeq),
+        ("c.txt", "fr", Seq[Byte](1, 2, -3))),
+        "all rows must arrive with attributes and byte-exact content")
+    } finally l.stop()
+  }
+
   test("committed s2s_edge flow starts the endpoint and a stream reads the spool") {
     val spool = tmpDir("graft_s2s_flow")
     val json = scala.io.Source.fromInputStream(
