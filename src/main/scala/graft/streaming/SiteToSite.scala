@@ -143,7 +143,29 @@ object SiteToSite {
     * server advertises and enforces; PUT extends it. */
   def listen(port: Int, spoolDir: String, portName: String = "graft",
              portId: String = "graft-in-0", egressDir: Option[String] = None,
-             ttlSeconds: Int = 30, maxBodyBytes: Long = 256L << 20): S2sListener = {
+             ttlSeconds: Int = 30, maxBodyBytes: Long = 256L << 20): S2sListener =
+    listenOn(HttpServer.create(new InetSocketAddress(port), 0),
+      spoolDir, portName, portId, egressDir, ttlSeconds, maxBodyBytes)
+
+  /** TLS form of [[listen]] (NiFi site-to-site runs HTTPS in any real
+    * deployment): the same endpoint contract over an HttpsServer keyed
+    * by a PKCS12/JKS keystore (reusing [[ListenHttp.sslContext]] — the
+    * SSL Context Service analog). Plain-HTTP peers are refused in the
+    * TLS handshake before any protocol state exists. Pass the matching
+    * SSLContext to [[send]]/[[pull]] to transfer against it. */
+  def listenTls(port: Int, spoolDir: String, keystorePath: String,
+                keystorePass: String, portName: String = "graft",
+                portId: String = "graft-in-0", egressDir: Option[String] = None,
+                ttlSeconds: Int = 30, maxBodyBytes: Long = 256L << 20): S2sListener = {
+    val srv = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(port), 0)
+    srv.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+      ListenHttp.sslContext(keystorePath, keystorePass)))
+    listenOn(srv, spoolDir, portName, portId, egressDir, ttlSeconds, maxBodyBytes)
+  }
+
+  private def listenOn(server: HttpServer, spoolDir: String, portName: String,
+                       portId: String, egressDir: Option[String],
+                       ttlSeconds: Int, maxBodyBytes: Long): S2sListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     egressDir.foreach(d => Files.createDirectories(Paths.get(d)))
@@ -183,8 +205,6 @@ object SiteToSite {
           case _           => None
         }
       }.toMap).getOrElse(Map.empty)
-
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
 
     // ---- discovery: controller + ports (+ peers)
     server.createContext("/nifi-api/site-to-site", (ex: HttpExchange) => {
@@ -389,7 +409,8 @@ object SiteToSite {
   // ------------------------------------------------------------- client
 
   private def http(method: String, url: String, body: Array[Byte] = null,
-                   headers: Map[String, String] = Map.empty): (Int, Array[Byte], java.net.http.HttpHeaders) = {
+                   headers: Map[String, String] = Map.empty,
+                   ssl: Option[javax.net.ssl.SSLContext] = None): (Int, Array[Byte], java.net.http.HttpHeaders) = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
     headers.foreach { case (k, v) => b.header(k, v) }
     val req = (method match {
@@ -399,8 +420,9 @@ object SiteToSite {
         java.net.http.HttpRequest.BodyPublishers.noBody()
       else java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
     }).build()
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    val cb = java.net.http.HttpClient.newBuilder()
+    ssl.foreach(cb.sslContext)
+    val resp = cb.build().send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     (resp.statusCode(), resp.body(), resp.headers())
   }
 
@@ -410,8 +432,9 @@ object SiteToSite {
     * against this file's own [[listen]] and, by protocol, against a
     * real NiFi input port; returns the committed FlowFile count. */
   def send(baseUrl: String, portName: String,
-           files: Seq[(Map[String, String], Array[Byte])]): Int = {
-    val (ds, disco, _) = http("GET", s"$baseUrl/nifi-api/site-to-site")
+           files: Seq[(Map[String, String], Array[Byte])],
+           ssl: Option[javax.net.ssl.SSLContext] = None): Int = {
+    val (ds, disco, _) = http("GET", s"$baseUrl/nifi-api/site-to-site", ssl = ssl)
     require(ds == 200, s"s2s discovery failed: $ds")
     val json = new String(disco, UTF_8)
     val portId = ("\"inputPorts\":\\[.*?\\{\"id\":\"([^\"]+)\",\"name\":\"" +
@@ -420,19 +443,19 @@ object SiteToSite {
       .getOrElse(sys.error(s"s2s: no input port named '$portName' in $json"))
     val (cs, _, ch) = http("POST",
       s"$baseUrl/nifi-api/data-transfer/input-ports/$portId/transactions",
-      headers = Map("x-nifi-site-to-site-protocol-version" -> "1"))
+      headers = Map("x-nifi-site-to-site-protocol-version" -> "1"), ssl = ssl)
     require(cs == 201, s"s2s create-transaction failed: $cs")
     val loc = ch.firstValue("Location").orElseThrow()
     val packed = packFlowFiles(files)
     val crc = new java.util.zip.CRC32()
     crc.update(packed)
     val (ps, serverSum, _) = http("POST", s"$baseUrl$loc/flow-files", packed,
-      Map("Content-Type" -> "application/octet-stream"))
+      Map("Content-Type" -> "application/octet-stream"), ssl = ssl)
     require(ps == 202, s"s2s data POST failed: $ps")
     require(new String(serverSum, UTF_8) == crc.getValue.toString,
       s"s2s: server checksum ${new String(serverSum, UTF_8)} != client ${crc.getValue}")
     val (dsc, _, _) = http("DELETE",
-      s"$baseUrl$loc?responseCode=12&checksum=${crc.getValue}")
+      s"$baseUrl$loc?responseCode=12&checksum=${crc.getValue}", ssl = ssl)
     require(dsc == 200, s"s2s confirm failed: $dsc")
     files.size
   }

@@ -173,6 +173,36 @@ class SiteToSiteSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("TLS endpoint: HTTPS handshake transfers; plain HTTP dies in the TLS layer, nothing spools") {
+    val spool = tmpDir("graft_s2s_tls")
+    val ksPath = java.nio.file.Files.createTempDirectory("graft_s2s_ks")
+      .resolve("s2s.p12").toString
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool", "-genkeypair",
+      "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=localhost", "-validity", "1",
+      "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "graftpass")
+      .redirectErrorStream(true).start()
+    assert(keytool.waitFor() === 0, "keytool must generate the keystore")
+    val l = SiteToSite.listenTls(0, spool, ksPath, "graftpass", portName = "tls-in")
+    try {
+      val ssl = Some(graft.streaming.ListenHttp.sslContext(ksPath, "graftpass"))
+      val n = SiteToSite.send(s"https://127.0.0.1:${l.port}", "tls-in",
+        Seq((Map("filename" -> "t1"), "over tls".getBytes("UTF-8"))), ssl = ssl)
+      assert(n === 1)
+      val rows = spark.read.json(spool)
+        .select(col("attrs.filename")).as[String].collect()
+      assert(rows === Array("t1"))
+      // a plain-HTTP client dies in the handshake — no handler runs
+      intercept[java.io.IOException] {
+        SiteToSite.send(s"http://127.0.0.1:${l.port}", "tls-in",
+          Seq((Map.empty[String, String], "plaintext".getBytes("UTF-8"))))
+      }
+      assert(spark.read.json(spool).count() === 1, "plain HTTP must not spool")
+    } finally l.stop()
+  }
+
   test("committed s2s_edge flow starts the endpoint and a stream reads the spool") {
     val spool = tmpDir("graft_s2s_flow")
     val json = scala.io.Source.fromInputStream(
