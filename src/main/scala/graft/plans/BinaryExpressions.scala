@@ -245,6 +245,7 @@ case class TarEntries(child: Expression)
       val prefix = str(345, 155)
       val name = if (prefix.nonEmpty) s"$prefix/$name0" else name0
       val size = octal(124, 12)
+      require(size <= Int.MaxValue, s"tar: entry size $size exceeds the in-memory bound")
       val typeflag = bytes(off + 156)
       off += 512
       val dataLen = size.toInt

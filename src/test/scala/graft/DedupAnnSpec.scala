@@ -667,6 +667,25 @@ class DedupAnnSpec extends SparkSpec {
         corpus.filter(col("vec_id") === 5), k = 3, nProbe = 16)
       .select("vec_id", "rk").as[(Long, Long)].collect().toMap
     assert(served(7000L) === 1, s"appended twin must rank first on OPQ layout, got $served")
+    // OPQ COMPOSES with residual encoding (layout v2 + perm): the full
+    // FAISS OPQ+IVF-PQ stack — perm applied first, centroids/residuals/
+    // codebook all live in permuted space; planted twin + path identity
+    val pathRC = java.nio.file.Files.createTempDirectory("graft_pq_opq_res").toString
+    Pq.buildIndex(spark, corpus, pathRC, nCells = 16, m = 8, kCodes = 16,
+      opq = true, residual = true, trainIters = 3, lloydIters = 2)
+    val bcastRC = Pq.searchIndex(spark, pathRC, queries, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val distRC = Pq.searchIndex(spark, pathRC, queries, k = 10, nProbe = 16,
+        broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(distRC === bcastRC, "distributed ≡ broadcast on an OPQ+residual layout")
+    Pq.appendToIndex(spark, pathRC,
+      corpus.filter(col("vec_id") === 6).select(lit(7001L).as("vec_id"), col("embedding")))
+    val servedRC = Pq.searchIndex(spark, pathRC,
+        corpus.filter(col("vec_id") === 6), k = 3, nProbe = 16)
+      .select("vec_id", "rk").as[(Long, Long)].collect().toMap
+    assert(servedRC(7001L) === 1,
+      s"appended twin must rank first on OPQ+residual layout, got $servedRC")
   }
 
   test("distributed centroid assignment equals the in-JVM hierarchical path (incl. Lloyd)") {
