@@ -660,6 +660,9 @@ object FlowCompiler {
     * Of these types only UpdateCounter consumes dynamic properties,
     * but scoping ALL of them keeps the contract uniform. */
   private val typeFixedProps: Map[String, Set[String]] = Map(
+    // r15 archive formats
+    "MergeContent"     -> Set("Merge Format", "Name Column"),
+    "UnpackContent"    -> Set("Packaging Format"),
     "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
     "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
