@@ -720,7 +720,8 @@ object FlowCompiler {
     "ListenSiteToSite"   -> Set("Listening Port", "Spool Directory",
                                 "Port Name", "Port Id", "Egress Directory"),
     "PutSiteToSite"      -> Set("Remote URL", "Port Name",
-                                "Content Column", "Attribute Columns"),
+                                "Content Column", "Attribute Columns",
+                                "Keystore Path", "Keystore Password"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
                                 "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
@@ -1388,9 +1389,12 @@ object FlowCompiler {
         val portName = prop(p, "Port Name", "")
         require(url.nonEmpty && portName.nonEmpty,
           s"PutSiteToSite ${p.name} needs Remote URL and Port Name")
+        val ksPath = prop(p, "Keystore Path", "")
         graft.streaming.SiteToSite.putSiteToSite(in, url, portName,
           contentCol = prop(p, "Content Column", "content"),
-          attrCols = listProp(p, "Attribute Columns"))
+          attrCols = listProp(p, "Attribute Columns"),
+          keystore = if (ksPath.nonEmpty)
+            Some((ksPath, prop(p, "Keystore Password", ""))) else None)
         in
       case "ListFTP" | "GetFTP" | "FetchFTP" | "ListSFTP" | "GetSFTP" | "FetchSFTP" =>
         // FTP SOURCES (r11): NiFi's connection properties compose into

@@ -167,11 +167,9 @@ object LshIndex {
       graft.sources.Io.writeParquetBloom(touched.repartition(col("band_id")), tmp,
         bloomCols = Seq("band_hash"), ndv = ndv, partitionCols = Seq("band_id"))
       frag.foreach { b =>
-        val oldDir = new org.apache.hadoop.fs.Path(s"$path/bands/band_id=$b")
-        val newDir = new org.apache.hadoop.fs.Path(s"$tmp/band_id=$b")
-        fs.delete(oldDir, true)
-        if (fs.exists(newDir))
-          require(fs.rename(newDir, oldDir), s"compactIndex: rename failed for band_id=$b")
+        graft.sources.Io.swapDir(fs,
+          new org.apache.hadoop.fs.Path(s"$path/bands/band_id=$b"),
+          new org.apache.hadoop.fs.Path(s"$tmp/band_id=$b"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
@@ -184,9 +182,7 @@ object LshIndex {
       graft.sources.Io.writeParquetBloom(sigs.coalesce(
           math.max(1, (n / 1000000L).toInt)), tmp,
         bloomCols = Seq("id"), ndv = math.max(1024L, 2L * n))
-      fs.delete(sigsDir, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), sigsDir),
-        "compactIndex: sigs rename failed")
+      graft.sources.Io.swapDir(fs, sigsDir, new org.apache.hadoop.fs.Path(tmp))
     }
     frag.length
   }

@@ -837,21 +837,35 @@ object Pq {
     val before = touched.count()
     val tmp = s"$path/codes_tmp_bulkdel"
     val kept = touched.join(victims, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // count from the cached frame, not the written tmp — a delete that
+    // empties every touched cell writes ZERO parquet files, which a
+    // schema-inferring read would refuse
+    val after = kept.count()
     val perCell = math.max(1024L, 2L * before / cells.length)
     graft.sources.Io.writeParquetBloom(kept.repartition(col("cell")), tmp,
       bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
-    val after = spark.read.parquet(tmp).count()
+    kept.unpersist(blocking = false)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
     val fs = tmpRoot.getFileSystem(conf)
     cells.foreach { c =>
-      val oldDir = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c")
-      val newDir = new org.apache.hadoop.fs.Path(s"$tmp/cell=$c")
-      fs.delete(oldDir, true)
-      if (fs.exists(newDir))
-        require(fs.rename(newDir, oldDir), s"deleteFromIndexDf: rename failed for cell=$c")
+      graft.sources.Io.swapDir(fs,
+        new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"),
+        new org.apache.hadoop.fs.Path(s"$tmp/cell=$c"))
     }
     fs.delete(tmpRoot, true)
+    // a delete that emptied EVERY cell leaves zero parquet files — the
+    // layout would lose its readable schema (UNABLE_TO_INFER_SCHEMA on
+    // the next read). Keep one schema-bearing empty file so an emptied
+    // index still serves (zero rows) and appends keep working.
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val anyData = fs.exists(codesRoot) && fs.listStatus(codesRoot).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell=") &&
+        fs.listStatus(st.getPath).exists(f => f.getPath.getName.endsWith(".parquet")))
+    if (!anyData)
+      kept.limit(0).drop("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codes/cell=${cells.head}")
     before - after
   }
 
@@ -887,11 +901,9 @@ object Pq {
     graft.sources.Io.writeParquetBloom(touched.repartition(col("cell")), tmp,
       bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
     frag.foreach { c =>
-      val oldDir = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c")
-      val newDir = new org.apache.hadoop.fs.Path(s"$tmp/cell=$c")
-      fs.delete(oldDir, true)
-      if (fs.exists(newDir))
-        require(fs.rename(newDir, oldDir), s"compactIndex: rename failed for cell=$c")
+      graft.sources.Io.swapDir(fs,
+        new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"),
+        new org.apache.hadoop.fs.Path(s"$tmp/cell=$c"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     frag.length
@@ -948,9 +960,13 @@ object Pq {
         val qAssign: Array[(Long, Int)] = qCellDs.collect().map { case (id, _, c) => (id, c) }
         (qAssign.toSeq.toDF("query_id", "cell"), qAssign.map(_._2).distinct.sorted)
       } else {
+        // localCheckpoint materializes the assignment + quantization
+        // ONCE — the distinct-probed-cells collect and the cogroup
+        // would otherwise each rerun the full queries-by-cells pass
         val qdf = qCellDs.toDF("query_id", "q_vec", "cell")
           .select(col("query_id"), col("cell"),
             graft.plans.Quantize8Codes(col("q_vec")).as("qc"))
+          .localCheckpoint(true)
         val cellsOnly = qdf.select(col("cell").cast("int")).distinct()
           .as[Int].collect().sorted
         (qdf, cellsOnly)

@@ -314,7 +314,8 @@ case class TarPack(child: Expression)
       var sum = 0
       var j = 0
       while (j < 512) { sum += h(j) & 0xFF; j += 1 }
-      put(h, 148, f"$sum%06o") // 6 octal digits, then NUL (in place), space
+      put(h, 148, f"$sum%06o") // POSIX chksum: 6 octal digits, NUL, space
+      h(154) = 0               // the fill above left a space here — restore the NUL
       h(155) = ' '.toByte
       bos.write(h)
       bos.write(data)

@@ -124,6 +124,31 @@ object Io {
     * the filter (fpp fixed by parquet's default 0.01). The spec
     * asserts the footer really carries bloom offsets for exactly the
     * requested columns and that the data round-trips. */
+  /** Crash-safe directory replacement for persisted-index maintenance
+    * (compaction, bulk delete): the LIVE directory is renamed ASIDE
+    * before the replacement renames in, so there is no window where
+    * the data exists only in a tmp dir — if the second rename fails,
+    * the original is restored and the exception propagates with the
+    * layout intact. `newDir` may be absent (the replacement is empty):
+    * the live dir is then simply removed. The aside dir is deleted
+    * only after the swap fully succeeds. */
+  def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+              live: org.apache.hadoop.fs.Path,
+              replacement: org.apache.hadoop.fs.Path): Unit = {
+    val aside = live.suffix(".swap-aside")
+    fs.delete(aside, true) // stale aside from an earlier crash
+    val hadLive = fs.exists(live)
+    if (hadLive)
+      require(fs.rename(live, aside), s"swapDir: could not set aside $live")
+    if (fs.exists(replacement)) {
+      if (!fs.rename(replacement, live)) {
+        if (hadLive) fs.rename(aside, live) // restore, then fail loudly
+        throw new java.io.IOException(s"swapDir: rename $replacement -> $live failed")
+      }
+    }
+    if (hadLive) fs.delete(aside, true)
+  }
+
   def writeParquetBloom(df: DataFrame, path: String, bloomCols: Seq[String],
                         ndv: Long = 1000000L, compression: String = "zstd",
                         partitionCols: Seq[String] = Nil): Unit = {

@@ -122,6 +122,7 @@ object SiteToSite {
     var claimed: Path = _          // egress: the claimed outgoing file
     var claimedOrig: Path = _
     @volatile var deadline: Long = 0L
+    @volatile var busy: Boolean = false // transfer in flight — reap must not touch
   }
 
   final class S2sListener private[SiteToSite] (server: HttpServer, val portId: String) {
@@ -176,7 +177,9 @@ object SiteToSite {
     def reap(): Unit = {
       val now = System.currentTimeMillis()
       txs.forEach { (id, tx) =>
-        if (tx.deadline < now) {
+        // an upload slower than the TTL must not be reaped mid-POST —
+        // the busy flag covers the body read; the deadline re-arms after
+        if (!tx.busy && tx.deadline < now) {
           txs.remove(id)
           if (tx.spool != null) { try Files.deleteIfExists(tx.spool) catch { case _: Throwable => () } }
           if (tx.claimed != null && tx.claimedOrig != null) {
@@ -300,6 +303,7 @@ object SiteToSite {
             if (pid != portId || tx == null || tx.dir != "input") {
               txResult(ex, 404, 19, s"unknown transaction $txId")
             } else {
+              tx.busy = true
               if (tx.spool == null) tx.spool = dir.resolve(s".tx-$txId.part")
               val out = Files.newOutputStream(tx.spool,
                 java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
@@ -314,7 +318,7 @@ object SiteToSite {
                   if (total > maxBodyBytes) overflow = true
                   else { out.write(buf, 0, n); tx.crc.update(buf, 0, n); n = in.read(buf) }
                 }
-              } finally out.close()
+              } finally { out.close(); tx.busy = false }
               if (overflow) {
                 txs.remove(txId); Files.deleteIfExists(tx.spool)
                 ex.sendResponseHeaders(413, -1L)
@@ -332,6 +336,10 @@ object SiteToSite {
               txResult(ex, 404, 19, s"unknown transaction $txId")
             } else {
               val body = Files.readAllBytes(tx.claimed)
+              // reset per GET: a client that retries the read (network
+              // blip) must still be able to confirm — the expected
+              // checksum is the CRC of ONE copy, not of the concatenation
+              tx.crc.reset()
               tx.crc.update(body)
               tx.deadline = System.currentTimeMillis() + ttlSeconds * 1000L
               ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
@@ -463,8 +471,9 @@ object SiteToSite {
   /** Pull FlowFiles from a site-to-site HTTP OUTPUT port (the egress
     * direction): create a transaction, GET the packed stream, confirm
     * with its CRC32, unpack. Returns Nil when the port has no data. */
-  def pull(baseUrl: String, portName: String): Seq[(Map[String, String], Array[Byte])] = {
-    val (ds, disco, _) = http("GET", s"$baseUrl/nifi-api/site-to-site")
+  def pull(baseUrl: String, portName: String,
+           ssl: Option[javax.net.ssl.SSLContext] = None): Seq[(Map[String, String], Array[Byte])] = {
+    val (ds, disco, _) = http("GET", s"$baseUrl/nifi-api/site-to-site", ssl = ssl)
     require(ds == 200, s"s2s discovery failed: $ds")
     val json = new String(disco, UTF_8)
     val portId = ("\"outputPorts\":\\[.*?\\{\"id\":\"([^\"]+)\",\"name\":\"" +
@@ -473,16 +482,16 @@ object SiteToSite {
       .getOrElse(sys.error(s"s2s: no output port named '$portName' in $json"))
     val (cs, _, ch) = http("POST",
       s"$baseUrl/nifi-api/data-transfer/output-ports/$portId/transactions",
-      headers = Map("x-nifi-site-to-site-protocol-version" -> "1"))
+      headers = Map("x-nifi-site-to-site-protocol-version" -> "1"), ssl = ssl)
     if (cs == 200) return Nil // no data available
     require(cs == 201, s"s2s create-transaction failed: $cs")
     val loc = ch.firstValue("Location").orElseThrow()
-    val (gs, packed, _) = http("GET", s"$baseUrl$loc/flow-files")
+    val (gs, packed, _) = http("GET", s"$baseUrl$loc/flow-files", ssl = ssl)
     require(gs == 200, s"s2s data GET failed: $gs")
     val crc = new java.util.zip.CRC32()
     crc.update(packed)
     val (dsc, _, _) = http("DELETE",
-      s"$baseUrl$loc?responseCode=12&checksum=${crc.getValue}")
+      s"$baseUrl$loc?responseCode=12&checksum=${crc.getValue}", ssl = ssl)
     require(dsc == 200, s"s2s confirm failed: $dsc")
     unpackFlowFiles(packed)
   }
@@ -498,7 +507,8 @@ object SiteToSite {
     * confirmation per transaction: a partition either commits whole or
     * fails loudly. */
   def putSiteToSite(df: org.apache.spark.sql.DataFrame, baseUrl: String, portName: String,
-                    contentCol: String = "content", attrCols: Seq[String] = Nil): Unit = {
+                    contentCol: String = "content", attrCols: Seq[String] = Nil,
+                    keystore: Option[(String, String)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val cols = attrCols.map(c => col(c).cast("string")) :+ col(contentCol).cast("binary")
     val names = attrCols
@@ -511,7 +521,12 @@ object SiteToSite {
           .getOrElse(Array.emptyByteArray)
         (attrs, content)
       }.toVector
-      if (files.nonEmpty) { send(baseUrl, portName, files); () }
+      if (files.nonEmpty) {
+        // keystore (path, pass) travels as strings — SSLContext is not
+        // serializable; each executor builds its own trust context
+        val ssl = keystore.map { case (ks, pass) => ListenHttp.sslContext(ks, pass) }
+        send(baseUrl, portName, files, ssl = ssl); ()
+      }
     }
   }
 

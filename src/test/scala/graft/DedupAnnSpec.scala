@@ -590,6 +590,14 @@ class DedupAnnSpec extends SparkSpec {
     // deleting ids absent from the index is a no-op
     assert(Pq.deleteFromIndexDf(spark, path,
       spark.range(900000, 900010).select(col("id").as("vec_id"))) === 0L)
+    // a delete that EMPTIES every touched cell still succeeds (the
+    // rewrite contains zero parquet files — the count must not try to
+    // schema-infer the empty tmp dir) and the emptied cells serve as
+    // zero rows
+    val allIds = spark.read.parquet(s"$path/codes").select(col("vec_id"))
+    val total = allIds.count()
+    assert(Pq.deleteFromIndexDf(spark, path, allIds) === total)
+    assert(spark.read.parquet(s"$path/codes").count() === 0L)
   }
 
   test("OPQ-lite permutation: deterministic, dot-preserving, recall >= plain PQ on anisotropic data") {

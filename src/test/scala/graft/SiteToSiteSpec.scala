@@ -133,6 +133,28 @@ class SiteToSiteSpec extends SparkSpec {
       // confirmed pull consumed the file; queue is empty again
       assert(SiteToSite.pull(base, "g.out") === Nil)
       assert(new java.io.File(egress).listFiles().isEmpty)
+      // a RETRIED flow-files GET must still confirm (the server's
+      // expected checksum is the CRC of one copy, not the concatenation)
+      SiteToSite.writeEgress(egress, Seq((Map("f" -> "retry"), "abc".getBytes("UTF-8"))))
+      val client = java.net.http.HttpClient.newHttpClient()
+      def req2(method: String, url: String): java.net.http.HttpResponse[Array[Byte]] = {
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        val r = (method match {
+          case "GET" => b.GET(); case "DELETE" => b.DELETE()
+          case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.noBody())
+        }).build()
+        client.send(r, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      }
+      val create = req2("POST", s"$base/nifi-api/data-transfer/output-ports/graft-in-0-out/transactions")
+      assert(create.statusCode() === 201)
+      val loc = create.headers().firstValue("Location").orElseThrow()
+      val g1 = req2("GET", s"$base$loc/flow-files")
+      val g2 = req2("GET", s"$base$loc/flow-files") // retry
+      assert(java.util.Arrays.equals(g1.body(), g2.body()))
+      val crc = new java.util.zip.CRC32(); crc.update(g2.body())
+      assert(req2("DELETE", s"$base$loc?responseCode=12&checksum=${crc.getValue}")
+        .statusCode() === 200, "confirm after a retried GET must succeed")
+      assert(new java.io.File(egress).listFiles().isEmpty)
     } finally l.stop()
   }
 
@@ -201,6 +223,17 @@ class SiteToSiteSpec extends SparkSpec {
       }
       assert(spark.read.json(spool).count() === 1, "plain HTTP must not spool")
     } finally l.stop()
+    // the TLS form serves egress too — pull() with the trust context
+    val spool2 = tmpDir("graft_s2s_tls2")
+    val egress = tmpDir("graft_s2s_tls_eq")
+    val l2 = SiteToSite.listenTls(0, spool2, ksPath, "graftpass",
+      portName = "tls-in", egressDir = Some(egress))
+    try {
+      val ssl = Some(graft.streaming.ListenHttp.sslContext(ksPath, "graftpass"))
+      SiteToSite.writeEgress(egress, Seq((Map("f" -> "e1"), "tls egress".getBytes("UTF-8"))))
+      val got = SiteToSite.pull(s"https://127.0.0.1:${l2.port}", "tls-in.out", ssl = ssl)
+      assert(got.map(t => new String(t._2, "UTF-8")) === Seq("tls egress"))
+    } finally l2.stop()
   }
 
   test("committed s2s_edge flow starts the endpoint and a stream reads the spool") {
