@@ -135,7 +135,11 @@ object Io {
   def swapDir(fs: org.apache.hadoop.fs.FileSystem,
               live: org.apache.hadoop.fs.Path,
               replacement: org.apache.hadoop.fs.Path): Unit = {
-    val aside = live.suffix(".swap-aside")
+    // dot-prefixed: a crash-orphaned aside dir must be INVISIBLE to
+    // Spark's partition discovery (a stray `cell=5.swap-aside` sibling
+    // would break the partition-value parse of the whole layout)
+    val aside = new org.apache.hadoop.fs.Path(live.getParent,
+      "." + live.getName + ".swap-aside")
     fs.delete(aside, true) // stale aside from an earlier crash
     val hadLive = fs.exists(live)
     if (hadLive)
