@@ -2365,6 +2365,115 @@ object QueriesLlm {
         md5(array_join(col("ulm_tokens"), " ").cast("binary")).as("tokens_md5"))
   }
 
+  /** WordPiece tokenization (§2.4 38j, r15 — Schuster & Nakajima
+    * 2012; Devlin et al. 2019 §A: BERT's tokenizer, completing the
+    * production subword trio next to BPE and unigram-LM): train the
+    * likelihood-scored merge vocabulary on the corpus's word-frequency
+    * table (one shuffle, then the incremental trainer — exact-rational
+    * argmax, spec-pinned identical to the per-iteration distributed
+    * recount), then greedy longest-match-first encode with the
+    * vocabulary broadcast in the native `graft_wordpiece_encode`
+    * expression. No-oracle (likelihood-argmax training and greedy
+    * longest-match are iterative argmax SQL can't express);
+    * WordPieceSpec pins both trainer forms against an independent
+    * reference implementation and the encoder against independent
+    * greedy pseudocode. */
+  val qWordPieceTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.WordPiece.learnVocabFast(docs, "text", numMerges = 24)
+    val vocab = graft.operators.WordPiece.vocabSet(docs, "text", merges)
+    graft.operators.WordPiece.applyVocab(docs, "text", vocab.toSeq)
+      .select(col("doc_id"), col("wp_n_tokens"),
+        md5(array_join(col("wp_tokens"), " ").cast("binary")).as("tokens_md5"))
+  }
+
+  /** DoReMi domain reweighting (§2.4 37v, r15 — Xie et al. 2023,
+    * NeurIPS; see [[graft.operators.Scale.doremiWeights]]): the
+    * excess-loss mixture optimizer, completing the mixture family
+    * (temperature, UniMax, DSIR, token-budget). The offline excess
+    * signal is the gap between the corpus's own two LM proxies —
+    * unigram NLL (weak reference) minus bigram NLL (stronger proxy),
+    * clipped at 0 — over the `lang` axis, so domains whose text the
+    * stronger model explains much better (headroom) get upweighted
+    * exactly as the paper prescribes. EXACT SQL oracle: the per-doc
+    * NLL streams are the established 4dp-rounded q_unigram_logprob /
+    * q_bigram_logprob fragments (bit-identical across engines by the
+    * r11/r12 precedent), and the 4 multiplicative-weights steps
+    * unroll as chained CTEs with the same ascending-domain ordered
+    * normalizer accumulation. */
+  val qDoremiMix: Q = (s, d) => {
+    val uni = qUnigramLogprob(s, d)
+    val bi = bigramPpl(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val ex = uni.join(bi, "doc_id").join(docs, "doc_id")
+      .select(col("lang"),
+        (col("avg_neg_logp") - col("avg_neg_logp2")).as("excess_doc"))
+    graft.operators.Scale
+      .doremiWeights(ex, "lang", "excess_doc", eta = 0.1, iters = 4,
+        smoothing = 1e-3)
+      .select(col("domain"), dround(col("excess"), 6).as("excess"),
+        dround(col("weight"), 6).as("weight"),
+        dround(col("avg_weight"), 6).as("avg_weight"))
+  }
+  val qDoremiMixSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |freq AS (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+      |uni AS (SELECT doc_id, round(avg(-log2(CAST(cnt AS DOUBLE) / total)), 4) AS nll1
+      |        FROM u JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id),
+      |e AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM e),
+      |bi AS (SELECT bg.doc_id, round(avg(-log2((c12 + 1) / (c1 + v))), 4) AS nll2
+      |       FROM bg JOIN c12 USING (bg)
+      |       JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      |       CROSS JOIN v GROUP BY bg.doc_id),
+      |ex AS (SELECT d.lang AS domain, greatest(nll1 - nll2, 0.0) AS x
+      |       FROM uni JOIN bi USING (doc_id) JOIN documents d USING (doc_id)),
+      |lam AS (SELECT domain, avg(x) AS excess FROM ex GROUP BY domain),
+      |i0 AS (SELECT domain, excess,
+      |         CAST(count(*) OVER () AS DOUBLE) AS S,
+      |         1.0 / CAST(count(*) OVER () AS DOUBLE) AS alpha,
+      |         0.0 AS acc
+      |       FROM lam),
+      |i1 AS (SELECT domain, excess, S, alpha, acc + alpha AS acc FROM (
+      |  SELECT domain, excess, S, acc,
+      |         (1.0 - 0.001) * up / z + 0.001 / S AS alpha
+      |  FROM (SELECT * , max(cum) OVER () AS z FROM
+      |        (SELECT *, sum(up) OVER (ORDER BY domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM
+      |         (SELECT domain, excess, S, acc, alpha * exp(0.1 * excess) AS up FROM i0))))),
+      |i2 AS (SELECT domain, excess, S, alpha, acc + alpha AS acc FROM (
+      |  SELECT domain, excess, S, acc,
+      |         (1.0 - 0.001) * up / z + 0.001 / S AS alpha
+      |  FROM (SELECT * , max(cum) OVER () AS z FROM
+      |        (SELECT *, sum(up) OVER (ORDER BY domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM
+      |         (SELECT domain, excess, S, acc, alpha * exp(0.1 * excess) AS up FROM i1))))),
+      |i3 AS (SELECT domain, excess, S, alpha, acc + alpha AS acc FROM (
+      |  SELECT domain, excess, S, acc,
+      |         (1.0 - 0.001) * up / z + 0.001 / S AS alpha
+      |  FROM (SELECT * , max(cum) OVER () AS z FROM
+      |        (SELECT *, sum(up) OVER (ORDER BY domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM
+      |         (SELECT domain, excess, S, acc, alpha * exp(0.1 * excess) AS up FROM i2))))),
+      |i4 AS (SELECT domain, excess, S, alpha, acc + alpha AS acc FROM (
+      |  SELECT domain, excess, S, acc,
+      |         (1.0 - 0.001) * up / z + 0.001 / S AS alpha
+      |  FROM (SELECT * , max(cum) OVER () AS z FROM
+      |        (SELECT *, sum(up) OVER (ORDER BY domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM
+      |         (SELECT domain, excess, S, acc, alpha * exp(0.1 * excess) AS up FROM i3)))))
+      |SELECT domain, round(excess, 6) AS excess, round(alpha, 6) AS weight,
+      |       round(acc / 4, 6) AS avg_weight
+      |FROM i4""".stripMargin
+
   /** Classifier-based quality filtering (§2.4 37u, r13 — the
     * FineWeb-Edu / DCLM component: score every doc with a learned
     * linear model, curate on the score): logistic regression over
@@ -2818,6 +2927,8 @@ object QueriesLlm {
     "q_bpe_merges"          -> qBpeMerges,
     "q_bpe_tokens"          -> qBpeTokens,
     "q_ulm_tokens"          -> qUlmTokens,
+    "q_wordpiece_tokens"    -> qWordPieceTokens,
+    "q_doremi_mix"          -> qDoremiMix,
     "q_quality_classifier"  -> qQualityClassifier,
     "q_lang_id_learned"     -> qLangIdLearned,
     "q_heavy_hitters"       -> qHeavyHitters,
@@ -2892,6 +3003,7 @@ object QueriesLlm {
     "q_trigram_logprob"     -> qTrigramLogprobSql,
     "q_dsir_weights"        -> qDsirWeightsSql,
     "q_dsir_sample"         -> qDsirSampleSql,
+    "q_doremi_mix"          -> qDoremiMixSql,
     "q_heavy_hitters"       -> qHeavyHittersSql,
     "q_corpus_difference"   -> qCorpusDifferenceSql,
     "q_bloom_dedup"         -> qBloomDedupSql,

@@ -343,4 +343,71 @@ object Scale {
       .select("source", "n_tokens", "cap_tokens", "quota_tokens",
         "epochs_used", "capped")
   }
+
+  /** DoReMi domain reweighting (Xie et al. 2023, NeurIPS, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"
+    * Algorithm 1): multiplicative-weights update over domains driven
+    * by per-example EXCESS LOSS (how much worse the proxy model does
+    * than the reference on that domain — the headroom signal),
+    * completing the mixture family next to [[temperatureQuota]]
+    * (size^α), [[unimaxQuota]] (epoch-capped water-filling) and
+    * [[graft.operators.Dsir]] (example-level importance): per step
+    * α′_i = α_i · exp(η·λ_i) with λ_i the domain's mean CLIPPED excess
+    * (max(ℓ_proxy − ℓ_ref, 0), the paper's rectification), normalized
+    * and smoothed toward uniform, α ← (1−c)·α′/Σα′ + c/S. Output is
+    * both the final α and the across-steps average ᾱ — the paper's
+    * actual deliverable (its Algorithm 1 returns the per-step
+    * average).
+    *
+    * Offline determinization: the published procedure recomputes
+    * per-domain excess each step from the training proxy; with a
+    * FIXED scorer (the documented offline analog — any of the §2.4 LM
+    * proxies) λ is constant across steps, so `iters` here replays the
+    * exact multiplicative-weights recursion with constant gain. The
+    * recursion is NOT closed-form once smoothing mixes uniform mass
+    * back in each step, so it is unrolled — `iters` window passes
+    * over an S-row relation.
+    *
+    * Scale: one map-side-combined aggregation reduces the corpus to
+    * S = #domains rows; every MW step is a window over those S rows
+    * only ("reduce THEN window", the [[unimaxQuota]] discipline).
+    * Determinism: the normalizer Σα′ accumulates in ascending-domain
+    * order (running-sum window + max — the [[temperatureQuota]]
+    * device), so double sums are order-deterministic and the output
+    * reproduces bitwise across runs and partitionings. */
+  def doremiWeights(df: DataFrame, domainCol: String, excessCol: String,
+                    eta: Double = 1.0, iters: Int = 4,
+                    smoothing: Double = 1e-3): DataFrame = {
+    require(eta > 0, "doremiWeights: eta must be > 0")
+    require(iters >= 1, "doremiWeights: iters must be >= 1")
+    require(smoothing >= 0 && smoothing < 1,
+      "doremiWeights: smoothing must be in [0, 1)")
+    val W = org.apache.spark.sql.expressions.Window
+    val byDom = W.orderBy(col("domain"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    var cur = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(avg(greatest(col(excessCol).cast("double"), lit(0.0))).as("excess"))
+      .withColumn("__S", count(lit(1)).over(all).cast("double"))
+      .withColumn("alpha", lit(1.0) / col("__S"))
+      .withColumn("__sumAlpha", lit(0.0))
+    var t = 0
+    while (t < iters) {
+      cur = cur
+        .withColumn("__up", col("alpha") * exp(lit(eta) * col("excess")))
+        .withColumn("__cum", sum(col("__up")).over(byDom))
+        .withColumn("__z", max(col("__cum")).over(all))
+        .withColumn("alpha",
+          lit(1.0 - smoothing) * col("__up") / col("__z") +
+            lit(smoothing) / col("__S"))
+        .withColumn("__sumAlpha", col("__sumAlpha") + col("alpha"))
+        .drop("__up", "__cum", "__z")
+      t += 1
+    }
+    cur.select(col("domain"), col("excess"),
+      col("alpha").as("weight"),
+      (col("__sumAlpha") / iters).as("avg_weight"))
+  }
 }

@@ -91,6 +91,56 @@ case class BpeEncode(child: Expression, merges: Seq[((String, String), Int)],
     copy(child = newChild)
 }
 
+/** WordPiece greedy longest-match-first apply as a native expression
+  * (BERT's WordpieceTokenizer — Devlin et al. 2019 §A) — same contract
+  * as [[BpeEncode]]: vocabulary in the instance, task-local memo,
+  * direct array output, node visible as `graft_wordpiece_encode`.
+  * Delegates the per-word scan to
+  * [[graft.operators.WordPiece.encodeWord]] so the greedy semantics
+  * (longest match at each position; ANY unmatchable position turns
+  * the whole word into `[UNK]`; words past `maxWordChars` skip the
+  * scan) cannot drift from the trainer module's reference form. */
+case class WordPieceEncode(child: Expression, vocab: Seq[String],
+                           maxWordChars: Int, memoCap: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+  override def nullable: Boolean = false
+
+  // null text tokenizes to EMPTY (the established tokenize contract)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val memo = new java.util.HashMap[String, Array[String]]()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    text.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        var t = memo.get(w)
+        if (t == null) {
+          t = graft.operators.WordPiece.encodeWord(w, vocabSet, maxWordChars)
+          if (memo.size < memoCap) memo.put(w, t)
+        }
+        t.foreach(s => out += UTF8String.fromString(s))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unigram-LM Viterbi apply as a native expression — same contract as
   * [[BpeEncode]]: piece table in the instance, task-local memo, direct
   * array output. Delegates the per-word segmentation to
