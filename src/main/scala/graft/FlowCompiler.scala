@@ -554,6 +554,11 @@ object FlowCompiler {
         case "ListenSMTP" =>
           val l = graft.streaming.Smtp.listenSmtp(port, spool)
           Some(Listener(p.id, p.name, "ListenSMTP", l.port, () => l.stop()))
+        case "ListenFTP" =>
+          // upload-only FTP ingress; blank credentials = anonymous
+          val l = graft.streaming.Ftp.listenFtp(port, spool,
+            prop(p, "Username", ""), prop(p, "Password", ""))
+          Some(Listener(p.id, p.name, "ListenFTP", l.port, () => l.stop()))
         case "ListenWebSocket" =>
           val l = graft.streaming.Ws.listenWebSocket(port, spool)
           Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
@@ -566,6 +571,18 @@ object FlowCompiler {
             portId = prop(p, "Port Id", "graft-in-0"),
             egressDir = Option(prop(p, "Egress Directory", "")).filter(_.nonEmpty))
           Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+        case "ConsumePOP3" =>
+          // pull-only protocol: a stop()-able poll loop (NiFi schedules
+          // its processor the same way); Delete Messages mirrors NiFi
+          val host = prop(p, "Host", "")
+          require(host.nonEmpty, s"ConsumePOP3 ${p.name} needs 'Host'")
+          val pr = prop(p, "Port", "")
+          require(pr.trim.nonEmpty, s"ConsumePOP3 ${p.name} needs 'Port'")
+          val c = graft.streaming.Pop3.pollPop3(host, pr.trim.toInt,
+            prop(p, "Username", ""), prop(p, "Password", ""), spool,
+            pollMs = prop(p, "Poll Interval Ms", "1000").trim.toLong,
+            delete = !prop(p, "Delete Messages", "true").equalsIgnoreCase("false"))
+          Some(Listener(p.id, p.name, "ConsumePOP3", 0, () => c.stop()))
         case "ConsumeMQTT" =>
           // two modes, NiFi's actual canvas vocabulary: a "Broker URI"
           // property (tcp://host:port) selects the NATIVE client
@@ -663,6 +680,11 @@ object FlowCompiler {
     // r15 archive formats
     "MergeContent"     -> Set("Merge Format", "Name Column"),
     "UnpackContent"    -> Set("Packaging Format"),
+    "FilterAttribute"  -> Set("Filter Mode", "Attribute Matching Strategy",
+                              "Attribute Set", "Attribute Regular Expression"),
+    "SplitAvro"        -> Set("Split Strategy", "Output Size", "Output Strategy"),
+    "ConvertExcelToCSV" -> Set("Sheets to Extract", "Number of Rows to Skip",
+                               "Columns To Skip", "Format Cell Values"),
     "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
     "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
@@ -706,6 +728,11 @@ object FlowCompiler {
     "PutTCP"             -> Set("Hostname", "Port", "Value Column"),
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
     "ListenSMTP"         -> Set("Listening Port", "Spool Directory"),
+    "ListenFTP"          -> Set("Listening Port", "Spool Directory",
+                                "Username", "Password"),
+    "ConsumePOP3"        -> Set("Host", "Port", "Username", "Password",
+                                "Spool Directory", "Poll Interval Ms",
+                                "Delete Messages"),
     // r14 MQTT edge (broker-side ingress + per-partition egress)
     "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory",
                                 "Broker URI", "Topic Filter"),
@@ -751,7 +778,8 @@ object FlowCompiler {
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
         "ExecuteSQL", "QueryDatabaseTable", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
-        "ListenSyslog", "ListenSMTP", "ListenWebSocket", "ConsumeMQTT", "ConsumeAMQP",
+        "ListenSyslog", "ListenSMTP", "ListenFTP", "ListenWebSocket", "ConsumeMQTT", "ConsumeAMQP",
+        "ConsumePOP3",
         "ListFTP", "GetFTP", "FetchFTP",
         "ListSFTP", "GetSFTP", "FetchSFTP")
       .contains(p.tpe.split('.').last)
@@ -907,6 +935,17 @@ object FlowCompiler {
           prop(p, "Order Column", "id"),
           listProp(p, "Payload Columns", "content"),
           prop(p, "Output Column", "packed"))
+      case "ConvertExcelToCSV" =>
+        Records.excelToCsv(in, prop(p, "Content Column", "content"),
+          listProp(p, "Sheets to Extract"),
+          prop(p, "Number of Rows to Skip", "0").trim.toInt,
+          listProp(p, "Columns To Skip").map(_.toInt))
+      case "SplitAvro" =>
+        // NiFi: Split Strategy is Record-only in 2.x; Output Size =
+        // records per split; Output Strategy Datafile | Bare Record
+        Records.splitAvro(in, prop(p, "Content Column", "content"),
+          prop(p, "Output Size", "1").trim.toInt,
+          prop(p, "Output Strategy", "Datafile").trim.equalsIgnoreCase("Bare Record"))
       case "UnpackContent" =>
         // NiFi's Packaging Format: zip/tar unpack real archives; the
         // default "flowfile" form is the record-envelope pack/unpack
@@ -995,6 +1034,17 @@ object FlowCompiler {
       case "UpdateAttribute" =>
         val cols = in.columns.toSeq
         Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t, cols) }: _*)
+      case "FilterAttribute" =>
+        // NiFi 2.x: Filter Mode retain|remove; strategy enumeration
+        // (Attribute Set, comma-separated) or regex over the name
+        val retain = !prop(p, "Filter Mode", "Retain").equalsIgnoreCase("Remove")
+        val rx = p.props.collectFirst {
+          case ("Attribute Regular Expression", v) => v.trim
+        }.filter(_.nonEmpty)
+        val set = prop(p, "Attribute Set", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(rx.nonEmpty || set.nonEmpty,
+          s"FilterAttribute ${p.name} needs Attribute Set or Attribute Regular Expression")
+        Records.filterAttributes(in, retain, names = set, regex = rx)
       case "UpdateRecord" =>
         // NiFi UpdateRecord: dynamic properties are RecordPath -> value
         // (EL template). RecordPath.update handles struct legs AND the

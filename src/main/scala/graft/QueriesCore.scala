@@ -765,6 +765,17 @@ object QueriesCore {
     """SELECT doc_id, upper(lang) AS lang_uc, substring(text,1,10) AS head10,
       | round(n_chars/1024.0, 4) AS kb FROM documents""".stripMargin
 
+  /** FilterAttribute (NiFi 2.x): retain attributes/columns by regex —
+    * a pure projection the optimizer pushes into the scan (the plan's
+    * ReadSchema carries only the kept columns; dropped ones are never
+    * deserialized). Regex mode exercises the whole-name-match
+    * contract; `doc_id` rides on the protect list. */
+  val qFilterAttribute: Q = (s, d) =>
+    Records.filterAttributes(Tables.documents(s, d), retain = true,
+      regex = Some("lang|n_.*"), protect = Seq("doc_id"))
+  val qFilterAttributeSql: String =
+    "SELECT doc_id, lang, n_chars FROM documents"
+
   /** ExtractText: regex capture groups to columns. */
   val qExtractText: Q = (s, d) => {
     Records.extractText(Tables.documents(s, d), "text",
@@ -1284,6 +1295,7 @@ object QueriesCore {
     "q_route_on_attribute"  -> qRouteOnAttribute,
     "q_route_on_content"    -> qRouteOnContent,
     "q_update_attribute"    -> qUpdateAttribute,
+    "q_filter_attribute"    -> qFilterAttribute,
     "q_extract_text"        -> qExtractText,
     "q_replace_text"        -> qReplaceText,
     "q_evaluate_jsonpath"   -> qEvaluateJsonPath,
@@ -1349,6 +1361,7 @@ object QueriesCore {
     "q_route_on_attribute"  -> qRouteOnAttributeSql,
     "q_route_on_content"    -> qRouteOnContentSql,
     "q_update_attribute"    -> qUpdateAttributeSql,
+    "q_filter_attribute"    -> qFilterAttributeSql,
     "q_extract_text"        -> qExtractTextSql,
     "q_replace_text"        -> qReplaceTextSql,
     "q_evaluate_jsonpath"   -> qEvaluateJsonPathSql,

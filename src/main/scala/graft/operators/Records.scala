@@ -27,6 +27,33 @@ object Records {
   def update(df: DataFrame, cols: (String, Column)*): DataFrame =
     cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
+  /** FilterAttribute (NiFi 2.x): RETAIN or REMOVE attributes (columns
+    * in this engine's record model) by an enumerated set or a regular
+    * expression over the attribute name (NiFi's two matching
+    * strategies; the regex must match the WHOLE name, as NiFi's
+    * does). `protect` columns survive a remove / are always retained —
+    * the analog of NiFi never touching core attributes (uuid,
+    * filename, path). A pure projection: Catalyst pushes the pruning
+    * into the scan, so a filtered read never deserializes the dropped
+    * columns — zero cost at any scale. */
+  def filterAttributes(df: DataFrame, retain: Boolean,
+                       names: Seq[String] = Nil, regex: Option[String] = None,
+                       protect: Seq[String] = Nil): DataFrame = {
+    val matched: String => Boolean = regex match {
+      case Some(rx) =>
+        val p = java.util.regex.Pattern.compile(rx)
+        c => p.matcher(c).matches()
+      case None =>
+        val s = names.toSet
+        s.contains _
+    }
+    val keep = df.columns.filter(c =>
+      protect.contains(c) || (matched(c) == retain))
+    require(keep.nonEmpty,
+      s"filterAttributes: no columns left (of ${df.columns.length})")
+    df.select(keep.map(col).toSeq: _*)
+  }
+
   /** ValidateRecord: evaluate named rules; adds `violations` (array of
     * failed rule names) and boolean `is_valid`. Route with
     * [[Route.onAttribute]] on `is_valid` for NiFi's valid/invalid
@@ -860,6 +887,39 @@ object Records {
       d.withColumn(out, col(s"__rec.$f"))
     }.drop("__rec")
   }
+
+  /** SplitAvro (NiFi): one row per `outputSize`-record chunk of the
+    * Avro object-container payload in `contentCol` — split_idx /
+    * record_count / split_data (a complete container per chunk, or
+    * bare binary-encoded records; see [[graft.plans.AvroSplit]] for
+    * the determinism + metadata-transfer contract). Narrow: the
+    * per-record loop runs inside one native expression, rows explode
+    * in place. explode_outer keeps MALFORMED payloads as one row with
+    * null split columns — route on `split_data IS NULL` for NiFi's
+    * failure relationship instead of losing the evidence. */
+  def splitAvro(df: DataFrame, contentCol: String, outputSize: Int = 1,
+                bare: Boolean = false): DataFrame =
+    df.withColumn("__s", explode_outer(graft.plans.AvroExpressions.avroSplit(
+        col(contentCol).cast("binary"), outputSize, bare)))
+      .withColumn("split_idx", col("__s.split_idx"))
+      .withColumn("record_count", col("__s.record_count"))
+      .withColumn("split_data", col("__s.split_data"))
+      .drop("__s")
+
+  /** ConvertExcelToCSV (NiFi): one row per extracted sheet of the XLSX
+    * payload in `contentCol` — `sheet` name + RFC-4180 `csv` text (see
+    * [[graft.plans.ExcelToCsv]] for the ECMA-376 parsing contract:
+    * JDK-only zip+StAX, shared strings, verbatim numeric serials,
+    * XXE-hardened). Narrow; explode_outer keeps malformed payloads as
+    * one row with null sheet columns — route on `csv IS NULL` for
+    * NiFi's failure relationship. */
+  def excelToCsv(df: DataFrame, contentCol: String, sheets: Seq[String] = Nil,
+                 skipRows: Int = 0, skipCols: Seq[Int] = Nil): DataFrame =
+    df.withColumn("__x", explode_outer(graft.plans.ExcelExpressions.excelToCsv(
+        col(contentCol).cast("binary"), sheets, skipRows, skipCols)))
+      .withColumn("sheet", col("__x.sheet"))
+      .withColumn("csv", col("__x.csv"))
+      .drop("__x")
 
   /** UnpackContent, zip mode (NiFi): one row per archived file —
     * (original columns, entry_name, entry_data). Directory entries are

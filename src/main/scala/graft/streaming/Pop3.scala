@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** ConsumePOP3 (NiFi email bundle, `ConsumePOP3`): retrieve messages
+  * from a POP3 mailbox (RFC 1939) and spool each as one file — the
+  * RETRIEVAL direction that completes the email family next to
+  * [[Smtp.listenSmtp]] (receive), [[Smtp.putEmail]] (send) and the
+  * ExtractEmailHeaders/Attachments record operators. Hand-rolled on
+  * JDK sockets like every other wire edge here (no mail client
+  * library exists offline; the protocol is 6 commands).
+  *
+  * POP3 is pull-only — no server push exists in the protocol — so the
+  * consumer POLLS, exactly as NiFi schedules its processor:
+  * [[consumePop3]] is one drain pass (connect, USER/PASS, STAT, RETR
+  * each, optional DELE, QUIT), [[pollPop3]] wraps it in a stop()-able
+  * poll thread for flow wiring. Per RFC 1939 §6 deletions only commit
+  * at QUIT (UPDATE state), so a drain that dies mid-pass leaves the
+  * mailbox intact — at-least-once into the spool, with the spool's
+  * atomic tmp+rename keeping partial messages invisible (the Listen*
+  * family contract). With `delete = false` every poll re-reads the
+  * whole mailbox (the RFC's retain semantics); NiFi's
+  * delete-after-ingest mode is `delete = true`.
+  *
+  * Multiline responses un-stuff the leading `..` (RFC 1939 §3) and
+  * terminate at the bare `.`; messages spool VERBATIM as
+  * `<millis>-<seq>-msg<n>.eml` with CRLF line ends preserved.
+  * Single-receiver ingress — front with a distributed log at scale;
+  * the downstream flow binds to the spool directory, not the socket.
+  */
+object Pop3 {
+
+  final class Pop3Poller private[Pop3] (stopFlag: AtomicBoolean, thread: Thread) {
+    def stop(): Unit = {
+      stopFlag.set(true)
+      thread.interrupt()
+      thread.join(5000)
+    }
+  }
+
+  private val seq = new AtomicLong(0L)
+
+  /** One drain pass. Returns the number of messages spooled. */
+  def consumePop3(host: String, port: Int, user: String, pass: String,
+                  spoolDir: String, delete: Boolean = false): Int = {
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val sock = new java.net.Socket(host, port)
+    try {
+      sock.setSoTimeout(30000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      val out = sock.getOutputStream
+      def send(s: String): Unit = { out.write((s + "\r\n").getBytes(UTF_8)); out.flush() }
+      def ok(ctx: String): String = {
+        val r = in.readLine()
+        require(r != null && r.startsWith("+OK"), s"POP3 $ctx: got '$r'")
+        r
+      }
+      ok("greeting")
+      send(s"USER $user"); ok("USER")
+      send(s"PASS $pass"); ok("PASS")
+      send("STAT")
+      val n = ok("STAT").split(" ")(1).toInt
+      var spooled = 0
+      var i = 1
+      while (i <= n) {
+        send(s"RETR $i"); ok(s"RETR $i")
+        val sb = new StringBuilder
+        var line = in.readLine()
+        while (line != null && line != ".") {
+          // §3: the client strips the stuffed leading dot
+          sb.append(if (line.startsWith("..")) line.substring(1) else line)
+          sb.append("\r\n")
+          line = in.readLine()
+        }
+        require(line != null, s"POP3 RETR $i: stream ended before terminator")
+        val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}-msg$i.eml"
+        val tmp = dir.resolve(name + ".tmp")
+        Files.write(tmp, sb.toString.getBytes(UTF_8))
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        spooled += 1
+        if (delete) { send(s"DELE $i"); ok(s"DELE $i") }
+        i += 1
+      }
+      send("QUIT"); ok("QUIT") // UPDATE state: deletions commit here
+      spooled
+    } finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  /** Poll loop for flow wiring: a drain pass every `pollMs` until
+    * stop(). A failed pass (server briefly down) is retried at the
+    * next tick rather than killing the poller — the accept-loop
+    * robustness contract of the Listen* family. */
+  def pollPop3(host: String, port: Int, user: String, pass: String,
+               spoolDir: String, pollMs: Long = 1000L,
+               delete: Boolean = true): Pop3Poller = {
+    val stop = new AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try consumePop3(host, port, user, pass, spoolDir, delete)
+        catch {
+          case _: InterruptedException => ()
+          case _: Exception => () // transient server failure: retry next tick
+        }
+        try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-pop3-poll")
+    t.setDaemon(true)
+    t.start()
+    new Pop3Poller(stop, t)
+  }
+}

@@ -143,4 +143,102 @@ class AvroIoSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unsupported type"))
   }
+
+  // one 7-record container built straight with avro (independent of
+  // AvroIo's writer), with a custom metadata key to transfer
+  private def containerBytes(): Array[Byte] = {
+    val s = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](s))
+    w.setMeta("graft.origin", "spec")
+    w.create(s, bos)
+    (1 to 7).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(s)
+      rec.put("k", i.toLong); rec.put("v", s"row$i")
+      w.append(rec)
+    }
+    w.close()
+    bos.toByteArray
+  }
+
+  test("splitAvro datafile mode: chunk boundaries, order, metadata transfer, determinism") {
+    import spark.implicits._
+    import graft.operators.Records
+    val df = Seq((1L, containerBytes())).toDF("id", "content")
+    val run = () => Records.splitAvro(df, "content", outputSize = 3)
+      .orderBy("split_idx")
+      .select("split_idx", "record_count", "split_data")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+    val splits = run()
+    assert(splits.map(s => (s._1, s._2)).toSeq == Seq((0, 3L), (1, 3L), (2, 1L)))
+    // every split re-parses as a complete container; records concatenate
+    // to the original stream in order and the metadata key survives
+    val all = splits.flatMap { case (_, _, bytes) =>
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      assert(rd.getMetaString("graft.origin") == "spec")
+      val out = Iterator.continually(rd).takeWhile(_.hasNext).map(_.next()).toArray
+      rd.close(); out
+    }
+    assert(all.map(_.get("k").asInstanceOf[Long]).toSeq == (1L to 7L))
+    // deterministic bytes (fixed sync marker): two runs are identical
+    val again = run()
+    splits.zip(again).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(java.util.Arrays.equals(a, b), "split bytes differ between runs")
+    }
+  }
+
+  test("splitAvro bare-record mode decodes with the known schema") {
+    import spark.implicits._
+    import graft.operators.Records
+    val s = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin)
+    val df = Seq((1L, containerBytes())).toDF("id", "content")
+    val splits = Records.splitAvro(df, "content", outputSize = 4, bare = true)
+      .orderBy("split_idx").select("record_count", "split_data")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(splits.map(_._1).toSeq == Seq(4L, 3L))
+    val ks = splits.flatMap { case (n, bytes) =>
+      val dec = org.apache.avro.io.DecoderFactory.get()
+        .binaryDecoder(bytes, null)
+      val rd = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord](s)
+      (1L to n).map(_ => rd.read(null, dec).get("k").asInstanceOf[Long])
+    }
+    assert(ks.toSeq == (1L to 7L))
+  }
+
+  test("splitAvro keeps malformed payloads as a null-split failure row") {
+    import spark.implicits._
+    import graft.operators.Records
+    val df = Seq((1L, "not avro".getBytes), (2L, containerBytes()))
+      .toDF("id", "content")
+    val out = Records.splitAvro(df, "content", outputSize = 10)
+      .select("id", "split_data").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(out.toSet == Set((1L, true), (2L, false)))
+  }
+
+  test("SplitAvro compiles in a flow") {
+    import spark.implicits._
+    val flow = graft.FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "s", "type": "SplitAvro",
+        |     "properties": {"Output Size": "2"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "s"}},
+        |    {"source": {"id": "s"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val in = Seq((1L, containerBytes())).toDF("id", "content")
+    val out = graft.FlowCompiler.compile(spark, flow, Map("in" -> in))("out")
+    assert(out.count() == 4) // 7 records / 2 per split
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_avro_split"), plan)
+  }
 }

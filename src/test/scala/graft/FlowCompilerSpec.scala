@@ -84,6 +84,30 @@ class FlowCompilerSpec extends SparkSpec {
     assert(e3.getMessage.contains("cycle"))
   }
 
+  test("FilterAttribute compiles both modes; fixed props stay out of dynamics") {
+    val flow = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "f1", "type": "FilterAttribute",
+        |     "properties": {"Filter Mode": "Retain",
+        |                    "Attribute Regular Expression": "v.*"}},
+        |    {"identifier": "f2", "type": "FilterAttribute",
+        |     "properties": {"Filter Mode": "Remove",
+        |                    "Attribute Matching Strategy": "Enumerate attributes",
+        |                    "Attribute Set": "v, w"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o1", "name": "o1"}, {"identifier": "o2", "name": "o2"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "f1"}},
+        |    {"source": {"id": "i"}, "destination": {"id": "f2"}},
+        |    {"source": {"id": "f1"}, "destination": {"id": "o1"}},
+        |    {"source": {"id": "f2"}, "destination": {"id": "o2"}}]}}""".stripMargin)
+    val in = Seq((1, 2.0, "x")).toDF("id", "v", "w")
+    val out = FlowCompiler.compile(spark, flow, Map("in" -> in))
+    assert(out("o1").columns.toSeq == Seq("v"))
+    assert(out("o2").columns.toSeq == Seq("id"))
+  }
+
   test("committed enrichment flow: JoinEnrichment plan broadcasts the dim side") {
     val out = QueriesText.qFlowEnrichment(spark, sf)
     out.collect()

@@ -87,4 +87,114 @@ class FtpSpec extends SparkSpec {
       assert(back.toSeq === Seq("put over ftp"))
     }
   }
+
+  // ---- ListenFTP (the ingress direction: graft IS the ftp server) ----
+
+  /** Raw RFC-959 client — independent of both the server under test
+    * and hadoop's client, so the wire gates are real. */
+  private final class RawFtp(port: Int) {
+    private val sock = new java.net.Socket("127.0.0.1", port)
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+    private val out = sock.getOutputStream
+    def read(): String = in.readLine()
+    def cmd(c: String): String = {
+      out.write((c + "\r\n").getBytes("UTF-8")); out.flush(); read()
+    }
+    def pasvPort(): Int = {
+      val r = cmd("PASV")
+      assert(r.startsWith("227"), r)
+      val nums = "\\d+".r.findAllIn(r).toSeq.takeRight(2).map(_.toInt)
+      nums(0) * 256 + nums(1)
+    }
+    def stor(name: String, data: Array[Byte]): (String, String) = {
+      val dp = pasvPort()
+      val r1 = cmd(s"STOR $name")
+      val ds = new java.net.Socket("127.0.0.1", dp)
+      try ds.getOutputStream.write(data) finally ds.close()
+      (r1, read())
+    }
+    def close(): Unit = { try cmd("QUIT") catch { case _: Exception => () }
+                          sock.close() }
+  }
+
+  test("ListenFTP: login, STOR spools atomically with order + name preserved") {
+    val spool = Files.createTempDirectory("graft_listen_ftp")
+    val l = graft.streaming.Ftp.listenFtp(0, spool.toString, "u", "p")
+    try {
+      val c = new RawFtp(l.port)
+      assert(c.read().startsWith("220"))
+      assert(c.cmd("USER u").startsWith("331"))
+      assert(c.cmd("PASS p").startsWith("230"))
+      val payload = (0 until 512).map(_.toByte).toArray // binary-safe
+      val (r1, r2) = c.stor("a.bin", payload)
+      assert(r1.startsWith("150") && r2.startsWith("226"), s"$r1 / $r2")
+      val (r3, r4) = c.stor("b.bin", "second".getBytes("UTF-8"))
+      assert(r3.startsWith("150") && r4.startsWith("226"))
+      c.close()
+      val files = Files.list(spool).iterator()
+      val names = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (files.hasNext) names += files.next()
+      val sorted = names.sortBy(_.getFileName.toString)
+      assert(sorted.length == 2, sorted.toString)
+      assert(sorted(0).getFileName.toString.endsWith("-a.bin"))
+      assert(sorted(1).getFileName.toString.endsWith("-b.bin"))
+      assert(java.util.Arrays.equals(Files.readAllBytes(sorted(0)), payload))
+      assert(!names.exists(_.getFileName.toString.endsWith(".tmp")))
+    } finally l.stop()
+  }
+
+  test("ListenFTP: upload-only contract — bad login, RETR/DELE refused, traversal defused") {
+    val spool = Files.createTempDirectory("graft_listen_ftp2")
+    val l = graft.streaming.Ftp.listenFtp(0, spool.toString, "u", "p")
+    try {
+      val bad = new RawFtp(l.port)
+      bad.read()
+      bad.cmd("USER u")
+      assert(bad.cmd("PASS wrong").startsWith("530"))
+      assert(bad.cmd("PASV").startsWith("530")) // nothing before login
+      bad.close()
+
+      val c = new RawFtp(l.port)
+      c.read(); c.cmd("USER u"); c.cmd("PASS p")
+      assert(c.cmd("RETR x").startsWith("550"))
+      assert(c.cmd("DELE x").startsWith("550"))
+      assert(c.cmd("STOR x").startsWith("425")) // no data connection yet
+      // path traversal flattens to a sanitized basename inside the spool
+      val (r1, r2) = c.stor("../../etc/passwd", "x".getBytes)
+      assert(r1.startsWith("150") && r2.startsWith("226"))
+      c.close()
+      val names = { val s = Files.list(spool)
+        try { val it = s.iterator(); val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next().getFileName.toString; b.result() }
+        finally s.close() }
+      assert(names.size == 1 && names.head.endsWith("-passwd"), names.toString)
+      assert(!Files.exists(spool.getParent.resolve("etc"))) // nothing escaped
+    } finally l.stop()
+  }
+
+  test("ListenFTP: anonymous mode + flow startListeners wiring") {
+    val spool = Files.createTempDirectory("graft_listen_ftp3")
+    val flow = graft.FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "f", "type": "ListenFTP",
+         |     "properties": {"Listening Port": "0",
+         |                    "Spool Directory": "${spool.toString}"}}],
+         |  "outputPorts": [], "connections": []}}""".stripMargin)
+    val ls = graft.FlowCompiler.startListeners(flow)
+    assert(ls.size == 1 && ls.head.tpe == "ListenFTP")
+    try {
+      val c = new RawFtp(ls.head.port)
+      c.read()
+      assert(c.cmd("USER anyone").startsWith("331"))
+      assert(c.cmd("PASS whatever").startsWith("230")) // blank config = anonymous
+      val (r1, r2) = c.stor("hello.txt", "hi".getBytes)
+      assert(r1.startsWith("150") && r2.startsWith("226"))
+      c.close()
+      val got = Io.fetchFiles(spark, spool.toString, "*hello.txt")
+        .select(col("content").cast("string")).as[String].collect()
+      assert(got.toSeq == Seq("hi")) // the spool IS the flow source
+    } finally ls.foreach(_.stop())
+  }
 }

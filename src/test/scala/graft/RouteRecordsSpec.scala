@@ -30,6 +30,27 @@ class RouteRecordsSpec extends SparkSpec {
     assert(m(4L) == "unmatched")
   }
 
+  test("Records.filterAttributes: retain/remove, regex whole-name match, protect") {
+    // enumeration retain keeps listed + protected, in original order
+    val r1 = Records.filterAttributes(events, retain = true, names = Seq("value"),
+      protect = Seq("id"))
+    assert(r1.columns.toSeq == Seq("id", "value"))
+    // enumeration remove drops listed, protect overrides the removal
+    val r2 = Records.filterAttributes(events, retain = false,
+      names = Seq("etype", "id"), protect = Seq("id"))
+    assert(r2.columns.toSeq == Seq("id", "value"))
+    // regex matches the WHOLE name (NiFi contract): "e" alone keeps nothing
+    val r3 = Records.filterAttributes(events, retain = true,
+      regex = Some("e.*"), protect = Seq("id"))
+    assert(r3.columns.toSeq == Seq("id", "etype"))
+    intercept[IllegalArgumentException](
+      Records.filterAttributes(events, retain = true, names = Seq("nope")))
+    // the projection prunes to the source: no surviving reference to
+    // dropped columns anywhere in the optimized plan
+    val plan = r1.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("etype"), plan)
+  }
+
   test("Records.validate flags each failed rule") {
     val v = Records.validate(events,
       "pos" -> (col("value") > 0),
