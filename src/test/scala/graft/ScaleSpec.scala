@@ -262,4 +262,49 @@ class ScaleSpec extends SparkSpec {
     assert(q("B") == (40.0, 2.0, true))
     assert(q("C") == (200.0, 2.0, true))
   }
+
+  test("doremiWeights: excess loss upweights, smoothing floors, weights sum to 1") {
+    // domain A has headroom (excess 2), B a little (0.5), C none
+    // (negative excess — clipped to 0 by the paper's rectification)
+    val df = Seq(("A", 2.0), ("A", 2.0), ("B", 0.5), ("C", -1.0), ("C", -3.0))
+      .toDF("dom", "x")
+    val w = Scale.doremiWeights(df, "dom", "x", eta = 1.0, iters = 5,
+        smoothing = 0.01)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("weight"),
+          r.getAs[Double]("avg_weight"))).toMap
+    assert(w("A")._1 == 2.0 && w("B")._1 == 0.5 && w("C")._1 == 0.0)
+    // monotone in excess, both final and averaged
+    assert(w("A")._2 > w("B")._2 && w("B")._2 > w("C")._2)
+    assert(w("A")._3 > w("B")._3 && w("B")._3 > w("C")._3)
+    // each step renormalizes: final and averaged weights sum to 1
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-12)
+    // the smoothing floor: no weight below c/S even for zero-excess C
+    assert(w("C")._2 >= 0.01 / 3 - 1e-15)
+    // more steps concentrate more mass on the headroom domain
+    val w1 = Scale.doremiWeights(df, "dom", "x", eta = 1.0, iters = 1,
+        smoothing = 0.01)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Double]("weight")).toMap
+    assert(w("A")._2 > w1("A"))
+    intercept[IllegalArgumentException](
+      Scale.doremiWeights(df, "dom", "x", eta = 0.0))
+    intercept[IllegalArgumentException](
+      Scale.doremiWeights(df, "dom", "x", iters = 0))
+    intercept[IllegalArgumentException](
+      Scale.doremiWeights(df, "dom", "x", smoothing = 1.0))
+  }
+
+  test("doremiWeights is bitwise invariant to input partitioning") {
+    // quarter-step values: every partial sum is exactly representable,
+    // so the one order-sensitive reduction (the per-domain mean's
+    // partial aggregation) is exact and the bitwise claim is testable;
+    // everything downstream is ordered-window accumulation by design
+    val rows = (1 to 400).map(i => (s"d${i % 7}", (i % 13) * 0.25 - 1.0))
+    val a = Scale.doremiWeights(rows.toDF("dom", "x").repartition(1), "dom", "x")
+      .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val b = Scale.doremiWeights(rows.toDF("dom", "x").repartition(11), "dom", "x")
+      .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq) // exact equality — ordered normalizer accumulation
+  }
 }

@@ -183,6 +183,36 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("batch-trained vocabulary tokenizes a stream row-identically to batch") {
+    // the classifier/curation deployment shape: train once in batch,
+    // apply the broadcast model at ingest — the encode expression is a
+    // pure narrow Column, so it runs unchanged on a streaming source
+    val merges = WordPiece.learnVocabFast(workedDocs, "text", 8)
+    val vocab = WordPiece.vocabSet(workedDocs, "text", merges).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_stream").toString
+    worked.zipWithIndex.foreach { case ((w, _), i) =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, s"d$i.json"),
+        s"""{"id":$i,"text":"$w"}""" + "\n")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val streamed = WordPiece.applyVocab(
+      graft.streaming.Streams.fileStream(spark, dir, schema), "text", vocab)
+      .select(col("id"), array_join(col("wp_tokens"), " ").as("toks"))
+    assert(streamed.isStreaming)
+    val q = graft.streaming.Streams.toMemorySink(streamed, "wp_stream")
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wp_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = WordPiece.applyVocab(
+        worked.zipWithIndex.map { case ((w, _), i) => (i.toLong, w) }.toDF("id", "text"),
+        "text", vocab)
+      .select(col("id"), array_join(col("wp_tokens"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("applyVocab compiles to a native expression (no ScalaUDF in the plan)") {
     // range-based source: a local Seq would fold into a LocalTableScan
     // and hide the expression from the executed plan
