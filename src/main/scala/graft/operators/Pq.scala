@@ -771,46 +771,20 @@ object Pq {
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
-  /** Delete vectors from a persisted index by id, rewriting ONLY the
-    * cell partitions that contain a victim (the vec_id bloom filters
-    * written at build/append time make the ownership probe skip
-    * non-matching row groups): each touched `cell=` dir is rewritten
-    * through a temp dir + atomic-ish rename (Hadoop FileSystem ops, so
-    * the layout works on any FS, not just local) — a cell left empty
-    * ends as an empty dir, which partitioned parquet reads as zero
-    * rows. Untouched cells cost nothing. Returns the number of rows
-    * removed.
-    *
-    * POINT-DELETE contract: ids become `isin` plan literals and cells
-    * rewrite sequentially, so this form is bounded to small id sets
-    * (≲10³). For bulk deletes use [[deleteFromIndexDf]] — ids stay a
-    * DataFrame and all touched cells rewrite in one job. */
+  /** Delete vectors from a persisted index by id — the point-delete
+    * convenience form. r15 continuation: DELEGATES to
+    * [[deleteFromIndexDf]], so the ids never become `isin` plan
+    * literals and all touched cells rewrite in ONE job regardless of
+    * id count. The earlier per-cell sequential rewrite was measured at
+    * 28.8 s for a 100-id delete (~3 jobs per touched cell) where the
+    * one-job anti-join form does a 10⁵-id delete in 3.8 s
+    * (tools/NOTES_r15_index.md) — there was no id-count regime where
+    * the literal-list plan won, so the weaker shape is gone rather
+    * than documented. Returns the number of rows removed. */
   def deleteFromIndex(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     import spark.implicits._
     require(ids.nonEmpty, "deleteFromIndex: empty id list")
-    val idCol = ids.map(java.lang.Long.valueOf)
-    val codes = spark.read.parquet(s"$path/codes")
-    val cells: Array[Int] = codes.filter(col("vec_id").isin(idCol: _*))
-      .select(col("cell").cast("int")).distinct().as[Int].collect().sorted
-    if (cells.isEmpty) return 0L
-    val conf = spark.sparkContext.hadoopConfiguration
-    var removed = 0L
-    cells.foreach { c =>
-      val cellDir = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c")
-      val fs = cellDir.getFileSystem(conf)
-      val cellDf = spark.read.parquet(cellDir.toString) // (vec_id, pq) — cell is the dir
-      val before = cellDf.count()
-      val kept = cellDf.filter(!col("vec_id").isin(idCol: _*))
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/codes/.tmp_cell_$c")
-      kept.coalesce(1).write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#vec_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#vec_id", math.max(1024L, 2 * before).toString)
-        .parquet(tmp.toString)
-      removed += before - spark.read.parquet(tmp.toString).count()
-      fs.delete(cellDir, true)
-      require(fs.rename(tmp, cellDir), s"deleteFromIndex: rename failed for cell=$c")
-    }
-    removed
+    deleteFromIndexDf(spark, path, ids.toDF("vec_id"))
   }
 
   /** Bulk delete (r15): remove every id in the `ids` DataFrame (one
