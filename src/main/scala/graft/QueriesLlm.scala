@@ -1426,6 +1426,22 @@ object QueriesLlm {
       |  FROM sc)
       |WHERE rk <= 10""".stripMargin
 
+  /** Persistent BM25 index round trip (§2.4 38k, r15 — the q_pq_index
+    * pattern for the inverted index): build the bucketed postings
+    * layout from the corpus, then SERVE the same query set from it —
+    * the oracle is the full inline BM25 computation, so a pass proves
+    * the persisted layout is semantically transparent (tf/dl/df/stats
+    * all survive the disk round trip exactly). Bm25IndexSpec
+    * additionally pins row-identity across appends and compaction. */
+  val qBm25Index: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_index_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    graft.operators.Bm25Index.buildIndex(s, docs, path, nBuckets = 32)
+    graft.operators.Bm25Index.searchIndex(s, path, retrievalQueries(s), k = 10)
+  }
+  val qBm25IndexSql: String = qBm25SearchSql
+
   /** Token-window chunking (§2.4, r10): 40-token windows, stride 30 —
     * the RAG/pretraining chunk grain; narrow, shuffle-free. */
   val qChunkDocs: Q = (s, d) =>
@@ -2905,6 +2921,7 @@ object QueriesLlm {
     "q_dup_spans"           -> qDupSpans,
     "q_cut_spans"           -> qCutSpans,
     "q_bm25_search"         -> qBm25Search,
+    "q_bm25_index"          -> qBm25Index,
     "q_chunk_docs"          -> qChunkDocs,
     "q_hybrid_rrf"          -> qHybridRrf,
     "q_embed_kmeans"        -> qEmbedKmeans,
@@ -2984,6 +3001,7 @@ object QueriesLlm {
     "q_dup_spans"           -> qDupSpansSql,
     "q_cut_spans"           -> qCutSpansSql,
     "q_bm25_search"         -> qBm25SearchSql,
+    "q_bm25_index"          -> qBm25IndexSql,
     "q_chunk_docs"          -> qChunkDocsSql,
     "q_hybrid_rrf"          -> qHybridRrfSql,
     "q_embed_kmeans"        -> qEmbedKmeansSql,
