@@ -28,6 +28,17 @@ import graft.functions.TextAnalysis
   *   - `stats`: (n, sum_dl) rows, one per increment, summed at read —
   *     exact integers, so the corpus-level constants are
   *     append-additive with no read-modify-write;
+  *   - `docs`: (doc_id, dl) with a doc_id bloom — one row per ingested
+  *     doc (including zero-token docs, which have no postings but
+  *     count in n/avgdl); carries delete accounting;
+  *   - `deletes`: tombstoned doc_ids (present only after a delete) —
+  *     the Lucene design: [[deleteFromIndex]] never rewrites postings,
+  *     it appends tombstones + NEGATIVE df/stats increments (the same
+  *     summed-at-read algebra appends use, so scores stay EXACTLY
+  *     what a fresh build without the victims would produce);
+  *     [[searchIndex]] anti-joins the tombstone set;
+  *     [[compactIndex]] physically drops tombstoned rows and clears
+  *     the set;
   *   - `meta`: one row (n_buckets).
   *
   * The score arithmetic is OPERAND-SHAPE-IDENTICAL to
@@ -58,9 +69,9 @@ object Bm25Index {
         TextAnalysis.wsTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
 
-  /** One increment's postings/dfs/stats from a doc batch. */
+  /** One increment's postings/dfs/stats/docs from a doc batch. */
   private def increment(docs: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+                        nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = tokenized(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val postings = toks
@@ -71,11 +82,11 @@ object Bm25Index {
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     // zero-token docs carry no postings but still count in n/sum_dl
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-    (postings, dfs, stats)
+    (postings, dfs, stats, toks.select("doc_id", "dl"))
   }
 
   private def writeIncrement(postings: DataFrame, dfs: DataFrame, stats: DataFrame,
-                             path: String, append: Boolean): Unit = {
+                             docRows: DataFrame, path: String, append: Boolean): Unit = {
     val mode = if (append) "append" else "overwrite"
     def blo(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       w.option("compression", "zstd")
@@ -86,6 +97,19 @@ object Bm25Index {
     blo(dfs.repartition(col("bucket")).write.mode(mode))
       .partitionBy("bucket").parquet(s"$path/dfs")
     stats.coalesce(1).write.mode(mode).parquet(s"$path/stats")
+    docRows.write.mode(mode)
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .parquet(s"$path/docs")
+  }
+
+  private def deletesDir(path: String) = s"$path/deletes"
+
+  private def hasDeletes(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(deletesDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
   /** Build the index: one tokenize pass, one shuffle on term. Doc ids
@@ -97,8 +121,8 @@ object Bm25Index {
                  nBuckets: Int = 64): Unit = {
     import spark.implicits._
     require(nBuckets >= 1, "nBuckets >= 1")
-    val (postings, dfs, stats) = increment(docs, idCol, textCol, nBuckets)
-    writeIncrement(postings, dfs, stats, path, append = false)
+    val (postings, dfs, stats, docRows) = increment(docs, idCol, textCol, nBuckets)
+    writeIncrement(postings, dfs, stats, docRows, path, append = false)
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -110,14 +134,73 @@ object Bm25Index {
   def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val nBuckets = readMeta(spark, path)
-    val (postings, dfs, stats) = increment(docs, idCol, textCol, nBuckets)
-    writeIncrement(postings, dfs, stats, path, append = true)
+    val (postings, dfs, stats, docRows) = increment(docs, idCol, textCol, nBuckets)
+    writeIncrement(postings, dfs, stats, docRows, path, append = true)
+  }
+
+  /** Delete docs by id (one `doc_id` column) — the Lucene tombstone
+    * design, because a doc's postings spread across EVERY bucket (the
+    * layout is term-keyed, so there is no PQ-style owning-cell prune
+    * for doc-keyed deletes): postings are NOT rewritten; instead one
+    * read-only scan of the victims' postings produces NEGATIVE df
+    * increments, the docs table produces a negative (n, Σdl) stats
+    * increment (exact even for zero-token victims), and the ids land
+    * in `deletes/`. Serving anti-joins the tombstones, so scores are
+    * EXACTLY a fresh build without the victims; [[compactIndex]] does
+    * the physical removal later. Already-tombstoned ids are excluded
+    * first, so repeated deletes cannot double-count the negative
+    * increments. Returns the number of docs newly deleted. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val nBuckets = readMeta(spark, path)
+    var victims = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    if (hasDeletes(spark, path)) {
+      val already = spark.read.parquet(deletesDir(path))
+      victims = victims.join(already, Seq("doc_id"), "left_anti")
+    }
+    // only ids the index actually holds delete (and count)
+    val held = spark.read.parquet(s"$path/docs")
+      .join(victims, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val removed = held.count()
+    if (removed == 0L) { held.unpersist(blocking = false); return 0L }
+    // negative stats increment (zero-token victims included via docs/)
+    held.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    // negative df increments: one read-only postings scan for victims
+    spark.read.parquet(s"$path/postings")
+      .join(held.select("doc_id"), "doc_id")
+      .groupBy("term").agg((-count(lit(1))).as("df"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/dfs")
+    held.select("doc_id").write.mode("append")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .parquet(deletesDir(path))
+    held.unpersist(blocking = false)
+    removed
+  }
+
+  /** Upsert: replace-or-insert by doc_id. Tombstones cannot coexist
+    * with a re-added id (the serve anti-join is id-keyed, so it would
+    * swallow the NEW rows too), so a replacing upsert must purge
+    * between delete and append — the Lucene update-heavy reality;
+    * pure inserts skip the purge. Cost is one compaction rewrite when
+    * any id is replaced; batch upserts accordingly. */
+  def upsertToIndex(spark: SparkSession, path: String, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val replaced = deleteFromIndex(spark, path,
+      docs.select(col(idCol).as("doc_id")))
+    if (replaced > 0) compactIndex(spark, path)
+    appendToIndex(spark, path, docs, idCol, textCol)
   }
 
   /** Serve a query batch from the layout: read ONLY the query terms'
-    * buckets, score with the stored tf/dl/df/stats. Output schema and
-    * ranking are row-identical to [[Retrieval.bm25TopK]] on the same
-    * corpus: (query_id, doc_id, score, n_terms, rk). */
+    * buckets, score with the stored tf/dl/df/stats; tombstoned docs
+    * are anti-joined out (broadcast — the set is bounded by deletes
+    * since the last compaction). Output schema and ranking are
+    * row-identical to [[Retrieval.bm25TopK]] on the same corpus:
+    * (query_id, doc_id, score, n_terms, rk). */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
                   queryIdCol: String = "query_id", queryTextCol: String = "qtext",
                   k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -140,10 +223,13 @@ object Bm25Index {
         .withColumn("score", lit(0.0)).withColumn("n_terms", lit(0L))
         .withColumn("rk", lit(0L)).limit(0)
     val bs = buckets.map(Integer.valueOf).toSeq
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf0 = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(bs: _*))
       .join(broadcast(terms), Seq("term"), "left_semi")
       .select("doc_id", "dl", "term", "tf")
+    val tf = if (!hasDeletes(spark, path)) tf0
+      else tf0.join(broadcast(spark.read.parquet(deletesDir(path))),
+        Seq("doc_id"), "left_anti")
     val dft = spark.read.parquet(s"$path/dfs")
       .filter(col("bucket").isin(bs: _*))
       .join(broadcast(terms), Seq("term"), "left_semi")
@@ -168,22 +254,31 @@ object Bm25Index {
   }
 
   /** Merge fragmented buckets after appends ([[LshIndex.compactIndex]]
-    * contract): postings files concatenate; df increment rows for the
-    * same term COLLAPSE to their sum (reads after compaction do less
-    * summing); stats rows collapse to one. Returns compacted bucket
-    * count. */
+    * contract) and physically remove tombstoned docs: postings files
+    * concatenate (minus victims); df increment rows for the same term
+    * COLLAPSE to their sum and zero-sum terms drop; stats rows
+    * collapse to one; the docs table sheds victims and the tombstone
+    * set clears. When tombstones exist EVERY postings bucket rewrites
+    * (a doc's terms live everywhere — this is the deferred cost the
+    * tombstone design buys out of the delete path, Lucene's merge);
+    * otherwise only past-threshold buckets do. Returns rewritten
+    * bucket count. */
   def compactIndex(spark: SparkSession, path: String,
                    maxFilesPerBucket: Int = 8): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val purge = hasDeletes(spark, path)
+    val tomb = if (purge) Some(spark.read.parquet(deletesDir(path))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      else None
     def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    def fragBuckets(sub: String): Array[Int] = {
+    def allBuckets(sub: String, fragOnly: Boolean): Array[Int] = {
       val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (!fs.exists(root)) Array.empty
       else fs.listStatus(root).iterator
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .filter(s => parquetFiles(s.getPath) > maxFilesPerBucket)
+        .filter(s => !fragOnly || parquetFiles(s.getPath) > maxFilesPerBucket)
         .map(_.getPath.getName.stripPrefix("bucket=").toInt).toArray.sorted
     }
     def rewrite(sub: String, frag: Array[Int], collapse: DataFrame => DataFrame): Unit =
@@ -200,18 +295,35 @@ object Bm25Index {
         }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
-    val fragP = fragBuckets("postings")
-    rewrite("postings", fragP, identity)
-    val fragD = fragBuckets("dfs")
+    val fragP = allBuckets("postings", fragOnly = !purge)
+    rewrite("postings", fragP, p => tomb match {
+      case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => p
+    })
+    val fragD = allBuckets("dfs", fragOnly = !purge)
     rewrite("dfs", fragD, d => d.groupBy("term", "bucket").agg(sum("df").as("df"))
+      .filter(col("df") =!= 0L) // fully-deleted terms vanish
       .select("term", "df", "bucket"))
     val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
-    if (fs.exists(statsDir) && parquetFiles(statsDir) > maxFilesPerBucket) {
+    if (fs.exists(statsDir) && (purge || parquetFiles(statsDir) > maxFilesPerBucket)) {
       val merged = spark.read.parquet(s"$path/stats")
         .agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
       val tmp = s"$path/stats_tmp_compact"
       merged.coalesce(1).write.parquet(tmp)
       graft.sources.Io.swapDir(fs, statsDir, new org.apache.hadoop.fs.Path(tmp))
+    }
+    tomb.foreach { t =>
+      val docsDir = new org.apache.hadoop.fs.Path(s"$path/docs")
+      val kept = spark.read.parquet(docsDir.toString)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+      val tmp = s"$path/docs_tmp_compact"
+      kept.write
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+        .parquet(tmp)
+      graft.sources.Io.swapDir(fs, docsDir, new org.apache.hadoop.fs.Path(tmp))
+      t.unpersist(blocking = false)
+      fs.delete(new org.apache.hadoop.fs.Path(deletesDir(path)), true)
     }
     fragP.length + fragD.length
   }

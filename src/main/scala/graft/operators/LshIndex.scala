@@ -85,6 +85,53 @@ object LshIndex {
     sig.unpersist(blocking = false)
   }
 
+  private def deletesDir(path: String) = s"$path/deletes"
+
+  private def hasDeletes(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(deletesDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Delete docs by id — the [[Bm25Index.deleteFromIndex]] tombstone
+    * design, for the same reason: a doc's band rows live in EVERY
+    * band partition (the layout is bucket-keyed, not doc-keyed), so
+    * the delete path appends tombstones only and [[compactIndex]]
+    * does the physical removal. Serving anti-joins tombstones BEFORE
+    * the hot-bucket cap counts, so capped semantics equal a fresh
+    * build without the victims. Already-tombstoned and absent ids are
+    * no-ops; returns docs newly deleted. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    require(ids.columns.length == 1, "deleteFromIndex: one id column expected")
+    var victims = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    if (hasDeletes(spark, path))
+      victims = victims.join(spark.read.parquet(deletesDir(path)),
+        Seq("id"), "left_anti")
+    val held = spark.read.parquet(s"$path/sigs").select("id")
+      .join(victims, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val removed = held.count()
+    if (removed > 0)
+      held.write.mode("append")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .parquet(deletesDir(path))
+    held.unpersist(blocking = false)
+    removed
+  }
+
+  /** Upsert: replace-or-insert by id — [[Bm25Index.upsertToIndex]]
+    * semantics: a replacing upsert purges between delete and append
+    * (id-keyed tombstones would swallow the re-added rows); pure
+    * inserts skip the purge. */
+  def upsertToIndex(spark: SparkSession, path: String, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val replaced = deleteFromIndex(spark, path, docs.select(col(idCol)))
+    if (replaced > 0) compactIndex(spark, path)
+    appendToIndex(spark, path, docs, idCol, textCol)
+  }
+
   /** Probe the index with a query batch: signatures + band hashes for
     * the queries (one narrow pass — the corpus is NOT re-read), bucket
     * join against the persisted band tables, candidate dedup, then the
@@ -110,10 +157,16 @@ object LshIndex {
     // rows in never-probed buckets — the overwhelming bulk when the
     // query batch is small against a large index — never reach the
     // cap window or the candidate join
-    val ibandAll = spark.read.parquet(s"$path/bands")
+    val ibandAll0 = spark.read.parquet(s"$path/bands")
       .select(col("band_id"), col("band_hash"), col("id"))
       .join(qband.select("band_id", "band_hash").distinct(),
         Seq("band_id", "band_hash"), "left_semi")
+    // tombstoned docs drop BEFORE the cap window so bucket populations
+    // count live rows only — capped semantics stay "fresh build
+    // without the victims"
+    val ibandAll = if (!hasDeletes(spark, path)) ibandAll0
+      else ibandAll0.join(broadcast(spark.read.parquet(deletesDir(path))),
+        Seq("id"), "left_anti")
     val iband =
       if (maxBucket <= 0) ibandAll
       else ibandAll
@@ -152,15 +205,26 @@ object LshIndex {
     val root = new org.apache.hadoop.fs.Path(s"$path/bands")
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0
+    // tombstones present → physical purge: EVERY band partition
+    // rewrites (a doc's band rows live everywhere — the deferred cost
+    // the tombstone delete buys out of the delete path)
+    val purge = hasDeletes(spark, path)
+    val tomb = if (purge) Some(spark.read.parquet(deletesDir(path))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      else None
+    def dropTomb(df: DataFrame): DataFrame = tomb match {
+      case Some(t) => df.join(broadcast(t), Seq("id"), "left_anti")
+      case None => df
+    }
     def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val frag: Array[Int] = fs.listStatus(root).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("band_id="))
-      .filter(s => parquetFiles(s.getPath) > maxFilesPerBand)
+      .filter(s => purge || parquetFiles(s.getPath) > maxFilesPerBand)
       .map(_.getPath.getName.stripPrefix("band_id=").toInt).toArray.sorted
     if (frag.nonEmpty) {
-      val touched = spark.read.parquet(s"$path/bands")
-        .filter(col("band_id").isin(frag.map(Integer.valueOf).toSeq: _*))
+      val touched = dropTomb(spark.read.parquet(s"$path/bands")
+        .filter(col("band_id").isin(frag.map(Integer.valueOf).toSeq: _*)))
       val n = touched.count()
       val ndv = math.max(1024L, 2L * n / frag.length)
       val tmp = s"$path/bands_tmp_compact"
@@ -173,16 +237,20 @@ object LshIndex {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
-    // sigs side: one flat directory — rewrite whole if fragmented
+    // sigs side: one flat directory — rewrite whole if fragmented or purging
     val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
-    if (fs.exists(sigsDir) && parquetFiles(sigsDir) > maxFilesPerBand) {
-      val sigs = spark.read.parquet(s"$path/sigs")
+    if (fs.exists(sigsDir) && (purge || parquetFiles(sigsDir) > maxFilesPerBand)) {
+      val sigs = dropTomb(spark.read.parquet(s"$path/sigs"))
       val n = sigs.count()
       val tmp = s"$path/sigs_tmp_compact"
       graft.sources.Io.writeParquetBloom(sigs.coalesce(
           math.max(1, (n / 1000000L).toInt)), tmp,
         bloomCols = Seq("id"), ndv = math.max(1024L, 2L * n))
       graft.sources.Io.swapDir(fs, sigsDir, new org.apache.hadoop.fs.Path(tmp))
+    }
+    tomb.foreach { t =>
+      t.unpersist(blocking = false)
+      fs.delete(new org.apache.hadoop.fs.Path(deletesDir(path)), true)
     }
     frag.length
   }

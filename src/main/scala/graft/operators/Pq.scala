@@ -771,6 +771,19 @@ object Pq {
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Upsert: replace-or-insert by vec_id in one call — deletes the
+    * batch's ids from the index (a no-op for ids it doesn't hold; the
+    * one-job anti-join form), then appends the batch, closing the
+    * FAISS `add()` contract's double-count hazard for re-ingested
+    * ids. Cheap here because the PQ layout deletes by rewriting only
+    * the victims' OWNING cells — contrast
+    * [[Bm25Index.upsertToIndex]]/[[LshIndex.upsertToIndex]], whose
+    * tombstone layouts must purge before re-adding the same ids. */
+  def upsertToIndex(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    deleteFromIndexDf(spark, path, vectors.select(col("vec_id")))
+    appendToIndex(spark, path, vectors)
+  }
+
   /** Delete vectors from a persisted index by id — the point-delete
     * convenience form. r15 continuation: DELEGATES to
     * [[deleteFromIndexDf]], so the ids never become `isin` plan

@@ -75,6 +75,65 @@ class Bm25IndexSpec extends SparkSpec {
       Bm25Index.searchIndex(spark, dirAll, queries, k = 10)))
   }
 
+  test("tombstone delete: scores equal a fresh build without the victims; compaction purges") {
+    val docs = corpus(0 until 300)
+    val dir = Files.createTempDirectory("graft_bm25_del").toString
+    Bm25Index.buildIndex(spark, docs, dir, nBuckets = 8)
+    // victims include doc 0 — a ZERO-TOKEN doc (0 % 37 == 0), whose
+    // n/avgdl contribution only the docs table can account for
+    val victimIds = (0 until 300).filter(_ % 7 == 0).map(_.toLong)
+    val removed = Bm25Index.deleteFromIndex(spark, dir,
+      victimIds.toDF("doc_id"))
+    assert(removed == victimIds.size)
+    // serving now equals the inline scorer over the SURVIVING corpus
+    val survivors = docs.filter(!col("doc_id").isin(victimIds.map(java.lang.Long.valueOf): _*))
+    val inline = collectRanked(Retrieval.bm25TopK(survivors, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10))
+    assert(collectRanked(Bm25Index.searchIndex(spark, dir, queries, k = 10)) == inline)
+    // repeat delete is a no-op (no double-counted negative increments)
+    assert(Bm25Index.deleteFromIndex(spark, dir, victimIds.toDF("doc_id")) == 0L)
+    // absent ids are a no-op too
+    assert(Bm25Index.deleteFromIndex(spark, dir, Seq(99999L).toDF("doc_id")) == 0L)
+    // physical purge: tombstones clear, ranking unchanged, docs shed
+    Bm25Index.compactIndex(spark, dir)
+    assert(!Files.exists(java.nio.file.Path.of(dir, "deletes")) ||
+      spark.read.parquet(s"$dir/deletes").count() == 0)
+    assert(collectRanked(Bm25Index.searchIndex(spark, dir, queries, k = 10)) == inline)
+    assert(spark.read.parquet(s"$dir/docs").count() == 300L - victimIds.size)
+    // and appends keep working on the purged layout
+    Bm25Index.appendToIndex(spark, dir, corpus(300 until 320))
+    val after = collectRanked(Bm25Index.searchIndex(spark, dir, queries, k = 10))
+    val dirRef = Files.createTempDirectory("graft_bm25_del_ref").toString
+    Bm25Index.buildIndex(spark,
+      survivors.union(corpus(300 until 320)), dirRef, nBuckets = 8)
+    assert(after == collectRanked(Bm25Index.searchIndex(spark, dirRef, queries, k = 10)))
+  }
+
+  test("upsert replaces by id; pure inserts skip the purge") {
+    val docs = corpus(0 until 120)
+    val dir = Files.createTempDirectory("graft_bm25_ups").toString
+    Bm25Index.buildIndex(spark, docs, dir, nBuckets = 8)
+    // replace docs 1-3 with new text + insert brand-new 500-501
+    val batch = Seq(
+      (1L, "hash hash hash join join table"), (2L, "window stream agg"),
+      (3L, ""), // replacement may even be empty (dl 0)
+      (500L, "vector merge sort"), (501L, "scan filter probe"))
+      .toDF("doc_id", "text")
+    Bm25Index.upsertToIndex(spark, dir, batch)
+    val want = {
+      val ref = Files.createTempDirectory("graft_bm25_ups_ref").toString
+      val refCorpus = docs.filter(!col("doc_id").isin(1L, 2L, 3L)).union(batch)
+      Bm25Index.buildIndex(spark, refCorpus, ref, nBuckets = 8)
+      collectRanked(Bm25Index.searchIndex(spark, ref, queries, k = 10))
+    }
+    assert(collectRanked(Bm25Index.searchIndex(spark, dir, queries, k = 10)) == want)
+    assert(spark.read.parquet(s"$dir/docs").count() == 122L) // 120 - 3 + 5
+    // a second, insert-only upsert leaves no tombstone residue
+    Bm25Index.upsertToIndex(spark, dir,
+      Seq((600L, "index probe")).toDF("doc_id", "text"))
+    assert(!Files.exists(java.nio.file.Path.of(dir, "deletes")))
+  }
+
   test("streaming ingest gate: micro-batches append to the layout and later batches retrieve them") {
     // the 35g/32c stream-serving idiom for lexical retrieval: doc
     // batches arrive as a file stream, each micro-batch appends to the

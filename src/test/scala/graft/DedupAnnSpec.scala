@@ -600,6 +600,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() === 0L)
   }
 
+  test("upsertToIndex replaces by vec_id: no duplicates, the new vector is what serves") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(83)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_ups").toString
+    Pq.buildIndex(spark, corpus, path, nCells = 4, m = 8, kCodes = 16)
+    // replace ids 5-9 with NEW vectors (exact copies of id 0's vector,
+    // so their replacement is detectable: they must now serve as 0's
+    // nearest neighbors), plus a brand-new id 900
+    val v0 = corpus.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val batch = ((5 to 9).map(i => (i.toLong, v0)) :+ (900L, v0))
+      .toDF("vec_id", "embedding")
+    Pq.upsertToIndex(spark, path, batch)
+    // no duplicate ids anywhere in the layout
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() === 201) // 200 + 1 new
+    assert(codes.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    // the replaced ids now rank at the top for query 0 (exact twins)
+    val got = Pq.searchIndex(spark, path, corpus.filter(col("vec_id") === 0),
+        k = 7, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    assert(Set(5L, 6L, 7L, 8L, 9L, 900L).subsetOf(got), got.toString)
+  }
+
   test("OPQ-lite permutation: deterministic, dot-preserving, recall >= plain PQ on anisotropic data") {
     import graft.operators.Pq
     // anisotropic corpus: the signal lives in 8 dims that plain PQ's

@@ -108,6 +108,64 @@ class LshIndexSpec extends SparkSpec {
     assert(after === before, "search must be row-identical across compaction")
   }
 
+  test("tombstone delete: served pairs equal a fresh build without victims; compaction purges") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    // delete the exact dup (2) — the near-dup pair (0,1) must survive
+    assert(LshIndex.deleteFromIndex(spark, path, Seq(2L).toDF("doc_id")) == 1L)
+    // repeat + absent ids are no-ops
+    assert(LshIndex.deleteFromIndex(spark, path, Seq(2L).toDF("doc_id")) == 0L)
+    assert(LshIndex.deleteFromIndex(spark, path, Seq(777L).toDF("doc_id")) == 0L)
+    def servedPairs(threshold: Double, cap: Int = 0) =
+      LshIndex.searchIndex(spark, path, corpus.filter(col("doc_id") =!= 2),
+          threshold = threshold, maxBucket = cap)
+        .filter(col("query_id") < col("id"))
+        .select(col("query_id"), col("id"), col("est_jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    val survivors = corpus.filter(col("doc_id") =!= 2)
+    def freshPairs(threshold: Double, cap: Int = 0) = {
+      val p = java.nio.file.Files.createTempDirectory("graft_lsh_del_ref").toString
+      LshIndex.buildIndex(spark, survivors, p, shingleN = 3, numHashes = 64, bands = 16)
+      LshIndex.searchIndex(spark, p, survivors, threshold = threshold, maxBucket = cap)
+        .filter(col("query_id") < col("id"))
+        .select(col("query_id"), col("id"), col("est_jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(servedPairs(0.6) == freshPairs(0.6))
+    assert(servedPairs(0.6).exists { case (a, b, _) => a == 0L && b == 1L })
+    // capped semantics count LIVE rows only: with doc 2 tombstoned the
+    // (0,1,2)-saturated buckets drop to 2 live rows, so cap=2 keeps
+    // the near-dup pair exactly as a fresh 5-doc build would
+    assert(servedPairs(0.6, cap = 2) == freshPairs(0.6, cap = 2))
+    // physical purge: bands/sigs shed the victim, tombstones clear,
+    // pairs unchanged, appends keep working
+    LshIndex.compactIndex(spark, path, maxFilesPerBand = 1)
+    assert(!new java.io.File(s"$path/deletes").exists())
+    assert(spark.read.parquet(s"$path/sigs").filter(col("id") === 2).count() == 0)
+    assert(servedPairs(0.6) == freshPairs(0.6))
+    LshIndex.appendToIndex(spark, path,
+      Seq((9L, base.replace("dog", "hound"))).toDF("doc_id", "text"))
+    val after = LshIndex.searchIndex(spark, path,
+        Seq((9L, base.replace("dog", "hound"))).toDF("doc_id", "text"), threshold = 0.6)
+      .filter(col("id") === 0L)
+    assert(after.count() >= 1, "appended doc must match doc 0 post-purge")
+  }
+
+  test("upsert replaces a doc's text; the old signature no longer matches") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_ups").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    // replace doc 1 (the near-dup of 0) with unrelated text
+    LshIndex.upsertToIndex(spark, path,
+      Seq((1L, "totally replaced content that resembles nothing else at all"))
+        .toDF("doc_id", "text"))
+    val served = LshIndex.searchIndex(spark, path, corpus.filter(col("doc_id") === 0),
+        threshold = 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(!served.contains(1L), "old signature of the replaced doc must be gone")
+    assert(served.contains(2L), "untouched exact dup still matches")
+    assert(spark.read.parquet(s"$path/sigs").filter(col("id") === 1).count() == 1)
+  }
+
   test("streaming ingest-dedup gate: each micro-batch probes the persisted index via foreachBatch") {
     // the 35g stream-serving idiom for text: doc batches arrive as a
     // file stream, every micro-batch runs detectDuplicates against the
