@@ -685,6 +685,8 @@ object FlowCompiler {
     "SplitAvro"        -> Set("Split Strategy", "Output Size", "Output Strategy"),
     "ConvertExcelToCSV" -> Set("Sheets to Extract", "Number of Rows to Skip",
                                "Columns To Skip", "Format Cell Values"),
+    "EncryptContentPGP" -> Set("Passphrase", "Armor"),
+    "DecryptContentPGP" -> Set("Passphrase"),
     "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
     "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
@@ -935,6 +937,13 @@ object FlowCompiler {
           prop(p, "Order Column", "id"),
           listProp(p, "Payload Columns", "content"),
           prop(p, "Output Column", "packed"))
+      case "EncryptContentPGP" =>
+        graft.operators.Pgp.encryptPgp(in, prop(p, "Content Column", "content"),
+          prop(p, "Passphrase", ""),
+          armored = prop(p, "Armor", "false").equalsIgnoreCase("true"))
+      case "DecryptContentPGP" =>
+        graft.operators.Pgp.decryptPgp(in, prop(p, "Content Column", "content"),
+          prop(p, "Passphrase", ""))
       case "ConvertExcelToCSV" =>
         Records.excelToCsv(in, prop(p, "Content Column", "content"),
           listProp(p, "Sheets to Extract"),
