@@ -47,6 +47,28 @@ object QueriesText {
       |  true AS roundtrip_ok
       |FROM documents""".stripMargin
 
+  /** EncryptContentPGP → DecryptContentPGP round trip (§2.5 43f,
+    * r15): every doc's text encrypted under a passphrase (RFC 4880
+    * SKESK+SEIPD on JCE — the real packet format gpg reads; PgpSpec
+    * carries the live interop gates) and decrypted back. The EXACT
+    * oracle is the identity: md5 of the decrypted bytes must equal
+    * DuckDB's md5 of the original text — a hash mismatch would catch
+    * any drift in S2K, CFB framing, MDC handling or packet lengths.
+    * A wrong-passphrase leg rides along pinning the NULL failure-row
+    * contract (count must be 0 decrypted). */
+  val qPgpRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val enc = graft.operators.Pgp.encryptPgp(docs, "text", "catalog-pass")
+    val good = graft.operators.Pgp.decryptPgp(enc, "pgp", "catalog-pass", outCol = "rt")
+    val bad = graft.operators.Pgp.decryptPgp(enc, "pgp", "wrong-pass", outCol = "bad")
+    good.join(bad.select("doc_id", "bad"), "doc_id")
+      .select(col("doc_id"), md5(col("rt")).as("rt_md5"),
+        col("bad").isNull.as("wrong_pass_failed"))
+  }
+  val qPgpRoundtripSql: String =
+    """SELECT doc_id, md5(text) AS rt_md5, true AS wrong_pass_failed
+      |FROM documents""".stripMargin
+
   /** ReplaceTextWithMapping: ordered literal substitutions (digest to
     * bound row size). */
   val qReplaceMapping: Q = (s, d) => {
@@ -892,6 +914,7 @@ object QueriesText {
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
     "q_encode_content"  -> qEncodeContent,
+    "q_pgp_roundtrip"   -> qPgpRoundtrip,
     "q_replace_mapping" -> qReplaceMapping,
     "q_route_text"      -> qRouteText,
     "q_split_json"      -> qSplitJson,
@@ -937,6 +960,7 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "q_count_text"      -> qCountTextSql,
     "q_encode_content"  -> qEncodeContentSql,
+    "q_pgp_roundtrip"   -> qPgpRoundtripSql,
     "q_replace_mapping" -> qReplaceMappingSql,
     "q_route_text"      -> qRouteTextSql,
     "q_split_json"      -> qSplitJsonSql,
