@@ -1044,15 +1044,24 @@ object FlowCompiler {
         val cols = in.columns.toSeq
         Records.update(in, dynamicProps(p).map { case (c, t) => c -> compileProperty(t, cols) }: _*)
       case "FilterAttribute" =>
-        // NiFi 2.x: Filter Mode retain|remove; strategy enumeration
-        // (Attribute Set, comma-separated) or regex over the name
+        // NiFi 2.x: Filter Mode retain|remove; the SELECTED Attribute
+        // Matching Strategy decides which value applies — real NiFi
+        // exports keep the unselected strategy's stale value around,
+        // so "regex present → regex wins" would misread enumeration
+        // flows. No strategy property → whichever value is present.
         val retain = !prop(p, "Filter Mode", "Retain").equalsIgnoreCase("Remove")
-        val rx = p.props.collectFirst {
+        val rx0 = p.props.collectFirst {
           case ("Attribute Regular Expression", v) => v.trim
         }.filter(_.nonEmpty)
-        val set = prop(p, "Attribute Set", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val set0 = prop(p, "Attribute Set", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val strategy = prop(p, "Attribute Matching Strategy", "").toLowerCase
+        val (set, rx) =
+          if (strategy.contains("regular") || strategy.contains("regex")) (Nil, rx0)
+          else if (strategy.contains("enumerat")) (set0, None)
+          else (set0, rx0.filter(_ => set0.isEmpty)) // unspecified: the present one
         require(rx.nonEmpty || set.nonEmpty,
-          s"FilterAttribute ${p.name} needs Attribute Set or Attribute Regular Expression")
+          s"FilterAttribute ${p.name} needs Attribute Set or Attribute Regular Expression" +
+            (if (strategy.nonEmpty) s" matching strategy '$strategy'" else ""))
         Records.filterAttributes(in, retain, names = set, regex = rx)
       case "UpdateRecord" =>
         // NiFi UpdateRecord: dynamic properties are RecordPath -> value

@@ -69,9 +69,12 @@ object Bm25Index {
         TextAnalysis.wsTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
 
-  /** One increment's postings/dfs/stats/docs from a doc batch. */
+  /** One increment's postings/dfs/stats/docs from a doc batch; the
+    * LAST element is the persisted tokenize handle — callers unpersist
+    * it once the increment's writes have run (the [[LshIndex]] cache
+    * hygiene; a cached frame left registered never auto-evicts). */
   private def increment(docs: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+                        nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = tokenized(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val postings = toks
@@ -82,7 +85,7 @@ object Bm25Index {
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     // zero-token docs carry no postings but still count in n/sum_dl
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-    (postings, dfs, stats, toks.select("doc_id", "dl"))
+    (postings, dfs, stats, toks.select("doc_id", "dl"), toks)
   }
 
   private def writeIncrement(postings: DataFrame, dfs: DataFrame, stats: DataFrame,
@@ -121,8 +124,14 @@ object Bm25Index {
                  nBuckets: Int = 64): Unit = {
     import spark.implicits._
     require(nBuckets >= 1, "nBuckets >= 1")
-    val (postings, dfs, stats, docRows) = increment(docs, idCol, textCol, nBuckets)
+    // a REBUILD at a previously deleted-from path must not inherit its
+    // tombstones — they would hide rebuilt docs with recycled ids
+    val del = new org.apache.hadoop.fs.Path(deletesDir(path))
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(del)) fs.delete(del, true)
+    val (postings, dfs, stats, docRows, toks) = increment(docs, idCol, textCol, nBuckets)
     writeIncrement(postings, dfs, stats, docRows, path, append = false)
+    toks.unpersist(blocking = false)
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -134,8 +143,9 @@ object Bm25Index {
   def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val nBuckets = readMeta(spark, path)
-    val (postings, dfs, stats, docRows) = increment(docs, idCol, textCol, nBuckets)
+    val (postings, dfs, stats, docRows, toks) = increment(docs, idCol, textCol, nBuckets)
     writeIncrement(postings, dfs, stats, docRows, path, append = true)
+    toks.unpersist(blocking = false)
   }
 
   /** Delete docs by id (one `doc_id` column) — the Lucene tombstone
@@ -189,9 +199,16 @@ object Bm25Index {
     * any id is replaced; batch upserts accordingly. */
   def upsertToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val replaced = deleteFromIndex(spark, path,
-      docs.select(col(idCol).as("doc_id")))
-    if (replaced > 0) compactIndex(spark, path)
+    val ids = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // a PRE-EXISTING tombstone on an incoming id also forces the purge:
+    // deleteFromIndex skips already-tombstoned ids (no double-counted
+    // negatives), but appending under a live tombstone would hand the
+    // new rows straight to the serve anti-join
+    val resurrected =
+      if (!hasDeletes(spark, path)) 0L
+      else spark.read.parquet(deletesDir(path)).join(ids, "doc_id").count()
+    val replaced = deleteFromIndex(spark, path, ids)
+    if (replaced > 0 || resurrected > 0) compactIndex(spark, path)
     appendToIndex(spark, path, docs, idCol, textCol)
   }
 
@@ -206,10 +223,13 @@ object Bm25Index {
                   k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     val nBuckets = readMeta(spark, path)
+    // localCheckpoint, not persist: materialized once for the buckets
+    // collect + the final join, and the blocks auto-release when the
+    // result frame is dropped (a registered cache would pin forever)
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.wsTokens(col(queryTextCol))).as("term"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true)
     val terms = qt.select("term").distinct()
     // the probed buckets: bounded by the query batch's vocabulary —
     // collect is ≤ nBuckets ints, and the isin literal prunes the
@@ -309,7 +329,7 @@ object Bm25Index {
       val merged = spark.read.parquet(s"$path/stats")
         .agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
       val tmp = s"$path/stats_tmp_compact"
-      merged.coalesce(1).write.parquet(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp) // crash-retry safe
       graft.sources.Io.swapDir(fs, statsDir, new org.apache.hadoop.fs.Path(tmp))
     }
     tomb.foreach { t =>
@@ -317,7 +337,7 @@ object Bm25Index {
       val kept = spark.read.parquet(docsDir.toString)
         .join(broadcast(t), Seq("doc_id"), "left_anti")
       val tmp = s"$path/docs_tmp_compact"
-      kept.write
+      kept.write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#doc_id", "true")
         .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
         .parquet(tmp)

@@ -48,6 +48,11 @@ object LshIndex {
                  shingleN: Int = 5, numHashes: Int = 64, bands: Int = 8): Unit = {
     import spark.implicits._
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // a REBUILD at a previously deleted-from path must not inherit its
+    // tombstones — they would hide rebuilt docs with recycled ids
+    val del = new org.apache.hadoop.fs.Path(deletesDir(path))
+    val delFs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (delFs.exists(del)) delFs.delete(del, true)
     val rows = numHashes / bands
     val sig = signatures(docs, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -127,8 +132,15 @@ object LshIndex {
     * inserts skip the purge. */
   def upsertToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val replaced = deleteFromIndex(spark, path, docs.select(col(idCol)))
-    if (replaced > 0) compactIndex(spark, path)
+    val ids = docs.select(col(idCol).cast("long").as("id")).distinct()
+    // a PRE-EXISTING tombstone on an incoming id also forces the purge:
+    // deleteFromIndex skips already-tombstoned ids, but appending under
+    // a live tombstone would hand the new rows to the serve anti-join
+    val resurrected =
+      if (!hasDeletes(spark, path)) 0L
+      else spark.read.parquet(deletesDir(path)).join(ids, "id").count()
+    val replaced = deleteFromIndex(spark, path, ids)
+    if (replaced > 0 || resurrected > 0) compactIndex(spark, path)
     appendToIndex(spark, path, docs, idCol, textCol)
   }
 

@@ -64,10 +64,17 @@ object Ftp {
       def openData(): Option[Socket] = dataSock match {
         case None => reply("425 use PASV first"); None
         case Some(ss) =>
-          val s = ss.accept()
-          try ss.close() catch { case _: Exception => () }
-          dataSock = None
-          Some(s)
+          try {
+            ss.setSoTimeout(30000) // a client that never dials must not
+            val s = ss.accept()    // wedge the session thread forever
+            Some(s)
+          } catch {
+            case _: java.net.SocketTimeoutException =>
+              reply("425 data connection timeout"); None
+          } finally {
+            try ss.close() catch { case _: Exception => () }
+            dataSock = None
+          }
       }
       try {
         reply("220 graft ListenFTP (upload-only)")

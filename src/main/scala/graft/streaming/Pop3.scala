@@ -25,7 +25,7 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   * delete-after-ingest mode is `delete = true`.
   *
   * Multiline responses un-stuff the leading `..` (RFC 1939 §3) and
-  * terminate at the bare `.`; messages spool VERBATIM as
+  * terminate at the bare `.`; messages spool OCTET-PRESERVING (ISO-8859-1 framing — every byte value round-trips; bare LFs normalize to the protocol's own CRLF framing) as
   * `<millis>-<seq>-msg<n>.eml` with CRLF line ends preserved.
   * Single-receiver ingress — front with a distributed log at scale;
   * the downstream flow binds to the spool directory, not the socket.
@@ -50,8 +50,12 @@ object Pop3 {
     val sock = new java.net.Socket(host, port)
     try {
       sock.setSoTimeout(30000)
+      // ISO-8859-1 framing: byte <-> char is 1:1 in both directions, so
+      // 8-bit message bodies spool octet-for-octet (UTF-8 decoding would
+      // smash non-UTF-8 octets to U+FFFD); commands are ASCII either way
       val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+        new java.io.InputStreamReader(sock.getInputStream,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
       val out = sock.getOutputStream
       def send(s: String): Unit = { out.write((s + "\r\n").getBytes(UTF_8)); out.flush() }
       def ok(ctx: String): String = {
@@ -79,7 +83,8 @@ object Pop3 {
         require(line != null, s"POP3 RETR $i: stream ended before terminator")
         val name = s"${System.currentTimeMillis()}-${seq.getAndIncrement()}-msg$i.eml"
         val tmp = dir.resolve(name + ".tmp")
-        Files.write(tmp, sb.toString.getBytes(UTF_8))
+        Files.write(tmp, sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))
         Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         spooled += 1
         if (delete) { send(s"DELE $i"); ok(s"DELE $i") }

@@ -106,6 +106,25 @@ class FlowCompilerSpec extends SparkSpec {
     val out = FlowCompiler.compile(spark, flow, Map("in" -> in))
     assert(out("o1").columns.toSeq == Seq("v"))
     assert(out("o2").columns.toSeq == Seq("id"))
+
+    // real NiFi exports keep the UNSELECTED strategy's stale value:
+    // the selected strategy must decide, not value presence
+    val stale = FlowCompiler.parse(
+      """{"flowContents": {
+        |  "processors": [
+        |    {"identifier": "f", "type": "FilterAttribute",
+        |     "properties": {"Filter Mode": "Retain",
+        |                    "Attribute Matching Strategy": "Enumeration of Attributes",
+        |                    "Attribute Set": "id, w",
+        |                    "Attribute Regular Expression": "v.*"}}],
+        |  "inputPorts": [{"identifier": "i", "name": "in"}],
+        |  "outputPorts": [{"identifier": "o", "name": "out"}],
+        |  "connections": [
+        |    {"source": {"id": "i"}, "destination": {"id": "f"}},
+        |    {"source": {"id": "f"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val out2 = FlowCompiler.compile(spark, stale, Map("in" -> in))
+    assert(out2("out").columns.toSeq == Seq("id", "w"),
+      "enumeration strategy must win over the stale regex value")
   }
 
   test("committed enrichment flow: JoinEnrichment plan broadcasts the dim side") {

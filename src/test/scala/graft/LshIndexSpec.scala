@@ -166,6 +166,24 @@ class LshIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/sigs").filter(col("id") === 1).count() == 1)
   }
 
+  test("upsert resurrects a previously deleted id; rebuild clears stale tombstones") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_resur").toString
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    // delete doc 2, then upsert it back: stale tombstone must not
+    // swallow the re-added signature
+    assert(LshIndex.deleteFromIndex(spark, path, Seq(2L).toDF("doc_id")) == 1L)
+    LshIndex.upsertToIndex(spark, path, Seq((2L, base)).toDF("doc_id", "text"))
+    val served = LshIndex.searchIndex(spark, path, corpus.filter(col("doc_id") === 0),
+        threshold = 0.6).select("id").as[Long].collect().toSet
+    assert(served.contains(2L), "resurrected doc must match again")
+    // rebuild after a delete: fresh layout, no inherited tombstones
+    assert(LshIndex.deleteFromIndex(spark, path, Seq(1L).toDF("doc_id")) == 1L)
+    LshIndex.buildIndex(spark, corpus, path, shingleN = 3, numHashes = 64, bands = 16)
+    val after = LshIndex.searchIndex(spark, path, corpus.filter(col("doc_id") === 0),
+        threshold = 0.6).select("id").as[Long].collect().toSet
+    assert(after.contains(1L), "rebuild must not hide recycled ids")
+  }
+
   test("streaming ingest-dedup gate: each micro-batch probes the persisted index via foreachBatch") {
     // the 35g stream-serving idiom for text: doc batches arrive as a
     // file stream, every micro-batch runs detectDuplicates against the

@@ -32,10 +32,13 @@ final class MiniPop3Server(user: String = "u", pass: String = "p") {
   acceptor.start()
 
   private def session(sock: Socket): Unit = {
+    // latin-1 framing: a real 8BITMIME server ships raw octets — the
+    // 1:1 byte<->char charset keeps high bytes intact on the wire
+    val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      new java.io.InputStreamReader(sock.getInputStream, L1))
     val out = sock.getOutputStream
-    def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(UTF_8)); out.flush() }
+    def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(L1)); out.flush() }
     // session snapshot: numbering is stable for the whole session
     val snapshot = mailbox.synchronized {
       scala.collection.mutable.ArrayBuffer.from(
@@ -131,6 +134,22 @@ class Pop3Spec extends SparkSpec {
       // delete = false (default): the mailbox is retained (RFC retain mode)
       assert(srv.messageCount == 2)
     } finally { srv.stop() }
+  }
+
+  test("8-bit message bodies spool octet-for-octet (latin-1 framing)") {
+    val srv = new MiniPop3Server()
+    val spool = Files.createTempDirectory("graft_pop3_8bit")
+    try {
+      // every high byte value except CR/LF (protocol framing) — an
+      // 8BITMIME body; UTF-8 framing would smash these to U+FFFD
+      val body = (128 to 255).map(_.toChar).mkString
+      srv.deliver(s"Subject: bits\r\n\r\n$body")
+      assert(Pop3.consumePop3("127.0.0.1", srv.port, "u", "p", spool.toString) == 1)
+      val got = Files.readAllBytes(spoolFiles(spool).head)
+      val want = s"Subject: bits\r\n\r\n$body\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(java.util.Arrays.equals(got, want), "octets must round-trip")
+    } finally srv.stop()
   }
 
   test("delete mode commits at QUIT; bad credentials fail loudly") {
