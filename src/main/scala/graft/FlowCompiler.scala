@@ -1241,6 +1241,22 @@ object FlowCompiler {
         raw.select(col("path"),
           element_at(split(col("path"), "/"), -1).as("filename"),
           content.as("content"))
+      case "ListenFTP" | "ConsumePOP3" =>
+        // upload/retrieval SOURCES (r15): the Ftp/Pop3 endpoints spool
+        // one file per STOR / retrieved message (tmp+atomic-rename);
+        // the node is a streaming binary source over the spool with
+        // the GetFile output shape — the ListenHTTP contract. The
+        // endpoint itself starts from the same JSON via
+        // [[startListeners]]; the compiled plan binds to the
+        // DIRECTORY.
+        require(inputs.isEmpty, s"$simple ${p.name} is a source — no incoming connections")
+        val spool = prop(p, "Spool Directory", "")
+        require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+        graft.streaming.Streams.binaryFileStream(spark, spool)
+          .select(col("path"),
+            element_at(split(col("path"), "/"), -1).as("filename"),
+            col("content"))
       case "HandleHttpRequest" =>
         // synchronous request half (r11): a BATCH read of the exchange
         // spool — each compiled run services the requests accumulated

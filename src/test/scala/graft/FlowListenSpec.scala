@@ -39,6 +39,71 @@ class FlowListenSpec extends SparkSpec {
     (code, resp)
   }
 
+  /** Minimal RFC-959 upload client (USER/PASS/PASV/STOR) — raw
+    * sockets, independent of the server under test. */
+  private def ftpUpload(port: Int, user: String, pass: String,
+                        name: String, data: Array[Byte]): Unit = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = sock.getOutputStream
+      def cmd(c: String): String = {
+        if (c != null) { out.write((c + "\r\n").getBytes("UTF-8")); out.flush() }
+        in.readLine()
+      }
+      assert(cmd(null).startsWith("220"))
+      assert(cmd(s"USER $user").startsWith("331"))
+      assert(cmd(s"PASS $pass").startsWith("230"))
+      val pasv = cmd("PASV")
+      assert(pasv.startsWith("227"), pasv)
+      val nums = "\\d+".r.findAllIn(pasv).toSeq.takeRight(2).map(_.toInt)
+      assert(cmd(s"STOR $name").startsWith("150"))
+      val ds = new Socket("127.0.0.1", nums(0) * 256 + nums(1))
+      try ds.getOutputStream.write(data) finally ds.close()
+      assert(in.readLine().startsWith("226"))
+      cmd("QUIT")
+    } finally sock.close()
+  }
+
+  test("committed ftp_ingest flow: live STOR uploads -> compiled streaming flow -> " +
+       "mime-routed trimmed sink") {
+    val spool = Files.createTempDirectory("graft_ftpflow_spool").toString
+    val out = Files.createTempDirectory("graft_ftpflow_out").toString + "/textual"
+    val ckpt = Files.createTempDirectory("graft_ftpflow_ckpt").toString
+    val json = resource("ftp_ingest")
+    val params = Map("ftp.spool" -> spool, "ftp.pass" -> "upl0ad")
+    val flow = FlowCompiler.parse(json)
+    val listeners = FlowCompiler.startListeners(flow, params)
+    assert(listeners.map(_.tpe) === Seq("ListenFTP"))
+    try {
+      // live uploads: two text payloads and one binary (PNG magic)
+      ftpUpload(listeners.head.port, "loader", "upl0ad", "a.csv",
+        "id,v\n1,9\n".getBytes("UTF-8"))
+      ftpUpload(listeners.head.port, "loader", "upl0ad", "b.txt",
+        "plain words here\n".getBytes("UTF-8"))
+      ftpUpload(listeners.head.port, "loader", "upl0ad", "img.png",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2))
+
+      val textual = FlowCompiler.compile(spark, flow,
+        Map.empty[String, org.apache.spark.sql.DataFrame], params)("textual")
+      assert(textual.isStreaming, "ListenFTP must compile to a streaming source")
+      // FilterAttribute already shed the transport columns in-flow
+      assert(textual.columns.toSeq == Seq("filename", "content", "ingest_tag"))
+      val q = Streams.toParquetSink(textual, out, ckpt, Trigger.AvailableNow())
+      assert(q.awaitTermination(120000), "flow run did not finish")
+
+      val rows = spark.read.parquet(out)
+        .select(col("filename"), col("content").cast("string"), col("ingest_tag"))
+        .as[(String, String, String)].collect().sortBy(_._1)
+      assert(rows.length == 2, s"only text payloads may land: ${rows.toSeq}")
+      assert(rows.map(_._1).forall(f => f.endsWith("-a.csv") || f.endsWith("-b.txt")))
+      assert(rows.map(_._2).toSet == Set("id,v\n1,9\n", "plain words here\n"))
+      assert(rows.forall { case (f, _, tag) => tag == s"ftp:text/plain:$f" },
+        s"ingest_tag must carry mime + spool filename, got ${rows.map(_._3).toSeq}")
+    } finally listeners.foreach(_.stop())
+  }
+
   test("committed listen_http flow: live POSTs -> compiled streaming flow -> " +
        "route-filtered checkpointed sink") {
     val spool = Files.createTempDirectory("graft_lh_spool").toString
