@@ -687,6 +687,9 @@ object FlowCompiler {
                                "Columns To Skip", "Format Cell Values"),
     "EncryptContentPGP" -> Set("Passphrase", "Armor"),
     "DecryptContentPGP" -> Set("Passphrase"),
+    "GeohashRecord"     -> Set("Mode", "Latitude Record Path",
+                               "Longitude Record Path", "Geohash Record Path",
+                               "Geohash Level"),
     "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
     "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
@@ -937,6 +940,21 @@ object FlowCompiler {
           prop(p, "Order Column", "id"),
           listProp(p, "Payload Columns", "content"),
           prop(p, "Output Column", "packed"))
+      case "GeohashRecord" =>
+        // NiFi geohash bundle: Encode adds the hash column from
+        // lat/lon record paths; Decode adds lat/lon cell centers
+        val latC = prop(p, "Latitude Record Path", "latitude").stripPrefix("/")
+        val lonC = prop(p, "Longitude Record Path", "longitude").stripPrefix("/")
+        val gC = prop(p, "Geohash Record Path", "geohash").stripPrefix("/")
+        if (prop(p, "Mode", "Encode").equalsIgnoreCase("Decode"))
+          in.withColumn("__g", graft.plans.Geohash.geohashDecode(col(gC)))
+            .withColumn(latC, col("__g.lat"))
+            .withColumn(lonC, col("__g.lon"))
+            .drop("__g")
+        else
+          in.withColumn(gC, graft.plans.Geohash.geohashEncode(
+            col(latC).cast("double"), col(lonC).cast("double"),
+            prop(p, "Geohash Level", "6").trim.toInt))
       case "EncryptContentPGP" =>
         graft.operators.Pgp.encryptPgp(in, prop(p, "Content Column", "content"),
           prop(p, "Passphrase", ""),
