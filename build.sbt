@@ -156,6 +156,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // catalog run advanced (tools/NOTES_r12_m1000.md). 512m keeps a
   // full-catalog m-scale run inside the compiled regime.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // r16: the r15 driver bench doubled (209.5 s vs 89.2 s quiet on the
+  // SAME code) with pure process-CPU inflation on the text-query family
+  // (q_dup_spans 113 CPU-s vs 13.8 quiet), GC <= 0.7 s, near-idle
+  // loadavg, and FLAPPING reps (min at quiet level, max 10-20x) —
+  // tools/NOTES_r16_bench.md. Telemetry added this round shows a
+  // healthy 192-query run peaks at 87 MB profiled code heap (no cache
+  // pressure), so the standing suspect is HotSpot's recompilation
+  // give-up path: catalog runs load thousands of generated classes,
+  // shared hot methods (sorters, UnsafeRow accessors, text-expression
+  // loops) deopt repeatedly as profiles churn, and after
+  // PerMethodRecompilationCutoff (400) / PerBytecodeRecompilationCutoff
+  // (200) strikes the JVM pins the method to the interpreter/C1 FOREVER
+  // — a 10-40x slowdown on exactly the hot-loop family, stochastic
+  // because it depends on deopt history. -1 disables the give-up: a
+  // churned method keeps recompiling (bounded compiler-thread cost,
+  // visible in the query_jit_max telemetry) instead of falling out of
+  // compiled execution entirely.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )
 // Experiment hook: extra JVM flags for forked run/test JVMs (e.g.
 // SPARK_JIT_OPTS="-XX:TypeProfileWidth=8" for the r12 session-decay

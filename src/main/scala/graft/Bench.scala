@@ -95,11 +95,38 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // JIT attribution instrumentation (r16): the r15 driver headline ran
+    // 2.35x the like-for-like quiet reading with process-CPU inflation
+    // (q_dup_spans 113 CPU-s vs 13.8 quiet) at near-idle load1 and tiny
+    // GC — i.e. the JVM itself burned the time, and the prime suspects
+    // are JIT-layer (code-heap churn flushing hot text loops, or
+    // recompilation-cutoff decay). These counters publish the evidence
+    // per query so a driver-run anomaly carries its own diagnosis:
+    //  - jit_sec: JIT compiler thread time spent during the query's reps
+    //    (CompilationMXBean delta). A churn event shows as a late-catalog
+    //    query suddenly paying seconds of recompilation.
+    //  - codecache MB per segment after the query: the profiled heap
+    //    pinning at its limit marks the flush-churn regime.
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis: Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
+    val codePools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+    }
+    def codeUsedMb: Map[String, Double] = codePools.map { p =>
+      val key = p.getName.replace("CodeHeap '", "").replace("'", "")
+        .replace(" nmethods", "").replace("-", "_").replace(" ", "_")
+      key -> p.getUsage.getUsed / 1048576.0
+    }.toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var errs = 0
       val raw = (1 to reps).map { _ =>
         val gc0 = gcMillis
         val cpu0 = cpuNanos
+        val jit0 = jitMillis
         val t0 = System.nanoTime()
         // errors are counted, not hidden: a dead context makes every
         // later query "finish" in milliseconds, which a total-seconds
@@ -122,19 +149,20 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMillis - gc0) / 1e3
         val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
+        val jitSec = if (jit0 < 0) -1.0 else (jitMillis - jit0) / 1e3
         // isolate reps/queries: drop SQL cache AND leftover localCheckpoint
         // RDD blocks (clearCache alone leaves those in the block manager,
         // where 100 queries' worth of them taxes later heavy queries)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (dt, ok, gcSec, cpuSec)
+        (dt, ok, gcSec, cpuSec, jitSec)
       }
       // a failed rep often "finishes" in milliseconds; folding it into
       // the median would publish a misleadingly fast number, so the
       // median is over SUCCESSFUL reps only. All-reps-failed publishes
       // -1 — impossible as a wall time, unmistakable to a reader (the
       // errors count in the JSON says why).
-      val times = raw.collect { case (dt, true, _, _) => dt }.sorted
+      val times = raw.collect { case (dt, true, _, _, _) => dt }.sorted
       val med =
         if (times.isEmpty) -1.0
         else if (times.size % 2 == 1) times(times.size / 2)
@@ -142,25 +170,43 @@ object Bench {
       val (mn, mx) = if (times.isEmpty) (-1.0, -1.0) else (times.head, times.last)
       // worst-rep attribution: the MAX gc/cpu across successful reps —
       // swings live in the worst rep, and max can't hide behind a median
-      val gcMax = raw.collect { case (_, true, g, _) => g }.maxOption.getOrElse(-1.0)
-      val cpuMax = raw.collect { case (_, true, _, c) => c }.maxOption.getOrElse(-1.0)
-      (name, med, mn, mx, errs, gcMax, cpuMax, load1)
+      val gcMax = raw.collect { case (_, true, g, _, _) => g }.maxOption.getOrElse(-1.0)
+      val cpuMax = raw.collect { case (_, true, _, c, _) => c }.maxOption.getOrElse(-1.0)
+      val jitMax = raw.collect { case (_, true, _, _, j) => j }.maxOption.getOrElse(-1.0)
+      // profiled-heap occupancy right after the query: the churn regime
+      // is "pinned at segment capacity"; one number per query suffices
+      // (full per-segment detail goes in the top-level codecache map)
+      val ccProf = codeUsedMb.getOrElse("profiled", -1.0)
+      (name, med, mn, mx, errs, gcMax, cpuMax, load1, jitMax, ccProf)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, med, _, _, _, _, _, _) => "\"" + k + "\":" + f(med) }
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val qRange = results.map { case (k, _, mn, mx, _, _, _, _) =>
+    val qRange = results.map { case (k, _, mn, mx, _, _, _, _, _, _) =>
       "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }.mkString("{", ",", "}")
-    val qErrs = results.collect { case (k, _, _, _, e, _, _, _) if e > 0 =>
+    val qErrs = results.collect { case (k, _, _, _, e, _, _, _, _, _) if e > 0 =>
       "\"" + k + "\":" + e }.mkString("{", ",", "}")
     // per-query worst-rep GC seconds, process-CPU seconds, and post-query
     // 1-min loadavg (see above)
-    val qGc = results.map { case (k, _, _, _, _, g, _, _) => "\"" + k + "\":" + f(g) }
+    val qGc = results.map { case (k, _, _, _, _, g, _, _, _, _) => "\"" + k + "\":" + f(g) }
       .mkString("{", ",", "}")
-    val qCpu = results.map { case (k, _, _, _, _, _, c, _) => "\"" + k + "\":" + f(c) }
+    val qCpu = results.map { case (k, _, _, _, _, _, c, _, _, _) => "\"" + k + "\":" + f(c) }
       .mkString("{", ",", "}")
-    val qLoad = results.map { case (k, _, _, _, _, _, _, l) => "\"" + k + "\":" + f(l) }
+    val qLoad = results.map { case (k, _, _, _, _, _, _, l, _, _) => "\"" + k + "\":" + f(l) }
       .mkString("{", ",", "}")
+    // r16 JIT attribution (see jitBean/codePools above)
+    val qJit = results.map { case (k, _, _, _, _, _, _, _, j, _) => "\"" + k + "\":" + f(j) }
+      .mkString("{", ",", "}")
+    val qCc = results.map { case (k, _, _, _, _, _, _, _, _, p) => "\"" + k + "\":" + f(p) }
+      .mkString("{", ",", "}")
+    val ccFinal = codeUsedMb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val jvmFlags = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("-XX:") || a.startsWith("-Xmx"))
+        .mkString("[\"", "\",\"", "\"]")
+    }
     val totalErrs = results.map(_._5).sum
     // all-failed queries (med = -1 sentinel) stay out of the total; they
     // are visible via errors/query_errors, not as phantom wall time
@@ -174,7 +220,7 @@ object Bench {
     // stdout tail capture, so it goes to a file; stdout gets ONE short
     // (<200 B) total-only line the driver can always parse whole.
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad,"query_jit_max":$qJit,"query_cc_profiled_mb":$qCc,"codecache_final_mb":$ccFinal,"jvm_flags":$jvmFlags}"""
     val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)

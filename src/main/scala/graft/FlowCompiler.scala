@@ -573,7 +573,9 @@ object FlowCompiler {
           Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
         case "ConsumePOP3" =>
           // pull-only protocol: a stop()-able poll loop (NiFi schedules
-          // its processor the same way); Delete Messages mirrors NiFi
+          // its processor the same way); Delete Messages defaults FALSE
+          // like NiFi's — a flow that omits the property must not
+          // destructively drain an external mailbox (r16, ADVICE)
           val host = prop(p, "Host", "")
           require(host.nonEmpty, s"ConsumePOP3 ${p.name} needs 'Host'")
           val pr = prop(p, "Port", "")
@@ -581,7 +583,7 @@ object FlowCompiler {
           val c = graft.streaming.Pop3.pollPop3(host, pr.trim.toInt,
             prop(p, "Username", ""), prop(p, "Password", ""), spool,
             pollMs = prop(p, "Poll Interval Ms", "1000").trim.toLong,
-            delete = !prop(p, "Delete Messages", "true").equalsIgnoreCase("false"))
+            delete = prop(p, "Delete Messages", "false").equalsIgnoreCase("true"))
           Some(Listener(p.id, p.name, "ConsumePOP3", 0, () => c.stop()))
         case "ConsumeMQTT" =>
           // two modes, NiFi's actual canvas vocabulary: a "Broker URI"

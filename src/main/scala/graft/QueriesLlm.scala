@@ -2185,6 +2185,112 @@ object QueriesLlm {
       |SELECT agg.doc_id, agg.n_tokens, agg.top_tok_frac, ln.dup_line_frac
       |FROM agg JOIN ln ON agg.doc_id = ln.doc_id""".stripMargin
 
+  // --------------------------------------------------- HTML stage-0 (r16)
+  // Every real pretraining chain starts from crawl HTML; these queries
+  // pin the jusText-style extractor ([[graft.operators.Html]]) with the
+  // 37s/37t fixture discipline: BOTH engines construct the page from
+  // document columns with identical concatenation, so the extractor's
+  // output is exactly predictable in SQL. documents.text is known
+  // single-spaced with no '<', '&', or newline (verified across
+  // testdata SFs) — the wrap is injective and the oracle exact.
+
+  /** Second content paragraph: > 200 chars for every doc_id, so the
+    * no-stoplist classifier marks it good directly (len > lengthHigh). */
+  private def htmlPara2(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("the remaining prose of document "), id.cast("string"),
+      lit(" continues with additional context sentences that keep this " +
+        "block comfortably beyond the two hundred character boundary " +
+        "required by the published classifier for a direct good verdict " +
+        "in the absence of a stoplist across every row of the corpus"))
+
+  private val htmlPara2Sql: String =
+    "'the remaining prose of document ' || CAST(doc_id AS VARCHAR) || " +
+      "' continues with additional context sentences that keep this " +
+      "block comfortably beyond the two hundred character boundary " +
+      "required by the published classifier for a direct good verdict " +
+      "in the absence of a stoplist across every row of the corpus'"
+
+  /** The boilerplate page: nav (link-dense → bad), heading (short),
+    * two content paragraphs, a stray short block, a © footer. */
+  private def htmlWrap(withPara2: Boolean): org.apache.spark.sql.Column = {
+    val pieces = Seq(
+      lit("<html><head><title>corpus page</title><style>p{margin:0}</style>" +
+        "<script>var tracker=1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+        "<a href=\"/contact\">Contact</a></nav>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit(" heading</h1>"),
+      lit("<p>"), col("text"), lit("</p>")) ++
+      (if (withPara2) Seq(lit("<p>"), htmlPara2(col("doc_id")), lit("</p>")) else Nil) ++
+      Seq(lit("<p>fin</p>" +
+        "<div>© graft corpus <a href=\"/terms\">terms of use</a></div>" +
+        "</body></html>"))
+    concat(pieces: _*)
+  }
+
+  private def htmlWrapSql(withPara2: Boolean): String = {
+    val p2 = if (withPara2) s" || '<p>' || $htmlPara2Sql || '</p>'" else ""
+    "'<html><head><title>corpus page</title><style>p{margin:0}</style>" +
+      "<script>var tracker=1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+      "<a href=\"/contact\">Contact</a></nav>" +
+      "<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' heading</h1>" +
+      "<p>' || text || '</p>'" + p2 +
+      " || '<p>fin</p>" +
+      "<div>' || chr(169) || ' graft corpus <a href=\"/terms\">terms of use</a></div>" +
+      "</body></html>'"
+  }
+
+  /** §2.4 HTML→text (r16): default-parameter jusText classification
+    * over the full fixture. Expected output is derivable per the
+    * published rules: para2 (>200 chars) is good; para1 survives iff
+    * len ≥ lengthLow (near-good/good next to a good block — the short
+    * class needs BOTH neighbors good and the nav side is bad); the
+    * heading, "fin", nav and © footer all drop. */
+  val qHtmlExtract: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), htmlWrap(withPara2 = true).as("html"))
+      .select(col("doc_id"),
+        graft.plans.HtmlFunctions.mainText(col("html"), useStoplist = false)
+          .as("main_text"))
+  }
+  val qHtmlExtractSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) >= 70
+       |    THEN text || chr(10) || $htmlPara2Sql
+       |    ELSE $htmlPara2Sql END AS main_text
+       |FROM documents""".stripMargin
+
+  /** §2.4 curation-from-crawl-bytes (r16): stage-0 extraction wired in
+    * front of the Gopher rule panel (37j). With lengthLow = 20 /
+    * lengthHigh = 40 every document paragraph (≥ 44 chars) classifies
+    * good while the heading (< 20), "fin", nav and footer drop — so
+    * extraction is exactly `text` and the panel must reproduce
+    * q_gopher_rules verbatim: the oracle IS qGopherRulesSql. Pins that
+    * the HTML stage is semantically transparent to the panel. */
+  val qHtmlPipeline: Q = (s, d) => {
+    import graft.functions.Gopher
+    val th = Gopher.Thresholds(minWords = 40,
+      stopWords = Seq("the", "a", "data", "join", "to", "of"))
+    val extracted = Tables.documents(s, d)
+      .select(col("doc_id"), htmlWrap(withPara2 = false).as("html"))
+      .select(col("doc_id"),
+        graft.plans.HtmlFunctions.mainText(col("html"), useStoplist = false,
+          lengthLow = 20, lengthHigh = 40).as("text"))
+    val t = col("text")
+    extracted.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_words"),
+      dround(TextAnalysis.meanTokenLen(t), 4).as("mean_word_len"),
+      dround(Gopher.symbolRatio(t), 4).as("symbol_ratio"),
+      dround(Gopher.bulletLineFrac(t), 4).as("bullet_frac"),
+      dround(Gopher.ellipsisLineFrac(t), 4).as("ellipsis_frac"),
+      dround(Gopher.alphaWordFrac(t), 4).as("alpha_word_frac"),
+      Gopher.stopHits(t, th.stopWords).as("stop_hits"))
+      .withColumn("pass", Gopher.passes(col("n_words"),
+        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("alpha_word_frac"), col("stop_hits"), th))
+  }
+
   /** Character-entropy signal (§2.4 37l, r12; the Dolma toolkit's
     * gibberish/encoding-noise detector): Shannon entropy in bits of
     * each doc's codepoint distribution via the single-pass native
@@ -2933,6 +3039,8 @@ object QueriesLlm {
     "q_stupid_backoff"      -> qStupidBackoff,
     "q_nfc_normalize"       -> qNfcNormalize,
     "q_ws_contract"         -> qWsContract,
+    "q_html_extract"        -> qHtmlExtract,
+    "q_html_pipeline"       -> qHtmlPipeline,
     "q_curation_v2"         -> qCurationV2,
     "q_curation_report"     -> qCurationReport,
     "q_bigram_logprob"      -> qBigramLogprob,
@@ -3013,6 +3121,8 @@ object QueriesLlm {
     "q_stupid_backoff"      -> qStupidBackoffSql,
     "q_nfc_normalize"       -> qNfcNormalizeSql,
     "q_ws_contract"         -> qWsContractSql,
+    "q_html_extract"        -> qHtmlExtractSql,
+    "q_html_pipeline"       -> qGopherRulesSql, // stage-0 transparency: panel == panel(text)
     "q_curation_v2"         -> qCurationV2Sql,
     "q_curation_report"     -> qCurationReportSql,
     "q_bigram_logprob"      -> qBigramLogprobSql,

@@ -214,8 +214,9 @@ object Bm25Index {
 
   /** Serve a query batch from the layout: read ONLY the query terms'
     * buckets, score with the stored tf/dl/df/stats; tombstoned docs
-    * are anti-joined out (broadcast — the set is bounded by deletes
-    * since the last compaction). Output schema and ranking are
+    * are anti-joined out (broadcast-hinted only while the tombstone
+    * layout is small — [[IndexCommon.tombstones]]). Output schema and
+    * ranking are
     * row-identical to [[Retrieval.bm25TopK]] on the same corpus:
     * (query_id, doc_id, score, n_terms, rk). */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
@@ -248,7 +249,7 @@ object Bm25Index {
       .join(broadcast(terms), Seq("term"), "left_semi")
       .select("doc_id", "dl", "term", "tf")
     val tf = if (!hasDeletes(spark, path)) tf0
-      else tf0.join(broadcast(spark.read.parquet(deletesDir(path))),
+      else tf0.join(IndexCommon.tombstones(spark, deletesDir(path)),
         Seq("doc_id"), "left_anti")
     val dft = spark.read.parquet(s"$path/dfs")
       .filter(col("bucket").isin(bs: _*))
@@ -288,6 +289,7 @@ object Bm25Index {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val purge = hasDeletes(spark, path)
+    val tombSmall = purge && IndexCommon.tombstonesSmall(spark, deletesDir(path))
     val tomb = if (purge) Some(spark.read.parquet(deletesDir(path))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
       else None
@@ -317,7 +319,7 @@ object Bm25Index {
       }
     val fragP = allBuckets("postings", fragOnly = !purge)
     rewrite("postings", fragP, p => tomb match {
-      case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case Some(t) => p.join(IndexCommon.hinted(t, tombSmall), Seq("doc_id"), "left_anti")
       case None => p
     })
     val fragD = allBuckets("dfs", fragOnly = !purge)
@@ -335,7 +337,7 @@ object Bm25Index {
     tomb.foreach { t =>
       val docsDir = new org.apache.hadoop.fs.Path(s"$path/docs")
       val kept = spark.read.parquet(docsDir.toString)
-        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .join(IndexCommon.hinted(t, tombSmall), Seq("doc_id"), "left_anti")
       val tmp = s"$path/docs_tmp_compact"
       kept.write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#doc_id", "true")

@@ -177,7 +177,7 @@ object LshIndex {
     // count live rows only — capped semantics stay "fresh build
     // without the victims"
     val ibandAll = if (!hasDeletes(spark, path)) ibandAll0
-      else ibandAll0.join(broadcast(spark.read.parquet(deletesDir(path))),
+      else ibandAll0.join(IndexCommon.tombstones(spark, deletesDir(path)),
         Seq("id"), "left_anti")
     val iband =
       if (maxBucket <= 0) ibandAll
@@ -221,11 +221,12 @@ object LshIndex {
     // rewrites (a doc's band rows live everywhere — the deferred cost
     // the tombstone delete buys out of the delete path)
     val purge = hasDeletes(spark, path)
+    val tombSmall = purge && IndexCommon.tombstonesSmall(spark, deletesDir(path))
     val tomb = if (purge) Some(spark.read.parquet(deletesDir(path))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
       else None
     def dropTomb(df: DataFrame): DataFrame = tomb match {
-      case Some(t) => df.join(broadcast(t), Seq("id"), "left_anti")
+      case Some(t) => df.join(IndexCommon.hinted(t, tombSmall), Seq("id"), "left_anti")
       case None => df
     }
     def parquetFiles(p: org.apache.hadoop.fs.Path): Int =

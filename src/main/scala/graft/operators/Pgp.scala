@@ -215,12 +215,22 @@ object Pgp {
     * ONCE per passphrase (the expression caches the derived key per
     * task), not once per row — the per-MESSAGE randomizer is the CFB
     * prefix block, which is exactly the role RFC 4880 §5.13 gives it
-    * (zero IV + pseudo-random first plaintext block). */
-  private[graft] def sessionSalt(pass: Array[Byte]): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update("graft-pgp-s2k".getBytes("US-ASCII")); md.update(pass)
-    java.util.Arrays.copyOfRange(md.digest(), 0, 8)
-  }
+    * (zero IV + pseudo-random first plaintext block).
+    *
+    * The salt is derived THROUGH the full iterated S2K against a fixed
+    * public salt (r16, ADVICE): the salt is published in the SKESK
+    * packet, so a cheap derivation (one SHA-256) would let an attacker
+    * test candidate passphrases against the public salt at one hash
+    * each, bypassing the ~24 MB work factor CountOctet imposes.
+    * Deriving it through the same-count S2K makes a salt-check cost
+    * exactly as much as a key-check. Known residual property, accepted
+    * for oracle determinism: two messages under the SAME passphrase
+    * share a salt and are therefore linkable; callers needing
+    * unlinkability should vary the passphrase per corpus. */
+  private val SaltSeed = "graftPGP".getBytes("US-ASCII") // fixed 8-byte public seed salt
+  private[graft] def sessionSalt(pass: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(
+      s2k(pass, SaltSeed, decodeCount(CountOctet), HashSha256, 8), 0, 8)
 
   private[graft] def sessionKey(pass: Array[Byte], salt: Array[Byte]): Array[Byte] =
     s2k(pass, salt, decodeCount(CountOctet), HashSha256, keyBytes(CipherAes256))
@@ -280,7 +290,17 @@ object Pgp {
     * IllegalArgumentException with a specific reason on wrong
     * passphrase (prefix check), tamper (MDC), or unsupported
     * algorithms — never returns garbage silently. */
-  def decryptSym(msg0: Array[Byte], passphrase: String): Array[Byte] = {
+  def decryptSym(msg0: Array[Byte], passphrase: String): Array[Byte] =
+    decryptSym(msg0, passphrase, null)
+
+  /** As above, with an optional caller-owned S2K memo: the iterated S2K
+    * hashes ~24 MB per derivation, and a column of messages produced
+    * under one passphrase shares one (hash, salt, count) tuple — memoize
+    * it per task (see [[graft.plans.PgpDecrypt]]) and the KDF runs once
+    * where the naive form pays it per row. Derivation is pure, so a
+    * benign compute-twice race in the map is harmless. */
+  def decryptSym(msg0: Array[Byte], passphrase: String,
+                 s2kMemo: scala.collection.concurrent.Map[(Int, String, Long, Int), Array[Byte]]): Array[Byte] = {
     val looksArmored = {
       val head = new String(msg0.take(64), "US-ASCII")
       head.contains("-----BEGIN PGP")
@@ -304,8 +324,13 @@ object Pgp {
             case 0 => (Array.empty[Byte], passphrase.getBytes("UTF-8").length.toLong)
             case other => throw new IllegalArgumentException(s"PGP: S2K type $other unsupported")
           }
-          val key = s2k(passphrase.getBytes("UTF-8"), salt, count, hashAlgo,
-            keyBytes(cipherAlgo))
+          val kLen = keyBytes(cipherAlgo)
+          def derive(): Array[Byte] =
+            s2k(passphrase.getBytes("UTF-8"), salt, count, hashAlgo, kLen)
+          val key =
+            if (s2kMemo == null) derive()
+            else s2kMemo.getOrElseUpdate(
+              (hashAlgo, salt.map("%02x".format(_)).mkString, count, kLen), derive())
           // v4 SKESK may carry an ESK (encrypted session key) after the
           // S2K — not produced by gpg --symmetric defaults; reject loudly
           val s2kLen = s2kType match { case 3 => 11; case 1 => 10; case 0 => 2 }
@@ -403,7 +428,8 @@ object Pgp {
                  armored: Boolean = false, outCol: String = "pgp"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     df.withColumn(outCol, ColumnBridge.column(graft.plans.PgpEncrypt(
-      ColumnBridge.expression(col(contentCol).cast("binary")), passphrase, armored)))
+      ColumnBridge.expression(col(contentCol).cast("binary")),
+      graft.plans.Secret(passphrase), armored)))
   }
 
   /** DecryptContentPGP: OpenPGP message column → payload column.
@@ -414,6 +440,7 @@ object Pgp {
                  outCol: String = "decrypted"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     df.withColumn(outCol, ColumnBridge.column(graft.plans.PgpDecrypt(
-      ColumnBridge.expression(col(contentCol).cast("binary")), passphrase)))
+      ColumnBridge.expression(col(contentCol).cast("binary")),
+      graft.plans.Secret(passphrase))))
   }
 }

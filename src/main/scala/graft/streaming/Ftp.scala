@@ -58,7 +58,14 @@ object Ftp {
       val out = sock.getOutputStream
       def reply(s: String): Unit = { out.write((s + "\r\n").getBytes("UTF-8")); out.flush() }
       var cwd = "/"
-      var loggedIn = user.isEmpty // blank credentials = anonymous allowed
+      // anonymous access only when BOTH credentials are blank: a
+      // configured Password with a blank Username must still demand a
+      // login, not silently grant upload access (r16, ADVICE); and
+      // credential checks are constant-time — a byte-compare early-out
+      // leaks prefix length to a timing probe
+      def ctEq(a: String, b: String): Boolean =
+        java.security.MessageDigest.isEqual(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var loggedIn = user.isEmpty && pass.isEmpty
       var userOk = user.isEmpty
       var dataSock: Option[ServerSocket] = None
       def openData(): Option[Socket] = dataSock match {
@@ -86,10 +93,10 @@ object Ftp {
           }
           cmd match {
             case "USER" =>
-              userOk = user.isEmpty || arg == user
+              userOk = user.isEmpty || ctEq(arg, user)
               reply("331 password required")
             case "PASS" =>
-              loggedIn = userOk && (pass.isEmpty || arg == pass)
+              loggedIn = userOk && (pass.isEmpty || ctEq(arg, pass))
               reply(if (loggedIn) "230 logged in" else "530 login incorrect")
             case "SYST" => reply("215 UNIX Type: L8")
             case "FEAT" => reply("211-features"); reply(" EPSV"); reply("211 end")

@@ -101,7 +101,7 @@ object Pop3 {
     * robustness contract of the Listen* family. */
   def pollPop3(host: String, port: Int, user: String, pass: String,
                spoolDir: String, pollMs: Long = 1000L,
-               delete: Boolean = true): Pop3Poller = {
+               delete: Boolean = false): Pop3Poller = {
     val stop = new AtomicBoolean(false)
     val t = new Thread(() => {
       while (!stop.get()) {
