@@ -1126,6 +1126,25 @@ object FlowCompiler {
       case "ReplaceText" =>
         Records.replaceText(in, prop(p, "Content Column", "content"),
           prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))
+      case "ExtractHTMLMainContent" =>
+        // r16 curation stage-0: crawl HTML → main-content text
+        // (jusText block classification; graft.operators.Html)
+        graft.operators.Html.extractMain(in,
+          prop(p, "Content Column", "content"),
+          prop(p, "Output Column", "main_text"),
+          useStoplist = !prop(p, "Use Stoplist", "true").equalsIgnoreCase("false"),
+          lengthLow = prop(p, "Length Low", "70").trim.toInt,
+          lengthHigh = prop(p, "Length High", "200").trim.toInt,
+          maxLinkDensity = prop(p, "Max Link Density", "0.2").trim.toDouble)
+      case "GetHTMLElement" =>
+        // NiFi html bundle: one row per CSS-selector match, inner text
+        // in the output column; no-match originals drop (NiFi's
+        // element-not-found relationship)
+        val sel = prop(p, "CSS Selector", "")
+        require(sel.nonEmpty, s"GetHTMLElement ${p.name} needs 'CSS Selector'")
+        graft.operators.Html.getElement(in,
+          prop(p, "Content Column", "content"), sel,
+          prop(p, "Output Column", "element"))
       case "GenerateFlowFile" =>
         require(inputs.isEmpty, s"GenerateFlowFile ${p.name} is a source — no incoming connections")
         graft.sources.Io.generate(spark, prop(p, "File Count", "100").trim.toLong,

@@ -2212,7 +2212,7 @@ object QueriesLlm {
 
   /** The boilerplate page: nav (link-dense → bad), heading (short),
     * two content paragraphs, a stray short block, a © footer. */
-  private def htmlWrap(withPara2: Boolean): org.apache.spark.sql.Column = {
+  private[graft] def htmlWrap(withPara2: Boolean): org.apache.spark.sql.Column = {
     val pieces = Seq(
       lit("<html><head><title>corpus page</title><style>p{margin:0}</style>" +
         "<script>var tracker=1;</script></head><body>" +
@@ -2227,7 +2227,7 @@ object QueriesLlm {
     concat(pieces: _*)
   }
 
-  private def htmlWrapSql(withPara2: Boolean): String = {
+  private[graft] def htmlWrapSql(withPara2: Boolean): String = {
     val p2 = if (withPara2) s" || '<p>' || $htmlPara2Sql || '</p>'" else ""
     "'<html><head><title>corpus page</title><style>p{margin:0}</style>" +
       "<script>var tracker=1;</script></head><body>" +

@@ -910,6 +910,29 @@ object QueriesText {
       |  o_orderpriority AS prio, CAST(NULL AS VARCHAR) AS missing
       |FROM orders""".stripMargin
 
+  /** r16 crawl-bytes curation flow (flows/html_curation.json): pages
+    * enter as raw HTML, ExtractHTMLMainContent recovers the text
+    * (jusText no-stoplist mode, thresholds making extraction exactly
+    * `text` on this corpus — see qHtmlPipeline), an EL length gate
+    * drops thin pages, QueryRecord rolls up per language. The oracle is
+    * the same rollup straight off `documents` — pinning that the whole
+    * HTML leg is semantically transparent. */
+  val qFlowHtml: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/html_curation.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val pages = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      QueriesLlm.htmlWrap(withPara2 = false).as("content"))
+    FlowCompiler.compile(s, json, Map("pages" -> pages))("by_lang")
+  }
+  val qFlowHtmlSql: String =
+    """WITH kept AS (SELECT * FROM documents WHERE length(text) >= 100)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |       md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+      |                      ORDER BY CAST(doc_id AS VARCHAR))) AS docs_md5
+      |FROM kept GROUP BY lang""".stripMargin
+
   // -------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "q_count_text"      -> qCountText,
@@ -947,6 +970,7 @@ object QueriesText {
     "q_flow_jdbc_lookup" -> qFlowJdbcLookup,
     "q_flow_record_update" -> qFlowRecordUpdate,
     "q_flow_nested"     -> qFlowNested,
+    "q_flow_html"       -> qFlowHtml,
     "q_fork_record"     -> qForkRecord,
     "q_lookup_attribute" -> qLookupAttribute,
     "q_hash_attributes" -> qHashAttributes,
@@ -993,6 +1017,7 @@ object QueriesText {
     "q_flow_jdbc_lookup" -> qFlowJdbcLookupSql,
     "q_flow_record_update" -> qFlowRecordUpdateSql,
     "q_flow_nested"     -> qFlowNestedSql,
+    "q_flow_html"       -> qFlowHtmlSql,
     "q_fork_record"     -> qForkRecordSql,
     "q_lookup_attribute" -> qLookupAttributeSql,
     "q_hash_attributes" -> qHashAttributesSql,

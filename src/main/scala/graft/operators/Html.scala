@@ -444,4 +444,27 @@ object Html {
     }
     out.toVector
   }
+
+  // ------------------------------------------------------------------
+  // DataFrame operators (flow vocabulary)
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, explode}
+
+  /** ExtractHTMLMainContent: content column → main-text column via the
+    * jusText classifier (native expression; narrow). */
+  def extractMain(df: DataFrame, contentCol: String = "content",
+                  outCol: String = "main_text", useStoplist: Boolean = true,
+                  lengthLow: Int = 70, lengthHigh: Int = 200,
+                  maxLinkDensity: Double = 0.2): DataFrame =
+    df.withColumn(outCol, graft.plans.HtmlFunctions.mainText(
+      col(contentCol), useStoplist, lengthLow, lengthHigh, maxLinkDensity))
+
+  /** GetHTMLElement (NiFi html bundle): one row per element matching
+    * the CSS-lite selector, inner text in `outCol`; rows without a
+    * match drop (NiFi routes those originals to not-found). */
+  def getElement(df: DataFrame, contentCol: String, selector: String,
+                 outCol: String = "element"): DataFrame =
+    df.withColumn(outCol,
+      explode(graft.plans.HtmlFunctions.selectText(col(contentCol), selector)))
 }
