@@ -585,6 +585,20 @@ object FlowCompiler {
             pollMs = prop(p, "Poll Interval Ms", "1000").trim.toLong,
             delete = prop(p, "Delete Messages", "false").equalsIgnoreCase("true"))
           Some(Listener(p.id, p.name, "ConsumePOP3", 0, () => c.stop()))
+        case "ConsumeIMAP" =>
+          // RFC 3501 pull (r16): the \Seen-based retain mode means the
+          // SERVER carries cross-poll dedup state; Delete Messages
+          // defaults false like NiFi's ConsumeIMAP
+          val host = prop(p, "Host", "")
+          require(host.nonEmpty, s"ConsumeIMAP ${p.name} needs 'Host'")
+          val pr = prop(p, "Port", "")
+          require(pr.trim.nonEmpty, s"ConsumeIMAP ${p.name} needs 'Port'")
+          val c = graft.streaming.Imap.pollImap(host, pr.trim.toInt,
+            prop(p, "Username", ""), prop(p, "Password", ""), spool,
+            folder = prop(p, "Folder", "INBOX"),
+            pollMs = prop(p, "Poll Interval Ms", "1000").trim.toLong,
+            delete = prop(p, "Delete Messages", "false").equalsIgnoreCase("true"))
+          Some(Listener(p.id, p.name, "ConsumeIMAP", 0, () => c.stop()))
         case "ConsumeMQTT" =>
           // two modes, NiFi's actual canvas vocabulary: a "Broker URI"
           // property (tcp://host:port) selects the NATIVE client
@@ -740,6 +754,16 @@ object FlowCompiler {
     "ConsumePOP3"        -> Set("Host", "Port", "Username", "Password",
                                 "Spool Directory", "Poll Interval Ms",
                                 "Delete Messages"),
+    // r16 IMAP pull (RFC 3501 subset; \Seen-based retain idempotence)
+    "ConsumeIMAP"        -> Set("Host", "Port", "Username", "Password",
+                                "Folder", "Spool Directory",
+                                "Poll Interval Ms", "Delete Messages"),
+    // r16 HTML stage-0 (curation from crawl bytes)
+    "ExtractHTMLMainContent" -> Set("Content Column", "Output Column",
+                                "Use Stoplist", "Length Low", "Length High",
+                                "Max Link Density"),
+    "GetHTMLElement"     -> Set("Content Column", "CSS Selector",
+                                "Output Column"),
     // r14 MQTT edge (broker-side ingress + per-partition egress)
     "ConsumeMQTT"        -> Set("Listening Port", "Spool Directory",
                                 "Broker URI", "Topic Filter"),
