@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * Routing model (documented subset): the default exchange `""`
   * routes by queue name (0-9-1 mandatory behavior); declared
-  * exchanges route direct (binding key = routing key) or topic
+  * exchanges route direct (binding key = routing key), topic
   * (`.`-separated levels, `*` = one level, `#` = zero or more — the
-  * RabbitMQ grammar, implemented in [[topicRouteMatches]]). Fanout
-  * exchanges bind with `#`. Headers exchanges are not implemented.
+  * RabbitMQ grammar, implemented in [[topicRouteMatches]]), fanout
+  * (bind with `#`), or headers (r16: binding-argument table matched
+  * against the message's header table under `x-match` any/all —
+  * [[headersMatch]]; matching happens AT the broker, and delivered
+  * frames carry no properties — the spool line records the headers).
   *
   * Protocol bounds (the ListenSMTP discipline): frames above
   * `frameMax` drop the connection before any payload allocation; a
@@ -58,6 +61,22 @@ object Amqp {
       try server.close() catch { case _: Throwable => () }
       thread.join(5000)
     }
+  }
+
+  /** Headers-exchange match (AMQP 0-9-1 §3.1.3 + the RabbitMQ
+    * contract): binding arguments name the required header pairs;
+    * `x-match` = `all` (default — every named pair present and equal)
+    * or `any` (at least one); keys starting with `x-` never
+    * participate in matching. Edge semantics follow RabbitMQ: an
+    * empty argument set matches everything under `all` (vacuous) and
+    * nothing under `any`. */
+  private[graft] def headersMatch(bindArgs: Map[String, String],
+                                  headers: Map[String, String]): Boolean = {
+    val rel = bindArgs.filterNot(_._1.startsWith("x-"))
+    if (bindArgs.getOrElse("x-match", "all") == "any")
+      rel.exists { case (k, v) => headers.get(k).contains(v) }
+    else
+      rel.forall { case (k, v) => headers.get(k).contains(v) }
   }
 
   /** RabbitMQ topic-exchange match: `.`-separated levels, `*` matches
@@ -138,6 +157,16 @@ object Amqp {
     }
     def longStr(s: String): W = { val u = s.getBytes(UTF_8); u32(u.length); b.write(u); this }
     def bytes(x: Array[Byte]): W = { b.write(x); this }
+    /** AMQP field table, all values as long-strings ('S') — the form
+      * every client emits for string headers; sorted for determinism. */
+    def table(m: Map[String, String]): W = {
+      val t = new W()
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        t.shortStr(k); t.u8('S'); t.longStr(v)
+      }
+      val u = t.arr
+      u32(u.length); b.write(u); this
+    }
     def arr: Array[Byte] = b.toByteArray
   }
   private def method(classId: Int, methodId: Int)(body: W => W): Array[Byte] =
@@ -152,6 +181,37 @@ object Amqp {
     def u64(): Long = { (u32() << 32) | u32() }
     def shortStr(): String = { val n = u8(); val s = new String(a, p, n, UTF_8); p += n; s }
     def longStrSkip(): Unit = { val n = u32(); p += n.toInt } // field tables etc.
+    /** AMQP field table → string-rendered map (the documented matching
+      * subset: S/s strings, t bool, I/i/l/L/T integers, f/d floats,
+      * b/B octets, V null; nested tables/arrays/decimals are skipped
+      * opaquely, unknown value types abort the remainder — the table
+      * slice is length-prefixed, so a conservative skip never desyncs
+      * the frame). */
+    def table(): Map[String, String] = {
+      val len = u32().toInt
+      val end = p + len
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      while (p < end) {
+        val k = shortStr()
+        (u8().toChar: @scala.annotation.switch) match {
+          case 'S' => val n = u32().toInt; m(k) = new String(a, p, n, UTF_8); p += n
+          case 's' => val n = u8(); m(k) = new String(a, p, n, UTF_8); p += n
+          case 't' => m(k) = if (u8() != 0) "true" else "false"
+          case 'I' | 'i' => m(k) = u32().toInt.toString
+          case 'l' | 'L' | 'T' => m(k) = u64().toString
+          case 'd' => m(k) = java.lang.Double.longBitsToDouble(u64()).toString
+          case 'f' => m(k) = java.lang.Float.intBitsToFloat(u32().toInt).toString
+          case 'b' | 'B' => m(k) = u8().toString
+          case 'V' => m(k) = ""
+          case 'F' | 'A' | 'x' => val n = u32().toInt; p += n; m(k) = ""
+          case 'D' => p += 5; m(k) = ""
+          case 'U' | 'u' => m(k) = u16().toString
+          case _ => p = end // unsizable unknown type: skip the rest
+        }
+      }
+      p = end
+      m.toMap
+    }
   }
 
   // ------------------------------------------------------------ server
@@ -159,7 +219,8 @@ object Amqp {
   private final class Consumer(val out: java.io.OutputStream, val channel: Int,
                                val tag: String)
   private final class QueueState {
-    @volatile var bindings: Set[(String, String)] = Set.empty // (exchange, bindingKey)
+    // (exchange, bindingKey, bindArguments) — args drive headers exchanges
+    @volatile var bindings: Set[(String, String, Map[String, String])] = Set.empty
     val consumers = new java.util.concurrent.CopyOnWriteArrayList[Consumer]()
   }
 
@@ -298,22 +359,30 @@ object Amqp {
     // channel → (exchange, rkey, body-size, body buffer)
     final class PendingPub(val exchange: String, val rkey: String) {
       var size: Long = -1L // -1 = header not seen yet
+      var headers: Map[String, String] = Map.empty // from the content header
       val body = new java.io.ByteArrayOutputStream()
     }
     val pending = scala.collection.mutable.Map.empty[Int, PendingPub]
 
-    def route(exchange: String, rkey: String, body: Array[Byte]): Unit = {
-      emit(s"""{"exchange":${Ws.jsonStr(exchange)},"rkey":${Ws.jsonStr(rkey)},""" +
+    def route(exchange: String, rkey: String, headers: Map[String, String],
+              body: Array[Byte]): Unit = {
+      val hJson =
+        if (headers.isEmpty) ""
+        else headers.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${Ws.jsonStr(k)}:${Ws.jsonStr(v)}" }
+          .mkString(""","headers":{""", ",", "}")
+      emit(s"""{"exchange":${Ws.jsonStr(exchange)},"rkey":${Ws.jsonStr(rkey)}$hJson,""" +
         s""""payload":${Ws.jsonStr(new String(body, UTF_8))}}""")
       val tag = deliveryTag.incrementAndGet()
       queues.forEach { (qname, q) =>
         val matches =
           if (exchange.isEmpty) rkey == qname // default exchange (§2.1.2.4)
-          else q.bindings.exists { case (ex, bkey) =>
+          else q.bindings.exists { case (ex, bkey, bargs) =>
             ex == exchange && (exchanges.getOrDefault(ex, "direct") match {
-              case "topic"  => topicRouteMatches(bkey, rkey)
-              case "fanout" => true
-              case _        => bkey == rkey // direct
+              case "topic"   => topicRouteMatches(bkey, rkey)
+              case "fanout"  => true
+              case "headers" => headersMatch(bargs, headers)
+              case _         => bkey == rkey // direct
             })
           }
         if (matches) {
@@ -343,8 +412,15 @@ object Amqp {
           r.u16(); r.u16() // class, weight
           p.size = r.u64()
           if (p.size > frameMax.toLong * 16) return // pathological
+          // basic properties: bit15 content-type, bit14 content-encoding,
+          // bit13 headers table — parse in declaration order up to the
+          // headers (later properties don't affect routing)
+          val flags = if (r.p + 2 <= payload.length) r.u16() else 0
+          if ((flags & 0x8000) != 0) r.shortStr()
+          if ((flags & 0x4000) != 0) r.shortStr()
+          if ((flags & 0x2000) != 0) p.headers = r.table()
           if (p.size == 0) {
-            route(p.exchange, p.rkey, Array.emptyByteArray)
+            route(p.exchange, p.rkey, p.headers, Array.emptyByteArray)
             if (confirmMode) {
               confirmSeq += 1
               writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
@@ -356,7 +432,7 @@ object Amqp {
           if (p.size < 0) return // body before header — protocol error
           p.body.write(payload)
           if (p.body.size() >= p.size) {
-            route(p.exchange, p.rkey, p.body.toByteArray)
+            route(p.exchange, p.rkey, p.headers, p.body.toByteArray)
             if (confirmMode) {
               confirmSeq += 1
               writeFrame(out, 1, ch, method(60, 80)(w => w.u64(confirmSeq).u8(0)))
@@ -389,8 +465,12 @@ object Amqp {
               val qname = r.shortStr()
               val exchange = r.shortStr()
               val bkey = r.shortStr()
+              r.u8() // no-wait
+              // binding arguments (the headers-exchange match spec)
+              val bargs = if (r.p + 4 <= payload.length) r.table()
+                          else Map.empty[String, String]
               val q = queues.computeIfAbsent(qname, _ => new QueueState())
-              q.bindings = q.bindings + ((exchange, bkey))
+              q.bindings = q.bindings + ((exchange, bkey, bargs))
               writeFrame(out, 1, ch, method(50, 21)(w => w))
             case (60, 20) => // Basic.Consume → Consume-Ok
               r.u16()
@@ -448,6 +528,7 @@ object Amqp {
     * only host/port change. */
   def consumeAmqp(host: String, port: Int, queue: String, spoolDir: String,
                   exchange: String = "", bindingKey: String = "",
+                  bindArgs: Map[String, String] = Map.empty,
                   batchSize: Int = 100, flushMs: Long = 250L,
                   suffix: String = ".jsonl", frameMax: Int = 1 << 20,
                   connectTimeoutMs: Int = 5000): AmqpConsumer = {
@@ -482,7 +563,8 @@ object Amqp {
     expect(50, 11)
     if (exchange.nonEmpty) {
       writeFrame(out, 1, 1, method(50, 20) { w =>
-        w.u16(0).shortStr(queue).shortStr(exchange).shortStr(bindingKey).u8(0).u32(0)
+        w.u16(0).shortStr(queue).shortStr(exchange).shortStr(bindingKey).u8(0)
+          .table(bindArgs) // headers-exchange match spec; {} otherwise
       })
       expect(50, 21)
     }
@@ -599,6 +681,7 @@ object Amqp {
   def putAmqp(df: DataFrame, host: String, port: Int,
               payloadCol: String = "payload", rkeyCol: String = "rkey",
               routingKey: String = "", exchange: String = "",
+              headers: Map[String, String] = Map.empty,
               connectTimeoutMs: Int = 5000): Unit = {
     val withKey =
       if (df.columns.contains(rkeyCol)) df.select(col(rkeyCol).cast("string"), col(payloadCol).cast("string"))
@@ -643,7 +726,11 @@ object Amqp {
             writeFrame(out, 1, 1, method(60, 40) { w =>
               w.u16(0).shortStr(exchange).shortStr(rk).u8(0)
             })
-            writeFrame(out, 2, 1, new W().u16(60).u16(0).u64(body.length).u16(0).arr)
+            // property bit 13 = headers table present
+            val hdr = new W().u16(60).u16(0).u64(body.length)
+            if (headers.isEmpty) hdr.u16(0)
+            else hdr.u16(0x2000).table(headers)
+            writeFrame(out, 2, 1, hdr.arr)
             writeFrame(out, 3, 1, body)
             expect(60, 80) // publisher confirm
           }

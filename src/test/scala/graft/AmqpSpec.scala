@@ -95,9 +95,17 @@ class AmqpSpec extends SparkSpec {
       raw(frame(1, 1, w16(50) ++ w16(10) ++ w16(0) ++ ss(name) ++ Array[Byte](0) ++ w32(0)))
       expectMethod(50, 11)
     }
-    def bind(queue: String, exchange: String, bkey: String): Unit = {
+    /** AMQP field table with 'S' (long-string) values. */
+    private def table(m: Map[String, String]): Array[Byte] = {
+      val body = m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        ss(k).toSeq ++ Seq('S'.toByte) ++ ls(v).toSeq
+      }.toArray
+      w32(body.length) ++ body
+    }
+    def bind(queue: String, exchange: String, bkey: String,
+             args: Map[String, String] = Map.empty): Unit = {
       raw(frame(1, 1, w16(50) ++ w16(20) ++ w16(0) ++ ss(queue) ++ ss(exchange) ++
-        ss(bkey) ++ Array[Byte](0) ++ w32(0)))
+        ss(bkey) ++ Array[Byte](0) ++ table(args)))
       expectMethod(50, 21)
     }
     def consume(queue: String): String = {
@@ -107,10 +115,12 @@ class AmqpSpec extends SparkSpec {
       new String(args, 1, args(0) & 0xFF, "UTF-8") // consumer-tag
     }
     def publish(exchange: String, rkey: String, body: String,
-                bodyChunks: Int = 1): Unit = {
+                bodyChunks: Int = 1,
+                headers: Map[String, String] = Map.empty): Unit = {
       raw(frame(1, 1, w16(60) ++ w16(40) ++ w16(0) ++ ss(exchange) ++ ss(rkey) ++ Array[Byte](0)))
       val b = body.getBytes("UTF-8")
-      raw(frame(2, 1, w16(60) ++ w16(0) ++ w64(b.length) ++ w16(0)))
+      val props = if (headers.isEmpty) w16(0) else w16(0x2000) ++ table(headers)
+      raw(frame(2, 1, w16(60) ++ w16(0) ++ w64(b.length) ++ props))
       val per = math.max(1, b.length / bodyChunks)
       b.grouped(per).foreach(chunk => raw(frame(3, 1, chunk)))
     }
@@ -213,6 +223,58 @@ class AmqpSpec extends SparkSpec {
       // ingress spools everything regardless of routing
       eventuallySpooled { assert(spooled(spool).size === 4) }
       pub.close(); sub.close()
+    } finally l.stop()
+  }
+
+  test("headers exchange: x-match any/all binding arguments, x- keys ignored (r16)") {
+    // unit gates for the published match rule first
+    assert(Amqp.headersMatch(Map("x-match" -> "any", "a" -> "1", "b" -> "2"),
+      Map("a" -> "1")))
+    assert(!Amqp.headersMatch(Map("x-match" -> "any", "a" -> "1"), Map("a" -> "9")))
+    assert(Amqp.headersMatch(Map("x-match" -> "all", "a" -> "1", "b" -> "2"),
+      Map("a" -> "1", "b" -> "2", "c" -> "extra")))
+    assert(!Amqp.headersMatch(Map("a" -> "1", "b" -> "2"), Map("a" -> "1"))) // default = all
+    assert(Amqp.headersMatch(Map("x-match" -> "all", "x-ignored" -> "z"), Map.empty),
+      "all with no non-x args matches vacuously (RabbitMQ)")
+    assert(!Amqp.headersMatch(Map("x-match" -> "any", "x-ignored" -> "z"), Map.empty),
+      "any with no non-x args matches nothing (RabbitMQ)")
+
+    val spool = freshDir("headers")
+    val l = Amqp.listenAmqp(0, spool, batchSize = 1)
+    try {
+      val subAny = new Cli(l.port).connect()
+      subAny.declareExchange("hx", "headers")
+      subAny.declareQueue("q.any")
+      subAny.bind("q.any", "hx", "",
+        Map("x-match" -> "any", "format" -> "json", "kind" -> "report"))
+      subAny.consume("q.any")
+      val subAll = new Cli(l.port).connect()
+      subAll.declareQueue("q.all")
+      subAll.bind("q.all", "hx", "",
+        Map("x-match" -> "all", "format" -> "json", "kind" -> "report"))
+      subAll.consume("q.all")
+      val pub = new Cli(l.port).connect()
+      // m1: only the any-binding matches (one pair present)
+      pub.publish("hx", "ignored.rk", "m1", headers = Map("format" -> "json"))
+      // m2: both match (all pairs present; the x- key must not matter)
+      pub.publish("hx", "ignored.rk", "m2",
+        headers = Map("format" -> "json", "kind" -> "report", "x-trace" -> "t1"))
+      // m3: neither matches
+      pub.publish("hx", "ignored.rk", "m3", headers = Map("other" -> "v"))
+      val gotAny = (1 to 2).map(_ => subAny.readDelivery()._2)
+      assert(gotAny === Seq("m1", "m2"))
+      val gotAll = subAll.readDelivery()._2
+      assert(gotAll === "m2")
+      // ingress spool records every publish WITH its header table
+      eventuallySpooled {
+        val rows = spark.read.json(spool)
+          .selectExpr("payload", "headers.format", "headers.kind")
+          .as[(String, Option[String], Option[String])].collect().sortBy(_._1)
+        assert(rows.map(_._1).toSeq === Seq("m1", "m2", "m3"))
+        assert(rows(0)._2.contains("json") && rows(0)._3.isEmpty)
+        assert(rows(1)._2.contains("json") && rows(1)._3.contains("report"))
+      }
+      pub.close(); subAny.close(); subAll.close()
     } finally l.stop()
   }
 
