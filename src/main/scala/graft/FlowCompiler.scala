@@ -565,12 +565,21 @@ object FlowCompiler {
         case "ListenSiteToSite" =>
           // the graft endpoint a NiFi Remote Process Group transfers
           // to: one RUNNING input port (+ an output port when an
-          // Egress Directory is configured)
-          val l = graft.streaming.SiteToSite.listen(port, spool,
-            portName = prop(p, "Port Name", "graft"),
-            portId = prop(p, "Port Id", "graft-in-0"),
-            egressDir = Option(prop(p, "Egress Directory", "")).filter(_.nonEmpty))
-          Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+          // Egress Directory is configured); Transport Protocol RAW
+          // (r16) starts the socket form — both spool the same JSONL,
+          // so the flow binding is transport-agnostic
+          val egress = Option(prop(p, "Egress Directory", "")).filter(_.nonEmpty)
+          if (prop(p, "Transport Protocol", "HTTP").equalsIgnoreCase("RAW")) {
+            val l = graft.streaming.SiteToSiteRaw.listenRaw(port, spool,
+              portName = prop(p, "Port Name", "graft"),
+              portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
+            Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+          } else {
+            val l = graft.streaming.SiteToSite.listen(port, spool,
+              portName = prop(p, "Port Name", "graft"),
+              portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
+            Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+          }
         case "ConsumePOP3" =>
           // pull-only protocol: a stop()-able poll loop (NiFi schedules
           // its processor the same way); Delete Messages defaults FALSE
@@ -776,10 +785,12 @@ object FlowCompiler {
                                 "Routing Key Column", "Payload Column"),
     // r15 site-to-site edge (HTTP transport, both directions)
     "ListenSiteToSite"   -> Set("Listening Port", "Spool Directory",
-                                "Port Name", "Port Id", "Egress Directory"),
+                                "Port Name", "Port Id", "Egress Directory",
+                                "Transport Protocol"),
     "PutSiteToSite"      -> Set("Remote URL", "Port Name",
                                 "Content Column", "Attribute Columns",
-                                "Keystore Path", "Keystore Password"),
+                                "Keystore Path", "Keystore Password",
+                                "Transport Protocol"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
                                 "To Column", "Subject Column", "Body Column"),
     "ListFTP"            -> (FtpProps + "State Path"),
@@ -1536,12 +1547,24 @@ object FlowCompiler {
         val portName = prop(p, "Port Name", "")
         require(url.nonEmpty && portName.nonEmpty,
           s"PutSiteToSite ${p.name} needs Remote URL and Port Name")
-        val ksPath = prop(p, "Keystore Path", "")
-        graft.streaming.SiteToSite.putSiteToSite(in, url, portName,
-          contentCol = prop(p, "Content Column", "content"),
-          attrCols = listProp(p, "Attribute Columns"),
-          keystore = if (ksPath.nonEmpty)
-            Some((ksPath, prop(p, "Keystore Password", ""))) else None)
+        if (prop(p, "Transport Protocol", "HTTP").equalsIgnoreCase("RAW")) {
+          // r16: the socket transport — Remote URL raw://host:port (or
+          // host:port); Port Name carries the PORT_IDENTIFIER
+          val hp = url.stripPrefix("raw://").split(":")
+          require(hp.length == 2 && hp(1).forall(_.isDigit),
+            s"PutSiteToSite ${p.name}: RAW needs Remote URL raw://host:port, got '$url'")
+          graft.streaming.SiteToSiteRaw.putSiteToSiteRaw(in, hp(0), hp(1).toInt,
+            portId = portName,
+            contentCol = prop(p, "Content Column", "content"),
+            attrCols = listProp(p, "Attribute Columns"))
+        } else {
+          val ksPath = prop(p, "Keystore Path", "")
+          graft.streaming.SiteToSite.putSiteToSite(in, url, portName,
+            contentCol = prop(p, "Content Column", "content"),
+            attrCols = listProp(p, "Attribute Columns"),
+            keystore = if (ksPath.nonEmpty)
+              Some((ksPath, prop(p, "Keystore Password", ""))) else None)
+        }
         in
       case "ListFTP" | "GetFTP" | "FetchFTP" | "ListSFTP" | "GetSFTP" | "FetchSFTP" =>
         // FTP SOURCES (r11): NiFi's connection properties compose into
