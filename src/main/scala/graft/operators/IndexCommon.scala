@@ -47,3 +47,96 @@ object IndexCommon {
   private[operators] def hinted(t: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(t) else t
 }
+
+/** The persistent-index family contract (r16, the r15 stretch): the
+  * three indexes — IVF-PQ ([[Pq]]), MinHash-LSH ([[LshIndex]]) and
+  * BM25 ([[Bm25Index]]) — share the lifecycle
+  * build · serve · append · delete · upsert · compact, but each grew
+  * its own signatures. This trait is the thin common surface the
+  * shared spec matrix (IndexFamilySpec) drives, so every lifecycle
+  * guarantee is pinned for ALL THREE by one grid and the next index
+  * is honest by construction: implement the trait, join the matrix.
+  *
+  * `serve` is deliberately canonicalized to (query_id, match_id):
+  * rich per-index outputs (scores, ranks, est_jaccard) stay on the
+  * native signatures; the family contract is about WHICH documents a
+  * lifecycle state serves, which is exactly what build/append/delete/
+  * upsert/compact must and must not change. */
+trait PersistentIndexOps {
+  def name: String
+  /** Column naming the document id in `docs`/`ids` frames. */
+  def docIdCol: String
+  def build(spark: SparkSession, path: String, docs: DataFrame): Unit
+  def append(spark: SparkSession, path: String, docs: DataFrame): Unit
+  /** Returns the number of docs newly deleted. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long
+  def upsert(spark: SparkSession, path: String, docs: DataFrame): Unit
+  /** Returns the number of partitions/buckets compacted. */
+  def compact(spark: SparkSession, path: String): Int
+  /** Canonical serve: (query_id: long, match_id: long). */
+  def serve(spark: SparkSession, path: String, queries: DataFrame): DataFrame
+}
+
+/** [[Pq]] adapter: docs (vec_id, embedding); full-probe serve so the
+  * family grid sees the layout's complete answer. */
+object PqIndexOps extends PersistentIndexOps {
+  import org.apache.spark.sql.functions.col
+  val name = "ivf-pq"
+  val docIdCol = "vec_id"
+  private val NCells = 4
+  def build(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Pq.buildIndex(spark, docs, path, nCells = NCells, m = 8, kCodes = 16)
+  def append(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Pq.appendToIndex(spark, path, docs)
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    Pq.deleteFromIndexDf(spark, path, ids)
+  def upsert(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Pq.upsertToIndex(spark, path, docs)
+  def compact(spark: SparkSession, path: String): Int =
+    Pq.compactIndex(spark, path)
+  def serve(spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+    Pq.searchIndex(spark, path, queries, k = 3, nProbe = NCells)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long").as("match_id"))
+}
+
+/** [[LshIndex]] adapter: docs (doc_id, text); serve = near-dup pairs
+  * at the family threshold. */
+object LshIndexOps extends PersistentIndexOps {
+  import org.apache.spark.sql.functions.col
+  val name = "minhash-lsh"
+  val docIdCol = "doc_id"
+  def build(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    LshIndex.buildIndex(spark, docs, path, shingleN = 3, numHashes = 64, bands = 16)
+  def append(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    LshIndex.appendToIndex(spark, path, docs)
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    LshIndex.deleteFromIndex(spark, path, ids)
+  def upsert(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    LshIndex.upsertToIndex(spark, path, docs)
+  def compact(spark: SparkSession, path: String): Int =
+    LshIndex.compactIndex(spark, path)
+  def serve(spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+    LshIndex.searchIndex(spark, path, queries, threshold = 0.5)
+      .select(col("query_id").cast("long"), col("id").cast("long").as("match_id"))
+}
+
+/** [[Bm25Index]] adapter: docs (doc_id, text); queries (query_id,
+  * qtext). */
+object Bm25IndexOps extends PersistentIndexOps {
+  import org.apache.spark.sql.functions.col
+  val name = "bm25"
+  val docIdCol = "doc_id"
+  def build(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Bm25Index.buildIndex(spark, docs, path, nBuckets = 8)
+  def append(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Bm25Index.appendToIndex(spark, path, docs)
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    Bm25Index.deleteFromIndex(spark, path, ids)
+  def upsert(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    Bm25Index.upsertToIndex(spark, path, docs)
+  def compact(spark: SparkSession, path: String): Int =
+    Bm25Index.compactIndex(spark, path)
+  def serve(spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+    Bm25Index.searchIndex(spark, path, queries, k = 10)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long").as("match_id"))
+}
