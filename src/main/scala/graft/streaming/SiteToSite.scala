@@ -533,10 +533,17 @@ object SiteToSite {
   /** Queue FlowFiles for the egress port: one `.ffv3` packed file,
     * atomically renamed into `egressDir` (a pulling peer claims whole
     * files, oldest first). */
+  private val egressSeq = new AtomicLong(0L)
+
   def writeEgress(egressDir: String, files: Seq[(Map[String, String], Array[Byte])]): Unit = {
     val dir = Paths.get(egressDir)
     Files.createDirectories(dir)
-    val name = s"${System.currentTimeMillis()}-${System.nanoTime() % 1000000}.ffv3"
+    // zero-padded millis + in-JVM monotonic counter: the egress queue
+    // is served oldest-first BY FILENAME SORT, so same-millisecond
+    // writes need a monotonic tiebreak and every numeric field a fixed
+    // width (a bare nanoTime%1e6 suffix string-sorted "5" before "123"
+    // — observed as a reordered queue under a fast writer)
+    val name = f"${System.currentTimeMillis()}%013d-${egressSeq.getAndIncrement()}%06d.ffv3"
     val tmp = dir.resolve(name + ".tmp")
     Files.write(tmp, packFlowFiles(files))
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)

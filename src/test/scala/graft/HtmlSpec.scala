@@ -94,4 +94,30 @@ class HtmlSpec extends AnyFunSuite {
     val html = """<div class="a">out <div class="a">in</div> side</div>"""
     assert(Html.selectText(html, ".a") == Vector("out in side"))
   }
+
+  test("fuzz: random soup never throws and always terminates") {
+    // crawl HTML is adversarial by default — 2000 random documents over
+    // a hostile alphabet (tag punctuation, quotes, entities, high
+    // bytes) through every public surface; deterministic seed
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "<>/=\"'&;#! \n\r\tabcp-é�{}[]"
+    val fragments = Seq("<script>", "</script", "<!--", "<![CDATA[", "&#x",
+      "<p", "</p>", "<a href=\"", "<div class='", "<!DOCTYPE", "<?xml",
+      "&amp", "{12}", "<br/>", "</", "<>", "<--")
+    (0 until 2000).foreach { i =>
+      val sb = new StringBuilder
+      (0 until 1 + rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextBoolean()) sb.append(fragments(rnd.nextInt(fragments.size)))
+        else (0 until rnd.nextInt(8)).foreach(_ =>
+          sb.append(alphabet.charAt(rnd.nextInt(alphabet.length))))
+      }
+      val doc = sb.toString
+      // none of these may throw, loop forever, or return null
+      assert(Html.blocks(doc) != null, s"blocks threw/nulled on seed doc $i")
+      assert(Html.stripTags(doc) != null)
+      assert(Html.extractMainText(doc, stopLow = 0, stopHigh = 0) != null)
+      assert(Html.selectText(doc, "p") != null)
+      assert(Html.selectText(doc, ".a") != null)
+    }
+  }
 }
