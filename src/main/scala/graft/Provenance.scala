@@ -120,6 +120,51 @@ object Provenance {
     drained.size
   }
 
+  /** NiFi `SiteToSiteProvenanceReportingTask` analog (r16): ship the
+    * buffered provenance queue to a REMOTE input port over
+    * site-to-site — the reporting-task pillar next to the repository
+    * ([[flush]]) and the search surface ([[query]]). One FlowFile per
+    * event: attributes carry the searchable fields (action, ts,
+    * planDigest, mime.type) the way NiFi's task exposes event fields,
+    * content is the full JSON record; all events of a tick travel in
+    * ONE transaction. `remote` is a base URL (`http://host:port`) or,
+    * with `raw = true`, `host:port` for the socket transport. The
+    * queue drains only on a CONFIRMED transaction — a failed send
+    * re-queues every event for the next tick (at-least-once, the
+    * ConsumePOP3 commit discipline). Returns events shipped. */
+  def reportProvenance(l: Listener, remote: String, portName: String,
+                       raw: Boolean = false): Int = {
+    val drained = Iterator.continually(l.events.poll()).takeWhile(_ != null).toVector
+    if (drained.isEmpty) return 0
+    def js(s: String) = graft.streaming.Ws.jsonStr(s)
+    val files = drained.map { e =>
+      val tags = e.tags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+      val json = s"""{"tsMillis":${e.tsMillis},"action":${js(e.action)},""" +
+        s""""durationNs":${e.durationNs},"succeeded":${e.succeeded},""" +
+        s""""planDigest":${js(e.planDigest)},"planSummary":${js(e.planSummary)},""" +
+        s""""tags":$tags}"""
+      (Map("provenance.action" -> e.action,
+           "provenance.tsMillis" -> e.tsMillis.toString,
+           "provenance.planDigest" -> e.planDigest,
+           "mime.type" -> "application/json"),
+       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try {
+      if (raw) {
+        val hp = remote.stripPrefix("raw://").split(":")
+        require(hp.length == 2 && hp(1).forall(_.isDigit),
+          s"reportProvenance: raw remote must be host:port, got '$remote'")
+        graft.streaming.SiteToSiteRaw.sendRaw(hp(0), hp(1).toInt, portName, files)
+      } else graft.streaming.SiteToSite.send(remote, portName, files)
+      drained.size
+    } catch {
+      case t: Throwable =>
+        drained.foreach(l.events.add) // keep for the next tick
+        throw t
+    }
+  }
+
   /** Query the persistent provenance log — NiFi's lineage-search
     * surface. Filters: events at/after `sinceMillis`, by exact `action`
     * name, by physical-plan `planDigest` ("which runs executed exactly

@@ -47,7 +47,7 @@ object Ws {
     java.util.Base64.getEncoder.encodeToString(sha)
   }
 
-  private[streaming] def jsonStr(s: String): String = {
+  private[graft] def jsonStr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")

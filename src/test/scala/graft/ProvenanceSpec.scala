@@ -25,6 +25,49 @@ class ProvenanceSpec extends SparkSpec {
     } finally Provenance.disable(spark, l)
   }
 
+  test("reporting task: provenance ships over site-to-site RAW, re-queues on failure (r16)") {
+    val spool = java.nio.file.Files.createTempDirectory("graft_prov_s2s").toString
+    val endpoint = graft.streaming.SiteToSiteRaw.listenRaw(0, spool, portId = "prov-in")
+    val l = Provenance.enable(spark)
+    try {
+      Seq((1L, "x")).toDF("id", "v").filter(col("id") > 0).count()
+      eventually {
+        assert(Provenance.log(spark, l).count() >= 1)
+      }
+      // a send to a dead endpoint re-queues every event (at-least-once);
+      // counts only grow monotonically here — the listener also records
+      // the test's own log-inspection actions, so equality would race
+      val before = Provenance.log(spark, l).count()
+      intercept[Exception] {
+        Provenance.reportProvenance(l, "127.0.0.1:1", "prov-in", raw = true)
+      }
+      assert(Provenance.log(spark, l).count() >= before,
+        "failed report must keep the queue intact")
+      assert(Provenance.log(spark, l).filter(col("action") === "count").count() >= 1,
+        "the original event must survive the failed report")
+      // live report: one confirmed transaction ships the whole queue
+      val shipped = Provenance.reportProvenance(l,
+        s"127.0.0.1:${endpoint.port}", "prov-in", raw = true)
+      assert(shipped >= 1)
+      eventually {
+        val files = new java.io.File(spool).listFiles()
+          .filter(_.getName.endsWith(".jsonl"))
+        assert(files.nonEmpty, "reported events must land in the remote spool")
+        val rows = spark.read.json(files.map(_.getPath): _*)
+          .selectExpr("attrs.`provenance.action`", "attrs.`mime.type`",
+            "cast(unbase64(content_b64) as string) AS rec")
+          .collect()
+        assert(rows.length.toLong == shipped)
+        assert(rows.exists(_.getString(0) == "count"))
+        assert(rows.forall(_.getString(1) == "application/json"))
+        val rec = spark.read.json(rows.map(_.getString(2)).toSeq.toDS)
+        assert(rec.columns.toSet.contains("planDigest") &&
+          rec.filter(col("action") === "count").count() >= 1,
+          "content must be the full JSON event record")
+      }
+    } finally { Provenance.disable(spark, l); endpoint.stop() }
+  }
+
   test("flushed events persist across a session restart and are queryable by digest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prov_log").toString + "/log"
     val l = Provenance.enable(spark)
