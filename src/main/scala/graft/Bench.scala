@@ -107,6 +107,27 @@ object Bench {
     //    query suddenly paying seconds of recompilation.
     //  - codecache MB per segment after the query: the profiled heap
     //    pinning at its limit marks the flush-churn regime.
+    // Host-throughput calibration (r16): same-code quiet runs on this
+    // box read 96.4 / 103.1 / 119.4 s across one day — a ±20% band the
+    // per-query medians can't explain (broad uniform inflation, healthy
+    // code heaps, near-idle loadavg; a VM guest can't see host steal or
+    // frequency loss). One fixed single-thread CPU-bound unit (SHA-256
+    // over 64 MiB, ~100% branch-predictable, no allocation) measured at
+    // run start and end turns the artifact self-normalizing: two runs'
+    // totals compare fairly as total × (calib / calib_ref), and a run
+    // made on a slow host SHOWS it instead of reading as a regression.
+    def calibMbps(): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val block = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(block, 0x5A.toByte)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 64) { md.update(block); i += 1 }
+      md.digest()
+      64.0 / ((System.nanoTime() - t0) / 1e9)
+    }
+    calibMbps() // JIT warm
+    val calibStart = calibMbps()
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def jitMillis: Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
@@ -219,8 +240,9 @@ object Bench {
     // The per-query map (~3 KB for 90 queries) overflows the driver's
     // stdout tail capture, so it goes to a file; stdout gets ONE short
     // (<200 B) total-only line the driver can always parse whole.
+    val calibEnd = calibMbps()
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad,"query_jit_max":$qJit,"query_cc_profiled_mb":$qCc,"codecache_final_mb":$ccFinal,"jvm_flags":$jvmFlags}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad,"query_jit_max":$qJit,"query_cc_profiled_mb":$qCc,"codecache_final_mb":$ccFinal,"jvm_flags":$jvmFlags,"calib_sha_mbps":[${f(calibStart)},${f(calibEnd)}]}"""
     val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)

@@ -554,14 +554,19 @@ object Records {
     val parsed = readerFormat.trim.toLowerCase match {
       case "json" => from_json(col(contentCol).cast("string"), schema)
       case "csv"  => from_csv(col(contentCol).cast("string"), schema, Map.empty[String, String])
+      // r16: bare Avro-binary records (AvroReader) — the container-file
+      // grain stays in sources.AvroIo; malformed payloads → NULL rows
+      case "avro" => graft.plans.AvroExpressions.avroDecode(
+        col(contentCol).cast("binary"), schemaDdl)
       case f => throw new IllegalArgumentException(
-        s"ConvertRecord: unknown Record Reader format '$f' (json|csv)")
+        s"ConvertRecord: unknown Record Reader format '$f' (json|csv|avro)")
     }
     val out = writerFormat.trim.toLowerCase match {
       case "json" => (c: Column) => to_json(c)
       case "csv"  => (c: Column) => to_csv(c)
+      case "avro" => (c: Column) => graft.plans.AvroExpressions.avroEncode(c, schemaDdl)
       case f => throw new IllegalArgumentException(
-        s"ConvertRecord: unknown Record Writer format '$f' (json|csv)")
+        s"ConvertRecord: unknown Record Writer format '$f' (json|csv|avro)")
     }
     df.withColumn(outCol, out(parsed))
   }

@@ -98,8 +98,108 @@ case class AvroSplit(child: Expression, outputSize: Int, bare: Boolean)
     copy(child = newChild)
 }
 
+/** Single-record Avro BINARY encode for ConvertRecord (r16): one
+  * struct value → one bare Avro-binary record (no container framing —
+  * NiFi's AvroRecordSetWriter at the record grain; the container form
+  * is [[graft.sources.AvroIo.writeAvro]]). The schema derives from the
+  * SAME DDL string the json/csv ConvertRecord branches use, through
+  * [[graft.sources.AvroIo.avroSchemaJson]]'s flat-primitive mapping —
+  * and InternalRow's physical primitives line up with Avro's logical
+  * types directly (date = int days, timestamps = long micros), so the
+  * converter is a per-field switch with no temporal object churn. */
+case class AvroRecordEncode(child: Expression, schemaDdl: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avro_encode"
+
+  @transient private lazy val structType = StructType.fromDDL(schemaDdl)
+  @transient private lazy val avroSchema = new org.apache.avro.Schema.Parser()
+    .parse(graft.sources.AvroIo.avroSchemaJson(structType, "record"))
+  @transient private lazy val writer =
+    new GenericDatumWriter[GenericRecord](avroSchema)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+    structType.fields.zipWithIndex.foreach { case (f, i) =>
+      val v: AnyRef =
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+          case ShortType => java.lang.Integer.valueOf(row.getShort(i).toInt)
+          case ByteType => java.lang.Integer.valueOf(row.getByte(i).toInt)
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(row.getLong(i))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case StringType => row.getUTF8String(i).toString
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalArgumentException(
+            s"ConvertRecord avro: unsupported type ${other.catalogString}")
+        }
+      rec.put(f.name, v)
+    }
+    val bos = new ByteArrayOutputStream(64)
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    writer.write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-record Avro binary decode (the Record Reader direction):
+  * bare Avro-binary bytes → struct under the DDL schema. Malformed
+  * payloads yield NULL (route on it — the failure relationship). */
+case class AvroRecordDecode(child: Expression, schemaDdl: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val structType = StructType.fromDDL(schemaDdl)
+  override def dataType: DataType = structType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avro_decode"
+
+  @transient private lazy val avroSchema = new org.apache.avro.Schema.Parser()
+    .parse(graft.sources.AvroIo.avroSchemaJson(structType, "record"))
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](avroSchema)
+
+  override protected def nullSafeEval(input: Any): Any =
+    try {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val dec = org.apache.avro.io.DecoderFactory.get()
+        .binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      val vals = structType.fields.zipWithIndex.map { case (f, i) =>
+        val v = rec.get(i)
+        if (v == null) null
+        else f.dataType match {
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+          case BinaryType => v match {
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case a: Array[Byte] => a
+            case other => throw new IllegalArgumentException(
+              s"unexpected bytes value $other")
+          }
+          case _ => v // int/long/float/double/boolean box straight through
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.asInstanceOf[Array[Any]])
+    } catch { case _: RuntimeException | _: java.io.IOException => null }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AvroExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def avroSplit(c: Column, outputSize: Int, bare: Boolean = false): Column =
     ColumnBridge.column(AvroSplit(ColumnBridge.expression(c), outputSize, bare))
+  def avroEncode(c: Column, schemaDdl: String): Column =
+    ColumnBridge.column(AvroRecordEncode(ColumnBridge.expression(c), schemaDdl))
+  def avroDecode(c: Column, schemaDdl: String): Column =
+    ColumnBridge.column(AvroRecordDecode(ColumnBridge.expression(c), schemaDdl))
 }

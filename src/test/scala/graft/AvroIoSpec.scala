@@ -241,4 +241,53 @@ class AvroIoSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("graft_avro_split"), plan)
   }
+  test("ConvertRecord avro: bare-binary record codec round-trips and interops with avro-core (r16)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Records
+    val ddl = "id BIGINT, name STRING, score DOUBLE, flag BOOLEAN"
+    val jsons = Seq(
+      """{"id":1,"name":"alpha","score":1.5,"flag":true}""",
+      """{"id":2,"name":null,"score":-0.25,"flag":false}""",
+      """{"id":3,"name":"\u00fcn\u00efc\u00f8d\u00e9","score":0.0,"flag":null}""")
+    val df = jsons.toDF("content")
+    // json -> avro -> json: struct-level identity (json text may reorder)
+    val toAvro = Records.convertRecordFormat(df, "content", "json", "avro", ddl, "abin")
+    val back = Records.convertRecordFormat(toAvro, "abin", "avro", "json", ddl, "round")
+    val a = back.select(from_json(col("content"), ddl, Map.empty[String, String]).as("s")).collect()
+    val b = back.select(from_json(col("round"), ddl, Map.empty[String, String]).as("s")).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "avro round-trip must be struct-identical")
+    // cross-gate 1: avro-core (driven directly by the SPEC, not our
+    // expression) decodes OUR bytes
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      AvroIo.avroSchemaJson(StructType.fromDDL(ddl), "record"))
+    val ours = toAvro.select("abin").as[Array[Byte]].collect()
+    val reader = new org.apache.avro.generic.GenericDatumReader[
+      org.apache.avro.generic.GenericRecord](avroSchema)
+    val rec0 = reader.read(null,
+      org.apache.avro.io.DecoderFactory.get().binaryDecoder(ours(0), null))
+    assert(rec0.get("id") == 1L && rec0.get("name").toString == "alpha" &&
+      rec0.get("score") == 1.5 && rec0.get("flag") == true)
+    // cross-gate 2: OUR decoder reads bytes avro-core produced
+    val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+    rec.put("id", 9L); rec.put("name", "from-avro-core")
+    rec.put("score", 2.5); rec.put("flag", false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](avroSchema).write(rec, enc)
+    enc.flush()
+    val theirs = Seq(bos.toByteArray).toDF("abin")
+    val decoded = Records.convertRecordFormat(theirs, "abin", "avro", "json", ddl, "j")
+      .select("j").as[String].collect()(0)
+    assert(spark.read.json(Seq(decoded).toDS).select("id", "name", "score", "flag")
+      .as[(Long, String, Double, Boolean)].collect()(0) ==
+      ((9L, "from-avro-core", 2.5, false)))
+    // malformed bytes -> NULL failure row, never a throw
+    val bad = Seq(Array[Byte](0x7F.toByte, 0x7F.toByte)).toDF("abin")
+    assert(Records.convertRecordFormat(bad, "abin", "avro", "json", ddl, "j")
+      .filter(col("j").isNull).count() == 1)
+  }
+
 }

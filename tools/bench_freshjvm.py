@@ -36,6 +36,10 @@ for p in ADD_OPENS:
 JVM += [
     "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
     "-XX:ReservedCodeCacheSize=" + os.environ.get("SPARK_CODE_CACHE", "512m"),
+    # r16 build.sbt mirror: the recompilation give-up stays disabled here
+    # too (irrelevant to a single-query JVM, kept for exact flag parity)
+    "-XX:PerMethodRecompilationCutoff=-1",
+    "-XX:PerBytecodeRecompilationCutoff=-1",
     "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
     "-cp", CP,
 ]
