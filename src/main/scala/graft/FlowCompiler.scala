@@ -592,7 +592,8 @@ object FlowCompiler {
           val c = graft.streaming.Pop3.pollPop3(host, pr.trim.toInt,
             prop(p, "Username", ""), prop(p, "Password", ""), spool,
             pollMs = prop(p, "Poll Interval Ms", "1000").trim.toLong,
-            delete = prop(p, "Delete Messages", "false").equalsIgnoreCase("true"))
+            delete = prop(p, "Delete Messages", "false").equalsIgnoreCase("true"),
+            statePath = Option(prop(p, "State Path", "")).filter(_.nonEmpty).orNull)
           Some(Listener(p.id, p.name, "ConsumePOP3", 0, () => c.stop()))
         case "ConsumeIMAP" =>
           // RFC 3501 pull (r16): the \Seen-based retain mode means the
@@ -762,7 +763,7 @@ object FlowCompiler {
                                 "Username", "Password"),
     "ConsumePOP3"        -> Set("Host", "Port", "Username", "Password",
                                 "Spool Directory", "Poll Interval Ms",
-                                "Delete Messages"),
+                                "Delete Messages", "State Path"),
     // r16 IMAP pull (RFC 3501 subset; \Seen-based retain idempotence)
     "ConsumeIMAP"        -> Set("Host", "Port", "Username", "Password",
                                 "Folder", "Spool Directory",

@@ -2271,11 +2271,14 @@ object QueriesLlm {
     import graft.functions.Gopher
     val th = Gopher.Thresholds(minWords = 40,
       stopWords = Seq("the", "a", "data", "join", "to", "of"))
+    // lengthLow = 25 keeps the fixture heading ("Doc <id> heading",
+    // max 22 chars through 10-digit ids) in the Short class at ANY
+    // scale factor; document paragraphs are >= 44 chars at every SF
     val extracted = Tables.documents(s, d)
       .select(col("doc_id"), htmlWrap(withPara2 = false).as("html"))
       .select(col("doc_id"),
         graft.plans.HtmlFunctions.mainText(col("html"), useStoplist = false,
-          lengthLow = 20, lengthHigh = 40).as("text"))
+          lengthLow = 25, lengthHigh = 40).as("text"))
     val t = col("text")
     extracted.select(
       col("doc_id"),

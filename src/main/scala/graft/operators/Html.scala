@@ -61,6 +61,14 @@ object Html {
   private val DropTags: Set[String] = Set("script", "style", "noscript",
     "template", "iframe", "object", "embed", "svg", "head")
 
+  /** HTML void elements: never have content or a close tag, so they
+    * must parse as self-closing even without the XHTML `/` — otherwise
+    * a bare `<embed>` (a DropTag) would swallow the rest of the
+    * document, and a selector matching `<img>` would capture to EOF. */
+  private val VoidTags: Set[String] = Set("area", "base", "br", "col",
+    "embed", "hr", "img", "input", "link", "meta", "param", "source",
+    "track", "wbr")
+
   private val NamedEntities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
@@ -182,14 +190,15 @@ object Html {
               if (gt < 0) n else gt + 1
             }
           } else {
+            val effSelfClose = selfClose || VoidTags(name)
             if (BlockTags(name)) flush()
             if (DropTags(name) && !RawTextTags(name)) {
               if (closing) dropDepth = math.max(0, dropDepth - 1)
-              else if (!selfClose) dropDepth += 1
+              else if (!effSelfClose) dropDepth += 1
             }
             if (name == "a") {
               if (closing) linkDepth = math.max(0, linkDepth - 1)
-              else if (!selfClose) linkDepth += 1
+              else if (!effSelfClose) linkDepth += 1
             }
             // separate inline flow across tags with a space only for
             // <br>-like voids? No: text "a<b>c</b>" must stay "ac"-free
@@ -404,7 +413,8 @@ object Html {
             if (idx >= 0) {
               val popped = stack.size - idx
               (0 until popped).foreach { _ =>
-                val (_, wasMatch) = stack.remove(stack.size - 1)
+                val (popName, wasMatch) = stack.remove(stack.size - 1)
+                if (DropTags(popName)) dropDepth = math.max(0, dropDepth - 1)
                 if (wasMatch) {
                   captureDepth -= 1
                   if (captureDepth == 0) {
@@ -422,10 +432,11 @@ object Html {
               attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet)
                 .getOrElse(Set.empty), attrs)
             val isMatch = matches(el)
-            if (!selfClose) {
+            if (!selfClose && !VoidTags(name)) {
               stack += ((name, isMatch))
               if (isMatch) captureDepth += 1
-            } else if (isMatch) out += "" // void element matches: empty text
+              if (DropTags(name)) dropDepth += 1
+            } else if (isMatch) out += "" // void/self-closed match: empty text
             i = tagEnd
           }
         }
@@ -433,7 +444,8 @@ object Html {
     }
     // unclosed matched elements flush at EOF
     while (stack.nonEmpty) {
-      val (_, wasMatch) = stack.remove(stack.size - 1)
+      val (popName, wasMatch) = stack.remove(stack.size - 1)
+      if (DropTags(popName)) dropDepth = math.max(0, dropDepth - 1)
       if (wasMatch) {
         captureDepth -= 1
         if (captureDepth == 0) {

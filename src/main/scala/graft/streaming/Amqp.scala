@@ -182,11 +182,11 @@ object Amqp {
     def shortStr(): String = { val n = u8(); val s = new String(a, p, n, UTF_8); p += n; s }
     def longStrSkip(): Unit = { val n = u32(); p += n.toInt } // field tables etc.
     /** AMQP field table → string-rendered map (the documented matching
-      * subset: S/s strings, t bool, I/i/l/L/T integers, f/d floats,
-      * b/B octets, V null; nested tables/arrays/decimals are skipped
-      * opaquely, unknown value types abort the remainder — the table
-      * slice is length-prefixed, so a conservative skip never desyncs
-      * the frame). */
+      * subset: S strings, t bool, s/I/i/l/L/T integers (s = RabbitMQ's
+      * signed short), f/d floats, b/B octets, V null; nested tables/
+      * arrays/decimals are skipped opaquely, unknown value types abort
+      * the remainder — the table slice is length-prefixed, so a
+      * conservative skip never desyncs the frame). */
     def table(): Map[String, String] = {
       val len = u32().toInt
       val end = p + len
@@ -195,7 +195,10 @@ object Amqp {
         val k = shortStr()
         (u8().toChar: @scala.annotation.switch) match {
           case 'S' => val n = u32().toInt; m(k) = new String(a, p, n, UTF_8); p += n
-          case 's' => val n = u8(); m(k) = new String(a, p, n, UTF_8); p += n
+          // RabbitMQ's field-table errata: 's' is a SIGNED 16-bit int
+          // (the 0-9-1 grammar's short-string reading would desync the
+          // table against every real RabbitMQ client)
+          case 's' => m(k) = u16().toShort.toString
           case 't' => m(k) = if (u8() != 0) "true" else "false"
           case 'I' | 'i' => m(k) = u32().toInt.toString
           case 'l' | 'L' | 'T' => m(k) = u64().toString

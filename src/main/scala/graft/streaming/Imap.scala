@@ -120,7 +120,16 @@ object Imap {
       // greeting is an untagged * OK line
       val greet = wire.readLine()
       require(greet != null && greet.startsWith("* OK"), s"IMAP greeting: got '$greet'")
-      finish(send(s"""LOGIN "$user" "$pass""""), "LOGIN")
+      // RFC 3501 quoted strings: backslash-escape `\` and `"`; CR/LF
+      // cannot appear in a quoted string at all — reject loudly rather
+      // than send a command the server will misparse (pollImap's retry
+      // loop would otherwise fail silently forever)
+      def quoted(s: String): String = {
+        require(!s.exists(c => c == '\r' || c == '\n'),
+          "IMAP credentials must not contain CR/LF")
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      finish(send(s"LOGIN ${quoted(user)} ${quoted(pass)}"), "LOGIN")
       finish(send(s"SELECT $folder"), "SELECT")
       val crit = if (delete) "ALL" else "UNSEEN"
       val uids = finish(send(s"UID SEARCH $crit"), "UID SEARCH")

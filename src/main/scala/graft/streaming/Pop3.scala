@@ -20,9 +20,10 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   * at QUIT (UPDATE state), so a drain that dies mid-pass leaves the
   * mailbox intact — at-least-once into the spool, with the spool's
   * atomic tmp+rename keeping partial messages invisible (the Listen*
-  * family contract). With `delete = false` every poll re-reads the
-  * whole mailbox (the RFC's retain semantics); NiFi's
-  * delete-after-ingest mode is `delete = true`.
+  * family contract). With `delete = false` the mailbox is retained
+  * (the RFC's semantics) and a UIDL ledger keeps polls idempotent —
+  * see [[consumePop3]]; NiFi's delete-after-ingest mode is
+  * `delete = true`.
   *
   * Multiline responses un-stuff the leading `..` (RFC 1939 §3) and
   * terminate at the bare `.`; messages spool OCTET-PRESERVING (ISO-8859-1 framing — every byte value round-trips; bare LFs normalize to the protocol's own CRLF framing) as
@@ -42,11 +43,38 @@ object Pop3 {
 
   private val seq = new AtomicLong(0L)
 
-  /** One drain pass. Returns the number of messages spooled. */
+  /** One drain pass. Returns the number of messages spooled.
+    *
+    * Retain mode (`delete = false`) keeps a UIDL LEDGER (r16): POP3
+    * has no server-side read state, so without one every poll re-RETRs
+    * the whole mailbox — a 1 s poll over a 1000-message box floods the
+    * spool with duplicates forever. The pass issues RFC 1939 §7 UIDL,
+    * skips messages whose unique-id is already in the ledger, and
+    * appends each new id only AFTER its spool rename (at-least-once —
+    * a death between rename and append re-ingests once, never loses).
+    * The ledger lives OUTSIDE the spool (default sibling file
+    * `<spoolDir>.pop3-uidl`) so file-stream readers of the spool never
+    * see it. A server without UIDL (-ERR) falls back to re-reading —
+    * the pre-r16 behavior, now the documented legacy path only. */
   def consumePop3(host: String, port: Int, user: String, pass: String,
-                  spoolDir: String, delete: Boolean = false): Int = {
+                  spoolDir: String, delete: Boolean = false,
+                  statePath: String = null): Int = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
+    val ledger =
+      if (delete) null
+      else if (statePath != null) Paths.get(statePath)
+      else dir.toAbsolutePath.normalize match {
+        case d if d.getParent != null =>
+          d.getParent.resolve(d.getFileName.toString + ".pop3-uidl")
+        case d => d.resolve(".pop3-uidl") // filesystem root: nowhere else
+      }
+    val seen: scala.collection.mutable.Set[String] =
+      if (ledger != null && Files.exists(ledger))
+        scala.collection.mutable.Set.from(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(ledger)).asScala.filter(_.nonEmpty))
+      else scala.collection.mutable.Set.empty[String]
     val sock = new java.net.Socket(host, port)
     try {
       sock.setSoTimeout(30000)
@@ -68,9 +96,31 @@ object Pop3 {
       send(s"PASS $pass"); ok("PASS")
       send("STAT")
       val n = ok("STAT").split(" ")(1).toInt
+      // retain mode: UIDL map (msg number → unique-id); -ERR → no map
+      val uidOf: Map[Int, String] =
+        if (ledger == null || n == 0) Map.empty
+        else {
+          send("UIDL")
+          val r = in.readLine()
+          if (r == null || !r.startsWith("+OK")) Map.empty
+          else {
+            val b = Map.newBuilder[Int, String]
+            var l = in.readLine()
+            while (l != null && l != ".") {
+              l.split(" ", 2) match {
+                case Array(num, uid) if num.forall(_.isDigit) => b += (num.toInt -> uid)
+                case _ => ()
+              }
+              l = in.readLine()
+            }
+            b.result()
+          }
+        }
       var spooled = 0
       var i = 1
       while (i <= n) {
+        if (uidOf.get(i).exists(seen.contains)) { i += 1 }
+        else {
         send(s"RETR $i"); ok(s"RETR $i")
         val sb = new StringBuilder
         var line = in.readLine()
@@ -88,7 +138,15 @@ object Pop3 {
         Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         spooled += 1
         if (delete) { send(s"DELE $i"); ok(s"DELE $i") }
+        // ledger append strictly AFTER the spool rename (at-least-once)
+        uidOf.get(i).foreach { u =>
+          Files.writeString(ledger, u + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          seen += u
+        }
         i += 1
+        }
       }
       send("QUIT"); ok("QUIT") // UPDATE state: deletions commit here
       spooled
@@ -101,11 +159,11 @@ object Pop3 {
     * robustness contract of the Listen* family. */
   def pollPop3(host: String, port: Int, user: String, pass: String,
                spoolDir: String, pollMs: Long = 1000L,
-               delete: Boolean = false): Pop3Poller = {
+               delete: Boolean = false, statePath: String = null): Pop3Poller = {
     val stop = new AtomicBoolean(false)
     val t = new Thread(() => {
       while (!stop.get()) {
-        try consumePop3(host, port, user, pass, spoolDir, delete)
+        try consumePop3(host, port, user, pass, spoolDir, delete, statePath)
         catch {
           case _: InterruptedException => ()
           case _: Exception => () // transient server failure: retry next tick

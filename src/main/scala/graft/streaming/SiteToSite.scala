@@ -534,8 +534,16 @@ object SiteToSite {
     * atomically renamed into `egressDir` (a pulling peer claims whole
     * files, oldest first). */
   private val egressSeq = new AtomicLong(0L)
+  // fixed per-JVM token: two PROCESSES feeding one egress directory
+  // must never collide on a name (ATOMIC_MOVE rename silently REPLACES
+  // an existing target — a deterministic counter alone made first-write
+  // collisions likely); per-writer ordering stays monotonic, cross-
+  // writer same-millisecond order is arbitrary, which the queue allows
+  private val egressToken =
+    f"${java.util.concurrent.ThreadLocalRandom.current().nextInt(0x1000000)}%06x"
 
   def writeEgress(egressDir: String, files: Seq[(Map[String, String], Array[Byte])]): Unit = {
+    require(files.nonEmpty, "writeEgress: empty batch — an empty claim file serves nothing")
     val dir = Paths.get(egressDir)
     Files.createDirectories(dir)
     // zero-padded millis + in-JVM monotonic counter: the egress queue
@@ -543,7 +551,8 @@ object SiteToSite {
     // writes need a monotonic tiebreak and every numeric field a fixed
     // width (a bare nanoTime%1e6 suffix string-sorted "5" before "123"
     // — observed as a reordered queue under a fast writer)
-    val name = f"${System.currentTimeMillis()}%013d-${egressSeq.getAndIncrement()}%06d.ffv3"
+    val name =
+      f"${System.currentTimeMillis()}%013d-${egressSeq.getAndIncrement()}%06d-$egressToken.ffv3"
     val tmp = dir.resolve(name + ".tmp")
     Files.write(tmp, packFlowFiles(files))
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)

@@ -189,9 +189,14 @@ object SiteToSiteRaw {
         if (props.get("GZIP").exists(_.equalsIgnoreCase("true"))) {
           writeRc(out, RC.IllegalPropertyValue, "GZIP compression not supported"); return
         }
+        // RAW has no name→id discovery leg (the HTTP form resolves
+        // names via /nifi-api/site-to-site), so the endpoint accepts
+        // EITHER coordinate as PORT_IDENTIFIER — a flow authored with
+        // the HTTP vocabulary (Port Name) works unchanged over RAW
         val pid = props.getOrElse("PORT_IDENTIFIER", "")
-        val isIngress = pid == portId
-        val isEgress = pid == outPortId && egressDir.isDefined
+        val isIngress = pid == portId || pid == portName
+        val isEgress = (pid == outPortId || pid == s"$portName.out") &&
+          egressDir.isDefined
         if (!isIngress && !isEgress) {
           writeRc(out, RC.UnknownPort, s"unknown port $pid"); return
         }
@@ -250,26 +255,45 @@ object SiteToSiteRaw {
               claimed match {
                 case None => writeRc(out, RC.NoMoreData)
                 case Some((orig, claim)) =>
-                  val files = SiteToSite.unpackFlowFiles(Files.readAllBytes(claim))
-                  val crc = new java.util.zip.CRC32()
-                  val cout = new DataOutputStream(
-                    new java.util.zip.CheckedOutputStream(out, crc))
-                  files.foreach { case (attrs, content) =>
-                    writeRc(out, RC.MoreData)
-                    writeFlowFile(cout, attrs, content)
-                    cout.flush()
-                  }
-                  writeRc(out, RC.NoMoreData)
-                  val (code, msg) = readRc(in, "receive-confirm")
-                  if (code == RC.ConfirmTransaction && msg == crc.getValue.toString) {
-                    writeRc(out, RC.ConfirmTransaction)
-                    readRc(in, "receive-finish")._1 match {
-                      case RC.TransactionFinished => Files.deleteIfExists(claim)
-                      case _ => Files.move(claim, orig, StandardCopyOption.ATOMIC_MOVE)
+                  // the claim must never strand: anything short of a
+                  // client TRANSACTION_FINISHED — bad checksum, EOF,
+                  // timeout, framing violation — returns it to the
+                  // queue (a catch-all alone silently LOST the batch)
+                  var settled = false
+                  try {
+                    val files = SiteToSite.unpackFlowFiles(Files.readAllBytes(claim))
+                    if (files.isEmpty) {
+                      // an empty claim serves nothing and would loop
+                      // claim/restore forever — drop it, answer empty
+                      Files.deleteIfExists(claim)
+                      settled = true
+                      writeRc(out, RC.NoMoreData)
+                    } else {
+                      val crc = new java.util.zip.CRC32()
+                      val cout = new DataOutputStream(
+                        new java.util.zip.CheckedOutputStream(out, crc))
+                      files.foreach { case (attrs, content) =>
+                        writeRc(out, RC.MoreData)
+                        writeFlowFile(cout, attrs, content)
+                        cout.flush()
+                      }
+                      writeRc(out, RC.NoMoreData)
+                      val (code, msg) = readRc(in, "receive-confirm")
+                      if (code == RC.ConfirmTransaction && msg == crc.getValue.toString) {
+                        writeRc(out, RC.ConfirmTransaction)
+                        readRc(in, "receive-finish")._1 match {
+                          case RC.TransactionFinished =>
+                            Files.deleteIfExists(claim)
+                            settled = true
+                          case _ => () // restored in finally
+                        }
+                      } else writeRc(out, RC.BadChecksum)
                     }
-                  } else {
-                    writeRc(out, RC.BadChecksum)
-                    Files.move(claim, orig, StandardCopyOption.ATOMIC_MOVE)
+                  } finally {
+                    if (!settled) {
+                      try Files.move(claim, orig, StandardCopyOption.ATOMIC_MOVE)
+                      catch { case _: java.io.IOException => () }
+                    }
                   }
               }
             case "SHUTDOWN" => open = false

@@ -95,6 +95,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.selectText(html, ".a") == Vector("out in side"))
   }
 
+  test("void elements: bare <embed>/<img>/<meta> never swallow content or capture to EOF (r16)") {
+    // <embed> is a DropTag AND a void element: without void handling a
+    // bare open would drop the rest of the document
+    assert(Html.stripTags("<p>before</p><embed src=x><p>after</p>") == "before\nafter")
+    // a selector matching a void element returns empty text, not the tail
+    assert(Html.selectText("<img src=x><p>hello world</p>", "img") == Vector(""))
+    assert(Html.selectText("<meta name=a content=b><p>kept</p>", "p") == Vector("kept"))
+    // DropTags content stays out of selected text (the dropDepth guard)
+    assert(Html.selectText(
+      "<div>shown <noscript>Enable JS</noscript> also</div>", "div") ==
+      Vector("shown also"))
+  }
+
   test("fuzz: random soup never throws and always terminates") {
     // crawl HTML is adversarial by default — 2000 random documents over
     // a hostile alphabet (tag punctuation, quotes, entities, high

@@ -10,12 +10,17 @@ import java.nio.file.Files
   * are fixed at session start, DELE only MARKS, deletions commit at
   * QUIT (UPDATE state), RSET unmarks; server byte-stuffs lines
   * starting with `.` on RETR. */
-final class MiniPop3Server(user: String = "u", pass: String = "p") {
+final class MiniPop3Server(user: String = "u", pass: String = "p",
+                           supportUidl: Boolean = true) {
   private val mailbox = new java.util.ArrayList[String]() // message bodies (CRLF text)
+  private val uids = new java.util.ArrayList[String]()    // §7 unique-ids, parallel
+  private val uidSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val control = new ServerSocket(0, 10, InetAddress.getLoopbackAddress)
   @volatile private var running = true
   def port: Int = control.getLocalPort
-  def deliver(msg: String): Unit = mailbox.synchronized { mailbox.add(msg); () }
+  def deliver(msg: String): Unit = mailbox.synchronized {
+    mailbox.add(msg); uids.add(s"uid-${uidSeq.incrementAndGet()}"); ()
+  }
   def messageCount: Int = mailbox.synchronized(mailbox.size)
   def stop(): Unit = { running = false; try control.close() catch { case _: Exception => () } }
 
@@ -40,9 +45,11 @@ final class MiniPop3Server(user: String = "u", pass: String = "p") {
     val out = sock.getOutputStream
     def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(L1)); out.flush() }
     // session snapshot: numbering is stable for the whole session
-    val snapshot = mailbox.synchronized {
-      scala.collection.mutable.ArrayBuffer.from(
-        scala.jdk.CollectionConverters.ListHasAsScala(mailbox).asScala)
+    val (snapshot, snapUids) = mailbox.synchronized {
+      (scala.collection.mutable.ArrayBuffer.from(
+         scala.jdk.CollectionConverters.ListHasAsScala(mailbox).asScala),
+       scala.collection.mutable.ArrayBuffer.from(
+         scala.jdk.CollectionConverters.ListHasAsScala(uids).asScala))
     }
     val deleted = scala.collection.mutable.Set.empty[Int]
     var authedUser = false; var authed = false
@@ -82,6 +89,14 @@ final class MiniPop3Server(user: String = "u", pass: String = "p") {
             val i = arg.trim.toInt - 1
             if (i < 0 || i >= snapshot.length || deleted(i)) reply("-ERR no such message")
             else { deleted += i; reply("+OK marked") }
+          case "UIDL" =>
+            if (!supportUidl) reply("-ERR UIDL not supported")
+            else {
+              reply("+OK")
+              snapshot.indices.filterNot(deleted).foreach(i =>
+                reply(s"${i + 1} ${snapUids(i)}"))
+              reply(".")
+            }
           case "RSET" => deleted.clear(); reply("+OK")
           case "QUIT" =>
             // UPDATE state: commit marked deletions against the LIVE box
@@ -149,6 +164,37 @@ class Pop3Spec extends SparkSpec {
       val want = s"Subject: bits\r\n\r\n$body\r\n"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       assert(java.util.Arrays.equals(got, want), "octets must round-trip")
+    } finally srv.stop()
+  }
+
+  test("retain mode is UIDL-idempotent: repeat polls spool nothing; new mail only; no-UIDL falls back (r16)") {
+    val srv = new MiniPop3Server()
+    val spool = Files.createTempDirectory("graft_pop3u")
+    try {
+      srv.deliver("m1")
+      srv.deliver("m2")
+      assert(Pop3.consumePop3("127.0.0.1", srv.port, "u", "p", spool.toString) == 2)
+      // second poll: ledger skips everything — the duplicate-flood fix
+      assert(Pop3.consumePop3("127.0.0.1", srv.port, "u", "p", spool.toString) == 0)
+      assert(spoolFiles(spool).size == 2)
+      // new delivery: only it spools
+      srv.deliver("m3")
+      assert(Pop3.consumePop3("127.0.0.1", srv.port, "u", "p", spool.toString) == 1)
+      assert(spoolFiles(spool).size == 3)
+      // the ledger lives OUTSIDE the spool dir (file-stream readers
+      // must never see it)
+      assert(!spoolFiles(spool).exists(_.getFileName.toString.contains("uidl")))
+      assert(Files.exists(spool.toAbsolutePath.getParent
+        .resolve(spool.getFileName.toString + ".pop3-uidl")))
+      // a server without UIDL: the documented legacy re-read path
+      val legacy = new MiniPop3Server(supportUidl = false)
+      val spool2 = Files.createTempDirectory("graft_pop3nu")
+      try {
+        legacy.deliver("x")
+        assert(Pop3.consumePop3("127.0.0.1", legacy.port, "u", "p", spool2.toString) == 1)
+        assert(Pop3.consumePop3("127.0.0.1", legacy.port, "u", "p", spool2.toString) == 1)
+        assert(spoolFiles(spool2).size == 2)
+      } finally legacy.stop()
     } finally srv.stop()
   }
 

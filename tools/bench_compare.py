@@ -49,11 +49,36 @@ def load_warn(d, label):
     return None
 
 
+def calib_ratio(old, new):
+    """r16: both runs may carry `calib_sha_mbps` ([start, end] of a
+    fixed single-thread CPU unit). When present on both sides, the
+    host-speed ratio new/old scales every wall comparison — a run on a
+    20% slower host is NOT a 20% regression (same-day spread of 96-119s
+    on identical code measured in NOTES_r16_bench.md). Uses each run's
+    mean of start/end."""
+    co, cn = old.get("calib_sha_mbps"), new.get("calib_sha_mbps")
+    if not co or not cn:
+        return None
+    mo, mn = sum(co) / len(co), sum(cn) / len(cn)
+    if mo <= 0 or mn <= 0:
+        return None
+    return mn / mo
+
+
 def main(old_path, new_path, threshold=30.0):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
     old_la = load_warn(old, "old run")
     new_la = load_warn(new, "new run")
+    cr = calib_ratio(old, new)
+    if cr is not None:
+        norm = new["value"] * cr
+        print(f"host calibration: old {old['calib_sha_mbps']} -> "
+              f"new {new['calib_sha_mbps']} MB/s (ratio {cr:.3f}); "
+              f"new total host-normalized: {norm:.1f}s")
+        if abs(cr - 1.0) > 0.10:
+            print(f"WARNING: host speed differs {abs(cr-1)*100:.0f}% between "
+                  f"runs — compare NORMALIZED totals, raw deltas are host-biased")
     # per-query noise annotation: any delta measured under load names
     # the loaded side so a phantom never reads as a real regression
     noisy_sides = [s for s, la in (("old", old_la), ("new", new_la))
