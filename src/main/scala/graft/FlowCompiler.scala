@@ -768,6 +768,9 @@ object FlowCompiler {
     "ConsumeIMAP"        -> Set("Host", "Port", "Username", "Password",
                                 "Folder", "Spool Directory",
                                 "Poll Interval Ms", "Delete Messages"),
+    // r16 NiFi 2.x GenAI bundle: RAG chunking over the 38e chunker
+    "ChunkDocument"      -> Set("Id Column", "Content Column",
+                                "Chunk Size", "Chunk Overlap"),
     // r16 HTML stage-0 (curation from crawl bytes)
     "ExtractHTMLMainContent" -> Set("Content Column", "Output Column",
                                 "Use Stoplist", "Length Low", "Length High",
@@ -1162,6 +1165,19 @@ object FlowCompiler {
       case "ReplaceText" =>
         Records.replaceText(in, prop(p, "Content Column", "content"),
           prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))
+      case "ChunkDocument" =>
+        // NiFi 2.x GenAI bundle: split documents into RAG chunks —
+        // mapped onto the token-window chunker (38e); NiFi's property
+        // vocabulary ("Chunk Size"/"Chunk Overlap") translated to
+        // (chunkLen, stride = size − overlap)
+        val size = prop(p, "Chunk Size", "512").trim.toInt
+        val overlap = prop(p, "Chunk Overlap", "0").trim.toInt
+        require(overlap >= 0 && overlap < size,
+          s"ChunkDocument ${p.name}: need 0 <= Chunk Overlap < Chunk Size")
+        graft.operators.Retrieval.chunkTokens(in,
+          prop(p, "Id Column", "doc_id"),
+          prop(p, "Content Column", "text"),
+          chunkLen = size, stride = size - overlap)
       case "ExtractHTMLMainContent" =>
         // r16 curation stage-0: crawl HTML → main-content text
         // (jusText block classification; graft.operators.Html)

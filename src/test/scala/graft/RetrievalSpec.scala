@@ -68,6 +68,27 @@ class RetrievalSpec extends SparkSpec {
     assert(chunks === Seq((1L, 0L, "", 0L), (2L, 0L, "a b c", 3L)))
   }
 
+  test("ChunkDocument flow processor maps Chunk Size/Overlap onto chunkTokens (r16)") {
+    import spark.implicits._
+    val docs = Seq((1L, ("tok " * 95).trim), (2L, "short text only"))
+      .toDF("doc_id", "text")
+    val flowJson =
+      """{"flowContents": {"name": "rag-chunk",
+        |  "inputPorts": [{"identifier": "ip", "name": "docs"}],
+        |  "outputPorts": [{"identifier": "op", "name": "chunks"}],
+        |  "processors": [{"identifier": "p-c", "name": "Chunker",
+        |    "type": "org.apache.nifi.processors.genai.ChunkDocument",
+        |    "properties": {"Chunk Size": "40", "Chunk Overlap": "10"}}],
+        |  "connections": [
+        |    {"source": {"id": "ip"}, "destination": {"id": "p-c"}},
+        |    {"source": {"id": "p-c"}, "destination": {"id": "op"}}]}}""".stripMargin
+    val got = FlowCompiler.compile(spark, flowJson, Map("docs" -> docs))("chunks")
+      .select("doc_id", "chunk_id", "chunk_text").collect().map(_.toString).sorted
+    val want = Retrieval.chunkTokens(docs, "doc_id", "text", chunkLen = 40, stride = 30)
+      .select("doc_id", "chunk_id", "chunk_text").collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("rrfFuse: both-sides, one-side docs and ranking order") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rk")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rk")
