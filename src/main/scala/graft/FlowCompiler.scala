@@ -1194,6 +1194,9 @@ object FlowCompiler {
         // element-not-found relationship)
         val sel = prop(p, "CSS Selector", "")
         require(sel.nonEmpty, s"GetHTMLElement ${p.name} needs 'CSS Selector'")
+        // fail misconfiguration at flow-compile time (NiFi validates
+        // the selector at processor validation, not per FlowFile)
+        graft.operators.Html.validateSelector(sel)
         graft.operators.Html.getElement(in,
           prop(p, "Content Column", "content"), sel,
           prop(p, "Output Column", "element"))

@@ -338,11 +338,22 @@ object Html {
     * NiFi's GetHTMLElement property (which delegates to jsoup).
     * Returns the matched elements' inner TEXT (entity-decoded,
     * whitespace-normalized), in document order. */
+  private val SelectorPattern = java.util.regex.Pattern
+    .compile("""^([a-zA-Z][a-zA-Z0-9-]*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)$""")
+
+  /** Validate a GetHTMLElement selector without running it — NiFi
+    * rejects an invalid selector at processor validation, so the flow
+    * compiler calls this once per processor rather than letting a bad
+    * selector throw per-row at execution time. */
+  def validateSelector(selector: String): Unit = {
+    val sel = selector.trim
+    require(sel.nonEmpty && SelectorPattern.matcher(sel).matches(),
+      s"GetHTMLElement: unsupported selector '$selector'")
+  }
+
   def selectText(html: String, selector: String): Vector[String] = {
     val sel = selector.trim
-    val m = java.util.regex.Pattern
-      .compile("""^([a-zA-Z][a-zA-Z0-9-]*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)$""")
-      .matcher(sel)
+    val m = SelectorPattern.matcher(sel)
     require(m.matches(), s"GetHTMLElement: unsupported selector '$selector'")
     val wantTag = Option(m.group(1)).map(_.toLowerCase(java.util.Locale.ROOT))
     val wantId = Option(m.group(2)).map(_.drop(1))

@@ -171,6 +171,10 @@ case class AvroRecordDecode(child: Expression, schemaDdl: String)
       val dec = org.apache.avro.io.DecoderFactory.get()
         .binaryDecoder(bytes, null)
       val rec = reader.read(null, dec)
+      // A record with trailing bytes (two concatenated records, or
+      // appended junk) is malformed, not a shorter valid record —
+      // route it to failure (NULL) rather than decode silently.
+      if (!dec.isEnd) return null
       val vals = structType.fields.zipWithIndex.map { case (f, i) =>
         val v = rec.get(i)
         if (v == null) null

@@ -126,11 +126,14 @@ object Imap {
       // loop would otherwise fail silently forever)
       def quoted(s: String): String = {
         require(!s.exists(c => c == '\r' || c == '\n'),
-          "IMAP credentials must not contain CR/LF")
+          "IMAP strings must not contain CR/LF")
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }
       finish(send(s"LOGIN ${quoted(user)} ${quoted(pass)}"), "LOGIN")
-      finish(send(s"SELECT $folder"), "SELECT")
+      // the folder gets the same quoted()/CRLF-reject treatment as the
+      // credentials: a space/quote/CRLF in an (EL-computed) mailbox name
+      // must not misparse or inject a second command
+      finish(send(s"SELECT ${quoted(folder)}"), "SELECT")
       val crit = if (delete) "ALL" else "UNSEEN"
       val uids = finish(send(s"UID SEARCH $crit"), "UID SEARCH")
         .find(_.toUpperCase(java.util.Locale.ROOT).startsWith("* SEARCH"))

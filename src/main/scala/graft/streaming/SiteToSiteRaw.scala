@@ -352,14 +352,25 @@ object SiteToSiteRaw {
       out.write(Magic)
       var v = requestVersion
       var negotiated = false
+      // Bounded: a peer that keeps answering DIFFERENT_RESOURCE_VERSION
+      // without ever converging (e.g. re-offering >= our current offer)
+      // must not spin connect() forever. Each round must strictly lower
+      // the offer, and a handful of rounds is more than the version
+      // space ever needs.
+      var rounds = 0
       while (!negotiated) {
+        rounds += 1
+        require(rounds <= 5, "s2s-raw: version negotiation did not converge after 5 rounds")
         out.writeUTF(ProtocolResource); out.writeInt(v); out.flush()
         in.read() match {
           case ResourceOk => negotiated = true
           case DifferentResourceVersion =>
             val pref = in.readInt()
             require(pref >= 1, "s2s-raw: server offered no usable version")
-            v = math.min(pref, ProtocolVersion)
+            val next = math.min(pref, v)
+            require(next < v,
+              s"s2s-raw: peer rejected version $v but offered $pref (no lower version to fall back to)")
+            v = next
           case other => sys.error(s"s2s-raw: resource negotiation failed ($other)")
         }
       }

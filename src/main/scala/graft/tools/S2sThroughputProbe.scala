@@ -21,10 +21,13 @@ object S2sThroughputProbe {
     val out = if (args.length > 3) args(3) else "tools/s2sprobe_r16.json"
     val perConn = nMsgs / nConns
 
-    def spooledLines(spool: String): Long =
-      Files.list(Paths.get(spool)).iterator().asScala
+    def spooledLines(spool: String): Long = {
+      val st = Files.list(Paths.get(spool))
+      try st.iterator().asScala
         .filter(_.toString.endsWith(".jsonl"))
         .map(p => Files.readAllBytes(p).count(_ == '\n'.toByte).toLong).sum
+      finally st.close() // polled every 100 ms — must not leak an fd per call
+    }
 
     def run(tag: String)(mkSend: Int => (Seq[(Map[String, String], Array[Byte])] => Int),
                          spool: String): String = {

@@ -288,6 +288,15 @@ class AvroIoSpec extends SparkSpec {
     val bad = Seq(Array[Byte](0x7F.toByte, 0x7F.toByte)).toDF("abin")
     assert(Records.convertRecordFormat(bad, "abin", "avro", "json", ddl, "j")
       .filter(col("j").isNull).count() == 1)
+    // trailing garbage after a valid record (e.g. two concatenated
+    // records) is malformed too — must route to failure, not decode
+    // the prefix silently (r17)
+    val withTrailing = Seq(bos.toByteArray ++ Array[Byte](1, 2, 3)).toDF("abin")
+    assert(Records.convertRecordFormat(withTrailing, "abin", "avro", "json", ddl, "j")
+      .filter(col("j").isNull).count() == 1)
+    val twoConcat = Seq(bos.toByteArray ++ bos.toByteArray).toDF("abin")
+    assert(Records.convertRecordFormat(twoConcat, "abin", "avro", "json", ddl, "j")
+      .filter(col("j").isNull).count() == 1)
   }
 
 }
