@@ -101,6 +101,16 @@ import graft.operators.{Records, Route}
   *    Service`, and LookupRecord binds a `Record Lookup Service`
   *    (JDBC-backed `DatabaseRecordLookupService` with its own pool
   *    reference, or `CSVRecordLookupService`).
+  *  - GenAI vector-store family (r17) — the NiFi 2.x RAG vocabulary
+  *    (PutQdrant/QueryChroma shape) over the persistent-index family:
+  *    `ComputeTextEmbedding` (deterministic hashing-trick embedding
+  *    stand-in for the model service), `PutVectorIndex`/
+  *    `QueryVectorIndex` (IVF-PQ layout, optional exact rerank with a
+  *    `Corpus Source`-pinned second connection), `PutLshIndex` +
+  *    `DetectDuplicate`'s `Index Directory` near-dup mode (MinHash-LSH
+  *    layout), `PutBM25Index`/`QueryBM25Index` (lexical top-k). Put
+  *    nodes execute at compile (the PutFile sink discipline) and pass
+  *    the indexed FlowFiles through as `success`.
   *
   * Connections wire `source.id -> destination.id`; a connection from a
   * router with `selectedRelationships` that name a PROPER subset of its
@@ -725,7 +735,9 @@ object FlowCompiler {
                               "Signal Source"),
     "Notify"           -> Set("Release Signal Identifier", "Distributed Cache Service"),
     "RetryFlowFile"    -> Set("Retry Attribute", "Maximum Retries"),
-    "DetectDuplicate"  -> Set("Distributed Cache Service", "Cache Entry Identifier"),
+    "DetectDuplicate"  -> Set("Distributed Cache Service", "Cache Entry Identifier",
+                              "Index Directory", "Id Column", "Text Column",
+                              "Similarity Threshold"),
     "UpdateCounter"    -> Set("Counter Name"),
     "ConsumeKafka"     -> Set("Topic Name(s)", "Group ID", "Kafka Brokers",
                               "Message Demarcator", "Offset Reset", "Max Poll Records"),
@@ -771,6 +783,23 @@ object FlowCompiler {
     // r16 NiFi 2.x GenAI bundle: RAG chunking over the 38e chunker
     "ChunkDocument"      -> Set("Id Column", "Content Column",
                                 "Chunk Size", "Chunk Overlap"),
+    // r17 GenAI vector-store parity: the persistent-index family
+    // (IVF-PQ / MinHash-LSH / BM25) exposed through the flow vocabulary
+    "JoltTransformJSON"  -> Set("Jolt Specification", "Jolt Transformation DSL",
+                                "Content Column", "Output Column"),
+    "ComputeTextEmbedding" -> Set("Content Column", "Output Column", "Dimension"),
+    "PutVectorIndex"     -> Set("Index Directory", "Id Column", "Embedding Column",
+                                "Cells", "Subspaces", "Code Size", "Residual",
+                                "OPQ", "Lloyd Iterations", "Mode"),
+    "QueryVectorIndex"   -> Set("Index Directory", "Id Column", "Query Id Column",
+                                "Embedding Column", "Top K", "Probes",
+                                "Rerank Factor", "Corpus Source"),
+    "PutLshIndex"        -> Set("Index Directory", "Id Column", "Text Column",
+                                "Shingle Size", "Num Hashes", "Bands", "Mode"),
+    "PutBM25Index"       -> Set("Index Directory", "Id Column", "Text Column",
+                                "Buckets", "Mode"),
+    "QueryBM25Index"     -> Set("Index Directory", "Query Id Column",
+                                "Query Text Column", "Top K", "K1", "B"),
     // r16 HTML stage-0 (curation from crawl bytes)
     "ExtractHTMLMainContent" -> Set("Content Column", "Output Column",
                                 "Use Stoplist", "Length Low", "Length High",
@@ -1178,6 +1207,151 @@ object FlowCompiler {
           prop(p, "Id Column", "doc_id"),
           prop(p, "Content Column", "text"),
           chunkLen = size, stride = size - overlap)
+      case "JoltTransformJSON" =>
+        // NiFi standard bundle, full chained DSL (r17): the spec
+        // validates HERE (processor-validation time); `Jolt
+        // Transformation DSL` names a single operation to wrap a bare
+        // spec, NiFi's property vocabulary.
+        val spec0 = prop(p, "Jolt Specification", "")
+        require(spec0.nonEmpty, s"JoltTransformJSON ${p.name} needs a 'Jolt Specification'")
+        val dsl = prop(p, "Jolt Transformation DSL", "jolt-transform-chain")
+        val spec = dsl.stripPrefix("jolt-transform-") match {
+          case "chain" => spec0
+          case "card"  => s"""[{"operation":"cardinality","spec":$spec0}]"""
+          case "modify-overwrite" =>
+            s"""[{"operation":"modify-overwrite-beta","spec":$spec0}]"""
+          case op @ ("shift" | "default" | "remove") =>
+            s"""[{"operation":"$op","spec":$spec0}]"""
+          case other => throw new IllegalArgumentException(
+            s"JoltTransformJSON ${p.name}: unsupported DSL '$other'")
+        }
+        Records.joltTransformChain(in, prop(p, "Content Column", "content"),
+          spec, prop(p, "Output Column", "jolted"))
+      case "ComputeTextEmbedding" =>
+        // NiFi 2.x GenAI flows embed through a model SERVICE; offline
+        // the deterministic hashing-trick embedding stands in
+        // (graft.plans.HashedTextEmbedding — same text, same vector,
+        // every run), so RAG flows compile end-to-end and index parity
+        // pins are exact. Narrow per-row native expression, no shuffle.
+        in.withColumn(prop(p, "Output Column", "embedding"),
+          graft.plans.TextHashExpressions.hashedTextEmbedding(
+            col(prop(p, "Content Column", "text")),
+            prop(p, "Dimension", "16").trim.toInt))
+      case "PutVectorIndex" =>
+        // r17 vector-store parity (NiFi 2.x PutQdrant/PutChroma shape):
+        // compiling EXECUTES the index write (the PutFile sink
+        // discipline) against the persistent IVF-PQ layout; the node's
+        // output is the incoming FlowFiles (NiFi's success
+        // relationship — the index stores CODES, not originals, so
+        // there is no read-back that preserves the input schema).
+        val dir = prop(p, "Index Directory", "")
+        require(dir.nonEmpty, s"PutVectorIndex ${p.name} needs an Index Directory")
+        // materialize the batch ONCE: the IVF-PQ build is multi-pass
+        // (centroid pick, Lloyd refinement, codebook, encode, write) and
+        // each pass would otherwise recompute the whole upstream flow
+        // (source read → chunk → embed). NiFi's Put processors likewise
+        // consume a materialized queue, not a re-runnable pipeline; the
+        // checkpointed blocks release with the frame.
+        val inMat = in.localCheckpoint(true)
+        val vecs = inMat.select(
+          col(prop(p, "Id Column", "vec_id")).cast("long").as("vec_id"),
+          col(prop(p, "Embedding Column", "embedding")).as("embedding"))
+        prop(p, "Mode", "build").toLowerCase match {
+          case "build" => graft.operators.Pq.buildIndex(spark, vecs, dir,
+            nCells = prop(p, "Cells", "16").trim.toInt,
+            m = prop(p, "Subspaces", "8").trim.toInt,
+            kCodes = prop(p, "Code Size", "16").trim.toInt,
+            residual = prop(p, "Residual", "false").trim.toBoolean,
+            lloydIters = prop(p, "Lloyd Iterations", "0").trim.toInt,
+            opq = prop(p, "OPQ", "false").trim.toBoolean)
+          case "append" => graft.operators.Pq.appendToIndex(spark, dir, vecs)
+          case "upsert" => graft.operators.Pq.upsertToIndex(spark, dir, vecs)
+          case m => throw new IllegalArgumentException(
+            s"PutVectorIndex ${p.name}: unsupported Mode '$m' (build|append|upsert)")
+        }
+        // pass the MATERIALIZED batch through: a downstream rerank
+        // corpus edge reads it without recomputing the upstream either
+        inMat
+      case "QueryVectorIndex" =>
+        // Serve top-k from the IVF-PQ layout. One incoming connection =
+        // the query frame; with TWO, the `Corpus Source` property names
+        // the upstream carrying the ORIGINAL vectors for exact rerank
+        // (the index stores codes — connection JSON order is not
+        // meaningful, so the role is pinned by name, the Wait pattern).
+        val dir = prop(p, "Index Directory", "")
+        require(dir.nonEmpty, s"QueryVectorIndex ${p.name} needs an Index Directory")
+        val idCol = prop(p, "Id Column", "vec_id")
+        val vecCol = prop(p, "Embedding Column", "embedding")
+        // the query frame may key differently (query_id) than the
+        // corpus (vec_id) — two knobs, second defaulting to the first
+        val qIdCol = prop(p, "Query Id Column", idCol)
+        val rerank = prop(p, "Rerank Factor", "0").trim.toInt
+        def asVecs(df: DataFrame, id: String = idCol) = df.select(
+          col(id).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        val (queriesDf, corpusOpt) =
+          if (inputs.size == 2) {
+            val corpusSrc = prop(p, "Corpus Source", "")
+            require(corpusSrc.nonEmpty,
+              s"QueryVectorIndex ${p.name} has 2 incoming connections — " +
+              "name the rerank-corpus upstream with 'Corpus Source'")
+            val ci = srcs.indexWhere { case (sid, sname) =>
+              sname == corpusSrc || sid == corpusSrc }
+            require(ci >= 0, s"QueryVectorIndex ${p.name}: Corpus Source " +
+              s"'$corpusSrc' matches no upstream (have: ${srcs.map(_._2).mkString(", ")})")
+            (inputs(1 - ci), Some(asVecs(inputs(ci))))
+          } else (in, None)
+        require(rerank <= 0 || corpusOpt.nonEmpty,
+          s"QueryVectorIndex ${p.name}: Rerank Factor > 0 needs a second " +
+          "incoming connection named by 'Corpus Source' (the original vectors)")
+        graft.operators.Pq.searchIndex(spark, dir, asVecs(queriesDf, qIdCol),
+          k = prop(p, "Top K", "10").trim.toInt,
+          nProbe = prop(p, "Probes", "4").trim.toInt,
+          rerankFactor = rerank, rerankCorpus = corpusOpt)
+      case "PutLshIndex" =>
+        // MinHash-LSH layout build/ingest (backs DetectDuplicate's
+        // `Index Directory` mode) — the PutVectorIndex discipline.
+        val dir = prop(p, "Index Directory", "")
+        require(dir.nonEmpty, s"PutLshIndex ${p.name} needs an Index Directory")
+        val idCol = prop(p, "Id Column", "doc_id")
+        val textCol = prop(p, "Text Column", "text")
+        prop(p, "Mode", "build").toLowerCase match {
+          case "build" => graft.operators.LshIndex.buildIndex(spark, in, dir,
+            idCol, textCol,
+            shingleN = prop(p, "Shingle Size", "5").trim.toInt,
+            numHashes = prop(p, "Num Hashes", "64").trim.toInt,
+            bands = prop(p, "Bands", "8").trim.toInt)
+          case "append" => graft.operators.LshIndex.appendToIndex(spark, dir, in, idCol, textCol)
+          case "upsert" => graft.operators.LshIndex.upsertToIndex(spark, dir, in, idCol, textCol)
+          case m => throw new IllegalArgumentException(
+            s"PutLshIndex ${p.name}: unsupported Mode '$m' (build|append|upsert)")
+        }
+        in
+      case "PutBM25Index" =>
+        val dir = prop(p, "Index Directory", "")
+        require(dir.nonEmpty, s"PutBM25Index ${p.name} needs an Index Directory")
+        val idCol = prop(p, "Id Column", "doc_id")
+        val textCol = prop(p, "Text Column", "text")
+        prop(p, "Mode", "build").toLowerCase match {
+          case "build" => graft.operators.Bm25Index.buildIndex(spark, in, dir,
+            idCol, textCol, nBuckets = prop(p, "Buckets", "64").trim.toInt)
+          case "append" => graft.operators.Bm25Index.appendToIndex(spark, dir, in, idCol, textCol)
+          case "upsert" => graft.operators.Bm25Index.upsertToIndex(spark, dir, in, idCol, textCol)
+          case m => throw new IllegalArgumentException(
+            s"PutBM25Index ${p.name}: unsupported Mode '$m' (build|append|upsert)")
+        }
+        in
+      case "QueryBM25Index" =>
+        // Lexical top-k served from the persistent BM25 layout
+        // (bucket-pruned postings read, scores EXACTLY the fresh-build
+        // Retrieval.bm25TopK doubles — Bm25IndexSpec's parity pin).
+        val dir = prop(p, "Index Directory", "")
+        require(dir.nonEmpty, s"QueryBM25Index ${p.name} needs an Index Directory")
+        graft.operators.Bm25Index.searchIndex(spark, dir, in,
+          queryIdCol = prop(p, "Query Id Column", "query_id"),
+          queryTextCol = prop(p, "Query Text Column", "qtext"),
+          k = prop(p, "Top K", "10").trim.toInt,
+          k1 = prop(p, "K1", "1.2").trim.toDouble,
+          b = prop(p, "B", "0.75").trim.toDouble)
       case "ExtractHTMLMainContent" =>
         // r16 curation stage-0: crawl HTML → main-content text
         // (jusText block classification; graft.operators.Html)
@@ -1952,15 +2126,30 @@ object FlowCompiler {
           prop(p, "Maximum Retries", "3").trim.toInt,
           prop(p, "Route Column", "route"))
       case "DetectDuplicate" =>
-        // cache-backed cross-run duplicate detection (MapCache path via
-        // Distributed Cache Service, NiFi's controller-service slot)
-        val cachePath = prop(p, "Distributed Cache Service", "")
-        require(cachePath.nonEmpty,
-          s"DetectDuplicate ${p.name} needs a Distributed Cache Service path " +
-          "(in-batch dedup is DeduplicateRecord)")
-        graft.operators.Dedup.detectDuplicate(in, cachePath,
-          prop(p, "Cache Entry Identifier", "key"),
-          routeCol = prop(p, "Route Column", "route"))
+        val indexDir = prop(p, "Index Directory", "")
+        if (indexDir.nonEmpty) {
+          // r17 NEAR-dup mode: one probe of the persistent MinHash-LSH
+          // layout flags each FlowFile with whether the index already
+          // holds a near-duplicate (best match + similarity ride
+          // along); routes `duplicate`/`non-duplicate` like the exact
+          // cache mode so connections select relationships identically.
+          graft.operators.LshIndex.detectDuplicates(spark, indexDir, in,
+              prop(p, "Id Column", "doc_id"),
+              prop(p, "Text Column", "text"),
+              threshold = prop(p, "Similarity Threshold", "0.6").trim.toDouble)
+            .withColumn(prop(p, "Route Column", "route"),
+              when(col("is_duplicate"), "duplicate").otherwise("non-duplicate"))
+        } else {
+          // exact cross-run duplicate detection (MapCache path via
+          // Distributed Cache Service, NiFi's controller-service slot)
+          val cachePath = prop(p, "Distributed Cache Service", "")
+          require(cachePath.nonEmpty,
+            s"DetectDuplicate ${p.name} needs a Distributed Cache Service path " +
+            "or an Index Directory (in-batch dedup is DeduplicateRecord)")
+          graft.operators.Dedup.detectDuplicate(in, cachePath,
+            prop(p, "Cache Entry Identifier", "key"),
+            routeCol = prop(p, "Route Column", "route"))
+        }
       case "UpdateCounter" =>
         // simple form: Counter Name counts every record; dynamic
         // properties are counter name -> EL predicate. Counters ride

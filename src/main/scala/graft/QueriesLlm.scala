@@ -696,6 +696,38 @@ object QueriesLlm {
       .select(col("query_id").as("id_a"), col("id").as("id_b"), col("est_jaccard"))
   }
 
+  /** r17 GenAI RAG flow (flows/rag_index.json — the NiFi 2.x
+    * vector-store vocabulary compiled end-to-end): documents chunk
+    * (ChunkDocument), chunks embed deterministically
+    * (ComputeTextEmbedding, the hashing-trick stand-in for the model
+    * service), the vectors build a persistent IVF-PQ index
+    * (PutVectorIndex — executes at compile, the sink discipline), and
+    * each doc's own leading text serves as its question, retrieving
+    * exact-reranked top-5 chunks from the layout (QueryVectorIndex,
+    * corpus edge pinned by `Corpus Source`). Rows-only at the gate
+    * (hash embeddings + ADC aren't DuckDB-expressible); FlowIndexSpec
+    * pins the output ROW-IDENTICAL to the direct operator API
+    * (Retrieval.chunkTokens → hashedTextEmbedding → Pq.buildIndex/
+    * searchIndex) — the q_lsh_index parity discipline. */
+  val qFlowIndex: Q = (s, d) => {
+    val in = getClass.getResourceAsStream("/flows/rag_index.json")
+    require(in != null, "flow definition resource missing")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // the INDEX covers the full corpus (the scale-relevant half); the
+    // question batch is a ~1% deterministic sample — a RAG deployment
+    // serves a query stream against the corpus, it does not re-ask
+    // every document (all-docs-as-queries is q_ann_ivf's job)
+    val questions = Tables.documents(s, d)
+      .filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 120).as("qtext"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_flow_index_${d.hashCode & 0x7FFFFFFF}"
+    FlowCompiler.compile(s, json,
+      Map("docs" -> docs, "questions" -> questions),
+      Map("index_dir" -> path))("hits")
+  }
+
   /** MinHash+LSH with the hot-bucket cap (§2.4 #30, r11) — the
     * 100×-scale form: band buckets larger than 256 docs are skipped
     * (their pairs are the measured-quadratic term; true near-dups
@@ -2997,6 +3029,7 @@ object QueriesLlm {
     "q_dedup_cluster_capped" -> qDedupClusterCapped,
     "q_dedup_minhash"       -> qDedupMinhash,
     "q_lsh_index"           -> qLshIndex,
+    "q_flow_index"          -> qFlowIndex,
     "q_dedup_minhash_capped" -> qDedupMinhashCapped,
     "q_dedup_simhash"       -> qDedupSimhash,
     "q_embed_neardup"       -> qEmbedNeardup,

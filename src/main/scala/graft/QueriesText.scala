@@ -294,6 +294,42 @@ object QueriesText {
       |    meta := struct_pack(v := '1'))) AS jolted
       |FROM events""".stripMargin
 
+  /** JoltTransformJSON, full chained DSL (r17): a five-step chain —
+    * shift (`*` wildcard + `&` reference), remove, cardinality ONE,
+    * default, modify-overwrite-beta `=toUpper` — interpreted per row
+    * ([[graft.operators.Jolt]]) over a document synthesized from event
+    * columns, so the DuckDB oracle can state the expected OUTPUT bytes
+    * exactly (both serializers emit compact insertion-ordered JSON). */
+  val qJoltChain: Q = (s, d) => {
+    val chain =
+      """[
+        |{"operation": "shift", "spec": {"user": {"*": "account.&"},
+        |                                "k": "meta.key", "tags": "tags",
+        |                                "gone": "trash.x"}},
+        |{"operation": "remove", "spec": {"trash": ""}},
+        |{"operation": "cardinality", "spec": {"tags": "ONE"}},
+        |{"operation": "default", "spec": {"meta": {"source": "events"}}},
+        |{"operation": "modify-overwrite-beta",
+        | "spec": {"account": {"type": "=toUpper"}}}
+        |]""".stripMargin
+    val doc = to_json(struct(
+      struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      array(col("event_type"), lit("x")).as("tags"),
+      lit(1).as("gone")))
+    Records.joltTransformChain(
+        Tables.events(s, d).withColumn("doc", doc), "doc", chain, "jolted")
+      .select(col("event_id"), col("jolted"))
+  }
+  val qJoltChainSql: String =
+    """SELECT event_id,
+      |  to_json(struct_pack(
+      |    account := struct_pack(id := user_id, type := upper(event_type)),
+      |    meta := struct_pack(key := CAST(json_extract_string(props, '$.k') AS INT),
+      |                        source := 'events'),
+      |    tags := event_type)) AS jolted
+      |FROM events""".stripMargin
+
   /** Composite NiFi-flow parity, hash-checked end-to-end:
     * EvaluateJsonPath → UpdateAttribute(EL) → RouteOnAttribute →
     * MergeRecord(ordered digest) per (route, day) — four processors as
@@ -949,6 +985,7 @@ object QueriesText {
     "q_route_el"        -> qRouteEl,
     "q_pack_unpack"     -> qPackUnpack,
     "q_jolt"            -> qJolt,
+    "q_jolt_chain"      -> qJoltChain,
     "q_flow_composite"  -> qFlowComposite,
     "q_flow_definition" -> qFlowDefinition,
     "q_flow_enrichment" -> qFlowEnrichment,
@@ -996,6 +1033,7 @@ object QueriesText {
     "q_route_el"        -> qRouteElSql,
     "q_pack_unpack"     -> qPackUnpackSql,
     "q_jolt"            -> qJoltSql,
+    "q_jolt_chain"      -> qJoltChainSql,
     "q_flow_composite"  -> qFlowCompositeSql,
     "q_flow_definition" -> qFlowCompositeSql,
     "q_flow_enrichment" -> qFlowEnrichmentSql,

@@ -1,0 +1,339 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode, TextNode}
+
+/** Jolt JSON-to-JSON transform DSL — the full chained form of NiFi's
+  * JoltTransformJSON processor (the [[Records.joltTransform]] Column
+  * tree stays as the codegen'd fast path for static shift+default
+  * specs; THIS interpreter handles the data-dependent grammar a static
+  * expression tree cannot: `*` wildcards match keys only known at
+  * runtime, `&` substitutes them back).
+  *
+  * Implemented from the public Jolt documentation and its worked
+  * examples (github.com/bazaarvoice/jolt — shift/default/remove/
+  * cardinality/modify-overwrite-beta, chained as
+  * `[{"operation": ..., "spec": ...}, ...]`):
+  *
+  *  - **shift**: spec tree walked against the input tree. LHS keys
+  *    match literally first, then `a|b` alternation, then `*`; array
+  *    elements match via their index as a key. RHS is a destination
+  *    path (dotted; `&`/`&0`/`&(1)` substitute the key matched 0/1/…
+  *    levels up; a trailing `[]` segment appends to an array), a
+  *    nested spec object, or an array of destination paths
+  *    (multi-write). Two writes to one slot accumulate into an array
+  *    (Jolt's list-on-collision rule). Unmatched input is dropped.
+  *  - **default**: literals applied where the slot is absent or null;
+  *    `*` applies under every existing key; nested spec objects create
+  *    missing containers.
+  *  - **remove**: LHS grammar as shift; a leaf `""` removes the
+  *    matched slot.
+  *  - **cardinality**: leaf `"ONE"` unwraps a list to its first
+  *    element, `"MANY"` wraps a non-list into a one-element list.
+  *  - **modify-overwrite-beta**: leaf `=toUpper|=toLower|=trim|=size`
+  *    apply to the existing value; any other leaf literal overwrites;
+  *    `*` matches every key; recursion only descends into slots that
+  *    exist (modify never creates structure except the assigned leaf).
+  *
+  * Documented subset bounds: `$`-matching, `#` literals, `@`-lookups,
+  * `&(n,k)` group references and modify's arithmetic/string-template
+  * functions are not implemented (they have no NiFi-flow usage in this
+  * engine's test corpus); the spec parser rejects nothing silently —
+  * unknown operations throw at parse time.
+  *
+  * Reference behavior: NiFi standard-bundle JoltTransformJSON
+  * (chained DSL, spec validated at processor-config time).
+  */
+object Jolt {
+
+  private val mapper = new ObjectMapper()
+  private val f = JsonNodeFactory.instance
+
+  /** Parse + validate a chained spec (or a single shift spec object,
+    * accepted as a one-element chain for convenience). Returns the
+    * transform. Throws on unknown operations or malformed spec — call
+    * once at flow-compile/processor-validation time. */
+  def chain(specJson: String): JsonNode => JsonNode = {
+    val spec = mapper.readTree(specJson)
+    val steps: Seq[(String, JsonNode)] =
+      if (spec.isArray) spec.elements().asScala.toSeq.map { entry =>
+        require(entry.isObject && entry.has("operation") && entry.has("spec"),
+          "jolt chain entries need {\"operation\": ..., \"spec\": ...}")
+        (entry.get("operation").asText(), entry.get("spec"))
+      }
+      else Seq(("shift", spec)) // bare object = a single shift spec
+    val fns = steps.map {
+      case ("shift", s)       => require(s.isObject, "shift spec must be an object")
+                                 (in: JsonNode) => shift(in, s.asInstanceOf[ObjectNode])
+      case ("default", s)     => require(s.isObject, "default spec must be an object")
+                                 (in: JsonNode) => defaults(in, s.asInstanceOf[ObjectNode])
+      case ("remove", s)      => require(s.isObject, "remove spec must be an object")
+                                 (in: JsonNode) => remove(in, s.asInstanceOf[ObjectNode])
+      case ("cardinality", s) => require(s.isObject, "cardinality spec must be an object")
+                                 validateLeaves(s, "cardinality") {
+                                   t => t.isTextual && Set("ONE", "MANY")(t.asText()) }
+                                 (in: JsonNode) => cardinality(in, s.asInstanceOf[ObjectNode])
+      case ("modify-overwrite-beta", s) =>
+        require(s.isObject, "modify spec must be an object")
+        validateLeaves(s, "modify-overwrite-beta") { t =>
+          !(t.isTextual && t.asText().startsWith("=")) ||
+            Set("=toUpper", "=toLower", "=trim", "=size")(t.asText()) }
+        (in: JsonNode) => modify(in, s.asInstanceOf[ObjectNode])
+      case (op, _) => throw new IllegalArgumentException(
+        s"jolt: unsupported operation '$op' " +
+        "(shift|default|remove|cardinality|modify-overwrite-beta)")
+    }
+    (in: JsonNode) => fns.foldLeft(in)((node, fn) => fn(node))
+  }
+
+  /** Spec leaves are data-independent — reject a bad one at parse time
+    * (NiFi's processor-validation moment), never per row. */
+  private def validateLeaves(spec: JsonNode, op: String)(ok: JsonNode => Boolean): Unit =
+    spec.properties().asScala.foreach { e =>
+      e.getValue match {
+        case o: ObjectNode => validateLeaves(o, op)(ok)
+        case leaf => require(ok(leaf), s"jolt $op: unsupported leaf $leaf")
+      }
+    }
+
+  /** One-call convenience: transform a JSON string. Null/unparseable
+    * INPUT yields null (the failure relationship); spec errors were
+    * already rejected by [[chain]]. */
+  def transformString(specJson: String): String => String = {
+    val t = chain(specJson)
+    (json: String) =>
+      if (json == null) null
+      else {
+        val root = try mapper.readTree(json)
+                   catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+        if (root == null) null else mapper.writeValueAsString(t(root))
+      }
+  }
+
+  // ------------------------------------------------------------- shift
+
+  /** LHS match order per the Jolt docs: literal beats alternation
+    * beats `*`. Returns the spec value to walk with. */
+  private def lhsMatch(spec: ObjectNode, key: String): Option[JsonNode] = {
+    if (spec.has(key)) return Some(spec.get(key))
+    val alt = spec.properties().asScala
+      .find { e => val k = e.getKey
+        k.contains('|') && k.split('|').contains(key) }
+      .map(_.getValue)
+    alt.orElse(Option(spec.get("*")))
+  }
+
+  private def shift(input: JsonNode, spec: ObjectNode): JsonNode = {
+    val out = f.objectNode()
+    walkShift(input, spec, Nil, out)
+    out
+  }
+
+  private def walkShift(node: JsonNode, spec: ObjectNode,
+                        matched: List[String], out: ObjectNode): Unit = {
+    def one(key: String, value: JsonNode): Unit =
+      lhsMatch(spec, key).foreach { rhs =>
+        val m2 = key :: matched
+        rhs match {
+          case o: ObjectNode => walkShift(value, o, m2, out)
+          case t if t.isTextual => write(out, resolveDst(t.asText(), m2), value)
+          case a: ArrayNode =>
+            a.elements().asScala.foreach { d =>
+              require(d.isTextual, "jolt shift: destination array must hold path strings")
+              write(out, resolveDst(d.asText(), m2), value)
+            }
+          case other => throw new IllegalArgumentException(
+            s"jolt shift: unsupported RHS ${other.getNodeType} for key '$key'")
+        }
+      }
+    node match {
+      case o: ObjectNode =>
+        o.properties().asScala.foreach(e => one(e.getKey, e.getValue))
+      case a: ArrayNode =>
+        a.elements().asScala.zipWithIndex.foreach { case (v, i) => one(i.toString, v) }
+      case _ => () // scalar at a spec-object level: nothing to match
+    }
+  }
+
+  /** `&`, `&0`, `&(1)` substitution inside one destination path, then
+    * dot-split. A trailing `[]` on a segment marks array-append. */
+  private def resolveDst(dst: String, matched: List[String]): Seq[String] = {
+    val amp = "&(?:\\((\\d+)\\)|(\\d+))?".r
+    val resolved = amp.replaceAllIn(dst, m => {
+      val n = Option(m.group(1)).orElse(Option(m.group(2))).map(_.toInt).getOrElse(0)
+      require(n < matched.length, s"jolt shift: &$n exceeds match depth in '$dst'")
+      java.util.regex.Matcher.quoteReplacement(matched(n))
+    })
+    resolved.split('.').toSeq
+  }
+
+  /** Write `value` at the segment path; an existing value at the slot
+    * converts to an array (Jolt multi-write); a `seg[]` tail appends. */
+  private def write(root: ObjectNode, segs: Seq[String], value: JsonNode): Unit = {
+    var cur = root
+    for (s <- segs.dropRight(1)) {
+      val name = s.stripSuffix("[]")
+      cur = cur.get(name) match {
+        case o: ObjectNode => o
+        case null => val o = f.objectNode(); cur.set[JsonNode](name, o); o
+        case other => throw new IllegalArgumentException(
+          s"jolt shift: '$name' already holds a ${other.getNodeType}, cannot descend")
+      }
+    }
+    val leaf = segs.last
+    val v = value.deepCopy[JsonNode]()
+    if (leaf.endsWith("[]")) {
+      val name = leaf.stripSuffix("[]")
+      val arr = cur.get(name) match {
+        case a: ArrayNode => a
+        case null => val a = f.arrayNode(); cur.set[JsonNode](name, a); a
+        case other => val a = f.arrayNode(); a.add(other); cur.set[JsonNode](name, a); a
+      }
+      arr.add(v)
+    } else cur.get(leaf) match {
+      case null => cur.set[JsonNode](leaf, v)
+      case a: ArrayNode => a.add(v)
+      case prev => val a = f.arrayNode(); a.add(prev); a.add(v); cur.set[JsonNode](leaf, a)
+    }
+  }
+
+  // ----------------------------------------------------------- default
+
+  private def defaults(input: JsonNode, spec: ObjectNode): JsonNode = {
+    val out = input.deepCopy[JsonNode]()
+    applyDefaults(out, spec)
+    out
+  }
+
+  private def applyDefaults(node: JsonNode, spec: ObjectNode): Unit = node match {
+    case o: ObjectNode =>
+      spec.properties().asScala.foreach { e =>
+        val (key, sv) = (e.getKey, e.getValue)
+        val targets =
+          if (key == "*") o.properties().asScala.map(_.getKey).toSeq
+          else Seq(key)
+        targets.foreach { k =>
+          sv match {
+            case so: ObjectNode =>
+              if (o.get(k) == null || o.get(k).isNull)
+                { if (key != "*") o.set[JsonNode](k, f.objectNode()) } // create container for literal keys only
+              o.get(k) match {
+                case oo: ObjectNode => applyDefaults(oo, so)
+                case _ => ()
+              }
+            case lit =>
+              if (o.get(k) == null || o.get(k).isNull) o.set[JsonNode](k, lit.deepCopy[JsonNode]())
+          }
+        }
+      }
+    case a: ArrayNode => a.elements().asScala.foreach(applyDefaults(_, spec))
+    case _ => ()
+  }
+
+  // ------------------------------------------------------------ remove
+
+  private def remove(input: JsonNode, spec: ObjectNode): JsonNode = {
+    val out = input.deepCopy[JsonNode]()
+    applyRemove(out, spec)
+    out
+  }
+
+  private def applyRemove(node: JsonNode, spec: ObjectNode): Unit = node match {
+    case o: ObjectNode =>
+      spec.properties().asScala.foreach { e =>
+        val (key, sv) = (e.getKey, e.getValue)
+        val targets =
+          if (key == "*") o.properties().asScala.map(_.getKey).toSeq
+          else if (key.contains('|')) key.split('|').toSeq.filter(k => o.has(k))
+          else Seq(key).filter(o.has)
+        targets.foreach { k =>
+          sv match {
+            case so: ObjectNode => Option(o.get(k)).foreach(applyRemove(_, so))
+            case _ => o.remove(k) // leaf "" (any scalar) removes the slot
+          }
+        }
+      }
+    case a: ArrayNode => a.elements().asScala.foreach(applyRemove(_, spec))
+    case _ => ()
+  }
+
+  // ------------------------------------------------------- cardinality
+
+  private def cardinality(input: JsonNode, spec: ObjectNode): JsonNode = {
+    val out = input.deepCopy[JsonNode]()
+    applyCardinality(out, spec)
+    out
+  }
+
+  private def applyCardinality(node: JsonNode, spec: ObjectNode): Unit = node match {
+    case o: ObjectNode =>
+      spec.properties().asScala.foreach { e =>
+        val (key, sv) = (e.getKey, e.getValue)
+        val targets =
+          if (key == "*") o.properties().asScala.map(_.getKey).toSeq
+          else Seq(key).filter(o.has)
+        targets.foreach { k =>
+          sv match {
+            case so: ObjectNode => Option(o.get(k)).foreach(applyCardinality(_, so))
+            case t if t.isTextual && t.asText() == "ONE" =>
+              o.get(k) match {
+                case a: ArrayNode =>
+                  if (a.size() == 0) o.remove(k) else o.set[JsonNode](k, a.get(0))
+                case _ => ()
+              }
+            case t if t.isTextual && t.asText() == "MANY" =>
+              o.get(k) match {
+                case _: ArrayNode => ()
+                case v => val a = f.arrayNode(); a.add(v); o.set[JsonNode](k, a)
+              }
+            case other => throw new IllegalArgumentException(
+              s"jolt cardinality: leaf must be ONE or MANY, got $other")
+          }
+        }
+      }
+    case a: ArrayNode => a.elements().asScala.foreach(applyCardinality(_, spec))
+    case _ => ()
+  }
+
+  // ------------------------------------------- modify-overwrite-beta
+
+  private def modify(input: JsonNode, spec: ObjectNode): JsonNode = {
+    val out = input.deepCopy[JsonNode]()
+    applyModify(out, spec)
+    out
+  }
+
+  private def applyModify(node: JsonNode, spec: ObjectNode): Unit = node match {
+    case o: ObjectNode =>
+      spec.properties().asScala.foreach { e =>
+        val (key, sv) = (e.getKey, e.getValue)
+        val targets =
+          if (key == "*") o.properties().asScala.map(_.getKey).toSeq
+          else Seq(key)
+        targets.foreach { k =>
+          sv match {
+            case so: ObjectNode => Option(o.get(k)).foreach(applyModify(_, so))
+            case t if t.isTextual && t.asText().startsWith("=") =>
+              Option(o.get(k)).foreach(v => o.set[JsonNode](k, modifyFn(t.asText(), v)))
+            case lit => o.set[JsonNode](k, lit.deepCopy[JsonNode]()) // literal overwrite
+          }
+        }
+      }
+    case a: ArrayNode => a.elements().asScala.foreach(applyModify(_, spec))
+    case _ => ()
+  }
+
+  private def modifyFn(fn: String, v: JsonNode): JsonNode = fn match {
+    case "=toUpper" => if (v.isTextual) new TextNode(v.asText().toUpperCase(java.util.Locale.ROOT)) else v
+    case "=toLower" => if (v.isTextual) new TextNode(v.asText().toLowerCase(java.util.Locale.ROOT)) else v
+    case "=trim"    => if (v.isTextual) new TextNode(v.asText().trim) else v
+    case "=size"    =>
+      if (v.isTextual) f.numberNode(v.asText().length)
+      else if (v.isArray || v.isObject) f.numberNode(v.size())
+      else v
+    case other => throw new IllegalArgumentException(
+      s"jolt modify: unsupported function '$other' (=toUpper|=toLower|=trim|=size)")
+  }
+}

@@ -381,6 +381,20 @@ object Records {
     df.withColumn(outCol, to_json(tree))
   }
 
+  /** JoltTransformJSON, full chained DSL (r17): shift with `*`/`|`
+    * wildcards and `&` references, default, remove, cardinality,
+    * modify-overwrite-beta — chained in spec order. The static
+    * [[joltTransform]] stays the codegen'd fast path when the spec is
+    * a fixed shift+default; this form interprets the spec per row
+    * ([[Jolt]]) because wildcard matches depend on each document's
+    * keys. The spec parses + validates ONCE here (flow-compile time),
+    * NiFi's processor-validation behavior. */
+  def joltTransformChain(df: DataFrame, jsonCol: String, specJson: String,
+                         outCol: String = "jolted"): DataFrame = {
+    graft.operators.Jolt.chain(specJson) // validate now, not per row
+    df.withColumn(outCol, graft.plans.JoltTransform(col(jsonCol), specJson))
+  }
+
   /** PartitionRecord: derive a partition key column; pair with
     * `.write.partitionBy` or `.repartition` for physical layout. */
   def partitionKey(df: DataFrame, keyCol: String, key: Column): DataFrame =

@@ -134,3 +134,33 @@ object JsonPathMutate {
   def apply(c: Column, path: String, op: String, args: Seq[String] = Nil): Column =
     ColumnBridge.column(JsonPathMutate(ColumnBridge.expression(c), path, op, args))
 }
+
+/** Full chained Jolt transform ([[graft.operators.Jolt]] interpreter):
+  * JSON string → JSON string per the chained spec. The spec parses and
+  * validates ONCE per expression instance (then per executor after
+  * serialization — `@transient lazy`), so per-row cost is one Jackson
+  * parse + the tree walk; unparseable input yields null (the failure
+  * relationship). CodegenFallback by the [[JsonPathMutate]] rationale:
+  * this is a record-restructuring stage, not a 100 TB scan predicate. */
+case class JoltTransform(child: Expression, specJson: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jolt"
+
+  @transient private lazy val transform =
+    graft.operators.Jolt.transformString(specJson)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val out = transform(input.asInstanceOf[UTF8String].toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JoltTransform {
+  def apply(c: Column, specJson: String): Column =
+    ColumnBridge.column(JoltTransform(ColumnBridge.expression(c), specJson))
+}

@@ -499,6 +499,56 @@ object RepetitionPanel {
     StructType(fieldNames.map(StructField(_, DoubleType, nullable = false)))
 }
 
+/** Feature-hashed text embedding (the "hashing trick", Weinberger et
+  * al. 2009 / sklearn HashingVectorizer): whitespace tokens hash into
+  * `dim` slots with a ±1 sign bit, the slot counts L2-normalize into a
+  * unit `array<float>`. The deterministic embedding stand-in for the
+  * flow vocabulary's GenAI leg (NiFi 2.x RAG flows call an embedding
+  * SERVICE here; offline, a fixed hash gives the same vector for the
+  * same text on every run, so index parity pins are exact): texts
+  * sharing tokens land in shared slots, so cosine over these vectors
+  * IS a (sign-randomized) token-overlap kernel — real retrieval
+  * signal, zero model weights. Tokenizer contract: [[TextHash.isWs]],
+  * the same `\s` set as `TextAnalysis.wsTokens`. Empty/whitespace text
+  * → the zero vector (no tokens, nothing to normalize). */
+case class HashedTextEmbedding(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 2, s"HashedTextEmbedding: dim >= 2, got $dim")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val acc = new Array[Double](dim)
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && TextHash.isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !TextHash.isWs(bytes(i))) i += 1
+      if (i > start) {
+        val h = TextHash.hashBytes(bytes, start, i - start, TextHash.Seed1)
+        // low bit → sign, remaining bits → slot (independent enough
+        // after the splitmix finalizer)
+        val slot = (((h >>> 1) % dim) + dim) % dim
+        acc(slot.toInt) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+      }
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) { out(j) = (acc(j) * inv).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
@@ -521,4 +571,6 @@ object TextHashExpressions {
     ColumnBridge.column(SortedIntersectAtLeast(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
       ColumnBridge.expression(required)))
+  def hashedTextEmbedding(c: Column, dim: Int): Column =
+    ColumnBridge.column(HashedTextEmbedding(ColumnBridge.expression(c), dim))
 }

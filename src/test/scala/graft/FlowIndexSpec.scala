@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25Index, LshIndex, Pq, Retrieval}
+import graft.plans.TextHashExpressions
+
+/** Gates for the r17 GenAI vector-store flow vocabulary: the committed
+  * RAG flow (flows/rag_index.json) must produce ROW-IDENTICAL output to
+  * the direct operator API (the q_lsh_index parity discipline), the
+  * hashing-trick embedding must be deterministic and unit-norm, the
+  * LSH-backed DetectDuplicate mode must route exactly like
+  * [[LshIndex.detectDuplicates]], and QueryBM25Index must serve the
+  * [[Bm25Index.searchIndex]] doubles verbatim. */
+class FlowIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 docs, 40 tokens each, disjoint vocabularies — chunk size 32 /
+  // overlap 8 gives 2 chunks per doc; a query built from a doc's
+  // leading tokens shares vocabulary ONLY with that doc's chunks, so
+  // rank-1 self-retrieval is exact, not probabilistic.
+  private def docs = (0L until 12L).map { i =>
+    (i, (0 until 40).map(j => s"w${i}x$j").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  // each question is EXACTLY its doc's chunk-0 text: the query vector
+  // equals that chunk's vector, so exact rerank puts it at cosine 1.0 —
+  // rank-1 self-retrieval is guaranteed, not probabilistic (hash-slot
+  // collisions at dim 16 make partial-overlap cosines noisy)
+  private def questions = (0L until 12L).map { i =>
+    (i, (0 until 32).map(j => s"w${i}x$j").mkString(" "))
+  }.toDF("query_id", "qtext")
+
+  private def ragFlowJson: String = {
+    val in = getClass.getResourceAsStream("/flows/rag_index.json")
+    require(in != null, "rag_index.json missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("ComputeTextEmbedding stand-in: deterministic, unit-norm, zero for empty") {
+    val df = Seq("a b c", "a b c", "", "   ").toDF("t")
+      .select(TextHashExpressions.hashedTextEmbedding(col("t"), 16).as("v"))
+    val rows = df.as[Array[Float]].collect()
+    assert(rows(0).toSeq == rows(1).toSeq, "same text must embed identically")
+    val n0 = math.sqrt(rows(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(n0 - 1.0) < 1e-5, s"non-empty text embeds to unit norm, got $n0")
+    assert(rows(2).forall(_ == 0f) && rows(3).forall(_ == 0f),
+      "empty/whitespace text embeds to the zero vector")
+    assert(rows(0).length == 16)
+  }
+
+  test("RAG flow output is ROW-IDENTICAL to the direct operator API") {
+    val flowPath = java.nio.file.Files.createTempDirectory("graft_ragflow").toString
+    val hits = FlowCompiler.compile(spark, ragFlowJson,
+      Map("docs" -> docs, "questions" -> questions),
+      Map("index_dir" -> flowPath))("hits")
+    val got = hits.select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    // the direct path, parameter-for-parameter the flow's properties
+    val directPath = java.nio.file.Files.createTempDirectory("graft_ragdirect").toString
+    val vecs = Retrieval.chunkTokens(docs, "doc_id", "text", chunkLen = 32, stride = 24)
+      .select((col("doc_id") * 1048576 + col("chunk_id")).as("vec_id"), col("chunk_text"))
+      .withColumn("embedding",
+        TextHashExpressions.hashedTextEmbedding(col("chunk_text"), 16))
+      .select("vec_id", "embedding")
+    Pq.buildIndex(spark, vecs, directPath, nCells = 8, m = 4, kCodes = 16,
+      lloydIters = 1)
+    val qVecs = questions
+      .select(col("query_id").as("vec_id"),
+        TextHashExpressions.hashedTextEmbedding(col("qtext"), 16).as("embedding"))
+    val direct = Pq.searchIndex(spark, directPath, qVecs, k = 5, nProbe = 4,
+        rerankFactor = 3, rerankCorpus = Some(vecs))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    assert(got.nonEmpty, "flow must retrieve hits")
+    assert(got === direct, "flow output must equal the direct API output row-for-row")
+  }
+
+  test("RAG flow self-retrieval: every question's rank-1 hit is a chunk of its own doc") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ragself").toString
+    val hits = FlowCompiler.compile(spark, ragFlowJson,
+      Map("docs" -> docs, "questions" -> questions),
+      Map("index_dir" -> path))("hits")
+    val top1 = hits.filter(col("rk") === 1)
+      .select(col("query_id"), (col("vec_id") / 1048576).cast("long").as("hit_doc"))
+      .as[(Long, Long)].collect()
+    assert(top1.length == 12, "every question retrieves")
+    assert(top1.forall { case (q, d) => q == d },
+      "disjoint vocabularies: rank-1 must be the question's own doc")
+  }
+
+  test("QueryVectorIndex validation: 2 inputs need Corpus Source; Rerank needs the corpus edge") {
+    val bad = ragFlowJson.replace("\"Corpus Source\": \"ChunkStore\"",
+      "\"Corpus Source Removed\": \"x\"")
+    assert(bad != ragFlowJson, "fixture replace must hit")
+    val e = intercept[Exception] {
+      FlowCompiler.compile(spark, bad,
+        Map("docs" -> docs, "questions" -> questions),
+        Map("index_dir" ->
+          java.nio.file.Files.createTempDirectory("graft_ragbad").toString))("hits")
+        .count()
+    }
+    assert(e.getMessage.contains("Corpus Source"))
+  }
+
+  test("DetectDuplicate Index Directory mode routes exactly like LshIndex.detectDuplicates") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the windowsill"
+    val corpus = Seq((0L, base), (1L, "totally different content about spark plans"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base.replace("windowsill", "ledge")), // near-dup of 0
+      (101L, "novel text with its own words entirely")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_ddidx").toString
+    // PutLshIndex is exercised through the compiler; DetectDuplicate's
+    // index mode probes the same layout. Build via a one-node flow
+    // (source = the corpus input port), then gate the incoming batch.
+    val buildFlow = s"""{"flowContents": {"name": "build",
+      "inputPorts": [{"identifier": "in-c", "name": "corpus"}],
+      "outputPorts": [{"identifier": "out-c", "name": "indexed"}],
+      "processors": [
+        {"identifier": "p-build", "name": "CorpusIndex",
+         "type": "org.apache.nifi.processors.standard.PutLshIndex",
+         "properties": {"Index Directory": "$path", "Shingle Size": "3",
+                        "Num Hashes": "64", "Bands": "16", "Mode": "build"}}],
+      "connections": [
+        {"source": {"id": "in-c"}, "destination": {"id": "p-build"}},
+        {"source": {"id": "p-build"}, "destination": {"id": "out-c"}}]}}"""
+    val indexed = FlowCompiler.compile(spark, buildFlow, Map("corpus" -> corpus))("indexed")
+    assert(indexed.count() == 2, "PutLshIndex passes the indexed FlowFiles through")
+
+    val gateFlow = s"""{"flowContents": {"name": "gate",
+      "inputPorts": [{"identifier": "in-b", "name": "batch"}],
+      "outputPorts": [{"identifier": "out-dup", "name": "dups"},
+                      {"identifier": "out-new", "name": "novel"}],
+      "processors": [
+        {"identifier": "p-dd", "name": "NearDupGate",
+         "type": "org.apache.nifi.processors.standard.DetectDuplicate",
+         "properties": {"Index Directory": "$path",
+                        "Similarity Threshold": "0.6"}}],
+      "connections": [
+        {"source": {"id": "in-b"}, "destination": {"id": "p-dd"}},
+        {"source": {"id": "p-dd"}, "destination": {"id": "out-dup"},
+         "selectedRelationships": ["duplicate"]},
+        {"source": {"id": "p-dd"}, "destination": {"id": "out-new"},
+         "selectedRelationships": ["non-duplicate"]}]}}"""
+    val out = FlowCompiler.compile(spark, gateFlow, Map("batch" -> incoming))
+    val dups = out("dups").select("doc_id").as[Long].collect().toSet
+    val novel = out("novel").select("doc_id").as[Long].collect().toSet
+    assert(dups == Set(100L) && novel == Set(101L),
+      s"near-dup routes duplicate, novel routes non-duplicate (got dups=$dups novel=$novel)")
+    // route split equals the direct API's is_duplicate flags
+    val directFlags = LshIndex.detectDuplicates(spark, path, incoming, threshold = 0.6)
+      .select(col("doc_id"), col("is_duplicate")).as[(Long, Boolean)].collect().toMap
+    assert(directFlags(100L) && !directFlags(101L))
+    val best = out("dups").select("dup_of").as[Long].collect()
+    assert(best.sameElements(Array(0L)), "best match rides along")
+  }
+
+  test("PutBM25Index + QueryBM25Index serve the direct searchIndex doubles verbatim") {
+    val corpus = Seq(
+      (1L, "spark shuffle partitions and broadcast joins"),
+      (2L, "broadcast variables in spark"),
+      (3L, "entirely unrelated cooking recipe with butter and flour")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "spark broadcast"), (11L, "butter recipe")).toDF("query_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25flow").toString
+    // compile is demand-driven from the output ports in JSON order, so
+    // the `indexed` port (the Put leg) lists FIRST: building the layout
+    // must precede the query node's compile-time meta read
+    val flow = s"""{"flowContents": {"name": "lex",
+      "inputPorts": [{"identifier": "in-c", "name": "corpus"},
+                     {"identifier": "in-q", "name": "queries"}],
+      "outputPorts": [{"identifier": "out-i", "name": "indexed"},
+                      {"identifier": "out-h", "name": "hits"}],
+      "processors": [
+        {"identifier": "p-put", "name": "LexIndex",
+         "type": "org.apache.nifi.processors.standard.PutBM25Index",
+         "properties": {"Index Directory": "$path", "Buckets": "8", "Mode": "build"}},
+        {"identifier": "p-q", "name": "LexQuery",
+         "type": "org.apache.nifi.processors.standard.QueryBM25Index",
+         "properties": {"Index Directory": "$path", "Top K": "2"}}],
+      "connections": [
+        {"source": {"id": "in-c"}, "destination": {"id": "p-put"}},
+        {"source": {"id": "p-put"}, "destination": {"id": "out-i"}},
+        {"source": {"id": "in-q"}, "destination": {"id": "p-q"}},
+        {"source": {"id": "p-q"}, "destination": {"id": "out-h"}}]}}"""
+    val out = FlowCompiler.compile(spark, flow,
+      Map("corpus" -> corpus, "queries" -> queries))
+    assert(out("indexed").count() == 3, "PutBM25Index passes the indexed docs through")
+    val got = out("hits").select("query_id", "doc_id", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val direct = Bm25Index.searchIndex(spark, path, queries, k = 2)
+      .select("query_id", "doc_id", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got.nonEmpty && got === direct)
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Jolt, Records}
+
+/** Full-DSL Jolt gates (r17): the interpreter is checked against the
+  * worked examples in the public Jolt documentation (shift wildcards +
+  * `&` references, default, remove, cardinality,
+  * modify-overwrite-beta, chaining), then through the Spark expression
+  * and the JoltTransformJSON flow processor. */
+class JoltSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def run(spec: String, input: String): String =
+    Jolt.transformString(spec)(input)
+  private def assertJson(got: String, want: String): Unit =
+    assert(mapper.readTree(got) == mapper.readTree(want),
+      s"\n got: $got\nwant: $want")
+
+  test("shift: the canonical wildcard + & example from the Jolt docs") {
+    val input =
+      """{"rating": {"primary": {"value": 3},
+        |            "quality": {"value": 3, "label": "Good"}}}""".stripMargin
+    val spec =
+      """{"rating": {"primary": {"value": "Rating"},
+        |            "*": {"value": "SecondaryRatings.&1.Value",
+        |                  "label": "SecondaryRatings.&1.Label"}}}""".stripMargin
+    assertJson(run(spec, input),
+      """{"Rating": 3,
+        |"SecondaryRatings": {"quality": {"Value": 3, "Label": "Good"}}}""".stripMargin)
+  }
+
+  test("shift: & depth references, alternation, array input, [] append, multi-write") {
+    // &0 is the matched key itself
+    assertJson(run("""{"*": "out.&0"}""", """{"a": 1, "b": 2}"""),
+      """{"out": {"a": 1, "b": 2}}""")
+    // a|b alternation matches either key
+    assertJson(run("""{"a|b": "hit"}""", """{"b": 5}"""), """{"hit": 5}""")
+    // array elements match by index key
+    assertJson(run("""{"xs": {"0": "first", "2": "third"}}""",
+      """{"xs": [10, 20, 30]}"""), """{"first": 10, "third": 30}""")
+    // [] appends in encounter order
+    assertJson(run("""{"*": "all[]"}""", """{"a": 1, "b": 2, "c": 3}"""),
+      """{"all": [1, 2, 3]}""")
+    // two writes to one slot accumulate into a list (Jolt collision rule)
+    assertJson(run("""{"a": "x", "b": "x"}""", """{"a": 1, "b": 2}"""),
+      """{"x": [1, 2]}""")
+    // RHS array = multi-write of one value
+    assertJson(run("""{"a": ["p", "q.r"]}""", """{"a": 7}"""),
+      """{"p": 7, "q": {"r": 7}}""")
+    // unmatched input drops
+    assertJson(run("""{"a": "a"}""", """{"a": 1, "junk": 2}"""), """{"a": 1}""")
+  }
+
+  test("default: fills absent/null slots only; * fans over existing keys; containers created") {
+    val spec = """{"meta": {"source": "events"}, "k": 0,
+                  "*": {"seen": true}}"""
+    assertJson(run(s"""[{"operation": "default", "spec": $spec}]""",
+      """{"k": 5, "a": {"x": 1}}"""),
+      // k keeps 5; meta created with source; * adds seen under a
+      // (and under the created meta? no — * fans over keys EXISTING
+      // when the spec entry is applied; Jackson preserves insertion
+      // order so meta exists by then — both orders are defensible, we
+      // pin: * applies to every object-valued key present after
+      // literal defaults, in input order)
+      """{"k": 5, "a": {"x": 1, "seen": true}, "meta": {"source": "events", "seen": true}}""")
+    // null counts as absent
+    assertJson(run("""[{"operation": "default", "spec": {"k": 1}}]""",
+      """{"k": null}"""), """{"k": 1}""")
+  }
+
+  test("remove: literal, wildcard and nested removes") {
+    assertJson(run("""[{"operation": "remove", "spec": {"debug": ""}}]""",
+      """{"a": 1, "debug": {"x": 9}}"""), """{"a": 1}""")
+    assertJson(run("""[{"operation": "remove", "spec": {"*": {"secret": ""}}}]""",
+      """{"u1": {"name": "n", "secret": "s"}, "u2": {"secret": "t"}}"""),
+      """{"u1": {"name": "n"}, "u2": {}}""")
+  }
+
+  test("cardinality: ONE unwraps, MANY wraps, idempotent where already right") {
+    val spec = """[{"operation": "cardinality",
+                    "spec": {"tags": "ONE", "ids": "MANY"}}]"""
+    assertJson(run(spec, """{"tags": ["a", "b"], "ids": 7}"""),
+      """{"tags": "a", "ids": [7]}""")
+    assertJson(run(spec, """{"tags": "a", "ids": [7]}"""),
+      """{"tags": "a", "ids": [7]}""")
+    // ONE on an empty list removes the slot
+    assertJson(run(spec, """{"tags": []}"""), """{}""")
+  }
+
+  test("modify-overwrite-beta: functions and literal overwrite") {
+    val spec = """[{"operation": "modify-overwrite-beta",
+                    "spec": {"name": "=toUpper", "code": "=toLower",
+                             "pad": "=trim", "n": "=size",
+                             "src": "fixed"}}]"""
+    assertJson(run(spec,
+      """{"name": "ab", "code": "XY", "pad": " z ", "n": "hello", "src": "was"}"""),
+      """{"name": "AB", "code": "xy", "pad": "z", "n": 5, "src": "fixed"}""")
+    // =size over arrays/objects; functions leave absent slots absent
+    assertJson(run("""[{"operation": "modify-overwrite-beta",
+                        "spec": {"xs": "=size", "missing": "=toUpper"}}]""",
+      """{"xs": [1, 2, 3]}"""), """{"xs": 3}""")
+  }
+
+  test("chained spec: shift then default then modify then remove (one pipeline)") {
+    val chain =
+      """[
+        |{"operation": "shift", "spec": {"user": {"*": "account.&"},
+        |                                "k": "meta.key", "tags": "tags",
+        |                                "gone": "trash.x"}},
+        |{"operation": "remove", "spec": {"trash": ""}},
+        |{"operation": "cardinality", "spec": {"tags": "ONE"}},
+        |{"operation": "default", "spec": {"meta": {"source": "events"}}},
+        |{"operation": "modify-overwrite-beta",
+        | "spec": {"account": {"type": "=toUpper"}}}
+        |]""".stripMargin
+    val input =
+      """{"user": {"id": 7, "type": "click"}, "k": 69,
+        |"tags": ["x", "y"], "gone": 1}""".stripMargin
+    assertJson(run(chain, input),
+      """{"account": {"id": 7, "type": "CLICK"},
+        |"meta": {"key": 69, "source": "events"}, "tags": "x"}""".stripMargin)
+  }
+
+  test("validation: unknown operation / bad cardinality leaf / bad modify fn throw at parse") {
+    intercept[IllegalArgumentException] { Jolt.chain("""[{"operation": "nope", "spec": {}}]""") }
+    intercept[IllegalArgumentException] {
+      run("""[{"operation": "cardinality", "spec": {"a": "SOME"}}]""", """{"a": 1}""")
+    }
+    intercept[IllegalArgumentException] {
+      run("""[{"operation": "modify-overwrite-beta", "spec": {"a": "=nope"}}]""",
+        """{"a": 1}""")
+    }
+  }
+
+  test("Spark expression + flow processor: per-row transform, null on bad JSON") {
+    val df = Seq("""{"a": {"b": 1}}""", "not json").toDF("content")
+    val out = Records.joltTransformChain(df, "content",
+      """{"a": {"*": "top.&"}}""", "jolted")
+      .select("jolted").as[String].collect()
+    assertJson(out(0), """{"top": {"b": 1}}""")
+    assert(out(1) == null, "unparseable input routes to failure (null)")
+
+    val flow = """{"flowContents": {"name": "jolt",
+      "inputPorts": [{"identifier": "in", "name": "recs"}],
+      "outputPorts": [{"identifier": "out", "name": "jolted"}],
+      "processors": [
+        {"identifier": "p-j", "name": "Restructure",
+         "type": "org.apache.nifi.processors.standard.JoltTransformJSON",
+         "properties": {
+           "Jolt Transformation DSL": "jolt-transform-shift",
+           "Jolt Specification": "{\"a\": {\"*\": \"top.&\"}}"}}],
+      "connections": [
+        {"source": {"id": "in"}, "destination": {"id": "p-j"}},
+        {"source": {"id": "p-j"}, "destination": {"id": "out"}}]}}"""
+    val got = FlowCompiler.compile(spark, flow,
+      Map("recs" -> Seq("""{"a": {"b": 2}}""").toDF("content")))("jolted")
+      .select("jolted").as[String].collect()(0)
+    assertJson(got, """{"top": {"b": 2}}""")
+    // a bad spec fails at FLOW-COMPILE time (processor validation)
+    val badFlow = flow.replace("jolt-transform-shift", "jolt-transform-bogus")
+    intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, badFlow,
+        Map("recs" -> Seq("""{}""").toDF("content")))("jolted")
+    }
+  }
+}
