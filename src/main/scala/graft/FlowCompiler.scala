@@ -540,6 +540,16 @@ object FlowCompiler {
         val d = prop(p, "Spool Directory", "")
         require(d.nonEmpty, s"${p.name} needs a Spool Directory"); d
       }
+      // NiFi's 'SSL Context Service' slot, keyed by the repo's keystore
+      // contract (r17): a listener with a 'Keystore Path' starts its
+      // TLS form; plaintext peers die in the record layer, so securing
+      // the canvas is one property pair per edge node.
+      def sslCtx: Option[javax.net.ssl.SSLContext] = {
+        val ks = prop(p, "Keystore Path", "")
+        if (ks.isEmpty) None
+        else Some(graft.streaming.ListenHttp.sslContext(
+          ks, prop(p, "Keystore Password", "")))
+      }
       p.tpe.split('.').last match {
         case "ListenHTTP" =>
           val base = prop(p, "Base Path", "ingest")
@@ -562,12 +572,13 @@ object FlowCompiler {
           val l = graft.streaming.Net.listenUdp(port, spool)
           Some(Listener(p.id, p.name, "ListenUDP", l.port, () => l.stop()))
         case "ListenSMTP" =>
-          val l = graft.streaming.Smtp.listenSmtp(port, spool)
+          val l = graft.streaming.Smtp.listenSmtp(port, spool, ssl = sslCtx)
           Some(Listener(p.id, p.name, "ListenSMTP", l.port, () => l.stop()))
         case "ListenFTP" =>
-          // upload-only FTP ingress; blank credentials = anonymous
+          // upload-only FTP ingress; blank credentials = anonymous;
+          // a keystore makes it implicit FTPS (control + data)
           val l = graft.streaming.Ftp.listenFtp(port, spool,
-            prop(p, "Username", ""), prop(p, "Password", ""))
+            prop(p, "Username", ""), prop(p, "Password", ""), ssl = sslCtx)
           Some(Listener(p.id, p.name, "ListenFTP", l.port, () => l.stop()))
         case "ListenWebSocket" =>
           val l = graft.streaming.Ws.listenWebSocket(port, spool)
@@ -582,13 +593,21 @@ object FlowCompiler {
           if (prop(p, "Transport Protocol", "HTTP").equalsIgnoreCase("RAW")) {
             val l = graft.streaming.SiteToSiteRaw.listenRaw(port, spool,
               portName = prop(p, "Port Name", "graft"),
-              portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
+              portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress,
+              ssl = sslCtx)
             Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
-          } else {
-            val l = graft.streaming.SiteToSite.listen(port, spool,
-              portName = prop(p, "Port Name", "graft"),
-              portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
-            Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+          } else sslCtx match {
+            case Some(_) =>
+              val l = graft.streaming.SiteToSite.listenTls(port, spool,
+                prop(p, "Keystore Path", ""), prop(p, "Keystore Password", ""),
+                portName = prop(p, "Port Name", "graft"),
+                portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
+              Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
+            case None =>
+              val l = graft.streaming.SiteToSite.listen(port, spool,
+                portName = prop(p, "Port Name", "graft"),
+                portId = prop(p, "Port Id", "graft-in-0"), egressDir = egress)
+              Some(Listener(p.id, p.name, "ListenSiteToSite", l.port, () => l.stop()))
           }
         case "ConsumePOP3" =>
           // pull-only protocol: a stop()-able poll loop (NiFi schedules
@@ -770,9 +789,11 @@ object FlowCompiler {
     "ListenSyslog"       -> Set("Listening Port", "Spool Directory", "Protocol"),
     "PutTCP"             -> Set("Hostname", "Port", "Value Column"),
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
-    "ListenSMTP"         -> Set("Listening Port", "Spool Directory"),
+    "ListenSMTP"         -> Set("Listening Port", "Spool Directory",
+                                "Keystore Path", "Keystore Password"),
     "ListenFTP"          -> Set("Listening Port", "Spool Directory",
-                                "Username", "Password"),
+                                "Username", "Password",
+                                "Keystore Path", "Keystore Password"),
     "ConsumePOP3"        -> Set("Host", "Port", "Username", "Password",
                                 "Spool Directory", "Poll Interval Ms",
                                 "Delete Messages", "State Path"),
@@ -819,13 +840,15 @@ object FlowCompiler {
     // r15 site-to-site edge (HTTP transport, both directions)
     "ListenSiteToSite"   -> Set("Listening Port", "Spool Directory",
                                 "Port Name", "Port Id", "Egress Directory",
-                                "Transport Protocol"),
+                                "Transport Protocol",
+                                "Keystore Path", "Keystore Password"),
     "PutSiteToSite"      -> Set("Remote URL", "Port Name",
                                 "Content Column", "Attribute Columns",
                                 "Keystore Path", "Keystore Password",
                                 "Transport Protocol"),
     "PutEmail"           -> Set("SMTP Hostname", "SMTP Port", "From",
-                                "To Column", "Subject Column", "Body Column"),
+                                "To Column", "Subject Column", "Body Column",
+                                "Keystore Path", "Keystore Password"),
     "ListFTP"            -> (FtpProps + "State Path"),
     "GetFTP"             -> (FtpProps + "Character Set"),
     "FetchFTP"           -> (FtpProps + "Character Set"),
@@ -1603,10 +1626,13 @@ object FlowCompiler {
         require(host.nonEmpty && port.nonEmpty,
           s"PutEmail ${p.name} needs SMTP Hostname and SMTP Port")
         val from = prop(p, "From", "graft@localhost")
+        val ksPathMail = prop(p, "Keystore Path", "")
         graft.streaming.Smtp.putEmail(in, host, port.trim.toInt, from,
           toCol = prop(p, "To Column", "to"),
           subjectCol = prop(p, "Subject Column", "subject"),
-          bodyCol = prop(p, "Body Column", "body"))
+          bodyCol = prop(p, "Body Column", "body"),
+          keystore = if (ksPathMail.nonEmpty)
+            Some((ksPathMail, prop(p, "Keystore Password", ""))) else None)
         in
       case "ListenWebSocket" =>
         // websocket-ingestion SOURCE (r13): graft.streaming.Ws's RFC
@@ -1747,10 +1773,13 @@ object FlowCompiler {
           val hp = url.stripPrefix("raw://").split(":")
           require(hp.length == 2 && hp(1).forall(_.isDigit),
             s"PutSiteToSite ${p.name}: RAW needs Remote URL raw://host:port, got '$url'")
+          val ksPathRaw = prop(p, "Keystore Path", "")
           graft.streaming.SiteToSiteRaw.putSiteToSiteRaw(in, hp(0), hp(1).toInt,
             portId = portName,
             contentCol = prop(p, "Content Column", "content"),
-            attrCols = listProp(p, "Attribute Columns"))
+            attrCols = listProp(p, "Attribute Columns"),
+            keystore = if (ksPathRaw.nonEmpty)
+              Some((ksPathRaw, prop(p, "Keystore Password", ""))) else None)
         } else {
           val ksPath = prop(p, "Keystore Path", "")
           graft.streaming.SiteToSite.putSiteToSite(in, url, portName,

@@ -211,7 +211,7 @@ object Provenance {
     * x outputs), so the join broadcasts. */
   def queryByProcessor(spark: SparkSession, provenanceDir: String, lineageDir: String,
                        processorId: String, sinceMillis: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode_outer, lit}
+    import org.apache.spark.sql.functions.col
     // distinct: writeFlowLineage appends one manifest per compile, so a
     // flow compiled N times holds N identical rows — without the dedup
     // the join would multiply every event row N-fold
@@ -220,6 +220,37 @@ object Provenance {
       .select("observation", "flow", "outputPort", "processorId",
         "processorName", "processorType")
       .distinct()
+    joinEventsToManifest(spark, provenanceDir, lin, sinceMillis)
+  }
+
+  /** "Which actions produced output through a processor of event type
+    * X?" — the other axis of NiFi's provenance FIND search (event type +
+    * component + time; component is [[queryByProcessor]], time is the
+    * `sinceMillis` on both). The manifest's processor types classify
+    * into the documented NiFi event vocabulary via [[eventTypeOf]];
+    * classification runs on the DISTINCT type list (dimension-sized —
+    * a canvas has tens of processor types, never data-scale), then
+    * filters the manifest scan. */
+  def queryByEventType(spark: SparkSession, provenanceDir: String, lineageDir: String,
+                       eventType: String, sinceMillis: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lin0 = spark.read.parquet(lineageDir)
+      .select("observation", "flow", "outputPort", "processorId",
+        "processorName", "processorType")
+      .distinct()
+    val types = lin0.select("processorType").distinct()
+      .collect().map(_.getString(0))
+    val matching = types.filter(t => eventTypeOf(t) == eventType).toSeq
+    val lin = lin0.filter(col("processorType").isin(matching: _*))
+      .withColumn("eventType", lit(eventType))
+    joinEventsToManifest(spark, provenanceDir, lin, sinceMillis,
+      extraCols = Seq("eventType"))
+  }
+
+  private def joinEventsToManifest(spark: SparkSession, provenanceDir: String,
+                                   lin: DataFrame, sinceMillis: Long,
+                                   extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode_outer, lit}
     // mergeSchema: a provenance dir can mix files written before the
     // tags column existed with tagged ones; a missing column after the
     // merged read (all-old dir) still resolves via the null fallback
@@ -231,9 +262,96 @@ object Provenance {
       .filter(col("tsMillis") >= sinceMillis)
       .select(col("tsMillis"), col("action"), col("durationNs"), col("succeeded"),
         explode_outer(col("tags")).as(Seq("observation", "outputRows")))
+    // the manifest side is dimension-sized (processors × outputs) — the
+    // join broadcasts
     ev.join(lin, Seq("observation"))
-      .select("tsMillis", "action", "succeeded", "flow", "outputPort",
-        "processorId", "processorName", "processorType", "outputRows")
+      .select((Seq("tsMillis", "action", "succeeded", "flow", "outputPort",
+        "processorId", "processorName", "processorType", "outputRows") ++
+        extraCols).map(col): _*)
+  }
+
+  /** Classify a processor type into NiFi's documented provenance event
+    * vocabulary (the FIND search's event-type axis): RECEIVE for data
+    * entering the flow (Get/List/Listen/Consume/Tail + the JDBC
+    * sources), FETCH for content replaced from a referenced resource,
+    * SEND for data leaving (Put/Publish + reporting), CREATE for
+    * generators, ROUTE for relationship deciders, ATTRIBUTES_MODIFIED
+    * for attribute-only writers, FORK for splitters, JOIN for mergers,
+    * CLONE for duplicators, and CONTENT_MODIFIED otherwise (a processor
+    * that neither moves data across the boundary nor only re-routes it
+    * rewrites its content). Family rules over the simple type name —
+    * the same best-effort grain NiFi's own processors declare. */
+  def eventTypeOf(processorType: String): String = {
+    val t = processorType.split('.').last
+    if (t.startsWith("Generate")) "CREATE"
+    else if (t.startsWith("Fetch")) "FETCH"
+    else if (t.startsWith("Put") || t.startsWith("Publish")) "SEND"
+    else if (t.startsWith("Get") || t.startsWith("List") || t.startsWith("Listen") ||
+             t.startsWith("Consume") || t == "TailFile" || t == "HandleHttpRequest" ||
+             t == "ExecuteSQL" || t == "QueryDatabaseTable") "RECEIVE"
+    else if (t.startsWith("Route") || t == "DistributeLoad" || t == "ControlRate" ||
+             t == "DetectDuplicate" || t == "EnforceOrder" || t == "SampleRecord" ||
+             t == "FilterAttribute" || t == "ScanContent" || t == "ScanAttribute") "ROUTE"
+    else if (t == "UpdateAttribute" || t == "LookupAttribute" ||
+             t == "CryptographicHashAttribute" || t == "ExtractText" ||
+             t == "EvaluateJsonPath" || t == "EvaluateXPath" || t == "ExtractGrok" ||
+             t == "IdentifyMimeType" || t == "UpdateCounter" ||
+             t == "CalculateRecordStats") "ATTRIBUTES_MODIFIED"
+    else if (t.startsWith("Split") || t.startsWith("Segment") ||
+             t.startsWith("Fork") || t == "UnpackContent" ||
+             t == "ChunkDocument") "FORK"
+    else if (t.startsWith("Merge") || t.startsWith("Join") ||
+             t == "PackageFlowFile") "JOIN"
+    else if (t.startsWith("Duplicate") || t.startsWith("Clone")) "CLONE"
+    else "CONTENT_MODIFIED"
+  }
+
+  // --------------------------------------------- lineage graph walk
+
+  /** One node on a walked lineage path. `kind` distinguishes the canvas
+    * vocabulary (processor / inputPort / outputPort / funnel); `depth`
+    * is hops from the walk origin (0 = the origin itself). */
+  case class LineageNode(id: String, name: String, kind: String,
+                         processorType: String, depth: Int)
+
+  /** Walk a compiled flow's lineage graph from `fromId` — NiFi's
+    * child/parent provenance walk (the expand-lineage UI shape), over
+    * the flow MANIFEST rather than per-record events: at 100 TB the
+    * graph a FlowFile's events trace is exactly the flow's upstream
+    * DAG, which the definition already states. `upstream = true` walks
+    * parents (sink → the source files that feed it); false walks
+    * children (source → every sink it reaches). BFS, each node
+    * reported once at its shortest depth; cycles are impossible
+    * (compile rejects them) but visited-set-guarded anyway. Driver-side
+    * on the canvas graph — dimension-sized by construction. */
+  def lineageWalk(flow: FlowCompiler.Flow, fromId: String,
+                  upstream: Boolean = true): Seq[LineageNode] = {
+    val byDst = flow.connections.groupBy(_.dst)
+    val bySrc = flow.connections.groupBy(_.src)
+    def neighbors(id: String): Seq[String] =
+      if (upstream) byDst.getOrElse(id, Nil).map(_.src)
+      else bySrc.getOrElse(id, Nil).map(_.dst)
+    val procById = flow.processors.map(p => p.id -> p).toMap
+    val inPorts = flow.inputPorts.toMap
+    val outPorts = flow.outputPorts.toMap
+    val funnels = flow.funnels.toSet
+    def nodeOf(id: String, depth: Int): LineageNode =
+      procById.get(id) match {
+        case Some(p) => LineageNode(id, p.name, "processor", p.tpe.split('.').last, depth)
+        case None if inPorts.contains(id) => LineageNode(id, inPorts(id), "inputPort", "", depth)
+        case None if outPorts.contains(id) => LineageNode(id, outPorts(id), "outputPort", "", depth)
+        case None if funnels.contains(id) => LineageNode(id, id, "funnel", "", depth)
+        case None => LineageNode(id, id, "unknown", "", depth)
+      }
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int](fromId -> 0)
+    var frontier = Seq(fromId)
+    var depth = 0
+    while (frontier.nonEmpty) {
+      depth += 1
+      frontier = frontier.flatMap(neighbors).distinct.filterNot(seen.contains)
+      frontier.foreach(id => seen(id) = depth)
+    }
+    seen.toSeq.map { case (id, d) => nodeOf(id, d) }
   }
 
   // ------------------------------------------------------- streaming

@@ -338,6 +338,13 @@ object Pq {
         heaps.forEach { (qid, h) => h.foreach { case (adc, id) => out += ((qid, id, adc)) } }
         out.result().iterator
       }.toDF("query_id", "vec_id", "adc")
+    // BOUNDED-INPUT INVARIANT (do not feed raw candidates here): this
+    // window's input is the per-partition heap output — ≤ k rows per
+    // (query, partition), so ≤ k·numPartitions per window key, NEVER
+    // corpus-sized. An unbounded candidate stream through a
+    // partitionBy(query_id) window is the r13 single-reducer skew
+    // funnel; the heap stage above IS the guard. Same contract as
+    // rerankExact's shortlist window below.
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
     partial.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -345,6 +352,12 @@ object Pq {
   /** Exact-cosine rerank of an ADC shortlist: fetch originals for the
     * shortlist only, rank by (cos_sim DESC, vec_id). The window input
     * is shortlist-sized (queries × rerankFactor·k), not corpus-sized.
+    * BOUNDED-INPUT INVARIANT: callers must pass a shortlist already
+    * capped per query (searchIndex passes its ADC top-(rerankFactor·k));
+    * feeding unbounded candidates into this partitionBy(query_id)
+    * window would recreate the r13 single-reducer skew funnel. If a
+    * future caller cannot guarantee the cap, route through the bounded
+    * per-partition heap shape (see the ADC merge above) first.
     * `broadcastQ = false` shuffles the query join on query_id instead
     * of broadcasting the query set — the large-query-batch posture
     * (identical results; the window already shuffles on query_id). */

@@ -46,10 +46,23 @@ object Ftp {
   }
 
   def listenFtp(port: Int, spoolDir: String,
-                user: String = "", pass: String = ""): FtpListener = {
+                user: String = "", pass: String = "",
+                ssl: Option[javax.net.ssl.SSLContext] = None): FtpListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val server = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    // `ssl` = implicit FTPS (NiFi ListenFTP's 'SSL Context Service'
+    // slot): BOTH the control connection and every PASV/EPSV data
+    // connection run under the same TLS context — uploads are never
+    // cleartext when the listener is secured. A plaintext client dies
+    // in the TLS record layer before USER parses (the listener-family
+    // plaintext-refusal gate); its session catches IOException and
+    // nothing spools.
+    def serverSocket(p: Int, backlog: Int): ServerSocket = ssl match {
+      case Some(ctx) => ctx.getServerSocketFactory
+        .createServerSocket(p, backlog, InetAddress.getLoopbackAddress)
+      case None => new ServerSocket(p, backlog, InetAddress.getLoopbackAddress)
+    }
+    val server = serverSocket(port, 50)
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
 
@@ -113,7 +126,7 @@ object Ftp {
               if (!loggedIn) reply("530 log in first")
               else {
                 dataSock.foreach(s => try s.close() catch { case _: Exception => () })
-                val ss = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+                val ss = serverSocket(0, 1)
                 dataSock = Some(ss)
                 val p = ss.getLocalPort
                 reply(s"227 entering passive mode (127,0,0,1,${p / 256},${p % 256})")
@@ -122,7 +135,7 @@ object Ftp {
               if (!loggedIn) reply("530 log in first")
               else {
                 dataSock.foreach(s => try s.close() catch { case _: Exception => () })
-                val ss = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+                val ss = serverSocket(0, 1)
                 dataSock = Some(ss)
                 reply(s"229 entering extended passive mode (|||${ss.getLocalPort}|)")
               }

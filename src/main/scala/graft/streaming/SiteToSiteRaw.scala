@@ -153,14 +153,23 @@ object SiteToSiteRaw {
 
   /** Start the RAW endpoint: one input port (ingress → `spoolDir`) and,
     * when `egressDir` is set, one output port (id `<portId>-out`)
-    * serving the `.ffv3` claim files. */
+    * serving the `.ffv3` claim files. With `ssl` set the socket is an
+    * SSLServerSocket (NiFi secures RAW S2S with the instance TLS
+    * context): a plaintext client dies in the TLS record layer before
+    * the `NiFi` magic is ever read — nothing spools (the ListenHTTP
+    * startTls refusal gate, applied to the socket transport). */
   def listenRaw(port: Int, spoolDir: String, portName: String = "graft",
                 portId: String = "graft-in-0", egressDir: Option[String] = None,
-                maxBytes: Long = 1L << 30): RawListener = {
+                maxBytes: Long = 1L << 30,
+                ssl: Option[javax.net.ssl.SSLContext] = None): RawListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     egressDir.foreach(d => Files.createDirectories(Paths.get(d)))
-    val server = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    val server = ssl match {
+      case Some(ctx) => ctx.getServerSocketFactory
+        .createServerSocket(port, 50, InetAddress.getLoopbackAddress)
+      case None => new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+    }
     val seq = new AtomicLong(0L)
     val outPortId = s"$portId-out"
 
@@ -322,6 +331,17 @@ object SiteToSiteRaw {
     new RawListener(server)
   }
 
+  /** TLS convenience keyed by the repo's keystore contract (PKCS12/JKS
+    * path + password through [[ListenHttp.sslContext]] — the
+    * [[SiteToSite.listenTls]] pattern on the socket transport). */
+  def listenRawTls(port: Int, spoolDir: String, keystorePath: String,
+                   keystorePass: String, portName: String = "graft",
+                   portId: String = "graft-in-0",
+                   egressDir: Option[String] = None,
+                   maxBytes: Long = 1L << 30): RawListener =
+    listenRaw(port, spoolDir, portName, portId, egressDir, maxBytes,
+      ssl = Some(ListenHttp.sslContext(keystorePath, keystorePass)))
+
   /** Committed-transaction spool — the same JSONL schema as the HTTP
     * listener, so one flow binding serves both transports. */
   private def spoolCommitted(dir: java.nio.file.Path, seq: AtomicLong,
@@ -342,9 +362,13 @@ object SiteToSiteRaw {
   // ------------------------------------------------------------- client
 
   private def connect(host: String, port: Int, portId: String,
-                      requestVersion: Int = ProtocolVersion)
+                      requestVersion: Int = ProtocolVersion,
+                      ssl: Option[javax.net.ssl.SSLContext] = None)
       : (Socket, DataInputStream, DataOutputStream) = {
-    val sock = new Socket(host, port)
+    val sock = ssl match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+      case None => new Socket(host, port)
+    }
     sock.setSoTimeout(30000)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -396,9 +420,10 @@ object SiteToSiteRaw {
   def sendRaw(host: String, port: Int, portId: String,
               files: Seq[(Map[String, String], Array[Byte])],
               requestVersion: Int = ProtocolVersion,
-              tamperChecksum: Boolean = false): Int = {
+              tamperChecksum: Boolean = false,
+              ssl: Option[javax.net.ssl.SSLContext] = None): Int = {
     require(files.nonEmpty, "s2s-raw send: empty transaction")
-    val (sock, in, out) = connect(host, port, portId, requestVersion)
+    val (sock, in, out) = connect(host, port, portId, requestVersion, ssl)
     try {
       out.writeUTF("SEND_FLOWFILES")
       val crc = new java.util.zip.CRC32()
@@ -427,9 +452,10 @@ object SiteToSiteRaw {
   /** Pull one transaction of FlowFiles over RAW (empty when the remote
     * output queue is empty). The claim is only deleted server-side
     * after this client's TRANSACTION_FINISHED. */
-  def pullRaw(host: String, port: Int, portId: String)
+  def pullRaw(host: String, port: Int, portId: String,
+              ssl: Option[javax.net.ssl.SSLContext] = None)
       : Seq[(Map[String, String], Array[Byte])] = {
-    val (sock, in, out) = connect(host, port, portId)
+    val (sock, in, out) = connect(host, port, portId, ssl = ssl)
     try {
       out.writeUTF("RECEIVE_FLOWFILES"); out.flush()
       val crc = new java.util.zip.CRC32()
@@ -455,14 +481,18 @@ object SiteToSiteRaw {
   }
 
   /** PutSiteToSite, RAW form: one transaction per partition (the
-    * [[SiteToSite.putSiteToSite]] contract over the socket). */
+    * [[SiteToSite.putSiteToSite]] contract over the socket). The
+    * keystore travels as (path, pass) strings — an SSLContext is not
+    * serializable — and each partition builds its context once. */
   def putSiteToSiteRaw(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
                        portId: String, contentCol: String = "content",
-                       attrCols: Seq[String] = Seq.empty): Unit = {
+                       attrCols: Seq[String] = Seq.empty,
+                       keystore: Option[(String, String)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val cols = (contentCol +: attrCols).map(col)
     val attrNames = attrCols
     df.select(cols: _*).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val ssl = keystore.map { case (ks, pass) => ListenHttp.sslContext(ks, pass) }
       val files = rows.map { r =>
         val content = r.get(0) match {
           case b: Array[Byte] => b
@@ -474,7 +504,7 @@ object SiteToSiteRaw {
         }.toMap
         (attrs, content)
       }.toSeq
-      if (files.nonEmpty) sendRaw(host, port, portId, files)
+      if (files.nonEmpty) sendRaw(host, port, portId, files, ssl = ssl)
       ()
     }
   }

@@ -92,10 +92,19 @@ object Smtp {
                  flushMs: Long = 250L, hostname: String = "graft",
                  suffix: String = ".jsonl",
                  maxMessageBytes: Long = 10L << 20,
-                 maxConnections: Int = 32): SmtpListener = {
+                 maxConnections: Int = 32,
+                 ssl: Option[javax.net.ssl.SSLContext] = None): SmtpListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val server = new ServerSocket(port)
+    // `ssl` = implicit-TLS SMTPS (NiFi ListenSMTP's 'SSL Context
+    // Service' slot): the handshake runs lazily on the session's first
+    // byte, so a plaintext client dies in the TLS record layer before
+    // any SMTP command parses — its session catches IOException and
+    // nothing spools (the listener-family plaintext-refusal gate).
+    val server = ssl match {
+      case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(port)
+      case None => new ServerSocket(port)
+    }
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -238,7 +247,8 @@ object Smtp {
     * mid-partition. */
   def putEmail(df: DataFrame, host: String, port: Int, from: String,
                toCol: String = "to", subjectCol: String = "subject",
-               bodyCol: String = "body"): Unit = {
+               bodyCol: String = "body",
+               keystore: Option[(String, String)] = None): Unit = {
     require(!from.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
       s"from address must not contain CR/LF/angle brackets: '$from'")
     val cols = {
@@ -248,7 +258,14 @@ object Smtp {
     }
     cols.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
-        val sock = new java.net.Socket(host, port)
+        // keystore (path, pass) strings → per-partition SMTPS context
+        // (implicit TLS; the trust anchor is the same keystore — the
+        // self-signed listener pattern used across the Put* family)
+        val sock = keystore match {
+          case Some((ks, pass)) =>
+            ListenHttp.sslContext(ks, pass).getSocketFactory.createSocket(host, port)
+          case None => new java.net.Socket(host, port)
+        }
         try {
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(sock.getInputStream, UTF_8))

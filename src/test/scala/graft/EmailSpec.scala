@@ -301,4 +301,39 @@ class EmailSpec extends SparkSpec {
     assert(csv._3 == "text/csv")
     assert(new String(csv._4, UTF_8) == "a,b=c,café")
   }
+
+  test("TLS: SMTPS putEmail -> listenSmtp round-trip; a plaintext client dies pre-banner, nothing spools") {
+    val spool = freshDir("tls")
+    val l = Smtp.listenSmtp(0, spool, batchSize = 1,
+      ssl = Some(TestKeystore.sslContext))
+    try {
+      Smtp.putEmail(Seq(("u@dest", "tls subject", "secured body"))
+          .toDF("to", "subject", "body"),
+        "127.0.0.1", l.port, from = "graft@local",
+        keystore = Some((TestKeystore.path, TestKeystore.password)))
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.json(spool).count() < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = spark.read.json(spool)
+        .select(col("mail_from"), col("data")).as[(String, String)].collect()
+      assert(got.length == 1)
+      assert(got(0)._1 == "graft@local")
+      assert(got(0)._2.contains("secured body"))
+      // plaintext client: the 220 banner write triggers the handshake,
+      // which dies on the peer's non-TLS bytes — session spools nothing
+      val sock = new java.net.Socket("127.0.0.1", l.port)
+      try {
+        sock.setSoTimeout(5000)
+        sock.getOutputStream.write("EHLO plain\r\n".getBytes(UTF_8))
+        sock.getOutputStream.flush()
+        // server closes without a parseable SMTP banner; reading to EOF
+        // (or a reset) is the observable refusal
+        val r = try sock.getInputStream.readAllBytes()
+                catch { case _: java.io.IOException => Array.empty[Byte] }
+        assert(!new String(r, UTF_8).startsWith("220"),
+          "a plaintext session must not get the SMTP banner")
+      } finally sock.close()
+      assert(spark.read.json(spool).count() == 1, "plaintext must not spool")
+    } finally l.stop()
+  }
 }

@@ -197,4 +197,61 @@ class FtpSpec extends SparkSpec {
       assert(got.toSeq == Seq("hi")) // the spool IS the flow source
     } finally ls.foreach(_.stop())
   }
+
+  test("ListenFTP TLS: implicit FTPS secures control AND data; plaintext dies pre-banner") {
+    val spool = Files.createTempDirectory("graft_listen_ftps")
+    // flow-property wiring: Keystore Path on the node starts the FTPS form
+    val flow = graft.FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "f", "type": "ListenFTP",
+         |     "properties": {"Listening Port": "0",
+         |                    "Spool Directory": "${spool.toString}",
+         |                    "Username": "u", "Password": "p",
+         |                    "Keystore Path": "${TestKeystore.path}",
+         |                    "Keystore Password": "${TestKeystore.password}"}}],
+         |  "outputPorts": [], "connections": []}}""".stripMargin)
+    val ls = graft.FlowCompiler.startListeners(flow)
+    try {
+      val sf = TestKeystore.sslContext.getSocketFactory
+      val sock = sf.createSocket("127.0.0.1", ls.head.port)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = sock.getOutputStream
+      def cmd(c: String): String = {
+        out.write((c + "\r\n").getBytes("UTF-8")); out.flush(); in.readLine()
+      }
+      assert(in.readLine().startsWith("220"))
+      assert(cmd("USER u").startsWith("331"))
+      assert(cmd("PASS p").startsWith("230"))
+      val pasv = cmd("PASV")
+      assert(pasv.startsWith("227"), pasv)
+      val nums = "\\d+".r.findAllIn(pasv).toSeq.takeRight(2).map(_.toInt)
+      val dp = nums(0) * 256 + nums(1)
+      assert(cmd("STOR tls.txt").startsWith("150"))
+      // the DATA connection must also be TLS (implicit FTPS protects
+      // uploads, not just commands)
+      val ds = sf.createSocket("127.0.0.1", dp)
+      try ds.getOutputStream.write("secret payload".getBytes("UTF-8"))
+      finally ds.close()
+      assert(in.readLine().startsWith("226"))
+      cmd("QUIT"); sock.close()
+      val got = Io.fetchFiles(spark, spool.toString, "*tls.txt")
+        .select(col("content").cast("string")).as[String].collect()
+      assert(got.toSeq == Seq("secret payload"))
+      // a plaintext control client never sees the 220 banner
+      val plain = new java.net.Socket("127.0.0.1", ls.head.port)
+      try {
+        plain.setSoTimeout(3000)
+        plain.getOutputStream.write("USER u\r\n".getBytes("UTF-8"))
+        plain.getOutputStream.flush()
+        val r = try plain.getInputStream.readAllBytes()
+                catch { case _: java.io.IOException => Array.empty[Byte] }
+        assert(!new String(r, "UTF-8").startsWith("220"),
+          "a plaintext session must not get the FTP banner")
+      } finally plain.close()
+      assert(Io.fetchFiles(spark, spool.toString, "*").count() == 1,
+        "plaintext must not spool")
+    } finally ls.foreach(_.stop())
+  }
 }

@@ -296,4 +296,77 @@ class ProvenanceSpec extends SparkSpec {
     } finally Provenance.disable(spark, l)
   }
 
+  test("r17 lineage walk + event-type search: sink row to source file across two process groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prov_walk")
+    val srcDir = dir.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val sinkDir = dir.resolve("sink").toString
+    val provDir = dir.resolve("prov").toString
+    val linDir = dir.resolve("lineage").toString
+    java.nio.file.Files.write(srcDir.resolve("a.txt"), "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(srcDir.resolve("b.txt"), "beta".getBytes("UTF-8"))
+    // two groups: the child group ingests (GetFile -> ReplaceText), its
+    // output port flattens to a funnel; the root group sinks (PutFile)
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "name": "walked",
+         |  "processGroups": [
+         |    {"name": "ingest",
+         |     "processors": [
+         |       {"identifier": "p-get", "name": "ReadSrc", "type": "GetFile",
+         |        "properties": {"Input Directory": "$srcDir", "File Filter": "*.txt"}},
+         |       {"identifier": "p-up", "name": "Upper", "type": "ReplaceText",
+         |        "properties": {"Content Column": "content",
+         |          "Search Value": "a", "Replacement Value": "A"}}],
+         |     "inputPorts": [], "outputPorts": [{"identifier": "g-out", "name": "ingested"}],
+         |     "connections": [
+         |       {"source": {"id": "p-get"}, "destination": {"id": "p-up"}},
+         |       {"source": {"id": "p-up"}, "destination": {"id": "g-out"}}]}],
+         |  "processors": [
+         |    {"identifier": "p-put", "name": "Export", "type": "PutFile",
+         |     "properties": {"Directory": "$sinkDir", "Output Format": "parquet"}}],
+         |  "inputPorts": [],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "g-out"}, "destination": {"id": "p-put"}},
+         |    {"source": {"id": "p-put"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    val l = Provenance.enable(spark)
+    try {
+      val (outs, lineage) = FlowCompiler.compileWithLineage(spark, flow, Map.empty)
+      Provenance.writeFlowLineage(spark, linDir, lineage)
+      assert(outs("out").count() === 2L)
+      eventually {
+        assert(Provenance.flush(spark, l, provDir) > 0)
+        // FIND by event type: SEND resolves the PutFile node, RECEIVE
+        // the GetFile node — both through the same flow output's events
+        val sends = Provenance.queryByEventType(spark, provDir, linDir, "SEND")
+          .select("processorId", "eventType").distinct()
+          .as[(String, String)].collect()
+        assert(sends.toSeq === Seq(("p-put", "SEND")))
+        val recvs = Provenance.queryByEventType(spark, provDir, linDir, "RECEIVE")
+          .select("processorId").distinct().as[String].collect()
+        assert(recvs.toSeq === Seq("p-get"))
+        assert(Provenance.queryByEventType(spark, provDir, linDir, "JOIN").count() === 0L)
+      }
+      // the child/parent walk: from the sink processor, parents reach
+      // the source ACROSS the flattened group boundary (the child port
+      // traversed as a funnel), depths monotone along the path
+      val up = Provenance.lineageWalk(flow, "p-put", upstream = true)
+      assert(up.map(_.id) === Seq("p-put", "g-out", "p-up", "p-get"))
+      assert(up.map(_.depth) === Seq(0, 1, 2, 3))
+      assert(up.find(_.id == "g-out").get.kind === "funnel",
+        "the child group's port must appear as the flattened funnel")
+      // ...and the walk ends at the source FILE: the reached GetFile
+      // node's Input Directory is where the ingested bytes live
+      val src = flow.processors.find(_.id == up.last.id).get
+      assert(src.tpe.split('.').last === "GetFile")
+      val inputDir = src.props.toMap.apply("Input Directory")
+      assert(new java.io.File(inputDir, "a.txt").exists(),
+        "sink-to-source walk must land on the real source file's directory")
+      // downstream walk from the source reaches the sink and the port
+      val down = Provenance.lineageWalk(flow, "p-get", upstream = false)
+      assert(down.map(_.id) === Seq("p-get", "p-up", "g-out", "p-put", "o"))
+      assert(down.last.kind === "outputPort")
+    } finally Provenance.disable(spark, l)
+  }
+
 }

@@ -130,4 +130,77 @@ class SiteToSiteRawSpec extends SparkSpec {
       assert(all.toSeq == Seq(("r1", "alpha"), ("r2", "beta")))
     } finally listeners.foreach(_.stop())
   }
+
+  test("TLS: both directions transfer under SSL; a plaintext client dies pre-magic, nothing spools") {
+    val spool = freshDir("tls")
+    val egress = freshDir("tlseg")
+    val l = SiteToSiteRaw.listenRawTls(0, spool, TestKeystore.path,
+      TestKeystore.password, portId = "in-0", egressDir = Some(egress))
+    try {
+      val ssl = Some(TestKeystore.sslContext)
+      // ingress over TLS
+      assert(SiteToSiteRaw.sendRaw("127.0.0.1", l.port, "in-0",
+        Seq((Map("k" -> "a"), "over tls".getBytes("UTF-8"))), ssl = ssl) == 1)
+      assert(spooled(spool) == Seq(("a", "over tls")))
+      // egress over TLS: claim served and deleted on TRANSACTION_FINISHED
+      SiteToSite.writeEgress(egress,
+        Seq((Map("k" -> "e"), "tls egress".getBytes("UTF-8"))))
+      val got = SiteToSiteRaw.pullRaw("127.0.0.1", l.port, "in-0-out", ssl = ssl)
+      assert(got.map(t => new String(t._2, "UTF-8")) == Seq("tls egress"))
+      // a plaintext client dies in the TLS record layer before the
+      // NiFi magic is read — the send throws and nothing new spools
+      intercept[Exception] {
+        SiteToSiteRaw.sendRaw("127.0.0.1", l.port, "in-0",
+          Seq((Map("k" -> "z"), "plaintext".getBytes("UTF-8"))))
+      }
+      assert(spooled(spool) == Seq(("a", "over tls")), "plaintext must not spool")
+      // and a TLS client refuses a PLAINTEXT listener (no server cert)
+      val plain = SiteToSiteRaw.listenRaw(0, freshDir("plain"), portId = "in-0")
+      try intercept[Exception] {
+        SiteToSiteRaw.sendRaw("127.0.0.1", plain.port, "in-0",
+          Seq((Map("k" -> "y"), "x".getBytes("UTF-8"))), ssl = ssl)
+      } finally plain.stop()
+    } finally l.stop()
+  }
+
+  test("TLS flow vocabulary: Keystore Path on the RAW listener node; executor sink sends under TLS") {
+    val spool = freshDir("tlsflow")
+    val flowJson =
+      s"""{"flowContents": {"name": "s2s-raw-tls-edge", "processors": [
+         |  {"identifier": "p-l", "name": "RawTlsIn",
+         |   "type": "org.apache.nifi.processors.standard.ListenSiteToSite",
+         |   "properties": {"Listening Port": "0", "Spool Directory": "$spool",
+         |     "Port Id": "in-0", "Transport Protocol": "RAW",
+         |     "Keystore Path": "${TestKeystore.path}",
+         |     "Keystore Password": "${TestKeystore.password}"}}
+         |], "connections": []}}""".stripMargin
+    val listeners = FlowCompiler.startListeners(FlowCompiler.parse(flowJson), Map.empty)
+    try {
+      val sinkFlow =
+        s"""{"flowContents": {"name": "s2s-raw-tls-put",
+           |  "inputPorts": [{"identifier": "ip", "name": "rows"}],
+           |  "outputPorts": [{"identifier": "op", "name": "sent"}],
+           |  "processors": [
+           |  {"identifier": "p-put", "name": "RawTlsOut",
+           |   "type": "org.apache.nifi.processors.standard.PutSiteToSite",
+           |   "properties": {"Remote URL": "raw://127.0.0.1:${listeners.head.port}",
+           |     "Port Name": "in-0", "Transport Protocol": "RAW",
+           |     "Content Column": "content", "Attribute Columns": "tag",
+           |     "Keystore Path": "${TestKeystore.path}",
+           |     "Keystore Password": "${TestKeystore.password}"}}
+           |],
+           |"connections": [
+           |  {"source": {"id": "ip"}, "destination": {"id": "p-put"}},
+           |  {"source": {"id": "p-put"}, "destination": {"id": "op"}}
+           |]}}""".stripMargin
+      val rows = Seq(("t1", "secured")).toDF("tag", "content")
+      assert(FlowCompiler.compile(spark, sinkFlow, Map("rows" -> rows))("sent").count() == 1)
+      val files = new java.io.File(spool).listFiles().filter(_.getName.endsWith(".jsonl"))
+      assert(files.nonEmpty, "TLS sink transactions must land in the TLS listener's spool")
+      val all = spark.read.json(files.map(_.getPath): _*)
+        .selectExpr("attrs.tag", "cast(unbase64(content_b64) as string) AS content")
+        .as[(String, String)].collect()
+      assert(all.toSeq == Seq(("t1", "secured")))
+    } finally listeners.foreach(_.stop())
+  }
 }
