@@ -553,8 +553,13 @@ object FlowCompiler {
       p.tpe.split('.').last match {
         case "ListenHTTP" =>
           val base = prop(p, "Base Path", "ingest")
-          val srv = graft.streaming.ListenHttp.start(port, spool,
-            path = if (base.startsWith("/")) base else s"/$base")
+          val path = if (base.startsWith("/")) base else s"/$base"
+          val srv =
+            if (prop(p, "Keystore Path", "").nonEmpty)
+              graft.streaming.ListenHttp.startTls(port, spool,
+                prop(p, "Keystore Path", ""), prop(p, "Keystore Password", ""),
+                path = path)
+            else graft.streaming.ListenHttp.start(port, spool, path = path)
           Some(Listener(p.id, p.name, "ListenHTTP",
             srv.getAddress.getPort, () => srv.stop(0)))
         case "HandleHttpRequest" =>
@@ -566,7 +571,7 @@ object FlowCompiler {
           Some(Listener(p.id, p.name, "HandleHttpRequest",
             srv.getAddress.getPort, () => srv.stop(0)))
         case "ListenTCP" | "ListenSyslog" =>
-          val l = graft.streaming.Net.listenTcp(port, spool)
+          val l = graft.streaming.Net.listenTcp(port, spool, ssl = sslCtx)
           Some(Listener(p.id, p.name, "ListenTCP", l.port, () => l.stop()))
         case "ListenUDP" =>
           val l = graft.streaming.Net.listenUdp(port, spool)
@@ -780,13 +785,16 @@ object FlowCompiler {
     // directory (graft.streaming.{ListenHttp,Net}) and the SOURCE node
     // is a stream over the spool — exactly-once from the spool onward
     "ListenHTTP"         -> Set("Listening Port", "Base Path", "Spool Directory",
-                                "Character Set"),
+                                "Character Set",
+                                "Keystore Path", "Keystore Password"),
     "HandleHttpRequest"  -> Set("Listening Port", "Spool Directory", "Reply Directory",
                                 "Character Set"),
     "HandleHttpResponse" -> Set("Reply Directory", "Correlation Attribute"),
-    "ListenTCP"          -> Set("Listening Port", "Spool Directory"),
+    "ListenTCP"          -> Set("Listening Port", "Spool Directory",
+                                "Keystore Path", "Keystore Password"),
     "ListenUDP"          -> Set("Listening Port", "Spool Directory"),
-    "ListenSyslog"       -> Set("Listening Port", "Spool Directory", "Protocol"),
+    "ListenSyslog"       -> Set("Listening Port", "Spool Directory", "Protocol",
+                                "Keystore Path", "Keystore Password"),
     "PutTCP"             -> Set("Hostname", "Port", "Value Column"),
     "PutUDP"             -> Set("Hostname", "Port", "Value Column"),
     "ListenSMTP"         -> Set("Listening Port", "Spool Directory",

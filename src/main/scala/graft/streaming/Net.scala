@@ -106,10 +106,20 @@ object Net {
     * distributed log at scale; the downstream flow binds to the
     * directory, not the socket. */
   def listenTcp(port: Int, spoolDir: String, batchSize: Int = 100,
-                flushMs: Long = 250L, suffix: String = ".log"): TcpListener = {
+                flushMs: Long = 250L, suffix: String = ".log",
+                ssl: Option[javax.net.ssl.SSLContext] = None): TcpListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val server = new ServerSocket(port)
+    // `ssl` = TLS ListenTCP / ListenSyslog-over-TLS (NiFi's 'SSL
+    // Context Service' slot on both): the handshake runs lazily on the
+    // session's first read, so a plaintext peer dies in the record
+    // layer before a line parses — its reader thread catches
+    // IOException and nothing spools (the r17 listener-family
+    // plaintext-refusal contract).
+    val server = ssl match {
+      case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(port)
+      case None => new ServerSocket(port)
+    }
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
     val batch = new scala.collection.mutable.ArrayBuffer[String](batchSize)

@@ -164,6 +164,82 @@ class NetSpec extends SparkSpec {
            Option(err.getCause).exists(_.getMessage.contains("datagram limit")))
   }
 
+  test("listenTcp TLS: lines spool over SSL; a plaintext client spools nothing (r17)") {
+    val spool = java.nio.file.Files.createTempDirectory("graft_tcp_tls").toString
+    val l = graft.streaming.Net.listenTcp(0, spool, batchSize = 1,
+      ssl = Some(TestKeystore.sslContext))
+    try {
+      val sock = TestKeystore.sslContext.getSocketFactory
+        .createSocket("127.0.0.1", l.port)
+      try {
+        sock.getOutputStream.write("secured line\n".getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+      } finally sock.close()
+      val deadline = System.currentTimeMillis() + 5000
+      def lines() = spark.read.text(spool).count()
+      while (lines() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.read.text(spool).as[String].collect().toSeq == Seq("secured line"))
+      // plaintext peer: the reader's first byte triggers the handshake,
+      // which dies on non-TLS input — nothing new spools
+      val plain = new java.net.Socket("127.0.0.1", l.port)
+      try {
+        plain.getOutputStream.write("plaintext line\n".getBytes("UTF-8"))
+        plain.getOutputStream.flush()
+      } catch { case _: java.io.IOException => () }
+      finally plain.close()
+      Thread.sleep(600) // one flush interval past the refusal
+      assert(spark.read.text(spool).count() === 1, "plaintext must not spool")
+    } finally l.stop()
+  }
+
+  test("flow vocabulary TLS: Keystore Path on ListenHTTP and ListenTCP nodes starts the TLS forms (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flow_tls")
+    val hSpool = dir.resolve("http").toString
+    val tSpool = dir.resolve("tcp").toString
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {"name": "tls-edges", "processors": [
+         |  {"identifier": "h", "type": "ListenHTTP",
+         |   "properties": {"Listening Port": "0", "Spool Directory": "$hSpool",
+         |     "Keystore Path": "${TestKeystore.path}",
+         |     "Keystore Password": "${TestKeystore.password}"}},
+         |  {"identifier": "t", "type": "ListenTCP",
+         |   "properties": {"Listening Port": "0", "Spool Directory": "$tSpool",
+         |     "Keystore Path": "${TestKeystore.path}",
+         |     "Keystore Password": "${TestKeystore.password}"}}],
+         |  "outputPorts": [], "connections": []}}""".stripMargin)
+    val ls = FlowCompiler.startListeners(flow)
+    try {
+      val http = ls.find(_.tpe == "ListenHTTP").get
+      val tcp = ls.find(_.tpe == "ListenTCP").get
+      // HTTPS POST with the matching trust context lands in the spool
+      val client = java.net.http.HttpClient.newBuilder()
+        .sslContext(TestKeystore.sslContext).build()
+      val resp = client.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"https://127.0.0.1:${http.port}/ingest"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("via https"))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(new java.io.File(hSpool).listFiles().exists(_.getName.endsWith(".dat")))
+      // plain HTTP against the TLS port dies in the handshake
+      intercept[java.io.IOException] {
+        java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:${http.port}/ingest"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString("plain"))
+            .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // TLS TCP line through the flow-started listener
+      val sock = TestKeystore.sslContext.getSocketFactory
+        .createSocket("127.0.0.1", tcp.port)
+      try { sock.getOutputStream.write("flow tls\n".getBytes("UTF-8")); sock.getOutputStream.flush() }
+      finally sock.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.text(tSpool).count() < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.read.text(tSpool).as[String].collect().toSeq == Seq("flow tls"))
+    } finally ls.foreach(_.stop())
+  }
+
   private implicit class RichJIterator[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
