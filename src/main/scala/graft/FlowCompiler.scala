@@ -810,6 +810,8 @@ object FlowCompiler {
                                 "Folder", "Spool Directory",
                                 "Poll Interval Ms", "Delete Messages"),
     // r16 NiFi 2.x GenAI bundle: RAG chunking over the 38e chunker
+    "ParseDocument"      -> Set("Content Column", "Output Column",
+                                "Input Format"),
     "ChunkDocument"      -> Set("Id Column", "Content Column",
                                 "Chunk Size", "Chunk Overlap"),
     // r17 GenAI vector-store parity: the persistent-index family
@@ -1225,6 +1227,28 @@ object FlowCompiler {
       case "ReplaceText" =>
         Records.replaceText(in, prop(p, "Content Column", "content"),
           prop(p, "Search Value", ""), prop(p, "Replacement Value", ""))
+      case "ParseDocument" =>
+        // NiFi 2.x GenAI bundle: the document-ingestion front door
+        // (bytes → plain text, upstream of ChunkDocument). Formats:
+        // pdf (graft.operators.Doc's JDK-only subset extractor),
+        // markdown (CommonMark surface strip), html (the r16 tag
+        // strip — parsing, not curation; curation is
+        // ExtractHTMLMainContent), text (string cast/decode).
+        val cCol = col(prop(p, "Content Column", "content"))
+        val outCol = prop(p, "Output Column", "text")
+        prop(p, "Input Format", "text").toLowerCase match {
+          case "pdf" =>
+            in.withColumn(outCol, graft.plans.DocExpressions.pdfText(cCol.cast("binary")))
+          case "markdown" | "md" =>
+            in.withColumn(outCol, graft.plans.DocExpressions.markdownText(cCol.cast("string")))
+          case "html" =>
+            in.withColumn(outCol, graft.plans.HtmlFunctions.stripTags(cCol.cast("string")))
+          case "text" | "plain" =>
+            in.withColumn(outCol, cCol.cast("string"))
+          case other => throw new IllegalArgumentException(
+            s"ParseDocument ${p.name}: unsupported Input Format '$other' " +
+            "(pdf|markdown|html|text)")
+        }
       case "ChunkDocument" =>
         // NiFi 2.x GenAI bundle: split documents into RAG chunks —
         // mapped onto the token-window chunker (38e); NiFi's property
@@ -1875,8 +1899,9 @@ object FlowCompiler {
           prop(p, "Message Value Field", "value"))
       case "ConvertRecord" =>
         // content-grain Record Reader -> Record Writer conversion;
-        // reader/writer name their format directly (json|csv), the
-        // record schema is the Schema property (DDL)
+        // reader/writer name their format directly
+        // (json|csv|avro|xml), the record schema is the Schema
+        // property (DDL)
         Records.convertRecordFormat(in, prop(p, "Content Column", "content"),
           prop(p, "Record Reader", "json"), prop(p, "Record Writer", "json"),
           prop(p, "Schema", ""), prop(p, "Output Column", "converted"))

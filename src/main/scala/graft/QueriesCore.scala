@@ -1003,6 +1003,24 @@ object QueriesCore {
       | strftime(l_shipdate, '%Y-%m') AS ship_ym, l_returnflag = 'R' AS is_return
       |FROM lineitem""".stripMargin
 
+  /** ConvertRecord xml mode (r17 — NiFi's XMLReader record reader):
+    * one XML element per record synthesized IN-PLAN from events
+    * columns, parsed with the builtin from_xml, re-emitted as JSON —
+    * so the DuckDB oracle states the exact JSON bytes as a concat of
+    * the same source columns. Narrow, rides the scan. */
+  val qConvertXml: Q = (s, d) => {
+    val xml = concat(lit("<e><u>"), col("user_id"),
+      lit("</u><t>"), col("event_type"), lit("</t></e>"))
+    Records.convertRecordFormat(
+        Tables.events(s, d).withColumn("payload", xml),
+        "payload", "xml", "json", "u BIGINT, t STRING")
+      .select(col("event_id"), col("converted"))
+  }
+  val qConvertXmlSql: String =
+    """SELECT event_id,
+      |  '{"u":' || user_id || ',"t":"' || event_type || '"}' AS converted
+      |FROM events""".stripMargin
+
   /** AttributeRollingWindow: trailing 1h per-user sum. */
   val qRollingWindow: Q = (s, d) => {
     Records.rollingWindow(Tables.events(s, d), "user_id", "ts", "value", 3600000L)
@@ -1315,6 +1333,7 @@ object QueriesCore {
     "q_segment_content"     -> qSegmentContent,
     "q_hash_content"        -> qHashContent,
     "q_convert_record"      -> qConvertRecord,
+    "q_convert_xml"         -> qConvertXml,
     "q_rolling_window"      -> qRollingWindow,
     "q_window_topn"         -> qWindowTopN,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtrip,
@@ -1381,6 +1400,7 @@ object QueriesCore {
     "q_segment_content"     -> qSegmentContentSql,
     "q_hash_content"        -> qHashContentSql,
     "q_convert_record"      -> qConvertRecordSql,
+    "q_convert_xml"         -> qConvertXmlSql,
     "q_rolling_window"      -> qRollingWindowSql,
     "q_window_topn"         -> qWindowTopNSql,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql,

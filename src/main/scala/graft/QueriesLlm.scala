@@ -2278,6 +2278,53 @@ object QueriesLlm {
     * len ≥ lengthLow (near-good/good next to a good block — the short
     * class needs BOTH neighbors good and the nav side is bad); the
     * heading, "fin", nav and © footer all drop. */
+  /** ParseDocument pdf mode (r17, NiFi 2.x GenAI): every document's
+    * text round-trips through REAL PDF bytes — [[graft.operators.Doc
+    * .synthPdf]] writes a classic one-page PDF per row (odd doc_ids
+    * Flate-compressed, even raw — both decode paths in the catalog)
+    * and the native `graft_pdf_text` extractor recovers the text
+    * EXACTLY, so the oracle is the source column itself. Narrow
+    * per-row work, zero shuffle; the udf is the fixture GENERATOR
+    * (the audio/video payload discipline), the extractor under test
+    * is the native. */
+  val qParsePdf: Q = (s, d) => {
+    val synth = udf { (id: Long, text: String) =>
+      graft.operators.Doc.synthPdf(text, compress = id % 2 == 1) }
+    Tables.documents(s, d)
+      .withColumn("payload", synth(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.plans.DocExpressions.pdfText(col("payload")).as("extracted"))
+  }
+  val qParsePdfSql: String =
+    "SELECT doc_id, text AS extracted FROM documents"
+
+  /** ParseDocument markdown mode (r17): a markdown document is
+    * synthesized IN-PLAN from each row's columns (heading, emphasis,
+    * blockquote, bullets, a link, a fenced code block, a pipe table —
+    * one of every stripped construct), so the expected plain text is a
+    * pure string concat the DuckDB oracle states exactly. */
+  val qParseMarkdown: Q = (s, d) => {
+    val md = concat(
+      lit("# Doc "), col("doc_id"),
+      lit("\n\n**"), col("lang"), lit("** intro\n\n> quoted "), col("source"),
+      lit("\n\n- first item\n- [ref](http://example.com/r) tail\n\n```\ncode "),
+      col("doc_id"),
+      lit("\n```\n\n| a | b |\n|---|---|\n| 1 | 2 |\n\n"), col("text"))
+    Tables.documents(s, d).withColumn("md", md)
+      .select(col("doc_id"),
+        graft.plans.DocExpressions.markdownText(col("md")).as("plain"))
+  }
+  val qParseMarkdownSql: String =
+    """SELECT doc_id,
+      |  'Doc ' || doc_id || chr(10) || chr(10) ||
+      |  lang || ' intro' || chr(10) || chr(10) ||
+      |  'quoted ' || source || chr(10) || chr(10) ||
+      |  'first item' || chr(10) || 'ref tail' || chr(10) || chr(10) ||
+      |  'code ' || doc_id || chr(10) || chr(10) ||
+      |  'a b' || chr(10) || '1 2' || chr(10) || chr(10) ||
+      |  text AS plain
+      |FROM documents""".stripMargin
+
   val qHtmlExtract: Q = (s, d) => {
     Tables.documents(s, d)
       .select(col("doc_id"), htmlWrap(withPara2 = true).as("html"))
@@ -3076,6 +3123,8 @@ object QueriesLlm {
     "q_nfc_normalize"       -> qNfcNormalize,
     "q_ws_contract"         -> qWsContract,
     "q_html_extract"        -> qHtmlExtract,
+    "q_parse_pdf"           -> qParsePdf,
+    "q_parse_markdown"      -> qParseMarkdown,
     "q_html_pipeline"       -> qHtmlPipeline,
     "q_curation_v2"         -> qCurationV2,
     "q_curation_report"     -> qCurationReport,
@@ -3158,6 +3207,8 @@ object QueriesLlm {
     "q_nfc_normalize"       -> qNfcNormalizeSql,
     "q_ws_contract"         -> qWsContractSql,
     "q_html_extract"        -> qHtmlExtractSql,
+    "q_parse_pdf"           -> qParsePdfSql,
+    "q_parse_markdown"      -> qParseMarkdownSql,
     "q_html_pipeline"       -> qGopherRulesSql, // stage-0 transparency: panel == panel(text)
     "q_curation_v2"         -> qCurationV2Sql,
     "q_curation_report"     -> qCurationReportSql,

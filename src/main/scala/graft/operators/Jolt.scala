@@ -23,7 +23,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *    path (dotted; `&`/`&0`/`&(1)` substitute the key matched 0/1/…
   *    levels up; a trailing `[]` segment appends to an array), a
   *    nested spec object, or an array of destination paths
-  *    (multi-write). Two writes to one slot accumulate into an array
+  *    (multi-write). `$`/`$n`/`$(n)` LHS entries write the MATCHED KEY
+  *    n levels up as the value (the docs' "collect the keys" example);
+  *    `#literal` LHS entries write the literal when the spec level is
+  *    reached. Two writes to one slot accumulate into an array
   *    (Jolt's list-on-collision rule). Unmatched input is dropped.
   *  - **default**: literals applied where the slot is absent or null;
   *    `*` applies under every existing key; nested spec objects create
@@ -32,16 +35,22 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *    matched slot.
   *  - **cardinality**: leaf `"ONE"` unwraps a list to its first
   *    element, `"MANY"` wraps a non-list into a one-element list.
-  *  - **modify-overwrite-beta**: leaf `=toUpper|=toLower|=trim|=size`
-  *    apply to the existing value; any other leaf literal overwrites;
-  *    `*` matches every key; recursion only descends into slots that
-  *    exist (modify never creates structure except the assigned leaf).
+  *  - **modify-overwrite-beta**: argless leaves `=toUpper|=toLower|
+  *    =trim|=size|=toInteger|=toDouble|=toString` apply to the
+  *    existing value (absent slots stay absent); function leaves
+  *    `=concat(...)`/`=join(delim, arr)`/`=split(regex, str)` compute
+  *    from arguments — quoted literals, numbers, and `@(1,field)`
+  *    sibling references — and CREATE the slot (skipped when a
+  *    referenced sibling is absent); any other leaf literal
+  *    overwrites; `*` matches every key; recursion only descends into
+  *    slots that exist.
   *
-  * Documented subset bounds: `$`-matching, `#` literals, `@`-lookups,
-  * `&(n,k)` group references and modify's arithmetic/string-template
-  * functions are not implemented (they have no NiFi-flow usage in this
-  * engine's test corpus); the spec parser rejects nothing silently —
-  * unknown operations throw at parse time.
+  * Documented subset bounds: `@`-lookups in SHIFT specs, `&(n,k)`
+  * group references (this engine's wildcards are whole-key), modify
+  * references deeper than `@(1,…)`, and modify's arithmetic functions
+  * are not implemented (no NiFi-flow usage in this engine's test
+  * corpus); the spec parser rejects nothing silently — unknown
+  * operations and malformed function leaves throw at parse time.
   *
   * Reference behavior: NiFi standard-bundle JoltTransformJSON
   * (chained DSL, spec validated at processor-config time).
@@ -78,8 +87,10 @@ object Jolt {
       case ("modify-overwrite-beta", s) =>
         require(s.isObject, "modify spec must be an object")
         validateLeaves(s, "modify-overwrite-beta") { t =>
-          !(t.isTextual && t.asText().startsWith("=")) ||
-            Set("=toUpper", "=toLower", "=trim", "=size")(t.asText()) }
+          if (!(t.isTextual && t.asText().startsWith("="))) true
+          else if (ArglessFns(t.asText())) true
+          else { parseModifyFn(t.asText()); true } // throws on a bad fn leaf
+        }
         (in: JsonNode) => modify(in, s.asInstanceOf[ObjectNode])
       case (op, _) => throw new IllegalArgumentException(
         s"jolt: unsupported operation '$op' " +
@@ -117,7 +128,10 @@ object Jolt {
   /** LHS match order per the Jolt docs: literal beats alternation
     * beats `*`. Returns the spec value to walk with. */
   private def lhsMatch(spec: ObjectNode, key: String): Option[JsonNode] = {
-    if (spec.has(key)) return Some(spec.get(key))
+    // $/# spec entries are level-triggered writes, not key matchers —
+    // an input key that happens to start with $/# may still match `*`
+    if (spec.has(key) && !key.startsWith("$") && !key.startsWith("#"))
+      return Some(spec.get(key))
     val alt = spec.properties().asScala
       .find { e => val k = e.getKey
         k.contains('|') && k.split('|').contains(key) }
@@ -131,21 +145,49 @@ object Jolt {
     out
   }
 
+  /** Write `value` at every destination the (textual or array-of-text)
+    * RHS names — the shared tail of key matches, `$` key-refs and `#`
+    * literals. */
+  private def writeDst(out: ObjectNode, rhs: JsonNode, value: JsonNode,
+                       matched: List[String], ctx: String): Unit = rhs match {
+    case t if t.isTextual => write(out, resolveDst(t.asText(), matched), value)
+    case a: ArrayNode =>
+      a.elements().asScala.foreach { d =>
+        require(d.isTextual, s"jolt shift: destination array must hold path strings ($ctx)")
+        write(out, resolveDst(d.asText(), matched), value)
+      }
+    case other => throw new IllegalArgumentException(
+      s"jolt shift: unsupported RHS ${other.getNodeType} for $ctx")
+  }
+
+  private val DollarKey = "\\$(?:\\((\\d+)\\)|(\\d+))?".r
+
   private def walkShift(node: JsonNode, spec: ObjectNode,
                         matched: List[String], out: ObjectNode): Unit = {
+    // $-and-# entries fire when this spec LEVEL is reached (once per
+    // matched node): `$n` writes the key matched n levels up as the
+    // VALUE; `#literal` writes the literal. Both use the normal RHS
+    // destination grammar.
+    spec.properties().asScala.foreach { e =>
+      e.getKey match {
+        case DollarKey(par, bare) if e.getKey.startsWith("$") =>
+          val n = Option(par).orElse(Option(bare)).map(_.toInt).getOrElse(0)
+          require(n < matched.length,
+            s"jolt shift: ${e.getKey} exceeds match depth ${matched.length}")
+          writeDst(out, e.getValue, new TextNode(matched(n)), matched, e.getKey)
+        case k if k.startsWith("#") && k.length > 1 =>
+          writeDst(out, e.getValue, new TextNode(k.substring(1)), matched, k)
+        case k if k.startsWith("$") || k == "#" => throw new IllegalArgumentException(
+          s"jolt shift: malformed key-reference LHS '$k' ($$, $$n or $$(n))")
+        case _ => ()
+      }
+    }
     def one(key: String, value: JsonNode): Unit =
       lhsMatch(spec, key).foreach { rhs =>
         val m2 = key :: matched
         rhs match {
           case o: ObjectNode => walkShift(value, o, m2, out)
-          case t if t.isTextual => write(out, resolveDst(t.asText(), m2), value)
-          case a: ArrayNode =>
-            a.elements().asScala.foreach { d =>
-              require(d.isTextual, "jolt shift: destination array must hold path strings")
-              write(out, resolveDst(d.asText(), m2), value)
-            }
-          case other => throw new IllegalArgumentException(
-            s"jolt shift: unsupported RHS ${other.getNodeType} for key '$key'")
+          case other => writeDst(out, other, value, m2, s"key '$key'")
         }
       }
     node match {
@@ -316,7 +358,16 @@ object Jolt {
           sv match {
             case so: ObjectNode => Option(o.get(k)).foreach(applyModify(_, so))
             case t if t.isTextual && t.asText().startsWith("=") =>
-              Option(o.get(k)).foreach(v => o.set[JsonNode](k, modifyFn(t.asText(), v)))
+              val txt = t.asText()
+              if (ArglessFns(txt))
+                Option(o.get(k)).foreach(v => o.set[JsonNode](k, arglessFn(txt, v)))
+              else {
+                // function-with-args computes from siblings/literals —
+                // it CREATES the slot (Jolt's =concat on a new key);
+                // an absent @(1,…) reference skips the assignment
+                val (fn, args) = parseModifyFn(txt)
+                evalModifyFn(fn, args, o).foreach(r => o.set[JsonNode](k, r))
+              }
             case lit => o.set[JsonNode](k, lit.deepCopy[JsonNode]()) // literal overwrite
           }
         }
@@ -325,7 +376,10 @@ object Jolt {
     case _ => ()
   }
 
-  private def modifyFn(fn: String, v: JsonNode): JsonNode = fn match {
+  private val ArglessFns = Set("=toUpper", "=toLower", "=trim", "=size",
+    "=toInteger", "=toDouble", "=toString")
+
+  private def arglessFn(fn: String, v: JsonNode): JsonNode = fn match {
     case "=toUpper" => if (v.isTextual) new TextNode(v.asText().toUpperCase(java.util.Locale.ROOT)) else v
     case "=toLower" => if (v.isTextual) new TextNode(v.asText().toLowerCase(java.util.Locale.ROOT)) else v
     case "=trim"    => if (v.isTextual) new TextNode(v.asText().trim) else v
@@ -333,7 +387,113 @@ object Jolt {
       if (v.isTextual) f.numberNode(v.asText().length)
       else if (v.isArray || v.isObject) f.numberNode(v.size())
       else v
+    case "=toInteger" =>
+      if (v.isIntegralNumber) v
+      else if (v.isNumber) f.numberNode(v.asLong())
+      else if (v.isTextual)
+        try f.numberNode(v.asText().trim.toLong) catch { case _: NumberFormatException => v }
+      else v
+    case "=toDouble" =>
+      if (v.isNumber) f.numberNode(v.asDouble())
+      else if (v.isTextual)
+        try f.numberNode(v.asText().trim.toDouble) catch { case _: NumberFormatException => v }
+      else v
+    case "=toString" =>
+      if (v.isTextual) v
+      else if (v.isValueNode) new TextNode(v.asText())
+      else v
     case other => throw new IllegalArgumentException(
-      s"jolt modify: unsupported function '$other' (=toUpper|=toLower|=trim|=size)")
+      s"jolt modify: unsupported function '$other' " +
+      "(=toUpper|=toLower|=trim|=size|=toInteger|=toDouble|=toString)")
+  }
+
+  // --------------------------- modify function-with-args grammar
+
+  private[operators] sealed trait MArg
+  private case class MLit(v: JsonNode) extends MArg
+  private case class MRef(path: Seq[String]) extends MArg // @(1,path)
+
+  /** Parse `=name(arg, ...)` — quoted literals ('x'), numbers,
+    * true/false, and `@(1,dotted.path)` sibling references. Throws on
+    * anything else, at spec-validation time. */
+  private[operators] def parseModifyFn(s: String): (String, Seq[MArg]) = {
+    val open = s.indexOf('(')
+    require(s.startsWith("=") && open > 1 && s.endsWith(")"),
+      s"jolt modify: malformed function leaf '$s'")
+    val name = s.substring(1, open)
+    require(Set("concat", "join", "split")(name),
+      s"jolt modify: unsupported function '=$name' (concat|join|split)")
+    val body = s.substring(open + 1, s.length - 1)
+    // split on top-level commas: quotes and @(...) parens guard commas
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQ = false; var start = 0
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 => args += body.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(!inQ && depth == 0, s"jolt modify: unbalanced quotes/parens in '$s'")
+    if (body.trim.nonEmpty) args += body.substring(start)
+    val parsed = args.toSeq.map(_.trim).map { a =>
+      if (a.startsWith("'") && a.endsWith("'") && a.length >= 2)
+        MLit(new TextNode(a.substring(1, a.length - 1)))
+      else if (a.startsWith("@(") && a.endsWith(")")) {
+        val inner = a.substring(2, a.length - 1).split(",", 2)
+        require(inner.length == 2 && inner(0).trim == "1",
+          s"jolt modify: only @(1,field) references are supported, got '$a'")
+        MRef(inner(1).trim.split('.').toSeq)
+      }
+      else if (a == "true") MLit(f.booleanNode(true))
+      else if (a == "false") MLit(f.booleanNode(false))
+      else if (a.matches("-?\\d+")) MLit(f.numberNode(a.toLong))
+      else if (a.matches("-?\\d*\\.\\d+")) MLit(f.numberNode(a.toDouble))
+      else throw new IllegalArgumentException(
+        s"jolt modify: unsupported argument '$a' in '$s'")
+    }
+    (name, parsed)
+  }
+
+  /** Resolve args against the enclosing object and evaluate. None when
+    * a referenced sibling is absent (the assignment is skipped). */
+  private def evalModifyFn(name: String, args: Seq[MArg],
+                           o: ObjectNode): Option[JsonNode] = {
+    def resolve(a: MArg): Option[JsonNode] = a match {
+      case MLit(v) => Some(v)
+      case MRef(path) =>
+        path.foldLeft(Option(o: JsonNode)) {
+          case (Some(n), seg) => Option(n.get(seg))
+          case (None, _) => None
+        }
+    }
+    val vals = args.map(resolve)
+    if (vals.exists(_.isEmpty)) return None
+    val vs = vals.map(_.get)
+    def text(n: JsonNode): String = if (n.isTextual) n.asText() else n.toString
+    name match {
+      case "concat" => Some(new TextNode(vs.map(text).mkString))
+      case "join" =>
+        require(vs.length == 2, "jolt modify: =join(delim, array)")
+        vs(1) match {
+          case arr: ArrayNode =>
+            Some(new TextNode(arr.elements().asScala.map(text).mkString(text(vs(0)))))
+          case _ => None // non-array reference: nothing to join
+        }
+      case "split" =>
+        require(vs.length == 2, "jolt modify: =split(regex, string)")
+        if (!vs(1).isTextual) None
+        else {
+          val out = f.arrayNode()
+          vs(1).asText().split(text(vs(0)), -1).foreach(p => out.add(new TextNode(p)))
+          Some(out)
+        }
+      case other => throw new IllegalArgumentException(
+        s"jolt modify: unsupported function '=$other'")
+    }
   }
 }

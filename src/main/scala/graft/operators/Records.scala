@@ -572,15 +572,20 @@ object Records {
       // grain stays in sources.AvroIo; malformed payloads → NULL rows
       case "avro" => graft.plans.AvroExpressions.avroDecode(
         col(contentCol).cast("binary"), schemaDdl)
+      // r17: XMLReader — one XML element per record (builtin from_xml;
+      // any root tag, child elements bind by field name)
+      case "xml"  => from_xml(col(contentCol).cast("string"), schema)
       case f => throw new IllegalArgumentException(
-        s"ConvertRecord: unknown Record Reader format '$f' (json|csv|avro)")
+        s"ConvertRecord: unknown Record Reader format '$f' (json|csv|avro|xml)")
     }
     val out = writerFormat.trim.toLowerCase match {
       case "json" => (c: Column) => to_json(c)
       case "csv"  => (c: Column) => to_csv(c)
       case "avro" => (c: Column) => graft.plans.AvroExpressions.avroEncode(c, schemaDdl)
+      // r17: XMLRecordSetWriter — builtin to_xml (default <ROW> root)
+      case "xml"  => (c: Column) => to_xml(c)
       case f => throw new IllegalArgumentException(
-        s"ConvertRecord: unknown Record Writer format '$f' (json|csv|avro)")
+        s"ConvertRecord: unknown Record Writer format '$f' (json|csv|avro|xml)")
     }
     df.withColumn(outCol, out(parsed))
   }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Doc
+
+/** ParseDocument gates (r17, NiFi 2.x GenAI front door): the JDK-only
+  * PDF subset extractor against bytes this spec constructs — both
+  * through [[Doc.synthPdf]] (round-trip law) and HAND-WRITTEN PDF
+  * fragments exercising grammar the synth never emits (TJ kerning
+  * arrays, hex strings, escapes, multi-stream, unsupported filters) —
+  * plus the CommonMark strip and the flow-node wiring. */
+class DocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pdf round-trip law: synthPdf -> pdfText is identity, raw and Flate") {
+    val texts = Seq(
+      "hello pdf world",
+      "line one\nline two\nline three",
+      "escapes: (parens) back\\slash and\ttab",
+      "", // empty document
+      "unicode: café — résumé")
+    for (t <- texts; compress <- Seq(false, true)) {
+      assert(Doc.pdfText(Doc.synthPdf(t, compress)) === t,
+        s"round-trip (compress=$compress) for ${t.take(20)}")
+    }
+  }
+
+  test("pdf grammar the synth never emits: TJ arrays, hex strings, quote ops, multi-stream") {
+    def pdfWith(content: String): Array[Byte] = {
+      val c = content.getBytes("ISO-8859-1")
+      (s"%PDF-1.4\n4 0 obj\n<< /Length ${c.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+    }
+    // TJ: strings concatenate, kerning numbers ignored
+    assert(Doc.pdfText(pdfWith("BT [(Hel) -120 (lo) 30 ( world)] TJ ET")) === "Hello world",
+      "TJ array concatenates its strings")
+    // hex strings decode bytes
+    assert(Doc.pdfText(pdfWith("BT <48656C6C6F> Tj ET")) === "Hello")
+    // ' starts a new line then shows; " takes word/char spacing first
+    assert(Doc.pdfText(pdfWith("BT (a) Tj (b) ' ET")) === "a\nb")
+    assert(Doc.pdfText(pdfWith("BT (a) Tj 1 2 (b) \" ET")) === "a\nb")
+    // octal escape; a lone backslash before an ordinary char drops
+    assert(Doc.pdfText(pdfWith("BT (A\\101\\software) Tj ET")) === "AAsoftware")
+    // Td/T* between shows break lines; text outside BT/ET is ignored
+    assert(Doc.pdfText(pdfWith("(junk) Tj BT (x) Tj T* (y) Tj ET")) === "x\ny")
+    // two content streams join with a newline
+    val two = ("%PDF-1.4\n" +
+      "4 0 obj\n<< /Length 12 >>\nstream\nBT (p1) Tj ET\nendstream\nendobj\n" +
+      "6 0 obj\n<< /Length 12 >>\nstream\nBT (p2) Tj ET\nendstream\nendobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Doc.pdfText(two) === "p1\np2")
+    // unsupported filter skips the stream instead of garbling
+    val dct = ("%PDF-1.4\n4 0 obj\n<< /Length 4 /Filter /DCTDecode >>\n" +
+      "stream\n\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Doc.pdfText(dct) === "")
+    // not a PDF at all -> "" (the failure route keys on emptiness)
+    assert(Doc.pdfText("plain text".getBytes("UTF-8")) === "")
+    assert(Doc.pdfText(Array.empty[Byte]) === "")
+  }
+
+  test("markdown strip: headings, emphasis, links, code, quotes, lists, tables, HTML") {
+    val md =
+      """# Title
+        |
+        |Some **bold** and *starred* and _underscored_ text with `code span`.
+        |
+        |> a quote line
+        |
+        |- item one
+        |- [label](http://example.com/path) trailing
+        |1. numbered
+        |
+        |```
+        |raw code **not emphasis**
+        |```
+        |
+        || h1 | h2 |
+        ||----|----|
+        || a  | b  |
+        |
+        |![alt text](http://example.com/img.png) caption
+        |<span>html drops</span> kept
+        |
+        |---
+        |
+        |[ref]: http://example.com/definition
+        |tail""".stripMargin
+    val plain = Doc.markdownText(md)
+    assert(plain ===
+      """Title
+        |
+        |Some bold and starred and underscored text with code span.
+        |
+        |a quote line
+        |
+        |item one
+        |label trailing
+        |numbered
+        |
+        |raw code **not emphasis**
+        |
+        |h1 h2
+        |a b
+        |
+        |alt text caption
+        |html drops kept
+        |
+        |tail""".stripMargin)
+    assert(Doc.markdownText(null) == null)
+    assert(Doc.markdownText("") === "")
+  }
+
+  test("flow node: ParseDocument routes each Input Format; bad format fails compile") {
+    def flow(fmt: String) =
+      s"""{"flowContents": {"name": "parse",
+         |  "inputPorts": [{"identifier": "in", "name": "docs"}],
+         |  "outputPorts": [{"identifier": "out", "name": "parsed"}],
+         |  "processors": [
+         |    {"identifier": "p", "name": "Parser",
+         |     "type": "org.apache.nifi.processors.parsedocument.ParseDocument",
+         |     "properties": {"Content Column": "payload",
+         |                    "Output Column": "text", "Input Format": "$fmt"}}],
+         |  "connections": [
+         |    {"source": {"id": "in"}, "destination": {"id": "p"}},
+         |    {"source": {"id": "p"}, "destination": {"id": "out"}}]}}""".stripMargin
+    val pdfRows = Seq((1L, Doc.synthPdf("from a pdf", compress = true)))
+      .toDF("doc_id", "payload")
+    val gotPdf = FlowCompiler.compile(spark, flow("pdf"), Map("docs" -> pdfRows))("parsed")
+      .select("text").as[String].collect()
+    assert(gotPdf.toSeq === Seq("from a pdf"))
+    val mdRows = Seq((1L, "# H\n\n**bold** body")).toDF("doc_id", "payload")
+    val gotMd = FlowCompiler.compile(spark, flow("markdown"), Map("docs" -> mdRows))("parsed")
+      .select("text").as[String].collect()
+    assert(gotMd.toSeq === Seq("H\n\nbold body"))
+    val htmlRows = Seq((1L, "<p>para</p><script>x()</script>")).toDF("doc_id", "payload")
+    val gotHtml = FlowCompiler.compile(spark, flow("html"), Map("docs" -> htmlRows))("parsed")
+      .select("text").as[String].collect()
+    assert(gotHtml.toSeq === Seq("para"))
+    intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flow("docx"), Map("docs" -> mdRows))("parsed")
+    }
+  }
+
+  test("q_parse_pdf / q_parse_markdown run and match their closed forms at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val pdf = QueriesLlm.qParsePdf(spark, d)
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    assert(pdf.join(src, "doc_id").filter(col("extracted") =!= col("text")).count() === 0L)
+    assert(pdf.count() === src.count())
+    val md = QueriesLlm.qParseMarkdown(spark, d).filter(col("doc_id") === 0L)
+      .select("plain").as[String].collect()(0)
+    val row = Tables.documents(spark, d).filter(col("doc_id") === 0L)
+      .select("lang", "source", "text").collect()(0)
+    assert(md ===
+      s"Doc 0\n\n${row.getString(0)} intro\n\nquoted ${row.getString(1)}\n\n" +
+      s"first item\nref tail\n\ncode 0\n\na b\n1 2\n\n${row.getString(2)}")
+  }
+}

@@ -103,6 +103,60 @@ class JoltSpec extends SparkSpec {
       """{"xs": [1, 2, 3]}"""), """{"xs": 3}""")
   }
 
+  test("shift $ key-refs and # literals (r17): collect keys, tag reached levels") {
+    // the docs' "collect the keys" shape: $ writes the MATCHED KEY
+    assertJson(run("""{"*": {"$": "keys[]"}}""",
+      """{"alpha": 1, "beta": 2}"""),
+      """{"keys": ["alpha", "beta"]}""")
+    // $1 reaches one match level up; & in the destination still works
+    assertJson(run("""{"*": {"id": {"$1": "byId.&1"}}}""",
+      """{"u7": {"id": 7}, "u9": {"id": 9}}"""),
+      """{"byId": {"u7": "u7", "u9": "u9"}}""")
+    // #literal writes its text when the level is reached (per match)
+    assertJson(run("""{"*": {"#seen": "flags[]"}}""",
+      """{"a": {}, "b": {}}"""),
+      """{"flags": ["seen", "seen"]}""")
+    // an input key literally named "$" does not trigger the key-ref
+    assertJson(run("""{"x": {"$": "gotKey"}}""", """{"x": {"$": 5}}"""),
+      """{"gotKey": "x"}""")
+    // $ past the match depth throws (root level has no matched key)
+    intercept[IllegalArgumentException] {
+      run("""{"$": "k"}""", """{"a": 1}""")
+    }
+  }
+
+  test("modify functions with args (r17): concat/join/split, @(1,field) refs, conversions") {
+    // =concat from sibling refs + literal (creates the slot)
+    assertJson(run("""[{"operation": "modify-overwrite-beta",
+        "spec": {"full": "=concat(@(1,first), ' ', @(1,last))"}}]""",
+      """{"first": "Ada", "last": "Lovelace"}"""),
+      """{"first": "Ada", "last": "Lovelace", "full": "Ada Lovelace"}""")
+    // a missing reference skips the assignment
+    assertJson(run("""[{"operation": "modify-overwrite-beta",
+        "spec": {"full": "=concat(@(1,first), @(1,nope))"}}]""",
+      """{"first": "Ada"}"""), """{"first": "Ada"}""")
+    // =join over an array sibling; =split the inverse
+    assertJson(run("""[{"operation": "modify-overwrite-beta",
+        "spec": {"csv": "=join(',', @(1,xs))", "parts": "=split('-', @(1,code))"}}]""",
+      """{"xs": ["a", "b", "c"], "code": "x-y-z"}"""),
+      """{"xs": ["a", "b", "c"], "code": "x-y-z",
+         "csv": "a,b,c", "parts": ["x", "y", "z"]}""")
+    // numeric conversions on existing values; non-parse leaves as-is
+    assertJson(run("""[{"operation": "modify-overwrite-beta",
+        "spec": {"n": "=toInteger", "d": "=toDouble", "s": "=toString", "bad": "=toInteger"}}]""",
+      """{"n": "42", "d": "2.5", "s": 7, "bad": "xyz"}"""),
+      """{"n": 42, "d": 2.5, "s": "7", "bad": "xyz"}""")
+    // malformed function leaves throw at PARSE time (validation moment)
+    intercept[IllegalArgumentException] {
+      Jolt.chain("""[{"operation": "modify-overwrite-beta",
+        "spec": {"a": "=concat(@(2,x))"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      Jolt.chain("""[{"operation": "modify-overwrite-beta",
+        "spec": {"a": "=frobnicate('x')"}}]""")
+    }
+  }
+
   test("chained spec: shift then default then modify then remove (one pipeline)") {
     val chain =
       """[

@@ -121,4 +121,27 @@ class RouteRecordsSpec extends SparkSpec {
       .orderBy("rk").select("tag").as[String].collect()
     assert(top === Array("b", "c"))
   }
+
+  test("ConvertRecord xml mode (r17): XMLReader parse, writer round-trip, malformed -> null") {
+    val ddl = "u BIGINT, t STRING"
+    val xmlRows = Seq(
+      (1L, "<e><u>7</u><t>click</t></e>"),
+      (2L, "<rec><t>view</t><u>9</u></rec>"), // any root tag, any field order
+      (3L, "not xml at all <<<")
+    ).toDF("id", "content")
+    val j = Records.convertRecordFormat(xmlRows, "content", "xml", "json", ddl)
+      .orderBy("id").select("converted").as[String].collect()
+    assert(j(0) === """{"u":7,"t":"click"}""")
+    assert(j(1) === """{"u":9,"t":"view"}""")
+    assert(j(2) === "{}", "malformed xml parses to an all-null record")
+    // writer direction: json -> xml -> back is identity on the record
+    val jsonRows = Seq((1L, """{"u": 7, "t": "a<b"}""")).toDF("id", "content")
+    val toXml = Records.convertRecordFormat(jsonRows, "content", "json", "xml", ddl, "x")
+    val xmlOut = toXml.select("x").as[String].collect()(0)
+    assert(xmlOut.contains("<u>7</u>") && xmlOut.contains("a&lt;b"),
+      "writer escapes markup-significant characters")
+    val back = Records.convertRecordFormat(toXml, "x", "xml", "json", ddl, "round")
+      .select("round").as[String].collect()(0)
+    assert(back === """{"u":7,"t":"a<b"}""")
+  }
 }
