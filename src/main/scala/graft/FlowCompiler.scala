@@ -406,6 +406,7 @@ object FlowCompiler {
         case "RouteOnAttribute" | "RouteOnContent" | "RouteText" =>
           Some(routeColOf(p) -> (dynamicProps(p).map(_._1) :+ "unmatched"))
         case "ValidateJson"     => Some(routeColOf(p) -> Seq("valid", "invalid"))
+        case "ValidateCsv"      => Some(routeColOf(p) -> Seq("valid", "invalid"))
         case "Wait"             => Some(routeColOf(p) -> Seq("success", "wait"))
         case "RetryFlowFile"    => Some(routeColOf(p) -> Seq("retry", "retries_exceeded"))
         case "DetectDuplicate"  => Some(routeColOf(p) -> Seq("duplicate", "non-duplicate"))
@@ -750,6 +751,8 @@ object FlowCompiler {
     "GeohashRecord"     -> Set("Mode", "Latitude Record Path",
                                "Longitude Record Path", "Geohash Record Path",
                                "Geohash Level"),
+    "ValidateCsv"      -> Set("Schema", "Content Column", "Route Column",
+                              "Delimiter"),
     "GetFile"          -> Set("Input Directory", "File Filter", "Character Set"),
     "ListFile"         -> Set("Input Directory", "File Filter"),
     "TransformXml"     -> Set("XSLT File Name", "Stylesheet"),
@@ -772,6 +775,10 @@ object FlowCompiler {
     "ExecuteSQL"        -> Set("JDBC Connection URL", "SQL select query",
                                "Partition Column", "Lower Bound", "Upper Bound",
                                "Number of Partitions"),
+    "GenerateTableFetch" -> Set("JDBC Connection URL", "Table Name",
+                                "Maximum-value Columns", "Partition Size",
+                                "State Path", "Columns to Return",
+                                "Database Connection Pooling Service"),
     "QueryDatabaseTable" -> Set("JDBC Connection URL", "Maximum-value Columns",
                                 "State Path"),
     "TailFile"          -> Set("File to Tail", "State Path"),
@@ -884,7 +891,7 @@ object FlowCompiler {
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
     Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
-        "ExecuteSQL", "QueryDatabaseTable", "TailFile",
+        "ExecuteSQL", "QueryDatabaseTable", "GenerateTableFetch", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
         "ListenSyslog", "ListenSMTP", "ListenFTP", "ListenWebSocket", "ConsumeMQTT", "ConsumeAMQP",
         "ConsumePOP3",
@@ -1472,6 +1479,23 @@ object FlowCompiler {
           prop(p, "Lower Bound", "0").trim.toLong,
           prop(p, "Upper Bound", "0").trim.toLong,
           prop(p, "Number of Partitions", "8").trim.toInt)
+      case "GenerateTableFetch" =>
+        // r17: the JDBC fan-out SOURCE — emits one row per page with
+        // the SQL a downstream fetch fleet runs (NiFi pairs it with
+        // ExecuteSQL workers); pages bounded by the captured max,
+        // watermark state optional (the QueryDatabaseTable contract)
+        require(inputs.isEmpty,
+          s"GenerateTableFetch ${p.name} is a source — no incoming connections")
+        val url = jdbcUrlOf(services, p)
+        val table = prop(p, "Table Name", "")
+        val maxCol = prop(p, "Maximum-value Columns", "")
+        require(url.nonEmpty && table.nonEmpty && maxCol.nonEmpty,
+          s"GenerateTableFetch ${p.name} needs JDBC Connection URL (inline or " +
+          "pool service), Table Name and Maximum-value Columns")
+        graft.sources.Io.generateTableFetch(spark, url, table, maxCol,
+          prop(p, "Partition Size", "10000").trim.toLong,
+          statePath = prop(p, "State Path", ""),
+          columns = prop(p, "Columns to Return", "*"))
       case "QueryDatabaseTable" =>
         // stateful incremental JDBC SOURCE: only rows past the recorded
         // `Maximum-value Columns` watermark are fetched (executor-side
@@ -1897,6 +1921,15 @@ object FlowCompiler {
         graft.streaming.Kafka.publishWire(in, topic,
           prop(p, "Message Key Field", "key"),
           prop(p, "Message Value Field", "value"))
+      case "ValidateCsv" =>
+        // r17: per-line CSV validation against the super-csv
+        // cell-processor DSL (schema parses at compile — NiFi's
+        // processor-config validation); routes valid/invalid
+        val schema = prop(p, "Schema", "")
+        require(schema.nonEmpty, s"ValidateCsv ${p.name} needs a 'Schema'")
+        Records.validateCsv(in, prop(p, "Content Column", "content"), schema,
+          routeCol = prop(p, "Route Column", "route"),
+          delimiter = prop(p, "Delimiter", ","))
       case "ConvertRecord" =>
         // content-grain Record Reader -> Record Writer conversion;
         // reader/writer name their format directly

@@ -1021,6 +1021,35 @@ object QueriesCore {
       |  '{"u":' || user_id || ',"t":"' || event_type || '"}' AS converted
       |FROM events""".stripMargin
 
+  /** ValidateCsv, super-csv DSL form (r17; the callback-predicate form is QueriesText.qValidateCsv): CSV lines synthesized in-plan from events with
+    * PLANTED violations selected by event_id — an extra cell
+    * (m10 = 0), an unparseable number (m10 = 1), a missing Optional
+    * cell (m10 = 2, which must stay VALID) — validated against
+    * `ParseLong, StrMinMax(5,10), Optional(ParseDouble)`; the oracle
+    * restates the routing as the same modulus + length cases. The
+    * value cell's string FORM doesn't matter (the processor checks
+    * castability), so double formatting never enters the compare. */
+  val qValidateCsvDsl: Q = (s, d) => {
+    val third = when(col("event_id") % 10 === 1, lit("x9x"))
+      .otherwise(coalesce(round(col("value"), 2).cast("string"), lit("0")))
+    val line = concat(
+      col("user_id").cast("string"), lit(","), col("event_type"),
+      when(col("event_id") % 10 === 2, lit(""))
+        .otherwise(concat(lit(","), third)),
+      when(col("event_id") % 10 === 0, lit(",oops")).otherwise(lit("")))
+    Records.validateCsv(
+        Tables.events(s, d).withColumn("line", line),
+        "line", "ParseLong, StrMinMax(5,10), Optional(ParseDouble)")
+      .select(col("event_id"), col("route"))
+  }
+  val qValidateCsvDslSql: String =
+    """SELECT event_id, CASE
+      |  WHEN event_id % 10 = 0 THEN 'invalid'
+      |  WHEN event_id % 10 = 1 THEN 'invalid'
+      |  WHEN length(event_type) BETWEEN 5 AND 10 THEN 'valid'
+      |  ELSE 'invalid' END AS route
+      |FROM events""".stripMargin
+
   /** AttributeRollingWindow: trailing 1h per-user sum. */
   val qRollingWindow: Q = (s, d) => {
     Records.rollingWindow(Tables.events(s, d), "user_id", "ts", "value", 3600000L)
@@ -1334,6 +1363,7 @@ object QueriesCore {
     "q_hash_content"        -> qHashContent,
     "q_convert_record"      -> qConvertRecord,
     "q_convert_xml"         -> qConvertXml,
+    "q_validate_csv_dsl"    -> qValidateCsvDsl,
     "q_rolling_window"      -> qRollingWindow,
     "q_window_topn"         -> qWindowTopN,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtrip,
@@ -1401,6 +1431,7 @@ object QueriesCore {
     "q_hash_content"        -> qHashContentSql,
     "q_convert_record"      -> qConvertRecordSql,
     "q_convert_xml"         -> qConvertXmlSql,
+    "q_validate_csv_dsl"    -> qValidateCsvDslSql,
     "q_rolling_window"      -> qRollingWindowSql,
     "q_window_topn"         -> qWindowTopNSql,
     "q_source_csv_roundtrip" -> qSourceCsvRoundtripSql,

@@ -590,6 +590,59 @@ object Records {
     df.withColumn(outCol, out(parsed))
   }
 
+  /** ValidateCsv (NiFi standard bundle; schema = the super-csv
+    * cell-processor DSL NiFi exposes): each row's content column holds
+    * ONE CSV line; cells parse through the builtin from_csv (RFC-4180
+    * quoting — a naive split would break on quoted commas) and each
+    * cell's processor chain becomes a codegen'd Column predicate, so
+    * validation rides the scan. Routes `valid`/`invalid` in
+    * `routeCol` (the DetectDuplicate route discipline — connections
+    * select the relationship).
+    *
+    * Cell-processor subset (parsed + validated HERE, NiFi's
+    * processor-config moment; unknown processors throw):
+    * `NotNull`, `Null`, `Optional(inner)` (null passes, else inner),
+    * `ParseLong`/`ParseInt` (integer text), `ParseDouble` (castable),
+    * `ParseBool` (super-csv's true/false/t/f/y/n/1/0),
+    * `StrMinMax(min,max)` (length bounds), `Strlen(n)`,
+    * `StrRegEx("re")` (anchored), `IsIncludedIn("a","b",…)`,
+    * `Unique()` (value seen once across the batch — the one STATEFUL
+    * processor: a count window on the cell value, i.e. one shuffle;
+    * NiFi tracks it in per-file memory, the batch IS the file here).
+    * A line with missing cells fails non-Optional processors (the
+    * missing cell is null); extra trailing cells fail the line
+    * (detected via a probe column past the schema width). */
+  def validateCsv(df: DataFrame, contentCol: String, schema: String,
+                  routeCol: String = "route",
+                  delimiter: String = ","): DataFrame = {
+    val procs = CsvCells.parseSchema(schema) // throws on a bad DSL
+    val n = procs.length
+    // n declared cells + 1 probe: a non-null probe = extra cells
+    val ddl = ((0 until n).map(i => s"_c$i STRING") :+ s"_c$n STRING").mkString(", ")
+    val opts = Map("delimiter" -> delimiter, "mode" -> "PERMISSIVE")
+    val parsed = from_csv(col(contentCol).cast("string"),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl), opts)
+    val withCells = df.withColumn("__csv", parsed)
+    val cellCols = (0 until n).map(i => org.apache.spark.sql.functions.col(s"__csv._c$i"))
+    val stateless = procs.zip(cellCols).collect {
+      case (p, c) if !p.isUnique => p.pred(c)
+    }
+    val noExtra = col(s"__csv._c$n").isNull
+    val statelessOk = (stateless :+ noExtra).reduce(_ && _)
+    // Unique() cells: value-seen-once via a count window per cell
+    val uniqueIdx = procs.zipWithIndex.collect { case (p, i) if p.isUnique => i }
+    val withUnique = uniqueIdx.foldLeft(withCells) { (acc, i) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(s"__csv._c$i"))
+      acc.withColumn(s"__uniq$i", count(lit(1)).over(w) === 1)
+    }
+    val uniqueOk = uniqueIdx.map(i => col(s"__uniq$i"))
+    val allOk = (statelessOk +: uniqueOk).reduce(_ && _)
+    withUnique
+      .withColumn(routeCol, when(coalesce(allOk, lit(false)), "valid").otherwise("invalid"))
+      .drop("__csv")
+      .drop(uniqueIdx.map(i => s"__uniq$i"): _*)
+  }
+
   /** FuzzyHashContent (NiFi): context-triggered piecewise hash of the
     * content (ssdeep-style CTPH — see [[graft.plans.FuzzyHash]]):
     * localized edits change only the digest characters of the chunks

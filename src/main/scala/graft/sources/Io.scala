@@ -317,6 +317,68 @@ object Io {
     fresh
   }
 
+  /** GenerateTableFetch (NiFi, r17): the fan-out half of the JDBC
+    * ingest pair — instead of FETCHING rows, generate the page
+    * QUERIES that a fleet of downstream executors (NiFi: ExecuteSQL
+    * workers; here: any consumer of the `fetch_sql` column) runs in
+    * parallel. One metadata query per trigger (COUNT + MAX past the
+    * recorded watermark); the page list itself is built DISTRIBUTED
+    * (`spark.range(nPages)` + string concat — no driver loop, a
+    * billion-row table's page list is still just count/size rows).
+    * Pages are bounded ABOVE by the captured max (`col <= max`), so
+    * rows committed after generation belong to the NEXT trigger —
+    * NiFi's exact stability contract — and state advances to that max
+    * when `statePath` is set (empty = stateless full-table paging).
+    * Generated SQL uses ANSI `ORDER BY … OFFSET n ROWS FETCH NEXT k
+    * ROWS ONLY` (Derby/PostgreSQL/SQL Server shape; NiFi picks per
+    * database adapter the same way). */
+  def generateTableFetch(spark: SparkSession, url: String, table: String,
+                         maxValueColumn: String, partitionSize: Long,
+                         statePath: String = "",
+                         columns: String = "*",
+                         options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(partitionSize > 0, s"GenerateTableFetch: Partition Size must be > 0")
+    require(maxValueColumn.nonEmpty,
+      "GenerateTableFetch needs a Maximum-value Column (page order + watermark)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val last: Option[String] =
+      if (statePath.isEmpty) None
+      else {
+        val stateP = new Path(statePath)
+        readStateString(stateP.getFileSystem(conf), stateP).map(_.trim).filter(_.nonEmpty)
+      }
+    last.foreach { v =>
+      require(v.matches("-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"),
+        s"non-numeric watermark state '$v' — maxValueColumn must be numeric")
+    }
+    val where = last.map(v => s""" WHERE "$maxValueColumn" > $v""").getOrElse("")
+    val meta = readJdbc(spark, url,
+      s"""(SELECT COUNT(*) AS n, MAX("$maxValueColumn") AS mx FROM $table$where) graft_gtf""",
+      options).collect()(0)
+    // COUNT(*)'s JDBC type varies by database (Derby INTEGER, others
+    // BIGINT) — go through Number
+    val n = meta.get(0).asInstanceOf[Number].longValue()
+    import spark.implicits._
+    if (n == 0L)
+      return Seq.empty[(Long, String)].toDF("page_index", "fetch_sql")
+    val mx = meta.get(1).toString
+    val bound = (last.map(v => s""""$maxValueColumn" > $v AND """).getOrElse("") +
+      s""""$maxValueColumn" <= $mx""")
+    val nPages = (n + partitionSize - 1) / partitionSize
+    val pages = spark.range(nPages).select(
+      col("id").as("page_index"),
+      concat(
+        lit(s"""SELECT $columns FROM $table WHERE $bound ORDER BY "$maxValueColumn" OFFSET """),
+        (col("id") * partitionSize).cast("string"),
+        lit(s" ROWS FETCH NEXT $partitionSize ROWS ONLY")).as("fetch_sql"))
+    if (statePath.nonEmpty) {
+      val stateP = new Path(statePath)
+      writeStateAtomic(stateP.getFileSystem(conf), stateP, mx)
+    }
+    pages
+  }
+
   /** TailFile (NiFi): byte-offset tailing of ONE growing file for
     * scheduled batch runs — returns the COMPLETE lines appended since
     * the recorded offset and advances the state (offset + a partial

@@ -31,7 +31,7 @@ class JdbcSpec extends SparkSpec {
     assert(filtered.agg(sum("v")).as[Double].collect()(0) == (1 to 10).map(_ * 2.0).sum)
   }
 
-  test("partitioned jdbc fetch slices ranges across partitions (GenerateTableFetch)") {
+  test("partitioned jdbc fetch slices ranges across partitions (ExecuteSQL fan-out)") {
     val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
     Io.writeJdbc(df, url, "graft_t3")
     val fetched = Io.readJdbcPartitioned(spark, url, "graft_t3",
@@ -43,6 +43,53 @@ class JdbcSpec extends SparkSpec {
       .groupBy("p").count().select("count").as[Long].collect()
     assert(perPart.length == 8 && perPart.sum == 1000L)
     assert(fetched.agg(sum("id")).as[Long].collect()(0) == 500500L)
+  }
+
+  test("generateTableFetch emits page SQL covering the table exactly; watermark pages only new rows (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gtf")
+    val state = s"$dir/state"
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+    Io.writeJdbc(df, url, "graft_gtf1")
+    val pages = Io.generateTableFetch(spark, url, "graft_gtf1", "id",
+      partitionSize = 30, statePath = state)
+      .orderBy("page_index").as[(Long, String)].collect()
+    assert(pages.length === 4, "ceil(100/30) pages")
+    assert(pages.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(pages(1)._2 ===
+      """SELECT * FROM graft_gtf1 WHERE "id" <= 100 ORDER BY "id" OFFSET 30 ROWS FETCH NEXT 30 ROWS ONLY""")
+    // the pages, RUN against the database, reassemble the table exactly
+    val fetched = pages.map { case (_, sql) =>
+      Io.readJdbc(spark, url, s"($sql) graft_page").select("id").as[Long].collect().toSeq
+    }
+    assert(fetched.map(_.size).toSeq === Seq(30, 30, 30, 10))
+    assert(fetched.flatten.sorted === (1L to 100L))
+    // second trigger: only rows past the recorded watermark get pages
+    Io.writeJdbc((1 to 110).map(i => (i.toLong, s"r$i")).toDF("id", "payload"),
+      url, "graft_gtf1")
+    val next = Io.generateTableFetch(spark, url, "graft_gtf1", "id",
+      partitionSize = 30, statePath = state)
+      .as[(Long, String)].collect()
+    assert(next.length === 1)
+    assert(next(0)._2.contains(""""id" > 100 AND "id" <= 110"""))
+    val newRows = Io.readJdbc(spark, url, s"(${next(0)._2}) graft_page")
+      .select("id").as[Long].collect().sorted
+    assert(newRows === (101L to 110L))
+    // drained table → no pages, state untouched
+    assert(Io.generateTableFetch(spark, url, "graft_gtf1", "id",
+      partitionSize = 30, statePath = state).count() === 0L)
+
+    // flow vocabulary: GenerateTableFetch as a source node
+    val flow =
+      s"""{"flowContents": {"name": "gtf",
+         |  "outputPorts": [{"identifier": "o", "name": "pages"}],
+         |  "processors": [
+         |    {"identifier": "g", "type": "GenerateTableFetch",
+         |     "properties": {"JDBC Connection URL": "$url",
+         |       "Table Name": "graft_gtf1", "Maximum-value Columns": "id",
+         |       "Partition Size": "40"}}],
+         |  "connections": [{"source": {"id": "g"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val out = FlowCompiler.compile(spark, flow, Map.empty)("pages")
+    assert(out.count() === 3L, "stateless mode pages the whole table: ceil(110/40)")
   }
 
   test("listJdbcTables enumerates tables through connection metadata (ListDatabaseTables)") {

@@ -144,4 +144,50 @@ class RouteRecordsSpec extends SparkSpec {
       .select("round").as[String].collect()(0)
     assert(back === """{"u":7,"t":"a<b"}""")
   }
+
+  test("ValidateCsv (r17): cell processors, RFC-4180 quoting, Unique window, schema rejects at parse") {
+    val rows = Seq(
+      (1L, """7,alpha,1.5"""),            // all pass
+      (2L, """x,alpha,1.5"""),            // ParseLong fails
+      (3L, """8,al,2.0"""),               // StrMinMax(3,8) fails (len 2)
+      (4L, """9,beta"""),                 // Optional third missing -> valid
+      (5L, """10,beta,notnum"""),         // Optional(ParseDouble) fails
+      (6L, """11,beta,1.0,extra"""),      // extra cell -> invalid
+      (7L, "12,\"has, comma\",3.0")       // quoted comma stays ONE cell
+    ).toDF("id", "line")
+    val out = Records.validateCsv(rows, "line",
+      """ParseLong, StrMinMax(3,10), Optional(ParseDouble)""")
+      .orderBy("id").select("route").as[String].collect()
+    assert(out === Array("valid", "invalid", "invalid", "valid",
+      "invalid", "invalid", "valid"))
+    // Unique(): the duplicated cell value routes BOTH rows invalid
+    val dups = Seq((1L, "a,1"), (2L, "b,2"), (3L, "a,3")).toDF("id", "line")
+    val uniq = Records.validateCsv(dups, "line", "Unique(), ParseLong")
+      .orderBy("id").select("route").as[String].collect()
+    assert(uniq === Array("invalid", "valid", "invalid"))
+    // a bad schema throws at PARSE time, not per row
+    intercept[IllegalArgumentException] {
+      graft.operators.CsvCells.parseSchema("ParseLong, Frobnicate()")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CsvCells.parseSchema("StrMinMax(3)")
+    }
+    // flow node: the valid relationship is selectable on a connection
+    val flow =
+      """{"flowContents": {"name": "vcsv",
+        |  "inputPorts": [{"identifier": "in", "name": "lines"}],
+        |  "outputPorts": [{"identifier": "out", "name": "ok"}],
+        |  "processors": [
+        |    {"identifier": "v", "type": "ValidateCsv",
+        |     "properties": {"Content Column": "line",
+        |       "Schema": "ParseLong, NotNull"}}],
+        |  "connections": [
+        |    {"source": {"id": "in"}, "destination": {"id": "v"}},
+        |    {"source": {"id": "v"}, "destination": {"id": "out"},
+        |     "selectedRelationships": ["valid"]}]}}""".stripMargin
+    val got = FlowCompiler.compile(spark, flow,
+      Map("lines" -> Seq("5,ok", "bad,ok").toDF("line")))("ok")
+      .select("line").as[String].collect()
+    assert(got.toSeq === Seq("5,ok"), "only the valid relationship flows")
+  }
 }
