@@ -587,7 +587,7 @@ object FlowCompiler {
             prop(p, "Username", ""), prop(p, "Password", ""), ssl = sslCtx)
           Some(Listener(p.id, p.name, "ListenFTP", l.port, () => l.stop()))
         case "ListenWebSocket" =>
-          val l = graft.streaming.Ws.listenWebSocket(port, spool)
+          val l = graft.streaming.Ws.listenWebSocket(port, spool, ssl = sslCtx)
           Some(Listener(p.id, p.name, "ListenWebSocket", l.port, () => l.stop()))
         case "ListenSiteToSite" =>
           // the graft endpoint a NiFi Remote Process Group transfers
@@ -1777,8 +1777,11 @@ object FlowCompiler {
         // executors. Output = the sent rows.
         val uri = prop(p, "WebSocket URI", "")
         require(uri.nonEmpty, s"PutWebSocket ${p.name} needs a WebSocket URI")
+        val ksPathWs = prop(p, "Keystore Path", "")
         graft.streaming.Ws.putWebSocket(in, uri,
-          msgCol = prop(p, "Message Column", "msg"))
+          msgCol = prop(p, "Message Column", "msg"),
+          keystore = if (ksPathWs.nonEmpty)
+            Some((ksPathWs, prop(p, "Keystore Password", ""))) else None)
         in
       case "PutSyslog" =>
         // syslog SINK (r13): format each row as an RFC 3164 line (the

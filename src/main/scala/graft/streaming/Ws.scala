@@ -72,10 +72,20 @@ object Ws {
   def listenWebSocket(port: Int, spoolDir: String, batchSize: Int = 100,
                       flushMs: Long = 250L, suffix: String = ".jsonl",
                       maxMessageBytes: Long = 10L << 20,
-                      maxConnections: Int = 64): WsListener = {
+                      maxConnections: Int = 64,
+                      ssl: Option[javax.net.ssl.SSLContext] = None): WsListener = {
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
-    val server = new ServerSocket(port)
+    // `ssl` = wss:// (NiFi ListenWebSocket's SSL Context Service): the
+    // handshake runs lazily on the session's first byte, so a
+    // plaintext client dies in the record layer before the HTTP
+    // upgrade parses — nothing spools (the r17 listener-family
+    // plaintext-refusal contract). A JDK wss client connects with the
+    // matching context (HttpClient.newBuilder().sslContext(...)).
+    val server = ssl match {
+      case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(port)
+      case None => new ServerSocket(port)
+    }
     val stop = new AtomicBoolean(false)
     val seq = new AtomicLong(0L)
     val sessionSeq = new AtomicLong(0L)
@@ -262,12 +272,18 @@ object Ws {
     * `java.net.http` WebSocket client connection per PARTITION. The
     * column is cast to string up front. At-least-once on retry like
     * every Put* here. */
-  def putWebSocket(df: DataFrame, uri: String, msgCol: String = "msg"): Unit = {
+  def putWebSocket(df: DataFrame, uri: String, msgCol: String = "msg",
+                   keystore: Option[(String, String)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     df.select(col(msgCol).cast("string")).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
-          val client = java.net.http.HttpClient.newHttpClient()
+          // keystore (path, pass) strings → per-partition wss context
+          val client = keystore match {
+            case Some((ks, pass)) => java.net.http.HttpClient.newBuilder()
+              .sslContext(ListenHttp.sslContext(ks, pass)).build()
+            case None => java.net.http.HttpClient.newHttpClient()
+          }
           val ws = client.newWebSocketBuilder()
             .buildAsync(java.net.URI.create(uri),
               new java.net.http.WebSocket.Listener {})

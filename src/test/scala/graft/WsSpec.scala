@@ -113,6 +113,28 @@ class WsSpec extends SparkSpec {
     } finally l.stop()
   }
 
+  test("wss (r17): TLS listener + TLS putWebSocket round-trip; plaintext spools nothing") {
+    val spool = freshDir("wss")
+    val l = Ws.listenWebSocket(0, spool, batchSize = 1,
+      ssl = Some(TestKeystore.sslContext))
+    try {
+      Ws.putWebSocket(Seq("secured msg").toDF("msg"),
+        s"wss://127.0.0.1:${l.port}/",
+        keystore = Some((TestKeystore.path, TestKeystore.password)))
+      val deadline = System.currentTimeMillis() + 5000
+      while (spark.read.json(spool).count() < 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.read.json(spool).select("msg").as[String].collect().toSeq
+        === Seq("secured msg"))
+      // a plaintext ws client dies in the TLS layer pre-upgrade
+      intercept[Exception] {
+        Ws.putWebSocket(Seq("plain").toDF("msg"), s"ws://127.0.0.1:${l.port}/")
+      }
+      Thread.sleep(400)
+      assert(spark.read.json(spool).count() === 1, "plaintext must not spool")
+    } finally l.stop()
+  }
+
   test("committed ws_syslog_edge flow: listeners start, both legs deliver live") {
     val spool = freshDir("committed") + "/spool"
     val sysSpool = freshDir("sysspool")
