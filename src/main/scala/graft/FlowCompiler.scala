@@ -820,7 +820,8 @@ object FlowCompiler {
     "ParseDocument"      -> Set("Content Column", "Output Column",
                                 "Input Format"),
     "ChunkDocument"      -> Set("Id Column", "Content Column",
-                                "Chunk Size", "Chunk Overlap"),
+                                "Chunk Size", "Chunk Overlap",
+                                "Chunking Strategy", "Separator"),
     // r17 GenAI vector-store parity: the persistent-index family
     // (IVF-PQ / MinHash-LSH / BM25) exposed through the flow vocabulary
     "JoltTransformJSON"  -> Set("Jolt Specification", "Jolt Transformation DSL",
@@ -1257,15 +1258,26 @@ object FlowCompiler {
             "(pdf|markdown|html|text)")
         }
       case "ChunkDocument" =>
-        // NiFi 2.x GenAI bundle: split documents into RAG chunks —
-        // mapped onto the token-window chunker (38e); NiFi's property
-        // vocabulary ("Chunk Size"/"Chunk Overlap") translated to
-        // (chunkLen, stride = size − overlap)
+        // NiFi 2.x GenAI bundle: split documents into RAG chunks.
+        // Default strategy = the token-window chunker (38e); NiFi's
+        // own default 'Recursively Split by Character' (the published
+        // RecursiveCharacterTextSplitter it wraps) selects the
+        // character-grain recursive splitter, with `Separator` as
+        // NiFi's comma-separated list (\n escapes honored, trailing
+        // empty = split-to-characters fallback).
         val size = prop(p, "Chunk Size", "512").trim.toInt
         val overlap = prop(p, "Chunk Overlap", "0").trim.toInt
         require(overlap >= 0 && overlap < size,
           s"ChunkDocument ${p.name}: need 0 <= Chunk Overlap < Chunk Size")
-        graft.operators.Retrieval.chunkTokens(in,
+        val strategy = prop(p, "Chunking Strategy", "token window")
+        if (strategy.toLowerCase.startsWith("recursive")) {
+          val seps = prop(p, "Separator", "\\n\\n,\\n, ,")
+            .split(",", -1).toSeq.map(_.replace("\\n", "\n").replace("\\t", "\t"))
+          graft.operators.Retrieval.chunkRecursive(in,
+            prop(p, "Id Column", "doc_id"),
+            prop(p, "Content Column", "text"),
+            chunkSize = size, overlap = overlap, separators = seps)
+        } else graft.operators.Retrieval.chunkTokens(in,
           prop(p, "Id Column", "doc_id"),
           prop(p, "Content Column", "text"),
           chunkLen = size, stride = size - overlap)

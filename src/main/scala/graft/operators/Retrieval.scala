@@ -130,6 +130,95 @@ object Retrieval {
           .as("n_chunk_tokens"))
   }
 
+  /** The published RecursiveCharacterTextSplitter algorithm (the
+    * splitter NiFi 2.x ChunkDocument wraps for its default
+    * 'Recursively Split by Character' strategy; langchain's
+    * text_splitter docs state the contract): try the separators in
+    * order, split on the FIRST present in the text (the empty
+    * separator splits to characters), recurse into any split still
+    * over `chunkSize` with the REMAINING separators, then greedily
+    * merge adjacent splits into chunks ≤ chunkSize rejoined by the
+    * separator, carrying ≤ `overlap` trailing characters of context
+    * into the next chunk. Character grain (NiFi's default length
+    * function), keep_separator = false. Whitespace-only merged chunks
+    * drop (the algorithm's strip step). */
+  private[graft] def recursiveSplit(text: String, seps: List[String],
+                                    chunkSize: Int, overlap: Int): Seq[String] = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"recursiveSplit: need 0 <= overlap < chunkSize, got $chunkSize/$overlap")
+    def mergeSplits(splits: Seq[String], sep: String): Seq[String] = {
+      val sepLen = sep.length
+      val docs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var current = scala.collection.mutable.Queue.empty[String]
+      var total = 0
+      def joined(): Unit = {
+        val doc = current.mkString(sep).trim
+        if (doc.nonEmpty) docs += doc
+      }
+      splits.foreach { d =>
+        val dl = d.length
+        if (total + dl + (if (current.nonEmpty) sepLen else 0) > chunkSize) {
+          if (current.nonEmpty) {
+            joined()
+            // carry ≤ overlap trailing chars; also keep shrinking while
+            // the incoming split would still not fit
+            while (total > overlap ||
+                   (total + dl + (if (current.nonEmpty) sepLen else 0) > chunkSize &&
+                    total > 0)) {
+              total -= current.head.length + (if (current.size > 1) sepLen else 0)
+              current.dequeue()
+            }
+          }
+        }
+        current.enqueue(d)
+        total += dl + (if (current.size > 1) sepLen else 0)
+      }
+      if (current.nonEmpty) joined()
+      docs.toSeq
+    }
+    def split(text: String, seps: List[String]): Seq[String] = {
+      val idx = seps.indexWhere(s => s.isEmpty || text.contains(s))
+      val (sep, rest) =
+        if (idx < 0) (seps.lastOption.getOrElse(""), Nil)
+        else (seps(idx), seps.drop(idx + 1))
+      val pieces =
+        if (sep.isEmpty) text.map(_.toString)
+        else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq.filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val good = scala.collection.mutable.ArrayBuffer.empty[String]
+      pieces.foreach { p =>
+        if (p.length < chunkSize) good += p
+        else {
+          if (good.nonEmpty) { out ++= mergeSplits(good.toSeq, sep); good.clear() }
+          if (rest.isEmpty) out += p
+          else out ++= split(p, rest)
+        }
+      }
+      if (good.nonEmpty) out ++= mergeSplits(good.toSeq, sep)
+      out.toSeq
+    }
+    if (text == null || text.isEmpty) Seq.empty else split(text, seps)
+  }
+
+  /** ChunkDocument, 'Recursively Split by Character' strategy: one row
+    * per chunk (doc_id, chunk_id, chunk_text, n_chunk_chars). Narrow
+    * per-row split + posexplode — no shuffle, the chunkTokens posture;
+    * empty/null docs keep one empty chunk so every doc_id survives. */
+  def chunkRecursive(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int,
+                     separators: Seq[String] = Seq("\n\n", "\n", " ", "")): DataFrame = {
+    val chunks = graft.plans.DocExpressions.recursiveChunks(
+      coalesce(col(textCol), lit("")), chunkSize, overlap, separators)
+    docs
+      .select(col(idCol).as("doc_id"),
+        // the every-doc_id-survives contract: no chunks -> one empty
+        when(size(chunks) === 0, array(lit(""))).otherwise(chunks).as("cs"))
+      .select(col("doc_id"), posexplode(col("cs")).as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        length(col("chunk_text")).cast("long").as("n_chunk_chars"))
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack et al. 2009):
     * rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the rankings that retrieved
     * d. Rank-based, so the fused score is a sum of exact rationals —

@@ -36,6 +36,27 @@ case class MarkdownText(child: Expression)
     copy(child = newChild)
 }
 
+/** RecursiveCharacterTextSplitter chunks
+  * ([[graft.operators.Retrieval.recursiveSplit]]): text →
+  * array<string> of chunks ≤ chunkSize chars with ≤ overlap carryover.
+  * Parameters are spec constants, validated at construction. */
+case class RecursiveChunks(child: Expression, chunkSize: Int, overlap: Int,
+                           separators: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+    s"RecursiveChunks: need 0 <= overlap < chunkSize, got $chunkSize/$overlap")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_recursive_chunks"
+  override protected def nullSafeEval(input: Any): Any = {
+    val chunks = graft.operators.Retrieval.recursiveSplit(
+      input.asInstanceOf[UTF8String].toString, separators.toList, chunkSize, overlap)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunks.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DocExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -43,4 +64,8 @@ object DocExpressions {
     ColumnBridge.column(PdfText(ColumnBridge.expression(c)))
   def markdownText(c: Column): Column =
     ColumnBridge.column(MarkdownText(ColumnBridge.expression(c)))
+  def recursiveChunks(c: Column, chunkSize: Int, overlap: Int,
+                      separators: Seq[String]): Column =
+    ColumnBridge.column(RecursiveChunks(ColumnBridge.expression(c),
+      chunkSize, overlap, separators))
 }

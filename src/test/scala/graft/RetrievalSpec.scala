@@ -89,6 +89,62 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("recursiveSplit (r17): the published RecursiveCharacterTextSplitter contract") {
+    import Retrieval.recursiveSplit
+    val seps = List("\n\n", "\n", " ", "")
+    // greedy merge with overlap carryover: each next chunk re-opens
+    // with the trailing split(s) totaling <= overlap
+    assert(recursiveSplit("aaa bbb ccc ddd", List(" ", ""), 7, 3)
+      === Seq("aaa bbb", "bbb ccc", "ccc ddd"))
+    // zero overlap: disjoint chunks
+    assert(recursiveSplit("aaa bbb ccc ddd", List(" ", ""), 7, 0)
+      === Seq("aaa bbb", "ccc ddd"))
+    // paragraph separator tried first; fits-whole stays whole
+    assert(recursiveSplit("p1a p1b\n\np2", seps, 8, 0) === Seq("p1a p1b", "p2"))
+    // an unsplittable over-size word falls through to the "" separator
+    // (character slices)
+    assert(recursiveSplit("abcdefghij", List(" ", ""), 4, 0)
+      === Seq("abcd", "efgh", "ij"))
+    // recursion: an oversize paragraph re-splits by the NEXT separator
+    assert(recursiveSplit("w1 w2 w3 w4 w5\n\nok", seps, 6, 0)
+      === Seq("w1 w2", "w3 w4", "w5", "ok"))
+    // empty text -> no chunks; whitespace-only merged chunks drop
+    assert(recursiveSplit("", seps, 10, 0) === Seq.empty)
+    // invalid config throws at construction
+    intercept[IllegalArgumentException] { recursiveSplit("x", seps, 4, 4) }
+  }
+
+  test("ChunkDocument 'Recursively Split by Character' strategy (r17): flow == direct API") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "para one\n\npara two is rather longer than one"),
+      (3L, "")).toDF("doc_id", "text")
+    val flowJson =
+      """{"flowContents": {"name": "rag-chunk-rec",
+        |  "inputPorts": [{"identifier": "ip", "name": "docs"}],
+        |  "outputPorts": [{"identifier": "op", "name": "chunks"}],
+        |  "processors": [{"identifier": "p-c", "name": "Chunker",
+        |    "type": "org.apache.nifi.processors.genai.ChunkDocument",
+        |    "properties": {"Chunking Strategy": "Recursively Split by Character",
+        |      "Separator": "\\n\\n, ,",
+        |      "Chunk Size": "12", "Chunk Overlap": "5"}}],
+        |  "connections": [
+        |    {"source": {"id": "ip"}, "destination": {"id": "p-c"}},
+        |    {"source": {"id": "p-c"}, "destination": {"id": "op"}}]}}""".stripMargin
+    val got = FlowCompiler.compile(spark, flowJson, Map("docs" -> docs))("chunks")
+      .select("doc_id", "chunk_id", "chunk_text").collect().map(_.toString).sorted
+    val want = Retrieval.chunkRecursive(docs, "doc_id", "text",
+        chunkSize = 12, overlap = 5, separators = Seq("\n\n", " ", ""))
+      .select("doc_id", "chunk_id", "chunk_text").collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+    // every doc_id survives (empty doc keeps one empty chunk); chunks
+    // respect the size bound
+    val rows = Retrieval.chunkRecursive(docs, "doc_id", "text", 12, 5)
+    assert(rows.select("doc_id").distinct().count() === 3L)
+    assert(rows.filter(length(col("chunk_text")) > 12).count() === 0L)
+  }
+
   test("rrfFuse: both-sides, one-side docs and ranking order") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rk")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rk")
