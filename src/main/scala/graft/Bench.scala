@@ -163,7 +163,14 @@ object Bench {
     // and (b) every 12 queries regardless, so uniform host-clock drift
     // is traceable across the run, not just at its ends. Samples land
     // in `query_calib_mbps` (sparse; unsampled queries are absent).
+    // Two sample populations, kept apart (r18): flap-TRIGGERED samples
+    // are taken preferentially right after slow host windows, so a mean
+    // over them over-weights degraded throughput and systematically
+    // deflates value_normalized. The normalization mean uses ONLY the
+    // uniform-cadence samples (start/end + every-12); flap-triggered
+    // samples publish separately as per-query diagnostics.
     val calibSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val calibUniform = scala.collection.mutable.ArrayBuffer[Double]()
     var sinceCalib = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var errs = 0
@@ -224,8 +231,11 @@ object Bench {
       sinceCalib += 1
       val flapped = times.nonEmpty && mn > 0 && mx > 2.0 * mn && mx - mn > 0.5
       if (flapped || sinceCalib >= 12) {
+        val uniform = sinceCalib >= 12
         sinceCalib = 0
-        calibSamples(name) = calibMbps()
+        val c = calibMbps()
+        calibSamples(name) = c
+        if (uniform) calibUniform += c
       }
       (name, med, mn, mx, errs, gcMax, cpuMax, load1, jitMax, ccProf)
     }
@@ -280,20 +290,27 @@ object Bench {
     // raw `value` stays the headline; normalization is published
     // evidence, not a substitute measurement.
     val calibRef = 1400.0
-    val allCalib = (calibStart +: calibSamples.values.toSeq) :+ calibEnd
+    // mean over UNIFORM-cadence samples only (start/end + every-12) —
+    // flap-triggered samples land preferentially in slow host windows
+    // and would bias the mean low (deflating the normalized total)
+    val allCalib = (calibStart +: calibUniform.toSeq) :+ calibEnd
     val calibMean = allCalib.sum / allCalib.size
     val totalNorm = total * (calibMean / calibRef)
     val qCalib = calibSamples.toSeq
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad,"query_jit_max":$qJit,"query_cc_profiled_mb":$qCc,"codecache_final_mb":$ccFinal,"jvm_flags":$jvmFlags,"calib_sha_mbps":[${f(calibStart)},${f(calibEnd)}],"query_calib_mbps":$qCalib,"calib_ref_mbps":${f(calibRef)},"value_normalized":${f(totalNorm)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"query_errors":$qErrs,"loadavg":"$loadavg","sf":"$sfDir","queries":$qs,"query_ranges":$qRange,"query_gc_max":$qGc,"query_cpu_max":$qCpu,"query_load1":$qLoad,"query_jit_max":$qJit,"query_cc_profiled_mb":$qCc,"codecache_final_mb":$ccFinal,"jvm_flags":$jvmFlags,"calib_sha_mbps":[${f(calibStart)},${f(calibEnd)}],"query_calib_mbps":$qCalib,"calib_uniform_mbps":[${allCalib.map(f).mkString(",")}],"calib_ref_mbps":${f(calibRef)},"value_normalized":${f(totalNorm)}}"""
     val detailPath = java.nio.file.Paths.get("tools", "bench_detail.json")
     try {
       java.nio.file.Files.createDirectories(detailPath.getParent)
       java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // headline stdout carries the RAW measurement only — the normalized
+    // figure lives in bench_detail.json as published evidence, never
+    // promoted next to the raw value where a reader could mistake a
+    // model-adjusted number for a measurement (r18 ADVICE)
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"value_normalized":${f(totalNorm)},"calib_mean_mbps":${f(calibMean)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"errors":$totalErrs,"calib_mean_mbps":${f(calibMean)},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     spark.stop()

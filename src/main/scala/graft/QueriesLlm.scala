@@ -722,7 +722,11 @@ object QueriesLlm {
       .filter(col("doc_id") % 89 === 0)
       .select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 120).as("qtext"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_flow_index_${d.hashCode & 0x7FFFFFFF}"
+    // Index dir keyed by the FULL sf path (sanitized), not a 32-bit
+    // hashCode — two sf dirs can share a hashCode and would then share
+    // (and clobber) one persistent index (the qFlowFiles discipline)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_flow_index_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
     FlowCompiler.compile(s, json,
       Map("docs" -> docs, "questions" -> questions),
       Map("index_dir" -> path))("hits")

@@ -330,6 +330,41 @@ object QueriesText {
       |    tags := event_type)) AS jolted
       |FROM events""".stripMargin
 
+  /** JoltTransformJSON `@`-lookups (r18): the docs' value-copy and
+    * data-keyed-destination forms — `"@"` copies the whole matched
+    * node, `"@(0,score)"` reads a field as the written VALUE, and
+    * `"by.@(1,type).id"` keys the OUTPUT path by an input value. The
+    * chain is one shift; the oracle states the exact output bytes by
+    * string concatenation (Jackson's compact insertion-ordered JSON
+    * is deterministic per row). */
+  val qJoltLookup: Q = (s, d) => {
+    val chain =
+      """[{"operation": "shift", "spec": {
+        |  "item": {
+        |    "@": "orig",
+        |    "@(0,score)": "by.@(0,type).score",
+        |    "@(0,absent)": "never.written",
+        |    "id": "by.@(1,type).id"
+        |  }}}]""".stripMargin
+    val doc = to_json(struct(struct(
+      col("user_id").cast("int").as("id"),
+      col("event_type").as("type"),
+      coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("score")
+    ).as("item")))
+    Records.joltTransformChain(
+        Tables.events(s, d).withColumn("doc", doc), "doc", chain, "jolted")
+      .select(col("event_id"), col("jolted"))
+  }
+  val qJoltLookupSql: String =
+    """SELECT event_id,
+      |  '{"orig":{"id":' || CAST(CAST(user_id AS INT) AS VARCHAR)
+      |    || ',"type":"' || event_type
+      |    || '","score":' || CAST(coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0) AS VARCHAR)
+      |    || '},"by":{"' || event_type
+      |    || '":{"score":' || CAST(coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0) AS VARCHAR)
+      |    || ',"id":' || CAST(CAST(user_id AS INT) AS VARCHAR) || '}}}' AS jolted
+      |FROM events""".stripMargin
+
   /** Composite NiFi-flow parity, hash-checked end-to-end:
     * EvaluateJsonPath → UpdateAttribute(EL) → RouteOnAttribute →
     * MergeRecord(ordered digest) per (route, day) — four processors as
@@ -986,6 +1021,7 @@ object QueriesText {
     "q_pack_unpack"     -> qPackUnpack,
     "q_jolt"            -> qJolt,
     "q_jolt_chain"      -> qJoltChain,
+    "q_jolt_lookup"     -> qJoltLookup,
     "q_flow_composite"  -> qFlowComposite,
     "q_flow_definition" -> qFlowDefinition,
     "q_flow_enrichment" -> qFlowEnrichment,
@@ -1034,6 +1070,7 @@ object QueriesText {
     "q_pack_unpack"     -> qPackUnpackSql,
     "q_jolt"            -> qJoltSql,
     "q_jolt_chain"      -> qJoltChainSql,
+    "q_jolt_lookup"     -> qJoltLookupSql,
     "q_flow_composite"  -> qFlowCompositeSql,
     "q_flow_definition" -> qFlowCompositeSql,
     "q_flow_enrichment" -> qFlowEnrichmentSql,

@@ -63,10 +63,12 @@ object Doc {
     var first = true
     while ({ val s = raw.indexOf("stream", from); s >= 0 }) {
       val s = raw.indexOf("stream", from)
-      // dictionary of THIS stream object: the << ... >> ending before
-      // the keyword (balance is not needed for the filter sniff)
-      val dictStart = raw.lastIndexOf("<<", s)
-      val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
+      // dictionary of THIS stream object: scan backwards from the
+      // keyword balancing <</>> pairs — lastIndexOf("<<") would pick
+      // the innermost open, and a sub-dictionary nested after /Filter
+      // (e.g. /DecodeParms << /Predictor … >>) would hide /Filter from
+      // the sniff, mis-treating compressed bytes as unfiltered text
+      val dict = streamDict(raw, s)
       // stream data begins after the keyword's EOL (CRLF or LF)
       var dataStart = s + "stream".length
       if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
@@ -92,6 +94,29 @@ object Doc {
       }
     }
     out.toString
+  }
+
+  /** The full `<< … >>` dictionary text ending just before position
+    * `s` (the `stream` keyword), found by a backwards scan that
+    * BALANCES `<<`/`>>` pairs so nested sub-dictionaries stay inside.
+    * Bounded lookback (stream dicts are small); malformed nesting
+    * degrades to from-the-innermost-open (the old sniff). */
+  private def streamDict(raw: String, s: Int): String = {
+    val lo = math.max(1, s - 8192)
+    var i = s - 1
+    var depth = 0
+    var end = -1
+    while (i >= lo) {
+      if (raw.charAt(i) == '>' && raw.charAt(i - 1) == '>') {
+        if (end < 0) end = i + 1
+        depth += 1; i -= 2
+      } else if (raw.charAt(i) == '<' && raw.charAt(i - 1) == '<') {
+        depth -= 1
+        if (depth <= 0) return raw.substring(i - 1, if (end >= 0) end else s)
+        i -= 2
+      } else i -= 1
+    }
+    ""
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =

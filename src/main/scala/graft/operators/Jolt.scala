@@ -26,8 +26,14 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *    (multi-write). `$`/`$n`/`$(n)` LHS entries write the MATCHED KEY
   *    n levels up as the value (the docs' "collect the keys" example);
   *    `#literal` LHS entries write the literal when the spec level is
-  *    reached. Two writes to one slot accumulate into an array
-  *    (Jolt's list-on-collision rule). Unmatched input is dropped.
+  *    reached. `@`/`@n`/`@(n)`/`@(n,path)`/`@(path)` LHS entries
+  *    (r18) copy the looked-up input VALUE — the whole node at the
+  *    current match level for `@`, or `path` read from the node n
+  *    levels up — and the same forms inside an RHS destination key
+  *    the OUTPUT by a data value (the docs' "photos.@(1,type).id"); a
+  *    missing lookup skips that write. Two writes to one slot
+  *    accumulate into an array (Jolt's list-on-collision rule).
+  *    Unmatched input is dropped.
   *  - **default**: literals applied where the slot is absent or null;
   *    `*` applies under every existing key; nested spec objects create
   *    missing containers.
@@ -45,12 +51,14 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *    overwrites; `*` matches every key; recursion only descends into
   *    slots that exist.
   *
-  * Documented subset bounds: `@`-lookups in SHIFT specs, `&(n,k)`
-  * group references (this engine's wildcards are whole-key), modify
-  * references deeper than `@(1,…)`, and modify's arithmetic functions
-  * are not implemented (no NiFi-flow usage in this engine's test
-  * corpus); the spec parser rejects nothing silently — unknown
-  * operations and malformed function leaves throw at parse time.
+  * Documented subset bounds: `&(n,k)` group references (this engine's
+  * wildcards are whole-key), modify references deeper than `@(1,…)`,
+  * and modify's arithmetic functions are not implemented (no NiFi-flow
+  * usage in this engine's test corpus); the spec parser rejects
+  * nothing silently — unknown operations, malformed function leaves
+  * and out-of-depth `$n`/`&n`/`@n` references throw at parse time;
+  * data-DEPENDENT transform failures route the row to the failure
+  * relationship (null) instead of failing the job.
   *
   * Reference behavior: NiFi standard-bundle JoltTransformJSON
   * (chained DSL, spec validated at processor-config time).
@@ -75,6 +83,7 @@ object Jolt {
       else Seq(("shift", spec)) // bare object = a single shift spec
     val fns = steps.map {
       case ("shift", s)       => require(s.isObject, "shift spec must be an object")
+                                 validateShift(s.asInstanceOf[ObjectNode], 0)
                                  (in: JsonNode) => shift(in, s.asInstanceOf[ObjectNode])
       case ("default", s)     => require(s.isObject, "default spec must be an object")
                                  (in: JsonNode) => defaults(in, s.asInstanceOf[ObjectNode])
@@ -111,7 +120,13 @@ object Jolt {
 
   /** One-call convenience: transform a JSON string. Null/unparseable
     * INPUT yields null (the failure relationship); spec errors were
-    * already rejected by [[chain]]. */
+    * already rejected by [[chain]]. Data-DEPENDENT transform failures
+    * (e.g. a shift multi-write colliding with a scalar already at the
+    * destination, which [[write]] raises per row) also yield null —
+    * NiFi's JoltTransformJSON routes that FlowFile to `failure`
+    * instead of failing the whole run, and one unusual document must
+    * not kill a 100 TB job. Spec validation stays strict in [[chain]]
+    * (those errors fire before any row is seen). */
   def transformString(specJson: String): String => String = {
     val t = chain(specJson)
     (json: String) =>
@@ -119,7 +134,9 @@ object Jolt {
       else {
         val root = try mapper.readTree(json)
                    catch { case _: com.fasterxml.jackson.core.JacksonException => null }
-        if (root == null) null else mapper.writeValueAsString(t(root))
+        if (root == null) null
+        else try mapper.writeValueAsString(t(root))
+             catch { case _: IllegalArgumentException => null }
       }
   }
 
@@ -128,9 +145,10 @@ object Jolt {
   /** LHS match order per the Jolt docs: literal beats alternation
     * beats `*`. Returns the spec value to walk with. */
   private def lhsMatch(spec: ObjectNode, key: String): Option[JsonNode] = {
-    // $/# spec entries are level-triggered writes, not key matchers —
-    // an input key that happens to start with $/# may still match `*`
-    if (spec.has(key) && !key.startsWith("$") && !key.startsWith("#"))
+    // $/#/@ spec entries are level-triggered writes, not key matchers —
+    // an input key that happens to start with $/#/@ may still match `*`
+    if (spec.has(key) && !key.startsWith("$") && !key.startsWith("#")
+        && !key.startsWith("@"))
       return Some(spec.get(key))
     val alt = spec.properties().asScala
       .find { e => val k = e.getKey
@@ -141,20 +159,24 @@ object Jolt {
 
   private def shift(input: JsonNode, spec: ObjectNode): JsonNode = {
     val out = f.objectNode()
-    walkShift(input, spec, Nil, out)
+    walkShift(input, spec, Nil, List(input), out)
     out
   }
 
   /** Write `value` at every destination the (textual or array-of-text)
-    * RHS names — the shared tail of key matches, `$` key-refs and `#`
-    * literals. */
+    * RHS names — the shared tail of key matches, `$` key-refs, `#`
+    * literals and `@` value-lookups. `nodes` is the input-node stack
+    * (head = the node at the current match level) for RHS `@(n,path)`
+    * destination segments. */
   private def writeDst(out: ObjectNode, rhs: JsonNode, value: JsonNode,
-                       matched: List[String], ctx: String): Unit = rhs match {
-    case t if t.isTextual => write(out, resolveDst(t.asText(), matched), value)
+                       matched: List[String], nodes: List[JsonNode],
+                       ctx: String): Unit = rhs match {
+    case t if t.isTextual =>
+      resolveDst(t.asText(), matched, nodes).foreach(write(out, _, value))
     case a: ArrayNode =>
       a.elements().asScala.foreach { d =>
         require(d.isTextual, s"jolt shift: destination array must hold path strings ($ctx)")
-        write(out, resolveDst(d.asText(), matched), value)
+        resolveDst(d.asText(), matched, nodes).foreach(write(out, _, value))
       }
     case other => throw new IllegalArgumentException(
       s"jolt shift: unsupported RHS ${other.getNodeType} for $ctx")
@@ -162,21 +184,114 @@ object Jolt {
 
   private val DollarKey = "\\$(?:\\((\\d+)\\)|(\\d+))?".r
 
+  // `@`, `@n`, `@(n)`, `@(n,path)`, `@(path)` — the Jolt docs' value
+  // lookups. As a spec KEY: copy the looked-up input VALUE (where $
+  // copies the matched KEY). Inside a destination path: key the output
+  // by a data value ("photos.@(1,type).id").
+  private val AtRef = "@(?:\\(([^)]*)\\)|(\\d+))?".r
+
+  /** (level, dotted-path) of one `@` reference. Throws on a malformed
+    * form — spec validation, called at chain() time too. */
+  private def parseAt(ref: String): (Int, String) = {
+    ref match {
+      case AtRef(paren, bare) =>
+        if (paren != null) {
+          val comma = paren.indexOf(',')
+          if (comma > 0 && paren.take(comma).forall(_.isDigit))
+            (paren.take(comma).toInt, paren.substring(comma + 1).trim)
+          else if (paren.nonEmpty && paren.forall(_.isDigit)) (paren.toInt, "")
+          else if (paren.nonEmpty) (0, paren.trim)
+          else throw new IllegalArgumentException(
+            s"jolt shift: malformed @-reference '$ref' (@, @n, @(n), @(n,path), @(path))")
+        }
+        else if (bare != null) (bare.toInt, "")
+        else (0, "")
+      case _ => throw new IllegalArgumentException(
+        s"jolt shift: malformed @-reference '$ref'")
+    }
+  }
+
+  /** Resolve an `@` lookup against the input-node stack: go up `lvl`
+    * match levels, then walk the dotted path. None on a missing path
+    * or level — a data-dependent miss; the write skips (Jolt treats an
+    * unmatched lookup as no output, not an error). */
+  private def atLookup(lvl: Int, path: String, nodes: List[JsonNode]): Option[JsonNode] = {
+    if (lvl >= nodes.length) return None // statically prevented; backstop
+    var cur: JsonNode = nodes(lvl)
+    if (path.nonEmpty)
+      for (seg <- path.split('.'))
+        cur = if (cur == null) null else cur.get(seg)
+    Option(cur).filterNot(_.isMissingNode)
+  }
+
+  /** Static shift-spec validation (chain/parse time). `$n` and `&n`
+    * depth references are data-INdependent — the match depth at any
+    * spec node IS its nesting level — so an out-of-range reference is
+    * a SPEC error that must reject at processor-validation time, while
+    * transform-time failures stay data-dependent (per-row → failure
+    * relationship). `depth` = number of key-match levels above this
+    * spec object (root = 0). */
+  private def validateShift(spec: ObjectNode, depth: Int): Unit = {
+    val amp = "&(?:\\((\\d+)\\)|(\\d+))?".r
+    def dstOk(rhs: JsonNode, avail: Int, ctx: String): Unit = rhs match {
+      case t if t.isTextual =>
+        amp.findAllMatchIn(t.asText()).foreach { m =>
+          val n = Option(m.group(1)).orElse(Option(m.group(2))).map(_.toInt).getOrElse(0)
+          require(n < avail, s"jolt shift: &$n exceeds match depth $avail ($ctx)")
+        }
+        // @-refs in a destination see one more node level than & sees
+        // match keys (the stack includes the root)
+        AtRef.findAllMatchIn(t.asText()).foreach { m =>
+          val (lvl, _) = parseAt(m.matched)
+          require(lvl <= avail, s"jolt shift: @$lvl exceeds match depth $avail ($ctx)")
+        }
+      case a: ArrayNode => a.elements().asScala.foreach(dstOk(_, avail, ctx))
+      case _ => () // non-path RHS shapes reject in writeDst's walk below
+    }
+    spec.properties().asScala.foreach { e =>
+      e.getKey match {
+        case k @ DollarKey(par, bare) if k.startsWith("$") =>
+          val n = Option(par).orElse(Option(bare)).map(_.toInt).getOrElse(0)
+          require(n < depth, s"jolt shift: $k exceeds match depth $depth")
+          dstOk(e.getValue, depth, k)
+        case k if k.startsWith("#") && k.length > 1 => dstOk(e.getValue, depth, k)
+        case k if k.startsWith("@") =>
+          // the node stack at this level has depth+1 entries (root incl.)
+          val (lvl, _) = parseAt(k) // throws on malformed form
+          require(lvl <= depth, s"jolt shift: $k exceeds match depth $depth")
+          dstOk(e.getValue, depth, k)
+        case k if k.startsWith("$") || k == "#" => throw new IllegalArgumentException(
+          s"jolt shift: malformed key-reference LHS '$k' ($$, $$n or $$(n))")
+        case k => e.getValue match {
+          case o: ObjectNode => validateShift(o, depth + 1)
+          case rhs => dstOk(rhs, depth + 1, s"key '$k'")
+        }
+      }
+    }
+  }
+
   private def walkShift(node: JsonNode, spec: ObjectNode,
-                        matched: List[String], out: ObjectNode): Unit = {
-    // $-and-# entries fire when this spec LEVEL is reached (once per
-    // matched node): `$n` writes the key matched n levels up as the
-    // VALUE; `#literal` writes the literal. Both use the normal RHS
-    // destination grammar.
+                        matched: List[String], nodes: List[JsonNode],
+                        out: ObjectNode): Unit = {
+    // $-, #- and @-entries fire when this spec LEVEL is reached (once
+    // per matched node): `$n` writes the key matched n levels up as the
+    // VALUE; `#literal` writes the literal; `@`/`@(n,path)` writes the
+    // looked-up input VALUE. All use the normal RHS destination grammar.
+    // `nodes` is the input-node stack, head = this level's node.
     spec.properties().asScala.foreach { e =>
       e.getKey match {
         case DollarKey(par, bare) if e.getKey.startsWith("$") =>
           val n = Option(par).orElse(Option(bare)).map(_.toInt).getOrElse(0)
           require(n < matched.length,
             s"jolt shift: ${e.getKey} exceeds match depth ${matched.length}")
-          writeDst(out, e.getValue, new TextNode(matched(n)), matched, e.getKey)
+          writeDst(out, e.getValue, new TextNode(matched(n)), matched, nodes, e.getKey)
         case k if k.startsWith("#") && k.length > 1 =>
-          writeDst(out, e.getValue, new TextNode(k.substring(1)), matched, k)
+          writeDst(out, e.getValue, new TextNode(k.substring(1)), matched, nodes, k)
+        case k if k.startsWith("@") =>
+          val (lvl, path) = parseAt(k)
+          atLookup(lvl, path, nodes).foreach { v =>
+            writeDst(out, e.getValue, v, matched, nodes, k)
+          }
         case k if k.startsWith("$") || k == "#" => throw new IllegalArgumentException(
           s"jolt shift: malformed key-reference LHS '$k' ($$, $$n or $$(n))")
         case _ => ()
@@ -185,9 +300,10 @@ object Jolt {
     def one(key: String, value: JsonNode): Unit =
       lhsMatch(spec, key).foreach { rhs =>
         val m2 = key :: matched
+        val n2 = value :: nodes
         rhs match {
-          case o: ObjectNode => walkShift(value, o, m2, out)
-          case other => writeDst(out, other, value, m2, s"key '$key'")
+          case o: ObjectNode => walkShift(value, o, m2, n2, out)
+          case other => writeDst(out, other, value, m2, n2, s"key '$key'")
         }
       }
     node match {
@@ -199,16 +315,36 @@ object Jolt {
     }
   }
 
-  /** `&`, `&0`, `&(1)` substitution inside one destination path, then
-    * dot-split. A trailing `[]` on a segment marks array-append. */
-  private def resolveDst(dst: String, matched: List[String]): Seq[String] = {
+  /** `&`, `&0`, `&(1)` and `@(n,path)` substitution inside one
+    * destination path, then dot-split. A trailing `[]` on a segment
+    * marks array-append. None when an `@` lookup misses or lands on a
+    * non-scalar — that write skips (data-dependent, per the Jolt docs'
+    * unmatched-lookup behavior). */
+  private def resolveDst(dst: String, matched: List[String],
+                         nodes: List[JsonNode]): Option[Seq[String]] = {
     val amp = "&(?:\\((\\d+)\\)|(\\d+))?".r
     val resolved = amp.replaceAllIn(dst, m => {
       val n = Option(m.group(1)).orElse(Option(m.group(2))).map(_.toInt).getOrElse(0)
       require(n < matched.length, s"jolt shift: &$n exceeds match depth in '$dst'")
       java.util.regex.Matcher.quoteReplacement(matched(n))
     })
-    resolved.split('.').toSeq
+    if (!resolved.contains('@'))
+      return Some(resolved.split('.').toSeq)
+    // destination keyed by input DATA: each @-ref becomes the looked-up
+    // scalar's text ("photos.@(1,type).id" → photos.cat.id)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- AtRef.findAllMatchIn(resolved)) {
+      sb.append(resolved.substring(last, m.start))
+      val (lvl, path) = parseAt(m.matched)
+      atLookup(lvl, path, nodes) match {
+        case Some(v) if v.isValueNode => sb.append(v.asText())
+        case _ => return None
+      }
+      last = m.end
+    }
+    sb.append(resolved.substring(last))
+    Some(sb.toString.split('.').toSeq)
   }
 
   /** Write `value` at the segment path; an existing value at the slot

@@ -624,9 +624,11 @@ object Records {
       org.apache.spark.sql.types.StructType.fromDDL(ddl), opts)
     val withCells = df.withColumn("__csv", parsed)
     val cellCols = (0 until n).map(i => org.apache.spark.sql.functions.col(s"__csv._c$i"))
-    val stateless = procs.zip(cellCols).collect {
-      case (p, c) if !p.isUnique => p.pred(c)
-    }
+    // EVERY cell's stateless predicate applies — including Unique()
+    // cells, whose pred is isNotNull (super-csv's Unique/UniqueHashCode
+    // reject a null cell; only Optional(Unique()) lets null through).
+    // Dropping it (pre-r18) routed a lone-null Unique cell 'valid'.
+    val stateless = procs.zip(cellCols).map { case (p, c) => p.pred(c) }
     val noExtra = col(s"__csv._c$n").isNull
     val statelessOk = (stateless :+ noExtra).reduce(_ && _)
     // Unique() cells: value-seen-once via a count window per cell
@@ -635,7 +637,10 @@ object Records {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col(s"__csv._c$i"))
       acc.withColumn(s"__uniq$i", count(lit(1)).over(w) === 1)
     }
-    val uniqueOk = uniqueIdx.map(i => col(s"__uniq$i"))
+    // null cells bypass the count window (Optional(Unique()) passes a
+    // null per super-csv's short-circuit; a bare Unique() null already
+    // failed its isNotNull stateless pred above)
+    val uniqueOk = uniqueIdx.map(i => col(s"__csv._c$i").isNull || col(s"__uniq$i"))
     val allOk = (statelessOk +: uniqueOk).reduce(_ && _)
     withUnique
       .withColumn(routeCol, when(coalesce(allOk, lit(false)), "valid").otherwise("invalid"))

@@ -341,6 +341,20 @@ object Io {
     require(partitionSize > 0, s"GenerateTableFetch: Partition Size must be > 0")
     require(maxValueColumn.nonEmpty,
       "GenerateTableFetch needs a Maximum-value Column (page order + watermark)")
+    // Identifier validation (r18): table/column names arrive from flow
+    // definitions — untrusted config — and are interpolated into SQL
+    // that a downstream fetch fleet RUNS. A plain or schema-qualified
+    // identifier (parts optionally "double-quoted", no embedded quote)
+    // is the full accepted grammar; anything else throws here, which is
+    // flow-COMPILE time on the FlowCompiler path.
+    val idPart = "(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\")"
+    require(table.matches(s"$idPart(?:\\.$idPart)?"),
+      s"GenerateTableFetch: unsafe table reference '$table'")
+    require(maxValueColumn.matches("[A-Za-z_][A-Za-z0-9_$]*"),
+      s"GenerateTableFetch: unsafe Maximum-value Column '$maxValueColumn'")
+    require(columns == "*" ||
+        columns.split(',').forall(_.trim.matches(idPart)),
+      s"GenerateTableFetch: unsafe Columns list '$columns'")
     val conf = spark.sparkContext.hadoopConfiguration
     val last: Option[String] =
       if (statePath.isEmpty) None
@@ -362,7 +376,17 @@ object Io {
     import spark.implicits._
     if (n == 0L)
       return Seq.empty[(Long, String)].toDF("page_index", "fetch_sql")
+    // Validate the watermark NOW, before it is interpolated into page
+    // SQL or persisted to state: MAX() can be NULL with rows present
+    // (all-null watermark column), and a date/varchar max would be
+    // interpolated unquoted on the FIRST trigger (the state read-back
+    // guard above only fires on the NEXT one).
+    require(!meta.isNullAt(1),
+      s"""GenerateTableFetch: MAX("$maxValueColumn") is NULL with $n rows — """ +
+        "the Maximum-value Column must be non-null to page on")
     val mx = meta.get(1).toString
+    require(mx.matches("-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"),
+      s"GenerateTableFetch: non-numeric max value '$mx' — maxValueColumn must be numeric")
     val bound = (last.map(v => s""""$maxValueColumn" > $v AND """).getOrElse("") +
       s""""$maxValueColumn" <= $mx""")
     val nPages = (n + partitionSize - 1) / partitionSize

@@ -58,6 +58,21 @@ class DocSpec extends SparkSpec {
     assert(Doc.pdfText(Array.empty[Byte]) === "")
   }
 
+  test("nested /DecodeParms dict after /Filter still sniffs FlateDecode (r18 balanced scan)") {
+    // lastIndexOf("<<") would pick the DecodeParms sub-dictionary and
+    // hide /Filter, mis-treating compressed bytes as unfiltered text
+    val content = "BT (nested) Tj ET".getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    val comp = java.util.Arrays.copyOf(buf, n)
+    val head = (s"%PDF-1.4\n4 0 obj\n<< /Length ${comp.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Foo 1 >> >>\nstream\n").getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    assert(Doc.pdfText(head ++ comp ++ tail) === "nested")
+  }
+
   test("markdown strip: headings, emphasis, links, code, quotes, lists, tables, HTML") {
     val md =
       """# Title

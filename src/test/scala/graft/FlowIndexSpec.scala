@@ -77,6 +77,27 @@ class FlowIndexSpec extends SparkSpec {
     assert(got === direct, "flow output must equal the direct API output row-for-row")
   }
 
+  test("q_flow_index dir naming: hashCode-colliding sf paths get DISTINCT indexes (r18)") {
+    import java.nio.file._
+    // "Aa"/"BB" collide under String.hashCode (31-linear), so with a
+    // shared prefix the FULL paths collide too — exactly the case the
+    // old `d.hashCode`-keyed naming would have merged into one index
+    val base = Paths.get("/root/testdata/sf0.001")
+    assume(Files.exists(base), "driver testdata present")
+    val tmp = Files.createTempDirectory("graft_fidirs")
+    val a = tmp.resolve("Aa"); val b = tmp.resolve("BB")
+    Files.createSymbolicLink(a, base)
+    Files.createSymbolicLink(b, base)
+    assert(a.toString.hashCode == b.toString.hashCode, "collision by construction")
+    def indexDir(d: String) = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q_flow_index_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    assert(indexDir(a.toString) != indexDir(b.toString),
+      "sanitized-path naming separates colliding dirs")
+    assert(QueriesLlm.qFlowIndex(spark, a.toString).count() > 0)
+    assert(Files.exists(indexDir(a.toString)),
+      "the query builds its index under the sanitized-path dir")
+  }
+
   test("RAG flow self-retrieval: every question's rank-1 hit is a chunk of its own doc") {
     val path = java.nio.file.Files.createTempDirectory("graft_ragself").toString
     val hits = FlowCompiler.compile(spark, ragFlowJson,

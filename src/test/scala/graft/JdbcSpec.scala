@@ -92,6 +92,69 @@ class JdbcSpec extends SparkSpec {
     assert(out.count() === 3L, "stateless mode pages the whole table: ceil(110/40)")
   }
 
+  test("generateTableFetch validates the watermark BEFORE page SQL or state (r18)") {
+    def ddl(sqls: String*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); sqls.foreach(st.executeUpdate); st.close() }
+      finally c.close()
+    }
+    // all-null watermark column with rows present: MAX() is NULL — must
+    // throw a clear error, not NPE in meta.get(1).toString
+    ddl("CREATE TABLE graft_gtf_null (\"id\" BIGINT, \"wm\" BIGINT)",
+      "INSERT INTO graft_gtf_null VALUES (1, NULL), (2, NULL)")
+    val e1 = intercept[IllegalArgumentException] {
+      Io.generateTableFetch(spark, url, "graft_gtf_null", "wm", partitionSize = 10)
+    }
+    assert(e1.getMessage.contains("NULL"))
+    // non-numeric (varchar) max on the FIRST stateless trigger: rejected
+    // immediately, never interpolated unquoted into page SQL
+    ddl("CREATE TABLE graft_gtf_str (\"id\" BIGINT, \"wm\" VARCHAR(10))",
+      "INSERT INTO graft_gtf_str VALUES (1, 'abc')")
+    val e2 = intercept[IllegalArgumentException] {
+      Io.generateTableFetch(spark, url, "graft_gtf_str", "wm", partitionSize = 10)
+    }
+    assert(e2.getMessage.contains("non-numeric"))
+  }
+
+  test("generateTableFetch identifier discipline (r18): quoted table round-trips; injection throws") {
+    // a quoted mixed-case table name round-trips: validation accepts the
+    // quoted form and the generated page SQL fetches through it
+    val df = (1 to 25).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    Io.writeJdbc(df, url, "\"GraftMix\"")
+    val pages = Io.generateTableFetch(spark, url, "\"GraftMix\"", "id",
+      partitionSize = 10).orderBy("page_index").as[(Long, String)].collect()
+    assert(pages.length === 3)
+    val got = pages.flatMap { case (_, sql) =>
+      Io.readJdbc(spark, url, s"($sql) graft_page").select("id").as[Long].collect()
+    }
+    assert(got.sorted === (1L to 25L))
+    // malicious strings throw BEFORE any SQL is built — on the
+    // FlowCompiler path this is flow-compile time
+    intercept[IllegalArgumentException] {
+      Io.generateTableFetch(spark, url, "t; DROP TABLE x", "id", 10)
+    }
+    intercept[IllegalArgumentException] {
+      Io.generateTableFetch(spark, url, "graft_t1", "id\" FROM x --", 10)
+    }
+    intercept[IllegalArgumentException] {
+      Io.generateTableFetch(spark, url, "graft_t1", "id", 10,
+        columns = "a, b FROM evil")
+    }
+    val flow =
+      s"""{"flowContents": {"name": "gtf-evil",
+         |  "outputPorts": [{"identifier": "o", "name": "pages"}],
+         |  "processors": [
+         |    {"identifier": "g", "type": "GenerateTableFetch",
+         |     "properties": {"JDBC Connection URL": "$url",
+         |       "Table Name": "t; DROP TABLE x",
+         |       "Maximum-value Columns": "id"}}],
+         |  "connections": [{"source": {"id": "g"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flow, Map.empty)
+    }
+    assert(e.getMessage.contains("unsafe table reference"))
+  }
+
   test("listJdbcTables enumerates tables through connection metadata (ListDatabaseTables)") {
     val df = Seq((1L, "x")).toDF("id", "v")
     Io.writeJdbc(df, url, "graft_list_a")

@@ -188,6 +188,46 @@ class JoltSpec extends SparkSpec {
     }
   }
 
+  test("shift @-lookups (r18): copy the matched VALUE; destinations keyed by data") {
+    // "@": copy the WHOLE node at this level (where $ copies the key)
+    assertJson(run("""{"*": {"@": "all[]"}}""",
+      """{"a": 1, "b": 2}"""),
+      """{"all": [1, 2]}""")
+    // "@(n,path)": read a field n levels up the INPUT tree
+    assertJson(run("""{"*": {"id": {"@(1,name)": "names.&1"}}}""",
+      """{"u7": {"id": 7, "name": "ada"}, "u9": {"id": 9, "name": "bo"}}"""),
+      """{"names": {"u7": "ada", "u9": "bo"}}""")
+    // "@(path)" sugar for level 0
+    assertJson(run("""{"x": {"@(inner)": "got"}}""",
+      """{"x": {"inner": 5, "other": 6}}"""),
+      """{"got": 5}""")
+    // RHS destination keyed by a looked-up VALUE — the docs' canonical
+    // "photos.@(1,type).id" shape: group each record under its type
+    assertJson(run("""{"photos": {"*": {"id": "byType.@(1,type).ids[]"}}}""",
+      """{"photos": {"p1": {"id": 11, "type": "cat"},
+                     "p2": {"id": 22, "type": "dog"},
+                     "p3": {"id": 33, "type": "cat"}}}"""),
+      """{"byType": {"cat": {"ids": [11, 33]}, "dog": {"ids": [22]}}}""")
+    // a MISSING lookup skips that write (data-dependent, not an error)
+    assertJson(run("""{"*": {"@(0,nope)": "x[]"}}""", """{"a": {"k": 1}}"""),
+      """{}""")
+    // out-of-depth @ is a SPEC error: rejected at parse time
+    intercept[IllegalArgumentException] { Jolt.chain("""{"a": {"@3": "x"}}""") }
+    intercept[IllegalArgumentException] { Jolt.chain("""{"a": "dst.@(5,k)"}""") }
+  }
+
+  test("data-dependent write conflict routes the ROW to failure (null), not the job (r18)") {
+    // 'a' shifts to x (scalar), then 'b' tries to descend INTO x — a
+    // per-document collision NiFi routes to the failure relationship
+    val spec = """[{"operation": "shift", "spec": {"a": "x", "b": "x.y"}}]"""
+    val t = Jolt.transformString(spec)
+    assert(t("""{"a": 1, "b": 2}""") == null, "colliding doc -> failure (null)")
+    assertJson(t("""{"b": 2}"""), """{"x": {"y": 2}}""")
+    // spec validation stays STRICT at compile time — a bad spec still
+    // throws before any row is seen
+    intercept[IllegalArgumentException] { Jolt.chain("""[{"operation": "nope"}]""") }
+  }
+
   test("Spark expression + flow processor: per-row transform, null on bad JSON") {
     val df = Seq("""{"a": {"b": 1}}""", "not json").toDF("content")
     val out = Records.joltTransformChain(df, "content",

@@ -190,4 +190,23 @@ class RouteRecordsSpec extends SparkSpec {
       .select("line").as[String].collect()
     assert(got.toSeq === Seq("5,ok"), "only the valid relationship flows")
   }
+
+  test("ValidateCsv (r18): Unique rejects a null cell; Optional(Unique) passes it") {
+    // super-csv's Unique/UniqueHashCode reject null; Optional short-
+    // circuits the rest of the chain on null, so Optional(Unique())
+    // lets ANY number of nulls through without tripping the window
+    val rows = Seq((1L, "a,1"), (2L, ",2"), (3L, "b,3")).toDF("id", "line")
+    val bare = Records.validateCsv(rows, "line", "Unique(), ParseLong")
+      .orderBy("id").select("route").as[String].collect()
+    assert(bare === Array("valid", "invalid", "valid"),
+      "a lone null Unique cell routes invalid")
+    val opt = Records.validateCsv(rows, "line", "Optional(Unique()), ParseLong")
+      .orderBy("id").select("route").as[String].collect()
+    assert(opt === Array("valid", "valid", "valid"))
+    val twoNull = Seq((1L, ",1"), (2L, ",2")).toDF("id", "line")
+    val opt2 = Records.validateCsv(twoNull, "line", "Optional(Unique()), ParseLong")
+      .orderBy("id").select("route").as[String].collect()
+    assert(opt2 === Array("valid", "valid"),
+      "multiple nulls bypass the count window under Optional")
+  }
 }
