@@ -770,6 +770,12 @@ object FlowCompiler {
                               "Message Demarcator", "Offset Reset", "Max Poll Records"),
     "PublishKafka"     -> Set("Topic Name", "Kafka Brokers", "Message Key Field",
                               "Message Value Field", "Delivery Guarantee"),
+    "ConsumeJMS"       -> Set("Destination Name", "Destination Type",
+                              "Message Selector", "Character Set",
+                              "Connection Factory Service"),
+    "PublishJMS"       -> Set("Destination Name", "Destination Type",
+                              "Message Body Field", "Properties Field",
+                              "Connection Factory Service"),
     // r10 sink/JDBC/tail family — flows can now START at a database or
     // a tailed file and END in a real sink
     "ExecuteSQL"        -> Set("JDBC Connection URL", "SQL select query",
@@ -829,10 +835,11 @@ object FlowCompiler {
     "ComputeTextEmbedding" -> Set("Content Column", "Output Column", "Dimension"),
     "PutVectorIndex"     -> Set("Index Directory", "Id Column", "Embedding Column",
                                 "Cells", "Subspaces", "Code Size", "Residual",
-                                "OPQ", "Lloyd Iterations", "Mode"),
+                                "OPQ", "Lloyd Iterations", "Mode",
+                                "Metadata Columns"),
     "QueryVectorIndex"   -> Set("Index Directory", "Id Column", "Query Id Column",
                                 "Embedding Column", "Top K", "Probes",
-                                "Rerank Factor", "Corpus Source"),
+                                "Rerank Factor", "Corpus Source", "Filter"),
     "PutLshIndex"        -> Set("Index Directory", "Id Column", "Text Column",
                                 "Shingle Size", "Num Hashes", "Bands", "Mode"),
     "PutBM25Index"       -> Set("Index Directory", "Id Column", "Text Column",
@@ -891,7 +898,7 @@ object FlowCompiler {
 
   /** Processors that originate data (no incoming connection needed). */
   private def isSource(p: Processor): Boolean =
-    Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka",
+    Set("GenerateFlowFile", "GetFile", "ListFile", "ConsumeKafka", "ConsumeJMS",
         "ExecuteSQL", "QueryDatabaseTable", "GenerateTableFetch", "TailFile",
         "ListenHTTP", "HandleHttpRequest", "ListenTCP", "ListenUDP",
         "ListenSyslog", "ListenSMTP", "ListenFTP", "ListenWebSocket", "ConsumeMQTT", "ConsumeAMQP",
@@ -1217,9 +1224,11 @@ object FlowCompiler {
           Records.renameField(d, path.drop(1).replace('/', '.'), to)
         }
       case "EvaluateRecordPath" =>
-        // dynamic properties are out-column -> RecordPath to extract
+        // dynamic properties are out-column -> RecordPath to extract;
+        // the full expression grammar (r18) — paths AND the guide's
+        // standalone functions (toUpperCase/substring/concat/…)
         dynamicProps(p).foldLeft(in) { case (d, (name, path)) =>
-          d.withColumn(name, graft.functions.RecordPath.compile(path))
+          d.withColumn(name, graft.functions.RecordPath.compileExpr(path))
         }
       case "RouteOnAttribute" =>
         Route.taggedFromElConfig(in, dynamicProps(p), routeCol = prop(p, "Route Column", "route"))
@@ -1327,9 +1336,19 @@ object FlowCompiler {
         // consume a materialized queue, not a re-runnable pipeline; the
         // checkpointed blocks release with the frame.
         val inMat = in.localCheckpoint(true)
+        val idColName = prop(p, "Id Column", "vec_id")
         val vecs = inMat.select(
-          col(prop(p, "Id Column", "vec_id")).cast("long").as("vec_id"),
+          col(idColName).cast("long").as("vec_id"),
           col(prop(p, "Embedding Column", "embedding")).as("embedding"))
+        // Metadata Columns (r18): comma-separated input columns stored
+        // WITH the codes so QueryVectorIndex's Filter can push down
+        // (the PutQdrant/PutChroma metadata contract)
+        val metaDf = prop(p, "Metadata Columns", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq match {
+          case Nil => None
+          case cs => Some(inMat.select(
+            (col(idColName).cast("long").as("vec_id") +: cs.map(col)): _*))
+        }
         prop(p, "Mode", "build").toLowerCase match {
           case "build" => graft.operators.Pq.buildIndex(spark, vecs, dir,
             nCells = prop(p, "Cells", "16").trim.toInt,
@@ -1337,9 +1356,12 @@ object FlowCompiler {
             kCodes = prop(p, "Code Size", "16").trim.toInt,
             residual = prop(p, "Residual", "false").trim.toBoolean,
             lloydIters = prop(p, "Lloyd Iterations", "0").trim.toInt,
-            opq = prop(p, "OPQ", "false").trim.toBoolean)
-          case "append" => graft.operators.Pq.appendToIndex(spark, dir, vecs)
-          case "upsert" => graft.operators.Pq.upsertToIndex(spark, dir, vecs)
+            opq = prop(p, "OPQ", "false").trim.toBoolean,
+            metadata = metaDf)
+          case "append" => graft.operators.Pq.appendToIndex(spark, dir, vecs,
+            metadata = metaDf)
+          case "upsert" => graft.operators.Pq.upsertToIndex(spark, dir, vecs,
+            metadata = metaDf)
           case m => throw new IllegalArgumentException(
             s"PutVectorIndex ${p.name}: unsupported Mode '$m' (build|append|upsert)")
         }
@@ -1377,10 +1399,19 @@ object FlowCompiler {
         require(rerank <= 0 || corpusOpt.nonEmpty,
           s"QueryVectorIndex ${p.name}: Rerank Factor > 0 needs a second " +
           "incoming connection named by 'Corpus Source' (the original vectors)")
+        // Filter (r18, the QueryQdrant/QueryChroma metadata filter): a
+        // SQL boolean expression over the metadata columns stored by
+        // PutVectorIndex — parsed HERE (flow-compile rejects a bad
+        // expression), applied to the probed-cell scan before ADC
+        val filterExpr = prop(p, "Filter", "").trim match {
+          case "" => None
+          case f => Some(expr(f))
+        }
         graft.operators.Pq.searchIndex(spark, dir, asVecs(queriesDf, qIdCol),
           k = prop(p, "Top K", "10").trim.toInt,
           nProbe = prop(p, "Probes", "4").trim.toInt,
-          rerankFactor = rerank, rerankCorpus = corpusOpt)
+          rerankFactor = rerank, rerankCorpus = corpusOpt,
+          filter = filterExpr)
       case "PutLshIndex" =>
         // MinHash-LSH layout build/ingest (backs DetectDuplicate's
         // `Index Directory` mode) — the PutVectorIndex discipline.
@@ -1936,6 +1967,41 @@ object FlowCompiler {
         graft.streaming.Kafka.publishWire(in, topic,
           prop(p, "Message Key Field", "key"),
           prop(p, "Message Value Field", "value"))
+      case "ConsumeJMS" =>
+        // JMS SOURCE onto the streaming.Jms wire seam (r18, the 48k′
+        // honest-attempt boundary: no JMS API jar exists offline and
+        // Spark has no built-in JMS source — see Jms.scala's object
+        // doc). The caller binds a stand-in stream (or a broker-bridge
+        // feed) as "jms:<Destination Name>" with (body, ts[, props])
+        // conformed by Jms.toWire; the node decodes to ConsumeJMS's
+        // published attribute shape and applies the JMS message
+        // selector (SQL-92 subset, validated at compile).
+        require(inputs.isEmpty, s"ConsumeJMS ${p.name} is a source — no incoming connections")
+        val dest = prop(p, "Destination Name", "")
+        require(dest.nonEmpty, s"ConsumeJMS ${p.name} needs a Destination Name")
+        val dtype = prop(p, "Destination Type", "QUEUE").trim.toUpperCase
+        require(dtype == "QUEUE" || dtype == "TOPIC",
+          s"ConsumeJMS ${p.name}: Destination Type must be QUEUE or TOPIC, got '$dtype'")
+        val standIn = bound.getOrElse(s"jms:$dest", throw new IllegalArgumentException(
+          s"ConsumeJMS ${p.name}: bind a (body, ts[, props]) feed as 'jms:$dest' — " +
+          "no JMS client exists offline; bridge the broker to a source this " +
+          "engine reads (Kafka/MQTT/AMQP)"))
+        val wire = graft.streaming.Jms.toWire(standIn, dest, "body", "ts",
+          if (standIn.columns.contains("props")) "props" else "")
+        val decoded = graft.streaming.Jms.decodeString(wire)
+        prop(p, "Message Selector", "").trim match {
+          case "" => decoded
+          case sel => decoded.filter(graft.streaming.Jms.selector(sel))
+        }
+      case "PublishJMS" =>
+        // shapes the frame to the JMS publish wire contract
+        // (destination, body, properties) — the bridge the deployment
+        // owns consumes exactly this (Jms.scala object doc)
+        val dest = prop(p, "Destination Name", "")
+        require(dest.nonEmpty, s"PublishJMS ${p.name} needs a Destination Name")
+        graft.streaming.Jms.publishWire(in, dest,
+          prop(p, "Message Body Field", "value"),
+          prop(p, "Properties Field", ""))
       case "ValidateCsv" =>
         // r17: per-line CSV validation against the super-csv
         // cell-processor DSL (schema parses at compile — NiFi's

@@ -202,6 +202,83 @@ object Provenance {
       lineage.toDF().coalesce(1).write.mode("append").parquet(dir)
   }
 
+  // ------------------------------------------------------------ replay
+
+  /** Content replay at the manifest grain (r18 — NiFi's provenance UI
+    * replays a FlowFile from a recorded event; at 100 TB the per-record
+    * form is the wrong grain, so the analog is: re-run a FLOW SEGMENT
+    * from a recorded input manifest and hash-match its output).
+    * [[recordRun]] snapshots every bound input to parquet, runs the
+    * flow, records an order-independent distributed digest of the
+    * output (count + sum of per-row crc32 — no collect, no sort
+    * shuffle), and appends a run manifest carrying the EXACT flow JSON
+    * and parameter context. [[replay]] rebinds the recorded snapshots,
+    * recompiles the RECORDED flow text, and verifies the digest —
+    * byte-drift in any processor between record and replay surfaces as
+    * a hash mismatch. */
+  case class RunManifest(runId: String, tsMillis: Long, flowName: String,
+                         port: String, flowJson: String,
+                         inputPorts: Seq[String], params: Map[String, String],
+                         outRows: Long, outCrcSum: Long, outSchema: String)
+
+  private def contentDigest(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val rowStr = concat_ws("", df.columns.map(c => col(c).cast("string")): _*)
+    val r = df.select(count(lit(1)).as("n"),
+      coalesce(sum(crc32(rowStr)), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run `port` of the flow over `inputs`, recording the run manifest +
+    * input snapshots under `dir`. Returns (runId, output frame — the
+    * SNAPSHOT read-back, so the caller observes exactly the recorded
+    * bytes). */
+  def recordRun(spark: SparkSession, dir: String, flowJson: String,
+                inputs: Map[String, DataFrame], port: String,
+                params: Map[String, String] = Map.empty): (String, DataFrame) = {
+    import spark.implicits._
+    val flow = FlowCompiler.parse(flowJson)
+    val runId = f"run_${System.currentTimeMillis()}%d_${math.abs(flowJson.hashCode)}%08x"
+    val base = s"$dir/runs/$runId"
+    // snapshot the inputs FIRST — the replay contract is "the recorded
+    // bytes", not "whatever the upstream tables hold later"
+    val snapped = inputs.map { case (name, df) =>
+      val p = s"$base/in_$name.parquet"
+      df.write.mode("errorifexists").parquet(p)
+      name -> spark.read.parquet(p)
+    }
+    val out = FlowCompiler.compile(spark, flow, snapped, params)(port)
+    val outPath = s"$base/out.parquet"
+    out.write.mode("errorifexists").parquet(outPath)
+    val persisted = spark.read.parquet(outPath)
+    val (n, crc) = contentDigest(persisted)
+    val manifest = RunManifest(runId, System.currentTimeMillis(), flow.name, port,
+      flowJson, inputs.keys.toSeq.sorted, params, n, crc,
+      persisted.schema.catalogString)
+    Seq(manifest).toDF().coalesce(1).write.mode("append").parquet(s"$dir/run_manifests")
+    (runId, persisted)
+  }
+
+  /** Replay a recorded run: recompile the RECORDED flow JSON over the
+    * RECORDED input snapshots and verify the output digest. Returns the
+    * replayed frame + whether it hash-matches the original. */
+  def replay(spark: SparkSession, dir: String, runId: String): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/run_manifests")
+      .filter(col("runId") === runId).as[RunManifest].collect()
+    require(m.nonEmpty, s"replay: no recorded run '$runId' under $dir")
+    val r = m.head
+    val snapped = r.inputPorts.map { name =>
+      name -> spark.read.parquet(s"$dir/runs/$runId/in_$name.parquet")
+    }.toMap
+    val out = FlowCompiler.compile(spark, FlowCompiler.parse(r.flowJson),
+      snapped, r.params)(r.port)
+    val (n, crc) = contentDigest(out)
+    (out, n == r.outRows && crc == r.outCrcSum &&
+      out.schema.catalogString == r.outSchema)
+  }
+
   /** "Which actions produced output THROUGH processor X?" — the NiFi
     * lineage-by-component search. Joins the provenance log's observed
     * flow tags to the lineage manifest on the observation name; returns

@@ -2284,16 +2284,19 @@ object QueriesLlm {
     * heading, "fin", nav and © footer all drop. */
   /** ParseDocument pdf mode (r17, NiFi 2.x GenAI): every document's
     * text round-trips through REAL PDF bytes — [[graft.operators.Doc
-    * .synthPdf]] writes a classic one-page PDF per row (odd doc_ids
-    * Flate-compressed, even raw — both decode paths in the catalog)
-    * and the native `graft_pdf_text` extractor recovers the text
-    * EXACTLY, so the oracle is the source column itself. Narrow
-    * per-row work, zero shuffle; the udf is the fixture GENERATOR
-    * (the audio/video payload discipline), the extractor under test
-    * is the native. */
+    * .synthPdf]] writes a one-page PDF per row (odd doc_ids
+    * Flate-compressed, even raw; doc_id % 3 == 0 additionally gets
+    * the PDF 1.5 layout — objects inside an /ObjStm, a /Type /XRef
+    * cross-reference stream with PNG predictor — so all THREE layout
+    * paths run in the catalog, r18) and the native `graft_pdf_text`
+    * extractor recovers the text EXACTLY, so the oracle is the source
+    * column itself. Narrow per-row work, zero shuffle; the udf is the
+    * fixture GENERATOR (the audio/video payload discipline), the
+    * extractor under test is the native. */
   val qParsePdf: Q = (s, d) => {
     val synth = udf { (id: Long, text: String) =>
-      graft.operators.Doc.synthPdf(text, compress = id % 2 == 1) }
+      graft.operators.Doc.synthPdf(text, compress = id % 2 == 1,
+        objectStreams = id % 3 == 0) }
     Tables.documents(s, d)
       .withColumn("payload", synth(col("doc_id"), col("text")))
       .select(col("doc_id"),

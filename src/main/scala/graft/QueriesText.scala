@@ -981,6 +981,48 @@ object QueriesText {
       |  o_orderpriority AS prio, CAST(NULL AS VARCHAR) AS missing
       |FROM orders""".stripMargin
 
+  /** RecordPath standalone FUNCTIONS (r18): the guide's string subset
+    * compiled onto codegen'd builtins — case/trim, concat, substring
+    * (0-based, end-exclusive, negatives from the end), substringBefore/
+    * After with the whole-string-when-absent rule, replaceRegex,
+    * padLeft (pad-never-truncate). Every output stated exactly by the
+    * DuckDB oracle. */
+  val qRecordPathFns: Q = (s, d) => {
+    import graft.functions.RecordPath.compileExpr
+    val recs = Tables.orders(s, d).select(col("o_orderkey"),
+      struct(col("o_orderpriority").as("prio"),
+             col("o_orderstatus").as("status"),
+             col("o_orderdate").cast("string").as("odate")).as("rec"))
+    recs.select(col("o_orderkey"),
+      compileExpr("toLowerCase(/rec/prio)").as("prio_lc"),
+      compileExpr("concat(/rec/status, '-', toLowerCase(/rec/prio))").as("tag"),
+      compileExpr("substring(/rec/prio, 0, 1)").as("prio_code"),
+      compileExpr("substring(/rec/odate, -5, -1)").as("date_mid"),
+      compileExpr("substringAfter(/rec/prio, '-')").as("prio_word"),
+      compileExpr("substringBefore(/rec/prio, '-')").as("prio_num"),
+      compileExpr("substringBefore(/rec/status, '-')").as("status_whole"),
+      compileExpr("replaceRegex(/rec/odate, '-', '/')").as("date_slash"),
+      compileExpr("padLeft(/rec/status, 3, '*')").as("status_pad"))
+  }
+  val qRecordPathFnsSql: String =
+    """SELECT o_orderkey,
+      |  lower(o_orderpriority) AS prio_lc,
+      |  o_orderstatus || '-' || lower(o_orderpriority) AS tag,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  substring(CAST(o_orderdate AS VARCHAR),
+      |            length(CAST(o_orderdate AS VARCHAR)) - 4, 4) AS date_mid,
+      |  CASE WHEN instr(o_orderpriority, '-') > 0
+      |       THEN substring(o_orderpriority, instr(o_orderpriority, '-') + 1)
+      |       ELSE o_orderpriority END AS prio_word,
+      |  CASE WHEN instr(o_orderpriority, '-') > 0
+      |       THEN substring(o_orderpriority, 1, instr(o_orderpriority, '-') - 1)
+      |       ELSE o_orderpriority END AS prio_num,
+      |  o_orderstatus AS status_whole,
+      |  replace(CAST(o_orderdate AS VARCHAR), '-', '/') AS date_slash,
+      |  CASE WHEN length(o_orderstatus) >= 3 THEN o_orderstatus
+      |       ELSE lpad(o_orderstatus, 3, '*') END AS status_pad
+      |FROM orders""".stripMargin
+
   /** r16 crawl-bytes curation flow (flows/html_curation.json): pages
     * enter as raw HTML, ExtractHTMLMainContent recovers the text
     * (jusText no-stoplist mode, thresholds making extraction exactly
@@ -1051,6 +1093,7 @@ object QueriesText {
     "q_generate"        -> qGenerate,
     "q_email_headers"   -> qEmailHeaders,
     "q_record_path"     -> qRecordPath,
+    "q_record_path_fns" -> qRecordPathFns,
     "q_wait_notify"     -> qWaitNotify,
     "q_retry"           -> qRetry)
 
@@ -1100,6 +1143,7 @@ object QueriesText {
     "q_generate"        -> qGenerateSql,
     "q_email_headers"   -> qEmailHeadersSql,
     "q_record_path"     -> qRecordPathSql,
+    "q_record_path_fns" -> qRecordPathFnsSql,
     "q_wait_notify"     -> qWaitNotifySql,
     "q_retry"           -> qRetrySql)
 }

@@ -79,6 +79,136 @@ object RecordPath {
     * `transform` lambda or against a parsed payload struct). */
   def compile(path: String, root: Column): Column = descend(root, parse(path))
 
+  // -------------------------------------------------------- FUNCTIONS
+
+  /** NiFi RecordPath standalone FUNCTIONS (r18) — the guide's common
+    * string subset compiled onto builtin (codegen'd) Column ops. An
+    * expression is a path (`/a/b`), a `'quoted'` literal, an integer,
+    * or `fn(arg, ...)` with nested expressions as arguments:
+    *
+    *  - `toUpperCase(x)` / `toLowerCase(x)` / `trim(x)`
+    *  - `concat(a, b, ...)` (string concat, non-strings cast)
+    *  - `coalesce(a, b, ...)` (first non-null)
+    *  - `substring(x, start, end)` — 0-based, start inclusive / end
+    *    exclusive; a NEGATIVE index counts from the end (`length + i`,
+    *    so -1 is the last index); out-of-range clamps to empty
+    *  - `substringAfter(x, 'd')` / `substringBefore(x, 'd')` — text
+    *    after/before the FIRST occurrence of d; the whole string when
+    *    d is absent (the guide's not-found rule)
+    *  - `replace(x, 'a', 'b')` literal / `replaceRegex(x, 're', 'b')`
+    *  - `padLeft(x, n[, 'p'])` / `padRight(x, n[, 'p'])` — pad to
+    *    length n (default pad `_`), never truncating
+    *
+    * Unknown functions and malformed argument lists throw HERE — the
+    * processor-config moment, never per row. */
+  def compileExpr(s: String): Column = {
+    val t = s.trim
+    if (t.startsWith("/")) compile(t)
+    else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      lit(t.substring(1, t.length - 1))
+    else if (t.matches("-?\\d+")) lit(t.toInt)
+    else {
+      val call = "([A-Za-z][A-Za-z0-9_]*)\\((.*)\\)".r
+      t match {
+        case call(fn, inner) => fnCall(fn, splitArgs(inner))
+        case _ => throw new IllegalArgumentException(
+          s"RecordPath expression: cannot parse '$t' (path, 'literal', int or fn(...))")
+      }
+    }
+  }
+
+  /** Split a function's argument list on TOP-LEVEL commas (quote- and
+    * paren/bracket-aware: `concat(/a, substring(/b, 0, 2), /m['x,y'])`). */
+  private def splitArgs(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach { c =>
+      c match {
+        case '\'' => inQuote = !inQuote; cur += c
+        case _ if inQuote => cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    require(depth == 0 && !inQuote, s"RecordPath: unbalanced argument list '$s'")
+    out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** One function call → Column. Literal-argument positions (indices,
+    * delimiters, patterns) require literals — validated here. */
+  private def fnCall(fn: String, args: Seq[String]): Column = {
+    def n(k: Int): Unit = require(args.length == k,
+      s"RecordPath $fn() takes $k arguments, got ${args.length}")
+    def a(i: Int): Column = compileExpr(args(i))
+    def str(i: Int): Column = a(i).cast("string")
+    def litStr(i: Int): String = {
+      val t = args(i).trim
+      require(t.startsWith("'") && t.endsWith("'") && t.length >= 2,
+        s"RecordPath $fn(): argument ${i + 1} must be a 'quoted literal', got '$t'")
+      t.substring(1, t.length - 1)
+    }
+    def litInt(i: Int): Int = {
+      val t = args(i).trim
+      require(t.matches("-?\\d+"), s"RecordPath $fn(): argument ${i + 1} must be an integer")
+      t.toInt
+    }
+    fn match {
+      case "toUpperCase" => n(1); upper(str(0))
+      case "toLowerCase" => n(1); lower(str(0))
+      case "trim"        => n(1); trim(str(0))
+      case "concat" =>
+        require(args.length >= 2, "RecordPath concat() needs >= 2 arguments")
+        concat(args.indices.map(str): _*)
+      case "coalesce" =>
+        require(args.length >= 2, "RecordPath coalesce() needs >= 2 arguments")
+        coalesce(args.indices.map(a): _*)
+      case "substring" =>
+        n(3)
+        val c = str(0)
+        def idx(i: Int): Column =
+          if (i >= 0) lit(i) else greatest(length(c) + i, lit(0))
+        val from = idx(litInt(1))
+        val until = idx(litInt(2))
+        // builtin substring is 1-based (start, LENGTH); clamp to empty
+        c.substr(from + 1, greatest(until - from, lit(0)))
+      case "substringAfter" =>
+        n(2)
+        val c = str(0); val d = litStr(1)
+        val at = instr(c, d)
+        when(at > 0, c.substr(at + d.length, length(c))).otherwise(c)
+      case "substringBefore" =>
+        n(2)
+        // substring_index returns the WHOLE string when the delimiter
+        // is absent — exactly the guide's not-found rule
+        substring_index(str(0), litStr(1), 1)
+      case "replace" =>
+        n(3); replace(str(0), lit(litStr(1)), lit(litStr(2)))
+      case "replaceRegex" =>
+        n(3)
+        val re = litStr(1)
+        java.util.regex.Pattern.compile(re) // reject a bad pattern at config time
+        regexp_replace(str(0), re, litStr(2))
+      case "padLeft" | "padRight" =>
+        require(args.length == 2 || args.length == 3,
+          s"RecordPath $fn() takes 2 or 3 arguments")
+        val c = str(0); val len = litInt(1)
+        val pad = if (args.length == 3) litStr(2) else "_"
+        require(pad.nonEmpty, s"RecordPath $fn(): empty pad string")
+        val padded = if (fn == "padLeft") lpad(c, len, pad) else rpad(c, len, pad)
+        when(length(c) >= len, c).otherwise(padded) // pad, never truncate
+      case other => throw new IllegalArgumentException(
+        s"RecordPath: unknown function '$other' (toUpperCase|toLowerCase|trim|concat|" +
+        "coalesce|substring|substringAfter|substringBefore|replace|replaceRegex|" +
+        "padLeft|padRight)")
+    }
+  }
+
   // ------------------------------------------------------------ WRITE
 
   /** Rewrite `parent` so the path `segs` under it holds `value`;

@@ -28,9 +28,18 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
   * between shows start a new output line; pages/streams join with a
   * newline. String BYTES decode as UTF-8 (falling back to Latin-1 on
   * malformed sequences) — simple-font PDFs with standard encodings
-  * round-trip; CID/subset-font PDFs needing ToUnicode CMaps and
-  * PDF 1.5 object streams are OUT of this subset (a parser library is
-  * the right tool there; the flow seam is format-agnostic either way).
+  * round-trip.
+  *
+  * PDF 1.5 structure (r18, the bound real-world PDFs hit first): text
+  * extraction recognizes cross-reference streams (`/Type /XRef`) and
+  * compressed object streams (`/Type /ObjStm`) and SKIPS them — their
+  * decoded bytes are table rows / serialized dictionaries, never page
+  * text — while [[xrefStreamEntries]] parses the 1.5 xref chain (/W
+  * widths, /Index subsections, Flate + PNG /Predictor, /Prev) and
+  * [[objStmObjects]] extracts the objects hidden inside /ObjStm, all
+  * with `java.util.zip.Inflater` only. CID/subset-font PDFs needing
+  * ToUnicode CMaps remain OUT of the subset (a parser library is the
+  * right tool there; the flow seam is format-agnostic either way).
   *
   * [[synthPdf]] writes a minimal one-page PDF (optionally
   * Flate-compressed) whose extraction round-trips the input text
@@ -78,7 +87,15 @@ object Doc {
       from = end + "endstream".length
       val flate = dict.contains("/FlateDecode")
       val plain = !dict.contains("/Filter")
-      if (flate || plain) {
+      // PDF 1.5 structure streams are NOT page content: a
+      // cross-reference stream (/Type /XRef) inflates to binary table
+      // rows and an object stream (/Type /ObjStm) to serialized
+      // DICTIONARIES — running the text replayer over either appends
+      // garbage. They are parsed by [[xrefStreamEntries]] /
+      // [[objStmObjects]]; text extraction skips them.
+      val structural = TypeXRef.findFirstIn(dict).isDefined ||
+        TypeObjStm.findFirstIn(dict).isDefined
+      if ((flate || plain) && !structural) {
         val data = java.util.Arrays.copyOfRange(bytes, dataStart, end)
         val content =
           if (plain) Some(data)
@@ -117,6 +134,190 @@ object Doc {
       } else i -= 1
     }
     ""
+  }
+
+  private val TypeXRef = "/Type\\s*/XRef\\b".r
+  private val TypeObjStm = "/Type\\s*/ObjStm\\b".r
+
+  // ------------------------------------------- PDF 1.5 object streams
+
+  /** One cross-reference-stream row: `entryType` 0 = free, 1 = plain
+    * object (`a` = byte offset), 2 = compressed object (`a` = number of
+    * the /ObjStm holding it, `b` = index within it). */
+  final case class XrefEntry(objNum: Int, entryType: Int, a: Long, b: Long)
+
+  /** Parse the PDF 1.5 cross-reference STREAM chain starting at the
+    * trailing `startxref` offset: /W field widths, /Index subsections
+    * (default `[0 Size]`), FlateDecode, PNG /Predictor (the form every
+    * writer emits — /DecodeParms << /Predictor 12 /Columns C >>), and
+    * /Prev chaining (bounded). Classic `xref` TABLES return empty —
+    * the linear content scan never needed them; this parser exists for
+    * the 1.5 layout where objects hide inside /ObjStm. Unparseable
+    * input yields empty (the caller's failure route). */
+  def xrefStreamEntries(bytes: Array[Byte]): Seq[XrefEntry] = {
+    if (bytes == null || bytes.length < 16) return Seq.empty
+    val raw = new String(bytes, ISO_8859_1)
+    val sx = raw.lastIndexOf("startxref")
+    if (sx < 0) return Seq.empty
+    val off = "\\d+".r.findFirstIn(raw.substring(sx + 9, math.min(raw.length, sx + 40)))
+      .map(_.toLong).getOrElse(-1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[XrefEntry]
+    var at = off
+    var hops = 0
+    while (at >= 0 && at < bytes.length && hops < 32) {
+      hops += 1
+      at = xrefStreamAt(bytes, raw, at.toInt, out)
+    }
+    out.toSeq
+  }
+
+  /** Parse ONE xref stream object at `off`; returns the /Prev offset
+    * (or -1 when the chain ends / the object isn't an xref stream). */
+  private def xrefStreamAt(bytes: Array[Byte], raw: String, off: Int,
+                           out: scala.collection.mutable.ArrayBuffer[XrefEntry]): Long = {
+    val s = raw.indexOf("stream", off)
+    if (s < 0) return -1L
+    val dict = streamDict(raw, s)
+    if (TypeXRef.findFirstIn(dict).isEmpty) return -1L // classic table or junk
+    val data = streamData(bytes, raw, s).flatMap(decodeXrefData(dict, _))
+      .getOrElse(return -1L)
+    val w = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r.findFirstMatchIn(dict)
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+      .getOrElse(return -1L)
+    val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+    val index: Seq[(Int, Int)] =
+      "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          val ns = "\\d+".r.findAllIn(m.group(1)).map(_.toInt).toSeq
+          ns.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+        case None => Seq((0, size))
+      }
+    val rowLen = w._1 + w._2 + w._3
+    if (rowLen <= 0) return -1L
+    var pos = 0
+    def field(width: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < width) { v = (v << 8) | (data(pos) & 0xFFL); pos += 1; i += 1 }
+      v
+    }
+    index.foreach { case (start, n) =>
+      var i = 0
+      while (i < n && pos + rowLen <= data.length) {
+        val t = if (w._1 == 0) 1L else field(w._1) // absent type field defaults to 1
+        val a = field(w._2)
+        val b = field(w._3)
+        out += XrefEntry(start + i, t.toInt, a, b)
+        i += 1
+      }
+    }
+    "/Prev\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  /** The raw data bytes of the stream whose keyword starts at `s`. */
+  private def streamData(bytes: Array[Byte], raw: String, s: Int): Option[Array[Byte]] = {
+    var dataStart = s + "stream".length
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+    val end = raw.indexOf("endstream", dataStart)
+    if (end < 0) None
+    else Some(java.util.Arrays.copyOfRange(bytes, dataStart, end))
+  }
+
+  /** Inflate (when /FlateDecode) then reverse the PNG row predictor
+    * (when /Predictor >= 10) — the encoding every real writer uses for
+    * xref streams. */
+  private def decodeXrefData(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val inflated =
+      if (dict.contains("/FlateDecode")) inflate(data)
+      else if (!dict.contains("/Filter")) Some(data)
+      else None
+    inflated.map { d =>
+      val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(1)
+      if (pred < 10) d
+      else {
+        val cols = "/Columns\\s+(\\d+)".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        pngUnpredict(d, cols)
+      }
+    }
+  }
+
+  /** Reverse the PNG per-row filters (None/Sub/Up/Average/Paeth) on
+    * `columns`-byte rows each prefixed with its filter-type byte. */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    if (columns <= 0) return data
+    val nRows = data.length / (columns + 1)
+    val out = new Array[Byte](nRows * columns)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (columns + 1)) & 0xFF
+      val src = r * (columns + 1) + 1
+      val dst = r * columns
+      var i = 0
+      while (i < columns) {
+        val v = data(src + i) & 0xFF
+        val left = if (i > 0) out(dst + i - 1) & 0xFF else 0
+        val up = if (r > 0) out(dst - columns + i) & 0xFF else 0
+        val ul = if (r > 0 && i > 0) out(dst - columns + i - 1) & 0xFF else 0
+        val x = ft match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            v + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => v
+        }
+        out(dst + i) = (x & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Every object stored inside any /ObjStm (PDF 1.5 compressed object
+    * stream) in the file: object number → its serialized body text.
+    * Layout per ISO 32000 §7.5.7: the decoded stream opens with /N
+    * (objnum, offset) integer pairs; object i's body starts at
+    * /First + offset_i. */
+  def objStmObjects(bytes: Array[Byte]): Map[Int, String] = {
+    if (bytes == null || bytes.length < 8) return Map.empty
+    val raw = new String(bytes, ISO_8859_1)
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    var from = 0
+    while ({ val s = raw.indexOf("stream", from); s >= 0 }) {
+      val s = raw.indexOf("stream", from)
+      val dict = streamDict(raw, s)
+      val end = raw.indexOf("endstream", s)
+      if (end < 0) return out.toMap
+      from = end + "endstream".length
+      if (TypeObjStm.findFirstIn(dict).isDefined) {
+        for {
+          data <- streamData(bytes, raw, s)
+          dec <- if (dict.contains("/FlateDecode")) inflate(data)
+                 else if (!dict.contains("/Filter")) Some(data) else None
+          n <- "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+          first <- "/First\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        } {
+          val text = new String(dec, ISO_8859_1)
+          if (first <= text.length) {
+            val header = "\\d+".r.findAllIn(text.substring(0, first)).map(_.toInt).toSeq
+            val pairs = header.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq.take(n)
+            pairs.zipWithIndex.foreach { case ((objNum, o), i) =>
+              val lo = math.min(text.length, first + o)
+              val hi = if (i + 1 < pairs.length) math.min(text.length, first + pairs(i + 1)._2)
+                       else text.length
+              if (lo <= hi) out(objNum) = text.substring(lo, hi).trim
+            }
+          }
+        }
+      }
+    }
+    out.toMap
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
@@ -246,7 +447,8 @@ object Doc {
     * `text` exactly: one content stream, one line of text per input
     * line (`T*` between), full escape coverage. `compress` runs the
     * content through Flate (the common real-PDF shape). */
-  def synthPdf(text: String, compress: Boolean = false): Array[Byte] = {
+  def synthPdf(text: String, compress: Boolean = false,
+               objectStreams: Boolean = false): Array[Byte] = {
     def esc(line: String): String =
       line.flatMap {
         case '\\' => "\\\\"
@@ -260,18 +462,9 @@ object Doc {
     }.mkString
     val contentStr = s"BT\n/F1 12 Tf\n14 TL\n72 720 Td\n${shows}ET\n"
     val contentRaw = contentStr.getBytes(UTF_8)
-    val content =
-      if (!compress) contentRaw
-      else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(contentRaw); d.finish()
-        val out = new ByteArrayOutputStream
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        d.end()
-        out.toByteArray
-      }
+    val content = if (compress) deflate(contentRaw) else contentRaw
     val filter = if (compress) " /Filter /FlateDecode" else ""
+    if (objectStreams) return synthPdf15(content, filter)
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -290,6 +483,79 @@ object Doc {
     w(s"xref\n0 6\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** The PDF 1.5 layout (ISO 32000 §7.5.7–7.5.8): the document objects
+    * live compressed inside ONE /ObjStm; the cross-reference is a
+    * /Type /XRef STREAM (Flate + PNG Up predictor, /W [1 2 1]) with
+    * type-2 rows pointing into the object stream; no classic trailer.
+    * The content stream stays a top-level stream object (content
+    * streams cannot live in an ObjStm, per spec). */
+  private def synthPdf15(content: Array[Byte], filter: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    // obj 1: page content (plain or Flate per `filter`)
+    val off1 = out.size()
+    w(s"1 0 obj\n<< /Length ${content.length}$filter >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    // obj 2: the ObjStm holding objects 3 (catalog), 4 (pages),
+    // 5 (page) and 6 (font)
+    val bodies = Seq(
+      3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+      4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      5 -> ("<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 1 0 R /Resources << /Font << /F1 6 0 R >> >> >>"),
+      6 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b._2.length + 1).init
+    val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmText = header + bodies.map(_._2 + "\n").mkString
+    val stmData = deflate(stmText.getBytes(ISO_8859_1))
+    val off2 = out.size()
+    w(s"2 0 obj\n<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
+      s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // obj 7: the xref STREAM — rows for objects 0..7, W [1 2 1],
+    // PNG Up predictor over 4-byte columns (the shape real writers emit)
+    val off7 = out.size()
+    val rows: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 65535),            // obj 0: free
+      (1, off1, 0),             // obj 1: content stream, plain offset
+      (1, off2, 0),             // obj 2: the ObjStm itself
+      (2, 2, 0), (2, 2, 1), (2, 2, 2), (2, 2, 3), // objs 3-6 inside ObjStm 2
+      (1, off7, 0))             // obj 7: this xref stream
+    val cols = 6 // W [1 4 1]
+    val plainRows = rows.map { case (t, a, b) =>
+      Array[Byte](t.toByte, ((a >> 24) & 0xFF).toByte, ((a >> 16) & 0xFF).toByte,
+        ((a >> 8) & 0xFF).toByte, (a & 0xFF).toByte, (b & 0xFF).toByte)
+    }
+    val predicted = new ByteArrayOutputStream
+    var prev = new Array[Byte](cols)
+    plainRows.foreach { row =>
+      predicted.write(2) // PNG Up filter
+      var i = 0
+      while (i < cols) { predicted.write((row(i) - prev(i)) & 0xFF); i += 1 }
+      prev = row
+    }
+    val xrefData = deflate(predicted.toByteArray)
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Root 3 0 R /W [1 4 1] " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w(s"\nendstream\nendobj\nstartxref\n$off7\n%%EOF\n")
     out.toByteArray
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -643,7 +643,8 @@ object Pq {
   def buildIndex(spark: SparkSession, corpus: DataFrame, path: String,
                  nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
                  residual: Boolean = false, trainIters: Int = 0,
-                 lloydIters: Int = 0, opq: Boolean = false): Unit = {
+                 lloydIters: Int = 0, opq: Boolean = false,
+                 metadata: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     // OPQ-lite inside the index (r15): the variance-balanced dim
     // permutation (35h — previously inline-only via [[adcTopKOpq]])
@@ -703,14 +704,28 @@ object Pq {
         writeBook(book)
         encodeCodesDf(codes, book, m).join(cCell, "vec_id")
       }
+    // Metadata columns (r18, the NiFi 2.x QueryQdrant/QueryChroma
+    // filter seam): caller-supplied (vec_id, meta...) rows ride INSIDE
+    // the codes parquet, so a serve-time Filter becomes a predicate on
+    // the probed-cell scan (parquet pushdown) instead of a post-join.
+    val withMeta = metadata match {
+      case None => coded
+      case Some(md) =>
+        val metaCols = md.columns.filterNot(_ == "vec_id")
+        require(md.columns.contains("vec_id"),
+          "buildIndex: metadata needs a vec_id column to key on")
+        require(metaCols.nonEmpty && !metaCols.exists(Set("pq", "cell", "c")),
+          s"buildIndex: metadata columns clash with the layout (pq/cell/c)")
+        coded.join(md, Seq("vec_id"), "left")
+    }
     // one file per cell (repartition on the partition column) and a
     // bloom NDV sized to the rows a cell actually holds — a fixed-1M
     // NDV allocates a ~1.2 MB bitmap PER FILE, which at thousands of
     // cells × many files per cell is gigabytes of bloom for megabytes
     // of codes (measured: it filled the disk at the 2M-vector probe)
-    val n = coded.count()
+    val n = withMeta.count()
     val perCell = math.max(1024L, 2L * n / math.max(nCells, 1))
-    graft.sources.Io.writeParquetBloom(coded.repartition(col("cell")), s"$path/codes",
+    graft.sources.Io.writeParquetBloom(withMeta.repartition(col("cell")), s"$path/codes",
       bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
     cents.toSeq.toDF("cell", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -754,7 +769,8 @@ object Pq {
     * deliberately NOT used — appends add files inside `cell=` dirs,
     * existing files untouched). Vec ids must be globally unique across
     * builds+appends — the caller's contract, same as FAISS. */
-  def appendToIndex(spark: SparkSession, path: String, vectors0: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, path: String, vectors0: DataFrame,
+                    metadata: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val (m, _, _, residual, opq) = readMeta(spark, path)
     val vectors = readPerm(spark, path, opq)
@@ -776,9 +792,19 @@ object Pq {
         encodeCodesDf(residualCodesDf(vectors, cCell, cc), book, m).join(cCell, "vec_id")
       } else
         encodeWithBook(vectors, "vec_id", "embedding", book, m).join(cCell, "vec_id")
-    val n = coded.count()
+    // metadata rides the codes rows, matching the build layout — an
+    // index built WITH metadata must append with the same columns
+    // (parquet schema merge would otherwise null them silently)
+    val withMeta = metadata match {
+      case None => coded
+      case Some(md) =>
+        require(md.columns.contains("vec_id"),
+          "appendToIndex: metadata needs a vec_id column to key on")
+        coded.join(md, Seq("vec_id"), "left")
+    }
+    val n = withMeta.count()
     val perCell = math.max(1024L, 2L * n / math.max(cents.length, 1))
-    coded.repartition(col("cell")).write.mode("append")
+    withMeta.repartition(col("cell")).write.mode("append")
       .option("parquet.bloom.filter.enabled#vec_id", "true") // match the build's layout
       .option("parquet.bloom.filter.expected.ndv#vec_id", perCell.toString)
       .partitionBy("cell").parquet(s"$path/codes")
@@ -792,9 +818,12 @@ object Pq {
     * the victims' OWNING cells — contrast
     * [[Bm25Index.upsertToIndex]]/[[LshIndex.upsertToIndex]], whose
     * tombstone layouts must purge before re-adding the same ids. */
-  def upsertToIndex(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+  def upsertToIndex(spark: SparkSession, path: String, vectors: DataFrame,
+                    metadata: Option[DataFrame] = None): Unit = {
+    // the delete half rewrites victim CELLS as whole rows, so survivor
+    // metadata is preserved; the append half re-attaches the batch's
     deleteFromIndexDf(spark, path, vectors.select(col("vec_id")))
-    appendToIndex(spark, path, vectors)
+    appendToIndex(spark, path, vectors, metadata)
   }
 
   /** Delete vectors from a persisted index by id — the point-delete
@@ -934,7 +963,8 @@ object Pq {
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                   nProbe: Int = 4, rerankFactor: Int = 0,
                   rerankCorpus: Option[DataFrame] = None,
-                  broadcastQueries: Boolean = true): DataFrame = {
+                  broadcastQueries: Boolean = true,
+                  filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val (m, _, _, residual, opq) = readMeta(spark, path)
     // OPQ layouts permute the QUERY side identically; the rerank below
@@ -971,9 +1001,15 @@ object Pq {
           .as[Int].collect().sorted
         (qdf, cellsOnly)
       }
-    // partition pruning: only the probed cell directories are read
-    val coded = spark.read.parquet(s"$path/codes")
+    // partition pruning: only the probed cell directories are read.
+    // The metadata Filter (r18) applies HERE — on the scan, BEFORE ADC
+    // scoring and the top-k heap — so Catalyst pushes simple predicates
+    // into the parquet read of the probed cells and filtered serving
+    // never scores, shortlists or reranks a dropped row (the
+    // QueryQdrant/QueryChroma filter contract).
+    val scanned = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val coded = filter.map(scanned.filter).getOrElse(scanned)
       .select(col("vec_id"), col("pq"), col("cell"))
     val cand =
       if (broadcastQueries) scoreCandidates(spark, coded, qCell, queriesP, book, m, centCodes)

@@ -58,6 +58,53 @@ class DocSpec extends SparkSpec {
     assert(Doc.pdfText(Array.empty[Byte]) === "")
   }
 
+  test("PDF 1.5 layout (r18): ObjStm + xref stream round-trips; structure streams never garble text") {
+    val texts = Seq("hello pdf 1.5", "line one\nline two", "", "café — résumé",
+      ("long " * 2000).trim) // pushes the content stream past 10 KB
+    for (t <- texts; compress <- Seq(false, true)) {
+      assert(Doc.pdfText(Doc.synthPdf(t, compress, objectStreams = true)) === t,
+        s"1.5 round-trip (compress=$compress) for ${t.take(20)}")
+    }
+    val pdf = Doc.synthPdf("anchor text", compress = true, objectStreams = true)
+    // the xref STREAM parses: Flate + PNG Up predictor + /W [1 4 1]
+    val entries = Doc.xrefStreamEntries(pdf)
+    assert(entries.length === 8, "Size 8: objects 0..7")
+    val byNum = entries.map(e => e.objNum -> e).toMap
+    assert(byNum(0).entryType === 0, "obj 0 free")
+    // type-1 rows carry real byte offsets: the content stream object
+    // header actually LIVES at the recorded offset
+    val raw = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(byNum(1).entryType === 1 &&
+      raw.startsWith("1 0 obj", byNum(1).a.toInt), "content stream offset")
+    assert(byNum(2).entryType === 1 &&
+      raw.startsWith("2 0 obj", byNum(2).a.toInt), "ObjStm offset")
+    // type-2 rows point into ObjStm 2 at indices 0..3
+    assert((3 to 6).forall(n => byNum(n).entryType === 2 && byNum(n).a === 2L))
+    assert((3 to 6).map(n => byNum(n).b) === Seq(0L, 1L, 2L, 3L))
+    // the compressed objects parse out of the ObjStm
+    val objs = Doc.objStmObjects(pdf)
+    assert(objs.keySet === Set(3, 4, 5, 6))
+    assert(objs(3).contains("/Type /Catalog"))
+    assert(objs(5).contains("/Contents 1 0 R"))
+    // an adversarial xref stream whose DECODED bytes spell text
+    // operators must not leak into extraction (/Type /XRef skips)
+    val evil = "BT (leaked) Tj ET".getBytes("ISO-8859-1")
+    val evilPdf = ("%PDF-1.5\n1 0 obj\n<< /Length 12 >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Type /XRef /Size 3 /W [1 2 1] /Length ${evil.length} >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ evil ++ "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    assert(Doc.pdfText(evilPdf) === "ok", "XRef stream bytes never reach the text replayer")
+    // same for an UNFILTERED ObjStm whose dict text could collide
+    val stm = "3 0 << /X (BT (nope) Tj ET) >>"
+    val objPdf = ("%PDF-1.5\n2 0 obj\n<< /Type /ObjStm /N 1 /First 4 " +
+      s"/Length ${stm.length} >>\nstream\n$stm\nendstream\nendobj\n" +
+      "1 0 obj\n<< /Length 12 >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Doc.pdfText(objPdf) === "ok", "ObjStm bytes never reach the text replayer")
+    // classic 1.4 files: xrefStreamEntries returns empty, never throws
+    assert(Doc.xrefStreamEntries(Doc.synthPdf("classic")) === Seq.empty)
+    assert(Doc.objStmObjects(Doc.synthPdf("classic")) === Map.empty)
+  }
+
   test("nested /DecodeParms dict after /Filter still sniffs FlateDecode (r18 balanced scan)") {
     // lastIndexOf("<<") would pick the DecodeParms sub-dictionary and
     // hide /Filter, mis-treating compressed bytes as unfiltered text

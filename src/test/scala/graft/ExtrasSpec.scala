@@ -263,6 +263,53 @@ class ExtrasSpec extends SparkSpec {
       element_at(col("props"), "k2")).as[(Long, Long)].head() === ((0L, 20L)))
   }
 
+  test("RecordPath functions (r18): string subset, nesting, parse-time rejection, flow wiring") {
+    import graft.functions.RecordPath.compileExpr
+    val df = Seq(("  Ada Lovelace  ", "1-URGENT", "F"))
+      .toDF("name", "prio", "status")
+      .select(struct(col("name"), col("prio"), col("status")).as("rec"))
+    def one(e: String): String =
+      df.select(compileExpr(e).cast("string")).as[String].head()
+    assert(one("toUpperCase(/rec/status)") === "F")
+    assert(one("trim(/rec/name)") === "Ada Lovelace")
+    // nested calls compose
+    assert(one("toLowerCase(trim(/rec/name))") === "ada lovelace")
+    assert(one("concat(/rec/status, '-', substringBefore(/rec/prio, '-'))") === "F-1")
+    // substring: 0-based, end exclusive, negatives from the end
+    assert(one("substring(/rec/prio, 2, 5)") === "URG")
+    assert(one("substring(/rec/prio, -6, -1)") === "URGEN")
+    assert(one("substring(/rec/prio, 3, 2)") === "", "inverted range clamps empty")
+    // not-found rule: the whole string comes back
+    assert(one("substringAfter(/rec/status, 'x')") === "F")
+    assert(one("substringBefore(/rec/status, 'x')") === "F")
+    assert(one("replace(/rec/prio, '-', '_')") === "1_URGENT")
+    assert(one("replaceRegex(/rec/prio, '[A-Z]+', 'u')") === "1-u")
+    // pad never truncates
+    assert(one("padLeft(/rec/status, 3)") === "__F")
+    assert(one("padRight(/rec/prio, 3, '*')") === "1-URGENT")
+    // literal args with commas/parens inside quotes survive the split
+    assert(one("replace(/rec/prio, '-', ', (')") === "1, (URGENT")
+    // config-time strictness: unknown fn / bad arity / bad regex throw
+    intercept[IllegalArgumentException] { compileExpr("frobnicate(/rec/name)") }
+    intercept[IllegalArgumentException] { compileExpr("substring(/rec/name, 1)") }
+    intercept[IllegalArgumentException] { compileExpr("replaceRegex(/rec/name, '[', 'x')") }
+    intercept[IllegalArgumentException] { compileExpr("padLeft(/rec/name, 3, '')") }
+    // EvaluateRecordPath flow node accepts the function grammar
+    val flow =
+      """{"flowContents": {"name": "rpf",
+        |  "inputPorts": [{"identifier": "in", "name": "recs"}],
+        |  "outputPorts": [{"identifier": "out", "name": "tagged"}],
+        |  "processors": [
+        |    {"identifier": "p", "type": "EvaluateRecordPath",
+        |     "properties": {"tag": "concat(toUpperCase(/rec/status), '-', /rec/prio)"}}],
+        |  "connections": [
+        |    {"source": {"id": "in"}, "destination": {"id": "p"}},
+        |    {"source": {"id": "p"}, "destination": {"id": "out"}}]}}""".stripMargin
+    val got = FlowCompiler.compile(spark, flow, Map("recs" -> df))("tagged")
+      .select("tag").as[String].head()
+    assert(got === "F-1-URGENT")
+  }
+
   test("parseXml extracts schema fields from an XML column") {
     val df = Seq(
       (1L, "<rec><name>alpha</name><qty>3</qty></rec>"),

@@ -77,6 +77,82 @@ class FlowIndexSpec extends SparkSpec {
     assert(got === direct, "flow output must equal the direct API output row-for-row")
   }
 
+  test("vector-index metadata Filter (r18): pushdown before ADC; filtered == post-filter of unfiltered") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqfilter").toString
+    // 64 vectors in 2 labeled halves; embeddings made distinctive per id
+    val vecs = (0L until 64L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat)
+      (i, base, if (i % 2 == 0) "even" else "odd")
+    }.toDF("vec_id", "embedding", "parity")
+    Pq.buildIndex(spark, vecs.select("vec_id", "embedding"), dir,
+      nCells = 4, m = 4, kCodes = 16, lloydIters = 1,
+      metadata = Some(vecs.select("vec_id", "parity")))
+    val queries = vecs.filter(col("vec_id") < 4).select("vec_id", "embedding")
+      .withColumnRenamed("vec_id", "query_id")
+      .select(col("query_id").as("vec_id"), col("embedding"))
+    // ALL cells probed so blocking can't differ between the two runs
+    val unfiltered = Pq.searchIndex(spark, dir, queries, k = 64, nProbe = 4)
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect()
+    val filtered = Pq.searchIndex(spark, dir, queries, k = 5, nProbe = 4,
+        filter = Some(col("parity") === lit("even")))
+      .select("query_id", "vec_id", "rk").as[(Long, Long, Long)].collect()
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 2 == 0),
+      "no dropped row is served")
+    // equal recall: filtered top-5 == the unfiltered FULL ranking,
+    // post-filtered to even ids, re-ranked, first 5 — per query
+    val expected = unfiltered.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).map(_._2).filter(_ % 2 == 0).take(5).toSeq
+    }
+    val got = filtered.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).map(_._2).toSeq
+    }
+    assert(got === expected, "filtered serving == post-filter of the full ranking")
+    // the predicate reaches the parquet scan (pushdown, not post-join)
+    val plan = Pq.searchIndex(spark, dir, queries, k = 5, nProbe = 4,
+        filter = Some(col("parity") === lit("even")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("parity"),
+      s"metadata filter must push into the codes scan; got:\n${plan.take(2000)}")
+    // filtered rerank path: the shortlist itself never holds dropped rows
+    val rr = Pq.searchIndex(spark, dir, queries, k = 3, nProbe = 4,
+        rerankFactor = 2, rerankCorpus = Some(vecs.select("vec_id", "embedding")),
+        filter = Some(col("parity") === lit("odd")))
+      .select("vec_id").as[Long].collect()
+    assert(rr.nonEmpty && rr.forall(_ % 2 == 1))
+    // flow vocabulary: Metadata Columns + Filter round-trip end-to-end
+    val flowDir = java.nio.file.Files.createTempDirectory("graft_pqflowfil").toString
+    val flow =
+      s"""{"flowContents": {"name": "filt",
+         |  "inputPorts": [{"identifier": "c", "name": "corpus"},
+         |                 {"identifier": "q", "name": "questions"}],
+         |  "outputPorts": [{"identifier": "o", "name": "hits"}],
+         |  "processors": [
+         |    {"identifier": "put", "name": "store", "type": "PutVectorIndex",
+         |     "properties": {"Index Directory": "$flowDir", "Cells": "4",
+         |       "Subspaces": "4", "Lloyd Iterations": "1",
+         |       "Metadata Columns": "parity"}},
+         |    {"identifier": "get", "name": "serve", "type": "QueryVectorIndex",
+         |     "properties": {"Index Directory": "$flowDir", "Top K": "5",
+         |       "Probes": "4", "Filter": "parity = 'even'",
+         |       "Corpus Source": "store"}}],
+         |  "connections": [
+         |    {"source": {"id": "c"}, "destination": {"id": "put"}},
+         |    {"source": {"id": "q"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "put"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "get"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val hits = FlowCompiler.compile(spark, flow,
+      Map("corpus" -> vecs, "questions" -> queries))("hits")
+      .select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0),
+      "flow Filter property drops odd rows before serving")
+    // a malformed Filter rejects at flow-compile time
+    intercept[Exception] {
+      FlowCompiler.compile(spark, flow.replace("parity = 'even'", "parity ==== x("),
+        Map("corpus" -> vecs, "questions" -> queries))
+    }
+  }
+
   test("q_flow_index dir naming: hashCode-colliding sf paths get DISTINCT indexes (r18)") {
     import java.nio.file._
     // "Aa"/"BB" collide under String.hashCode (31-linear), so with a

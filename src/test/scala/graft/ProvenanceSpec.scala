@@ -296,6 +296,43 @@ class ProvenanceSpec extends SparkSpec {
     } finally Provenance.disable(spark, l)
   }
 
+  test("content replay (r18): a recorded two-processor segment replays hash-identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    // two-processor segment: EvaluateJsonPath -> RouteOnAttribute
+    val flow =
+      """{"flowContents": {"name": "seg",
+        |  "inputPorts": [{"identifier": "in", "name": "events"}],
+        |  "outputPorts": [{"identifier": "out", "name": "alerts"}],
+        |  "processors": [
+        |    {"identifier": "e", "type": "EvaluateJsonPath",
+        |     "properties": {"Content Column": "props", "k": "$.k"}},
+        |    {"identifier": "r", "type": "RouteOnAttribute",
+        |     "properties": {"hot": "${k:toNumber():ge(#{threshold})}"}}],
+        |  "connections": [
+        |    {"source": {"id": "in"}, "destination": {"id": "e"}},
+        |    {"source": {"id": "e"}, "destination": {"id": "r"}},
+        |    {"source": {"id": "r"}, "destination": {"id": "out"},
+        |     "selectedRelationships": ["hot"]}]}}""".stripMargin
+    val events = Seq(
+      (1L, """{"k": 9}"""), (2L, """{"k": 2}"""), (3L, """{"k": 7}"""))
+      .toDF("event_id", "props")
+    val (runId, original) = Provenance.recordRun(spark, dir, flow,
+      Map("events" -> events), "alerts", Map("threshold" -> "5"))
+    assert(original.select("event_id").as[Long].collect().sorted === Array(1L, 3L))
+    // replay recompiles the RECORDED flow over the RECORDED snapshots
+    val (replayed, ok) = Provenance.replay(spark, dir, runId)
+    assert(ok, "replayed output must hash-match the recorded digest")
+    assert(replayed.select("event_id").as[Long].collect().sorted === Array(1L, 3L))
+    // the replay reads the SNAPSHOT, not the live upstream: mutating the
+    // caller's frame after record cannot change the replay
+    val (replayed2, ok2) = Provenance.replay(spark, dir, runId)
+    assert(ok2 && replayed2.count() === 2)
+    // a missing run fails loudly
+    intercept[IllegalArgumentException] { Provenance.replay(spark, dir, "run_nope") }
+  }
+
   test("r17 lineage walk + event-type search: sink row to source file across two process groups") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prov_walk")
     val srcDir = dir.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
