@@ -183,8 +183,21 @@ object Bench {
         // later query "finish" in milliseconds, which a total-seconds
         // reader would misread as fast success (observed when an OOM
         // killed the session mid-bench at mult=30)
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => errs += 1; false }
+        //
+        // Action = noop WRITE, not count() (r18 protocol fix): under
+        // count() Catalyst prunes deterministic projections, so a
+        // projection-only query (q_parse_pdf, q_jolt_chain, the whole
+        // per-row transform family — ~30 rows of the catalog) timed a
+        // parquet METADATA count, flat from m1 to m100 (caught by the
+        // r18 m-sweep: q_parse_pdf 0.15 s at BOTH 60k and 6M docs).
+        // The noop sink fully evaluates every output row and column —
+        // the number now measures the query's actual work, matching
+        // what Verify (a real parquet write) and the reference's own
+        // bench (which materializes results) pay. PlanAudit always
+        // collect()ed for exactly this reason (PlanAudit.scala:54).
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case _: Throwable => errs += 1; false }
         // Dead-context recovery: an executor OOM can stop the local
         // SparkContext, after which every later rep "fails" in
         // milliseconds and the whole tail of the run is wasted (the

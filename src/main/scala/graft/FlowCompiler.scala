@@ -1349,9 +1349,21 @@ object FlowCompiler {
           case cs => Some(inMat.select(
             (col(idColName).cast("long").as("vec_id") +: cs.map(col)): _*))
         }
+        // Cells sizing (r18 — the m100 finding): a STATIC cell count is
+        // a quadratic trap at scale — a flow pinned at 8 cells serving
+        // a 1.2M-vector corpus scores HALF the corpus per query
+        // (measured: one serve task burning 800+ CPU-seconds at m100).
+        // "auto" sizes from the materialized batch via Pq.autoCells
+        // (n/125 small, 4·√n past 250k — the assignment-cost cap); a
+        // literal stays available for pinned layouts. The count is one
+        // job over the checkpointed blocks.
+        def cellsOf(raw: String): Int = raw.trim.toLowerCase match {
+          case "auto" => graft.operators.Pq.autoCells(inMat.count())
+          case n => n.toInt
+        }
         prop(p, "Mode", "build").toLowerCase match {
           case "build" => graft.operators.Pq.buildIndex(spark, vecs, dir,
-            nCells = prop(p, "Cells", "16").trim.toInt,
+            nCells = cellsOf(prop(p, "Cells", "16")),
             m = prop(p, "Subspaces", "8").trim.toInt,
             kCodes = prop(p, "Code Size", "16").trim.toInt,
             residual = prop(p, "Residual", "false").trim.toBoolean,
@@ -1407,9 +1419,20 @@ object FlowCompiler {
           case "" => None
           case f => Some(expr(f))
         }
+        // Probes sizing (r18): "auto" derives from the INDEX's cell
+        // count (the centroids table is model-sized) — the direct API's
+        // ivfConfig heuristic restated serve-side: small layouts
+        // (≤ 40 cells ≈ ≤ 5k vectors) probe 6 for recall, large ones 2
+        // (recall comes from cell density, cost from probed share)
+        val nProbe = prop(p, "Probes", "4").trim.toLowerCase match {
+          case "auto" =>
+            val cells = spark.read.parquet(s"$dir/centroids").count()
+            if (cells <= 40) 6 else 2
+          case n => n.toInt
+        }
         graft.operators.Pq.searchIndex(spark, dir, asVecs(queriesDf, qIdCol),
           k = prop(p, "Top K", "10").trim.toInt,
-          nProbe = prop(p, "Probes", "4").trim.toInt,
+          nProbe = nProbe,
           rerankFactor = rerank, rerankCorpus = corpusOpt,
           filter = filterExpr)
       case "PutLshIndex" =>

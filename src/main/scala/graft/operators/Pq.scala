@@ -640,6 +640,21 @@ object Pq {
     * (DedupAnnSpec pins the improvement on a clustered config).
     * [[searchIndex]]/[[appendToIndex]] dispatch on the meta flag, so
     * v1 indexes keep serving unchanged. */
+  /** Auto cell count for an n-vector IVF layout (r18, backing the flow
+    * vocabulary's `Cells: auto`): `max(16, min(n/125, 4·√n))`. The two
+    * regimes meet at n = 250k — below it, n/125 keeps ~125 vectors per
+    * cell (serve cost per query = probes × 125 rows); above it, the
+    * FAISS-guideline 4·√n caps the COARSE ASSIGNMENT cost, which is
+    * O(n · cells) brute-force distance and would grow as n²/125
+    * otherwise (measured: a 1.2M-chunk build spent its time in
+    * assignCells at 9600 cells). With 4·√n, serve cost per query grows
+    * only as √n (probes × n/cells) and assignment as n^1.5. Pure so the
+    * sizing contract is unit-testable at any n. */
+  def autoCells(n: Long): Int = {
+    val sqrtCap = 4L * math.sqrt(math.max(n, 0L).toDouble).toLong
+    math.max(16L, math.min(n / 125L, sqrtCap)).toInt
+  }
+
   def buildIndex(spark: SparkSession, corpus: DataFrame, path: String,
                  nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
                  residual: Boolean = false, trainIters: Int = 0,

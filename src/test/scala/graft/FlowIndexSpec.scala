@@ -63,18 +63,68 @@ class FlowIndexSpec extends SparkSpec {
       .withColumn("embedding",
         TextHashExpressions.hashedTextEmbedding(col("chunk_text"), 16))
       .select("vec_id", "embedding")
-    Pq.buildIndex(spark, vecs, directPath, nCells = 8, m = 4, kCodes = 16,
+    // nCells/nProbe = what the flow's auto sizing derives for this
+    // corpus: 24 chunks -> max(16, 24/125) = 16 cells, <=40 cells -> 6
+    Pq.buildIndex(spark, vecs, directPath, nCells = 16, m = 4, kCodes = 16,
       lloydIters = 1)
     val qVecs = questions
       .select(col("query_id").as("vec_id"),
         TextHashExpressions.hashedTextEmbedding(col("qtext"), 16).as("embedding"))
-    val direct = Pq.searchIndex(spark, directPath, qVecs, k = 5, nProbe = 4,
+    val direct = Pq.searchIndex(spark, directPath, qVecs, k = 5, nProbe = 6,
         rerankFactor = 3, rerankCorpus = Some(vecs))
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
       .as[(Long, Long, Double, Long)].collect().toSet
 
     assert(got.nonEmpty, "flow must retrieve hits")
     assert(got === direct, "flow output must equal the direct API output row-for-row")
+  }
+
+  test("auto index sizing (r18): Cells=auto scales cells with the corpus; Probes=auto serves") {
+    import org.apache.spark.sql.functions.col
+    // a STATIC cell count is a quadratic trap at scale (the m100
+    // finding: 8 pinned cells over a 1.2M-vector corpus scores half
+    // the corpus per query) — auto must derive max(16, n/125)
+    def flowFor(dir: String): String =
+      s"""{"flowContents": {"name": "auto",
+         |  "inputPorts": [{"identifier": "c", "name": "corpus"},
+         |                 {"identifier": "q", "name": "questions"}],
+         |  "outputPorts": [{"identifier": "o", "name": "hits"}],
+         |  "processors": [
+         |    {"identifier": "put", "name": "store", "type": "PutVectorIndex",
+         |     "properties": {"Index Directory": "$dir", "Cells": "auto",
+         |       "Subspaces": "4", "Lloyd Iterations": "1"}},
+         |    {"identifier": "get", "name": "serve", "type": "QueryVectorIndex",
+         |     "properties": {"Index Directory": "$dir", "Top K": "3",
+         |       "Probes": "auto", "Corpus Source": "store"}}],
+         |  "connections": [
+         |    {"source": {"id": "c"}, "destination": {"id": "put"}},
+         |    {"source": {"id": "q"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "put"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "get"}, "destination": {"id": "o"}}]}}""".stripMargin
+    def corpus(n: Int) = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus(3)
+    // large corpus: 4000 vectors -> 32 cells (n/125), auto probes = 6
+    // (<= 40 cells); hits still serve
+    val big = java.nio.file.Files.createTempDirectory("graft_auto_big").toString
+    val hits = FlowCompiler.compile(spark, flowFor(big),
+      Map("corpus" -> corpus(4000), "questions" -> queries))("hits")
+    assert(hits.count() > 0)
+    assert(spark.read.parquet(s"$big/centroids").count() === 32L,
+      "Cells=auto must derive max(16, 4000/125) = 32")
+    // small corpus: the 16-cell floor
+    val small = java.nio.file.Files.createTempDirectory("graft_auto_small").toString
+    FlowCompiler.compile(spark, flowFor(small),
+      Map("corpus" -> corpus(100), "questions" -> queries))("hits").count()
+    assert(spark.read.parquet(s"$small/centroids").count() === 16L,
+      "Cells=auto floors at 16")
+    // the sizing contract at scales a spec can't build: n/125 below the
+    // 250k crossover, the 4·sqrt(n) assignment-cost cap above it
+    assert(Pq.autoCells(4000) === 32)
+    assert(Pq.autoCells(250000) === 2000, "crossover: n/125 == 4*sqrt(n)")
+    assert(Pq.autoCells(1200000) === 4380, "1.2M vectors cap at 4*sqrt(n)")
+    assert(Pq.autoCells(1000000000L) === 126488, "1B vectors: sqrt scaling holds")
   }
 
   test("vector-index metadata Filter (r18): pushdown before ADC; filtered == post-filter of unfiltered") {
