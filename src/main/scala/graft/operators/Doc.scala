@@ -564,6 +564,33 @@ object Doc {
   /** CommonMark surface syntax → plain text (subset documented in the
     * object scaladoc). Line-oriented: block markers strip per line,
     * then inline spans strip within the line. */
+  // Precompiled strip patterns (r18): String.replaceAll/replaceFirst/
+  // matches compile their regex on EVERY call — the old body compiled
+  // 13 regexes per LINE per document in the hot loop, which the honest
+  // bench surfaced as the heaviest per-row cost in the parse family
+  // (q_parse_markdown 18.1 s at m100). Compiled once; semantics
+  // byte-identical (DocSpec + the exact q_parse_markdown oracle gate).
+  private object Md {
+    import java.util.regex.Pattern
+    val thematic = Pattern.compile("(\\*\\s*){3,}|(-\\s*){3,}|(_\\s*){3,}")
+    val refDef = Pattern.compile("\\[[^\\]]+\\]:\\s*\\S.*")
+    val heading = Pattern.compile("^\\s{0,3}#{1,6}\\s+")
+    val headingTail = Pattern.compile("\\s#+\\s*$")
+    val quote = Pattern.compile("^\\s{0,3}>\\s?")
+    val bullet = Pattern.compile("^\\s*[-*+]\\s+")
+    val ordered = Pattern.compile("^\\s*\\d{1,9}[.)]\\s+")
+    val image = Pattern.compile("!\\[([^\\]]*)\\]\\([^)]*\\)")
+    val link = Pattern.compile("\\[([^\\]]+)\\]\\([^)]*\\)")
+    val codeSpan = Pattern.compile("`([^`]*)`")
+    val strong = Pattern.compile("(\\*\\*|__)(.+?)\\1")
+    val emStar = Pattern.compile("(?<![\\w*])\\*([^*\\s][^*]*)\\*(?![\\w*])")
+    val emUnder = Pattern.compile("(?<![\\w_])_([^_\\s][^_]*)_(?![\\w_])")
+    val htmlTag = Pattern.compile("<[^>\\s][^>]*>")
+    val tableSep = Pattern.compile("\\|?\\s*:?-{2,}.*")
+    val pipes = Pattern.compile("\\s*\\|\\s*")
+    val blankRuns = Pattern.compile("\n{3,}")
+  }
+
   def markdownText(md: String): String = {
     if (md == null) return null
     val out = new StringBuilder
@@ -574,39 +601,39 @@ object Doc {
         inFence = !inFence // fence lines drop, enclosed code keeps
       } else if (inFence) {
         out.append(raw).append('\n')
-      } else if (t.matches("(\\*\\s*){3,}|(-\\s*){3,}|(_\\s*){3,}")) {
+      } else if (Md.thematic.matcher(t).matches()) {
         () // thematic break drops
-      } else if (t.matches("\\[[^\\]]+\\]:\\s*\\S.*")) {
+      } else if (Md.refDef.matcher(t).matches()) {
         () // reference-style link definition drops
       } else {
         var line = raw
         // block markers: heading hashes, blockquote, list bullets
-        line = line.replaceFirst("^\\s{0,3}#{1,6}\\s+", "")
-          .replaceFirst("\\s#+\\s*$", "")
-        line = line.replaceFirst("^\\s{0,3}>\\s?", "")
-        line = line.replaceFirst("^\\s*[-*+]\\s+", "")
-        line = line.replaceFirst("^\\s*\\d{1,9}[.)]\\s+", "")
+        line = Md.headingTail.matcher(
+          Md.heading.matcher(line).replaceFirst("")).replaceFirst("")
+        line = Md.quote.matcher(line).replaceFirst("")
+        line = Md.bullet.matcher(line).replaceFirst("")
+        line = Md.ordered.matcher(line).replaceFirst("")
         // inline: images keep alt, links keep label, code spans unwrap,
         // emphasis runs drop, raw HTML tags drop, table pipes → space
-        line = line.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-        line = line.replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")
-        line = line.replaceAll("`([^`]*)`", "$1")
-        line = line.replaceAll("(\\*\\*|__)(.+?)\\1", "$2")
-        line = line.replaceAll("(?<![\\w*])\\*([^*\\s][^*]*)\\*(?![\\w*])", "$1")
-        line = line.replaceAll("(?<![\\w_])_([^_\\s][^_]*)_(?![\\w_])", "$1")
-        line = line.replaceAll("<[^>\\s][^>]*>", "")
-        if (line.contains('|') && t.matches("\\|?\\s*:?-{2,}.*"))
+        line = Md.image.matcher(line).replaceAll("$1")
+        line = Md.link.matcher(line).replaceAll("$1")
+        line = Md.codeSpan.matcher(line).replaceAll("$1")
+        line = Md.strong.matcher(line).replaceAll("$2")
+        line = Md.emStar.matcher(line).replaceAll("$1")
+        line = Md.emUnder.matcher(line).replaceAll("$1")
+        line = Md.htmlTag.matcher(line).replaceAll("")
+        if (line.contains('|') && Md.tableSep.matcher(t).matches())
           () // table separator row drops
         else {
           if (line.contains('|'))
-            line = line.replaceAll("\\s*\\|\\s*", " ").trim
+            line = Md.pipes.matcher(line).replaceAll(" ").trim
           out.append(line).append('\n')
         }
       }
     }
     // collapse the markdown's blank-line rhythm conservatively: runs of
     // 3+ newlines → 2 (paragraph breaks keep), drop the trailing one
-    val s = out.toString.replaceAll("\n{3,}", "\n\n")
+    val s = Md.blankRuns.matcher(out.toString).replaceAll("\n\n")
     if (s.endsWith("\n")) s.dropRight(1) else s
   }
 }
