@@ -310,7 +310,8 @@ object QueriesText {
         |{"operation": "cardinality", "spec": {"tags": "ONE"}},
         |{"operation": "default", "spec": {"meta": {"source": "events"}}},
         |{"operation": "modify-overwrite-beta",
-        | "spec": {"account": {"type": "=toUpper"}}}
+        | "spec": {"account": {"type": "=toUpper"},
+        |          "meta": {"total": "=intSum(@(1,key), 10)"}}}
         |]""".stripMargin
     val doc = to_json(struct(
       struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
@@ -326,7 +327,8 @@ object QueriesText {
       |  to_json(struct_pack(
       |    account := struct_pack(id := user_id, type := upper(event_type)),
       |    meta := struct_pack(key := CAST(json_extract_string(props, '$.k') AS INT),
-      |                        source := 'events'),
+      |                        source := 'events',
+      |                        total := CAST(json_extract_string(props, '$.k') AS INT) + 10),
       |    tags := event_type)) AS jolted
       |FROM events""".stripMargin
 

@@ -44,21 +44,28 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *  - **modify-overwrite-beta**: argless leaves `=toUpper|=toLower|
   *    =trim|=size|=toInteger|=toDouble|=toString` apply to the
   *    existing value (absent slots stay absent); function leaves
-  *    `=concat(...)`/`=join(delim, arr)`/`=split(regex, str)` compute
-  *    from arguments — quoted literals, numbers, and `@(1,field)`
-  *    sibling references — and CREATE the slot (skipped when a
-  *    referenced sibling is absent); any other leaf literal
+  *    `=concat(...)`/`=join(delim, arr)`/`=split(regex, str)` plus the
+  *    docs' MATH vocabulary (r18: `=min/=max/=abs/=avg`, typed
+  *    `=intSum/=longSum/=doubleSum` and `=intSubtract/=longSubtract/
+  *    =doubleSubtract`, `=divide`/`=divideAndRound(digits, a, b)`) and
+  *    list accessors (`=firstElement/=lastElement/=elementAt(list, i)`)
+  *    compute from arguments — quoted literals, numbers, list
+  *    flattening for the aggregate forms, and `@(1,field)` sibling
+  *    references — and CREATE the slot (skipped when a referenced
+  *    sibling is absent, a divisor is zero, or no operand is numeric —
+  *    Jolt's empty-Optional behavior); any other leaf literal
   *    overwrites; `*` matches every key; recursion only descends into
   *    slots that exist.
   *
   * Documented subset bounds: `&(n,k)` group references (this engine's
-  * wildcards are whole-key), modify references deeper than `@(1,…)`,
-  * and modify's arithmetic functions are not implemented (no NiFi-flow
-  * usage in this engine's test corpus); the spec parser rejects
-  * nothing silently — unknown operations, malformed function leaves
-  * and out-of-depth `$n`/`&n`/`@n` references throw at parse time;
-  * data-DEPENDENT transform failures route the row to the failure
-  * relationship (null) instead of failing the job.
+  * wildcards are whole-key, so there is no group to reference) and
+  * modify references deeper than `@(1,…)` are not implemented (no
+  * NiFi-flow usage in this engine's test corpus; r18 closed the math
+  * functions); the spec parser rejects nothing silently — unknown
+  * operations, malformed function leaves and out-of-depth
+  * `$n`/`&n`/`@n` references throw at parse time; data-DEPENDENT
+  * transform failures route the row to the failure relationship
+  * (null) instead of failing the job.
   *
   * Reference behavior: NiFi standard-bundle JoltTransformJSON
   * (chained DSL, spec validated at processor-config time).
@@ -549,6 +556,17 @@ object Jolt {
   private case class MLit(v: JsonNode) extends MArg
   private case class MRef(path: Seq[String]) extends MArg // @(1,path)
 
+  // the function-with-args vocabulary: string builders + the docs'
+  // MATH functions (r18 — min/max/abs/avg, typed sums and subtracts,
+  // divide/divideAndRound) + list accessors
+  private val ModifyFns: Set[String] = Set(
+    "concat", "join", "split",
+    "min", "max", "abs", "avg",
+    "intSum", "longSum", "doubleSum",
+    "intSubtract", "longSubtract", "doubleSubtract",
+    "divide", "divideAndRound",
+    "firstElement", "lastElement", "elementAt")
+
   /** Parse `=name(arg, ...)` — quoted literals ('x'), numbers,
     * true/false, and `@(1,dotted.path)` sibling references. Throws on
     * anything else, at spec-validation time. */
@@ -557,8 +575,8 @@ object Jolt {
     require(s.startsWith("=") && open > 1 && s.endsWith(")"),
       s"jolt modify: malformed function leaf '$s'")
     val name = s.substring(1, open)
-    require(Set("concat", "join", "split")(name),
-      s"jolt modify: unsupported function '=$name' (concat|join|split)")
+    require(ModifyFns(name),
+      s"jolt modify: unsupported function '=$name' (${ModifyFns.toSeq.sorted.mkString("|")})")
     val body = s.substring(open + 1, s.length - 1)
     // split on top-level commas: quotes and @(...) parens guard commas
     val args = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -628,8 +646,105 @@ object Jolt {
           vs(1).asText().split(text(vs(0)), -1).foreach(p => out.add(new TextNode(p)))
           Some(out)
         }
+
+      // ------------- math functions (r18, per the Jolt docs' Modifier
+      // vocabulary). Operands: each arg contributes itself, or its
+      // ELEMENTS when it is a list (the docs' "=intSum(@(1,values))"
+      // form); numbers and numeric text convert, anything else makes
+      // that operand vanish; zero usable operands → the assignment is
+      // skipped (Jolt's empty-Optional behavior, not an error).
+      case "min" | "max" =>
+        val ops = numericOperands(vs)
+        if (ops.isEmpty) None
+        else {
+          val d = if (name == "min") ops.map(_._1).min else ops.map(_._1).max
+          Some(mkNum(d, ops.forall(_._2)))
+        }
+      case "abs" =>
+        require(vs.length == 1, "jolt modify: =abs(x)")
+        numericOperands(vs) match {
+          case Seq((d, intish)) => Some(mkNum(math.abs(d), intish))
+          case _ => None
+        }
+      case "avg" =>
+        val ops = numericOperands(vs)
+        if (ops.isEmpty) None
+        else Some(f.numberNode(ops.map(_._1).sum / ops.length))
+      case "intSum" | "longSum" | "doubleSum" =>
+        val ops = numericOperands(vs)
+        if (ops.isEmpty) None
+        else {
+          val s = ops.map(_._1).sum
+          Some(name match {
+            case "intSum"  => f.numberNode(s.toInt)
+            case "longSum" => f.numberNode(s.toLong)
+            case _         => f.numberNode(s)
+          })
+        }
+      case "intSubtract" | "longSubtract" | "doubleSubtract" =>
+        require(vs.length == 2, s"jolt modify: =$name(a, b)")
+        numericOperands(vs) match {
+          case Seq((a, _), (b, _)) =>
+            val d = a - b
+            Some(name match {
+              case "intSubtract"  => f.numberNode(d.toInt)
+              case "longSubtract" => f.numberNode(d.toLong)
+              case _              => f.numberNode(d)
+            })
+          case _ => None
+        }
+      case "divide" =>
+        require(vs.length == 2, "jolt modify: =divide(a, b)")
+        numericOperands(vs) match {
+          case Seq((a, _), (b, _)) if b != 0.0 => Some(f.numberNode(a / b))
+          case _ => None // divide by zero / non-numeric: skip, don't fail the row
+        }
+      case "divideAndRound" =>
+        require(vs.length == 3, "jolt modify: =divideAndRound(digits, a, b)")
+        numericOperands(vs) match {
+          case Seq((dg, _), (a, _), (b, _)) if b != 0.0 && dg >= 0 =>
+            val scale = math.pow(10, dg.toInt)
+            Some(f.numberNode(math.round(a / b * scale) / scale))
+          case _ => None
+        }
+
+      // ------------- list accessors
+      case "firstElement" | "lastElement" =>
+        require(vs.length == 1, s"jolt modify: =$name(list)")
+        vs(0) match {
+          case arr: ArrayNode if arr.size() > 0 =>
+            Some(arr.get(if (name == "firstElement") 0 else arr.size() - 1))
+          case _ => None
+        }
+      case "elementAt" =>
+        require(vs.length == 2, "jolt modify: =elementAt(list, index)")
+        (vs(0), vs(1)) match {
+          case (arr: ArrayNode, idx) if idx.isNumber =>
+            val i = idx.asInt()
+            if (i >= 0 && i < arr.size()) Some(arr.get(i)) else None
+          case _ => None
+        }
       case other => throw new IllegalArgumentException(
         s"jolt modify: unsupported function '=$other'")
     }
   }
+
+  /** (value, is-integral) operands for the math functions: args
+    * flatten one list level; numbers and numeric TEXT convert. */
+  private def numericOperands(vs: Seq[JsonNode]): Seq[(Double, Boolean)] =
+    vs.flatMap {
+      case a: ArrayNode => a.elements().asScala.toSeq
+      case v => Seq(v)
+    }.flatMap { n =>
+      if (n.isNumber) Some((n.asDouble(), n.isIntegralNumber))
+      else if (n.isTextual) {
+        val t = n.asText()
+        if (t.matches("-?\\d+")) Some((t.toDouble, true))
+        else t.toDoubleOption.map((_, false))
+      } else None
+    }
+
+  private def mkNum(d: Double, intish: Boolean): JsonNode =
+    if (intish && d == math.rint(d) && math.abs(d) < 9.2e18) f.numberNode(d.toLong)
+    else f.numberNode(d)
 }

@@ -188,6 +188,49 @@ class JoltSpec extends SparkSpec {
     }
   }
 
+  test("modify math + list functions (r18): the docs' Modifier vocabulary") {
+    def mod(spec: String, in: String): String =
+      run(s"""[{"operation": "modify-overwrite-beta", "spec": $spec}]""", in)
+    // typed sums flatten list args; numeric TEXT converts
+    assertJson(mod("""{"total": "=intSum(@(1,vals), 5)"}""",
+      """{"vals": [1, 2, "3"]}"""),
+      """{"vals": [1, 2, "3"], "total": 11}""")
+    assertJson(mod("""{"d": "=doubleSum(@(1,a), @(1,b))"}""",
+      """{"a": 1.5, "b": 2}"""),
+      """{"a": 1.5, "b": 2, "d": 3.5}""")
+    // min/max keep integral type when every operand is integral
+    assertJson(mod("""{"m": "=max(@(1,a), @(1,b), 7)"}""", """{"a": 3, "b": 12}"""),
+      """{"a": 3, "b": 12, "m": 12}""")
+    assertJson(mod("""{"m": "=min(@(1,a), 2.5)"}""", """{"a": 3}"""),
+      """{"a": 3, "m": 2.5}""")
+    assertJson(mod("""{"x": "=abs(@(1,a))"}""", """{"a": -4}"""),
+      """{"a": -4, "x": 4}""")
+    assertJson(mod("""{"x": "=avg(@(1,vals))"}""", """{"vals": [1, 2, 3, 4]}"""),
+      """{"vals": [1, 2, 3, 4], "x": 2.5}""")
+    assertJson(mod("""{"x": "=longSubtract(@(1,a), 1)"}""", """{"a": 10}"""),
+      """{"a": 10, "x": 9}""")
+    assertJson(mod("""{"x": "=divide(@(1,a), 4)"}""", """{"a": 10}"""),
+      """{"a": 10, "x": 2.5}""")
+    assertJson(mod("""{"x": "=divideAndRound(2, @(1,a), 3)"}""", """{"a": 10}"""),
+      """{"a": 10, "x": 3.33}""")
+    // divide by zero / non-numeric operands SKIP the slot, never fail
+    assertJson(mod("""{"x": "=divide(@(1,a), 0)"}""", """{"a": 10}"""),
+      """{"a": 10}""")
+    assertJson(mod("""{"x": "=intSum(@(1,a))"}""", """{"a": {"not": "num"}}"""),
+      """{"a": {"not": "num"}}""")
+    // list accessors
+    assertJson(mod("""{"f": "=firstElement(@(1,vals))", "l": "=lastElement(@(1,vals))",
+                       "e": "=elementAt(@(1,vals), 1)"}""",
+      """{"vals": [7, 8, 9]}"""),
+      """{"vals": [7, 8, 9], "f": 7, "l": 9, "e": 8}""")
+    // out-of-range index skips; unknown function still rejects at parse
+    assertJson(mod("""{"e": "=elementAt(@(1,vals), 9)"}""", """{"vals": [1]}"""),
+      """{"vals": [1]}""")
+    intercept[IllegalArgumentException] {
+      Jolt.chain("""[{"operation": "modify-overwrite-beta", "spec": {"x": "=frob(1)"}}]""")
+    }
+  }
+
   test("shift @-lookups (r18): copy the matched VALUE; destinations keyed by data") {
     // "@": copy the WHOLE node at this level (where $ copies the key)
     assertJson(run("""{"*": {"@": "all[]"}}""",
