@@ -50,18 +50,20 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *    =doubleSubtract`, `=divide`/`=divideAndRound(digits, a, b)`) and
   *    list accessors (`=firstElement/=lastElement/=elementAt(list, i)`)
   *    compute from arguments — quoted literals, numbers, list
-  *    flattening for the aggregate forms, and `@(1,field)` sibling
-  *    references — and CREATE the slot (skipped when a referenced
-  *    sibling is absent, a divisor is zero, or no operand is numeric —
-  *    Jolt's empty-Optional behavior); any other leaf literal
-  *    overwrites; `*` matches every key; recursion only descends into
-  *    slots that exist.
+  *    flattening for the aggregate forms, and `@(n,field)` references
+  *    (n = 1 the enclosing object's sibling, n = 2 one object level up,
+  *    …; r18 closed the depth bound) — and CREATE the slot (skipped
+  *    when a referenced field is absent, the level is past the root, a
+  *    divisor is zero, or no operand is numeric — Jolt's
+  *    empty-Optional behavior); any other leaf literal overwrites; `*`
+  *    matches every key; recursion only descends into slots that
+  *    exist.
   *
-  * Documented subset bounds: `&(n,k)` group references (this engine's
-  * wildcards are whole-key, so there is no group to reference) and
-  * modify references deeper than `@(1,…)` are not implemented (no
-  * NiFi-flow usage in this engine's test corpus; r18 closed the math
-  * functions); the spec parser rejects nothing silently — unknown
+  * Documented subset bounds: `&(n,k)` group references are not
+  * implemented (this engine's wildcards are whole-key, so there is no
+  * group to reference — N/A by design; r18 closed the math functions
+  * and the modify @-depth bound); the spec parser rejects nothing
+  * silently — unknown
   * operations, malformed function leaves and out-of-depth
   * `$n`/`&n`/`@n` references throw at parse time; data-DEPENDENT
   * transform failures route the row to the failure relationship
@@ -486,12 +488,19 @@ object Jolt {
 
   private def modify(input: JsonNode, spec: ObjectNode): JsonNode = {
     val out = input.deepCopy[JsonNode]()
-    applyModify(out, spec)
+    applyModify(out, spec, Nil)
     out
   }
 
-  private def applyModify(node: JsonNode, spec: ObjectNode): Unit = node match {
+  /** `ancestors` (r18): the chain of OBJECT nodes above `node`,
+    * innermost first — `@(1,path)` resolves against the enclosing
+    * object (head after push), `@(2,path)` one object level further
+    * up, etc. Arrays are transparent (levels count object nesting —
+    * the nearest enclosing objects). */
+  private def applyModify(node: JsonNode, spec: ObjectNode,
+                          ancestors: List[ObjectNode]): Unit = node match {
     case o: ObjectNode =>
+      val stack = o :: ancestors
       spec.properties().asScala.foreach { e =>
         val (key, sv) = (e.getKey, e.getValue)
         val targets =
@@ -499,7 +508,7 @@ object Jolt {
           else Seq(key)
         targets.foreach { k =>
           sv match {
-            case so: ObjectNode => Option(o.get(k)).foreach(applyModify(_, so))
+            case so: ObjectNode => Option(o.get(k)).foreach(applyModify(_, so, stack))
             case t if t.isTextual && t.asText().startsWith("=") =>
               val txt = t.asText()
               if (ArglessFns(txt))
@@ -507,15 +516,15 @@ object Jolt {
               else {
                 // function-with-args computes from siblings/literals —
                 // it CREATES the slot (Jolt's =concat on a new key);
-                // an absent @(1,…) reference skips the assignment
+                // an absent @(n,…) reference skips the assignment
                 val (fn, args) = parseModifyFn(txt)
-                evalModifyFn(fn, args, o).foreach(r => o.set[JsonNode](k, r))
+                evalModifyFn(fn, args, stack).foreach(r => o.set[JsonNode](k, r))
               }
             case lit => o.set[JsonNode](k, lit.deepCopy[JsonNode]()) // literal overwrite
           }
         }
       }
-    case a: ArrayNode => a.elements().asScala.foreach(applyModify(_, spec))
+    case a: ArrayNode => a.elements().asScala.foreach(applyModify(_, spec, ancestors))
     case _ => ()
   }
 
@@ -554,7 +563,7 @@ object Jolt {
 
   private[operators] sealed trait MArg
   private case class MLit(v: JsonNode) extends MArg
-  private case class MRef(path: Seq[String]) extends MArg // @(1,path)
+  private case class MRef(level: Int, path: Seq[String]) extends MArg // @(n,path)
 
   // the function-with-args vocabulary: string builders + the docs'
   // MATH functions (r18 — min/max/abs/avg, typed sums and subtracts,
@@ -599,9 +608,9 @@ object Jolt {
         MLit(new TextNode(a.substring(1, a.length - 1)))
       else if (a.startsWith("@(") && a.endsWith(")")) {
         val inner = a.substring(2, a.length - 1).split(",", 2)
-        require(inner.length == 2 && inner(0).trim == "1",
-          s"jolt modify: only @(1,field) references are supported, got '$a'")
-        MRef(inner(1).trim.split('.').toSeq)
+        require(inner.length == 2 && inner(0).trim.matches("[1-9]\\d*"),
+          s"jolt modify: @-reference needs @(n,field) with n >= 1, got '$a'")
+        MRef(inner(0).trim.toInt, inner(1).trim.split('.').toSeq)
       }
       else if (a == "true") MLit(f.booleanNode(true))
       else if (a == "false") MLit(f.booleanNode(false))
@@ -613,14 +622,17 @@ object Jolt {
     (name, parsed)
   }
 
-  /** Resolve args against the enclosing object and evaluate. None when
-    * a referenced sibling is absent (the assignment is skipped). */
+  /** Resolve args against the ancestor-object stack and evaluate
+    * (head = the enclosing object, i.e. `@(1,…)`; `@(2,…)` is one
+    * object level further up — r18, closing the depth bound). None
+    * when a reference is absent or past the root (the assignment is
+    * skipped, Jolt's empty-Optional behavior). */
   private def evalModifyFn(name: String, args: Seq[MArg],
-                           o: ObjectNode): Option[JsonNode] = {
+                           stack: List[ObjectNode]): Option[JsonNode] = {
     def resolve(a: MArg): Option[JsonNode] = a match {
       case MLit(v) => Some(v)
-      case MRef(path) =>
-        path.foldLeft(Option(o: JsonNode)) {
+      case MRef(level, path) =>
+        path.foldLeft(stack.lift(level - 1).map(n => n: JsonNode)) {
           case (Some(n), seg) => Option(n.get(seg))
           case (None, _) => None
         }

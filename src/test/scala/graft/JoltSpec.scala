@@ -147,9 +147,10 @@ class JoltSpec extends SparkSpec {
       """{"n": "42", "d": "2.5", "s": 7, "bad": "xyz"}"""),
       """{"n": 42, "d": 2.5, "s": "7", "bad": "xyz"}""")
     // malformed function leaves throw at PARSE time (validation moment)
+    // (@(2,x) became a FEATURE in r18 — the invalid form is level 0)
     intercept[IllegalArgumentException] {
       Jolt.chain("""[{"operation": "modify-overwrite-beta",
-        "spec": {"a": "=concat(@(2,x))"}}]""")
+        "spec": {"a": "=concat(@(0,x))"}}]""")
     }
     intercept[IllegalArgumentException] {
       Jolt.chain("""[{"operation": "modify-overwrite-beta",
@@ -229,6 +230,18 @@ class JoltSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Jolt.chain("""[{"operation": "modify-overwrite-beta", "spec": {"x": "=frob(1)"}}]""")
     }
+    // @(2,field) reaches one OBJECT level further up (r18 depth close)
+    assertJson(mod("""{"inner": {"tagged": "=concat(@(2,prefix), '-', @(1,name))"}}""",
+      """{"prefix": "px", "inner": {"name": "a"}}"""),
+      """{"prefix": "px", "inner": {"name": "a", "tagged": "px-a"}}""")
+    // a level past the root skips (empty-Optional), never throws
+    assertJson(mod("""{"inner": {"x": "=concat(@(9,gone), 'y')"}}""",
+      """{"inner": {"k": 1}}"""),
+      """{"inner": {"k": 1}}""")
+    // levels count OBJECT nesting: arrays are transparent
+    assertJson(mod("""{"rows": {"total": "=intSum(@(1,v), @(2,base))"}}""",
+      """{"base": 100, "rows": [{"v": 1}, {"v": 2}]}"""),
+      """{"base": 100, "rows": [{"v": 1, "total": 101}, {"v": 2, "total": 102}]}""")
   }
 
   test("shift @-lookups (r18): copy the matched VALUE; destinations keyed by data") {
