@@ -2294,8 +2294,12 @@ object QueriesLlm {
     * fixture GENERATOR (the audio/video payload discipline), the
     * extractor under test is the native. */
   val qParsePdf: Q = (s, d) => {
+    // four layout paths in one catalog row (r18): raw, Flate, PDF 1.5
+    // object-stream, and CID/Type0-with-ToUnicode — every extraction
+    // mode the module supports, each EXACT against the same oracle
     val synth = udf { (id: Long, text: String) =>
-      graft.operators.Doc.synthPdf(text, compress = id % 2 == 1,
+      if (id % 5 == 0) graft.operators.Doc.synthPdfCid(text)
+      else graft.operators.Doc.synthPdf(text, compress = id % 2 == 1,
         objectStreams = id % 3 == 0) }
     Tables.documents(s, d)
       .withColumn("payload", synth(col("doc_id"), col("text")))

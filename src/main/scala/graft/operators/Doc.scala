@@ -37,9 +37,20 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
   * text — while [[xrefStreamEntries]] parses the 1.5 xref chain (/W
   * widths, /Index subsections, Flate + PNG /Predictor, /Prev) and
   * [[objStmObjects]] extracts the objects hidden inside /ObjStm, all
-  * with `java.util.zip.Inflater` only. CID/subset-font PDFs needing
-  * ToUnicode CMaps remain OUT of the subset (a parser library is the
-  * right tool there; the flow seam is format-agnostic either way).
+  * with `java.util.zip.Inflater` only.
+  *
+  * CID/Type0 fonts (r18, closing the last extraction bound): a font
+  * resource carrying a /ToUnicode CMap decodes its show strings as
+  * 2-byte CIDs through the parsed map — `Tf` tracks the font in
+  * force, bfchar AND bfrange (contiguous + array forms) parse per ISO
+  * 32000 §9.10.3, unmapped codes contribute nothing. Documented
+  * approximations: the 2-byte codespace (what every real writer
+  * emits — variable-width codespaces are out), and font NAMES resolve
+  * through a whole-document merge of /Font resource dicts (per-page
+  * scoping needs a full page-tree walk; real writers number font
+  * resources uniquely). CID fonts WITHOUT a ToUnicode CMap (glyph
+  * mapping only via the font program's cmap table) remain out — that
+  * genuinely needs a font parser.
   *
   * [[synthPdf]] writes a minimal one-page PDF (optionally
   * Flate-compressed) whose extraction round-trips the input text
@@ -67,6 +78,10 @@ object Doc {
     val head = new String(bytes, 0, math.min(8, bytes.length), ISO_8859_1)
     if (!head.startsWith("%PDF")) return ""
     val raw = new String(bytes, ISO_8859_1) // byte-faithful view
+    // CID/Type0 support (r18): font NAME -> ToUnicode CID map, built
+    // once per file (cheap guard: most PDFs have no /ToUnicode at all)
+    val cidFonts: Map[String, Map[Int, String]] =
+      if (raw.contains("/ToUnicode")) cidFontMap(bytes, raw) else Map.empty
     val out = new StringBuilder
     var from = 0
     var first = true
@@ -101,7 +116,7 @@ object Doc {
           if (plain) Some(data)
           else inflate(data)
         content.foreach { c =>
-          val text = contentText(c)
+          val text = contentText(c, cidFonts)
           if (text.nonEmpty) {
             if (!first) out.append('\n')
             out.append(text)
@@ -336,7 +351,8 @@ object Doc {
     } catch { case _: java.util.zip.DataFormatException => None }
 
   /** Replay one decoded content stream's text operators. */
-  private def contentText(content: Array[Byte]): String = {
+  private def contentText(content: Array[Byte],
+                          cidFonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val s = new String(content, ISO_8859_1)
     val out = new StringBuilder
     val line = new StringBuilder
@@ -350,15 +366,25 @@ object Doc {
     }
     var i = 0
     val n = s.length
+    // CID decoding is a FONT property: `/F1 12 Tf` selects the font,
+    // and strings shown under a Type0 font with a ToUnicode CMap decode
+    // as 2-byte CIDs through the map; everything else keeps the
+    // UTF-8-with-Latin-1-fallback byte decode. The pending buffer holds
+    // raw BYTES so the decode happens under the font in force at the
+    // OPERATOR, not at tokenize time.
+    var lastName: String = null
+    var curCid: Map[Int, String] = null
+    def dec(bs: Array[Byte]): String =
+      if (curCid == null) decodeBytes(bs) else decodeCid(bs, curCid)
     // pending string operands for the NEXT operator (TJ arrays carry
     // their strings in brackets; Tj/'/" take the preceding string)
-    var pending = scala.collection.mutable.ArrayBuffer.empty[String]
-    def emit(): Unit = { pending.foreach(line ++= _); pending.clear() }
+    var pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def emit(): Unit = { pending.foreach(bs => line ++= dec(bs)); pending.clear() }
     while (i < n) {
       s.charAt(i) match {
         case '(' =>
-          val (str, next) = literalString(s, i)
-          pending += str; i = next
+          val (bs, next) = literalString(s, i)
+          pending += bs; i = next
         case '<' if i + 1 < n && s.charAt(i + 1) != '<' =>
           val close = s.indexOf('>', i)
           if (close < 0) i = n
@@ -366,11 +392,16 @@ object Doc {
             val hex = s.substring(i + 1, close).filterNot(_.isWhitespace)
             val bs = hex.grouped(2).map(h =>
               Integer.parseInt(if (h.length == 2) h else h + "0", 16).toByte).toArray
-            pending += decodeBytes(bs)
+            pending += bs
             i = close + 1
           }
         case '<' => i += 2 // '<<' dictionary open (inline image dicts etc.)
         case '%' => i = { val e = s.indexOf('\n', i); if (e < 0) n else e + 1 }
+        case '/' =>
+          val start = i + 1
+          i += 1
+          while (i < n && !s.charAt(i).isWhitespace && !"()<>[]/%".contains(s.charAt(i))) i += 1
+          lastName = s.substring(start, i)
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           val start = i
           while (i < n && !s.charAt(i).isWhitespace &&
@@ -380,6 +411,9 @@ object Doc {
           op match {
             case "BT" => inText = true
             case "ET" => inText = false; flushLine(); pending.clear()
+            case "Tf" =>
+              curCid = if (lastName == null) null else cidFonts.getOrElse(lastName, null)
+              pending.clear()
             case "Tj" | "TJ" => if (inText) emit() else pending.clear()
             case "'" | "\"" => if (inText) { flushLine(); emit() } else pending.clear()
             case "Td" | "TD" | "T*" | "Tm" =>
@@ -394,10 +428,28 @@ object Doc {
     out.toString
   }
 
+  /** Decode a CID-coded show string through a ToUnicode map: 2-byte
+    * big-endian codes (the codespace every real writer emits);
+    * unmapped codes contribute nothing (the spec leaves them
+    * undefined); an odd trailing byte falls back to the byte decode
+    * of that byte. */
+  private def decodeCid(bs: Array[Byte], m: Map[Int, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 1 < bs.length) {
+      val code = ((bs(i) & 0xFF) << 8) | (bs(i + 1) & 0xFF)
+      m.get(code).foreach(sb ++= _)
+      i += 2
+    }
+    if (i < bs.length) sb ++= decodeBytes(Array(bs(i)))
+    sb.toString
+  }
+
   /** Decode one literal string starting at `s(open) == '('`; returns
-    * (decoded text, index past the closing paren). Balanced parens
-    * inside the string are legal PDF. */
-  private def literalString(s: String, open: Int): (String, Int) = {
+    * (raw BYTES, index past the closing paren) — the text decode
+    * happens at the show OPERATOR, under the font in force. Balanced
+    * parens inside the string are legal PDF. */
+  private def literalString(s: String, open: Int): (Array[Byte], Int) = {
     val bs = new ByteArrayOutputStream
     var depth = 1
     var i = open + 1
@@ -432,7 +484,7 @@ object Doc {
         case c => bs.write(c.toInt & 0xFF); i += 1
       }
     }
-    (decodeBytes(bs.toByteArray), i)
+    (bs.toByteArray, i)
   }
 
   /** String bytes → text: UTF-8 when well-formed, Latin-1 otherwise
@@ -556,6 +608,215 @@ object Doc {
       s"/Length ${xrefData.length} >>\nstream\n")
     out.write(xrefData)
     w(s"\nendstream\nendobj\nstartxref\n$off7\n%%EOF\n")
+    out.toByteArray
+  }
+
+
+  // ---------------------------------------------- CID / ToUnicode (r18)
+
+  /** Font NAME → ToUnicode CID map for every font that carries a
+    * /ToUnicode CMap. Resolution walks the object graph the linear
+    * way: every `/Font << /Fn N 0 R … >>` resource entry (in top-level
+    * bodies AND inside /ObjStm objects) names a font object; a font
+    * object carrying `/ToUnicode M 0 R` points at the CMap stream,
+    * which inflates and parses. A font name bound to different objects
+    * across pages keeps the LAST binding (documented approximation —
+    * per-page resource scoping needs a full page-tree walk; real
+    * writers number font resources uniquely per document). */
+  private def cidFontMap(bytes: Array[Byte], raw: String): Map[String, Map[Int, String]] = {
+    val objBodies: Map[Int, String] = topLevelObjects(raw) ++ objStmObjects(bytes)
+    // every /Font resource dict, wherever it appears
+    val fontRefs = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val entry = "/([A-Za-z0-9_.]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    def scanFontDicts(text: String): Unit = {
+      var at = text.indexOf("/Font")
+      while (at >= 0) {
+        val open = text.indexOf("<<", at)
+        if (open >= 0 && open - at < 32) {
+          val body = balancedDict(text, open)
+          entry.findAllMatchIn(body).foreach { m =>
+            fontRefs(m.group(1)) = m.group(2).toInt
+          }
+        }
+        at = text.indexOf("/Font", at + 5)
+      }
+    }
+    scanFontDicts(raw)
+    objBodies.values.foreach(scanFontDicts)
+    val toUni = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+    fontRefs.flatMap { case (name, objNum) =>
+      for {
+        fontBody <- objBodies.get(objNum)
+        m <- toUni.findFirstMatchIn(fontBody)
+        data <- objectStreamData(bytes, raw, m.group(1).toInt)
+        cmap = parseToUnicodeCMap(new String(data, ISO_8859_1))
+        if cmap.nonEmpty
+      } yield name -> cmap
+    }.toMap
+  }
+
+  /** Top-level `N G obj … endobj` bodies (dict text; a stream object's
+    * body includes its dict — and its data, which the regex consumers
+    * above simply scan past). */
+  private def topLevelObjects(raw: String): Map[Int, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[Int, String]()
+    val objHdr = "(?m)(\\d+)\\s+\\d+\\s+obj\\b".r
+    objHdr.findAllMatchIn(raw).foreach { m =>
+      val end = raw.indexOf("endobj", m.end)
+      if (end > 0) out(m.group(1).toInt) = raw.substring(m.end, end)
+    }
+    out.toMap
+  }
+
+  /** Forward balanced `<< … >>` extraction starting at `open`
+    * (index of the `<<`). */
+  private def balancedDict(text: String, open: Int): String = {
+    var i = open
+    var depth = 0
+    val n = text.length
+    while (i + 1 < n) {
+      if (text.charAt(i) == '<' && text.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (text.charAt(i) == '>' && text.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return text.substring(open, i)
+      }
+      else i += 1
+    }
+    text.substring(open)
+  }
+
+  /** The decoded stream DATA of top-level object `objNum` (inflated
+    * when /FlateDecode). None when the object is absent or has no
+    * stream. */
+  private def objectStreamData(bytes: Array[Byte], raw: String,
+                               objNum: Int): Option[Array[Byte]] = {
+    val hdr = s"(?m)(?<!\\d)$objNum\\s+\\d+\\s+obj\\b".r
+    hdr.findFirstMatchIn(raw).flatMap { m =>
+      val end = raw.indexOf("endobj", m.end)
+      val st = raw.indexOf("stream", m.end)
+      if (st < 0 || (end > 0 && st > end)) None
+      else {
+        val dict = streamDict(raw, st)
+        streamData(bytes, raw, st).flatMap { data =>
+          if (dict.contains("/FlateDecode")) inflate(data)
+          else if (!dict.contains("/Filter")) Some(data)
+          else None
+        }
+      }
+    }
+  }
+
+  /** Parse a ToUnicode CMap's bfchar/bfrange sections (ISO 32000
+    * §9.10.3 / the CMap spec): `beginbfchar` pairs map one code to a
+    * UTF-16BE string (possibly several code units); `beginbfrange`
+    * triples map a contiguous code range to consecutive values, or —
+    * the array form — each code to its own string. Codes are the
+    * 2-byte codespace every real writer emits. */
+  private[graft] def parseToUnicodeCMap(text: String): Map[Int, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[Int, String]()
+    val hex = "<([0-9A-Fa-f]+)>".r
+    def utf16(hexStr: String): String = {
+      val cs = hexStr.grouped(4).filter(_.length == 4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString
+      cs
+    }
+    def code(hexStr: String): Int = Integer.parseInt(hexStr, 16)
+    val bfchar = "(?s)beginbfchar(.*?)endbfchar".r
+    bfchar.findAllMatchIn(text).foreach { sec =>
+      val toks = hex.findAllMatchIn(sec.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out(code(src)) = utf16(dst)
+        case _ => ()
+      }
+    }
+    val bfrange = "(?s)beginbfrange(.*?)endbfrange".r
+    // entries are either `<lo> <hi> <dst>` or `<lo> <hi> [<d1> <d2> …]`
+    val entryRe = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+      "(?:<([0-9A-Fa-f]+)>|\\[((?:\\s*<[0-9A-Fa-f]+>)+)\\s*\\])").r
+    bfrange.findAllMatchIn(text).foreach { sec =>
+      entryRe.findAllMatchIn(sec.group(1)).foreach { m =>
+        val lo = code(m.group(1)); val hi = code(m.group(2))
+        if (m.group(3) != null) {
+          // consecutive values: increment the LAST code unit (the CMap
+          // spec's rule for ranges)
+          val base = utf16(m.group(3))
+          var c = lo
+          while (c <= hi) {
+            if (base.nonEmpty) {
+              val bumped = base.dropRight(1) + (base.last + (c - lo)).toChar
+              out(c) = bumped
+            }
+            c += 1
+          }
+        } else {
+          val dsts = hex.findAllMatchIn(m.group(4)).map(g => utf16(g.group(1))).toSeq
+          dsts.zipWithIndex.foreach { case (d, i) =>
+            if (lo + i <= hi) out(lo + i) = d
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** CID-font fixture generator: a one-page PDF whose text shows
+    * through a Type0 font with a ToUnicode CMap — each distinct
+    * character of `text` gets a CID, the content stream shows 2-byte
+    * hex strings, and [[pdfText]] must round-trip EXACTLY (the
+    * [[synthPdf]] discipline, CID edition). */
+  def synthPdfCid(text: String): Array[Byte] = {
+    val chars = text.filterNot(_ == '\n').distinct
+    val cid: Map[Char, Int] = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    def hexOf(line: String): String =
+      line.map(c => f"${cid(c)}%04X").mkString
+    val shows = text.split("\n", -1).zipWithIndex.map { case (l, i) =>
+      (if (i == 0) "" else "T*\n") + s"<${hexOf(l)}> Tj\n"
+    }.mkString
+    val contentStr = s"BT\n/F1 12 Tf\n14 TL\n72 720 Td\n${shows}ET\n"
+    val content = contentStr.getBytes(ISO_8859_1)
+    val bfchars = chars.map { c =>
+      f"<${cid(c)}%04X> <${c.toInt}%04X>"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |${chars.length} beginbfchar
+         |$bfchars
+         |endbfchar
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin
+    val cmapBytes = cmap.getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    def obj(body: String): Unit = { offsets += out.size(); w(body) }
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    offsets += out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    obj("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >>\nendobj\n")
+    offsets += out.size()
+    w(s"6 0 obj\n<< /Length ${cmapBytes.length} >>\nstream\n")
+    out.write(cmapBytes)
+    w("\nendstream\nendobj\n")
+    obj("7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>\nendobj\n")
+    val xref = out.size()
+    w(s"xref\n0 8\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
 

@@ -58,6 +58,50 @@ class DocSpec extends SparkSpec {
     assert(Doc.pdfText(Array.empty[Byte]) === "")
   }
 
+  test("CID/Type0 fonts (r18): ToUnicode CMap decodes 2-byte show strings; bfranges; font tracking") {
+    // round-trip: every distinct char CID-mapped, shows as hex strings
+    val texts = Seq("hello cid world", "line one\nline two",
+      "unicode: café — résumé ☕", "")
+    for (t <- texts)
+      assert(Doc.pdfText(Doc.synthPdfCid(t)) === t, s"CID round-trip for ${t.take(20)}")
+    // bfrange parsing: contiguous form increments the last code unit;
+    // array form maps each code to its own string; bfchar coexists
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<0058> <0059>]
+        |endbfrange
+        |1 beginbfchar
+        |<0001> <00E9>
+        |endbfchar""".stripMargin
+    val m = Doc.parseToUnicodeCMap(cmap)
+    assert(m(0x10) === "A" && m(0x11) === "B" && m(0x12) === "C")
+    assert(m(0x20) === "X" && m(0x21) === "Y")
+    assert(m(0x01) === "é")
+    // multi-unit dst: one CID expanding to a two-char ligature
+    val lig = Doc.parseToUnicodeCMap(
+      "1 beginbfchar\n<0002> <00660069>\nendbfchar")
+    assert(lig(0x02) === "fi")
+    // font TRACKING: a content stream switching between a CID font and
+    // a simple font decodes each show under the font in force
+    val cidPdf = Doc.synthPdfCid("zq")
+    val raw = new String(cidPdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // 'z' is CID 1, 'q' is CID 2 in the fixture's distinct-char order
+    val mixed = raw.replace("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n<00010002> Tj\nET\n",
+      "BT\n/F1 12 Tf\n14 TL\n72 720 Td\n<00010002> Tj\nT*\n" +
+      "/F9 12 Tf\n(plain) Tj\nT*\n/F1 12 Tf\n<0002> Tj\nET\n")
+    val fixed = mixed.replaceFirst("/Length \\d+ >>\\nstream",
+      s"/Length 0 >>\nstream") // length is unused by the scanner
+    assert(Doc.pdfText(fixed.getBytes("ISO-8859-1")) === "zq\nplain\nq",
+      "Tf switches decode per font; unknown font names byte-decode")
+    // unmapped CID contributes nothing (spec: undefined)
+    val gap = raw.replace("<00010002> Tj", "<000100FF0002> Tj")
+    assert(Doc.pdfText(gap.getBytes("ISO-8859-1")) === "zq")
+  }
+
   test("PDF 1.5 layout (r18): ObjStm + xref stream round-trips; structure streams never garble text") {
     val texts = Seq("hello pdf 1.5", "line one\nline two", "", "café — résumé",
       ("long " * 2000).trim) // pushes the content stream past 10 KB
