@@ -1423,7 +1423,11 @@ object FlowCompiler {
         // count (the centroids table is model-sized) — the direct API's
         // ivfConfig heuristic restated serve-side: small layouts
         // (≤ 40 cells ≈ ≤ 5k vectors) probe 6 for recall, large ones 2
-        // (recall comes from cell density, cost from probed share)
+        // (recall comes from cell density, cost from probed share).
+        // Recall contract: these defaults serve the near-dup /
+        // self-retrieval family; a generic ANN deployment sets
+        // Residual/Code Size 256/Rerank Factor 50+ explicitly — the
+        // measured boundary is tools/NOTES_r18_recall.md.
         val nProbe = prop(p, "Probes", "4").trim.toLowerCase match {
           case "auto" =>
             val cells = spark.read.parquet(s"$dir/centroids").count()
