@@ -437,6 +437,50 @@ object FlowCompiler {
       }
     }
 
+    /** Connection-level queue PRIORITIZERS (r19 — the last NiFi canvas
+      * feature with no row): a NiFi connection orders its queue, and
+      * the batch analog is an ORDER DISCIPLINE on the edge — delivered
+      * to the consumer, observed by every order-sensitive downstream
+      * op (ControlRate's cap takes the highest-priority rows first,
+      * EnforceOrder/limit/MergeContent binning see the edge order).
+      * FIFO/OldestFlowFileFirst are the batch arrival order already (a
+      * compiled batch IS the queue drained in arrival order);
+      * PriorityAttributePrioritizer sorts by the `priority` column
+      * (NiFi's priority ATTRIBUTE — attributes are columns here),
+      * numeric values first in numeric order, then non-numeric
+      * lexically, rows without the attribute last (NiFi compares
+      * numerically when both sides parse, else lexically).
+      * NewestFlowFileFirst needs the flowfile's queue-entry age, which
+      * the columnar model doesn't carry — rejected loudly rather than
+      * silently ignored. Streaming edges reject too (a sort is not a
+      * streaming-supported op; back-pressure is the streaming-side
+      * knob, honored at the SOURCE below). */
+    def connPolicy(up: DataFrame, c: Connection): DataFrame = {
+      if (c.extra.isEmpty) return up
+      val extra = new ObjectMapper().readTree(c.extra)
+      val ps = Option(extra.get("prioritizers")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText().split('.').last)
+      val srcName = procById.get(c.src).map(_.name).getOrElse(c.src)
+      ps.foldLeft(up) { (df, pr) =>
+        pr match {
+          case "FirstInFirstOutPrioritizer" | "OldestFlowFileFirstPrioritizer" => df
+          case "PriorityAttributePrioritizer" =>
+            require(!df.isStreaming,
+              s"connection from $srcName: PriorityAttributePrioritizer is not " +
+              "supported on a streaming edge (no sort in a streaming plan)")
+            require(df.columns.contains("priority"),
+              s"connection from $srcName declares PriorityAttributePrioritizer " +
+              "but the stream has no 'priority' column (NiFi: the priority attribute)")
+            df.orderBy(col("priority").cast("double").asc_nulls_last,
+              col("priority").asc_nulls_last)
+          case other => throw new IllegalArgumentException(
+            s"connection from $srcName: unsupported prioritizer '$other' " +
+            "(FirstInFirstOut|OldestFlowFileFirst|PriorityAttribute; " +
+            "NewestFlowFileFirst needs queue-entry age the columnar model doesn't carry)")
+        }
+      }
+    }
+
     def compileNode(id: String): DataFrame = compiled.getOrElseUpdate(id, {
       require(!visiting.contains(id), s"flow has a cycle through $id")
       visiting += id
@@ -445,7 +489,7 @@ object FlowCompiler {
           inputs.getOrElse(port, throw new IllegalArgumentException(
             s"no input bound for port '$port' (have: ${inputs.keys.mkString(", ")})"))
         case None =>
-          val ins = incoming.getOrElse(id, Nil).map(connInput)
+          val ins = incoming.getOrElse(id, Nil).map(c => connPolicy(connInput(c), c))
           if (outPortName.contains(id)) {
             require(ins.nonEmpty, s"output port ${outPortName(id)} has no incoming connection")
             ins.reduce(_ unionByName _)
@@ -463,7 +507,8 @@ object FlowCompiler {
             val srcIds = incoming.getOrElse(id, Nil).map(_.src)
             val srcNames = srcIds.map(s => procById.get(s).map(_.name).getOrElse(s))
             applyProcessor(spark, p, ins, srcIds.zip(srcNames), inputs,
-              flow.services.map(s => s.id -> s).toMap)
+              flow.services.map(s => s.id -> s).toMap,
+              outConns = flow.connections.filter(_.src == id))
           }
       }
       visiting -= id
@@ -836,10 +881,11 @@ object FlowCompiler {
     "PutVectorIndex"     -> Set("Index Directory", "Id Column", "Embedding Column",
                                 "Cells", "Subspaces", "Code Size", "Residual",
                                 "OPQ", "Lloyd Iterations", "Mode",
-                                "Metadata Columns"),
+                                "Metadata Columns", "Profile"),
     "QueryVectorIndex"   -> Set("Index Directory", "Id Column", "Query Id Column",
                                 "Embedding Column", "Top K", "Probes",
-                                "Rerank Factor", "Corpus Source", "Filter"),
+                                "Rerank Factor", "Corpus Source", "Filter",
+                                "Profile"),
     "PutLshIndex"        -> Set("Index Directory", "Id Column", "Text Column",
                                 "Shingle Size", "Num Hashes", "Bands", "Mode"),
     "PutBM25Index"       -> Set("Index Directory", "Id Column", "Text Column",
@@ -971,11 +1017,37 @@ object FlowCompiler {
     }.getOrElse("")
   }
 
+  /** Back-pressure analog (r19, the last canvas feature with no row):
+    * NiFi's `backPressureObjectThreshold` bounds what a connection may
+    * hold before the PRODUCER throttles; the Structured-Streaming
+    * analog is the per-trigger admission cap on the edge's SOURCE
+    * (`maxFilesPerTrigger`). The engine's default cap (64 spool files
+    * per trigger) is CAPPED by the smallest threshold declared on the
+    * node's outgoing connections — the declared bound is never
+    * exceeded, and a tighter canvas tightens the trigger.
+    * `backPressureDataSizeThreshold` has no admission analog on Spark
+    * file sources (no maxBytesPerTrigger) — preserved on export,
+    * documented uninterpreted. On BATCH edges back-pressure is
+    * structurally a no-op: a compiled batch run materializes one
+    * trigger's worth of data by definition, there is no standing queue
+    * to bound (NiFi's threshold governs steady-state queueing between
+    * independently-scheduled processors, which the composed Catalyst
+    * plan doesn't have). */
+  private def bpFilesPerTrigger(outConns: Seq[Connection], dflt: Int = 64): Int = {
+    val ts = outConns.flatMap { c =>
+      if (c.extra.isEmpty) None
+      else Option(new ObjectMapper().readTree(c.extra).get("backPressureObjectThreshold"))
+        .map(_.asLong()).filter(_ > 0L)
+    }
+    if (ts.isEmpty) dflt else math.max(1L, math.min(dflt.toLong, ts.min)).toInt
+  }
+
   private def applyProcessor(spark: SparkSession, p: Processor,
                              inputs: Seq[DataFrame],
                              srcs: Seq[(String, String)] = Nil,
                              bound: Map[String, DataFrame] = Map.empty,
-                             services: Map[String, ControllerService] = Map.empty): DataFrame = {
+                             services: Map[String, ControllerService] = Map.empty,
+                             outConns: Seq[Connection] = Nil): DataFrame = {
     val simple = p.tpe.split('.').last
     // all processors are single-stream (fan-in unions by name) except
     // JoinEnrichment, which joins its two incoming connections
@@ -1361,13 +1433,26 @@ object FlowCompiler {
           case "auto" => graft.operators.Pq.autoCells(inMat.count())
           case n => n.toInt
         }
+        // Profile (r19, the r18 recall boundary made first-class):
+        // `neardup` (default) keeps the self-retrieval defaults the
+        // committed flow's oracle pins; `ann` swaps in the
+        // characterized generic-ANN configuration — RESIDUAL encoding
+        // + 8-bit codebooks (Code Size 256) + Lloyd refinement — the
+        // config that measured recall@5 = 1.000 on clustered data at
+        // 1% probed coverage where the neardup defaults read 0.013
+        // (tools/NOTES_r18_recall.md). Explicit per-knob properties
+        // still override the profile's defaults.
+        val profile = prop(p, "Profile", "neardup").trim.toLowerCase
+        require(profile == "neardup" || profile == "ann",
+          s"PutVectorIndex ${p.name}: unsupported Profile '$profile' (neardup|ann)")
+        val ann = profile == "ann"
         prop(p, "Mode", "build").toLowerCase match {
           case "build" => graft.operators.Pq.buildIndex(spark, vecs, dir,
-            nCells = cellsOf(prop(p, "Cells", "16")),
+            nCells = cellsOf(prop(p, "Cells", if (ann) "auto" else "16")),
             m = prop(p, "Subspaces", "8").trim.toInt,
-            kCodes = prop(p, "Code Size", "16").trim.toInt,
-            residual = prop(p, "Residual", "false").trim.toBoolean,
-            lloydIters = prop(p, "Lloyd Iterations", "0").trim.toInt,
+            kCodes = prop(p, "Code Size", if (ann) "256" else "16").trim.toInt,
+            residual = prop(p, "Residual", if (ann) "true" else "false").trim.toBoolean,
+            lloydIters = prop(p, "Lloyd Iterations", if (ann) "1" else "0").trim.toInt,
             opq = prop(p, "OPQ", "false").trim.toBoolean,
             metadata = metaDf)
           case "append" => graft.operators.Pq.appendToIndex(spark, dir, vecs,
@@ -1393,7 +1478,18 @@ object FlowCompiler {
         // the query frame may key differently (query_id) than the
         // corpus (vec_id) — two knobs, second defaulting to the first
         val qIdCol = prop(p, "Query Id Column", idCol)
-        val rerank = prop(p, "Rerank Factor", "0").trim.toInt
+        // Profile (r19): `ann` defaults the serve knobs to the
+        // characterized generic-ANN configuration — a DEEP rerank
+        // window (the binding knob: clustered recall went 0.088 →
+        // 1.000 on rerank 10 → 200 while probes alone were flat) and
+        // 1%-coverage probing — where `neardup` (default) keeps the
+        // self-retrieval defaults. tools/NOTES_r18_recall.md is the
+        // measured boundary; explicit properties override either way.
+        val qProfile = prop(p, "Profile", "neardup").trim.toLowerCase
+        require(qProfile == "neardup" || qProfile == "ann",
+          s"QueryVectorIndex ${p.name}: unsupported Profile '$qProfile' (neardup|ann)")
+        val qAnn = qProfile == "ann"
+        val rerank = prop(p, "Rerank Factor", if (qAnn) "50" else "0").trim.toInt
         def asVecs(df: DataFrame, id: String = idCol) = df.select(
           col(id).cast("long").as("vec_id"), col(vecCol).as("embedding"))
         val (queriesDf, corpusOpt) =
@@ -1421,17 +1517,18 @@ object FlowCompiler {
         }
         // Probes sizing (r18): "auto" derives from the INDEX's cell
         // count (the centroids table is model-sized) — the direct API's
-        // ivfConfig heuristic restated serve-side: small layouts
-        // (≤ 40 cells ≈ ≤ 5k vectors) probe 6 for recall, large ones 2
-        // (recall comes from cell density, cost from probed share).
-        // Recall contract: these defaults serve the near-dup /
-        // self-retrieval family; a generic ANN deployment sets
-        // Residual/Code Size 256/Rerank Factor 50+ explicitly — the
-        // measured boundary is tools/NOTES_r18_recall.md.
-        val nProbe = prop(p, "Probes", "4").trim.toLowerCase match {
+        // ivfConfig heuristic restated serve-side. Under `neardup`:
+        // small layouts (≤ 40 cells ≈ ≤ 5k vectors) probe 6 for
+        // recall, large ones 2 (the query sits ON a corpus point, its
+        // own cell dominates; cost from probed share). Under `ann`
+        // (r19): ~1% corpus coverage with a floor of 8 and a deeper
+        // small-layout sweep — the coverage the recall receipt
+        // measured exact at (probe 16 of 1600 cells).
+        val nProbe = prop(p, "Probes", if (qAnn) "auto" else "4").trim.toLowerCase match {
           case "auto" =>
             val cells = spark.read.parquet(s"$dir/centroids").count()
-            if (cells <= 40) 6 else 2
+            if (qAnn) math.min(cells, math.max(8L, (cells + 99) / 100)).toInt
+            else if (cells <= 40) 6 else 2
           case n => n.toInt
         }
         graft.operators.Pq.searchIndex(spark, dir, asVecs(queriesDf, qIdCol),
@@ -1653,7 +1750,8 @@ object FlowCompiler {
         require(spool.nonEmpty, s"ListenHTTP ${p.name} needs a Spool Directory")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
         val cs = prop(p, "Character Set", "UTF-8")
-        val raw = graft.streaming.Streams.binaryFileStream(spark, spool)
+        val raw = graft.streaming.Streams.binaryFileStream(spark, spool,
+          maxFilesPerTrigger = bpFilesPerTrigger(outConns, 100))
         val content = if (cs.isEmpty) col("content") else decode(col("content"), cs)
         raw.select(col("path"),
           element_at(split(col("path"), "/"), -1).as("filename"),
@@ -1670,7 +1768,8 @@ object FlowCompiler {
         val spool = prop(p, "Spool Directory", "")
         require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
-        graft.streaming.Streams.binaryFileStream(spark, spool)
+        graft.streaming.Streams.binaryFileStream(spark, spool,
+          maxFilesPerTrigger = bpFilesPerTrigger(outConns, 100))
           .select(col("path"),
             element_at(split(col("path"), "/"), -1).as("filename"),
             col("content"))
@@ -1720,7 +1819,7 @@ object FlowCompiler {
         require(spool.nonEmpty, s"$simple ${p.name} needs a Spool Directory")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
         val lines = spark.readStream.format("text")
-          .option("maxFilesPerTrigger", 64).load(spool)
+          .option("maxFilesPerTrigger", bpFilesPerTrigger(outConns)).load(spool)
         if (simple == "ListenSyslog")
           graft.operators.Parse.parseSyslog(lines, "value")
         else lines
@@ -1742,7 +1841,7 @@ object FlowCompiler {
           org.apache.spark.sql.types.StructField("data",
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
-          .option("maxFilesPerTrigger", 64).load(spool)
+          .option("maxFilesPerTrigger", bpFilesPerTrigger(outConns)).load(spool)
       case "PutEmail" =>
         // email SINK (r12): compiling EXECUTES the send — one SMTP
         // connection per PARTITION from the executors (NiFi PutEmail's
@@ -1775,7 +1874,7 @@ object FlowCompiler {
           org.apache.spark.sql.types.StructField("msg",
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
-          .option("maxFilesPerTrigger", 64).load(spool)
+          .option("maxFilesPerTrigger", bpFilesPerTrigger(outConns)).load(spool)
       case "ConsumeMQTT" =>
         // MQTT-ingestion SOURCE (r14): graft.streaming.Mqtt's 3.1.1
         // broker endpoint spools one JSON line per accepted PUBLISH;
@@ -1794,7 +1893,7 @@ object FlowCompiler {
           org.apache.spark.sql.types.StructField("payload",
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
-          .option("maxFilesPerTrigger", 64).load(spool)
+          .option("maxFilesPerTrigger", bpFilesPerTrigger(outConns)).load(spool)
       case "ConsumeAMQP" =>
         // AMQP-ingestion SOURCE (r14): graft.streaming.Amqp's 0-9-1
         // broker endpoint spools one JSON line per accepted
@@ -1813,7 +1912,7 @@ object FlowCompiler {
           org.apache.spark.sql.types.StructField("payload",
             org.apache.spark.sql.types.StringType)))
         spark.readStream.format("json").schema(schema)
-          .option("maxFilesPerTrigger", 64).load(spool)
+          .option("maxFilesPerTrigger", bpFilesPerTrigger(outConns)).load(spool)
       case "PublishAMQP" =>
         // AMQP SINK (r14): compiling EXECUTES the publish — one 0-9-1
         // client connection per PARTITION from the executors,

@@ -689,7 +689,11 @@ object QueriesLlm {
     * the exactness claim. */
   val qLshIndex: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_lsh_index_${d.hashCode & 0x7FFFFFFF}"
+    // Index dir keyed by the FULL sf path (sanitized), not a 32-bit
+    // hashCode — the qFlowFiles/qFlowIndex discipline (r19: last
+    // hashCode-keyed dir in the repo)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_lsh_index_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
     graft.operators.LshIndex.buildIndex(s, docs, path)
     graft.operators.LshIndex.searchIndex(s, path, docs, threshold = 0.6)
       .filter(col("query_id") < col("id"))

@@ -107,8 +107,14 @@ object Doc {
       // rows and an object stream (/Type /ObjStm) to serialized
       // DICTIONARIES — running the text replayer over either appends
       // garbage. They are parsed by [[xrefStreamEntries]] /
-      // [[objStmObjects]]; text extraction skips them.
-      val structural = TypeXRef.findFirstIn(dict).isDefined ||
+      // [[objStmObjects]]; text extraction skips them. A FAILED dict
+      // scan (empty result — the dict exceeded the lookback bound or
+      // nesting was malformed) is treated as structural/unknown too
+      // (r19, ADVICE): without a dict we cannot rule out /Type /XRef
+      // or a /Filter we don't inflate, and defaulting such bytes to
+      // page content is how compressed-table garbage leaks into text.
+      val structural = dict.isEmpty ||
+        TypeXRef.findFirstIn(dict).isDefined ||
         TypeObjStm.findFirstIn(dict).isDefined
       if ((flate || plain) && !structural) {
         val data = java.util.Arrays.copyOfRange(bytes, dataStart, end)
@@ -131,10 +137,13 @@ object Doc {
   /** The full `<< … >>` dictionary text ending just before position
     * `s` (the `stream` keyword), found by a backwards scan that
     * BALANCES `<<`/`>>` pairs so nested sub-dictionaries stay inside.
-    * Bounded lookback (stream dicts are small); malformed nesting
-    * degrades to from-the-innermost-open (the old sniff). */
+    * Bounded lookback — 64 KB (r19: raised from 8 KB so an xref
+    * stream's large /Index array fits); a scan that still fails
+    * returns "" and the CALLER treats that as structural/unknown and
+    * skips the stream rather than defaulting its bytes to page
+    * content. */
   private def streamDict(raw: String, s: Int): String = {
-    val lo = math.max(1, s - 8192)
+    val lo = math.max(1, s - 65536)
     var i = s - 1
     var depth = 0
     var end = -1
@@ -831,6 +840,29 @@ object Doc {
   // bench surfaced as the heaviest per-row cost in the parse family
   // (q_parse_markdown 18.1 s at m100). Compiled once; semantics
   // byte-identical (DocSpec + the exact q_parse_markdown oracle gate).
+  /** Necessary-condition scan for [[markdownText]]'s strip passes
+    * (r19): true iff some pass COULD touch this line. Containment
+    * triggers — '#' (heading/heading tail), '`' (code span), '['
+    * (image/link/ref-def), '<' (html tag), '|' (table), '*' / '_'
+    * (emphasis/strong/thematic). Block-anchor triggers on the first
+    * non-space char — '>' (quote), '-'/'+' (bullet/thematic), digit
+    * (ordered list). Everything else ('-' mid-line, '>' mid-line,
+    * digits mid-line, '!') cannot match any pass without one of the
+    * containment chars also present. */
+  private def mdMarked(raw: String, t: String): Boolean = {
+    var j = 0
+    while (j < raw.length) {
+      val c = raw.charAt(j)
+      if (c == '#' || c == '`' || c == '[' || c == '<' || c == '|' ||
+          c == '*' || c == '_') return true
+      j += 1
+    }
+    t.nonEmpty && {
+      val c = t.charAt(0)
+      c == '>' || c == '-' || c == '+' || (c >= '0' && c <= '9')
+    }
+  }
+
   private object Md {
     import java.util.regex.Pattern
     val thematic = Pattern.compile("(\\*\\s*){3,}|(-\\s*){3,}|(_\\s*){3,}")
@@ -861,6 +893,16 @@ object Doc {
       if (t.startsWith("```") || t.startsWith("~~~")) {
         inFence = !inFence // fence lines drop, enclosed code keeps
       } else if (inFence) {
+        out.append(raw).append('\n')
+      } else if (!mdMarked(raw, t)) {
+        // r19 fast path (verdict task 6 — the heaviest per-row strip):
+        // crawl-corpus lines are mostly plain prose, and the pass chain
+        // below ran 11 compiled matchers on every one of them. One char
+        // scan decides whether ANY pass could match — `mdMarked` checks
+        // the NECESSARY condition of each regex (its trigger char, or
+        // its block-anchor first char) — and an unmarked line passes
+        // through verbatim. Equivalence is pinned by DocSpec's strip
+        // grammar test and the exact q_parse_markdown oracle.
         out.append(raw).append('\n')
       } else if (Md.thematic.matcher(t).matches()) {
         () // thematic break drops

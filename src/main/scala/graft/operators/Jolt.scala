@@ -136,6 +136,19 @@ object Jolt {
     * instead of failing the whole run, and one unusual document must
     * not kill a 100 TB job. Spec validation stays strict in [[chain]]
     * (those errors fire before any row is seen). */
+  /** Per-JVM compiled-transform cache (r19): each task deserializes
+    * its own JoltTransform expression, whose lazy compile re-parsed
+    * and re-validated the spec once per TASK ATTEMPT. Compiled chains
+    * are pure functions over read-only spec nodes (and the shared
+    * ObjectMapper is thread-safe), so one JVM-wide instance per spec
+    * string is safe across tasks and threads — at cluster scale the
+    * spec compiles once per EXECUTOR, not once per task. Bounded by
+    * the number of distinct specs a JVM ever runs (flow-config-sized). */
+  private val compiledCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String => String]()
+  def transformStringCached(specJson: String): String => String =
+    compiledCache.computeIfAbsent(specJson, transformString(_))
+
   def transformString(specJson: String): String => String = {
     val t = chain(specJson)
     (json: String) =>
@@ -683,27 +696,44 @@ object Jolt {
         if (ops.isEmpty) None
         else Some(f.numberNode(ops.map(_._1).sum / ops.length))
       case "intSum" | "longSum" | "doubleSum" =>
+        // r19 (ADVICE): the typed integer forms sum in the LONG domain
+        // when every operand is integral — upstream Jolt's
+        // Math.intSum/longSum semantics — so longs past 2^53 keep
+        // exact precision and int overflow wraps identically (mod-2^32
+        // of the long sum equals per-add int wrapping). A double
+        // operand anywhere falls the whole sum back to Double.
         val ops = numericOperands(vs)
         if (ops.isEmpty) None
-        else {
-          val s = ops.map(_._1).sum
-          Some(name match {
-            case "intSum"  => f.numberNode(s.toInt)
-            case "longSum" => f.numberNode(s.toLong)
-            case _         => f.numberNode(s)
-          })
+        else if (name == "doubleSum") Some(f.numberNode(ops.map(_._1).sum))
+        else longOperands(vs) match {
+          case Some(ls) =>
+            val s = ls.sum
+            Some(if (name == "intSum") f.numberNode(s.toInt) else f.numberNode(s))
+          case None =>
+            val s = ops.map(_._1).sum
+            Some(if (name == "intSum") f.numberNode(s.toInt) else f.numberNode(s.toLong))
         }
       case "intSubtract" | "longSubtract" | "doubleSubtract" =>
         require(vs.length == 2, s"jolt modify: =$name(a, b)")
-        numericOperands(vs) match {
-          case Seq((a, _), (b, _)) =>
-            val d = a - b
-            Some(name match {
-              case "intSubtract"  => f.numberNode(d.toInt)
-              case "longSubtract" => f.numberNode(d.toLong)
-              case _              => f.numberNode(d)
-            })
-          case _ => None
+        val longExact =
+          if (name == "doubleSubtract") None
+          else longOperands(vs) match {
+            case Some(Seq(a, b)) => Some(a - b) // long-domain exact (r19, ADVICE)
+            case _ => None
+          }
+        longExact match {
+          case Some(d) =>
+            Some(if (name == "intSubtract") f.numberNode(d.toInt) else f.numberNode(d))
+          case None => numericOperands(vs) match {
+            case Seq((a, _), (b, _)) =>
+              val d = a - b
+              Some(name match {
+                case "intSubtract"  => f.numberNode(d.toInt)
+                case "longSubtract" => f.numberNode(d.toLong)
+                case _              => f.numberNode(d)
+              })
+            case _ => None
+          }
         }
       case "divide" =>
         require(vs.length == 2, "jolt modify: =divide(a, b)")
@@ -755,6 +785,29 @@ object Jolt {
         else t.toDoubleOption.map((_, false))
       } else None
     }
+
+  /** Long-domain operand view for the typed integer math forms (r19):
+    * Some(longs) only when EVERY usable operand is integral and fits a
+    * Long; None as soon as a double (or Long-overflowing digit-text)
+    * operand appears, signalling the Double fallback. Mirrors
+    * [[numericOperands]]' filtering — non-numeric operands vanish
+    * rather than poisoning the call. */
+  private def longOperands(vs: Seq[JsonNode]): Option[Seq[Long]] = {
+    val flat: Seq[Option[Long]] = vs.flatMap {
+      case a: ArrayNode => a.elements().asScala.toSeq
+      case v => Seq(v)
+    }.flatMap { n =>
+      if (n.isNumber)
+        Some(if (n.isIntegralNumber) Some(n.asLong()) else None)
+      else if (n.isTextual) {
+        val t = n.asText()
+        if (t.matches("-?\\d+")) Some(t.toLongOption)
+        else if (t.toDoubleOption.isDefined) Some(None)
+        else None
+      } else None
+    }
+    if (flat.exists(_.isEmpty)) None else Some(flat.flatten)
+  }
 
   private def mkNum(d: Double, intish: Boolean): JsonNode =
     if (intish && d == math.rint(d) && math.abs(d) < 9.2e18) f.numberNode(d.toLong)

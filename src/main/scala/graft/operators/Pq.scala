@@ -787,6 +787,7 @@ object Pq {
   def appendToIndex(spark: SparkSession, path: String, vectors0: DataFrame,
                     metadata: Option[DataFrame] = None): Unit = {
     import spark.implicits._
+    requireMetadataContract(spark, path, metadata, "appendToIndex")
     val (m, _, _, residual, opq) = readMeta(spark, path)
     val vectors = readPerm(spark, path, opq)
       .map(pm => permute(vectors0, "embedding", pm)).getOrElse(vectors0)
@@ -835,10 +836,38 @@ object Pq {
     * tombstone layouts must purge before re-adding the same ids. */
   def upsertToIndex(spark: SparkSession, path: String, vectors: DataFrame,
                     metadata: Option[DataFrame] = None): Unit = {
+    // gate BEFORE the delete half mutates the index — a mismatched
+    // upsert must leave the layout untouched, not delete-then-throw
+    requireMetadataContract(spark, path, metadata, "upsertToIndex")
     // the delete half rewrites victim CELLS as whole rows, so survivor
     // metadata is preserved; the append half re-attaches the batch's
     deleteFromIndexDf(spark, path, vectors.select(col("vec_id")))
     appendToIndex(spark, path, vectors, metadata)
+  }
+
+  /** r19 (ADVICE): ENFORCE the append/upsert layout contract instead
+    * of documenting it — writing a different (codes+metadata) column
+    * set than the existing index leaves parquet files missing the
+    * layout's metadata columns, so those rows read back with NULL
+    * metadata and every serve-time Filter silently drops them. Fails
+    * loudly BEFORE any compute or mutation, naming the mismatch in
+    * both directions. */
+  private def requireMetadataContract(spark: SparkSession, path: String,
+                                      metadata: Option[DataFrame], op: String): Unit = {
+    val layoutMeta = spark.read.parquet(s"$path/codes").columns.toSet --
+      Set("vec_id", "pq", "cell")
+    val incoming = metadata.map(_.columns.filterNot(_ == "vec_id").toSet)
+      .getOrElse(Set.empty[String])
+    require(incoming == layoutMeta, {
+      val missing = (layoutMeta -- incoming).toSeq.sorted
+      val extra = (incoming -- layoutMeta).toSeq.sorted
+      s"$op: metadata columns do not match the index layout at $path/codes — " +
+        (if (missing.nonEmpty) s"missing ${missing.mkString("[", ", ", "]")} " else "") +
+        (if (extra.nonEmpty) s"unexpected ${extra.mkString("[", ", ", "]")} " else "") +
+        "(an index built with metadata must append/upsert with the SAME metadata " +
+        "columns; pass them via the metadata parameter / the PutVectorIndex " +
+        "`Metadata Columns` property)"
+    })
   }
 
   /** Delete vectors from a persisted index by id — the point-delete

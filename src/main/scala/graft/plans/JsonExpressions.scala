@@ -148,8 +148,11 @@ case class JoltTransform(child: Expression, specJson: String)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_jolt"
 
+  // JVM-wide cache: one compiled chain per spec string per executor,
+  // not per task attempt (r19 — also removes the per-task share of the
+  // first-evaluation warmup the m100 receipt flagged)
   @transient private lazy val transform =
-    graft.operators.Jolt.transformString(specJson)
+    graft.operators.Jolt.transformStringCached(specJson)
 
   override protected def nullSafeEval(input: Any): Any = {
     val out = transform(input.asInstanceOf[UTF8String].toString)

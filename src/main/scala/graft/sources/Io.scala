@@ -317,6 +317,30 @@ object Io {
     fresh
   }
 
+  // Watermark → SQL literal (r19, ADVICE): numeric values interpolate
+  // raw; DATE/TIMESTAMP toString shapes (JDBC's java.sql.Date /
+  // Timestamp, also what the state file reads back) become typed
+  // quoted literals, so temporal Maximum-value Columns page correctly
+  // instead of being hard-rejected. The literal form is the JDBC
+  // escape ({ts '…'} / {d '…'}): the generated fetch SQL is BY
+  // CONSTRUCTION executed through JDBC, whose driver-side escape
+  // processing normalizes the literal per database (Derby rejects the
+  // ANSI `TIMESTAMP '…'` keyword form outright — NiFi solves the same
+  // variance with per-database adapters). The accepted grammar
+  // doubles as the injection gate — values that fit none of the three
+  // shapes throw BEFORE any SQL is built or state written.
+  private def watermarkLiteral(v: String): String = {
+    val num = "-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"
+    val date = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    val ts = s"$date[ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]{1,9})?"
+    if (v.matches(num)) v
+    else if (v.matches(ts)) s"{ts '${v.replace('T', ' ')}'}"
+    else if (v.matches(date)) s"{d '$v'}"
+    else throw new IllegalArgumentException(
+      s"GenerateTableFetch: unsupported watermark value '$v' — " +
+        "the Maximum-value Column must be numeric, DATE, or TIMESTAMP")
+  }
+
   /** GenerateTableFetch (NiFi, r17): the fan-out half of the JDBC
     * ingest pair — instead of FETCHING rows, generate the page
     * QUERIES that a fleet of downstream executors (NiFi: ExecuteSQL
@@ -331,7 +355,13 @@ object Io {
     * when `statePath` is set (empty = stateless full-table paging).
     * Generated SQL uses ANSI `ORDER BY … OFFSET n ROWS FETCH NEXT k
     * ROWS ONLY` (Derby/PostgreSQL/SQL Server shape; NiFi picks per
-    * database adapter the same way). */
+    * database adapter the same way). Watermark columns may be numeric,
+    * DATE, or TIMESTAMP (r19): temporal maxes interpolate as typed
+    * JDBC-escape literals (`{d '…'}` / `{ts '…'}` — portable across
+    * drivers since the fetch SQL runs through JDBC), matching the
+    * reference processor's support for temporal Maximum-value
+    * Columns; any other value type throws before SQL is built or
+    * state is written. */
   def generateTableFetch(spark: SparkSession, url: String, table: String,
                          maxValueColumn: String, partitionSize: Long,
                          statePath: String = "",
@@ -362,11 +392,8 @@ object Io {
         val stateP = new Path(statePath)
         readStateString(stateP.getFileSystem(conf), stateP).map(_.trim).filter(_.nonEmpty)
       }
-    last.foreach { v =>
-      require(v.matches("-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"),
-        s"non-numeric watermark state '$v' — maxValueColumn must be numeric")
-    }
-    val where = last.map(v => s""" WHERE "$maxValueColumn" > $v""").getOrElse("")
+    val lastLit = last.map(watermarkLiteral)
+    val where = lastLit.map(v => s""" WHERE "$maxValueColumn" > $v""").getOrElse("")
     val meta = readJdbc(spark, url,
       s"""(SELECT COUNT(*) AS n, MAX("$maxValueColumn") AS mx FROM $table$where) graft_gtf""",
       options).collect()(0)
@@ -385,10 +412,9 @@ object Io {
       s"""GenerateTableFetch: MAX("$maxValueColumn") is NULL with $n rows — """ +
         "the Maximum-value Column must be non-null to page on")
     val mx = meta.get(1).toString
-    require(mx.matches("-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"),
-      s"GenerateTableFetch: non-numeric max value '$mx' — maxValueColumn must be numeric")
-    val bound = (last.map(v => s""""$maxValueColumn" > $v AND """).getOrElse("") +
-      s""""$maxValueColumn" <= $mx""")
+    val mxLit = watermarkLiteral(mx)
+    val bound = (lastLit.map(v => s""""$maxValueColumn" > $v AND """).getOrElse("") +
+      s""""$maxValueColumn" <= $mxLit""")
     val nPages = (n + partitionSize - 1) / partitionSize
     val pages = spark.range(nPages).select(
       col("id").as("page_index"),

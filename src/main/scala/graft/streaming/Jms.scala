@@ -44,8 +44,12 @@ object Jms {
   /** Conform any (body, ts) stream — MemoryStream in tests, a broker
     * bridge in deployment — to the JMS wire schema. `propsCol` may be
     * empty (no user properties). The message id stand-in is
-    * destination + event-time micros (unique per producer, the
-    * uniqueness JMS guarantees per message). */
+    * destination + event-time micros + a body/properties hash (r19,
+    * ADVICE): micros alone collide for two messages sharing a
+    * timestamp in one batch, so the per-row content discriminator
+    * rides the id — deterministic across streaming replays (unlike a
+    * monotonic id), with only byte-identical (body, ts, props)
+    * triples — the same message re-published — sharing an id. */
   def toWire(df: DataFrame, destination: String, bodyCol: String,
              tsCol: String, propsCol: String = ""): DataFrame = {
     val props =
@@ -55,7 +59,9 @@ object Jms {
       col(bodyCol).cast("string").cast("binary").as("body"),
       lit(destination).as("destination"),
       concat(lit(s"ID:$destination-"),
-        unix_micros(col(tsCol)).cast("string")).as("message_id"),
+        unix_micros(col(tsCol)).cast("string"), lit("-"),
+        lower(hex(xxhash64(col(bodyCol).cast("string"),
+          props.cast("string"))))).as("message_id"),
       col(tsCol).cast("timestamp").as("timestamp"),
       lit(null).cast("string").as("correlation_id"),
       lit(null).cast("string").as("jms_type"),

@@ -164,6 +164,28 @@ class DocSpec extends SparkSpec {
     assert(Doc.pdfText(head ++ comp ++ tail) === "nested")
   }
 
+  test("failed stream-dict scan skips the stream instead of leaking bytes as text (r19, ADVICE)") {
+    // a stream whose dictionary exceeds the lookback bound (a huge
+    // /Index-style array) must NOT default to page content: without a
+    // readable dict we can't rule out /Type /XRef or an unknown
+    // /Filter, and the old "" -> plain-text path appended the raw
+    // bytes to extracted text as garbage
+    val hugeIndex = (0 until 20000).map(i => s"$i 1").mkString(" ") // ~100+ KB
+    val pdf = (s"%PDF-1.5\n1 0 obj\n<< /Type /XRef /Index [ $hugeIndex ] /W [1 2 2] >>\n" +
+      "stream\nBINARYTABLEBYTES\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 14 >>\nstream\nBT (keep) Tj ET\nendstream\nendobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val text = Doc.pdfText(pdf)
+    assert(!text.contains("BINARYTABLEBYTES"),
+      s"unscannable-dict stream bytes leaked into text: '$text'")
+    assert(text === "keep", "readable page streams still extract")
+    // a dict-less stream (malformed) is likewise structural/unknown
+    val noDict = ("%PDF-1.4\nstream\nGARBAGEBYTES\nendstream\n" +
+      "2 0 obj\n<< /Length 12 >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Doc.pdfText(noDict) === "ok")
+  }
+
   test("markdown strip: headings, emphasis, links, code, quotes, lists, tables, HTML") {
     val md =
       """# Title

@@ -1185,4 +1185,73 @@ class FlowCompilerSpec extends SparkSpec {
     assert(out.as[(String, String)].collect().sortBy(_._1) ===
       Array(("1", "one"), ("3", "old_three")))
   }
+
+  test("connection prioritizers (r19): PriorityAttribute orders the edge; ControlRate takes highest priority first") {
+    def flowWith(prioritizer: String) = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "cr", "type": "ControlRate",
+         |     "properties": {"Maximum Rate": "2"}}],
+         |  "inputPorts": [{"identifier": "i", "name": "in"}],
+         |  "outputPorts": [{"identifier": "o", "name": "out"}],
+         |  "connections": [
+         |    {"source": {"id": "i"}, "destination": {"id": "cr"},
+         |     "prioritizers": ["org.apache.nifi.prioritizer.$prioritizer"],
+         |     "backPressureObjectThreshold": 10000},
+         |    {"source": {"id": "cr"}, "destination": {"id": "o"}}]}}""".stripMargin)
+    // priorities "10" vs "9": NUMERIC order (9 first) — a lexical sort
+    // would cap to {p10, p1}; rows without the attribute sort last
+    val in = Seq(("p10", "10"), ("p9", "9"), ("p1", "1"), ("pnone", null))
+      .toDF("name", "priority")
+    val out = FlowCompiler.compile(spark,
+      flowWith("PriorityAttributePrioritizer"), Map("in" -> in))("out")
+    assert(out.select("name").as[String].collect().toSet === Set("p1", "p9"),
+      "ControlRate's cap must take the two highest-priority rows, numerically ordered")
+    // FIFO/OldestFirst are the batch arrival order — a no-op that compiles
+    val fifo = FlowCompiler.compile(spark,
+      flowWith("FirstInFirstOutPrioritizer"), Map("in" -> in))("out")
+    assert(fifo.count() === 2L)
+    // NewestFlowFileFirst needs queue-entry age the columnar model
+    // doesn't carry — loud reject, not a silent no-op
+    val e1 = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark,
+        flowWith("NewestFlowFileFirstPrioritizer"), Map("in" -> in))("out").count()
+    }
+    assert(e1.getMessage.contains("NewestFlowFileFirst"))
+    // PriorityAttribute on a stream WITHOUT the priority column: loud
+    val e2 = intercept[IllegalArgumentException] {
+      FlowCompiler.compile(spark, flowWith("PriorityAttributePrioritizer"),
+        Map("in" -> Seq("x").toDF("name")))("out").count()
+    }
+    assert(e2.getMessage.contains("priority"))
+  }
+
+  test("connection back-pressure (r19): objectThreshold caps the streaming source's per-trigger admission") {
+    val spool = java.nio.file.Files.createTempDirectory("graft_bp_spool")
+    (1 to 10).foreach { i =>
+      java.nio.file.Files.writeString(spool.resolve(s"f$i.txt"), s"line$i\n")
+    }
+    val flow = FlowCompiler.parse(
+      s"""{"flowContents": {
+         |  "processors": [
+         |    {"identifier": "tcp", "type": "ListenTCP",
+         |     "properties": {"Listening Port": "0", "Spool Directory": "$spool"}}],
+         |  "outputPorts": [{"identifier": "o", "name": "lines"}],
+         |  "connections": [
+         |    {"source": {"id": "tcp"}, "destination": {"id": "o"},
+         |     "backPressureObjectThreshold": 3}]}}""".stripMargin)
+    val lines = FlowCompiler.compile(spark, flow, Map.empty)("lines")
+    assert(lines.isStreaming)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bp_ckpt").toString
+    val q = lines.writeStream.format("memory").queryName("graft_bp_mem")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(spark.table("graft_bp_mem").count() === 10L, "all spool files drain")
+    assert(batches.forall(_.numInputRows <= 3),
+      s"no trigger admits more than the declared threshold: ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.length >= 4, // ceil(10/3): the cap actually split the drain
+      s"threshold 3 over 10 files must take >= 4 triggers, got ${batches.length}")
+  }
 }

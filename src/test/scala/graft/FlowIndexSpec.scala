@@ -203,6 +203,120 @@ class FlowIndexSpec extends SparkSpec {
     }
   }
 
+  test("Profile: ann serves a RECALL FLOOR on clustered data with held-OUT queries (r19)") {
+    import org.apache.spark.sql.functions.col
+    // the probe's shape, scaled for a spec: clustered corpus (the
+    // shape real embedding corpora have — tools/NOTES_r18_recall.md),
+    // queries drawn NEAR the centers but NOT in the corpus — generic
+    // question-answering, not self-retrieval. The neardup defaults
+    // measured recall@5 ≈ 0.01 here; the ann profile's config
+    // (residual 8-bit, deep rerank) measured 1.000 at 1% coverage.
+    val dim = 16
+    val centers = (0 until 100).map { c =>
+      val r = new scala.util.Random(9000 + c)
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def near(c: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      centers(c).map(x => x + (r.nextGaussian() * 0.15).toFloat)
+    }
+    val corpus = (0L until 8000L).map { i =>
+      (i, near((i % 100).toInt, 31000 + i.toInt))
+    }.toDF("vec_id", "embedding")
+    val heldOut = (0L until 24L).map { q =>
+      // fresh seeds: NOT corpus rows; ids offset past the corpus range
+      // (serving excludes a candidate whose vec_id equals the query id)
+      (1000000L + q, near((q % 100).toInt, 777000 + q.toInt))
+    }.toDF("vec_id", "embedding")
+    val exact = graft.operators.Ann.bruteForceTopK(corpus, heldOut, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_annprofile").toString
+    val flow =
+      s"""{"flowContents": {"name": "annserve",
+         |  "inputPorts": [{"identifier": "c", "name": "corpus"},
+         |                 {"identifier": "q", "name": "questions"}],
+         |  "outputPorts": [{"identifier": "o", "name": "hits"}],
+         |  "processors": [
+         |    {"identifier": "put", "name": "store", "type": "PutVectorIndex",
+         |     "properties": {"Index Directory": "$dir", "Profile": "ann"}},
+         |    {"identifier": "get", "name": "serve", "type": "QueryVectorIndex",
+         |     "properties": {"Index Directory": "$dir", "Profile": "ann",
+         |       "Top K": "5", "Corpus Source": "store"}}],
+         |  "connections": [
+         |    {"source": {"id": "c"}, "destination": {"id": "put"}},
+         |    {"source": {"id": "q"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "put"}, "destination": {"id": "get"}},
+         |    {"source": {"id": "get"}, "destination": {"id": "o"}}]}}""".stripMargin
+    val hits = FlowCompiler.compile(spark, flow,
+      Map("corpus" -> corpus, "questions" -> heldOut))("hits")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect hits).size.toDouble / exact.size
+    info(f"ann-profile held-out recall@5 = $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.9,
+      f"RECALL FLOOR: ann profile must reach >= 0.9 held-out recall@5 on " +
+        f"clustered data, got $recall%.3f — the profile's residual/rerank " +
+        "defaults regressed (see tools/NOTES_r18_recall.md)")
+    // the profile's knobs are what built the layout: residual flag set
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Int]("residual") === 1, "ann profile must build residual encoding")
+    assert(meta.getAs[Int]("k_codes") === 256, "ann profile must build 8-bit codebooks")
+    // an unknown profile value rejects at flow-compile time
+    intercept[Exception] {
+      FlowCompiler.compile(spark, flow.replace("\"Profile\": \"ann\"", "\"Profile\": \"hnsw\""),
+        Map("corpus" -> corpus, "questions" -> heldOut))
+    }
+  }
+
+  test("appendToIndex enforces the layout column contract (r19, ADVICE): metadata mismatch fails at append time") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqappendmeta").toString
+    val vecs = (0L until 32L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3.0 + j).toFloat), if (i % 2 == 0) "even" else "odd")
+    }.toDF("vec_id", "embedding", "parity")
+    Pq.buildIndex(spark, vecs.select("vec_id", "embedding"), dir,
+      nCells = 4, m = 4, kCodes = 16, lloydIters = 1,
+      metadata = Some(vecs.select("vec_id", "parity")))
+    val extra = (100L until 108L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 3.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    // appending WITHOUT the layout's metadata would write rows whose
+    // parity reads back NULL — every serve-time Filter silently drops
+    // them. It must throw, naming the missing column.
+    val e1 = intercept[IllegalArgumentException] { Pq.appendToIndex(spark, dir, extra) }
+    assert(e1.getMessage.contains("parity") && e1.getMessage.contains("missing"),
+      s"append must name the missing metadata column: ${e1.getMessage}")
+    // different metadata columns: rejected too, naming the extra
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, dir, extra,
+        metadata = Some(extra.select(col("vec_id"), lit("x").as("lang"))))
+    }
+    assert(e2.getMessage.contains("lang") && e2.getMessage.contains("parity"))
+    // the MATCHING column set appends cleanly and serves through a Filter
+    // (query under a FRESH id — serving excludes the query's own vec_id)
+    Pq.appendToIndex(spark, dir, extra,
+      metadata = Some(extra.select(col("vec_id"), lit("even").as("parity"))))
+    val served = Pq.searchIndex(spark, dir,
+        extra.filter(col("vec_id") === 100L)
+          .select(lit(999L).as("vec_id"), col("embedding")),
+        k = 40, nProbe = 4,
+        filter = Some(col("parity") === lit("even")))
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.contains(100L), "appended row with matching metadata must serve through the filter")
+    // upsert inherits the gate (it delegates to append)
+    intercept[IllegalArgumentException] { Pq.upsertToIndex(spark, dir, extra) }
+    // and a metadata-LESS index rejects an append that brings metadata
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pqappendnometa").toString
+    Pq.buildIndex(spark, vecs.select("vec_id", "embedding"), dir2,
+      nCells = 4, m = 4, kCodes = 16, lloydIters = 1)
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, dir2, extra,
+        metadata = Some(extra.select(col("vec_id"), lit("x").as("lang"))))
+    }
+    assert(e3.getMessage.contains("unexpected") && e3.getMessage.contains("lang"))
+  }
+
   test("q_flow_index dir naming: hashCode-colliding sf paths get DISTINCT indexes (r18)") {
     import java.nio.file._
     // "Aa"/"BB" collide under String.hashCode (31-linear), so with a

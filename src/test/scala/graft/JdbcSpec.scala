@@ -106,14 +106,65 @@ class JdbcSpec extends SparkSpec {
       Io.generateTableFetch(spark, url, "graft_gtf_null", "wm", partitionSize = 10)
     }
     assert(e1.getMessage.contains("NULL"))
-    // non-numeric (varchar) max on the FIRST stateless trigger: rejected
+    // unsupported (varchar) max on the FIRST stateless trigger: rejected
     // immediately, never interpolated unquoted into page SQL
     ddl("CREATE TABLE graft_gtf_str (\"id\" BIGINT, \"wm\" VARCHAR(10))",
       "INSERT INTO graft_gtf_str VALUES (1, 'abc')")
     val e2 = intercept[IllegalArgumentException] {
       Io.generateTableFetch(spark, url, "graft_gtf_str", "wm", partitionSize = 10)
     }
-    assert(e2.getMessage.contains("non-numeric"))
+    assert(e2.getMessage.contains("unsupported watermark"))
+  }
+
+  test("generateTableFetch temporal watermarks (r19, ADVICE): TIMESTAMP/DATE columns page with typed literals") {
+    def ddl(sqls: String*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); sqls.foreach(st.executeUpdate); st.close() }
+      finally c.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gtf_ts")
+    val state = s"$dir/state"
+    ddl("CREATE TABLE graft_gtf_ts (\"id\" BIGINT, \"ts\" TIMESTAMP)",
+      (1 to 25).map(i => f"(${i}, {ts '2026-01-01 00:00:$i%02d'})")
+        .mkString("INSERT INTO graft_gtf_ts VALUES ", ", ", ""))
+    val pages = Io.generateTableFetch(spark, url, "graft_gtf_ts", "ts",
+      partitionSize = 10, statePath = state)
+      .orderBy("page_index").as[(Long, String)].collect()
+    assert(pages.length === 3, "ceil(25/10) pages")
+    // the max interpolates as a TYPED quoted literal (the JDBC escape
+    // form — portable across drivers; Derby rejects ANSI TIMESTAMP
+    // '...' keywords), never raw
+    assert(pages(0)._2.contains("\"ts\" <= {ts '2026-01-01 00:00:25"),
+      s"typed timestamp literal expected in: ${pages(0)._2}")
+    // the pages, RUN against the database, reassemble the table exactly
+    val got = pages.flatMap { case (_, sql) =>
+      Io.readJdbc(spark, url, s"($sql) graft_page").select("id").as[Long].collect()
+    }
+    assert(got.sorted === (1L to 25L))
+    // second trigger: the persisted temporal watermark pages only NEW rows
+    ddl((26 to 30).map(i => f"(${i}, {ts '2026-01-01 00:00:$i%02d'})")
+      .mkString("INSERT INTO graft_gtf_ts VALUES ", ", ", ""))
+    val next = Io.generateTableFetch(spark, url, "graft_gtf_ts", "ts",
+      partitionSize = 10, statePath = state).as[(Long, String)].collect()
+    assert(next.length === 1)
+    assert(next(0)._2.contains("\"ts\" > {ts '2026-01-01 00:00:25"),
+      s"state read-back must emit a typed literal lower bound: ${next(0)._2}")
+    val newRows = Io.readJdbc(spark, url, s"(${next(0)._2}) graft_page")
+      .select("id").as[Long].collect().sorted
+    assert(newRows === (26L to 30L))
+    // DATE watermark: same contract, DATE literal shape
+    ddl("CREATE TABLE graft_gtf_dt (\"id\" BIGINT, \"dt\" DATE)",
+      (1 to 9).map(i => s"(${i}, {d '2026-03-0$i'})")
+        .mkString("INSERT INTO graft_gtf_dt VALUES ", ", ", ""))
+    val dpages = Io.generateTableFetch(spark, url, "graft_gtf_dt", "dt",
+      partitionSize = 5).orderBy("page_index").as[(Long, String)].collect()
+    assert(dpages.length === 2)
+    assert(dpages(0)._2.contains("\"dt\" <= {d '2026-03-09'}"),
+      s"typed date literal expected in: ${dpages(0)._2}")
+    val dgot = dpages.flatMap { case (_, sql) =>
+      Io.readJdbc(spark, url, s"($sql) graft_page").select("id").as[Long].collect()
+    }
+    assert(dgot.sorted === (1L to 9L))
   }
 
   test("generateTableFetch identifier discipline (r18): quoted table round-trips; injection throws") {

@@ -34,7 +34,20 @@ class JmsSeamSpec extends SparkSpec {
     val row = Jms.decodeString(batch)
       .select("value", "jms_destination", "jms_messageid", "jms_priority")
       .as[(String, String, String, Int)].head()
-    assert(row === (("hi", "orders.q", s"ID:orders.q-${7000000L}", 4)))
+    assert((row._1, row._2, row._4) === (("hi", "orders.q", 4)))
+    assert(row._3.startsWith(s"ID:orders.q-${7000000L}-"),
+      s"id = destination + micros + content hash, got ${row._3}")
+    // r19 (ADVICE): two messages sharing a timestamp in one batch get
+    // DISTINCT message ids (the content hash is the discriminator) —
+    // and the ids stay DETERMINISTIC across a replay of the same batch
+    def ids() = Jms.toWire(
+        Seq(("m1", ts(7)), ("m2", ts(7))).toDF("body", "ts"),
+        "orders.q", "body", "ts")
+      .select("message_id").as[String].collect().toSeq.sorted
+    val first = ids()
+    assert(first.distinct.length === 2,
+      s"equal-timestamp messages must not share an id: $first")
+    assert(ids() === first, "message ids must be replay-deterministic")
   }
 
   test("JMS message selector: headers rewrite, bare names bind to properties, literals survive") {

@@ -242,6 +242,24 @@ class JoltSpec extends SparkSpec {
     assertJson(mod("""{"rows": {"total": "=intSum(@(1,v), @(2,base))"}}""",
       """{"base": 100, "rows": [{"v": 1}, {"v": 2}]}"""),
       """{"base": 100, "rows": [{"v": 1, "total": 101}, {"v": 2, "total": 102}]}""")
+    // r19 (ADVICE): typed integer forms sum/subtract in the LONG
+    // domain when all operands are integral — longs past 2^53 keep
+    // exact precision (a Double pass would round 9007199254740993 to
+    // ...992), matching upstream Jolt's Math.longSum/longSubtract
+    assertJson(mod("""{"x": "=longSum(@(1,a), 1)"}""",
+      """{"a": 9007199254740992}"""),
+      """{"a": 9007199254740992, "x": 9007199254740993}""")
+    assertJson(mod("""{"x": "=longSubtract(@(1,a), 1)"}""",
+      """{"a": 9007199254740993}"""),
+      """{"a": 9007199254740993, "x": 9007199254740992}""")
+    // integral digit TEXT joins the long-exact path too
+    assertJson(mod("""{"x": "=longSum(@(1,a), '3')"}""",
+      """{"a": 9007199254740990}"""),
+      """{"a": 9007199254740990, "x": 9007199254740993}""")
+    // a double operand anywhere falls the whole sum back to Double
+    // (then truncates for the typed result, as before)
+    assertJson(mod("""{"x": "=longSum(@(1,a), 0.5)"}""", """{"a": 4}"""),
+      """{"a": 4, "x": 4}""")
   }
 
   test("shift @-lookups (r18): copy the matched VALUE; destinations keyed by data") {
