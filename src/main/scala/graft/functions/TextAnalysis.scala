@@ -10,35 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def wsTokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens — semantics of
+    * `filter(split(c, "\\s+"), t => length(t) > 0)` as one native pass
+    * (r19: the HOF `ArrayFilter` lambda is interpreted per element; see
+    * [[graft.plans.WsTokens]]). */
+  def wsTokens(c: Column): Column =
+    graft.plans.TextSignalExpressions.wsTokens(c)
 
-  /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+  /** Whitespace token count (`size(wsTokens(c)).cast("long")`). */
+  def tokenCount(c: Column): Column =
+    graft.plans.TextSignalExpressions.wsTokenCount(c)
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the shape GPT-style BPE pre-tokenization produces
-    * (public regex family, simplified; RE2/Java compatible). */
+    * (public regex family, simplified; RE2/Java compatible). Native
+    * one-pass count of `regexp_extract_all(c, bpeishPattern)`. */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeishCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(bpeishPattern), lit(0))).cast("long")
+    graft.plans.TextSignalExpressions.bpeishCount(c)
 
   // -------------------------------------------------------- language ID
   /** Per-language stopword profiles (public most-frequent-word lists,
     * truncated). Latin scripts are discriminated by stopword hit rate;
-    * CJK by codepoint range share. */
-  private val profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "of", "and", "to", "in", "is", "a", "that", "it", "for", "was", "on", "with"),
-    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se", "las", "por", "un", "para"),
-    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf", "ist"),
-    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que", "est", "pour"))
-
-  /** Score for one language: fraction of tokens found in its profile. */
-  private def langScore(toks: Column, lang: String): Column = {
-    val stop = array(profiles(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(stop, lower(t)))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+    * CJK by codepoint range share. The canonical lists live in
+    * [[graft.plans.TextSignal.profiles]] (the native single-pass
+    * scorer); every langid oracle replays them verbatim. */
+  def profiles: Map[String, Seq[String]] =
+    graft.plans.TextSignal.profiles.toMap
 
   /** Share of CJK codepoints among non-space characters. */
   def cjkRatio(c: Column): Column = {
@@ -59,16 +57,8 @@ object TextAnalysis {
     * profile model (e.g. CLD-style) behind this same column contract;
     * the testdata here is English-synthetic, so a stopword heuristic
     * is the honest ceiling. */
-  def langId(c: Column, minScore: Double = 0.05): Column = {
-    val toks = wsTokens(c)
-    val scored = Seq("en", "es", "de", "fr").map(l => (l, langScore(toks, l)))
-    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
-    }
-    when(cjkRatio(c) > 0.3, "zh")
-      .when(best._2 >= minScore, best._1)
-      .otherwise("und")
-  }
+  def langId(c: Column, minScore: Double = 0.05): Column =
+    graft.plans.TextSignalExpressions.langId(c, minScore)
 
   // ----------------------------------------------------- quality scores
   /** Punctuation character share. */
@@ -78,33 +68,28 @@ object TextAnalysis {
 
   /** Alphabetic character share (a-z, case-insensitive). */
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /
-      greatest(length(c), lit(1)).cast("double")
+    graft.plans.TextSignalExpressions.alphaRatio(c)
 
   /** English stopword share of tokens (a quality signal: natural prose
     * has 0.2–0.6; keyword spam and boilerplate fall outside). */
-  def stopwordRatio(c: Column): Column = langScore(wsTokens(c), "en")
+  def stopwordRatio(c: Column): Column =
+    graft.plans.TextSignalExpressions.stopwordRatio(c)
 
   /** Mean token length. */
   def meanTokenLen(c: Column): Column =
-    length(regexp_replace(c, "\\s+", "")).cast("double") /
-      greatest(tokenCount(c), lit(1)).cast("double")
+    graft.plans.TextSignalExpressions.meanTokenLen(c)
 
   /** Composite quality score in [0,1] (Gopher/C4-style heuristic mix:
     * doc-length band + alpha share + stopword presence + sane mean
     * token length). Weights are fixed, documented, deterministic. */
-  def qualityScore(c: Column): Column = {
-    val lenOk  = when(length(c).between(50, 100000), 1.0).otherwise(0.0)
-    val tokOk  = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.0)
-    val stopOk = when(stopwordRatio(c) >= 0.01, 1.0).otherwise(0.0)
-    lenOk * 0.25 + tokOk * 0.25 + stopOk * 0.2 + alphaRatio(c) * 0.3
-  }
+  def qualityScore(c: Column): Column =
+    graft.plans.TextSignalExpressions.qualityScore(c)
 
   // ------------------------------------------------------ fingerprints
   /** Normalized content fingerprint: lowercase, collapse whitespace,
     * md5. Stable under formatting-only edits. */
   def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(c, "\\s+", " ")).cast("binary"))
+    md5(graft.plans.TextSignalExpressions.wsCollapseLower(c).cast("binary"))
 
   /** Within-document repetition (Gopher-style): fraction of tokens taken
     * by the single most frequent token. Native single-pass expression —

@@ -134,11 +134,18 @@ object Parse {
     * (a value runs until the next ` key=` or end). Narrow. */
   def parseCef(df: DataFrame, lineCol: String,
                extensionKeys: Seq[String]): DataFrame = {
-    val l = col(lineCol)
     val h = "((?:\\\\.|[^|\\\\])*)" // one header field honoring CEF escaping
     val hdr = s"^CEF:(\\d+)\\|$h\\|$h\\|$h\\|$h\\|$h\\|$h\\|(.*)$$"
-    def grp(i: Int): Column = when(l.rlike(hdr), regexp_extract(l, hdr, i))
+    // ONE header match per row (r19): the groups array is materialized
+    // as its own column — NULL when the line doesn't match, so each
+    // element_at below is exactly the old when(rlike, extract) value.
+    // CollapseProject keeps a non-cheap multi-referenced producer in
+    // its own Project, so the match runs once however many fields read
+    // it (was ~9 full matches/row as per-field rlike+extract pairs).
+    val g = col("__cef_g")
+    def grp(i: Int): Column = element_at(g, i)
     val base = df
+      .withColumn("__cef_g", graft.plans.RegexExpressions.regexGroups(col(lineCol), hdr))
       .withColumn("cef_version", when(grp(1) =!= "", grp(1)).cast("int"))
       .withColumn("cef_vendor", grp(2))
       .withColumn("cef_product", grp(3))
@@ -147,11 +154,12 @@ object Parse {
       .withColumn("cef_name", grp(6))
       .withColumn("cef_severity", grp(7))
       .withColumn("__ext", grp(8))
+      .drop("__cef_g")
     extensionKeys.foldLeft(base) { (d, k) =>
       val kq = java.util.regex.Pattern.quote(k)
       val pat = s"(?:^|\\s)$kq=(.*?)(?=\\s+\\S+=|$$)"
       d.withColumn(s"cef_$k",
-        when(col("__ext").rlike(pat), regexp_extract(col("__ext"), pat, 1)))
+        element_at(graft.plans.RegexExpressions.regexGroups(col("__ext"), pat), 1))
     }.drop("__ext")
   }
 
@@ -163,13 +171,20 @@ object Parse {
   def validateCsv(df: DataFrame, lineCol: String, delim: String,
                   expectedFields: Int,
                   fieldRules: Seq[(Int, String, Column => Column)]): DataFrame = {
-    val parts = split(col(lineCol), java.util.regex.Pattern.quote(delim), -1)
+    // r19: materialize the split ONCE — it was inlined into every
+    // rule's size/element_at pair (~2 regex splits of the line per
+    // rule); as its own multi-referenced projection column it is
+    // evaluated once per row (CollapseProject keeps it).
+    val parts = col("__csv_parts")
     val arity: (String, Column) = "field_count" -> (size(parts) === expectedFields)
     val rules: Seq[(String, Column)] = arity +: fieldRules.map {
       case (idx, name, rule) =>
         name -> (size(parts) >= idx && coalesce(rule(element_at(parts, idx)), lit(false)))
     }
-    Records.validate(df, rules: _*)
+    Records.validate(
+      df.withColumn("__csv_parts",
+        split(col(lineCol), java.util.regex.Pattern.quote(delim), -1)),
+      rules: _*).drop("__csv_parts")
   }
 
   /** ExtractEmailHeaders (NiFi): named RFC-822/5322 headers from a raw
@@ -181,16 +196,22 @@ object Parse {
   def extractEmailHeaders(df: DataFrame, msgCol: String,
                           headers: Seq[String]): DataFrame = {
     // header block = everything before the first blank line; unfold
-    // CRLF/NL + leading-whitespace continuations into single spaces
+    // CRLF/NL + leading-whitespace continuations into single spaces.
+    // r19: the block is materialized ONCE per row (it was inlined into
+    // every header's rlike+extract pair, re-running its two regex
+    // passes over the whole message per header), and each header then
+    // costs one match over the short block instead of two.
     val block = regexp_replace(
       regexp_extract(col(msgCol), "(?s)^(.*?)(?:\\r?\\n\\r?\\n|$)", 1),
       "\\r?\\n[ \\t]+", " ")
-    headers.foldLeft(df) { (d, h) =>
+    val withBlock = df.withColumn("__hdr_block", block)
+    headers.foldLeft(withBlock) { (d, h) =>
       val hq = java.util.regex.Pattern.quote(h)
       val pat = s"(?im)^$hq:[ \\t]*(.*?)[ \\t]*$$"
       val out = "email_" + h.toLowerCase.replace('-', '_')
-      d.withColumn(out, when(block.rlike(pat), regexp_extract(block, pat, 1)))
-    }
+      d.withColumn(out, element_at(
+        graft.plans.RegexExpressions.regexGroups(col("__hdr_block"), pat), 1))
+    }.drop("__hdr_block")
   }
 
   /** ExtractEmailAttachments (NiFi): explode a raw MIME multipart
