@@ -1477,7 +1477,12 @@ object QueriesLlm {
     val docs = Tables.documents(s, d)
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_bm25_index_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
-    graft.operators.Bm25Index.buildIndex(s, docs, path, nBuckets = 32)
+    // r19: bucket count derived from corpus size (autoBuckets — the
+    // Pq.autoCells discipline) instead of a pinned 32; the count is a
+    // parquet metadata read. Scores/rankings are bucket-invariant, so
+    // the oracle sees identical rows.
+    graft.operators.Bm25Index.buildIndex(s, docs, path,
+      nBuckets = graft.operators.Bm25Index.autoBuckets(docs.count()))
     graft.operators.Bm25Index.searchIndex(s, path, retrievalQueries(s), k = 10)
   }
   val qBm25IndexSql: String = qBm25SearchSql

@@ -63,6 +63,17 @@ object Bm25Index {
     spark.read.parquet(s"$path/meta").select("n_buckets").as[Int].head()
   }
 
+  /** Scale-adaptive bucket count (r19 — the [[Pq.autoCells]]
+    * discipline: derive layout cardinality from corpus size, never pin
+    * it; guide §2.2/§6): one bucket per ~500 docs keeps each bucket's
+    * postings file in a sane size band as the corpus grows, the floor
+    * of 8 keeps serve-time partition pruning meaningful on small
+    * corpora, and the 4096 cap bounds directory/file count (and the
+    * driver's listing cost) at the billion-doc end. Bucket count is
+    * layout config — scores and rankings are bucket-invariant. */
+  def autoBuckets(nDocs: Long): Int =
+    math.max(8L, math.min(4096L, nDocs / 500L)).toInt
+
   /** (doc_id, dl, toks) — the one corpus tokenize pass. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
@@ -88,22 +99,45 @@ object Bm25Index {
     (postings, dfs, stats, toks.select("doc_id", "dl"), toks)
   }
 
-  private def writeIncrement(postings: DataFrame, dfs: DataFrame, stats: DataFrame,
-                             docRows: DataFrame, path: String, append: Boolean): Unit = {
+  /** Write one increment's four tables. Bloom NDVs are sized from the
+    * increment itself (r19 — the [[Pq.buildIndex]] per-cell lesson): a
+    * fixed 1M NDV allocates a ~1.2 MB bitmap PER FILE, which at one
+    * file per bucket wrote ~25 MB of bloom for ~200 KB of dfs rows at
+    * sf0.1 (measured) and scales with bucket count, not data. Distinct
+    * terms per bucket file are bounded by the increment's total token
+    * count / nBuckets; doc ids by the doc count. Oversizing 2× keeps
+    * FPP at the design point; blooms are skip hints — row values are
+    * unchanged. */
+  private def writeIncrement(postings: DataFrame, dfs: () => DataFrame, stats: DataFrame,
+                             docRows: DataFrame, path: String, append: Boolean,
+                             termNdv: Long, docNdv: Long): Unit = {
     val mode = if (append) "append" else "overwrite"
     def blo(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       w.option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#term", "true")
-        .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+        .option("parquet.bloom.filter.expected.ndv#term", termNdv.toString)
     blo(postings.repartition(col("bucket")).write.mode(mode))
       .partitionBy("bucket").parquet(s"$path/postings")
-    blo(dfs.repartition(col("bucket")).write.mode(mode))
+    // dfs is a thunk: the build path derives it from the postings just
+    // written (read AFTER the write above lands), the append path from
+    // its increment frame
+    blo(dfs().repartition(col("bucket")).write.mode(mode))
       .partitionBy("bucket").parquet(s"$path/dfs")
     stats.coalesce(1).write.mode(mode).parquet(s"$path/stats")
     docRows.write.mode(mode)
       .option("parquet.bloom.filter.enabled#doc_id", "true")
-      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", docNdv.toString)
       .parquet(s"$path/docs")
+  }
+
+  /** (docNdv, termNdv) for one increment, read from its stats row over
+    * the persisted tokenize (one cheap cached action): docs ≤ 2n,
+    * distinct terms per bucket file ≤ 2·Σdl/nBuckets. */
+  private def incrementNdv(stats: DataFrame, nBuckets: Int): (Long, Long) = {
+    val r = stats.head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val sumDl = if (r.isNullAt(1)) 0L else r.getLong(1)
+    (math.max(1024L, 2L * n), math.max(1024L, 2L * sumDl / math.max(nBuckets, 1)))
   }
 
   private def deletesDir(path: String) = s"$path/deletes"
@@ -129,8 +163,32 @@ object Bm25Index {
     val del = new org.apache.hadoop.fs.Path(deletesDir(path))
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(del)) fs.delete(del, true)
-    val (postings, dfs, stats, docRows, toks) = increment(docs, idCol, textCol, nBuckets)
-    writeIncrement(postings, dfs, stats, docRows, path, append = false)
+    val (postings, _, stats, docRows, toks) = increment(docs, idCol, textCol, nBuckets)
+    val (docNdv, termNdv) = incrementNdv(stats, nBuckets)
+    // dfs from a read-back of the postings just written (r19): the
+    // increment-frame form re-ran the explode + (doc,term) aggregation
+    // a second time — at corpus scale a full extra pass. The read-back
+    // scans ONLY the term column (+ the free bucket partition value)
+    // of the freshly written files; df values are identical because
+    // the rows are the very postings the first write produced.
+    def dfsRB(): DataFrame = {
+      val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+      val hasBuckets = fs.exists(pDir) &&
+        fs.listStatus(pDir).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      if (!hasBuckets)
+        // empty corpus: no bucket dirs to infer a schema from
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))))
+      else spark.read.parquet(s"$path/postings")
+        .groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+        .select(col("term"), col("df"), col("bucket").cast("int").as("bucket"))
+    }
+    writeIncrement(postings, dfsRB _, stats, docRows, path, append = false,
+      termNdv = termNdv, docNdv = docNdv)
     toks.unpersist(blocking = false)
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -144,7 +202,11 @@ object Bm25Index {
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val nBuckets = readMeta(spark, path)
     val (postings, dfs, stats, docRows, toks) = increment(docs, idCol, textCol, nBuckets)
-    writeIncrement(postings, dfs, stats, docRows, path, append = true)
+    val (docNdv, termNdv) = incrementNdv(stats, nBuckets)
+    // append keeps the increment-frame dfs: a read-back would see the
+    // PRE-EXISTING postings of earlier increments, not just this batch
+    writeIncrement(postings, () => dfs, stats, docRows, path, append = true,
+      termNdv = termNdv, docNdv = docNdv)
     toks.unpersist(blocking = false)
   }
 
@@ -185,7 +247,8 @@ object Bm25Index {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/dfs")
     held.select("doc_id").write.mode("append")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
-      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .option("parquet.bloom.filter.expected.ndv#doc_id",
+        math.max(1024L, 2L * removed).toString) // sized to this tombstone batch (r19)
       .parquet(deletesDir(path))
     held.unpersist(blocking = false)
     removed
@@ -307,9 +370,14 @@ object Bm25Index {
       if (frag.nonEmpty) {
         val touched = collapse(spark.read.parquet(s"$path/$sub")
           .filter(col("bucket").isin(frag.map(Integer.valueOf).toSeq: _*)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // NDV sized to the rewritten rows per bucket (r19 — the
+        // LshIndex compaction discipline), not a fixed 1M bitmap
+        val ndv = math.max(1024L, 2L * touched.count() / frag.length)
         val tmp = s"$path/${sub}_tmp_compact"
         graft.sources.Io.writeParquetBloom(touched.repartition(col("bucket")), tmp,
-          bloomCols = Seq("term"), ndv = 1000000L, partitionCols = Seq("bucket"))
+          bloomCols = Seq("term"), ndv = ndv, partitionCols = Seq("bucket"))
+        touched.unpersist(blocking = false)
         frag.foreach { bkt =>
           graft.sources.Io.swapDir(fs,
             new org.apache.hadoop.fs.Path(s"$path/$sub/bucket=$bkt"),

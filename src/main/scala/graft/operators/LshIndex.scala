@@ -120,7 +120,8 @@ object LshIndex {
     if (removed > 0)
       held.write.mode("append")
         .option("parquet.bloom.filter.enabled#id", "true")
-        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .option("parquet.bloom.filter.expected.ndv#id",
+          math.max(1024L, 2L * removed).toString) // sized to this batch (r19)
         .parquet(deletesDir(path))
     held.unpersist(blocking = false)
     removed

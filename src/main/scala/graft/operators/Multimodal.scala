@@ -532,9 +532,17 @@ object Multimodal {
     // bit_count(xor) (~ns/pair) instead of an interpreted
     // split/zip_with lambda (~30 µs/pair — measured to dominate at a
     // few million candidates)
+    //
+    // r19: materialize the packed hashes BEFORE the banded self-join —
+    // both join sides otherwise re-evaluate `hashed`, and for the
+    // media callers `hashed` is the per-row payload DECODE (every GIF
+    // frame / WAV sample walked), so the decode ran twice per query.
+    // The checkpointed frame is (id, hash, 2 longs) per row — the
+    // guide-§8 shape: move the heavy decode once, self-join the proxy.
     val packed = hashed.select(col("id"), col("dhash"),
       conv(substring(col("dhash"), 1, 32), 2, 10).cast("long").as("h1"),
       conv(substring(col("dhash"), 33, 32), 2, 10).cast("long").as("h2"))
+      .localCheckpoint(true)
     val bands = packed.select(col("id"), col("h1"), col("h2"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), substring(col("dhash"), b * 16 + 1, 16).as("bv"))): _*))

@@ -68,11 +68,15 @@ object Parse {
     * NiFi's `unmatched` relationship is a `route` on those nulls). */
   def extractGrok(df: DataFrame, lineCol: String, expr: String): DataFrame = {
     val (regex, names) = compileGrok(expr)
-    names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
-      // regexp_extract returns "" on no-match: surface as null instead
-      val v = regexp_extract(col(lineCol), regex, i + 1)
-      d.withColumn(name, when(col(lineCol).rlike(regex), v))
-    }
+    // ONE regex match per row (r19 — the parseCef treatment): the
+    // groups array is null on no-match, so each field below is exactly
+    // the old when(rlike, extract) value (null when unmatched, ""
+    // only for a matched-but-empty group).
+    val withG = df.withColumn("__grok_g",
+      graft.plans.RegexExpressions.regexGroups(col(lineCol), regex))
+    names.zipWithIndex.foldLeft(withG) { case (d, (name, i)) =>
+      d.withColumn(name, element_at(col("__grok_g"), i + 1))
+    }.drop("__grok_g")
   }
 
   /** RFC-3164-ish syslog line: `<PRI>MMM dd HH:mm:ss host tag[pid]: msg`
@@ -87,12 +91,19 @@ object Parse {
   /** ParseSyslog: structured fields from a syslog line column; severity/
     * facility derived from PRI (pri = facility*8 + severity). */
   def parseSyslog(df: DataFrame, lineCol: String): DataFrame = {
-    val l = col(lineCol)
-    def grp(i: Int): Column = when(l.rlike(syslogRegex), regexp_extract(l, syslogRegex, i))
+    // ONE regex match per row (r19 — the parseCef treatment; was a
+    // rlike+extract pair per field). A non-matching line yields a null
+    // groups array, so every field below is the old when(rlike, …)
+    // value; an absent OPTIONAL group (pri/pid) captured null, which
+    // regexp_extract — and RegexGroups — surface as "".
+    val g = col("__sl_g")
+    def grp(i: Int): Column = element_at(g, i)
     // optional groups capture "" when absent — null them before the cast
     // (ANSI mode rejects cast('' as int))
     val pri = when(grp(1) =!= "", grp(1)).cast("int")
-    df.withColumn("pri", pri)
+    df.withColumn("__sl_g",
+        graft.plans.RegexExpressions.regexGroups(col(lineCol), syslogRegex))
+      .withColumn("pri", pri)
       .withColumn("facility", floor(pri / 8).cast("int"))
       .withColumn("severity", (pri % 8).cast("int"))
       .withColumn("sl_ts", grp(2))
@@ -100,6 +111,7 @@ object Parse {
       .withColumn("sl_tag", grp(4))
       .withColumn("sl_pid", when(grp(5) =!= "", grp(5)).cast("int"))
       .withColumn("sl_msg", grp(6))
+      .drop("__sl_g")
   }
 
   /** PutSyslog's formatting half (r13): compose an RFC 3164 line from

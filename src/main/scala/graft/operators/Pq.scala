@@ -738,7 +738,16 @@ object Pq {
     // NDV allocates a ~1.2 MB bitmap PER FILE, which at thousands of
     // cells × many files per cell is gigabytes of bloom for megabytes
     // of codes (measured: it filled the disk at the 2M-vector probe)
-    val n = withMeta.count()
+    //
+    // r19: the NDV-sizing count ran over `withMeta`, re-evaluating the
+    // whole assign + encode + metadata-join pipeline once BEFORE the
+    // write evaluated it again (guide §1.2: don't compute things
+    // twice). The layout holds exactly one code row per corpus vector
+    // (encode and cell-assign are 1:1 on vec_id, metadata joins LEFT),
+    // so the bloom NDV hint can count the CORPUS side — a column-
+    // pruned scan (parquet metadata count on a table source), never
+    // the encode.
+    val n = corpusP.count()
     val perCell = math.max(1024L, 2L * n / math.max(nCells, 1))
     graft.sources.Io.writeParquetBloom(withMeta.repartition(col("cell")), s"$path/codes",
       bloomCols = Seq("vec_id"), ndv = perCell, partitionCols = Seq("cell"))
@@ -818,7 +827,10 @@ object Pq {
           "appendToIndex: metadata needs a vec_id column to key on")
         coded.join(md, Seq("vec_id"), "left")
     }
-    val n = withMeta.count()
+    // r19: the NDV hint counts the incoming VECTORS (1:1 with the
+    // appended code rows — the buildIndex discipline), so the encode
+    // pipeline is evaluated once, by the write.
+    val n = vectors.count()
     val perCell = math.max(1024L, 2L * n / math.max(cents.length, 1))
     withMeta.repartition(col("cell")).write.mode("append")
       .option("parquet.bloom.filter.enabled#vec_id", "true") // match the build's layout
